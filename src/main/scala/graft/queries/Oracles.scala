@@ -1,0 +1,203 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every entry in [[Queries.all]]. Column names,
+  * aliases, and ORDER BY match the Spark side exactly — the driver's
+  * compare sorts columns by name then hashes values, so any drift here is
+  * a hash mismatch even when the data agrees.
+  *
+  * DuckDB-specific care: integer SUM returns HUGEINT → CAST to BIGINT;
+  * regexp_replace needs the 'g' flag to match Spark's replace-all;
+  * date_format ↔ strftime pattern mapping; epoch(ts) is double seconds.
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_top_orders" -> """
+      SELECT l_orderkey, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_orderkey, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q03_region_revenue" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             count(*) AS n_lineitems
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q04_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q05_window_rank" -> """
+      SELECT l_suppkey, rn, l_orderkey, l_linenumber,
+             CAST(CAST(revenue AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+      FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS revenue,
+               row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice * (1.0 - l_discount) DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_suppkey, rn""",
+
+    "q06_cust_no_orders" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q07_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+             coalesce(l_linestatus, 'ALL') AS line_status,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY return_flag, line_status""",
+
+    "q08_orders_by_month" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY order_month""",
+
+    "q09_priority_customers" -> """
+      SELECT upper(substr(c_mktsegment, 1, 4)) AS segment_prefix,
+             count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      GROUP BY 1
+      ORDER BY segment_prefix""",
+
+    "q10_ledger_dedup" -> """
+      SELECT user_id,
+             count(*) AS times_received,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS first_receive_epoch,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS last_receive_epoch
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "q11_batch_assign" -> """
+      SELECT user_id,
+             CAST(floor(rn / 10) AS INTEGER) AS batch_seq,
+             count(*) AS n_files,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS batch_bytes,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS first_write_epoch,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS last_write_epoch
+      FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        FROM events)
+      GROUP BY user_id, CAST(floor(rn / 10) AS INTEGER)
+      ORDER BY user_id, batch_seq""",
+
+    "q12_prefix_wildcard" -> """
+      SELECT regexp_replace(source || '/lang=' || lang || '/doc', '=([^/]*)', '=*', 'g') AS config_prefix,
+             count(*) AS n_files,
+             CAST(sum(n_chars) AS BIGINT) AS total_bytes
+      FROM documents
+      GROUP BY 1
+      ORDER BY config_prefix""",
+
+    "q13_admission_filter" -> """
+      SELECT event_type,
+             count(*) AS n_admitted,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_size
+      FROM events
+      WHERE regexp_matches(event_type, '^(click|view|purchase)$') AND value > 1.0
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "q14_event_window" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_hour,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_hour, event_type""",
+
+    "q15_text_stats" -> """
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q16_exact_dedup" -> """
+      SELECT dup_count, count(*) AS n_groups
+      FROM (SELECT md5(text) AS h, count(*) AS dup_count
+            FROM documents GROUP BY 1)
+      GROUP BY dup_count
+      ORDER BY dup_count""",
+
+    "q17_quality_score" -> """
+      WITH scored AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               CAST((length(text) - length(regexp_replace(text, ' the ', '', 'g'))) / 5 AS INTEGER) AS stop_hits
+        FROM documents)
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_tokens >= 20 AND stop_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(stop_hits) AS BIGINT) AS total_stop_hits,
+             max(n_tokens) AS max_tokens
+      FROM scored
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q18_fingerprint" -> """
+      SELECT substr(md5(lower(trim(text))), 1, 2) AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY 1
+      ORDER BY bucket""",
+  )
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The engine's declared query surface: each entry is an operator from
+  * SURVEY.md §2 (loader-parity control-plane semantics re-expressed as
+  * deterministic queries over the driver's test tables) or a relational /
+  * text-pipeline operator the engine supports. Every query here has a
+  * matching DuckDB oracle in [[Oracles]] with IDENTICAL column names and
+  * ordering.
+  *
+  * Numeric-parity rules (see .claude/skills/verify/SKILL.md):
+  *  - double aggregates go through `CAST(x AS DECIMAL(18,6))` pre-sum on
+  *    both sides (exact, order-independent), final `CAST(... AS DOUBLE)`;
+  *  - DuckDB integer sums return HUGEINT → always `CAST(... AS BIGINT)`;
+  *  - timestamps are output as formatted strings or floor-epoch seconds.
+  *
+  * Scale notes (100 TB design): every aggregation below is a map-side
+  * partial agg + single shuffle on the group keys; joins broadcast the
+  * dimension side explicitly; filters and projections sit directly on the
+  * parquet scan so Catalyst pushes them down (verified via
+  * `.explain("formatted")` in BenchSpec).
+  */
+object Queries {
+
+  private val Dec = "decimal(18,6)"
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's TimestampType (µs) rejects outright. Read nanos as raw longs
+    * (legacy conf) and convert to µs timestamps explicitly — floor
+    * division, so epoch-second semantics match DuckDB's `epoch()`.
+    */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType.typeName match {
+      case "long" | "bigint" =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Relational surface (the semantics reference users run in Redshift
+  // after the load — SURVEY §2.3/2.4/2.5: native Spark territory).
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash agg. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: broadcast dim join + shuffle join + top-k. */
+  def q02TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = table(s, dir, "orders").filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li   = table(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join, dims broadcast, facts shuffled on key. */
+  def q03RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(s, dir, "nation")
+    val cust   = table(s, dir, "customer")
+    val supp   = table(s, dir, "supplier")
+    val ord = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = table(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Distinct aggregation (expand + two-phase agg under the hood). */
+  def q04DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Window ranking: top-3 revenue line items per supplier. */
+  def q05WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+              col("revenue").cast(Dec).cast("double").as("revenue"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Anti join: customers with no urgent order, per segment. */
+  def q06CustNoOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer")
+    val ord  = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Rollup (grouping sets) with NULL-free output for stable hashing. */
+  def q07Rollup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("return_flag"), col("line_status"))
+
+  /** Scalar date/string functions + agg: orders per month. */
+  def q08OrdersByMonth(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy(col("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        (sum(col("o_totalprice").cast(Dec)).cast("double") / count(lit(1))).as("avg_price"))
+      .orderBy(col("order_month"))
+
+  /** Semi join + IN-list + scalar string ops. */
+  def q09PriorityCustomers(s: SparkSession, dir: String): DataFrame = {
+    val ord = table(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    table(s, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(upper(substring(col("c_mktsegment"), 1, 4)).as("segment_prefix"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("segment_prefix"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Loader-parity surface: the reference's control-plane operators as
+  // deterministic queries (SURVEY §2.1/2.2/2.7). The live streaming
+  // versions of these semantics are in graft.streaming.Batcher; these
+  // queries are the batch-equivalent, oracle-checkable forms.
+  // ---------------------------------------------------------------------
+
+  /** F4/A5: processed-file dedup ledger — times received + first receive. */
+  def q10LedgerDedup(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("times_received"),
+        min(col("ts")).cast("long").as("first_receive_epoch"),
+        max(col("ts")).cast("long").as("last_receive_epoch"))
+      .orderBy(col("user_id"))
+
+  /** T1 count-trigger batching: deterministic batch assignment per prefix
+    * (user_id ≈ s3Prefix, event ≈ file, value ≈ size, batchSize=10) and
+    * the per-batch manifest summary (S5: count, bytes, write-date span).
+    */
+  def q11BatchAssign(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    eventsTable(s, dir)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("batch_seq", floor(col("rn") / 10).cast("int"))
+      .groupBy(col("user_id"), col("batch_seq"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        dsum(col("value")).as("batch_bytes"),
+        min(col("ts")).cast("long").as("first_write_epoch"),
+        max(col("ts")).cast("long").as("last_write_epoch"))
+      .orderBy(col("user_id"), col("batch_seq"))
+  }
+
+  /** F2/C2: hive-style wildcard prefix transform as an in-plan expression
+    * (the config-resolution form lives in graft.core.Prefix).
+    */
+  def q12PrefixWildcard(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("path", concat(col("source"), lit("/lang="), col("lang"), lit("/doc")))
+      .withColumn("config_prefix", regexp_replace(col("path"), "=([^/]*)", "=*"))
+      .groupBy(col("config_prefix"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("n_chars")).as("total_bytes"))
+      .orderBy(col("config_prefix"))
+
+  /** F1/S1: admission filter — regex + size predicate on the event feed. */
+  def q13AdmissionFilter(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .filter(regexp_like(col("event_type"), lit("^(click|view|purchase)$")) &&
+              col("value") > 1.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_admitted"), dsum(col("value")).as("total_size"))
+      .orderBy(col("event_type"))
+
+  /** T2-analog: tumbling processing-window aggregation over the event
+    * stream (batch-equivalent of the streaming windowed agg).
+    */
+  def q14EventWindow(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .withColumn("window_hour", date_format(date_trunc("HOUR", col("ts")), "yyyy-MM-dd HH:00"))
+      .groupBy(col("window_hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("window_hour"), col("event_type"))
+
+  // ---------------------------------------------------------------------
+  // Text-analysis surface (training-data pipeline ops over `documents`).
+  // ---------------------------------------------------------------------
+
+  /** Token counting + per-language corpus stats. */
+  def q15TextStats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_chars").cast(Dec)).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Exact dedup by content hash: duplicate-group size histogram. */
+  def q16ExactDedup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("dup_count"))
+      .groupBy(col("dup_count"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("dup_count"))
+
+  /** Quality scoring: integer-only heuristics (token count, stopword hits,
+    * punctuation count) bucketed per language — all-int arithmetic for
+    * exact cross-engine parity.
+    */
+  def q17QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("stop_hits",
+        ((length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / 5).cast("int"))
+      .withColumn("is_quality",
+        (col("n_tokens") >= 20 && col("stop_hits") >= 1).cast("int"))
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_quality")).as("n_quality"),
+        sum(col("stop_hits")).as("total_stop_hits"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Document fingerprinting: normalized-content hash bucket histogram. */
+  def q18Fingerprint(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("bucket", substring(md5(lower(trim(col("text"))).cast("binary")), 1, 2))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("bucket"))
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_top_orders"      -> (q02TopOrders _),
+    "q03_region_revenue"  -> (q03RegionRevenue _),
+    "q04_distinct_agg"    -> (q04DistinctAgg _),
+    "q05_window_rank"     -> (q05WindowRank _),
+    "q06_cust_no_orders"  -> (q06CustNoOrders _),
+    "q07_rollup"          -> (q07Rollup _),
+    "q08_orders_by_month" -> (q08OrdersByMonth _),
+    "q09_priority_customers" -> (q09PriorityCustomers _),
+    "q10_ledger_dedup"    -> (q10LedgerDedup _),
+    "q11_batch_assign"    -> (q11BatchAssign _),
+    "q12_prefix_wildcard" -> (q12PrefixWildcard _),
+    "q13_admission_filter" -> (q13AdmissionFilter _),
+    "q14_event_window"    -> (q14EventWindow _),
+    "q15_text_stats"      -> (q15TextStats _),
+    "q16_exact_dedup"     -> (q16ExactDedup _),
+    "q17_quality_score"   -> (q17QualityScore _),
+    "q18_fingerprint"     -> (q18Fingerprint _),
+  )
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dumped by `graft.Verify` (<out>/<name>/ parquet dir) with an
+entry in <out>/oracle_sql.json: run the oracle SQL in DuckDB over views of
+<sfDir>/*.parquet, then compare to the Spark result — columns sorted by
+name, rows sorted by all columns, values hashed. Exit 1 on any mismatch.
+"""
+import sys, json, glob, os
+import duckdb, pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes a bit: timestamps → isoformat strings, floats rounded
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures, checked, rows_only = [], 0, 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        spark_df = pd.concat(
+            [pd.read_parquet(f) for f in sorted(glob.glob(f"{qdir}/*.parquet"))],
+            ignore_index=True)
+        if name not in oracle:
+            rows_only += 1
+            status = "ROWS-ONLY" if len(spark_df) > 0 else "ROWS-ONLY-EMPTY!"
+            print(f"  {status:10s} {name}: {len(spark_df)} rows")
+            if len(spark_df) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        checked += 1
+        duck_df = con.execute(oracle[name]).fetchdf()
+        s, d = canon(spark_df), canon(duck_df)
+        if list(s.columns) != list(d.columns):
+            failures.append((name, f"schema mismatch: spark={list(s.columns)} duck={list(d.columns)}"))
+            continue
+        if len(s) != len(d):
+            failures.append((name, f"row count: spark={len(s)} duck={len(d)}"))
+            continue
+        mismatch = None
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if str(sv.dtype).startswith("float") or str(dv.dtype).startswith("float"):
+                import numpy as np
+                if not np.allclose(sv.astype(float), dv.astype(float), rtol=0, atol=0, equal_nan=True):
+                    # exact compare first; report max delta for diagnosis
+                    delta = (sv.astype(float) - dv.astype(float)).abs().max()
+                    mismatch = f"col {c}: max abs delta {delta}"
+                    break
+            else:
+                if not sv.astype(str).equals(dv.astype(str)):
+                    bad = (sv.astype(str) != dv.astype(str))
+                    i = bad.idxmax()
+                    mismatch = f"col {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
+                    break
+        if mismatch:
+            failures.append((name, mismatch))
+        else:
+            print(f"  OK         {name}: {len(s)} rows")
+    print(f"\n{checked} oracle-checked, {rows_only} rows-only, {len(failures)} failures")
+    for n, why in failures:
+        print(f"  FAIL {n}: {why}")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
