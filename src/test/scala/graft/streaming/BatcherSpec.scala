@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.TestGroupState
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+class BatcherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val cfg = LoadConfig(
+    s3Prefix = "bucket/input", batchSize = 2,
+    batchTimeoutSecs = Some(60), batchSizeBytes = Some(10000))
+  private val configs = Map("bucket/input" -> cfg)
+
+  private def ev(name: String, size: Long = 100, t: Long = 1000L) =
+    FileEvent("bucket", s"input/$name", size, t)
+
+  private def freshState = TestGroupState.create[BatcherState](
+    optionalState = Optional.empty[BatcherState](), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+    batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]], hasTimedOut = false)
+
+  test("count trigger: sample acceptance scenario — 5 files, batchSize 2 → 2 flushes + 1 pending") {
+    val state = freshState
+    val flushes = Batcher.processPrefix(configs, () => 1000L)(
+      "bucket/input", (1 to 5).map(i => ev(s"f$i.csv")).iterator, state).toList
+    assert(flushes.size == 2)
+    assert(flushes.forall(_.entries.size == 2))
+    assert(flushes.map(_.reason).distinct == List("count"))
+    assert(flushes.map(_.batchId).distinct.size == 2)
+    val st = state.get
+    assert(st.entries.map(_.file) == Vector("bucket/input/f5.csv"))
+    assert(st.sizeBytes == 100)
+  }
+
+  test("bytes trigger fires before count") {
+    val state = freshState
+    val flushes = Batcher.processPrefix(configs, () => 1000L)(
+      "bucket/input", Iterator(ev("big.csv", size = 20000)), state).toList
+    assert(flushes.size == 1 && flushes.head.reason == "bytes")
+  }
+
+  test("duplicate file is dropped and counted (F4/T6)") {
+    val state = freshState
+    val f = ev("dup.csv")
+    val flushes = Batcher.processPrefix(configs, () => 1000L)(
+      "bucket/input", Iterator(f, f, f), state).toList
+    assert(flushes.isEmpty)
+    val st = state.get
+    assert(st.entries.size == 1)
+    assert(st.processed("bucket/input/dup.csv") == 3)
+  }
+
+  test("filename filter: non-matching dropped, malformed regex fail-open (F1)") {
+    val filtered = Map("bucket/input" -> cfg.copy(filenameFilterRegex = Some("\\.csv$")))
+    val state = freshState
+    Batcher.processPrefix(filtered, () => 1000L)(
+      "bucket/input", Iterator(ev("a.csv"), ev("skip.json")), state)
+      .foreach(_ => ())
+    assert(state.get.entries.map(_.file) == Vector("bucket/input/a.csv"))
+
+    val broken = Map("bucket/input" -> cfg.copy(filenameFilterRegex = Some("[broken")))
+    val state2 = freshState
+    Batcher.processPrefix(broken, () => 1000L)(
+      "bucket/input", Iterator(ev("anything.xyz")), state2).foreach(_ => ())
+    assert(state2.get.entries.size == 1)
+  }
+
+  test("age trigger on processing-time timeout (T2) flushes pending") {
+    // first: accumulate one file at t=1000
+    val state = freshState
+    Batcher.processPrefix(configs, () => 1000L)(
+      "bucket/input", Iterator(ev("lone.csv", t = 1000L)), state).foreach(_ => ())
+    assert(state.get.entries.size == 1)
+    // then: timeout fires at t = 62s with no input
+    val timedOut = TestGroupState.create[BatcherState](
+      optionalState = Optional.of(state.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 62000L, eventTimeWatermarkMs = Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]], hasTimedOut = true)
+    val flushes = Batcher.processPrefix(configs, () => 62000L)(
+      "bucket/input", Iterator.empty, timedOut).toList
+    assert(flushes.size == 1 && flushes.head.reason == "age")
+    assert(flushes.head.entries.map(_.file) == Vector("bucket/input/lone.csv"))
+    assert(timedOut.get.entries.isEmpty)
+  }
+
+  test("no config resolved → no state, no output") {
+    val state = freshState
+    val flushes = Batcher.processPrefix(configs, () => 1000L)(
+      "unconfigured/prefix", Iterator(ev("x.csv")), state).toList
+    assert(flushes.isEmpty)
+  }
+
+  test("end-to-end streaming: MemoryStream → Batcher.run → flush commands (T1)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // no age timeout here: with a processing-time timer armed the engine
+    // keeps scheduling timeout-check batches and processAllAvailable
+    // blocks until the timer fires (correct for production, wrong for a
+    // synchronous test) — the age path is covered by the e2e test below.
+    val countOnly = Map("bucket/input" -> cfg.copy(batchTimeoutSecs = None, batchSizeBytes = None))
+    val input = MemoryStream[FileEvent]
+    val now = System.currentTimeMillis()
+    val flushes = Batcher.run(spark, input.toDS(), countOnly)
+    val q = flushes.writeStream
+      .format("memory").queryName("flushes").outputMode("append").start()
+    // NB: processAllAvailable is unusable with ProcessingTimeTimeout —
+    // shouldRunAnotherBatch is always true for that conf, so the engine
+    // never reports "no work". Poll the sink instead.
+    def awaitCount(n: Long, timeoutMs: Long = 60000): Long = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var c = spark.table("flushes").count()
+      while (c < n && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); c = spark.table("flushes").count()
+      }
+      c
+    }
+    try {
+      input.addData((1 to 5).map(i => ev(s"s$i.csv", t = now)))
+      assert(awaitCount(2) == 2)
+      val got = spark.table("flushes").as[FlushCommand].collect()
+      assert(got.forall(_.entries.size == 2))
+      assert(got.map(_.batchId).distinct.length == 2)
+      // re-delivering an already-processed file must not create entries
+      input.addData(Seq(ev("s1.csv", t = now), ev("s2.csv", t = now)))
+      Thread.sleep(3000)
+      assert(spark.table("flushes").count() == 2)
+    } finally q.stop()
+  }
+
+  test("end-to-end streaming: age timeout flushes without further input (T2)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val aged = Map("bucket/input" -> cfg.copy(batchSize = 100, batchTimeoutSecs = Some(2)))
+    val input = MemoryStream[FileEvent]
+    val flushes = Batcher.run(spark, input.toDS(), aged)
+    val q = flushes.writeStream
+      .format("memory").queryName("age_flushes").outputMode("append").start()
+    try {
+      input.addData(Seq(ev("only.csv", t = System.currentTimeMillis())))
+      // poll: the age timer fires ~2s after the first append, no dummy
+      // trigger files needed (unlike the reference's sweep hack)
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        n = spark.table("age_flushes").count()
+      }
+      assert(n == 1)
+      val f = spark.table("age_flushes").as[FlushCommand].head()
+      assert(f.reason == "age" && f.entries.map(_.file) == Seq("bucket/input/only.csv"))
+    } finally q.stop()
+  }
+}
