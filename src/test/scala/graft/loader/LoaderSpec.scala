@@ -1,0 +1,148 @@
+package graft.loader
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** End-to-end load tests against embedded Derby — the closest local
+  * stand-in for the reference's Redshift target. Reproduces the sample
+  * acceptance scenario (FIXTURES.md §1: five pipe-delimited 2-row CSVs
+  * into a 3-int-column table).
+  */
+class LoaderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dbUrl = "jdbc:derby:memory:loaderspec;create=true"
+
+  private def sql(q: String): Unit = {
+    val c = DriverManager.getConnection(dbUrl)
+    try { val s = c.createStatement(); try s.execute(q) finally s.close() }
+    finally c.close()
+  }
+  private def queryLong(q: String): Long = {
+    val c = DriverManager.getConnection(dbUrl)
+    try {
+      val s = c.createStatement()
+      try { val rs = s.executeQuery(q); rs.next(); rs.getLong(1) } finally s.close()
+    } finally c.close()
+  }
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graft-loader").toString
+    Files.createDirectories(Paths.get(s"$dir/bucket/input"))
+    // sample/data values 7..36: file i holds rows (6i+1,..) — FIXTURES.md §1
+    (0 until 5).foreach { i =>
+      val base = 7 + i * 6
+      Files.write(Paths.get(s"$dir/bucket/input/sample$i.csv"),
+        s"$base|${base + 1}|${base + 2}\n${base + 3}|${base + 4}|${base + 5}\n".getBytes)
+    }
+    dir
+  }
+
+  private val schema = StructType(Seq(
+    StructField("column_a", IntegerType),
+    StructField("column_b", IntegerType),
+    StructField("column_c", IntegerType)))
+
+  private def target(table: String, presql: Option[String] = None,
+                     postsql: Option[String] = None, truncate: Boolean = false) =
+    LoadTarget(dbUrl, "", "", table, truncateTarget = truncate,
+      presql = presql, postsql = postsql)
+
+  private val cfg = LoadConfig(
+    s3Prefix = "bucket/input", dataFormat = DataFormat.Csv,
+    csvDelimiter = "|", batchSize = 2)
+
+  private def cmd(id: String, files: Seq[String]) =
+    FlushCommand("bucket/input", id,
+      files.map(f => BatchEntry(s"bucket/input/$f", 24, 1000L)), 24L * files.size, "count", 2000L)
+
+  test("sample acceptance: two batches of two files load 8 rows transactionally") {
+    sql("CREATE TABLE lambda_sample(column_a INT, column_b INT, column_c INT)")
+    val c = cfg.copy(targets = Seq(target("lambda_sample")))
+    val out1 = Loader.loadBatch(spark, c, cmd("b1", Seq("sample0.csv", "sample1.csv")), root, Some(schema))
+    val out2 = Loader.loadBatch(spark, c, cmd("b2", Seq("sample2.csv", "sample3.csv")), root, Some(schema))
+    assert(out1.status == "complete" && out2.status == "complete")
+    assert(out1.results.head.rows == 4 && out2.results.head.rows == 4)
+    assert(queryLong("SELECT count(*) FROM lambda_sample") == 8)
+    // loaded values are exactly rows 7..30
+    assert(queryLong("SELECT sum(column_a)+sum(column_b)+sum(column_c) FROM lambda_sample") == (7 to 30).sum)
+    // staging drained
+    assert(queryLong("SELECT count(*) FROM lambda_sample_graft_stage") == 0)
+  }
+
+  test("replayed batch is a no-op (exactly-once under foreachBatch retry)") {
+    sql("CREATE TABLE replay_t(column_a INT, column_b INT, column_c INT)")
+    val c = cfg.copy(targets = Seq(target("replay_t")))
+    val first = Loader.loadBatch(spark, c, cmd("rb1", Seq("sample0.csv")), root, Some(schema))
+    assert(first.status == "complete" && !first.results.head.skipped)
+    val replay = Loader.loadBatch(spark, c, cmd("rb1", Seq("sample0.csv")), root, Some(schema))
+    assert(replay.status == "complete" && replay.results.head.skipped)
+    assert(queryLong("SELECT count(*) FROM replay_t") == 2)
+  }
+
+  test("presql/postsql run inside the same transaction; truncate honored (T10)") {
+    sql("CREATE TABLE hooks_t(column_a INT, column_b INT, column_c INT)")
+    sql("CREATE TABLE hook_log(tag VARCHAR(20))")
+    sql("INSERT INTO hooks_t VALUES (999, 999, 999)") // should be truncated away
+    val c = cfg.copy(targets = Seq(target("hooks_t",
+      presql = Some("INSERT INTO hook_log VALUES ('pre')"),
+      postsql = Some("INSERT INTO hook_log VALUES ('post')"),
+      truncate = true)))
+    val out = Loader.loadBatch(spark, c, cmd("hb1", Seq("sample0.csv")), root, Some(schema))
+    assert(out.status == "complete")
+    assert(queryLong("SELECT count(*) FROM hooks_t") == 2)
+    assert(queryLong("SELECT count(*) FROM hooks_t WHERE column_a = 999") == 0)
+    assert(queryLong("SELECT count(*) FROM hook_log") == 2)
+  }
+
+  test("failed postsql rolls back the whole transaction (A4 error fold)") {
+    sql("CREATE TABLE rollback_t(column_a INT, column_b INT, column_c INT)")
+    val c = cfg.copy(targets = Seq(target("rollback_t",
+      postsql = Some("INSERT INTO does_not_exist VALUES (1)"))))
+    val out = Loader.loadBatch(spark, c, cmd("fb1", Seq("sample0.csv")), root, Some(schema))
+    assert(out.status == "error")
+    assert(out.results.head.error.isDefined)
+    assert(queryLong("SELECT count(*) FROM rollback_t") == 0)
+    // a later good batch with a new id still loads (registry rolled back too)
+    val ok = Loader.loadBatch(spark, c.copy(targets = Seq(target("rollback_t"))),
+      cmd("fb2", Seq("sample1.csv")), root, Some(schema))
+    assert(ok.status == "complete")
+    assert(queryLong("SELECT count(*) FROM rollback_t") == 2)
+  }
+
+  test("multi-target fan-out: one bad target fails the batch, good target still commits (§7.5.7 wart)") {
+    sql("CREATE TABLE fan_good(column_a INT, column_b INT, column_c INT)")
+    val bad = LoadTarget("jdbc:derby:memory:nonexistent", "", "", "fan_bad")
+    val c = cfg.copy(targets = Seq(target("fan_good"), bad))
+    val out = Loader.loadBatch(spark, c, cmd("mb1", Seq("sample0.csv")), root, Some(schema))
+    assert(out.status == "error")
+    assert(out.results.count(_.ok) == 1 && out.results.count(!_.ok) == 1)
+    // faithful to the reference: the good cluster keeps its data
+    assert(queryLong("SELECT count(*) FROM fan_good") == 2)
+  }
+
+  test("column list reorders into target columns (S6 COPY (cols))") {
+    sql("CREATE TABLE colmap_t(x INT, y INT, z INT)")
+    val t = target("colmap_t").copy(columnList = Some(Seq("z", "y", "x")))
+    val c = cfg.copy(targets = Seq(t))
+    val out = Loader.loadBatch(spark, c, cmd("cb1", Seq("sample0.csv")), root, Some(schema))
+    assert(out.status == "complete")
+    // sample0: first row 7|8|9 → z=7, y=8, x=9
+    assert(queryLong("SELECT count(*) FROM colmap_t WHERE z = 7 AND y = 8 AND x = 9") == 1)
+  }
+
+  test("manifest JSON matches reference shape (S5)") {
+    val m = Manifest(Seq(ManifestEntry("file:/a/b.csv", mandatory = true, 24)))
+    assert(Loader.manifestJson(m) ==
+      """{"entries": [{"url": "file:/a/b.csv", "mandatory": true, "meta": {"content_length": 24}}]}""")
+  }
+}
