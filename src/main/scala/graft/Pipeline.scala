@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.core._
+import graft.ledger.Ledger
+import graft.loader.Loader
+import graft.notify.{Notification, Notifier, LogNotifier}
+import graft.sources.FileEventSource
+import graft.streaming.Batcher
+
+/** The assembled engine: the reference's full Lambda lifecycle
+  * (SURVEY §3.1) as one Structured Streaming query.
+  *
+  *   file events → admission/dedup/batching (stateful) → FlushCommand
+  *   → foreachBatch: format-aware read → transactional JDBC fan-out
+  *   → ledger append → notification → (optional) auto-reprocess hook.
+  *
+  * The flush-command stream is tiny control-plane data, so `collect()`
+  * inside foreachBatch is correct at any scale — the data files
+  * themselves are read and written entirely on executors.
+  */
+object Pipeline {
+
+  final case class Settings(
+      watchRoot: String,
+      ledgerDir: String,
+      checkpointDir: String,
+      triggerInterval: String = "5 seconds",
+      /** schema per target table name (the reference's "types belong to
+        * the target", SURVEY §1.2). */
+      schemas: Map[String, StructType] = Map.empty,
+      /** F5/T8: auto-reprocess predicate over the error message —
+        * reference default is constant true
+        * (failedBatchReprocessingLambda.js:7-10). */
+      reprocessSupported: String => Boolean = _ => true,
+      maxAutoReprocess: Int = 1)
+
+  def start(
+      spark: SparkSession,
+      settings: Settings,
+      configs: Map[String, LoadConfig],
+      notifier: Notifier = new LogNotifier,
+      resolvePassword: Loader.PasswordResolver = identity): StreamingQuery = {
+
+    val ledger = new Ledger(spark, settings.ledgerDir)
+    val events = FileEventSource.stream(spark, settings.watchRoot)
+    val flushes: Dataset[FlushCommand] = Batcher.run(spark, events, configs)
+
+    flushes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", settings.checkpointDir)
+      .trigger(Trigger.ProcessingTime(settings.triggerInterval))
+      .foreachBatch { (batch: Dataset[FlushCommand], _: Long) =>
+        batch.collect().foreach(cmd => runOne(spark, settings, configs, ledger, notifier,
+          resolvePassword, cmd, attempt = 0))
+      }
+      .start()
+  }
+
+  private def runOne(
+      spark: SparkSession,
+      settings: Settings,
+      configs: Map[String, LoadConfig],
+      ledger: Ledger,
+      notifier: Notifier,
+      resolvePassword: Loader.PasswordResolver,
+      cmd: FlushCommand,
+      attempt: Int): Unit = {
+    val cfg = configs.getOrElse(cmd.s3Prefix,
+      Prefix.resolve(cmd.s3Prefix, configs).map(_._2).getOrElse(
+        throw new IllegalStateException(s"no config for flushed prefix ${cmd.s3Prefix}")))
+
+    // lock → load → complete|error, ledger rows for each (T4/T7 lifecycle)
+    ledger.appendBatch(BatchRecord(cmd.s3Prefix, cmd.batchId, BatchStatus.Locked.name,
+      cmd.entries, cmd.sizeBytes, System.currentTimeMillis(), None, Map.empty, None,
+      Some(s"flush:${cmd.reason}")))
+
+    val schema = cfg.targets.headOption.flatMap(t => settings.schemas.get(t.targetTable))
+    val outcome = Loader.loadBatch(spark, cfg, cmd, settings.watchRoot, schema, resolvePassword)
+
+    val targetStatus = outcome.results.map(r =>
+      r.target -> (if (r.ok) "ok" else s"error: ${r.error.getOrElse("?")}")).toMap
+    ledger.appendBatch(BatchRecord(cmd.s3Prefix, cmd.batchId, outcome.status,
+      cmd.entries, cmd.sizeBytes, System.currentTimeMillis(), None, targetStatus,
+      outcome.results.flatMap(_.error).headOption, Some("load")))
+
+    cmd.entries.foreach(e => ledger.appendFile(
+      ProcessedFile(e.file, e.writeDate, 1, Some(cmd.batchId)), System.currentTimeMillis()))
+
+    notifier.notify(Notification(
+      outcome.results.flatMap(_.error).headOption,
+      outcome.status, cmd.batchId, cmd.s3Prefix, cmd.s3Prefix,
+      Some(Loader.manifestJson(outcome.manifest)), None))
+
+    // T8: failure-driven auto-retry, no SNS hop needed
+    if (outcome.status == "error" && attempt < settings.maxAutoReprocess &&
+        outcome.results.flatMap(_.error).forall(settings.reprocessSupported)) {
+      runOne(spark, settings, configs, ledger, notifier, resolvePassword,
+        cmd.copy(reason = FlushReason.Manual.name), attempt + 1)
+    }
+  }
+}

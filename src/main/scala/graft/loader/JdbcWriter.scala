@@ -97,8 +97,18 @@ object JdbcWriter {
       } finally stmt.close()
     }
 
-  /** Stage rows in parallel from executors. */
+  /** Stage rows in parallel from executors. Staging appends happen
+    * outside the commit transaction, so a retried load must first purge
+    * any rows a previous failed attempt left for this batchId — without
+    * this, a stage-ok/commit-fail/retry sequence doubles the rows.
+    */
   def stage(df: DataFrame, t: LoadTarget, password: String, batchId: String): Long = {
+    withConnection(t, password) { conn =>
+      val s = conn.createStatement()
+      try s.executeUpdate(
+        s"DELETE FROM ${stagingTable(t.targetTable)} WHERE $BatchIdCol = '$batchId'")
+      finally s.close()
+    }
     val tagged = df.withColumn(BatchIdCol, lit(batchId))
     val props = new java.util.Properties()
     if (t.user.nonEmpty) { props.put("user", t.user); props.put("password", password) }

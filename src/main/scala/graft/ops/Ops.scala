@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.ledger.{BatchLedgerEvent, Ledger}
+
+/** Operational command surface — the reference's CLI family
+  * (`/root/reference/` `unlockBatch.js`, `resetCurrentBatch.js`,
+  * `batchOperations.js:276-375`, `processedFiles.js`, `deleteBatch(es)`,
+  * SURVEY §2.9) as guarded ledger transitions. Guards mirror the
+  * reference's DynamoDB conditional-write preconditions (F6) — here they
+  * are read-check-append against the single-writer ledger.
+  */
+class Ops(spark: SparkSession, ledger: Ledger) {
+  import spark.implicits._
+
+  final case class OpResult(ok: Boolean, message: String,
+                            reinject: Seq[String] = Seq.empty)
+
+  private def now(): Long = System.currentTimeMillis()
+
+  private def currentOf(prefix: String, batchId: String): Option[BatchLedgerEvent] = {
+    import org.apache.spark.sql.functions.col
+    ledger.currentBatches
+      .filter(col("s3Prefix") === prefix && col("batchId") === batchId)
+      .as[BatchLedgerEvent].collect().headOption
+  }
+
+  private def transition(ev: BatchLedgerEvent, to: BatchStatus, reason: String): Unit =
+    ledger.appendBatch(BatchRecord(
+      ev.s3Prefix, ev.batchId, to.name,
+      ev.entryFiles.zip(ev.entrySizes).map { case (f, s) => BatchEntry(f, s, 0L) },
+      ev.sizeBytes, now(),
+      Option(ev.manifestFile).filter(_.nonEmpty),
+      ev.targetStatus,
+      Option(ev.errorMessage).filter(_.nonEmpty),
+      Some(reason)))
+
+  /** `locked|error → open` (unlockBatch.js:87-96). */
+  def unlockBatch(prefix: String, batchId: String): OpResult =
+    currentOf(prefix, batchId) match {
+      case None => OpResult(ok = false, s"batch $batchId not found for $prefix")
+      case Some(ev) if ev.status == BatchStatus.Locked.name || ev.status == BatchStatus.Error.name =>
+        transition(ev, BatchStatus.Open, "unlockBatch")
+        OpResult(ok = true, s"batch $batchId unlocked")
+      case Some(ev) =>
+        OpResult(ok = false, s"batch $batchId is '${ev.status}' — only locked/error can be unlocked")
+    }
+
+  /** Reprocess a batch (batchOperations.js:276-375): guard status
+    * (non-open, non-empty), drop omitted files, return the file list to
+    * re-inject into the ingest stream (the Spark replacement for the
+    * reference's S3 copy-to-self hack, common.js:719-770), and stamp
+    * `reprocessing → reprocessed`.
+    */
+  def reprocessBatch(prefix: String, batchId: String,
+                     omitFiles: Set[String] = Set.empty): OpResult =
+    currentOf(prefix, batchId) match {
+      case None => OpResult(ok = false, s"batch $batchId not found for $prefix")
+      case Some(ev) if ev.status == BatchStatus.Open.name =>
+        OpResult(ok = false, "cannot reprocess an open batch")
+      case Some(ev) if ev.entryFiles.isEmpty =>
+        OpResult(ok = false, "batch has no entries")
+      case Some(ev) =>
+        val files = ev.entryFiles.filterNot(omitFiles.contains)
+        transition(ev, BatchStatus.Reprocessing, "reprocessBatch")
+        transition(ev, BatchStatus.Reprocessed, "reprocessBatch")
+        OpResult(ok = true, s"${files.size} files queued for reprocessing", files)
+    }
+
+  /** deleteBatches with the reference's dry-run-by-default semantics
+    * (`deleteBatches.js`, batchOperations.js:193-271): returns what would
+    * be (or was) tombstoned.
+    */
+  def deleteBatches(status: String, dryRun: Boolean = true,
+                    afterMs: Option[Long] = None, beforeMs: Option[Long] = None): DataFrame = {
+    val doomed = ledger.queryBatches(status, afterMs, beforeMs)
+    if (!dryRun) {
+      doomed.collect().foreach { row =>
+        currentOf(row.getAs[String]("s3Prefix"), row.getAs[String]("batchId"))
+          .foreach(ev => transition(ev, BatchStatus.Error, "deleted"))
+      }
+    }
+    doomed
+  }
+
+  /** processedFiles --reprocess: re-inject one file; unlink its batch
+    * linkage in the audit log (common.js:842-916).
+    */
+  def reprocessFile(loadFile: String): OpResult = {
+    import org.apache.spark.sql.functions.col
+    val cur = ledger.processedFiles.filter(col("loadFile") === loadFile).collect().headOption
+    cur match {
+      case None => OpResult(ok = false, s"$loadFile not in processed-file ledger")
+      case Some(row) =>
+        val prevBatch = row.getAs[String]("batchId")
+        // getAs returns a mutable ArraySeq in Scala 2.13 — convert, don't cast
+        val prev = row.getAs[scala.collection.Seq[String]]("previousBatches").toSeq
+        ledger.appendFile(ProcessedFile(loadFile, now(), 0, None,
+          if (prevBatch.nonEmpty) prev :+ prevBatch else prev), now())
+        OpResult(ok = true, s"$loadFile queued for reprocessing", Seq(loadFile))
+    }
+  }
+}

@@ -113,14 +113,19 @@ object Batcher {
             // duplicate delivery (F4/T6): count it, don't re-admit
             st = st.copy(processed = st.processed.updated(file, times + 1))
           case None =>
-            val first = if (st.entries.isEmpty) ev.eventTime else st.firstWrite
+            // Batch age is measured from ADMISSION time, not the file's
+            // modification time (reference writeDates = common.now() at
+            // append, index.js:361-363): a discovery lag longer than
+            // batchTimeoutSecs must not age-flush every file singly.
+            val admitted = now()
+            val first = if (st.entries.isEmpty) admitted else st.firstWrite
             val (pm, po) =
               if (st.processedOrder.size >= DefaultMaxLedgerEntries) {
                 val evict = st.processedOrder.head
                 (st.processed - evict + (file -> 1), st.processedOrder.tail :+ file)
               } else (st.processed + (file -> 1), st.processedOrder :+ file)
             st = st.copy(
-              entries = st.entries :+ BatchEntry(file, ev.size, ev.eventTime),
+              entries = st.entries :+ BatchEntry(file, ev.size, admitted),
               sizeBytes = st.sizeBytes + ev.size,
               firstWrite = first,
               processed = pm, processedOrder = po)
