@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle on a compact key — the property that keeps them
+  * viable at 100 TB:
+  *
+  *  - exact:   shuffle on a 128-bit content hash (never the content);
+  *  - MinHash: shuffle on (band, bandHash) buckets; candidate pairs are
+  *             generated per-bucket and verified with true Jaccard, so
+  *             the quadratic step only happens inside tiny buckets;
+  *  - SimHash: shuffle on 16-bit signature bands; Hamming-verified;
+  *  - embedding: delegated to [[Similarity]] LSH buckets with cosine
+  *             verification.
+  *
+  * All hashing uses xxhash64 with per-permutation seeds — codegen'd,
+  * no UDFs, deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash. Returns one row per duplicate group
+    * with the kept (minimum) id and the group size. Keys shuffle as
+    * 32-char hashes regardless of document size.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+           count(lit(1)).as("dup_count"),
+           collect_list(col(idCol)).as("member_ids"))
+
+  /** MinHash signature column: k permutations approximated by seeded
+    * xxhash64 over word-shingles; minhash_i = min over shingles of
+    * h(shingle, i). Pure higher-order functions — stays in codegen.
+    */
+  def minhashSignature(textCol: Column, k: Int = 64, shingleN: Int = 3): Column = {
+    val sh = shingles(textCol, shingleN)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** MinHash + LSH candidate pairs above an estimated Jaccard threshold.
+    * bands×rowsPerBand must equal k. Two docs land in the same bucket if
+    * any band of their signatures matches; candidates are then verified
+    * with exact shingle-set Jaccard. The only shuffles are (a) the
+    * bucket join on (band, bandHash) and (b) the verification self-join
+    * on doc ids.
+    */
+  def minhashLSH(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+                 shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sigs = df.select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), k, shingleN).as("sig"),
+        array_distinct(shingles(col(textCol), shingleN)).as("shingle_set"))
+      .cache()
+
+    val buckets = sigs.select(col("doc_id"), col("shingle_set"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+                v => v.cast("string"))), b).as("band_hash")))).as("bk"))
+      .select(col("doc_id"), col("shingle_set"),
+        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+
+    val l = buckets.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("shingle_set").as("sh_a"))
+    val r = buckets.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_b"), col("shingle_set").as("sh_b"))
+
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union_size",
+        size(col("sh_a")) + size(col("sh_b")) - col("intersection"))
+      .withColumn("jaccard", col("intersection").cast("double") / col("union_size"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash 64-bit signature: sign-aggregated token-hash bits. Token
+    * hashes are computed once, then each bit position sums ±1 weights.
+    */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(tokens(textCol), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0, lit(1L))
+        .otherwise(lit(0L)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, i) => acc.bitwiseOR(call_function("shiftleft", call_function("element_at", bits, i + lit(1)), i)))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band LSH over the signature, then
+    * Hamming-distance verification via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig")).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), b * lit(16)).bitwiseAND(0xFFFFL).as("band_val")))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_val"))
+    val l = banded.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** n-gram Jaccard similarity for an explicit pair set (exact verify
+    * used standalone): returns pairwise Jaccard over word n-gram sets.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                   threshold: Double = 0.3): DataFrame = {
+    val sets = df.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), n)).as("ngrams"))
+    val l = sets.select(col("doc_id").as("id_a"), col("ngrams").as("ng_a"))
+    val r = sets.select(col("doc_id").as("id_b"), col("ngrams").as("ng_b"))
+    // NB: quadratic — only for small candidate sets; large-scale paths
+    // go through minhashLSH which prunes before this computation.
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("intersection", size(array_intersect(col("ng_a"), col("ng_b"))))
+      .withColumn("union_size", size(col("ng_a")) + size(col("ng_b")) - col("intersection"))
+      .withColumn("jaccard", col("intersection").cast("double") / col("union_size"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

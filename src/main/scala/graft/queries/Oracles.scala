@@ -11,7 +11,70 @@ package graft.queries
   */
 object Oracles {
 
+  /** SQL mirror of TextFunctions.literalHits — same needle, same divisor. */
+  private def hitsSql(word: String): String = {
+    val needle = s" $word "
+    s"CAST((length(text) - length(regexp_replace(text, ' $word ', '', 'g'))) / ${needle.length} AS INTEGER)"
+  }
+
+  /** SQL mirror of TextFunctions.langId: same marker sets, same greatest
+    * + fixed preference order (en, de, fr, es, zh), same `und` fallback.
+    */
+  private val langIdSql: String = {
+    val scores = graft.functions.TextFunctions.LangMarkers.map { case (l, ws) =>
+      l -> ws.map(hitsSql).mkString("(", " + ", ")")
+    }
+    val greatest = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (l, s) =>
+      s"WHEN $s = best AND $s > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (SELECT lang, text, $greatest AS best FROM documents)
+        SELECT lang, CASE $cases ELSE 'und' END AS predicted, count(*) AS n_docs
+        FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""
+  }
+
   val all: Map[String, String] = Map(
+    "q19_lang_id" -> langIdSql,
+
+    "q24_embedding_meta" -> """
+      SELECT label, count(*) AS n_vecs,
+             CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+             CAST(max(len(embedding)) AS BIGINT) AS dim_max
+      FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q25_bpe_tokens" -> """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpeish,
+             CAST(max(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS max_bpeish
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q27_sessionize" -> """
+      WITH ordered AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      flags AS (
+        SELECT user_id, sec, event_id,
+               CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flags),
+      per AS (SELECT user_id, session_seq, count(*) AS n_events FROM sess GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+      FROM per GROUP BY 1 ORDER BY user_id""",
+
+    "q28_exact_dedup_keep" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50),
+      groups AS (
+        SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM corpus GROUP BY 1)
+      SELECT dup_count, count(*) AS n_groups, CAST(sum(keep_id) AS BIGINT) AS keep_id_sum
+      FROM groups GROUP BY 1 ORDER BY dup_count""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

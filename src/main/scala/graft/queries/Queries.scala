@@ -287,6 +287,128 @@ object Queries {
       .orderBy(col("bucket"))
 
   // ---------------------------------------------------------------------
+  // Training-data pipeline operators (dedup / similarity / multimodal) —
+  // implemented in graft.operators; exposed here as queries. SQL-
+  // expressible ones carry oracles; LSH/ANN ones are rows-only checked.
+  // ---------------------------------------------------------------------
+  import graft.functions.TextFunctions
+  import graft.operators.{Dedup, Multimodal, Similarity}
+
+  /** Language-ID heuristic accuracy matrix (actual × predicted). */
+  def q19LangId(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("predicted", TextFunctions.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** MinHash+LSH near-dup summary: candidate volume vs verified pairs. */
+  def q20MinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLSH(table(s, dir, "documents"), "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.1)
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("jaccard") >= 0.5, 1).otherwise(0)), lit(0)).as("n_strong"),
+      coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
+      .withColumn("op", lit("minhash_lsh"))
+  }
+
+  /** SimHash near-dup summary with Hamming verification. */
+  def q21SimhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("hamming") <= 3, 1).otherwise(0)), lit(0)).as("n_close"),
+        coalesce(min(col("hamming")), lit(64)).as("min_hamming"))
+      .withColumn("op", lit("simhash"))
+
+  /** Brute-force cosine top-5 for the first 10 query vectors. */
+  def q22EmbeddingTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH ANN vs brute force: per-query recall@5 of the bucketed path. */
+  def q23AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+      bits = 16, bands = 8, dim = 64)
+      .select(col("query_id").as("aq"), col("corpus_id").as("ac"))
+    exact.join(approx, col("query_id") === col("aq") && col("corpus_id") === col("ac"), "left")
+      .groupBy(col("query_id"))
+      .agg((coalesce(sum(when(col("ac").isNotNull, 1).otherwise(0)), lit(0)) / count(lit(1)))
+        .as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Embedding metadata profile (oracle-checked array handling). */
+  def q24EmbeddingMeta(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"))
+      .orderBy(col("label"))
+
+  /** BPE-ish token counting (regex pre-tokenization). */
+  def q25BpeTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("n_bpeish", TextFunctions.bpeishTokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpeish")).as("total_bpeish"),
+        max(col("n_bpeish")).cast("long").as("max_bpeish"))
+      .orderBy(col("lang"))
+
+  /** Multimodal plumbing: binary columns through the batched feature
+    * extractor (decode stubbed — schema/batching/partitioning real). */
+  def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromDocuments(s, table(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(s, media)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byte_length")).as("total_bytes"),
+        countDistinct(col("feat_checksum")).as("distinct_checksums"))
+      .orderBy(col("modality"))
+  }
+
+  /** Sessionization (30-min gap) — the batch-equivalent of
+    * mapGroupsWithState session windows, oracle-checked.
+    */
+  def q27Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val sessions = eventsTable(s, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact-dedup operator output (not just the histogram): groups with
+    * kept id — over a corpus with synthetic duplicates injected by
+    * unioning a shifted copy of the first 50 docs.
+    */
+  def q28ExactDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dupes = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    Dedup.exact(docs.union(dupes), "doc_id", "text")
+      .groupBy(col("dup_count"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("keep_id")).as("keep_id_sum"))
+      .orderBy(col("dup_count"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -309,5 +431,15 @@ object Queries {
     "q16_exact_dedup"     -> (q16ExactDedup _),
     "q17_quality_score"   -> (q17QualityScore _),
     "q18_fingerprint"     -> (q18Fingerprint _),
+    "q19_lang_id"         -> (q19LangId _),
+    "q20_minhash_dedup"   -> (q20MinhashDedup _),
+    "q21_simhash_dedup"   -> (q21SimhashDedup _),
+    "q22_embedding_topk"  -> (q22EmbeddingTopK _),
+    "q23_ann_recall"      -> (q23AnnRecall _),
+    "q24_embedding_meta"  -> (q24EmbeddingMeta _),
+    "q25_bpe_tokens"      -> (q25BpeTokens _),
+    "q26_multimodal_features" -> (q26MultimodalFeatures _),
+    "q27_sessionize"      -> (q27Sessionize _),
+    "q28_exact_dedup_keep" -> (q28ExactDedupKeep _),
   )
 }

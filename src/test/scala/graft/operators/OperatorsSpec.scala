@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private lazy val corpus = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("quick", "speedy")), // near dup of 1
+    (4L, "completely different content about spark query engines and shuffles at scale"),
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical docs, keeps min id") {
+    val groups = Dedup.exact(corpus, "doc_id", "text").collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-dup, skips unrelated") {
+    val pairs = Dedup.minhashLSH(corpus, "doc_id", "text",
+      k = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs share signature; near-dup within small hamming") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hamming13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hamming14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hamming13 < hamming14, s"near-dup hamming $hamming13 should beat unrelated $hamming14")
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = hamming13)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near-dup high, unrelated filtered") {
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  private lazy val vectors = {
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val anchor = unit()
+    val near = anchor.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.05f else x }
+    Seq(
+      (1L, anchor), (2L, near),
+      (3L, unit()), (4L, unit()), (5L, unit()), (6L, unit())
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k ranks the planted neighbor first") {
+    val top = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 1), "vec_id", "embedding", k = 2)
+      .collect()
+    assert(top.head.getAs[Long]("corpus_id") == 2L)
+    assert(top.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("LSH ANN finds the planted neighbor with bucket pruning") {
+    val top = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 1), "vec_id", "embedding",
+      k = 2, bits = 8, bands = 4, dim = 16)
+      .collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("corpus_id") == 2L)
+  }
+
+  test("embedding cosine dup pairs picks the planted pair only (high threshold)") {
+    val pairs = Similarity.cosineDupPairs(vectors, "vec_id", "embedding",
+      threshold = 0.98, bits = 8, bands = 4, dim = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("text functions: tokens, bpe-ish, langid markers, shingles") {
+    val df = Seq(("the cat and the dog, of course!", "en")).toDF("text", "lang")
+    val row = df.select(
+      TextFunctions.tokenCount($"text").as("t"),
+      TextFunctions.bpeishTokenCount($"text").as("b"),
+      TextFunctions.langId($"text").as("l"),
+      size(TextFunctions.shingles($"text", 3)).as("s")).collect().head
+    assert(row.getAs[Int]("t") == 7)
+    // [the cat and the dog , of course !] = 9
+    assert(row.getAs[Int]("b") == 9)
+    assert(row.getAs[String]("l") == "en")
+    assert(row.getAs[Int]("s") == 5)
+  }
+
+  test("multimodal: stub features deterministic, batched, schema stable") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 3)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    assert(byId(1L).feat_checksum == byId(2L).feat_checksum) // deterministic
+    assert(byId(1L).feat_checksum != byId(3L).feat_checksum)
+    assert(byId(1L).feature_vec.length == 8)
+    assert(byId(1L).byte_length == "hello world".length)
+    val thumbs = Multimodal.thumbnail(spark, media, maxBytes = 4).collect()
+    assert(thumbs.forall(_.getAs[Array[Byte]]("thumb").length <= 4))
+  }
+}
