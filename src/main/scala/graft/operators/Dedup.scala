@@ -53,28 +53,39 @@ object Dedup {
                  shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
+    // Stage the shingle array as a bound column FIRST: expressions inside
+    // HOF lambdas are re-evaluated per outer-lambda element (no CSE
+    // across lambda bodies), so an un-staged shingles() would re-tokenize
+    // the document k times per row — 30× slower at sf0.1.
     val sigs = df.select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), k, shingleN).as("sig"),
         array_distinct(shingles(col(textCol), shingleN)).as("shingle_set"))
+      .withColumn("sig", graft.functions.expressions.minhash64(col("shingle_set"), k))
       .cache()
 
-    val buckets = sigs.select(col("doc_id"), col("shingle_set"),
+    // Buckets carry ONLY (band, hash, id): the shingle arrays would
+    // otherwise ride through the bucket-join shuffle. Candidate pairs are
+    // few, so fetching their shingle sets afterwards is two cheap
+    // id-equi-joins against the cached signature table.
+    val buckets = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(concat_ws(",",
               transform(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
                 v => v.cast("string"))), b).as("band_hash")))).as("bk"))
-      .select(col("doc_id"), col("shingle_set"),
-        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
 
-    val l = buckets.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_a"), col("shingle_set").as("sh_a"))
-    val r = buckets.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_b"), col("shingle_set").as("sh_b"))
+    val l = buckets.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+    val r = buckets.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
 
-    l.join(r, Seq("band", "band_hash"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    val sets = sigs.select(col("doc_id"), col("shingle_set"))
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("sh_b")), Seq("id_b"))
       .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("union_size",
         size(col("sh_a")) + size(col("sh_b")) - col("intersection"))
@@ -83,17 +94,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash 64-bit signature: sign-aggregated token-hash bits. Token
-    * hashes are computed once, then each bit position sums ±1 weights.
+  /** SimHash 64-bit signature as staged columns. Single-Column forms of
+    * this expression nest the token-hash array inside every per-bit
+    * lambda; because HOF lambda bodies get no common-subexpression
+    * elimination, that re-hashes the document 64× (and the final bit-fold
+    * would square it). Staging hashes → bit-counts → signature as bound
+    * attributes evaluates each once per row: O(64·|tokens|) total.
     */
+  def withSimhash(df: DataFrame, textCol: String, out: String = "sig"): DataFrame =
+    df.withColumn(out, graft.functions.expressions.simhash64(tokens(col(textCol))))
+
+  /** Column form kept for expression composition (small inputs only —
+    * see [[withSimhash]] for the staged scale path). */
   def simhash(textCol: Column): Column = {
     val hashes = transform(tokens(textCol), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0, lit(1L))
-        .otherwise(lit(0L)))
+    val counts = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, i) => acc.bitwiseOR(call_function("shiftleft", call_function("element_at", bits, i + lit(1)), i)))
+      (acc, i) => acc.bitwiseOR(call_function("shiftleft",
+        when(call_function("element_at", counts, i + lit(1)) > 0, lit(1L)).otherwise(lit(0L)), i)))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band LSH over the signature, then
@@ -101,7 +121,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig")).cache()
+    val sigs = withSimhash(df.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+      .select(col("doc_id"), col("sig")).cache()
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
