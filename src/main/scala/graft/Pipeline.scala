@@ -59,6 +59,13 @@ object Pipeline {
       .start()
   }
 
+  private def writeManifest(dir: String, batchId: String, json: String): String = {
+    val p = java.nio.file.Paths.get(dir, s"$batchId.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+    p.toString
+  }
+
   private def runOne(
       spark: SparkSession,
       settings: Settings,
@@ -80,10 +87,20 @@ object Pipeline {
     val schema = cfg.targets.headOption.flatMap(t => settings.schemas.get(t.targetTable))
     val outcome = Loader.loadBatch(spark, cfg, cmd, settings.watchRoot, schema, resolvePassword)
 
+    // S5 manifest audit artifact; S12 failed-manifest copy on error
+    val manifestJson = Loader.manifestJson(outcome.manifest)
+    val manifestPath = writeManifest(
+      s"${settings.ledgerDir}/manifests", cmd.batchId, manifestJson)
+    val failedManifestPath =
+      if (outcome.status == "error")
+        Some(writeManifest(s"${settings.ledgerDir}/failed-manifests", cmd.batchId, manifestJson))
+      else None
+
     val targetStatus = outcome.results.map(r =>
       r.target -> (if (r.ok) "ok" else s"error: ${r.error.getOrElse("?")}")).toMap
     ledger.appendBatch(BatchRecord(cmd.s3Prefix, cmd.batchId, outcome.status,
-      cmd.entries, cmd.sizeBytes, System.currentTimeMillis(), None, targetStatus,
+      cmd.entries, cmd.sizeBytes, System.currentTimeMillis(),
+      Some(failedManifestPath.getOrElse(manifestPath)), targetStatus,
       outcome.results.flatMap(_.error).headOption, Some("load")))
 
     cmd.entries.foreach(e => ledger.appendFile(
@@ -92,7 +109,7 @@ object Pipeline {
     notifier.notify(Notification(
       outcome.results.flatMap(_.error).headOption,
       outcome.status, cmd.batchId, cmd.s3Prefix, cmd.s3Prefix,
-      Some(Loader.manifestJson(outcome.manifest)), None))
+      Some(manifestPath), failedManifestPath))
 
     // T8: failure-driven auto-retry, no SNS hop needed
     if (outcome.status == "error" && attempt < settings.maxAutoReprocess &&

@@ -66,12 +66,58 @@ class PipelineSpec extends AnyFunSuite {
         "SELECT sum(column_a)+sum(column_b)+sum(column_c) FROM pipe_target")
       rs.next(); assert(rs.getLong(1) == (7 to 36).sum)
 
+      // the JDBC commit lands before the ledger append — poll the ledger
+      // for the trailing batch instead of asserting immediately
       val ledger = new Ledger(spark, ledgerDir)
-      val complete = ledger.queryBatches("complete").collect()
-      assert(complete.length == 3)
+      def completeCount(): Long =
+        try ledger.queryBatches("complete").count() catch { case _: Throwable => 0L }
+      val ledgerDeadline = System.currentTimeMillis() + 60000
+      while (completeCount() < 3 && System.currentTimeMillis() < ledgerDeadline)
+        Thread.sleep(500)
+      assert(completeCount() == 3)
       assert(ledger.processedFiles.count() == 5)
       assert(notifier.received.count(_.status == "complete") == 3)
       assert(notifier.received.forall(_.error.isEmpty))
+      // S5: every completed batch has a manifest audit artifact on disk
+      val manifests = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$ledgerDir/manifests")).count()
+      assert(manifests == 3)
+    } finally q.stop()
+  }
+
+  test("failure path: bad target → error status, failed manifest, failure notification (S12/T8)") {
+    val root = Files.createTempDirectory("graft-pipef").toString
+    val ledgerDir = Files.createTempDirectory("graft-pipef-ledger").toString
+    val ckpt = Files.createTempDirectory("graft-pipef-ckpt").toString
+    Files.createDirectories(Paths.get(s"$root/bucket/input"))
+    val schema = StructType(Seq(StructField("column_a", IntegerType)))
+    val cfg = LoadConfig(
+      s3Prefix = "bucket/input", dataFormat = DataFormat.Csv,
+      batchSize = 1,
+      targets = Seq(LoadTarget("jdbc:derby:memory:doesnotexist", "", "", "no_table")))
+    val notifier = new CollectingNotifier
+    Files.write(Paths.get(s"$root/bucket/input/f.csv"), "1\n".getBytes)
+
+    val q = Pipeline.start(spark,
+      Pipeline.Settings(root, ledgerDir, ckpt, triggerInterval = "1 second",
+        schemas = Map("no_table" -> schema), maxAutoReprocess = 1),
+      Map("bucket/input" -> cfg), notifier)
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (notifier.received.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      Thread.sleep(2000) // allow the auto-reprocess attempt to finish
+      assert(notifier.received.nonEmpty)
+      assert(notifier.received.forall(_.status == "error"))
+      assert(notifier.received.forall(_.error.isDefined))
+      assert(notifier.received.forall(_.failedManifest.isDefined))
+      // auto-reprocess hook retried once → two error notifications
+      assert(notifier.received.size == 2)
+      val failed = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$ledgerDir/failed-manifests")).count()
+      assert(failed >= 1)
+      val ledger = new Ledger(spark, ledgerDir)
+      assert(ledger.queryBatches("error").count() == 1)
     } finally q.stop()
   }
 }
