@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys at 100 TB: explicit key salting.
+  *
+  * AQE's skew-join handles most cases at runtime
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default here); explicit
+  * salting remains necessary when one side must be pre-aggregated per
+  * key or when a single key exceeds what one task can hold even after
+  * AQE splitting. The pattern: fact rows get a random-ish salt in
+  * [0, salts); the dimension side is exploded ×salts; the join key
+  * becomes (key, salt), spreading each hot key over `salts` tasks.
+  *
+  * Salt derives from deterministic row content (xxhash64 of all fact
+  * columns) rather than rand() so retried tasks salt identically —
+  * nondeterministic salting breaks task retry exactly-once.
+  */
+object Skew {
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
+    val saltedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase (partial → final) aggregation for skewed group keys:
+    * aggregate on (key, salt) first, then merge per key. Spark's hash
+    * aggregate already does map-side partials; this helps when a single
+    * key's partials still overwhelm one reducer (extreme hot keys).
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int = 16): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+}

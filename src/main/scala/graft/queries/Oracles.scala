@@ -36,6 +36,10 @@ object Oracles {
   val all: Map[String, String] = Map(
     "q19_lang_id" -> langIdSql,
 
+    // q30/q31: the SAME SQL text Spark executes — textual SQL parity
+    "q30_sql_scalar_subquery" -> graft.queries.Queries.sqlScalarSubquery,
+    "q31_sql_exists_having" -> graft.queries.Queries.sqlExistsHaving,
+
     "q24_embedding_meta" -> """
       SELECT label, count(*) AS n_vecs,
              CAST(min(len(embedding)) AS BIGINT) AS dim_min,

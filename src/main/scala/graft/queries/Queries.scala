@@ -408,6 +408,56 @@ object Queries {
       .orderBy(col("dup_count"))
   }
 
+  /** Approximate distinct (HLL++ sketch) beside the exact counts — the
+    * sketch path for 100 TB cardinalities. Rows-only (sketch estimates
+    * are engine-specific by design).
+    */
+  def q29ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** Register the test tables as temp views so literal SQL text runs
+    * through spark.sql — the engine's SQL surface.
+    */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents")
+      .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+    eventsTable(s, dir).createOrReplaceTempView("events")
+  }
+
+  /** Identical SQL text runs in Spark and DuckDB (scalar subquery). */
+  val sqlScalarSubquery: String = """
+      SELECT p_brand, count(*) AS n_parts,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      FROM part WHERE p_size = (SELECT min(p_size) FROM part)
+      GROUP BY p_brand ORDER BY p_brand"""
+
+  def q30SqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sqlScalarSubquery)
+  }
+
+  /** Identical SQL text: correlated EXISTS + HAVING. */
+  val sqlExistsHaving: String = """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority
+      HAVING count(*) > 10
+      ORDER BY o_orderpriority"""
+
+  def q31SqlExistsHaving(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sqlExistsHaving)
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -441,5 +491,8 @@ object Queries {
     "q26_multimodal_features" -> (q26MultimodalFeatures _),
     "q27_sessionize"      -> (q27Sessionize _),
     "q28_exact_dedup_keep" -> (q28ExactDedupKeep _),
+    "q29_approx_distinct" -> (q29ApproxDistinct _),
+    "q30_sql_scalar_subquery" -> (q30SqlScalarSubquery _),
+    "q31_sql_exists_having" -> (q31SqlExistsHaving _),
   )
 }

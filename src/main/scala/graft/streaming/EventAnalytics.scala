@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming-native analytics over event streams — the
+  * "streams" leg of the engine (SURVEY §2.7): watermarked windowed
+  * aggregation and gap-based sessionization with custom state. The
+  * batch-equivalent forms are oracle-checked as q14/q27; these are the
+  * streaming duals sharing the same semantics.
+  */
+object EventAnalytics {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** Tumbling-window counts with a watermark bounding state. */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Int, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+                              n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when no event arrives for `gapSecs` (processing-time timer) —
+    * the streaming dual of q27's lag/cumsum form, and the reference
+    * pattern for "custom state" the builder prompt calls for.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapSecs: Int = 1800,
+                 now: () => Long = () => System.currentTimeMillis()): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = Vector.newBuilder[SessionOut]
+          var st = state.getOption
+          if (state.hasTimedOut) {
+            st.foreach(s => out += SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.total))
+            state.remove()
+            st = None
+          }
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case Some(s) if t - s.lastSeen <= gapSecs * 1000L =>
+                st = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1, total = s.total + e.value))
+              case Some(s) =>
+                out += SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.total)
+                st = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                st = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          st match {
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutDuration(gapSecs * 1000L)
+            case None => ()
+          }
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import EventAnalytics._
+
+class EventAnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming windowed counts with watermark (T2 streaming dual of q14)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val agg = windowedCounts(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").collect()
+      assert(rows.length == 2) // two distinct hour windows
+      val click = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Long]("n_events") == 2)
+      assert(click.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization: gap closes a session, new one opens (q27 streaming dual)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val sessions = sessionize(spark, input.toDS(), gapSecs = 1800)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      // two events 10 min apart (same session), then one 60 min later
+      // (closes session 1, opens session 2)
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(10), 7, "click", 2.0),
+        Event(3, ts(70), 7, "view", 4.0))
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 1 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300); n = spark.table("sessions").count()
+      }
+      val closed = spark.table("sessions").as[SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+      assert(closed.head.session_start == ts(0).getTime)
+      assert(closed.head.session_end == ts(10).getTime)
+    } finally q.stop()
+  }
+}
