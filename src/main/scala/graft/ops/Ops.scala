@@ -57,8 +57,13 @@ class Ops(spark: SparkSession, ledger: Ledger) {
                      omitFiles: Set[String] = Set.empty): OpResult =
     currentOf(prefix, batchId) match {
       case None => OpResult(ok = false, s"batch $batchId not found for $prefix")
-      case Some(ev) if ev.status == BatchStatus.Open.name =>
-        OpResult(ok = false, "cannot reprocess an open batch")
+      case Some(ev) if ev.status != BatchStatus.Locked.name && ev.status != BatchStatus.Error.name =>
+        // the reference's CAS precondition is locked|error → reprocessing
+        // (batchOperations.js:297-311); anything else — open, complete,
+        // already-reprocessed — must refuse, or a repeated reprocess
+        // double-loads the batch.
+        OpResult(ok = false,
+          s"batch $batchId is '${ev.status}' — only locked/error batches can be reprocessed")
       case Some(ev) if ev.entryFiles.isEmpty =>
         OpResult(ok = false, "batch has no entries")
       case Some(ev) =>
@@ -82,6 +87,37 @@ class Ops(spark: SparkSession, ledger: Ledger) {
       }
     }
     doomed
+  }
+
+  /** Reload a batch's files straight through the Loader under a fresh
+    * batch id — the Spark-native form of the reference's reprocess
+    * re-injection. The reference re-injects by S3 copy-to-self to
+    * synthesize fresh events (`common.js:719-770`); here the ledger
+    * already has the file list, so reprocessing is a direct batch load
+    * (no streaming round-trip, no dedup unlinking), with the commit
+    * registry keeping it exactly-once under the new id.
+    */
+  def reloadBatch(prefix: String, batchId: String, cfg: LoadConfig,
+                  fileRoot: String,
+                  schema: Option[org.apache.spark.sql.types.StructType] = None,
+                  resolvePassword: String => String = identity,
+                  omitFiles: Set[String] = Set.empty): OpResult = {
+    val guard = reprocessBatch(prefix, batchId, omitFiles)
+    if (!guard.ok) guard
+    else {
+      val entries = guard.reinject.map(f => BatchEntry(f, 0L, now()))
+      val cmd = FlushCommand(prefix, s"$batchId-r${now() % 100000}",
+        entries, 0L, FlushReason.Manual.name, now())
+      val outcome = graft.loader.Loader.loadBatch(
+        spark, cfg, cmd, fileRoot, schema, resolvePassword)
+      ledger.appendBatch(BatchRecord(prefix, cmd.batchId, outcome.status,
+        entries, 0L, now(), None,
+        outcome.results.map(r => r.target -> (if (r.ok) "ok" else "error")).toMap,
+        outcome.results.flatMap(_.error).headOption, Some("reloadBatch")))
+      OpResult(outcome.status == "complete",
+        s"reloaded ${entries.size} files as ${cmd.batchId}: ${outcome.status}",
+        guard.reinject)
+    }
   }
 
   /** processedFiles --reprocess: re-inject one file; unlink its batch

@@ -416,10 +416,12 @@ object Queries {
     table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        // one approx+exact pair: each extra count(DISTINCT) column adds a
+        // row-multiplying Expand to the plan (4-way expand cost 9.6s at
+        // sf0.1 vs 2.5s for this 2-way form)
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
   /** Register the test tables as temp views so literal SQL text runs

@@ -56,6 +56,11 @@ class LedgerOpsSpec extends AnyFunSuite {
     val r = ops.reprocessBatch("b/k", "err1", omitFiles = Set("b/k/f2.csv"))
     assert(r.ok && r.reinject == Seq("b/k/f1.csv", "b/k/f3.csv"))
     assert(ledger.describeBatch("b/k", "err1").collect().head.getAs[String]("status") == "reprocessed")
+    // repeated reprocess refused (reference CAS: locked|error only) —
+    // prevents double-loading an already-reprocessed batch
+    assert(!ops.reprocessBatch("b/k", "err1").ok)
+    ledger.appendBatch(rec("done1", BatchStatus.Complete))
+    assert(!ops.reprocessBatch("b/k", "done1").ok)
   }
 
   test("ops: deleteBatches dry-run by default, tombstones when forced") {
