@@ -129,6 +129,79 @@ object MinHash64 {
   }
 }
 
+/** Rolling-hash content-defined chunk fingerprints: a Rabin-Karp style
+  * polynomial rolling hash slides over the token array; positions where
+  * `hash % modulus == 0` are chunk boundaries (content-defined chunking,
+  * as in dedup/backup literature); each chunk's fingerprint is the XXH64
+  * of its joined tokens. Output array<long> enables partial-overlap
+  * detection: two documents sharing any chunk share a fingerprint —
+  * catches copy-paste segments that whole-document hashing misses.
+  */
+case class RollingChunks(child: Expression, window: Int, modulus: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_chunks requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_chunks"
+
+  protected override def nullSafeEval(input: Any): Any =
+    RollingChunks.compute(input.asInstanceOf[ArrayData], window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingChunks.compute($c, $window, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingChunks =
+    copy(child = newChild)
+}
+
+object RollingChunks {
+  private val Base = 1099511628211L // FNV prime as polynomial base
+
+  def compute(arr: ArrayData, window: Int, modulus: Int): ArrayData = {
+    val n = arr.numElements()
+    val tokenHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tokenHashes(i) =
+        if (arr.isNullAt(i)) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
+      i += 1
+    }
+    // precompute base^(window-1) for the rolling subtraction
+    var basePow = 1L
+    i = 1
+    while (i < window) { basePow *= Base; i += 1 }
+
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var rolling = 0L
+    var chunkStart = 0
+    i = 0
+    while (i < n) {
+      rolling = rolling * Base + tokenHashes(i)
+      if (i >= window) rolling -= tokenHashes(i - window) * basePow * Base
+      // boundary depends ONLY on the window content (never on chunkStart):
+      // a min-chunk-length gate would make boundaries position-dependent
+      // and desynchronize chunking between documents sharing a segment.
+      val boundary = i >= window - 1 &&
+        java.lang.Long.remainderUnsigned(rolling, modulus.toLong) == 0L
+      if (boundary || i == n - 1) {
+        // fingerprint = order-sensitive fold of the chunk's token hashes
+        var fp = 0xcbf29ce484222325L
+        var j = chunkStart
+        while (j <= i) { fp = (fp ^ tokenHashes(j)) * Base; j += 1 }
+        out += fp
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -139,4 +212,8 @@ object expressions {
   /** Column wrapper for [[MinHash64]]. */
   def minhash64(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHash64(GraftBridge.expression(shingles), k))
+
+  /** Column wrapper for [[RollingChunks]]. */
+  def rolling_chunks(tokens: Column, window: Int = 8, modulus: Int = 16): Column =
+    GraftBridge.column(RollingChunks(GraftBridge.expression(tokens), window, modulus))
 }

@@ -138,6 +138,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Partial-overlap dedup via rolling-hash content-defined chunking:
+    * documents sharing ANY chunk fingerprint are candidate partial
+    * duplicates (copy-paste segments invisible to whole-doc hashing).
+    * Shuffle key is the chunk fingerprint (8 bytes), never text.
+    */
+  def chunkDupPairs(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 8, modulus: Int = 16,
+                    minSharedChunks: Int = 1): DataFrame = {
+    val chunks = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.expressions.rolling_chunks(
+          tokens(col(textCol)), window, modulus)).as("chunk_fp"))
+    val l = chunks.select(col("chunk_fp"), col("doc_id").as("id_a"))
+    val r = chunks.select(col("chunk_fp"), col("doc_id").as("id_b"))
+    l.join(r, Seq("chunk_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("chunk_fp")).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minSharedChunks)
+  }
+
   /** n-gram Jaccard similarity for an explicit pair set (exact verify
     * used standalone): returns pairwise Jaccard over word n-gram sets.
     */

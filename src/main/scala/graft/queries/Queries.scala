@@ -460,6 +460,32 @@ object Queries {
     s.sql(sqlExistsHaving)
   }
 
+  /** Rolling-hash content-defined chunk dedup: partial-overlap pairs. */
+  def q32ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDupPairs(table(s, dir, "documents"), "doc_id", "text",
+      window = 8, modulus = 16, minSharedChunks = 1)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(max(col("shared_chunks")), lit(0)).as("max_shared"),
+        coalesce(sum(when(col("shared_chunks") >= 2, 1).otherwise(0)), lit(0)).as("n_multi_chunk"))
+      .withColumn("op", lit("rolling_chunk_cdc"))
+
+  /** IVF ANN (k-means coarse quantizer) recall@5 vs brute force. */
+  def q33IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val index = graft.operators.IvfIndex.build(s, emb, "vec_id", "embedding", nlist = 16)
+    val approx = graft.operators.IvfIndex.search(s, index, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+      .select(col("query_id").as("aq"), col("corpus_id").as("ac"))
+    exact.join(approx, col("query_id") === col("aq") && col("corpus_id") === col("ac"), "left")
+      .groupBy(col("query_id"))
+      .agg((coalesce(sum(when(col("ac").isNotNull, 1).otherwise(0)), lit(0)) / count(lit(1)))
+        .as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -496,5 +522,7 @@ object Queries {
     "q29_approx_distinct" -> (q29ApproxDistinct _),
     "q30_sql_scalar_subquery" -> (q30SqlScalarSubquery _),
     "q31_sql_exists_having" -> (q31SqlExistsHaving _),
+    "q32_chunk_dedup"     -> (q32ChunkDedup _),
+    "q33_ivf_recall"      -> (q33IvfRecall _),
   )
 }

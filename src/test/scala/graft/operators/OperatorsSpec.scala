@@ -123,4 +123,29 @@ class OperatorsSpec extends AnyFunSuite {
     val thumbs = Multimodal.thumbnail(spark, media, maxBytes = 4).collect()
     assert(thumbs.forall(_.getAs[Array[Byte]]("thumb").length <= 4))
   }
+
+  test("rolling-chunk CDC finds partial overlap exact hashing misses") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"unique prefix one two three $shared and a unique suffix here now"),
+      (2L, s"different opening words entirely $shared closing differently too yes"),
+      (3L, "totally unrelated content with none of the shared segment words at all present")
+    ).toDF("doc_id", "text")
+    // whole-doc exact dedup sees nothing
+    assert(Dedup.exact(docs, "doc_id", "text").filter($"dup_count" > 1).count() == 0)
+    val pairs = Dedup.chunkDupPairs(docs, "doc_id", "text", window = 4, modulus = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected partial-dup pair, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("IVF ANN finds the planted neighbor through cell probing") {
+    val index = IvfIndex.build(spark, vectors, "vec_id", "embedding", nlist = 2)
+    assert(index.assigned.count() == 6)
+    val top = IvfIndex.search(spark, index,
+      vectors.filter($"vec_id" === 1), "vec_id", "embedding", k = 2, nprobe = 2)
+      .collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("corpus_id") == 2L)
+    assert(top.head.getAs[Double]("cosine") > 0.99)
+  }
 }
