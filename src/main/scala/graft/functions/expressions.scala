@@ -129,6 +129,64 @@ object MinHash64 {
   }
 }
 
+/** Word n-gram shingles in one pass: the composed HOF form
+  * (transform + slice + concat_ws per position) is interpreted per
+  * shingle; this builds each n-gram with a single StringBuilder sweep.
+  * Matches TextFunctions.shingles semantics exactly, including the
+  * shorter-than-n fallback (one shingle = all tokens joined).
+  */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Shingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+object Shingles {
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out =
+      if (len < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val res = new Array[AnyRef](len - n + 1)
+        var s = 0
+        while (s <= len - n) {
+          val sb = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          res(s) = UTF8String.fromString(sb.toString)
+          s += 1
+        }
+        res.asInstanceOf[Array[AnyRef]]
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Rolling-hash content-defined chunk fingerprints: a Rabin-Karp style
   * polynomial rolling hash slides over the token array; positions where
   * `hash % modulus == 0` are chunk boundaries (content-defined chunking,
@@ -216,4 +274,8 @@ object expressions {
   /** Column wrapper for [[RollingChunks]]. */
   def rolling_chunks(tokens: Column, window: Int = 8, modulus: Int = 16): Column =
     GraftBridge.column(RollingChunks(GraftBridge.expression(tokens), window, modulus))
+
+  /** Column wrapper for [[Shingles]]. */
+  def shingles_fast(tokens: Column, n: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(tokens), n))
 }

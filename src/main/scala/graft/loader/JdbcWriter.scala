@@ -133,7 +133,10 @@ object JdbcWriter {
             s"INSERT INTO $CommitTable VALUES ('$batchId', '${t.targetTable}', CURRENT_TIMESTAMP)")
           true
         } catch {
-          case _: java.sql.SQLIntegrityConstraintViolationException =>
+          case e: java.sql.SQLException
+              if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+                 e.getSQLState == "23505" /* unique violation: drivers (e.g.
+                   Postgres) that don't throw the subclass */ =>
             conn.rollback(); false
         }
       if (!fresh) { stmt.close(); (false, 0L) }

@@ -58,7 +58,8 @@ object Dedup {
     // across lambda bodies), so an un-staged shingles() would re-tokenize
     // the document k times per row — 30× slower at sf0.1.
     val sigs = df.select(col(idCol).as("doc_id"),
-        array_distinct(shingles(col(textCol), shingleN)).as("shingle_set"))
+        array_distinct(graft.functions.expressions.shingles_fast(
+          tokens(col(textCol)), shingleN)).as("shingle_set"))
       .withColumn("sig", graft.functions.expressions.minhash64(col("shingle_set"), k))
       .cache()
 
