@@ -120,6 +120,18 @@ class Ops(spark: SparkSession, ledger: Ledger) {
     }
   }
 
+  /** resetCurrentBatch (resetCurrentBatch.js:79-152): clear the config's
+    * current-batch pointer so the next append starts a fresh batch. In
+    * this engine the live pointer is Batcher streaming state (rotated
+    * automatically on flush); the config-level marker is reset for parity
+    * and for cold-start behavior after a checkpoint wipe.
+    */
+  def resetCurrentBatch(store: graft.config.ConfigStore, prefix: String): OpResult =
+    store.update(prefix, _.copy(currentBatch = "")) match {
+      case Some(_) => OpResult(ok = true, s"current batch reset for $prefix")
+      case None    => OpResult(ok = false, s"no config for $prefix")
+    }
+
   /** processedFiles --reprocess: re-inject one file; unlink its batch
     * linkage in the audit log (common.js:842-916).
     */

@@ -101,4 +101,14 @@ class LedgerOpsSpec extends AnyFunSuite {
     val other = new Keystore(java.nio.file.Paths.get(dir, "graft-master.key"), "other-module")
     intercept[Exception](other.decrypt(ct))
   }
+
+  test("ops: resetCurrentBatch clears the config marker (resetCurrentBatch.js parity)") {
+    val store = new graft.config.ConfigStore(
+      Files.createTempDirectory("graft-rcb").toString)
+    store.put(LoadConfig(s3Prefix = "b/k", currentBatch = "b-123"))
+    val ops = new Ops(spark, freshLedger())
+    assert(ops.resetCurrentBatch(store, "b/k").ok)
+    assert(store.get("b/k").get.currentBatch == "")
+    assert(!ops.resetCurrentBatch(store, "missing").ok)
+  }
 }
