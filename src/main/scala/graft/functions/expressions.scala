@@ -260,6 +260,100 @@ object RollingChunks {
   }
 }
 
+/** Top-`take` nearest IVF cells for a vector: ranks cells by dot product
+  * with unit-normalized centroids (== cosine ranking, since the vector's
+  * own norm is constant per row). The centroid matrix rides along as ONE
+  * plan reference object — NOT nlist generated literal columns, which
+  * blows up codegen at nlist=4096. One tight primitive loop per row:
+  * O(nlist × dim) multiply-adds + O(nlist × take) selection.
+  *
+  * Serves both IVF roles: corpus multi-assignment (take = nassign) and
+  * query routing (take = nprobe).
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], take: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires array<float> or array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Unit-normalized centroids — dot against these ranks identically to
+    * cosine. Computed once per expression instance, shared by eval and
+    * the generated code (as a reference object).
+    */
+  @transient private lazy val normed: Array[Array[Double]] =
+    NearestCells.normalize(centroids)
+
+  protected override def nullSafeEval(input: Any): Any =
+    NearestCells.compute(input.asInstanceOf[ArrayData], normed, take, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", normed, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCells.compute($c, $cRef, $take, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+object NearestCells {
+  def normalize(cents: Array[Array[Double]]): Array[Array[Double]] =
+    cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+
+  def compute(vec: ArrayData, cents: Array[Array[Double]], take: Int,
+              isFloat: Boolean): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val nlist = cents.length
+    val sims = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val cent = cents(c)
+      val d = math.min(dim, cent.length)
+      var s = 0.0; var j = 0
+      while (j < d) { s += v(j) * cent(j); j += 1 }
+      sims(c) = s
+      c += 1
+    }
+    val k = math.min(take, nlist)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < k) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nlist) {
+        if (!taken(c2) && sims(c2) > bestSim) { best = c2; bestSim = sims(c2) }
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -278,4 +372,8 @@ object expressions {
   /** Column wrapper for [[Shingles]]. */
   def shingles_fast(tokens: Column, n: Int): Column =
     GraftBridge.column(Shingles(GraftBridge.expression(tokens), n))
+
+  /** Column wrapper for [[NearestCells]]. */
+  def nearest_cells(vec: Column, centroids: Array[Array[Double]], take: Int): Column =
+    GraftBridge.column(NearestCells(GraftBridge.expression(vec), centroids, take))
 }

@@ -139,8 +139,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearest_cells ranks centroids by cosine, deterministic tie-break") {
+    import graft.functions.expressions.nearest_cells
+    // centroids along +x, +y, -x: a vector at (1, 0.1) ranks 0, 1, 2
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = Seq((1L, Array(1.0f, 0.1f)), (2L, Array(-0.2f, 1.0f)))
+      .toDF("id", "vec")
+      .withColumn("cells", nearest_cells($"vec", cents, 2))
+    val rows = df.collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](2)).toMap
+    assert(rows(1L) == Seq(0, 1))
+    assert(rows(2L) == Seq(1, 2))
+    // double input type works too
+    val d = Seq((1L, Array(0.5, 0.5))).toDF("id", "vec")
+      .withColumn("cells", nearest_cells($"vec", cents, 3))
+    assert(d.collect().head.getSeq[Int](2) == Seq(0, 1, 2))
+  }
+
   test("IVF ANN finds the planted neighbor through cell probing") {
-    val index = IvfIndex.build(spark, vectors, "vec_id", "embedding", nlist = 2)
+    val index = IvfIndex.build(spark, vectors, "vec_id", "embedding", nlist = 2, nassign = 1)
     assert(index.assigned.count() == 6)
     val top = IvfIndex.search(spark, index,
       vectors.filter($"vec_id" === 1), "vec_id", "embedding", k = 2, nprobe = 2)
