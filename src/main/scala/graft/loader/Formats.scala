@@ -33,7 +33,12 @@ object Formats {
           .option("header", cfg.ignoreCsvHeader.toString)
           .csv(paths: _*)
       case DataFormat.Json    => reader.json(paths: _*)
-      case DataFormat.Avro    => reader.format("avro").load(paths: _*)
+      case DataFormat.Avro =>
+        // avro-core container reader (spark-avro module not in the distro);
+        // the writer schema travels in each file's header, so the
+        // target-table schema is applied as a projection afterwards.
+        val raw = graft.sources.AvroReader.read(spark, paths)
+        schema.map(st => raw.select(st.fieldNames.map(col).toSeq: _*)).getOrElse(raw)
       case DataFormat.Parquet => reader.parquet(paths: _*)
       case DataFormat.Orc     => reader.orc(paths: _*)
     }

@@ -39,24 +39,55 @@ class FormatsSpec extends AnyFunSuite {
     assert(pathed.orderBy("_c0").as[(Long, String)].collect().toSeq == Seq((1L, "x"), (2L, "y")))
   }
 
-  test("Avro round-trip (S8)") {
-    // the spark-avro datasource module is not shipped in this
-    // environment's /opt/spark/jars (zero egress, unmanaged classpath);
-    // the Formats code path is exercised wherever spark-avro is deployed
-    assume(
-      try {
-        org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-          "avro", spark.sessionState.conf); true
-      } catch { case _: Throwable => false },
-      "spark-avro datasource not on classpath")
-    val dir = Files.createTempDirectory("graft-avro").toString + "/data"
-    Seq((1, "a"), (2, "b")).toDF("id", "name").write.format("avro").save(dir)
-    val files = Files.list(Paths.get(dir)).iterator()
-    val avroFile = Iterator.continually(files).takeWhile(_ => files.hasNext)
-      .map(_.next().toString).find(_.endsWith(".avro")).get
-    val got = Formats.read(spark, LoadConfig("p", DataFormat.Avro), Seq(avroFile), None)
-    assert(got.count() == 2)
-    assert(got.orderBy("id").as[(Int, String)].collect().toSeq == Seq((1, "a"), (2, "b")))
+  test("Avro round-trip via the avro-core container reader (S8)") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder, GenericData}
+
+    val schema: Schema = SchemaBuilder.record("rec").fields()
+      .requiredInt("id")
+      .optionalString("name")                       // [null, string] union
+      .name("tags").`type`().array().items().stringType().noDefault()
+      .name("meta").`type`().record("meta_r").fields()
+        .requiredLong("size").endRecord().noDefault()
+      .endRecord()
+
+    def rec(id: Int, name: String, tags: Seq[String], size: Long) = {
+      val meta = new GenericRecordBuilder(schema.getField("meta").schema())
+        .set("size", size).build()
+      new GenericRecordBuilder(schema)
+        .set("id", id).set("name", name)
+        .set("tags", new GenericData.Array[String](
+          schema.getField("tags").schema(),
+          java.util.Arrays.asList(tags: _*)))
+        .set("meta", meta).build()
+    }
+
+    val d = Files.createTempDirectory("graft-avro")
+    val f = d.resolve("data.avro").toFile
+    val w = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, f)
+    w.append(rec(1, "a", Seq("x", "y"), 10L))
+    w.append(rec(2, null, Seq(), 20L))
+    w.close()
+
+    val got = Formats.read(spark, LoadConfig("p", DataFormat.Avro), Seq(f.toString), None)
+      .orderBy("id")
+    assert(got.schema.fieldNames.toSeq == Seq("id", "name", "tags", "meta"))
+    assert(got.schema("name").nullable)
+    val rows = got.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "a")
+    assert(rows(0).getSeq[String](2) == Seq("x", "y"))
+    assert(rows(0).getStruct(3).getLong(0) == 10L)
+    assert(rows(1).isNullAt(1) && rows(1).getSeq[String](2).isEmpty)
+
+    // target-schema projection path: column subset + order applied
+    val projected = Formats.read(spark, LoadConfig("p", DataFormat.Avro),
+      Seq(f.toString), Some(StructType(Seq(
+        StructField("name", StringType), StructField("id", IntegerType)))))
+    assert(projected.columns.toSeq == Seq("name", "id"))
+    assert(projected.count() == 2)
   }
 
   test("gzip CSV auto-detects by extension; header skip honored (S7/S10)") {
