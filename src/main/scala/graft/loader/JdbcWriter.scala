@@ -57,6 +57,26 @@ object JdbcWriter {
     try f(conn) finally conn.close()
   }
 
+  /** Column DDL for the staging clone. Precision AND scale must survive:
+    * a bare DECIMAL defaults to scale 0 in Derby/most DBs, silently
+    * rounding staged values before they ever reach the target.
+    */
+  def columnDdl(md: java.sql.ResultSetMetaData, i: Int): String = {
+    import java.sql.Types._
+    val tn = md.getColumnTypeName(i)
+    val sized =
+      if (tn.contains("(")) tn // driver already rendered the size
+      else md.getColumnType(i) match {
+        case DECIMAL | NUMERIC if md.getPrecision(i) > 0 =>
+          s"$tn(${md.getPrecision(i)},${md.getScale(i)})"
+        case CHAR | VARCHAR | NCHAR | NVARCHAR | BINARY | VARBINARY
+            if md.getPrecision(i) > 0 =>
+          s"$tn(${md.getPrecision(i)})"
+        case _ => tn
+      }
+    s"${md.getColumnName(i)} $sized"
+  }
+
   private def tableExists(conn: Connection, name: String): Boolean = {
     val md = conn.getMetaData
     val rs = md.getTables(null, null, name.toUpperCase, null)
@@ -79,11 +99,7 @@ object JdbcWriter {
           val rs = conn.createStatement().executeQuery(
             s"SELECT * FROM ${t.targetTable} WHERE 1=0")
           val md = rs.getMetaData
-          val cols = (1 to md.getColumnCount).map { i =>
-            s"${md.getColumnName(i)} ${md.getColumnTypeName(i)}" +
-              (if (md.getPrecision(i) > 0 && md.getColumnTypeName(i).contains("CHAR"))
-                 s"(${md.getPrecision(i)})" else "")
-          }
+          val cols = (1 to md.getColumnCount).map(i => columnDdl(md, i))
           rs.close()
           stmt.executeUpdate(
             s"CREATE TABLE ${stagingTable(t.targetTable)} (" +
@@ -104,9 +120,11 @@ object JdbcWriter {
     */
   def stage(df: DataFrame, t: LoadTarget, password: String, batchId: String): Long = {
     withConnection(t, password) { conn =>
-      val s = conn.createStatement()
-      try s.executeUpdate(
-        s"DELETE FROM ${stagingTable(t.targetTable)} WHERE $BatchIdCol = '$batchId'")
+      // batchId can originate from caller input (Ops.reloadBatch) — bind
+      // it, never splice it into SQL text.
+      val s = conn.prepareStatement(
+        s"DELETE FROM ${stagingTable(t.targetTable)} WHERE $BatchIdCol = ?")
+      try { s.setString(1, batchId); s.executeUpdate() }
       finally s.close()
     }
     val tagged = df.withColumn(BatchIdCol, lit(batchId))
@@ -123,14 +141,18 @@ object JdbcWriter {
              queryTimeoutSecs: Int = 0): (Boolean, Long) =
     withConnection(t, password) { conn =>
       conn.setAutoCommit(false)
-      val stmt = conn.createStatement()
-      if (queryTimeoutSecs > 0) stmt.setQueryTimeout(queryTimeoutSecs)
+      def prep(sql: String): java.sql.PreparedStatement = {
+        val ps = conn.prepareStatement(sql)
+        if (queryTimeoutSecs > 0) ps.setQueryTimeout(queryTimeoutSecs)
+        ps
+      }
       // idempotence guard: PK violation on replay → rollback + skip.
       // (no `return` in this closure — see Batcher for why)
-      val fresh =
+      val fresh = {
+        val ins = prep(s"INSERT INTO $CommitTable VALUES (?, ?, CURRENT_TIMESTAMP)")
         try {
-          stmt.executeUpdate(
-            s"INSERT INTO $CommitTable VALUES ('$batchId', '${t.targetTable}', CURRENT_TIMESTAMP)")
+          ins.setString(1, batchId); ins.setString(2, t.targetTable)
+          ins.executeUpdate()
           true
         } catch {
           case e: java.sql.SQLException
@@ -138,29 +160,36 @@ object JdbcWriter {
                  e.getSQLState == "23505" /* unique violation: drivers (e.g.
                    Postgres) that don't throw the subclass */ =>
             conn.rollback(); false
-        }
-      if (!fresh) { stmt.close(); (false, 0L) }
-      else try {
-        t.presql.foreach(stmt.execute)
-        if (t.truncateTarget) stmt.executeUpdate(s"DELETE FROM ${t.targetTable}")
-        val stage = stagingTable(t.targetTable)
-        val targetCols = {
-          val rs = conn.createStatement().executeQuery(s"SELECT * FROM ${t.targetTable} WHERE 1=0")
-          val md = rs.getMetaData
-          val cs = (1 to md.getColumnCount).map(md.getColumnName)
-          rs.close(); cs
-        }
-        val colList = t.columnList.map(_.mkString(", ")).getOrElse(targetCols.mkString(", "))
-        val rows = stmt.executeUpdate(
-          s"INSERT INTO ${t.targetTable} ($colList) " +
-            s"SELECT $colList FROM $stage WHERE $BatchIdCol = '$batchId'")
-        stmt.executeUpdate(s"DELETE FROM $stage WHERE $BatchIdCol = '$batchId'")
-        t.postsql.foreach(stmt.execute)
-        conn.commit()
-        (true, rows.toLong)
-      } catch {
-        case e: Throwable => conn.rollback(); throw e
-      } finally stmt.close()
+        } finally ins.close()
+      }
+      if (!fresh) (false, 0L)
+      else {
+        val stmt = conn.createStatement()
+        if (queryTimeoutSecs > 0) stmt.setQueryTimeout(queryTimeoutSecs)
+        try {
+          t.presql.foreach(stmt.execute)
+          if (t.truncateTarget) stmt.executeUpdate(s"DELETE FROM ${t.targetTable}")
+          val stage = stagingTable(t.targetTable)
+          val targetCols = {
+            val rs = conn.createStatement().executeQuery(s"SELECT * FROM ${t.targetTable} WHERE 1=0")
+            val md = rs.getMetaData
+            val cs = (1 to md.getColumnCount).map(md.getColumnName)
+            rs.close(); cs
+          }
+          val colList = t.columnList.map(_.mkString(", ")).getOrElse(targetCols.mkString(", "))
+          val ins = prep(
+            s"INSERT INTO ${t.targetTable} ($colList) " +
+              s"SELECT $colList FROM $stage WHERE $BatchIdCol = ?")
+          val rows = try { ins.setString(1, batchId); ins.executeUpdate() } finally ins.close()
+          val del = prep(s"DELETE FROM $stage WHERE $BatchIdCol = ?")
+          try { del.setString(1, batchId); del.executeUpdate() } finally del.close()
+          t.postsql.foreach(stmt.execute)
+          conn.commit()
+          (true, rows.toLong)
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally stmt.close()
+      }
     }
 
   /** Full single-target load: stage → transactional commit, with retry. */

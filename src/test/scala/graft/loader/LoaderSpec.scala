@@ -140,6 +140,30 @@ class LoaderSpec extends AnyFunSuite {
     assert(queryLong("SELECT count(*) FROM colmap_t WHERE z = 7 AND y = 8 AND x = 9") == 1)
   }
 
+  test("DECIMAL precision/scale survives the staging clone") {
+    sql("CREATE TABLE dec_t(column_a INT, column_b DECIMAL(18,6), column_c VARCHAR(40))")
+    val decSchema = StructType(Seq(
+      StructField("column_a", IntegerType),
+      StructField("column_b", DecimalType(18, 6)),
+      StructField("column_c", StringType)))
+    val d = Files.createTempDirectory("graft-dec").toString
+    Files.createDirectories(Paths.get(s"$d/bucket/input"))
+    Files.write(Paths.get(s"$d/bucket/input/dec.csv"),
+      "1|123456789012.654321|x\n2|0.000001|y\n".getBytes)
+    val c = cfg.copy(targets = Seq(target("dec_t")))
+    val out = Loader.loadBatch(spark, c, cmd("dec1", Seq("dec.csv")), d, Some(decSchema))
+    assert(out.status == "complete", out.results.head.error.getOrElse(""))
+    // the fractional part must survive staging: a bare DECIMAL staging
+    // column (scale 0) would have rounded both values
+    val conn = DriverManager.getConnection(dbUrl)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT column_b FROM dec_t ORDER BY column_a")
+      rs.next(); assert(rs.getBigDecimal(1) == new java.math.BigDecimal("123456789012.654321"))
+      rs.next(); assert(rs.getBigDecimal(1) == new java.math.BigDecimal("0.000001"))
+    } finally conn.close()
+  }
+
   test("manifest JSON matches reference shape (S5)") {
     val m = Manifest(Seq(ManifestEntry("file:/a/b.csv", mandatory = true, 24)))
     assert(Loader.manifestJson(m) ==
