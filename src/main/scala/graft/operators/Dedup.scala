@@ -84,7 +84,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val sets = sigs.select(col("doc_id"), col("shingle_set"))
-    candidates
+    val verified = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("sh_b")), Seq("id_b"))
       .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -93,6 +93,21 @@ object Dedup {
       .withColumn("jaccard", col("intersection").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    releaseAfter(sigs, verified)
+  }
+
+  /** Materialize `result` (it's the operator's verified-pair output —
+    * small by construction), then drop the big intermediate cache. Without
+    * the eager step the unpersist would evict the cache before the lazy
+    * plan ever ran; without the unpersist the signature table's cached
+    * partitions leak across a long session. The returned frame holds only
+    * the pairs.
+    */
+  private def releaseAfter(cached: DataFrame, result: DataFrame): DataFrame = {
+    val out = result.persist()
+    out.count()
+    cached.unpersist(blocking = false)
+    out
   }
 
   /** SimHash 64-bit signature as staged columns. Single-Column forms of
@@ -131,12 +146,13 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_val"))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_val"))
+    val verified = l.join(r, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    releaseAfter(sigs, verified)
   }
 
   /** Partial-overlap dedup via rolling-hash content-defined chunking:
