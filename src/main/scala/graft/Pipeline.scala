@@ -35,7 +35,11 @@ object Pipeline {
         * reference default is constant true
         * (failedBatchReprocessingLambda.js:7-10). */
       reprocessSupported: String => Boolean = _ => true,
-      maxAutoReprocess: Int = 1)
+      maxAutoReprocess: Int = 1,
+      /** Compact the ledger to latest-state rows every N flushed batches
+        * (0 = never): bounds the event log's file count and the
+        * latest-state window's scan cost over a long-lived pipeline. */
+      compactEvery: Int = 64)
 
   def start(
       spark: SparkSession,
@@ -48,13 +52,19 @@ object Pipeline {
     val events = FileEventSource.stream(spark, settings.watchRoot)
     val flushes: Dataset[FlushCommand] = Batcher.run(spark, events, configs)
 
+    val flushed = new java.util.concurrent.atomic.AtomicLong(0L)
     flushes.writeStream
       .outputMode("append")
       .option("checkpointLocation", settings.checkpointDir)
       .trigger(Trigger.ProcessingTime(settings.triggerInterval))
       .foreachBatch { (batch: Dataset[FlushCommand], _: Long) =>
-        batch.collect().foreach(cmd => runOne(spark, settings, configs, ledger, notifier,
-          resolvePassword, cmd, attempt = 0))
+        batch.collect().foreach { cmd =>
+          runOne(spark, settings, configs, ledger, notifier,
+            resolvePassword, cmd, attempt = 0)
+          if (settings.compactEvery > 0 &&
+              flushed.incrementAndGet() % settings.compactEvery == 0)
+            ledger.compact()
+        }
       }
       .start()
   }
@@ -103,8 +113,9 @@ object Pipeline {
       Some(failedManifestPath.getOrElse(manifestPath)), targetStatus,
       outcome.results.flatMap(_.error).headOption, Some("load")))
 
-    cmd.entries.foreach(e => ledger.appendFile(
-      ProcessedFile(e.file, e.writeDate, 1, Some(cmd.batchId)), System.currentTimeMillis()))
+    // one parquet append for the whole entry set, not one per file
+    ledger.appendFiles(cmd.entries.map(e =>
+      ProcessedFile(e.file, e.writeDate, 1, Some(cmd.batchId))), System.currentTimeMillis())
 
     notifier.notify(Notification(
       outcome.results.flatMap(_.error).headOption,

@@ -16,7 +16,15 @@ import graft.core._
   *
   * Scale: the log partitions by `event_date`, so ops queries prune to
   * the window they ask about; the latest-state window function shuffles
-  * only the (small) control-plane log, never user data.
+  * only the (small) control-plane log, never user data. Appends batch
+  * per call (use [[appendFiles]] for a whole flush's file set), and
+  * [[compact]] rewrites the log to latest-state rows so the file count
+  * and the window-scan cost stay bounded over a long-lived pipeline.
+  *
+  * Every append carries a monotonic `seq` (single-writer): `lastUpdate`
+  * has millisecond grain, and transitions like reprocessing→reprocessed
+  * land inside the same millisecond — `seq` makes the latest-event
+  * window deterministic.
   */
 final case class BatchLedgerEvent(
     s3Prefix: String,
@@ -30,6 +38,7 @@ final case class BatchLedgerEvent(
     errorMessage: String,
     updateReason: String,
     lastUpdate: Long,
+    seq: Long,
     eventDate: java.sql.Date)
 
 final case class FileLedgerEvent(
@@ -38,6 +47,7 @@ final case class FileLedgerEvent(
     timesReceived: Int,
     batchId: String,
     previousBatches: Seq[String],
+    seq: Long,
     eventDate: java.sql.Date)
 
 class Ledger(spark: SparkSession, dir: String) {
@@ -48,32 +58,71 @@ class Ledger(spark: SparkSession, dir: String) {
 
   private def today(ts: Long) = new java.sql.Date(ts - ts % 86400000L)
 
+  private def pathExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Monotonic append counter, resumed from the on-disk log (single
+    * writer by design — the streaming pipeline; ops commands run against
+    * a quiesced prefix, as in the reference's CLI contract).
+    */
+  private val seqCounter = {
+    def maxSeq(exists: Boolean, read: () => DataFrame): Long =
+      if (!exists) 0L
+      else read().agg(max($"seq")).head.get(0) match {
+        case l: java.lang.Long => l.longValue()
+        case _ => 0L
+      }
+    new java.util.concurrent.atomic.AtomicLong(math.max(
+      maxSeq(pathExists(batchDir), () => batchLog.toDF()),
+      maxSeq(pathExists(fileDir), () => fileLog.toDF())))
+  }
+
   def appendBatch(rec: BatchRecord, reason: String = ""): Unit = {
     val ev = BatchLedgerEvent(
       rec.s3Prefix, rec.batchId, rec.status,
       rec.entries.map(_.file), rec.entries.map(_.size), rec.sizeBytes,
       rec.manifestFile.getOrElse(""), rec.targetStatus,
       rec.errorMessage.getOrElse(""), if (reason.nonEmpty) reason else rec.updateReason.getOrElse(""),
-      rec.lastUpdate, today(rec.lastUpdate))
-    Seq(ev).toDS().write.mode(SaveMode.Append).partitionBy("eventDate").parquet(batchDir)
+      rec.lastUpdate, seqCounter.incrementAndGet(), today(rec.lastUpdate))
+    Seq(ev).toDS().coalesce(1).write.mode(SaveMode.Append)
+      .partitionBy("eventDate").parquet(batchDir)
   }
 
-  def appendFile(ev: ProcessedFile, atMs: Long): Unit =
-    Seq(FileLedgerEvent(ev.loadFile, ev.receiveDateTime, ev.timesReceived,
-      ev.batchId.getOrElse(""), ev.previousBatches, today(atMs)))
-      .toDS().write.mode(SaveMode.Append).partitionBy("eventDate").parquet(fileDir)
+  def appendFile(ev: ProcessedFile, atMs: Long): Unit = appendFiles(Seq(ev), atMs)
 
+  /** One parquet append for a whole file set — a flush's entries land as
+    * one file, not one file per entry (small-files control at scale).
+    */
+  def appendFiles(evs: Seq[ProcessedFile], atMs: Long): Unit =
+    if (evs.nonEmpty) {
+      evs.map(ev => FileLedgerEvent(ev.loadFile, ev.receiveDateTime, ev.timesReceived,
+          ev.batchId.getOrElse(""), ev.previousBatches,
+          seqCounter.incrementAndGet(), today(atMs)))
+        .toDS().coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("eventDate").parquet(fileDir)
+    }
+
+  /** Full event history. An absent directory (nothing appended yet) reads
+    * as empty; anything else — corrupt footers, permission failures —
+    * surfaces, because masking it would report a live ledger as "no
+    * history".
+    */
   def batchLog: Dataset[BatchLedgerEvent] =
-    try spark.read.parquet(batchDir).as[BatchLedgerEvent]
-    catch { case _: Throwable => spark.emptyDataset[BatchLedgerEvent] }
+    if (pathExists(batchDir)) spark.read.parquet(batchDir).as[BatchLedgerEvent]
+    else spark.emptyDataset[BatchLedgerEvent]
 
   def fileLog: Dataset[FileLedgerEvent] =
-    try spark.read.parquet(fileDir).as[FileLedgerEvent]
-    catch { case _: Throwable => spark.emptyDataset[FileLedgerEvent] }
+    if (pathExists(fileDir)) spark.read.parquet(fileDir).as[FileLedgerEvent]
+    else spark.emptyDataset[FileLedgerEvent]
 
-  /** Latest event per (s3Prefix, batchId) — the current batch state. */
+  /** Latest event per (s3Prefix, batchId) — the current batch state.
+    * `seq` breaks same-millisecond ties deterministically.
+    */
   def currentBatches: DataFrame = {
-    val w = Window.partitionBy($"s3Prefix", $"batchId").orderBy($"lastUpdate".desc)
+    val w = Window.partitionBy($"s3Prefix", $"batchId")
+      .orderBy($"lastUpdate".desc, $"seq".desc)
     batchLog.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
   }
 
@@ -97,7 +146,33 @@ class Ledger(spark: SparkSession, dir: String) {
 
   /** Current dedup/audit state per file (processedFiles --query). */
   def processedFiles: DataFrame = {
-    val w = Window.partitionBy($"loadFile").orderBy($"receiveDateTime".desc, $"timesReceived".desc)
+    val w = Window.partitionBy($"loadFile")
+      .orderBy($"receiveDateTime".desc, $"timesReceived".desc, $"seq".desc)
     fileLog.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
   }
+
+  /** Rewrite both logs to their latest-state rows. Run periodically (the
+    * Pipeline does, every `Settings.compactEvery` flushes): an
+    * append-per-event log accretes one small parquet file per state
+    * change, and the latest-event window re-reads all of them on every
+    * ops query. Compaction = the DynamoDB tables' current-state shape,
+    * with history traded for bounded scan cost.
+    *
+    * Single-writer swap: write `<dir>.compact`, drop the log dir, rename.
+    */
+  def compact(): Unit = {
+    compactOne(batchDir, () => currentBatches)
+    compactOne(fileDir, () => processedFiles)
+  }
+
+  private def compactOne(d: String, current: () => DataFrame): Unit =
+    if (pathExists(d)) {
+      val tmp = d + ".compact"
+      current().coalesce(1).write.mode(SaveMode.Overwrite)
+        .partitionBy("eventDate").parquet(tmp)
+      val hp = new org.apache.hadoop.fs.Path(d)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
+    }
 }

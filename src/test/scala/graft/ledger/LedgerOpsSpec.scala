@@ -86,6 +86,70 @@ class LedgerOpsSpec extends AnyFunSuite {
     assert(!ops.reprocessFile("b/k/unknown.csv").ok)
   }
 
+  test("ledger: same-millisecond transitions resolve by seq, not luck") {
+    val ledger = freshLedger()
+    // reprocessing → reprocessed in the SAME millisecond (the Ops
+    // transition shape): latest state must be the later append
+    ledger.appendBatch(rec("b1", BatchStatus.Reprocessing, at = 5000))
+    ledger.appendBatch(rec("b1", BatchStatus.Reprocessed, at = 5000))
+    val st = ledger.describeBatch("b/k", "b1").collect().head.getAs[String]("status")
+    assert(st == BatchStatus.Reprocessed.name)
+    // and the counter survives a reopen of the same ledger dir
+  }
+
+  test("ledger: seq counter resumes across Ledger instances") {
+    val dir = Files.createTempDirectory("graft-ledger").toString
+    val l1 = new Ledger(spark, dir)
+    l1.appendBatch(rec("b1", BatchStatus.Reprocessing, at = 7000))
+    val l2 = new Ledger(spark, dir)
+    l2.appendBatch(rec("b1", BatchStatus.Reprocessed, at = 7000))
+    assert(l2.describeBatch("b/k", "b1").collect().head
+      .getAs[String]("status") == BatchStatus.Reprocessed.name)
+  }
+
+  test("ledger: appendFiles writes ONE parquet file per flush entry set") {
+    val dir = Files.createTempDirectory("graft-ledger").toString
+    val ledger = new Ledger(spark, dir)
+    ledger.appendFiles((1 to 20).map(i =>
+      ProcessedFile(s"b/k/f$i.csv", 1000, 1, Some("batchA"))), 1000)
+    val parts = Files.walk(java.nio.file.Paths.get(dir, "files")).iterator()
+    val partFiles = Iterator.continually(parts).takeWhile(_ => parts.hasNext)
+      .map(_.next().toString).count(_.endsWith(".parquet"))
+    assert(partFiles == 1, s"expected 1 part file for 20 entries, got $partFiles")
+    assert(ledger.processedFiles.count() == 20)
+  }
+
+  test("ledger: corrupted log surfaces an error instead of reading empty") {
+    val dir = Files.createTempDirectory("graft-ledger").toString
+    val ledger = new Ledger(spark, dir)
+    ledger.appendBatch(rec("b1", BatchStatus.Open))
+    // stomp a parquet footer
+    val parts = Files.walk(java.nio.file.Paths.get(dir, "batches")).iterator()
+    val part = Iterator.continually(parts).takeWhile(_ => parts.hasNext)
+      .map(_.next()).find(_.toString.endsWith(".parquet")).get
+    Files.write(part, Array.fill[Byte](16)(0x00))
+    intercept[Exception](ledger.currentBatches.collect())
+  }
+
+  test("ledger: compaction keeps current state, bounds file count") {
+    val dir = Files.createTempDirectory("graft-ledger").toString
+    val ledger = new Ledger(spark, dir)
+    (1 to 6).foreach(i => ledger.appendBatch(rec("b1", BatchStatus.Open, at = 1000L + i)))
+    ledger.appendBatch(rec("b1", BatchStatus.Complete, at = 2000))
+    ledger.appendBatch(rec("b2", BatchStatus.Open, at = 2000))
+    ledger.appendFile(ProcessedFile("b/k/f1.csv", 1000, 1, Some("b1")), 1000)
+    ledger.compact()
+    assert(ledger.batchLog.count() == 2) // history folded to latest state
+    val cur = ledger.currentBatches.collect().map(r =>
+      r.getAs[String]("batchId") -> r.getAs[String]("status")).toMap
+    assert(cur == Map("b1" -> "complete", "b2" -> "open"))
+    assert(ledger.processedFiles.count() == 1)
+    // appends still work post-compaction and win over compacted state
+    ledger.appendBatch(rec("b2", BatchStatus.Locked, at = 3000))
+    assert(ledger.describeBatch("b/k", "b2").collect().head
+      .getAs[String]("status") == "locked")
+  }
+
   test("keystore: AES-GCM round-trips single/array/map; wrong context fails (kmsCrypto parity)") {
     val dir = Files.createTempDirectory("graft-keys").toString
     val ks = Keystore(dir)
