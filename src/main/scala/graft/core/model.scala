@@ -38,7 +38,12 @@ object BatchStatus {
   case object Error        extends BatchStatus("error")
   case object Reprocessing extends BatchStatus("reprocessing")
   case object Reprocessed  extends BatchStatus("reprocessed")
-  val all: Seq[BatchStatus] = Seq(Open, Locked, Complete, Error, Reprocessing, Reprocessed)
+  /** Terminal tombstone: excluded from current-state views, physically
+    * dropped at compaction — the event-sourced form of the reference's
+    * DynamoDB delete (batchOperations.js:193-271). */
+  case object Deleted      extends BatchStatus("deleted")
+  val all: Seq[BatchStatus] =
+    Seq(Open, Locked, Complete, Error, Reprocessing, Reprocessed, Deleted)
   def parse(s: String): BatchStatus =
     all.find(_.name == s).getOrElse(throw new IllegalArgumentException(s"Unknown batch status '$s'"))
 }
@@ -98,7 +103,10 @@ final case class FileEvent(
     size: Long,
     /** epoch millis the event was observed */
     eventTime: Long,
-    eventName: String = "ObjectCreated:Put") {
+    eventName: String = "ObjectCreated:Put",
+    /** control event: clear this file's dedup entry from Batcher state
+      * instead of admitting it (processedFiles --reprocess re-injection) */
+    unlink: Boolean = false) {
   def loadFile: String = s"$bucket/$key"
   def inputFilename: String = key.substring(key.lastIndexOf('/') + 1)
 }

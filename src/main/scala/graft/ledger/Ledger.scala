@@ -47,6 +47,7 @@ final case class FileLedgerEvent(
     timesReceived: Int,
     batchId: String,
     previousBatches: Seq[String],
+    deleted: Boolean,
     seq: Long,
     eventDate: java.sql.Date)
 
@@ -98,11 +99,21 @@ class Ledger(spark: SparkSession, dir: String) {
   def appendFiles(evs: Seq[ProcessedFile], atMs: Long): Unit =
     if (evs.nonEmpty) {
       evs.map(ev => FileLedgerEvent(ev.loadFile, ev.receiveDateTime, ev.timesReceived,
-          ev.batchId.getOrElse(""), ev.previousBatches,
+          ev.batchId.getOrElse(""), ev.previousBatches, deleted = false,
           seqCounter.incrementAndGet(), today(atMs)))
         .toDS().coalesce(1).write.mode(SaveMode.Append)
         .partitionBy("eventDate").parquet(fileDir)
     }
+
+  /** Tombstone one file's dedup/audit entry (processedFiles --delete,
+    * `processedFiles.js:30-53`): hidden from [[processedFiles]]
+    * immediately, physically dropped at [[compact]].
+    */
+  def tombstoneFile(loadFile: String, atMs: Long): Unit =
+    Seq(FileLedgerEvent(loadFile, atMs, 0, "", Seq.empty, deleted = true,
+        seqCounter.incrementAndGet(), today(atMs)))
+      .toDS().coalesce(1).write.mode(SaveMode.Append)
+      .partitionBy("eventDate").parquet(fileDir)
 
   /** Full event history. An absent directory (nothing appended yet) reads
     * as empty; anything else — corrupt footers, permission failures —
@@ -117,14 +128,21 @@ class Ledger(spark: SparkSession, dir: String) {
     if (pathExists(fileDir)) spark.read.parquet(fileDir).as[FileLedgerEvent]
     else spark.emptyDataset[FileLedgerEvent]
 
-  /** Latest event per (s3Prefix, batchId) — the current batch state.
-    * `seq` breaks same-millisecond ties deterministically.
+  /** Latest event per (s3Prefix, batchId) including tombstones — the raw
+    * latest-state view compaction and delete-ops work from.
     */
-  def currentBatches: DataFrame = {
+  def latestBatchEvents: DataFrame = {
     val w = Window.partitionBy($"s3Prefix", $"batchId")
       .orderBy($"lastUpdate".desc, $"seq".desc)
     batchLog.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
   }
+
+  /** Latest event per (s3Prefix, batchId) — the current batch state.
+    * `seq` breaks same-millisecond ties deterministically; deleted
+    * batches are gone, as after the reference's DynamoDB delete.
+    */
+  def currentBatches: DataFrame =
+    latestBatchEvents.filter($"status" =!= BatchStatus.Deleted.name)
 
   /** Point lookup (describeBatch CLI —
     * `/root/reference/batchOperations.js:60-89`). */
@@ -144,12 +162,18 @@ class Ledger(spark: SparkSession, dir: String) {
       from_unixtime($"lastUpdate" / 1000).as("lastUpdateDate"), $"lastUpdate")
   }
 
-  /** Current dedup/audit state per file (processedFiles --query). */
-  def processedFiles: DataFrame = {
+  /** Latest event per file including tombstones. */
+  def latestFileEvents: DataFrame = {
     val w = Window.partitionBy($"loadFile")
       .orderBy($"receiveDateTime".desc, $"timesReceived".desc, $"seq".desc)
     fileLog.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
   }
+
+  /** Current dedup/audit state per file (processedFiles --query);
+    * tombstoned files are gone.
+    */
+  def processedFiles: DataFrame =
+    latestFileEvents.filter(!$"deleted")
 
   /** Rewrite both logs to their latest-state rows. Run periodically (the
     * Pipeline does, every `Settings.compactEvery` flushes): an

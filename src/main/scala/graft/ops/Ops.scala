@@ -73,9 +73,24 @@ class Ops(spark: SparkSession, ledger: Ledger) {
         OpResult(ok = true, s"${files.size} files queued for reprocessing", files)
     }
 
+  /** Delete one batch, returning its last state — the reference's
+    * DynamoDB `delete` with `ReturnValues: ALL_OLD`
+    * (batchOperations.js:193-271). The batch vanishes from every
+    * current-state view immediately and from disk at the next
+    * compaction.
+    */
+  def deleteBatch(prefix: String, batchId: String): (OpResult, Option[BatchLedgerEvent]) =
+    currentOf(prefix, batchId) match {
+      case None => (OpResult(ok = false, s"batch $batchId not found for $prefix"), None)
+      case Some(old) =>
+        transition(old, BatchStatus.Deleted, "deleteBatch")
+        (OpResult(ok = true, s"batch $batchId deleted"), Some(old))
+    }
+
   /** deleteBatches with the reference's dry-run-by-default semantics
-    * (`deleteBatches.js`, batchOperations.js:193-271): returns what would
-    * be (or was) tombstoned.
+    * (`deleteBatches.js`, batchOperations.js:193-271): returns the
+    * doomed rows (ALL_OLD parity); with dryRun=false they are deleted
+    * for real — gone from current-state views, dropped at compaction.
     */
   def deleteBatches(status: String, dryRun: Boolean = true,
                     afterMs: Option[Long] = None, beforeMs: Option[Long] = None): DataFrame = {
@@ -83,10 +98,25 @@ class Ops(spark: SparkSession, ledger: Ledger) {
     if (!dryRun) {
       doomed.collect().foreach { row =>
         currentOf(row.getAs[String]("s3Prefix"), row.getAs[String]("batchId"))
-          .foreach(ev => transition(ev, BatchStatus.Error, "deleted"))
+          .foreach(ev => transition(ev, BatchStatus.Deleted, "deleteBatches"))
       }
     }
     doomed
+  }
+
+  /** processedFiles --delete (processedFiles.js:30-53): remove one
+    * file's dedup/audit entry so its next delivery is admitted as new.
+    * Returns the old entry, ALL_OLD-style.
+    */
+  def deleteProcessedFile(loadFile: String): (OpResult, Option[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.functions.col
+    val old = ledger.processedFiles.filter(col("loadFile") === loadFile).collect().headOption
+    old match {
+      case None => (OpResult(ok = false, s"$loadFile not in processed-file ledger"), None)
+      case Some(row) =>
+        ledger.tombstoneFile(loadFile, now())
+        (OpResult(ok = true, s"$loadFile deleted from processed-file ledger"), Some(row))
+    }
   }
 
   /** Reload a batch's files straight through the Loader under a fresh
@@ -134,8 +164,15 @@ class Ops(spark: SparkSession, ledger: Ledger) {
 
   /** processedFiles --reprocess: re-inject one file; unlink its batch
     * linkage in the audit log (common.js:842-916).
+    *
+    * Passing `watchRoot` also drops an unlink marker into the watched
+    * tree's control namespace; the running Batcher consumes it and
+    * clears the file from its in-state dedup map — without this, the
+    * re-injected delivery would be swallowed as a duplicate (the
+    * reference achieves the same by deleting the DynamoDB
+    * processed-files item before its copy-to-self re-injection).
     */
-  def reprocessFile(loadFile: String): OpResult = {
+  def reprocessFile(loadFile: String, watchRoot: Option[String] = None): OpResult = {
     import org.apache.spark.sql.functions.col
     val cur = ledger.processedFiles.filter(col("loadFile") === loadFile).collect().headOption
     cur match {
@@ -146,7 +183,19 @@ class Ops(spark: SparkSession, ledger: Ledger) {
         val prev = row.getAs[scala.collection.Seq[String]]("previousBatches").toSeq
         ledger.appendFile(ProcessedFile(loadFile, now(), 0, None,
           if (prevBatch.nonEmpty) prev :+ prevBatch else prev), now())
+        watchRoot.foreach(writeUnlinkMarker(_, loadFile))
         OpResult(ok = true, s"$loadFile queued for reprocessing", Seq(loadFile))
     }
+  }
+
+  /** Drop a `.graft-control/unlink/` marker the streaming source turns
+    * into a Batcher control event (see FileEventSource.ControlDir).
+    */
+  def writeUnlinkMarker(watchRoot: String, loadFile: String): Unit = {
+    val p = java.nio.file.Paths.get(watchRoot,
+      graft.sources.FileEventSource.ControlDir, "unlink",
+      graft.sources.FileEventSource.encodeControlTarget(loadFile))
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, Array.emptyByteArray)
   }
 }

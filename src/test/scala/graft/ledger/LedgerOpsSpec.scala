@@ -63,7 +63,7 @@ class LedgerOpsSpec extends AnyFunSuite {
     assert(!ops.reprocessBatch("b/k", "done1").ok)
   }
 
-  test("ops: deleteBatches dry-run by default, tombstones when forced") {
+  test("ops: deleteBatches dry-run by default, deletes when forced") {
     val ledger = freshLedger()
     val ops = new Ops(spark, ledger)
     ledger.appendBatch(rec("c1", BatchStatus.Complete))
@@ -72,6 +72,38 @@ class LedgerOpsSpec extends AnyFunSuite {
     assert(ledger.queryBatches("complete").count() == 1) // untouched
     ops.deleteBatches("complete", dryRun = false)
     assert(ledger.queryBatches("complete").count() == 0)
+    // truly gone from every current-state view, not error-tombstoned
+    assert(ledger.currentBatches.count() == 0)
+    assert(ledger.queryBatches("error").count() == 0)
+  }
+
+  test("ops: deleteBatch returns ALL_OLD and compaction drops the row") {
+    val ledger = freshLedger()
+    val ops = new Ops(spark, ledger)
+    ledger.appendBatch(rec("d1", BatchStatus.Complete, at = 1000))
+    ledger.appendBatch(rec("keep1", BatchStatus.Open, at = 1000))
+    val (res, old) = ops.deleteBatch("b/k", "d1")
+    assert(res.ok && old.isDefined)
+    assert(old.get.status == "complete" && old.get.batchId == "d1") // ALL_OLD
+    assert(ops.deleteBatch("b/k", "d1")._1.ok == false) // already gone
+    assert(ledger.describeBatch("b/k", "d1").count() == 0)
+    ledger.compact()
+    // physically dropped: the raw log keeps only the survivor
+    assert(ledger.batchLog.collect().map(_.batchId).toSeq == Seq("keep1"))
+  }
+
+  test("ops: deleteProcessedFile tombstones the dedup entry (processedFiles --delete)") {
+    val ledger = freshLedger()
+    val ops = new Ops(spark, ledger)
+    ledger.appendFile(ProcessedFile("b/k/f1.csv", 1000, 1, Some("batchA")), 1000)
+    ledger.appendFile(ProcessedFile("b/k/f2.csv", 1000, 1, Some("batchA")), 1000)
+    val (res, old) = ops.deleteProcessedFile("b/k/f1.csv")
+    assert(res.ok && old.get.getAs[String]("batchId") == "batchA") // ALL_OLD
+    assert(ledger.processedFiles.collect().map(_.getAs[String]("loadFile")).toSeq
+      == Seq("b/k/f2.csv"))
+    assert(!ops.deleteProcessedFile("b/k/f1.csv")._1.ok)
+    ledger.compact()
+    assert(ledger.fileLog.count() == 1) // tombstone physically dropped
   }
 
   test("ops: reprocessFile unlinks batch into previousBatches (common.js:842-916)") {
