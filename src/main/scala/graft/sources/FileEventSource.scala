@@ -21,16 +21,43 @@ import graft.core.FileEvent
   */
 object FileEventSource {
 
+  /** Control namespace: marker files under `<watchRoot>/.graft-control/`
+    * are consumed as control events, never as data. `unlink/<enc>` clears
+    * one file's dedup entry from Batcher state (the Spark analogue of
+    * the reference deleting the processed-files item so a re-injected
+    * file is admitted — `common.js:842-916`).
+    */
+  val ControlDir = ".graft-control"
+
+  def encodeControlTarget(loadFile: String): String =
+    java.net.URLEncoder.encode(loadFile, "UTF-8")
+
   /** Parse `<root>/<key>` into (bucket, key) like the reference's s3Info
     * projection (`index.js:1576-1604`): bucket = first path segment after
-    * the watch root, key = remainder. URL-decoding (C8) applied.
+    * the watch root, key = remainder.
+    *
+    * `decodeS3Keys` (C8, `index.js:1586`): S3 delivers event keys
+    * URL-encoded, so sources fed from S3 events must percent-decode.
+    * Spark's file listing delivers RAW filesystem paths (verified: a
+    * literal `%20` or space arrives as-is), so decoding is OFF by
+    * default — unconditional decoding would corrupt names containing
+    * literal %xx sequences.
     */
-  def toEvent(watchRoot: String)(path: String, size: Long, modMs: Long): FileEvent = {
+  def toEvent(watchRoot: String, decodeS3Keys: Boolean = false)(
+      path: String, size: Long, modMs: Long): FileEvent = {
     val normRoot = if (watchRoot.endsWith("/")) watchRoot else watchRoot + "/"
     val stripped0 = path.replaceFirst("^file:", "")
     val stripped = if (stripped0.startsWith(normRoot)) stripped0.substring(normRoot.length) else stripped0
-    val decoded = java.net.URLDecoder.decode(stripped.replace("+", "%2B"), "UTF-8")
+    val decoded =
+      if (decodeS3Keys) java.net.URLDecoder.decode(stripped.replace("+", "%2B"), "UTF-8")
+      else stripped
     decoded.split("/", 2) match {
+      case Array(ControlDir, rest) if rest.startsWith("unlink/") =>
+        val target = java.net.URLDecoder.decode(rest.stripPrefix("unlink/"), "UTF-8")
+        target.split("/", 2) match {
+          case Array(b, k) => FileEvent(b, k, size, modMs, unlink = true)
+          case Array(b)    => FileEvent(b, "", size, modMs, unlink = true)
+        }
       case Array(b, k) => FileEvent(b, k, size, modMs)
       case Array(b)    => FileEvent(b, "", size, modMs)
     }

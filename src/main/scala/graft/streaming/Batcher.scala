@@ -105,8 +105,18 @@ object Batcher {
     }
 
     events.foreach { ev =>
+      if (ev.unlink) {
+        // control event (processedFiles --reprocess): clear the file's
+        // dedup entry so its next delivery is admitted as new — the
+        // Spark analogue of the reference deleting the DynamoDB
+        // processed-files item (common.js:842-916). Bypasses the
+        // filename filter: control targets name already-admitted files.
+        val file = ev.loadFile
+        st = st.copy(processed = st.processed - file,
+          processedOrder = st.processedOrder.filterNot(_ == file))
+      }
       // F1 admission filter, fail-open (index.js:212-238)
-      if (Prefix.filenameMatches(ev.key, cfg.filenameFilterRegex)) {
+      else if (Prefix.filenameMatches(ev.key, cfg.filenameFilterRegex)) {
         val file = ev.loadFile
         st.processed.get(file) match {
           case Some(times) =>

@@ -59,6 +59,42 @@ class BatcherSpec extends AnyFunSuite {
     assert(st.processed("bucket/input/dup.csv") == 3)
   }
 
+  test("unlink control event clears dedup state; re-delivery admitted as new") {
+    val state = freshState
+    val f = ev("re.csv")
+    // admit once, then a duplicate delivery — swallowed
+    assert(Batcher.processPrefix(configs, () => 1000L)(
+      "bucket/input", Iterator(f, f), state).toList.isEmpty)
+    assert(state.get.processed("bucket/input/re.csv") == 2)
+    assert(state.get.entries.size == 1)
+    // unlink control event (from the .graft-control marker)
+    val unlink = FileEvent("bucket", "input/re.csv", 0, 2000L, unlink = true)
+    Batcher.processPrefix(configs, () => 2000L)("bucket/input", Iterator(unlink), state)
+    assert(!state.get.processed.contains("bucket/input/re.csv"))
+    // re-delivery is now a NEW admission (second entry in the batch)
+    Batcher.processPrefix(configs, () => 3000L)("bucket/input", Iterator(f), state)
+    assert(state.get.processed("bucket/input/re.csv") == 1)
+  }
+
+  test("control-marker path round-trips through toEvent as an unlink event") {
+    val e = graft.sources.FileEventSource.toEvent("/watch")(
+      "/watch/.graft-control/unlink/" +
+        graft.sources.FileEventSource.encodeControlTarget("bucket/input/a b.csv"),
+      0L, 1000L)
+    assert(e.unlink && e.bucket == "bucket" && e.key == "input/a b.csv")
+  }
+
+  test("local paths are NOT url-decoded; S3-event decoding is opt-in (C8)") {
+    // a literal %20 in a filesystem name must survive untouched
+    val raw = graft.sources.FileEventSource.toEvent("/watch")(
+      "/watch/bucket/input/has%20literal.csv", 1L, 1000L)
+    assert(raw.key == "input/has%20literal.csv")
+    // an S3-event source delivers encoded keys — decoding opt-in
+    val s3 = graft.sources.FileEventSource.toEvent("/watch", decodeS3Keys = true)(
+      "/watch/bucket/input/has%20literal.csv", 1L, 1000L)
+    assert(s3.key == "input/has literal.csv")
+  }
+
   test("filename filter: non-matching dropped, malformed regex fail-open (F1)") {
     val filtered = Map("bucket/input" -> cfg.copy(filenameFilterRegex = Some("\\.csv$")))
     val state = freshState
