@@ -18,7 +18,13 @@ import graft.core._
   * the seam the reference implements with `semver`-gated conditional
   * writes (`index.js:181-190`).
   */
-class ConfigStore(dir: String) {
+class ConfigStore(dir: String,
+                  /** Applied to encrypted fields when migrating a pre-v3
+                    * config forward — the `upgrades.js:117-233` seam: pass
+                    * `old.decrypt andThen new.encrypt` when the keystore
+                    * encoding changes. Never applied to already-current
+                    * files, so re-reading is idempotent. */
+                  reEncode: String => String = identity) {
 
   private def fileFor(prefix: String): Path =
     Paths.get(dir, java.net.URLEncoder.encode(prefix, "UTF-8") + ".json")
@@ -28,9 +34,19 @@ class ConfigStore(dir: String) {
     Files.writeString(fileFor(cfg.s3Prefix), ConfigCodec.write(cfg))
   }
 
+  /** Read one config; an old on-disk shape is migrated AND persisted
+    * forward (the reference's upgrade-once pattern: `upgrades.js` runs,
+    * stamps the new version, and the next read takes the fast path).
+    */
   def get(prefix: String): Option[LoadConfig] = {
     val f = fileFor(prefix)
-    if (Files.exists(f)) Some(ConfigCodec.read(Files.readString(f))) else None
+    if (!Files.exists(f)) None
+    else {
+      val raw = Files.readString(f)
+      val (cfg, migrated) = ConfigCodec.readVersioned(raw, reEncode)
+      if (migrated) put(cfg)
+      Some(cfg)
+    }
   }
 
   /** Full scan — the analogue of the trigger-file sweep's config scan
@@ -41,7 +57,11 @@ class ConfigStore(dir: String) {
     if (!Files.exists(d)) Map.empty
     else Files.list(d).iterator().asScala
       .filter(_.toString.endsWith(".json"))
-      .map(p => ConfigCodec.read(Files.readString(p)))
+      .map { p =>
+        val (cfg, migrated) = ConfigCodec.readVersioned(Files.readString(p), reEncode)
+        if (migrated) put(cfg)
+        cfg
+      }
       .map(c => c.s3Prefix -> c)
       .toMap
   }
@@ -59,11 +79,14 @@ class ConfigStore(dir: String) {
 
 /** Hand-rolled JSON codec (no external deps available) with version-gated
   * migration on read. v1 was the single-target shape (reference's
-  * pre-multi-cluster config, migrated by `upgrades.js:25-115`); v2 is
-  * the current multi-target shape.
+  * pre-multi-cluster config, migrated by `upgrades.js:25-115`); v2 the
+  * multi-target shape; v3 serializes every LoadConfig field (v2 silently
+  * dropped readerOptions/manifest dirs/topics) and is the boundary at
+  * which encrypted fields pass through the re-encode hook — the
+  * `upgrades.js:117-233` encrypted-field migration analogue.
   */
 object ConfigCodec {
-  val CurrentVersion = "2"
+  val CurrentVersion = "3"
 
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -83,22 +106,45 @@ object ConfigCodec {
       s""""jsonPaths":${c.jsonPaths.map(_.map(q).mkString("[", ",", "]")).getOrElse("null")},""" +
       s""""batchSize":${c.batchSize},"batchSizeBytes":${c.batchSizeBytes.getOrElse(-1L)},""" +
       s""""batchTimeoutSecs":${c.batchTimeoutSecs.getOrElse(-1)},""" +
+      s""""readerOptions":${
+        c.readerOptions.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")},""" +
       s""""emptyAsNull":${c.emptyAsNull},"blanksAsNull":${c.blanksAsNull},""" +
       s""""compression":${c.compression.map(q).getOrElse("null")},""" +
       s""""filenameFilterRegex":${c.filenameFilterRegex.map(q).getOrElse("null")},""" +
+      s""""manifestDir":${c.manifestDir.map(q).getOrElse("null")},""" +
+      s""""failedManifestDir":${c.failedManifestDir.map(q).getOrElse("null")},""" +
+      s""""successTopic":${c.successTopic.map(q).getOrElse("null")},""" +
+      s""""failureTopic":${c.failureTopic.map(q).getOrElse("null")},""" +
       s""""currentBatch":${q(c.currentBatch)},""" +
       s""""targets":${c.targets.map(target).mkString("[", ",", "]")}}"""
 
   /** Minimal recursive-descent JSON reader (objects/arrays/strings/
-    * numbers/bools/null) — enough for our own output plus legacy v1.
+    * numbers/bools/null) — enough for our own output plus legacy shapes.
     */
-  def read(json: String): LoadConfig = {
+  def read(json: String): LoadConfig = readVersioned(json, identity)._1
+
+  /** Parse + migrate. Returns (config, wasMigrated): pre-v3 shapes get
+    * their encrypted fields passed through `reEncode` exactly once —
+    * current-version files never touch the hook, so repeated reads are
+    * idempotent (the `upgrades.js:117-233` contract).
+    */
+  def readVersioned(json: String,
+                    reEncode: String => String): (LoadConfig, Boolean) = {
     val v = Json.parse(json).asInstanceOf[Map[String, Any]]
-    v.get("version").map(_.toString).getOrElse("1") match {
-      case "1" => migrateV1(v)
-      case _   => fromV2(v)
+    val version = v.get("version").map(_.toString).getOrElse("1")
+    version match {
+      case "1" => (reEncodeTargets(migrateV1(v), reEncode), true)
+      case "2" => (reEncodeTargets(fromV2(v), reEncode), true)
+      case _   => (fromV2(v), false)
     }
   }
+
+  private def reEncodeTargets(c: LoadConfig, reEncode: String => String): LoadConfig =
+    c.copy(targets = c.targets.map(t =>
+      if (t.encryptedPassword.nonEmpty)
+        t.copy(encryptedPassword = reEncode(t.encryptedPassword))
+      else t))
 
   private def str(v: Map[String, Any], k: String): Option[String] =
     v.get(k).collect { case s: String => s }
@@ -122,10 +168,18 @@ object ConfigCodec {
       batchSize = v.getOrElse("batchSize", 1000d).asInstanceOf[Double].toInt,
       batchSizeBytes = v.get("batchSizeBytes").map(_.asInstanceOf[Double].toLong).filter(_ >= 0),
       batchTimeoutSecs = v.get("batchTimeoutSecs").map(_.asInstanceOf[Double].toInt).filter(_ >= 0),
+      readerOptions = v.get("readerOptions")
+        .collect { case m: Map[_, _] =>
+          m.map { case (k, value) => k.toString -> value.toString } }
+        .getOrElse(Map.empty),
       emptyAsNull = v.get("emptyAsNull").exists(_ == true),
       blanksAsNull = v.get("blanksAsNull").exists(_ == true),
       compression = str(v, "compression"),
       filenameFilterRegex = str(v, "filenameFilterRegex"),
+      manifestDir = str(v, "manifestDir"),
+      failedManifestDir = str(v, "failedManifestDir"),
+      successTopic = str(v, "successTopic"),
+      failureTopic = str(v, "failureTopic"),
       targets = targets,
       currentBatch = v.getOrElse("currentBatch", "").toString,
       version = CurrentVersion)

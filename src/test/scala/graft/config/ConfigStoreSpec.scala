@@ -60,6 +60,37 @@ class ConfigStoreSpec extends AnyFunSuite {
     assert(ConfigCodec.read(ConfigCodec.write(migrated)) == migrated)
   }
 
+  test("EVERY LoadConfig field survives write∘read (fully-populated identity)") {
+    // fields v2 silently dropped: readerOptions, manifest dirs, topics
+    val full = cfg.copy(
+      readerOptions = Map("multiLine" -> "true", "quote" -> "\""),
+      manifestDir = Some("/m"), failedManifestDir = Some("/fm"),
+      successTopic = Some("ok-topic"), failureTopic = Some("fail-topic"))
+    val got = ConfigCodec.read(ConfigCodec.write(full))
+    assert(got == full.copy(version = ConfigCodec.CurrentVersion))
+  }
+
+  test("v2→v3 migration re-encodes encrypted fields exactly once (upgrades.js:117-233)") {
+    // fake codec swap: old scheme = raw, new scheme = base64
+    val reEncode = (s: String) =>
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val dir = Files.createTempDirectory("graft-cfg").toString
+    // hand-write a v2 file (current writer always emits v3)
+    val v2Json = ConfigCodec.write(cfg).replaceFirst("\"version\":\"3\"", "\"version\":\"2\"")
+    val file = java.nio.file.Paths.get(dir,
+      java.net.URLEncoder.encode(cfg.s3Prefix, "UTF-8") + ".json")
+    Files.createDirectories(file.getParent)
+    Files.writeString(file, v2Json)
+
+    val store = new ConfigStore(dir, reEncode)
+    val got = store.get(cfg.s3Prefix).get
+    assert(got.targets.head.encryptedPassword == reEncode("enc-pw"))
+    // migration persisted forward: the on-disk file is now v3...
+    assert(Files.readString(file).contains("\"version\":\"3\""))
+    // ...so a second read must NOT re-apply the hook (idempotence)
+    assert(store.get(cfg.s3Prefix).get.targets.head.encryptedPassword == reEncode("enc-pw"))
+  }
+
   test("special characters survive the codec") {
     val tricky = cfg.copy(s3Prefix = "b/quote\"back\\slash",
       targets = Seq(cfg.targets.head.copy(presql = Some("SELECT '\n\t\"'"))))
