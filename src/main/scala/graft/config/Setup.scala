@@ -1,0 +1,177 @@
+package graft.config
+
+import java.nio.file.{Files, Paths}
+import graft.core._
+
+/** File-driven setup — the reference's `setup-file.js` (465 LoC config
+  * waterfall) re-expressed as validate → translate → persist. The input
+  * is the same flat JSON shape `setup-file.js` consumes (`config.json`
+  * keys: s3Prefix, clusterEndpoint, ..., df, manifestBucket, ...); the
+  * output is a persisted [[graft.core.LoadConfig]] ready for
+  * `Pipeline.start`.
+  *
+  * Validation rules mirror `setup.js:213-258` / `setup-file.js` exactly:
+  * required-not-null fields, the five-format allow-list, CSV delimiter
+  * required iff format is CSV, int fields must parse, Y/N booleans via
+  * the reference's truthy set (common.js:371-382).
+  */
+object Setup {
+
+  final case class SetupException(field: String, msg: String)
+      extends IllegalArgumentException(s"$field: $msg")
+
+  val AllowedFormats: Seq[String] = Seq("CSV", "JSON", "AVRO", "PARQUET", "ORC")
+
+  /** common.js getBooleanValue: TRUE/1/YES/Y (case-insensitive) = true. */
+  def boolValue(v: Any): Boolean = v match {
+    case b: Boolean => b
+    case s: String  => Seq("TRUE", "1", "YES", "Y").contains(s.toUpperCase)
+    case _          => false
+  }
+
+  /** common.js getIntValue: must parse or setup fails. */
+  def intValue(field: String, v: Any): Int = v match {
+    case d: Double => d.toInt
+    case s: String =>
+      try s.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw SetupException(field, s"Value '$s' is not a Number") }
+    case other => throw SetupException(field, s"Value '$other' is not a Number")
+  }
+
+  /** The reference's connection-string assembly (`index.js:1236-1252`),
+    * JDBC-flavored: endpoint + port, optional database, optional
+    * non-validating SSL.
+    */
+  def buildJdbcUrl(endpoint: String, port: Int, db: Option[String],
+                   useSSL: Boolean): String = {
+    val base = s"jdbc:postgresql://$endpoint:$port" + db.map("/" + _).getOrElse("")
+    if (useSSL) base + "?ssl=true&sslfactory=org.postgresql.ssl.NonValidatingFactory"
+    else base
+  }
+
+  /** C11 escape hatch (`_OVERRIDE_DBSTRING`, `index.js:1245-1250`): an
+    * operator can override the assembled connection string under
+    * incident via environment, without touching stored config.
+    */
+  val OverrideEnvVar = "GRAFT_OVERRIDE_DBSTRING"
+  def resolveJdbcUrl(assembled: String,
+                     env: String => Option[String] = sys.env.get): String =
+    env(OverrideEnvVar).filter(_.nonEmpty).getOrElse(assembled)
+
+  /** `setup-file.js:83-108` s3Prefix normalization: strip s3://, bucket
+    * alone stays bare, otherwise right-trim "/".
+    */
+  def normalizePrefix(raw: String): String = {
+    val stripped = raw.replace("s3://", "")
+    if (!stripped.contains("/")) stripped else stripped.replaceAll("/$", "")
+  }
+
+  /** Validate a setup-file JSON document and translate it to LoadConfig.
+    * `encryptPassword` is the kmsCrypto.encrypt seam — pass
+    * `keystore.encrypt`.
+    */
+  def fromJson(json: String,
+               encryptPassword: String => String = identity): LoadConfig = {
+    val v = Json.parse(json) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw SetupException("config", "setup file must be a JSON object")
+    }
+    def opt(k: String): Option[String] =
+      v.get(k).map(_.toString).filter(_.nonEmpty) // common.js blank()
+    def required(k: String, msg: String): String =
+      opt(k).getOrElse(throw SetupException(k, msg))
+
+    val s3Prefix = normalizePrefix(
+      required("s3Prefix", "You Must Provide an S3 Bucket Name, and optionally a Prefix"))
+
+    val df = required("df", "You Must Provide a Data Format").toUpperCase
+    if (!AllowedFormats.contains(df))
+      throw SetupException("df", s"Value must be one of ${AllowedFormats.mkString(",")}")
+
+    val csvDelimiter =
+      if (df == "CSV") required("csvDelimiter", "You Must the Delimiter for CSV Input")
+      else ","
+
+    // jsonpaths: inline array, or a jsonpaths-file location read at setup
+    // time ({"jsonpaths": ["$.a", ...]} — the Redshift file format)
+    val jsonPaths: Option[Seq[String]] =
+      if (df != "JSON" && df != "AVRO") None
+      else v.get("jsonPaths") match {
+        case Some(l: List[_]) => Some(l.map(_.toString))
+        case Some(s: String) if s.nonEmpty =>
+          val doc = Json.parse(Files.readString(Paths.get(s)))
+            .asInstanceOf[Map[String, Any]]
+          doc.get("jsonpaths").collect { case l: List[_] => l.map(_.toString) }
+        case _ => None
+      }
+
+    val endpoint = required("clusterEndpoint", "You Must Provide a Cluster Endpoint")
+    val port = intValue("clusterPort",
+      v.getOrElse("clusterPort", throw SetupException("clusterPort", "You Must Provide a Cluster Port")))
+    val user = required("userName", "You Must Provide a Username")
+    val pwd = required("userPwd", "You Must Provide a Password")
+    val table = required("table", "You Must Provide a Table Name")
+
+    val target = LoadTarget(
+      jdbcUrl = resolveJdbcUrl(buildJdbcUrl(endpoint, port, opt("clusterDB"),
+        v.get("useSSL").exists(boolValue))),
+      user = user,
+      encryptedPassword = encryptPassword(pwd),
+      targetTable = table,
+      truncateTarget = v.get("truncateTable").exists(boolValue),
+      presql = opt("presql"),
+      postsql = opt("postsql"),
+      columnList = opt("columnList").map(_.split(",").map(_.trim).toSeq))
+
+    val manifestBucket = required("manifestBucket",
+      "You Must Provide a Bucket Name for Manifest File Storage")
+    val manifestPrefix = required("manifestPrefix", "You Must Provide a Prefix for Manifests")
+    val failedManifestPrefix = required("failedManifestPrefix",
+      "You Must Provide a Prefix for Manifests")
+
+    LoadConfig(
+      s3Prefix = s3Prefix,
+      dataFormat = DataFormat.parse(df),
+      csvDelimiter = csvDelimiter,
+      ignoreCsvHeader = v.get("ignoreCsvHeader").exists(boolValue),
+      jsonPaths = jsonPaths,
+      batchSize = v.get("batchSize").map(intValue("batchSize", _)).getOrElse(1000),
+      batchSizeBytes = v.get("batchSizeBytes").map(intValue("batchSizeBytes", _).toLong),
+      batchTimeoutSecs = v.get("batchTimeoutSecs").map(intValue("batchTimeoutSecs", _)),
+      filenameFilterRegex = opt("filenameFilter"),
+      targets = Seq(target),
+      manifestDir = Some(s"$manifestBucket/$manifestPrefix"),
+      failedManifestDir = Some(s"$manifestBucket/$failedManifestPrefix"),
+      successTopic = opt("successTopic"),
+      failureTopic = opt("failureTopic"))
+  }
+
+  /** The CLI body: read the setup file, validate/translate, encrypt the
+    * password with the keystore, persist into the config store. Returns
+    * the stored config (the watch prefix is its s3Prefix).
+    */
+  def run(configFile: String, storeDir: String, keystoreDir: String): LoadConfig = {
+    val ks = graft.crypto.Keystore(keystoreDir)
+    val cfg = fromJson(Files.readString(Paths.get(configFile)), ks.encrypt)
+    new ConfigStore(storeDir).put(cfg)
+    cfg
+  }
+
+  /** `node setup-file.js config.json` analogue:
+    * `runMain graft.config.Setup <configFile> <configStoreDir> <keystoreDir>`.
+    */
+  def main(args: Array[String]): Unit = args match {
+    case Array(configFile, storeDir, keystoreDir) =>
+      try {
+        val cfg = run(configFile, storeDir, keystoreDir)
+        println(s"configured prefix ${cfg.s3Prefix} -> " +
+          cfg.targets.map(_.targetTable).mkString(","))
+      } catch {
+        case e: SetupException => System.err.println(e.getMessage); sys.exit(2)
+      }
+    case _ =>
+      System.err.println("usage: graft.config.Setup <configFile> <configStoreDir> <keystoreDir>")
+      sys.exit(2)
+  }
+}
