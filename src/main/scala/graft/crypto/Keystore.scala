@@ -47,6 +47,26 @@ class Keystore(keyPath: Path, context: String = "graft-engine") {
     new String(c.doFinal(ct), "UTF-8")
   }
 
+  /** Byte-level forms — the S11 encrypted-file seam (whole-file
+    * envelope, same iv ++ ct ++ tag layout without the base64).
+    */
+  def encryptBytes(plain: Array[Byte]): Array[Byte] = {
+    val iv = new Array[Byte](12)
+    rng.nextBytes(iv)
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, key, new GCMParameterSpec(128, iv))
+    c.updateAAD(context.getBytes("UTF-8"))
+    iv ++ c.doFinal(plain)
+  }
+
+  def decryptBytes(enc: Array[Byte]): Array[Byte] = {
+    val (iv, ct) = enc.splitAt(12)
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(Cipher.DECRYPT_MODE, key, new GCMParameterSpec(128, iv))
+    c.updateAAD(context.getBytes("UTF-8"))
+    c.doFinal(ct)
+  }
+
   /** kmsCrypto.encryptAll / decryptAll array helpers. */
   def encryptAll(values: Seq[String]): Seq[String] = values.map(encrypt)
   def decryptAll(values: Seq[String]): Seq[String] = values.map(decrypt)
@@ -58,4 +78,13 @@ class Keystore(keyPath: Path, context: String = "graft-engine") {
 
 object Keystore {
   def apply(dir: String): Keystore = new Keystore(Paths.get(dir, "graft-master.key"))
+
+  /** A decryptor closure safe to ship into Spark tasks: captures only the
+    * key-file path string and rebuilds the keystore executor-side (the
+    * Keystore itself holds a SecureRandom and is not serializable).
+    */
+  def fileDecryptor(dir: String, context: String = "graft-engine"): Array[Byte] => Array[Byte] = {
+    val keyPath = Paths.get(dir, "graft-master.key").toString
+    bytes => new Keystore(Paths.get(keyPath), context).decryptBytes(bytes)
+  }
 }

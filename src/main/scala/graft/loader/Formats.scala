@@ -17,12 +17,32 @@ import graft.core.{DataFormat, LoadConfig}
   */
 object Formats {
 
+  /** Whole-file bytes → plaintext bytes. Must capture only serializable
+    * state — see `Keystore.fileDecryptor`.
+    */
+  type Decryptor = Array[Byte] => Array[Byte]
+
   /** Read one batch of files per the config. `schema` is the target
     * table's schema (the reference's "types belong to the target table",
     * SURVEY §1.2); pass None for JSON 'auto'-style inference.
+    *
+    * `decrypt` is the S11 encrypted-file seam (`index.js:1206-1221`,
+    * where the symmetric master key rides into COPY as ENCRYPTED):
+    * when present, each file's bytes are decrypted executor-side before
+    * parsing. Supported for the record-oriented formats (CSV/JSON) —
+    * block formats (parquet/orc/avro) need random access inside the
+    * envelope and are rejected loudly.
     */
   def read(spark: SparkSession, cfg: LoadConfig, paths: Seq[String],
-           schema: Option[StructType]): DataFrame = {
+           schema: Option[StructType], decrypt: Option[Decryptor] = None): DataFrame = {
+    decrypt match {
+      case Some(d) => readEncrypted(spark, cfg, paths, schema, d)
+      case None    => readPlain(spark, cfg, paths, schema)
+    }
+  }
+
+  private def readPlain(spark: SparkSession, cfg: LoadConfig, paths: Seq[String],
+                        schema: Option[StructType]): DataFrame = {
     val reader = spark.read
     schema.foreach(reader.schema)
     cfg.readerOptions.foreach { case (k, v) => reader.option(k, v) }
@@ -41,6 +61,45 @@ object Formats {
         schema.map(st => raw.select(st.fieldNames.map(col).toSeq: _*)).getOrElse(raw)
       case DataFormat.Parquet => reader.parquet(paths: _*)
       case DataFormat.Orc     => reader.orc(paths: _*)
+    }
+    withShims(projectJsonPaths(df, cfg), cfg)
+  }
+
+  /** Encrypted-file path: binaryFile scan → per-file decrypt (+ gunzip
+    * if the plaintext is gzip-framed) → text lines → format parser. One
+    * decrypt per file inside the task; the bytes never visit the driver.
+    */
+  private def readEncrypted(spark: SparkSession, cfg: LoadConfig, paths: Seq[String],
+                            schema: Option[StructType], decrypt: Decryptor): DataFrame = {
+    import spark.implicits._
+    require(cfg.dataFormat == DataFormat.Csv || cfg.dataFormat == DataFormat.Json,
+      s"encrypted-file load supports CSV/JSON, not ${cfg.dataFormat.name} " +
+        "(block formats need random access inside the encryption envelope)")
+    val lines: org.apache.spark.sql.Dataset[String] =
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { enc =>
+          val plain0 = decrypt(enc)
+          // S10 composes with S11: compression is applied before
+          // encryption, so gunzip AFTER decrypting (gzip magic 1f 8b)
+          val plain =
+            if (plain0.length >= 2 && (plain0(0) & 0xFF) == 0x1F && (plain0(1) & 0xFF) == 0x8B) {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(plain0))
+              try in.readAllBytes() finally in.close()
+            } else plain0
+          new String(plain, "UTF-8").linesIterator
+        }
+    val reader = spark.read
+    schema.foreach(reader.schema)
+    cfg.readerOptions.foreach { case (k, v) => reader.option(k, v) }
+    val df = cfg.dataFormat match {
+      case DataFormat.Csv =>
+        reader
+          .option("delimiter", cfg.csvDelimiter)
+          .option("header", cfg.ignoreCsvHeader.toString)
+          .csv(lines)
+      case _ => reader.json(lines)
     }
     withShims(projectJsonPaths(df, cfg), cfg)
   }

@@ -90,6 +90,37 @@ class FormatsSpec extends AnyFunSuite {
     assert(projected.count() == 2)
   }
 
+  test("encrypted-file load: decrypt hook + gzip composition (S11/S10)") {
+    val keyDir = Files.createTempDirectory("graft-s11-keys").toString
+    val ks = graft.crypto.Keystore(keyDir)
+    // file 1: plain CSV, encrypted
+    val p1 = tmp("a.csv.enc", ks.encryptBytes("1|2\n3|4\n".getBytes))
+    // file 2: gzip-then-encrypt (compression applied before encryption)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("5|6\n".getBytes); gz.close()
+    val p2 = tmp("b.csv.gz.enc", ks.encryptBytes(bos.toByteArray))
+
+    val schema = StructType(Seq(StructField("x", IntegerType), StructField("y", IntegerType)))
+    val cfg = LoadConfig("p", DataFormat.Csv, csvDelimiter = "|")
+    val got = Formats.read(spark, cfg, Seq(p1, p2), Some(schema),
+      decrypt = Some(graft.crypto.Keystore.fileDecryptor(keyDir)))
+    assert(got.orderBy("x").as[(Int, Int)].collect().toSeq == Seq((1, 2), (3, 4), (5, 6)))
+
+    // tampered ciphertext must fail the load, not yield garbage rows
+    val bad = ks.encryptBytes("9|9\n".getBytes); bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+    val p3 = tmp("c.csv.enc", bad)
+    intercept[org.apache.spark.SparkException] {
+      Formats.read(spark, cfg, Seq(p3), Some(schema),
+        decrypt = Some(graft.crypto.Keystore.fileDecryptor(keyDir))).collect()
+    }
+    // block formats rejected loudly
+    intercept[IllegalArgumentException] {
+      Formats.read(spark, LoadConfig("p", DataFormat.Parquet), Seq(p1), None,
+        decrypt = Some(graft.crypto.Keystore.fileDecryptor(keyDir)))
+    }
+  }
+
   test("gzip CSV auto-detects by extension; header skip honored (S7/S10)") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
