@@ -132,17 +132,24 @@ object Dedup {
         when(call_function("element_at", counts, i + lit(1)) > 0, lit(1L)).otherwise(lit(0L)), i)))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band LSH over the signature, then
-    * Hamming-distance verification via bit_count(xor).
+  /** SimHash near-dup pairs: band LSH over the 64-bit signature, then
+    * Hamming-distance verification via bit_count(xor). `bands` is the
+    * recall/candidate-volume knob: a pair collides iff ONE 64/bands-bit
+    * chunk matches exactly, so more, narrower bands catch pairs whose
+    * differing bits are spread out (8×8 catches ~hamming-7 pairs that
+    * 4×16 misses) at the cost of more bucket collisions to verify.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sigs = withSimhash(df.select(col(idCol).as("doc_id"), col(textCol)), textCol)
       .select(col("doc_id"), col("sig")).cache()
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          call_function("shiftright", col("sig"), b * lit(16)).bitwiseAND(0xFFFFL).as("band_val")))).as("bk"))
+          call_function("shiftright", col("sig"), b * lit(bandBits)).bitwiseAND(mask).as("band_val")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_val"))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))

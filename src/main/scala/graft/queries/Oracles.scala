@@ -36,6 +36,45 @@ object Oracles {
   val all: Map[String, String] = Map(
     "q19_lang_id" -> langIdSql,
 
+    // q20/q21: the oracle is ALL-pairs exact Jaccard — no LSH. Equality
+    // with Spark's banded-LSH output proves the candidate stage missed
+    // nothing above threshold on this dataset (hashes are seeded, so
+    // this is deterministic, and the planted near-dups sit at
+    // jaccard >= 0.9 where band recall is effectively total).
+    "q20_minhash_dedup" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)]) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "q21_simhash_dedup" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+1], ' ')
+                                        for i in range(1, len(t))]) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b""",
+
     // q30/q31: the SAME SQL text Spark executes — textual SQL parity
     "q30_sql_scalar_subquery" -> graft.queries.Queries.sqlScalarSubquery,
     "q31_sql_exists_having" -> graft.queries.Queries.sqlExistsHaving,

@@ -302,24 +302,43 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
 
-  /** MinHash+LSH near-dup summary: candidate volume vs verified pairs. */
-  def q20MinhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLSH(table(s, dir, "documents"), "doc_id", "text",
-      k = 32, bands = 8, threshold = 0.1)
-    pairs.agg(
-      count(lit(1)).as("n_pairs"),
-      coalesce(sum(when(col("jaccard") >= 0.5, 1).otherwise(0)), lit(0)).as("n_strong"),
-      coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
-      .withColumn("op", lit("minhash_lsh"))
-  }
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. Oracle-checked
+    * against DuckDB computing ALL-pairs 3-shingle Jaccard: the outputs
+    * hash-match iff the LSH candidate stage missed no pair above the
+    * threshold — i.e. the oracle verifies BOTH the Jaccard arithmetic
+    * and (empirically, per dataset: the planted near-dups sit at
+    * jaccard ≥ 0.9, deep in the s-curve's high-recall regime with
+    * seeded hashes) the bucketing's recall.
+    */
+  def q20MinhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLSH(table(s, dir, "documents"), "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup summary with Hamming verification. */
-  def q21SimhashDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
-      .agg(count(lit(1)).as("n_pairs"),
-        coalesce(sum(when(col("hamming") <= 3, 1).otherwise(0)), lit(0)).as("n_close"),
-        coalesce(min(col("hamming")), lit(64)).as("min_hamming"))
-      .withColumn("op", lit("simhash"))
+  /** SimHash-banded near-dup pairs, verified by exact bigram-shingle
+    * Jaccard (order-sensitive; distinct from q20's trigram metric —
+    * token SETS saturate on a shared vocabulary and don't separate).
+    * Same oracle construction: DuckDB computes all-pairs bigram Jaccard;
+    * equality proves the 16-bit-band candidate stage caught every
+    * qualifying pair.
+    */
+  def q21SimhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, bands = 8)
+      .select(col("id_a"), col("id_b"))
+    val toks = docs.select(col("doc_id"),
+      array_distinct(graft.functions.expressions.shingles_fast(
+        TextFunctions.tokens(col("text")), 2)).as("sh"))
+    cands
+      .join(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Brute-force cosine top-5 for the first 10 query vectors. */
   def q22EmbeddingTopK(s: SparkSession, dir: String): DataFrame = {
