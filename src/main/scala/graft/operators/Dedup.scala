@@ -153,11 +153,18 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_val"))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // hamming filter BEFORE dropDuplicates: the filter is codegen'd and
+    // runs on the join output stream, so the dedup shuffle carries only
+    // the survivors — on correlated signatures (shared vocabulary) the
+    // band join can emit near-all-pairs, and deduping those first costs
+    // a multi-million-row shuffle for rows the filter was about to drop.
+    // Pigeonhole guarantee: maxHamming < bands ⇒ some band is untouched
+    // ⇒ candidate recall for qualifying pairs is exactly 1.
     val verified = l.join(r, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
     releaseAfter(sigs, verified)
   }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -12,9 +11,13 @@ import graft.functions.expressions.nearest_cells
   * its `nprobe` closest cells and re-ranks by exact cosine within them.
   *
   * The 100 TB shape:
-  *  - training runs on a bounded deterministic sample (`maxTrain`
-  *    vectors), never the full corpus — the fit's cost is independent
-  *    of corpus size;
+  *  - the quantizer trains on a bounded deterministic sample
+  *    (`maxTrain` vectors) collected to the driver and fit with a tight
+  *    Lloyd's loop — bounded by construction (maxTrain × dim doubles),
+  *    cost independent of corpus size, and free of the per-iteration
+  *    job overhead a distributed fit pays on what is always small data
+  *    (the standard coarse-quantizer recipe: sample → local fit →
+  *    broadcast centroids);
   *  - vectors are unit-normalized before fit, so Euclidean k-means is
   *    spherical k-means and the cells match the cosine routing used at
   *    query time;
@@ -37,7 +40,7 @@ import graft.functions.expressions.nearest_cells
   *    into the corpus-side join, so the corpus — written bucketed by
   *    `cell` — never shuffles, and a probe touches ~nprobe/nlist of it.
   *
-  * Deterministic: fixed seed for both the sample and the fit.
+  * Deterministic: fixed seed for the sample, the init, and the fit.
   */
 object IvfIndex {
 
@@ -45,27 +48,82 @@ object IvfIndex {
     def centroidMatrix: Array[Array[Double]] = centroids.sortBy(_._1).map(_._2)
   }
 
+  /** Plain Lloyd's k-means over unit vectors (spherical: on normalized
+    * points argmin-L2 == argmax-dot). Deterministic seeded random init;
+    * an emptied cell keeps its previous centroid. Assignment is the hot
+    * loop and runs across cores; the mean update is one serial O(n·dim)
+    * sweep.
+    */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+                               maxIter: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "k-means needs at least one training vector")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    val order = rnd.shuffle((0 until n).toVector)
+    val cents = Array.tabulate(k)(j => points(order(j % n)).clone())
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < maxIter) {
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        val p = points(i)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val ce = cents(c)
+          var s = 0.0; var d = 0
+          while (d < dim) { s += p(d) * ce(d); d += 1 }
+          if (s > bestDot) { bestDot = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        val c = assign(i); val p = points(i)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += p(d); d += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { cents(c)(d) = sums(c)(d) / counts(c); d += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  private def unitize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm == 0.0) v else v.map(_ / nrm)
+  }
+
   /** Build: train the quantizer on a bounded sample, then assign every
     * corpus vector its `nassign` nearest cells in one scan.
     */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
-            nlist: Int = 16, seed: Long = 42L, maxIter: Int = 20,
-            maxTrain: Long = 100000L, nassign: Int = 4): Index = {
-    import org.apache.spark.ml.functions.array_to_vector
+            nlist: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+            maxTrain: Long = 65536L, nassign: Int = 4): Index = {
     val withVec = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    val unitized = withVec.withColumn("features", {
-      val v = col("cvec").cast("array<double>")
-      array_to_vector(transform(v, x => x / sqrt(aggregate(v, lit(0.0d), (a, e) => a + e * e))))
-    })
-    // Bounded training set: the fit costs O(maxTrain), not O(corpus).
-    val n = unitized.count()
-    val trainSet =
-      if (n <= maxTrain) unitized
-      else unitized.sample(withReplacement = false, maxTrain.toDouble / n, seed)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(trainSet)
-    val centroidMatrix = model.clusterCenters.map(_.toArray)
+    // count the RAW scan (parquet metadata answers it) before projections
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxTrain) withVec
+      else withVec.sample(withReplacement = false, maxTrain.toDouble / n, seed)
+    // Bounded by construction: <= maxTrain × dim doubles on the driver.
+    val points = sampled.select(col("cvec").cast("array<double>")).collect()
+      .map(r => unitize(r.getSeq[Double](0).toArray))
+    val centroidMatrix = lloyd(points, nlist, maxIter, seed)
     val assigned = withVec
       .withColumn("cell", explode(nearest_cells(col("cvec"), centroidMatrix, nassign)))
       .select(col("corpus_id"), col("cvec"), col("cell"))

@@ -324,7 +324,11 @@ object Queries {
     */
   def q21SimhashDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64, bands = 8)
+    // maxHamming=7 < bands=8: pigeonhole makes the candidate stage
+    // EXACT for hamming<=7 pairs (some 8-bit band is untouched), and the
+    // hamming prune cuts the verification join from near-all-pairs
+    // (correlated signatures) to the ~1% that could plausibly qualify
+    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7, bands = 8)
       .select(col("id_a"), col("id_b"))
     val toks = docs.select(col("doc_id"),
       array_distinct(graft.functions.expressions.shingles_fast(
