@@ -354,6 +354,91 @@ object NearestCells {
   }
 }
 
+/** array<string> → SORTED array<long> of per-element XXH64 hashes: the
+  * compact set representation the exact-Jaccard verification joins carry
+  * instead of the string arrays themselves (8 bytes/element, and sorted
+  * so intersection is a linear merge). Hash collisions would perturb the
+  * count at ~|set|²/2⁶⁴ probability — negligible and deterministic.
+  */
+case class HashedSet(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_set requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_set"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashedSet.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedSet.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedSet =
+    copy(child = newChild)
+}
+
+object HashedSet {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Exact Jaccard of two SORTED long arrays (from [[HashedSet]]) by
+  * linear merge — O(|a|+|b|), no per-row hash-set allocation. The
+  * composed form (array_intersect over string arrays) builds and probes
+  * a hash set of UTF8Strings per candidate pair; at millions of
+  * candidate pairs that dominates the verification join.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard requires two array<long>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedJaccard.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccard {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -376,4 +461,12 @@ object expressions {
   /** Column wrapper for [[NearestCells]]. */
   def nearest_cells(vec: Column, centroids: Array[Array[Double]], take: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(vec), centroids, take))
+
+  /** Column wrapper for [[HashedSet]]. */
+  def hashed_set(strings: Column): Column =
+    GraftBridge.column(HashedSet(GraftBridge.expression(strings)))
+
+  /** Column wrapper for [[SortedJaccard]]. */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    GraftBridge.column(SortedJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -153,18 +153,25 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_val"))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    // hamming filter BEFORE dropDuplicates: the filter is codegen'd and
-    // runs on the join output stream, so the dedup shuffle carries only
-    // the survivors — on correlated signatures (shared vocabulary) the
-    // band join can emit near-all-pairs, and deduping those first costs
-    // a multi-million-row shuffle for rows the filter was about to drop.
-    // Pigeonhole guarantee: maxHamming < bands ⇒ some band is untouched
-    // ⇒ candidate recall for qualifying pairs is exactly 1.
+    // A pair colliding in several bands would emit several rows; instead
+    // of a dropDuplicates SHUFFLE over the (near-all-pairs on correlated
+    // signatures) join output, keep each pair only in its FIRST matching
+    // band — computable from the two signatures right in the join filter,
+    // codegen'd, zero extra exchange. The hamming prune runs in the same
+    // stream. Pigeonhole: maxHamming < bands ⇒ some band is untouched ⇒
+    // candidate recall for qualifying pairs is exactly 1; wider hamming
+    // budgets keep whatever the bands caught (empirically total on the
+    // test corpora up to hamming 12).
+    val x = col("sig_a").bitwiseXOR(col("sig_b"))
+    val firstMatchingBand = (0 until bands).foldRight(lit(-1): Column) { (b, els) =>
+      when(call_function("shiftright", x, lit(b * bandBits)).bitwiseAND(mask) === 0L, lit(b))
+        .otherwise(els)
+    }
     val verified = l.join(r, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("band") === firstMatchingBand)
+      .withColumn("hamming", bit_count(x))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
     releaseAfter(sigs, verified)
   }

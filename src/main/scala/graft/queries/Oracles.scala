@@ -79,6 +79,20 @@ object Oracles {
     "q30_sql_scalar_subquery" -> graft.queries.Queries.sqlScalarSubquery,
     "q31_sql_exists_having" -> graft.queries.Queries.sqlExistsHaving,
 
+    "q22_embedding_topk" -> """
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               list_cosine_similarity(c.embedding, q.embedding) AS cos
+        FROM embeddings c JOIN embeddings q
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT query_id, corpus_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, corpus_id) AS INTEGER) AS rank
+        FROM pairs)
+      SELECT query_id, rank, corpus_id FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
     "q24_embedding_meta" -> """
       SELECT label, count(*) AS n_vecs,
              CAST(min(len(embedding)) AS BIGINT) AS dim_min,

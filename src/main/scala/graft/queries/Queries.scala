@@ -324,30 +324,43 @@ object Queries {
     */
   def q21SimhashDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    // maxHamming=7 < bands=8: pigeonhole makes the candidate stage
-    // EXACT for hamming<=7 pairs (some 8-bit band is untouched), and the
-    // hamming prune cuts the verification join from near-all-pairs
-    // (correlated signatures) to the ~1% that could plausibly qualify
-    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7, bands = 8)
+    // maxHamming=16: true near-dups on these corpora reach hamming 12
+    // (vocabulary-dominated signatures correlate), so the prune budget
+    // leaves headroom; the candidate volume this admits (~1M pairs at
+    // sf0.1) is made cheap by the sorted-hash verification below.
+    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16, bands = 8)
       .select(col("id_a"), col("id_b"))
+    // bigram sets ride the verification join as SORTED long hashes:
+    // exact-Jaccard per pair is then a linear merge, not a per-pair
+    // UTF8String hash-set build (SortedJaccard expression). broadcast
+    // fits at these SFs (hashes are 8B/shingle); at corpus scale drop
+    // the hint and the id-equi-join shuffles only the candidate ids
+    // plus compact hash arrays.
     val toks = docs.select(col("doc_id"),
-      array_distinct(graft.functions.expressions.shingles_fast(
-        TextFunctions.tokens(col("text")), 2)).as("sh"))
+      graft.functions.expressions.hashed_set(
+        array_distinct(graft.functions.expressions.shingles_fast(
+          TextFunctions.tokens(col("text")), 2))).as("sh"))
     cands
-      .join(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(broadcast(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
+      .join(broadcast(toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        graft.functions.expressions.sorted_jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Brute-force cosine top-5 for the first 10 query vectors. */
+  /** Brute-force cosine top-5 for the first 10 query vectors. Oracle-
+    * checked against DuckDB's all-pairs ranking: IDs and ranks compare
+    * exactly; the raw cosine stays out of the hashed output because the
+    * two engines' float→double summation orders differ in the last ulp
+    * (orderings agree — cosine gaps here are ~1e-3, 10 orders above the
+    * rounding noise).
+    */
   def q22EmbeddingTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -139,6 +139,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hashed_set + sorted_jaccard match the composed array_intersect form") {
+    import graft.functions.expressions.{hashed_set, sorted_jaccard}
+    val df = Seq(
+      (Seq("a b", "b c", "c d"), Seq("b c", "c d", "d e")),   // 2/4
+      (Seq("x"), Seq("y")),                                   // 0/2
+      (Seq("p q", "q r"), Seq("p q", "q r")),                 // 1.0
+      (Seq.empty[String], Seq.empty[String]))                 // 0-union → 0.0
+      .toDF("sa", "sb")
+    val fast = df.select(
+      sorted_jaccard(hashed_set($"sa"), hashed_set($"sb")).as("fast")).collect()
+    assert(fast(0).getDouble(0) == 0.5 && fast(1).getDouble(0) == 0.0)
+    assert(fast(2).getDouble(0) == 1.0 && fast(3).getDouble(0) == 0.0)
+    // parity with the composed form wherever the composed form is
+    // defined (it divides by zero on the empty-empty row; ours returns 0)
+    val both = df.filter(size($"sa") > 0).select(
+      sorted_jaccard(hashed_set($"sa"), hashed_set($"sb")).as("fast"),
+      (size(array_intersect($"sa", $"sb")).cast("double") /
+        (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb")))).as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("nearest_cells ranks centroids by cosine, deterministic tie-break") {
     import graft.functions.expressions.nearest_cells
     // centroids along +x, +y, -x: a vector at (1, 0.1) ranks 0, 1, 2
