@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming deduplication for a continuously-arriving document corpus —
+  * the streaming dual of [[graft.operators.Dedup]]'s batch paths, for
+  * pipelines that admit training data incrementally instead of in bulk.
+  *
+  * Two levels, mirroring the batch family:
+  *  - exact: first-seen admission keyed by content fingerprint
+  *    (xxhash64 of the normalized text). The fingerprint — not the
+  *    document — is the shuffle and state key, so state is one small
+  *    entry per distinct content and document bodies never ride a
+  *    shuffle into the dedup operator.
+  *  - near-dup: first-seen admission per MinHash band bucket. A
+  *    document is admitted iff it claims ALL of its band buckets;
+  *    any previously-seen bucket ⇒ candidate dup ⇒ suppressed.
+  *    (Streaming can't afford the batch path's exact-Jaccard
+  *    verification join per arrival, so this is the recall-biased
+  *    variant — tune k/bands like the batch s-curve.)
+  *
+  * State is bounded by a per-key TTL (processing-time timeout): a
+  * fingerprint or bucket unseen for `stateTtlMs` ages out, trading
+  * perfect global dedup for bounded state — the same tradeoff as
+  * `dropDuplicatesWithinWatermark`, but content-keyed and explicit.
+  */
+object StreamingDedup {
+
+  final case class Doc(doc_id: Long, text: String)
+  final case class Admitted(doc_id: Long, fingerprint: Long)
+  /** One (doc, band) ownership claim — see [[admitted]]. */
+  final case class Claim(doc_id: Long, band: Int)
+
+  /** Keyed state entry (public: the state encoder's generated code must
+    * reach the constructor). */
+  final case class SeenState(firstDocId: Long, firstSeenMs: Long)
+
+  /** Exact streaming dedup: emits only the FIRST document per content
+    * fingerprint; later arrivals with the same normalized content are
+    * dropped. Deterministic within a micro-batch (lowest doc_id wins).
+    */
+  def exact(spark: SparkSession, docs: Dataset[Doc],
+            stateTtlMs: Long = 86400000L,
+            now: () => Long = () => System.currentTimeMillis()): Dataset[Admitted] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        xxhash64(lower(trim(col("text")))).as("fingerprint"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else rows.map(_._1).minOption match {
+                case Some(id) =>
+                  state.update(SeenState(id, now()))
+                  Iterator.single(Admitted(id, fp))
+                case None => Iterator.empty
+              }
+            if (state.exists) state.setTimeoutDuration(stateTtlMs)
+            out
+          }
+      }
+  }
+
+  /** Near-dup suppression, stage 1: first-seen-wins ownership per
+    * MinHash band bucket. Emits one [[Claim]] per bucket a document is
+    * the first ever to occupy; documents colliding with any seen bucket
+    * claim fewer than `bands` and are rejected by [[admitted]].
+    *
+    * Document text is projected away before the exchange — only
+    * (doc_id, band, 8-byte bucket hash) shuffles.
+    */
+  def nearDupClaims(spark: SparkSession, docs: Dataset[Doc],
+                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                    stateTtlMs: Long = 86400000L,
+                    now: () => Long = () => System.currentTimeMillis()): Dataset[Claim] = {
+    import spark.implicits._
+    import graft.functions.expressions.{minhash64, shingles_fast}
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+
+    docs
+      .select(col("doc_id"),
+        minhash64(array_distinct(shingles_fast(
+          graft.functions.TextFunctions.tokens(col("text")), shingleN)), k).as("sig"))
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+              v => v.cast("string"))), b).as("bucket")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else rows.map(_._1).minOption match {
+                case Some(id) =>
+                  state.update(SeenState(id, now()))
+                  Iterator.single(Claim(id, key._1))
+                case None => Iterator.empty
+              }
+            if (state.exists) state.setTimeoutDuration(stateTtlMs)
+            out
+          }
+      }
+  }
+
+  /** Near-dup suppression, stage 2: admit documents that claimed every
+    * band. All of a document's claims land in the same micro-batch (its
+    * band rows flow through one trigger), so this is a BATCH-side fold —
+    * apply it inside `foreachBatch` over the claims stream (a streaming
+    * aggregation downstream of a stateful operator would need its own
+    * state for no benefit).
+    */
+  def admitted(claimsBatch: DataFrame, bands: Int): DataFrame =
+    claimsBatch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_claimed"))
+      .filter(col("n_claimed") === bands)
+      .select(col("doc_id"), col("n_claimed").cast("int").as("n_new_bands"))
+}

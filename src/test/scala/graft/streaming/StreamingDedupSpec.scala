@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import StreamingDedup._
+
+/** Streaming dedup duals of the batch Dedup family: exact first-seen
+  * admission by content fingerprint, and MinHash-band near-dup
+  * suppression with the batch-side all-bands admission fold.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def awaitCount(table: String, n: Long, timeoutMs: Long = 60000): Long = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var c = spark.table(table).count()
+    while (c < n && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250); c = spark.table(table).count()
+    }
+    c
+  }
+
+  test("exact streaming dedup admits first-seen content, drops replays across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.exact(spark, input.toDS())
+      .writeStream.format("memory").queryName("sdedup_exact").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Doc(1, "the quick brown fox"),
+        Doc(2, "THE QUICK BROWN FOX  "), // same normalized content → dup
+        Doc(3, "something else entirely")))
+      assert(awaitCount("sdedup_exact", 2) == 2)
+      val admitted1 = spark.table("sdedup_exact").as[Admitted].collect().map(_.doc_id).toSet
+      assert(admitted1 == Set(1L, 3L)) // lowest id wins within the batch
+      // replay in a LATER micro-batch — suppressed by keyed state
+      input.addData(Seq(Doc(4, "the quick brown fox"), Doc(5, "brand new content")))
+      assert(awaitCount("sdedup_exact", 3) == 3)
+      val admitted2 = spark.table("sdedup_exact").as[Admitted].collect().map(_.doc_id).toSet
+      assert(admitted2 == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("near-dup band claims suppress later near-duplicates; admission = all bands claimed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val input = MemoryStream[Doc]
+    val claims = StreamingDedup.nearDupClaims(spark, input.toDS(), k = 32, bands = 8)
+    val q = claims.writeStream
+      .format("memory").queryName("sdedup_claims").outputMode("append").start()
+    try {
+      input.addData(Seq(Doc(10, base), Doc(11, "completely different words here okay then")))
+      assert(awaitCount("sdedup_claims", 16) == 16) // both docs claim all 8 bands
+      val batch1 = StreamingDedup.admitted(spark.table("sdedup_claims"), bands = 8)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch1 == Set(10L, 11L))
+
+      // a near-duplicate of doc 10 (one word changed) in a later batch:
+      // most/all of its bands collide with already-claimed buckets
+      input.addData(Seq(Doc(12, base.replace("omicron", "OMICRON"))))
+      Thread.sleep(3000)
+      val claimed12 = spark.table("sdedup_claims").as[Claim].collect()
+        .filter(_.doc_id == 12L).length
+      assert(claimed12 < 8, s"near-dup claimed $claimed12 bands — should collide on most")
+      val admittedAll = StreamingDedup.admitted(spark.table("sdedup_claims"), bands = 8)
+        .collect().map(_.getLong(0)).toSet
+      assert(admittedAll == Set(10L, 11L)) // doc 12 suppressed
+    } finally q.stop()
+  }
+}
