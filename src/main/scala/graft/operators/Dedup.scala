@@ -74,6 +74,10 @@ object Dedup {
               transform(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
                 v => v.cast("string"))), b).as("band_hash")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+      // join-key repartition: parallelizes the bucket self-join even when
+      // the corpus scan is a single partition (and is the exchange the
+      // join would need at scale anyway)
+      .repartition(col("band"), col("band_hash"))
 
     val l = buckets.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
     val r = buckets.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
@@ -146,11 +150,16 @@ object Dedup {
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sigs = withSimhash(df.select(col(idCol).as("doc_id"), col(textCol)), textCol)
       .select(col("doc_id"), col("sig")).cache()
+    // Repartition by the join key: a small corpus read as one partition
+    // would otherwise evaluate the (potentially near-all-pairs) band
+    // join single-threaded — and at scale this is exactly the exchange
+    // the self-join needs, so it costs nothing extra.
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           call_function("shiftright", col("sig"), b * lit(bandBits)).bitwiseAND(mask).as("band_val")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_val"))
+      .repartition(col("band"), col("band_val"))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     // A pair colliding in several bands would emit several rows; instead
