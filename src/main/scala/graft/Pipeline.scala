@@ -39,7 +39,12 @@ object Pipeline {
       /** Compact the ledger to latest-state rows every N flushed batches
         * (0 = never): bounds the event log's file count and the
         * latest-state window's scan cost over a long-lived pipeline. */
-      compactEvery: Int = 64)
+      compactEvery: Int = 64,
+      /** Back the Batcher's keyed state with RocksDB instead of the
+        * default in-memory HDFS-backed store: for deployments watching
+        * many prefixes with large dedup ledgers, state no longer has to
+        * fit on the executor heap (rocksdbjni ships with Spark). */
+      rocksDbState: Boolean = false)
 
   def start(
       spark: SparkSession,
@@ -47,6 +52,10 @@ object Pipeline {
       configs: Map[String, LoadConfig],
       notifier: Notifier = new LogNotifier,
       resolvePassword: Loader.PasswordResolver = identity): StreamingQuery = {
+
+    if (settings.rocksDbState)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     val ledger = new Ledger(spark, settings.ledgerDir)
     val events = FileEventSource.stream(spark, settings.watchRoot)

@@ -77,6 +77,14 @@ object Setup {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case _ => throw SetupException("config", "setup file must be a JSON object")
     }
+    fromMap(v, encryptPassword)
+  }
+
+  /** The shared validate-and-translate core: both the file mode and the
+    * interactive waterfall land here.
+    */
+  def fromMap(v: Map[String, Any],
+              encryptPassword: String => String = identity): LoadConfig = {
     def opt(k: String): Option[String] =
       v.get(k).map(_.toString).filter(_.nonEmpty) // common.js blank()
     def required(k: String, msg: String): String =
@@ -139,12 +147,75 @@ object Setup {
       batchSize = v.get("batchSize").map(intValue("batchSize", _)).getOrElse(1000),
       batchSizeBytes = v.get("batchSizeBytes").map(intValue("batchSizeBytes", _).toLong),
       batchTimeoutSecs = v.get("batchTimeoutSecs").map(intValue("batchTimeoutSecs", _)),
+      // copyOptions free text (q_copyOptions) → reader option passthrough
+      readerOptions = opt("copyOptions").map(_.split(",").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, value) => Some(k.trim -> value.trim)
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty),
       filenameFilterRegex = opt("filenameFilter"),
       targets = Seq(target),
       manifestDir = Some(s"$manifestBucket/$manifestPrefix"),
       failedManifestDir = Some(s"$manifestBucket/$failedManifestPrefix"),
       successTopic = opt("successTopic"),
       failureTopic = opt("failureTopic"))
+  }
+
+  /** The interactive question waterfall (`setup.js:423-458` order), as a
+    * pure function of an `ask` callback so tests can script answers.
+    * Blank answers mean "skip" for optional fields, exactly like the
+    * reference's `common.blank`; required-field and format validation
+    * happen in [[fromMap]] after the last question, mirroring the
+    * reference's per-question validators.
+    */
+  val Questions: Seq[(String, String)] = Seq(
+    "s3Prefix" -> "Enter the S3 Bucket & Prefix to watch for files",
+    "filenameFilter" -> "Enter a Filename Filter Regex",
+    "clusterEndpoint" -> "Enter the Cluster Endpoint",
+    "clusterPort" -> "Enter the Cluster Port",
+    "useSSL" -> "Does your cluster use SSL? (Y/N)",
+    "clusterDB" -> "Enter the Database Name",
+    "table" -> "Enter the Table to be Loaded",
+    "columnList" -> "Enter the comma-delimited column list (or NULL for all columns)",
+    "truncateTable" -> "Should the Table be Truncated before Load? (Y/N)",
+    "userName" -> "Enter the Database Username",
+    "userPwd" -> "Enter the Database Password",
+    "df" -> "Enter the Data Format (CSV, JSON, AVRO, PARQUET, and ORC)",
+    "csvDelimiter" -> "Enter the CSV Delimiter",
+    "ignoreCsvHeader" -> "Ignore Header (first line) of the CSV file? (Y/N)",
+    "jsonPaths" -> "Enter the JSON Paths File Location (or NULL for Auto)",
+    "manifestBucket" -> "Enter the Bucket for COPY Manifests",
+    "manifestPrefix" -> "Enter the Prefix for Manifests",
+    "failedManifestPrefix" -> "Enter the Prefix to use for Failed Load Manifest Storage",
+    "successTopic" -> "Enter the Topic ARN for Successful Loads",
+    "failureTopic" -> "Enter the Topic ARN for Failed Loads",
+    "batchSize" -> "How many files should be buffered before loading?",
+    "batchSizeBytes" -> "How many bytes should be buffered before loading? (or NULL)",
+    "batchTimeoutSecs" -> "How old should we allow a Batch to be before loading (seconds)?",
+    "copyOptions" -> "Additional Copy Options (k=v, comma separated, or NULL)")
+
+  /** Conditional questions, as in setup.js: delimiter only for CSV,
+    * jsonpaths only for JSON/AVRO.
+    */
+  private def applies(key: String, answers: Map[String, Any]): Boolean = key match {
+    case "csvDelimiter" =>
+      answers.get("df").exists(_.toString.equalsIgnoreCase("CSV"))
+    case "jsonPaths" =>
+      answers.get("df").map(_.toString.toUpperCase).exists(d => d == "JSON" || d == "AVRO")
+    case _ => true
+  }
+
+  def interactive(ask: String => String,
+                  encryptPassword: String => String = identity): LoadConfig = {
+    val answers = Questions.foldLeft(Map.empty[String, Any]) { case (acc, (key, prompt)) =>
+      if (!applies(key, acc)) acc
+      else {
+        val a = Option(ask(s"$prompt > ")).map(_.trim).getOrElse("")
+        if (a.isEmpty || a.equalsIgnoreCase("NULL")) acc else acc + (key -> a)
+      }
+    }
+    fromMap(answers, encryptPassword)
   }
 
   /** The CLI body: read the setup file, validate/translate, encrypt the
@@ -158,10 +229,22 @@ object Setup {
     cfg
   }
 
-  /** `node setup-file.js config.json` analogue:
-    * `runMain graft.config.Setup <configFile> <configStoreDir> <keystoreDir>`.
+  /** `node setup-file.js config.json` / `node setup.js` analogue:
+    * `runMain graft.config.Setup <configFile> <configStoreDir> <keystoreDir>`
+    * or `runMain graft.config.Setup --interactive <configStoreDir> <keystoreDir>`.
     */
   def main(args: Array[String]): Unit = args match {
+    case Array("--interactive", storeDir, keystoreDir) =>
+      try {
+        val ks = graft.crypto.Keystore(keystoreDir)
+        val cfg = interactive(prompt => { Console.out.print(prompt); scala.io.StdIn.readLine() },
+          ks.encrypt)
+        new ConfigStore(storeDir).put(cfg)
+        println(s"configured prefix ${cfg.s3Prefix} -> " +
+          cfg.targets.map(_.targetTable).mkString(","))
+      } catch {
+        case e: SetupException => System.err.println(e.getMessage); sys.exit(2)
+      }
     case Array(configFile, storeDir, keystoreDir) =>
       try {
         val cfg = run(configFile, storeDir, keystoreDir)
@@ -171,7 +254,8 @@ object Setup {
         case e: SetupException => System.err.println(e.getMessage); sys.exit(2)
       }
     case _ =>
-      System.err.println("usage: graft.config.Setup <configFile> <configStoreDir> <keystoreDir>")
+      System.err.println(
+        "usage: graft.config.Setup (<configFile>|--interactive) <configStoreDir> <keystoreDir>")
       sys.exit(2)
   }
 }

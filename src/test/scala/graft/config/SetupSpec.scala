@@ -90,6 +90,49 @@ class SetupSpec extends AnyFunSuite {
     assert(cfg.jsonPaths.contains(Seq("$.a.b", "$.c")))
   }
 
+  test("interactive waterfall: scripted answers, conditional questions, copyOptions") {
+    val answers = scala.collection.mutable.Map(
+      "Enter the S3 Bucket & Prefix to watch for files" -> "s3://bucket/in",
+      "Enter a Filename Filter Regex" -> "",                 // blank = skip
+      "Enter the Cluster Endpoint" -> "db.example.internal",
+      "Enter the Cluster Port" -> "5439",
+      "Does your cluster use SSL? (Y/N)" -> "N",
+      "Enter the Database Name" -> "dev",
+      "Enter the Table to be Loaded" -> "t1",
+      "Enter the comma-delimited column list (or NULL for all columns)" -> "NULL",
+      "Should the Table be Truncated before Load? (Y/N)" -> "Y",
+      "Enter the Database Username" -> "u",
+      "Enter the Database Password" -> "pw",
+      "Enter the Data Format (CSV, JSON, AVRO, PARQUET, and ORC)" -> "parquet",
+      "Ignore Header (first line) of the CSV file? (Y/N)" -> "N",
+      "Enter the Bucket for COPY Manifests" -> "mb",
+      "Enter the Prefix for Manifests" -> "m",
+      "Enter the Prefix to use for Failed Load Manifest Storage" -> "fm",
+      "Enter the Topic ARN for Successful Loads" -> "",
+      "Enter the Topic ARN for Failed Loads" -> "",
+      "How many files should be buffered before loading?" -> "7",
+      "How many bytes should be buffered before loading? (or NULL)" -> "NULL",
+      "How old should we allow a Batch to be before loading (seconds)?" -> "30",
+      "Additional Copy Options (k=v, comma separated, or NULL)" -> "mergeSchema=true")
+    val asked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cfg = Setup.interactive({ p =>
+      val q = p.stripSuffix(" > ")
+      asked += q
+      answers.getOrElse(q, fail(s"unexpected question: $q"))
+    }, pw => s"enc($pw)")
+    // CSV delimiter and jsonpaths questions must NOT fire for PARQUET
+    assert(!asked.exists(_.contains("CSV Delimiter")))
+    assert(!asked.exists(_.contains("JSON Paths")))
+    assert(cfg.s3Prefix == "bucket/in" && cfg.dataFormat == DataFormat.Parquet)
+    assert(cfg.batchSize == 7 && cfg.batchTimeoutSecs.contains(30) && cfg.batchSizeBytes.isEmpty)
+    assert(cfg.readerOptions == Map("mergeSchema" -> "true"))
+    assert(cfg.targets.head.truncateTarget && cfg.targets.head.encryptedPassword == "enc(pw)")
+    // missing required answer → same validation as file mode
+    answers.remove("Enter the Table to be Loaded")
+    intercept[SetupException](Setup.interactive({ p =>
+      answers.getOrElse(p.stripSuffix(" > "), "") }, identity))
+  }
+
   test("e2e: setup CLI -> ConfigStore -> Pipeline watch loads files") {
     val root = Files.createTempDirectory("graft-setup-pipe").toString
     val ledgerDir = Files.createTempDirectory("graft-setup-ledger").toString

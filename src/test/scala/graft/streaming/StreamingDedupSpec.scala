@@ -48,6 +48,26 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exact dedup state runs on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Doc]
+      val q = StreamingDedup.exact(spark, input.toDS())
+        .writeStream.format("memory").queryName("sdedup_rocks").outputMode("append").start()
+      try {
+        input.addData(Seq(Doc(1, "rocks a"), Doc(2, "rocks a"), Doc(3, "rocks b")))
+        assert(awaitCount("sdedup_rocks", 2) == 2)
+        input.addData(Seq(Doc(4, "rocks b"), Doc(5, "rocks c"))) // 4 suppressed by rocksdb state
+        assert(awaitCount("sdedup_rocks", 3) == 3)
+        assert(spark.table("sdedup_rocks").as[Admitted].collect().map(_.doc_id).toSet
+          == Set(1L, 3L, 5L))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("near-dup band claims suppress later near-duplicates; admission = all bands claimed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
