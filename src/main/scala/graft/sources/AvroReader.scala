@@ -26,9 +26,10 @@ import org.apache.spark.sql.types._
   * load-batch ingestion where files are batch-trigger sized.
   *
   * Supported schema surface: records (nested), arrays, maps, enums→string,
-  * fixed→binary, all primitives, unions of [null, T] → nullable T. Other
-  * unions and logical-type reinterpretation (decimal/date/micros) are
-  * rejected loudly rather than silently mis-typed.
+  * fixed→binary, all primitives, unions of [null, T] → nullable T, and
+  * the common logical types — date→DateType, timestamp-millis/micros→
+  * TimestampType, decimal(p,s)→DecimalType. Other unions are rejected
+  * loudly rather than silently mis-typed.
   */
 object AvroReader {
 
@@ -54,14 +55,27 @@ object AvroReader {
 
   private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
     case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.INT     => (IntegerType, false)
-    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.INT =>
+      s.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.Date => (DateType, false)
+        case _ => (IntegerType, false)
+      }
+    case Schema.Type.LONG =>
+      s.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.TimestampMillis |
+             _: org.apache.avro.LogicalTypes.TimestampMicros => (TimestampType, false)
+        case _ => (LongType, false)
+      }
     case Schema.Type.FLOAT   => (FloatType, false)
     case Schema.Type.DOUBLE  => (DoubleType, false)
     case Schema.Type.STRING  => (StringType, false)
     case Schema.Type.ENUM    => (StringType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
-    case Schema.Type.FIXED   => (BinaryType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.NULL    => (NullType, true)
     case Schema.Type.RECORD  => (toStructType(s), false)
     case Schema.Type.ARRAY =>
@@ -81,22 +95,52 @@ object AvroReader {
           s"unsupported avro union (only [null, T] unions map to SQL): $s")
   }
 
-  /** Convert one decoded datum to its Spark Row value. */
-  def convert(datum: Any, dt: DataType): Any = (datum, dt) match {
-    case (null, _) => null
-    case (u: Utf8, StringType) => u.toString
-    case (s: CharSequence, StringType) => s.toString
-    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
-    case (b: java.nio.ByteBuffer, BinaryType) =>
+  /** Non-null branch of a [null, T] union, else the schema itself. */
+  private def resolve(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  private def bytesOf(datum: Any): Array[Byte] = datum match {
+    case b: java.nio.ByteBuffer =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes().clone()
-    case (r: GenericRecord, st: StructType) =>
-      Row.fromSeq(st.fields.map(f => convert(r.get(f.name), f.dataType)).toSeq)
-    case (a: java.util.Collection[_], ArrayType(et, _)) =>
-      a.asScala.map(convert(_, et)).toSeq
-    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
-      m.asScala.map { case (k, v) => k.toString -> convert(v, vt) }.toMap
-    case (v, _) => v
+    case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+    case other => throw new IllegalArgumentException(s"not a byte payload: $other")
+  }
+
+  /** Convert one decoded datum to its Spark Row value; `s` is the avro
+    * schema node (needed to disambiguate logical-type grain, e.g.
+    * timestamp-millis vs -micros share the LONG carrier).
+    */
+  def convert(datum: Any, s: Schema, dt: DataType): Any = {
+    val rs = resolve(s)
+    (datum, dt) match {
+      case (null, _) => null
+      case (u: Utf8, StringType) => u.toString
+      case (c: CharSequence, StringType) => c.toString
+      case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
+      case (i: java.lang.Integer, DateType) =>
+        java.time.LocalDate.ofEpochDay(i.longValue())
+      case (l: java.lang.Long, TimestampType) =>
+        rs.getLogicalType match {
+          case _: org.apache.avro.LogicalTypes.TimestampMicros =>
+            java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS)
+          case _ => java.time.Instant.ofEpochMilli(l)
+        }
+      case (b, dec: DecimalType) if b.isInstanceOf[java.nio.ByteBuffer] ||
+          b.isInstanceOf[org.apache.avro.generic.GenericFixed] =>
+        new java.math.BigDecimal(new java.math.BigInteger(bytesOf(b)), dec.scale)
+      case (b, BinaryType) => bytesOf(b)
+      case (r: GenericRecord, st: StructType) =>
+        Row.fromSeq(st.fields.map { f =>
+          convert(r.get(f.name), rs.getField(f.name).schema(), f.dataType)
+        }.toSeq)
+      case (a: java.util.Collection[_], ArrayType(et, _)) =>
+        a.asScala.map(convert(_, rs.getElementType, et)).toSeq
+      case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+        m.asScala.map { case (k, v) => k.toString -> convert(v, rs.getValueType, vt) }.toMap
+      case (v, _) => v
+    }
   }
 
   /** Read a batch of avro files as a DataFrame. The schema comes from the
@@ -116,7 +160,8 @@ object AvroReader {
       val in = new FsInput(new Path(p), new Configuration())
       val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
       val it = reader.iterator().asScala.map { rec =>
-        Row.fromSeq(st.fields.map(f => convert(rec.get(f.name), f.dataType)).toSeq)
+        Row.fromSeq(st.fields.map(f =>
+          convert(rec.get(f.name), schema.getField(f.name).schema(), f.dataType)).toSeq)
       }
       // exhaust then close: the iterator is consumed lazily by the task
       new Iterator[Row] {

@@ -90,6 +90,47 @@ class FormatsSpec extends AnyFunSuite {
     assert(projected.count() == 2)
   }
 
+  test("Avro logical types map to date/timestamp/decimal (S8)") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder}
+
+    val dateS = LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    val tsMicrosS = LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    val decS = LogicalTypes.decimal(12, 3).addToSchema(Schema.create(Schema.Type.BYTES))
+    val schema: Schema = SchemaBuilder.record("lrec").fields()
+      .requiredInt("id")
+      .name("d").`type`(dateS).noDefault()
+      .name("ts").`type`(tsMicrosS).noDefault()
+      .name("amount").`type`(decS).noDefault()
+      .endRecord()
+
+    val micros = 1723450000123456L // 2024-08-12T07:26:40.123456Z
+    val unscaled = new java.math.BigDecimal("1234.567").unscaledValue().toByteArray
+    val rec = new GenericRecordBuilder(schema)
+      .set("id", 1)
+      .set("d", 19947) // days since epoch = 2024-08-12
+      .set("ts", micros)
+      .set("amount", java.nio.ByteBuffer.wrap(unscaled))
+      .build()
+
+    val d = Files.createTempDirectory("graft-avro-lt")
+    val f = d.resolve("lt.avro").toFile
+    val w = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, f); w.append(rec); w.close()
+
+    val got = Formats.read(spark, LoadConfig("p", DataFormat.Avro), Seq(f.toString), None)
+    assert(got.schema("d").dataType == DateType)
+    assert(got.schema("ts").dataType == TimestampType)
+    assert(got.schema("amount").dataType == DecimalType(12, 3))
+    val row = got.collect().head
+    assert(row.getAs[java.sql.Date]("d").toLocalDate == java.time.LocalDate.ofEpochDay(19947))
+    assert(row.getAs[java.sql.Timestamp]("ts").toInstant
+      == java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+    assert(row.getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("1234.567")) == 0)
+  }
+
   test("encrypted-file load: decrypt hook + gzip composition (S11/S10)") {
     val keyDir = Files.createTempDirectory("graft-s11-keys").toString
     val ks = graft.crypto.Keystore(keyDir)
