@@ -86,8 +86,18 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .persist()
 
+    // Semi-prune the signature table to candidate ids BEFORE the fetch
+    // equi-joins. The id set is candidate-sized (small by construction),
+    // so broadcasting it makes the prune map-side: only ~candidate-count
+    // shingle sets ever ride an exchange — the full corpus's sets never
+    // re-enter a shuffle after the compact (band, hash, id) bucket join.
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b").as("doc_id")))
+      .distinct()
     val sets = sigs.select(col("doc_id"), col("shingle_set"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val verified = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("sh_b")), Seq("id_b"))
@@ -97,20 +107,20 @@ object Dedup {
       .withColumn("jaccard", col("intersection").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    releaseAfter(sigs, verified)
+    releaseAfter(Seq(sigs, candidates), verified)
   }
 
   /** Materialize `result` (it's the operator's verified-pair output —
-    * small by construction), then drop the big intermediate cache. Without
-    * the eager step the unpersist would evict the cache before the lazy
+    * small by construction), then drop the big intermediate caches. Without
+    * the eager step the unpersist would evict the caches before the lazy
     * plan ever ran; without the unpersist the signature table's cached
     * partitions leak across a long session. The returned frame holds only
     * the pairs.
     */
-  private def releaseAfter(cached: DataFrame, result: DataFrame): DataFrame = {
+  private def releaseAfter(cached: Seq[DataFrame], result: DataFrame): DataFrame = {
     val out = result.persist()
     out.count()
-    cached.unpersist(blocking = false)
+    cached.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -182,7 +192,7 @@ object Dedup {
       .withColumn("hamming", bit_count(x))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
-    releaseAfter(sigs, verified)
+    releaseAfter(Seq(sigs), verified)
   }
 
   /** Partial-overlap dedup via rolling-hash content-defined chunking:

@@ -183,12 +183,15 @@ class Ops(spark: SparkSession, ledger: Ledger) {
         val prev = row.getAs[scala.collection.Seq[String]]("previousBatches").toSeq
         ledger.appendFile(ProcessedFile(loadFile, now(), 0, None,
           if (prevBatch.nonEmpty) prev :+ prevBatch else prev), now())
-        watchRoot.foreach(writeUnlinkMarker(_, loadFile))
+        watchRoot.foreach(Ops.writeUnlinkMarker(_, loadFile))
         OpResult(ok = true, s"$loadFile queued for reprocessing", Seq(loadFile))
     }
   }
 
-  /** Drop a `.graft-control/unlink/` marker the streaming source turns
+}
+
+object Ops {
+  /** Drop a `graft-control/unlink/` marker the streaming source turns
     * into a Batcher control event (see FileEventSource.ControlDir).
     */
   def writeUnlinkMarker(watchRoot: String, loadFile: String): Unit = {
@@ -196,6 +199,8 @@ class Ops(spark: SparkSession, ledger: Ledger) {
       graft.sources.FileEventSource.ControlDir, "unlink",
       graft.sources.FileEventSource.encodeControlTarget(loadFile))
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, Array.emptyByteArray)
+    // one byte, not zero: Spark's scan planning drops empty file splits,
+    // so a 0-byte marker would list but never produce a row
+    java.nio.file.Files.write(p, Array[Byte]('x'))
   }
 }

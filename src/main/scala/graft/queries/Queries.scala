@@ -332,17 +332,22 @@ object Queries {
       .select(col("id_a"), col("id_b"))
     // bigram sets ride the verification join as SORTED long hashes:
     // exact-Jaccard per pair is then a linear merge, not a per-pair
-    // UTF8String hash-set build (SortedJaccard expression). broadcast
-    // fits at these SFs (hashes are 8B/shingle); at corpus scale drop
-    // the hint and the id-equi-join shuffles only the candidate ids
-    // plus compact hash arrays.
+    // UTF8String hash-set build (SortedJaccard expression). The corpus
+    // side is never broadcast and never fully shuffled: candidate ids
+    // (small by construction — simhashPairs already materialized them)
+    // broadcast into a semi-join that prunes the hash-set table
+    // map-side, so only candidate-count rows ride the fetch exchanges.
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id")))
+      .distinct()
     val toks = docs.select(col("doc_id"),
       graft.functions.expressions.hashed_set(
         array_distinct(graft.functions.expressions.shingles_fast(
           TextFunctions.tokens(col("text")), 2))).as("sh"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     cands
-      .join(broadcast(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), Seq("id_a"))
-      .join(broadcast(toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))), Seq("id_b"))
+      .join(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         graft.functions.expressions.sorted_jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)

@@ -21,16 +21,24 @@ import graft.core.FileEvent
   */
 object FileEventSource {
 
-  /** Control namespace: marker files under `<watchRoot>/.graft-control/`
+  /** Control namespace: marker files under `<watchRoot>/graft-control/`
     * are consumed as control events, never as data. `unlink/<enc>` clears
     * one file's dedup entry from Batcher state (the Spark analogue of
     * the reference deleting the processed-files item so a re-injected
     * file is admitted — `common.js:842-916`).
+    *
+    * The namespace must NOT be hidden: Spark's file listing
+    * (InMemoryFileIndex, shared by the binaryFile batch and streaming
+    * sources) silently drops any path whose name starts with `.` or `_`,
+    * so a dot-dir marker would never be discovered. Marker filenames are
+    * prefixed `t-` for the same reason — URLEncoder leaves `.` and `_`
+    * unescaped, so an encoded target could otherwise start with one.
     */
-  val ControlDir = ".graft-control"
+  val ControlDir = "graft-control"
+  private val LegacyControlDir = ".graft-control"
 
   def encodeControlTarget(loadFile: String): String =
-    java.net.URLEncoder.encode(loadFile, "UTF-8")
+    "t-" + java.net.URLEncoder.encode(loadFile, "UTF-8")
 
   /** Parse `<root>/<key>` into (bucket, key) like the reference's s3Info
     * projection (`index.js:1576-1604`): bucket = first path segment after
@@ -52,8 +60,9 @@ object FileEventSource {
       if (decodeS3Keys) java.net.URLDecoder.decode(stripped.replace("+", "%2B"), "UTF-8")
       else stripped
     decoded.split("/", 2) match {
-      case Array(ControlDir, rest) if rest.startsWith("unlink/") =>
-        val target = java.net.URLDecoder.decode(rest.stripPrefix("unlink/"), "UTF-8")
+      case Array(ControlDir | LegacyControlDir, rest) if rest.startsWith("unlink/") =>
+        val target = java.net.URLDecoder.decode(
+          rest.stripPrefix("unlink/").stripPrefix("t-"), "UTF-8")
         target.split("/", 2) match {
           case Array(b, k) => FileEvent(b, k, size, modMs, unlink = true)
           case Array(b)    => FileEvent(b, "", size, modMs, unlink = true)

@@ -67,7 +67,7 @@ class BatcherSpec extends AnyFunSuite {
       "bucket/input", Iterator(f, f), state).toList.isEmpty)
     assert(state.get.processed("bucket/input/re.csv") == 2)
     assert(state.get.entries.size == 1)
-    // unlink control event (from the .graft-control marker)
+    // unlink control event (from the graft-control marker)
     val unlink = FileEvent("bucket", "input/re.csv", 0, 2000L, unlink = true)
     Batcher.processPrefix(configs, () => 2000L)("bucket/input", Iterator(unlink), state)
     assert(!state.get.processed.contains("bucket/input/re.csv"))
@@ -78,7 +78,7 @@ class BatcherSpec extends AnyFunSuite {
 
   test("control-marker path round-trips through toEvent as an unlink event") {
     val e = graft.sources.FileEventSource.toEvent("/watch")(
-      "/watch/.graft-control/unlink/" +
+      "/watch/graft-control/unlink/" +
         graft.sources.FileEventSource.encodeControlTarget("bucket/input/a b.csv"),
       0L, 1000L)
     assert(e.unlink && e.bucket == "bucket" && e.key == "input/a b.csv")
