@@ -51,6 +51,13 @@ object Pipeline {
       settings: Settings,
       configs: Map[String, LoadConfig],
       notifier: Notifier = new LogNotifier,
+      /** T12 routing: notifiers bound by topic name. The reference
+        * selects the SNS topic from the config by outcome
+        * (`index.js:1491-1541`) — failureTopic on error, successTopic
+        * otherwise; a configured-but-unregistered or absent topic falls
+        * back to the default notifier so observability never silently
+        * drops. */
+      topicNotifiers: Map[String, Notifier] = Map.empty,
       resolvePassword: Loader.PasswordResolver = identity): StreamingQuery = {
 
     if (settings.rocksDbState)
@@ -68,7 +75,7 @@ object Pipeline {
       .trigger(Trigger.ProcessingTime(settings.triggerInterval))
       .foreachBatch { (batch: Dataset[FlushCommand], _: Long) =>
         batch.collect().foreach { cmd =>
-          runOne(spark, settings, configs, ledger, notifier,
+          runOne(spark, settings, configs, ledger, notifier, topicNotifiers,
             resolvePassword, cmd, attempt = 0)
           if (settings.compactEvery > 0 &&
               flushed.incrementAndGet() % settings.compactEvery == 0)
@@ -91,6 +98,7 @@ object Pipeline {
       configs: Map[String, LoadConfig],
       ledger: Ledger,
       notifier: Notifier,
+      topicNotifiers: Map[String, Notifier],
       resolvePassword: Loader.PasswordResolver,
       cmd: FlushCommand,
       attempt: Int): Unit = {
@@ -126,16 +134,25 @@ object Pipeline {
     ledger.appendFiles(cmd.entries.map(e =>
       ProcessedFile(e.file, e.writeDate, 1, Some(cmd.batchId))), System.currentTimeMillis())
 
-    notifier.notify(Notification(
+    // route by configured topic and outcome (reference index.js:1491-1541)
+    val topic = if (outcome.status == "error") cfg.failureTopic else cfg.successTopic
+    val route = topic.flatMap(topicNotifiers.get).getOrElse(notifier)
+    route.notify(Notification(
       outcome.results.flatMap(_.error).headOption,
       outcome.status, cmd.batchId, cmd.s3Prefix, cmd.s3Prefix,
       Some(manifestPath), failedManifestPath))
 
+    // SuppressFailureStatusOnSuccessfulNotification (index.js:1476-1481):
+    // a DELIVERED failure notification downgrades the hard failure, which
+    // in this architecture means the failure-driven retry is not taken —
+    // the same role the flag plays against Lambda's event redelivery.
+    val suppressed = outcome.status == "error" && route.suppressFailureOnDelivery
+
     // T8: failure-driven auto-retry, no SNS hop needed
-    if (outcome.status == "error" && attempt < settings.maxAutoReprocess &&
+    if (outcome.status == "error" && !suppressed && attempt < settings.maxAutoReprocess &&
         outcome.results.flatMap(_.error).forall(settings.reprocessSupported)) {
-      runOne(spark, settings, configs, ledger, notifier, resolvePassword,
-        cmd.copy(reason = FlushReason.Manual.name), attempt + 1)
+      runOne(spark, settings, configs, ledger, notifier, topicNotifiers,
+        resolvePassword, cmd.copy(reason = FlushReason.Manual.name), attempt + 1)
     }
   }
 }

@@ -51,12 +51,18 @@ object Setup {
   }
 
   /** C11 escape hatch (`_OVERRIDE_DBSTRING`, `index.js:1245-1250`): an
-    * operator can override the assembled connection string under
-    * incident via environment, without touching stored config.
+    * operator can override the connection string under incident without
+    * touching stored config. Like the reference, resolution happens at
+    * CONNECTION time (JdbcWriter), never at setup: the stored config
+    * always holds the assembled URL, so a temporary incident endpoint
+    * (possibly with embedded credentials) can't outlive the incident by
+    * being baked into config. The JVM property form (same name) exists
+    * for tests and single-process operation.
     */
   val OverrideEnvVar = "GRAFT_OVERRIDE_DBSTRING"
   def resolveJdbcUrl(assembled: String,
-                     env: String => Option[String] = sys.env.get): String =
+                     env: String => Option[String] =
+                       k => sys.props.get(k).orElse(sys.env.get(k))): String =
     env(OverrideEnvVar).filter(_.nonEmpty).getOrElse(assembled)
 
   /** `setup-file.js:83-108` s3Prefix normalization: strip s3://, bucket
@@ -122,8 +128,8 @@ object Setup {
     val table = required("table", "You Must Provide a Table Name")
 
     val target = LoadTarget(
-      jdbcUrl = resolveJdbcUrl(buildJdbcUrl(endpoint, port, opt("clusterDB"),
-        v.get("useSSL").exists(boolValue))),
+      jdbcUrl = buildJdbcUrl(endpoint, port, opt("clusterDB"),
+        v.get("useSSL").exists(boolValue)),
       user = user,
       encryptedPassword = encryptPassword(pwd),
       targetTable = table,

@@ -50,10 +50,19 @@ object JdbcWriter {
     throw last
   }
 
+  /** Connection-time URL resolution: the C11 incident override
+    * (`GRAFT_OVERRIDE_DBSTRING`, reference `index.js:1245-1250`) is
+    * consulted HERE, on every connection, so an operator can redirect an
+    * already-configured running pipeline without touching stored config.
+    */
+  private def connectUrl(t: LoadTarget): String =
+    graft.config.Setup.resolveJdbcUrl(t.jdbcUrl)
+
   private def withConnection[T](t: LoadTarget, password: String)(f: Connection => T): T = {
+    val url = connectUrl(t)
     val conn =
-      if (t.user.nonEmpty) DriverManager.getConnection(t.jdbcUrl, t.user, password)
-      else DriverManager.getConnection(t.jdbcUrl)
+      if (t.user.nonEmpty) DriverManager.getConnection(url, t.user, password)
+      else DriverManager.getConnection(url)
     try f(conn) finally conn.close()
   }
 
@@ -130,7 +139,7 @@ object JdbcWriter {
     val tagged = df.withColumn(BatchIdCol, lit(batchId))
     val props = new java.util.Properties()
     if (t.user.nonEmpty) { props.put("user", t.user); props.put("password", password) }
-    tagged.write.mode("append").jdbc(t.jdbcUrl, stagingTable(t.targetTable), props)
+    tagged.write.mode("append").jdbc(connectUrl(t), stagingTable(t.targetTable), props)
     df.columns.length.toLong // column count unused; rows counted at commit
   }
 

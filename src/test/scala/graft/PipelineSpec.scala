@@ -39,8 +39,10 @@ class PipelineSpec extends AnyFunSuite {
     val cfg = LoadConfig(
       s3Prefix = "bucket/input", dataFormat = DataFormat.Csv, csvDelimiter = "|",
       batchSize = 2, batchTimeoutSecs = Some(10),
+      successTopic = Some("arn:ok"),
       targets = Seq(LoadTarget(url, "", "", "pipe_target")))
     val notifier = new CollectingNotifier
+    val okTopic = new CollectingNotifier
 
     // five sample files, values 7..36 (FIXTURES.md §1)
     (0 until 5).foreach { i =>
@@ -52,7 +54,7 @@ class PipelineSpec extends AnyFunSuite {
     val q = Pipeline.start(spark,
       Pipeline.Settings(root, ledgerDir, ckpt, triggerInterval = "1 second",
         schemas = Map("pipe_target" -> schema)),
-      Map("bucket/input" -> cfg), notifier)
+      Map("bucket/input" -> cfg), notifier, topicNotifiers = Map("arn:ok" -> okTopic))
 
     try {
       def rows(): Long = {
@@ -76,8 +78,11 @@ class PipelineSpec extends AnyFunSuite {
         Thread.sleep(500)
       assert(completeCount() == 3)
       assert(ledger.processedFiles.count() == 5)
-      assert(notifier.received.count(_.status == "complete") == 3)
-      assert(notifier.received.forall(_.error.isEmpty))
+      // T12 routing: the configured successTopic receives the complete
+      // notifications; the default notifier gets none
+      assert(okTopic.received.count(_.status == "complete") == 3)
+      assert(okTopic.received.forall(_.error.isEmpty))
+      assert(notifier.received.isEmpty)
       // S5: every completed batch has a manifest audit artifact on disk
       val manifests = java.nio.file.Files.list(
         java.nio.file.Paths.get(s"$ledgerDir/manifests")).count()
@@ -85,39 +90,54 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("failure path: bad target → error status, failed manifest, failure notification (S12/T8)") {
+  test("failure path: error status, failed manifest, failureTopic routing + suppression (S12/T8/T12)") {
     val root = Files.createTempDirectory("graft-pipef").toString
     val ledgerDir = Files.createTempDirectory("graft-pipef-ledger").toString
     val ckpt = Files.createTempDirectory("graft-pipef-ckpt").toString
-    Files.createDirectories(Paths.get(s"$root/bucket/input"))
+    Files.createDirectories(Paths.get(s"$root/bucket/inputa"))
+    Files.createDirectories(Paths.get(s"$root/bucket/inputb"))
     val schema = StructType(Seq(StructField("column_a", IntegerType)))
-    val cfg = LoadConfig(
-      s3Prefix = "bucket/input", dataFormat = DataFormat.Csv,
-      batchSize = 1,
-      targets = Seq(LoadTarget("jdbc:derby:memory:doesnotexist", "", "", "no_table")))
+    val badTarget = Seq(LoadTarget("jdbc:derby:memory:doesnotexist", "", "", "no_table"))
+    // prefix A: no topic — failures land on the default notifier and retry
+    val cfgA = LoadConfig(s3Prefix = "bucket/inputa", dataFormat = DataFormat.Csv,
+      batchSize = 1, targets = badTarget)
+    // prefix B: failureTopic routed to a SUPPRESSING notifier — delivery
+    // downgrades the hard failure, so the T8 retry is not taken
+    val cfgB = LoadConfig(s3Prefix = "bucket/inputb", dataFormat = DataFormat.Csv,
+      batchSize = 1, failureTopic = Some("arn:fail"), targets = badTarget)
     val notifier = new CollectingNotifier
-    Files.write(Paths.get(s"$root/bucket/input/f.csv"), "1\n".getBytes)
+    val failTopic = new CollectingNotifier {
+      override def suppressFailureOnDelivery: Boolean = true
+    }
+    Files.write(Paths.get(s"$root/bucket/inputa/f.csv"), "1\n".getBytes)
+    Files.write(Paths.get(s"$root/bucket/inputb/g.csv"), "2\n".getBytes)
 
     val q = Pipeline.start(spark,
       Pipeline.Settings(root, ledgerDir, ckpt, triggerInterval = "1 second",
         schemas = Map("no_table" -> schema), maxAutoReprocess = 1),
-      Map("bucket/input" -> cfg), notifier)
+      Map("bucket/inputa" -> cfgA, "bucket/inputb" -> cfgB), notifier,
+      topicNotifiers = Map("arn:fail" -> failTopic))
     try {
       val deadline = System.currentTimeMillis() + 90000
-      while (notifier.received.isEmpty && System.currentTimeMillis() < deadline)
+      while ((notifier.received.size < 2 || failTopic.received.isEmpty) &&
+             System.currentTimeMillis() < deadline)
         Thread.sleep(500)
-      Thread.sleep(2000) // allow the auto-reprocess attempt to finish
-      assert(notifier.received.nonEmpty)
-      assert(notifier.received.forall(_.status == "error"))
-      assert(notifier.received.forall(_.error.isDefined))
-      assert(notifier.received.forall(_.failedManifest.isDefined))
-      // auto-reprocess hook retried once → two error notifications
+      Thread.sleep(2000) // allow any trailing auto-reprocess attempt to finish
+      // default notifier saw ONLY prefix A: one failure + one auto-retry
       assert(notifier.received.size == 2)
+      assert(notifier.received.forall(n =>
+        n.s3Prefix == "bucket/inputa" && n.status == "error" &&
+          n.error.isDefined && n.failedManifest.isDefined))
+      // configured failureTopic saw ONLY prefix B, and its delivered
+      // failure suppressed the retry → exactly one notification
+      assert(failTopic.received.size == 1)
+      assert(failTopic.received.forall(n =>
+        n.s3Prefix == "bucket/inputb" && n.status == "error"))
       val failed = java.nio.file.Files.list(
         java.nio.file.Paths.get(s"$ledgerDir/failed-manifests")).count()
-      assert(failed >= 1)
+      assert(failed >= 2)
       val ledger = new Ledger(spark, ledgerDir)
-      assert(ledger.queryBatches("error").count() == 1)
+      assert(ledger.queryBatches("error").count() == 2)
     } finally q.stop()
   }
 }

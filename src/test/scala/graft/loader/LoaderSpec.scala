@@ -164,6 +164,37 @@ class LoaderSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("C11 incident override redirects a RUNNING pipeline at connection time") {
+    // stored config points at DB "ovr_a"; the override (JVM-property form
+    // of GRAFT_OVERRIDE_DBSTRING) points at DB "ovr_b" — rows must land
+    // in b, proving resolution happens per-connection, not at setup
+    val urlA = "jdbc:derby:memory:ovrspecA;create=true"
+    val urlB = "jdbc:derby:memory:ovrspecB;create=true"
+    def ddl(url: String): Unit = {
+      val c = DriverManager.getConnection(url)
+      try c.createStatement().execute(
+        "CREATE TABLE ovr_t(column_a INT, column_b INT, column_c INT)")
+      finally c.close()
+    }
+    ddl(urlA); ddl(urlB)
+    val c = cfg.copy(targets = Seq(
+      LoadTarget(urlA, "", "", "ovr_t")))
+    System.setProperty(graft.config.Setup.OverrideEnvVar, urlB)
+    try {
+      val out = Loader.loadBatch(spark, c, cmd("ov1", Seq("sample0.csv")), root, Some(schema))
+      assert(out.status == "complete")
+    } finally System.clearProperty(graft.config.Setup.OverrideEnvVar)
+    def count(url: String): Long = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT count(*) FROM ovr_t")
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+    }
+    assert(count(urlB) == 2, "override target received the load")
+    assert(count(urlA) == 0, "configured target untouched while override active")
+  }
+
   test("manifest JSON matches reference shape (S5)") {
     val m = Manifest(Seq(ManifestEntry("file:/a/b.csv", mandatory = true, 24)))
     assert(Loader.manifestJson(m) ==
