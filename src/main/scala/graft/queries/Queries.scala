@@ -382,6 +382,11 @@ object Queries {
       .groupBy(col("query_id"))
       .agg((coalesce(sum(when(col("ac").isNotNull, 1).otherwise(0)), lit(0)) / count(lit(1)))
         .as("recall_at_5"))
+      // self-asserting invariant: seeded hyperplanes make the result
+      // deterministic, so `pass` (mean recall ≥ 0.9) encodes the recall
+      // bar in the rows themselves — a bucketing regression flips every
+      // pass value even though no DuckDB oracle can run LSH
+      .withColumn("pass", avg(col("recall_at_5")).over(Window.partitionBy()) >= 0.9)
       .orderBy(col("query_id"))
   }
 
@@ -407,11 +412,20 @@ object Queries {
   /** Multimodal plumbing: binary columns through the batched feature
     * extractor (decode stubbed — schema/batching/partitioning real). */
   def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.fromDocuments(s, table(s, dir, "documents"), "doc_id", "text")
+    // deterministic synthetic PNGs (real ImageIO encode), then REAL
+    // ImageIO decode in the per-partition loop: the emitted dimension
+    // stats are ground truth from the generator, so a decode regression
+    // (any width/height/channel drift, any failed decode) flips rows
+    val media = Multimodal.syntheticImages(s, table(s, dir, "documents"), "doc_id", "text")
     Multimodal.extractFeatures(s, media)
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),
-        sum(col("byte_length")).as("total_bytes"),
+        sum(when(col("width") > 0, 1).otherwise(0)).as("n_decoded"),
+        min(col("width")).cast("long").as("min_width"),
+        max(col("width")).cast("long").as("max_width"),
+        min(col("height")).cast("long").as("min_height"),
+        max(col("height")).cast("long").as("max_height"),
+        countDistinct(col("channels")).as("distinct_channels"),
         countDistinct(col("feat_checksum")).as("distinct_checksums"))
       .orderBy(col("modality"))
   }
@@ -524,6 +538,9 @@ object Queries {
       .groupBy(col("query_id"))
       .agg((coalesce(sum(when(col("ac").isNotNull, 1).otherwise(0)), lit(0)) / count(lit(1)))
         .as("recall_at_5"))
+      // same self-asserting bar as q23: deterministic sampled Lloyd fit
+      // ⇒ stable recall; pass flips if the IVF routing ever regresses
+      .withColumn("pass", avg(col("recall_at_5")).over(Window.partitionBy()) >= 0.9)
       .orderBy(col("query_id"))
   }
 

@@ -120,8 +120,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byId(1L).feat_checksum != byId(3L).feat_checksum)
     assert(byId(1L).feature_vec.length == 8)
     assert(byId(1L).byte_length == "hello world".length)
+    // text bytes are not a decodable image → sentinel dimensions
+    assert(feats.forall(f => f.width == -1 && f.height == -1 && f.channels == -1))
     val thumbs = Multimodal.thumbnail(spark, media, maxBytes = 4).collect()
     assert(thumbs.forall(_.getAs[Array[Byte]]("thumb").length <= 4))
+  }
+
+  test("multimodal: REAL ImageIO decode recovers known PNG dimensions") {
+    // hand-built 20x10 RGB PNG with a known luminance split: left half
+    // black, right half white → histogram mass at both extremes
+    val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(7L, "image", baos.toByteArray, "image/png", "test")))
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.width == 20 && f.height == 10 && f.channels == 3)
+    assert(math.abs(f.feature_vec(0) - 0.5f) < 1e-6, "half the pixels are black")
+    assert(math.abs(f.feature_vec(7) - 0.5f) < 1e-6, "half the pixels are white")
+    // audio modality ignores image decode entirely
+    val audio = spark.createDataset(Seq(
+      Multimodal.MediaRecord(8L, "audio", baos.toByteArray, "audio/wav", "test")))
+    val af = Multimodal.extractFeatures(spark, audio).collect().head
+    assert(af.width == -1 && af.channels == -1)
+  }
+
+  test("multimodal: synthetic PNG corpus round-trips generator ground truth") {
+    val docs = Seq((1L, "abcde"), (2L, "a longer text body here"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticImages(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    // generator contract: w = 8 + len(text) % 17, h = 8 + id % 13
+    assert(feats(1L).width == 8 + 5 % 17 && feats(1L).height == 8 + 1)
+    assert(feats(2L).width == 8 + 23 % 17 && feats(2L).height == 8 + 2)
+    assert(feats(3L).width == 8 + 2 && feats(3L).height == 8 + 3)
+    assert(feats.values.forall(_.channels == 3))
   }
 
   test("rolling-chunk CDC finds partial overlap exact hashing misses") {
