@@ -64,6 +64,37 @@ class Ledger(spark: SparkSession, dir: String) {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  private def fs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Finish an interrupted [[compact]] swap. The swap order (write
+    * `.compact` → rename live aside to `.old` → rename `.compact` in →
+    * delete `.old`) guarantees a complete copy of the log exists on disk
+    * at every step; this replays the remaining steps so a crash at any
+    * point leaves the ledger readable on next construction:
+    *  - live + stale `.compact`/`.old` → drop the leftovers;
+    *  - live missing, `.compact` present (complete by write order) →
+    *    rename it in;
+    *  - live missing, only `.old` → restore it.
+    */
+  private def recoverSwap(d: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(d)
+    val tmp = new org.apache.hadoop.fs.Path(d + ".compact")
+    val old = new org.apache.hadoop.fs.Path(d + ".old")
+    val f = fs(live)
+    if (f.exists(live)) {
+      if (f.exists(tmp)) f.delete(tmp, true)
+      if (f.exists(old)) f.delete(old, true)
+    } else if (f.exists(tmp)) {
+      f.rename(tmp, live)
+      if (f.exists(old)) f.delete(old, true)
+    } else if (f.exists(old)) {
+      f.rename(old, live)
+    }
+  }
+  recoverSwap(batchDir)
+  recoverSwap(fileDir)
+
   /** Monotonic append counter, resumed from the on-disk log (single
     * writer by design — the streaming pipeline; ops commands run against
     * a quiesced prefix, as in the reference's CLI contract).
@@ -80,16 +111,25 @@ class Ledger(spark: SparkSession, dir: String) {
       maxSeq(pathExists(fileDir), () => fileLog.toDF())))
   }
 
-  def appendBatch(rec: BatchRecord, reason: String = ""): Unit = {
-    val ev = BatchLedgerEvent(
-      rec.s3Prefix, rec.batchId, rec.status,
-      rec.entries.map(_.file), rec.entries.map(_.size), rec.sizeBytes,
-      rec.manifestFile.getOrElse(""), rec.targetStatus,
-      rec.errorMessage.getOrElse(""), if (reason.nonEmpty) reason else rec.updateReason.getOrElse(""),
-      rec.lastUpdate, seqCounter.incrementAndGet(), today(rec.lastUpdate))
-    Seq(ev).toDS().coalesce(1).write.mode(SaveMode.Append)
-      .partitionBy("eventDate").parquet(batchDir)
-  }
+  def appendBatch(rec: BatchRecord, reason: String = ""): Unit =
+    appendBatches(Seq(rec), reason)
+
+  /** One parquet append for a whole batch-record set — bulk ops (e.g.
+    * deleteBatches) write one file, not one per doomed row.
+    */
+  def appendBatches(recs: Seq[BatchRecord], reason: String = ""): Unit =
+    if (recs.nonEmpty) {
+      recs.map { rec =>
+        BatchLedgerEvent(
+          rec.s3Prefix, rec.batchId, rec.status,
+          rec.entries.map(_.file), rec.entries.map(_.size), rec.sizeBytes,
+          rec.manifestFile.getOrElse(""), rec.targetStatus,
+          rec.errorMessage.getOrElse(""),
+          if (reason.nonEmpty) reason else rec.updateReason.getOrElse(""),
+          rec.lastUpdate, seqCounter.incrementAndGet(), today(rec.lastUpdate))
+      }.toDS().coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("eventDate").parquet(batchDir)
+    }
 
   def appendFile(ev: ProcessedFile, atMs: Long): Unit = appendFiles(Seq(ev), atMs)
 
@@ -115,18 +155,34 @@ class Ledger(spark: SparkSession, dir: String) {
       .toDS().coalesce(1).write.mode(SaveMode.Append)
       .partitionBy("eventDate").parquet(fileDir)
 
+  /** Pre-upgrade on-disk logs lack columns later schema versions added
+    * (`seq`, `deleted`): backfill read-side defaults so an existing
+    * deployment's history keeps resolving — the version-gated upgrade
+    * pattern ConfigCodec uses, applied to the ledger. Old events all get
+    * seq=0, which the latest-event windows order BELOW any post-upgrade
+    * event of the same timestamp — exactly the conservative tie-break.
+    */
+  private def withDefault(df: DataFrame, name: String,
+                          default: org.apache.spark.sql.Column): DataFrame =
+    if (df.columns.contains(name)) df else df.withColumn(name, default)
+
   /** Full event history. An absent directory (nothing appended yet) reads
     * as empty; anything else — corrupt footers, permission failures —
     * surfaces, because masking it would report a live ledger as "no
     * history".
     */
   def batchLog: Dataset[BatchLedgerEvent] =
-    if (pathExists(batchDir)) spark.read.parquet(batchDir).as[BatchLedgerEvent]
+    if (pathExists(batchDir))
+      withDefault(spark.read.parquet(batchDir), "seq", lit(0L).cast("long"))
+        .as[BatchLedgerEvent]
     else spark.emptyDataset[BatchLedgerEvent]
 
   def fileLog: Dataset[FileLedgerEvent] =
-    if (pathExists(fileDir)) spark.read.parquet(fileDir).as[FileLedgerEvent]
-    else spark.emptyDataset[FileLedgerEvent]
+    if (pathExists(fileDir)) {
+      val raw = spark.read.parquet(fileDir)
+      withDefault(withDefault(raw, "seq", lit(0L).cast("long")),
+        "deleted", lit(false)).as[FileLedgerEvent]
+    } else spark.emptyDataset[FileLedgerEvent]
 
   /** Latest event per (s3Prefix, batchId) including tombstones — the raw
     * latest-state view compaction and delete-ops work from.
@@ -182,21 +238,34 @@ class Ledger(spark: SparkSession, dir: String) {
     * ops query. Compaction = the DynamoDB tables' current-state shape,
     * with history traded for bounded scan cost.
     *
-    * Single-writer swap: write `<dir>.compact`, drop the log dir, rename.
+    * Crash-safe single-writer swap: write `<dir>.compact`, rename the
+    * live dir aside to `<dir>.old`, rename `.compact` in, delete `.old`.
+    * A complete copy of the log exists on disk between every pair of
+    * steps; [[recoverSwap]] finishes an interrupted swap at next
+    * construction.
     */
   def compact(): Unit = {
     compactOne(batchDir, () => currentBatches)
     compactOne(fileDir, () => processedFiles)
   }
 
-  private def compactOne(d: String, current: () => DataFrame): Unit =
+  /** `crashAfterStep` is a test seam: throw after step N (1=tmp written,
+    * 2=live renamed aside, 3=tmp renamed in) to exercise recovery.
+    */
+  private[ledger] def compactOne(d: String, current: () => DataFrame,
+                                 crashAfterStep: Int = Int.MaxValue): Unit =
     if (pathExists(d)) {
-      val tmp = d + ".compact"
+      val live = new org.apache.hadoop.fs.Path(d)
+      val tmp = new org.apache.hadoop.fs.Path(d + ".compact")
+      val old = new org.apache.hadoop.fs.Path(d + ".old")
+      val f = fs(live)
       current().coalesce(1).write.mode(SaveMode.Overwrite)
-        .partitionBy("eventDate").parquet(tmp)
-      val hp = new org.apache.hadoop.fs.Path(d)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
+        .partitionBy("eventDate").parquet(tmp.toString)
+      if (crashAfterStep <= 1) throw new IllegalStateException("simulated crash after step 1")
+      f.rename(live, old)
+      if (crashAfterStep <= 2) throw new IllegalStateException("simulated crash after step 2")
+      f.rename(tmp, live)
+      if (crashAfterStep <= 3) throw new IllegalStateException("simulated crash after step 3")
+      f.delete(old, true)
     }
 }
