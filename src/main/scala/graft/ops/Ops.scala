@@ -36,6 +36,18 @@ class Ops(spark: SparkSession, ledger: Ledger) {
       Option(ev.errorMessage).filter(_.nonEmpty),
       Some(reason)))
 
+  /** Ledger read surface, re-exposed so the CLI (and embedders holding
+    * only an Ops) reach the query commands without a second handle. */
+  def describeBatch(prefix: String, batchId: String): DataFrame =
+    ledger.describeBatch(prefix, batchId)
+  def queryBatches(status: String, afterMs: Option[Long] = None,
+                   beforeMs: Option[Long] = None): DataFrame =
+    ledger.queryBatches(status, afterMs, beforeMs)
+  def queryProcessedFile(loadFile: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ledger.processedFiles.filter(col("loadFile") === loadFile)
+  }
+
   /** `locked|error → open` (unlockBatch.js:87-96). */
   def unlockBatch(prefix: String, batchId: String): OpResult =
     currentOf(prefix, batchId) match {
@@ -94,12 +106,24 @@ class Ops(spark: SparkSession, ledger: Ledger) {
     */
   def deleteBatches(status: String, dryRun: Boolean = true,
                     afterMs: Option[Long] = None, beforeMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val doomed = ledger.queryBatches(status, afterMs, beforeMs)
     if (!dryRun) {
-      doomed.collect().foreach { row =>
-        currentOf(row.getAs[String]("s3Prefix"), row.getAs[String]("batchId"))
-          .foreach(ev => transition(ev, BatchStatus.Deleted, "deleteBatches"))
-      }
+      // single pass: one latest-event scan collects every doomed event,
+      // one appendBatches writes every tombstone — not a currentOf scan
+      // and a parquet file per row
+      var df = ledger.currentBatches.filter(col("status") === status)
+      afterMs.foreach(a => df = df.filter(col("lastUpdate") >= a))
+      beforeMs.foreach(b => df = df.filter(col("lastUpdate") <= b))
+      val evs = df.as[BatchLedgerEvent].collect()
+      ledger.appendBatches(evs.toSeq.map(ev => BatchRecord(
+        ev.s3Prefix, ev.batchId, BatchStatus.Deleted.name,
+        ev.entryFiles.zip(ev.entrySizes).map { case (f, s) => BatchEntry(f, s, 0L) },
+        ev.sizeBytes, now(),
+        Option(ev.manifestFile).filter(_.nonEmpty),
+        ev.targetStatus,
+        Option(ev.errorMessage).filter(_.nonEmpty),
+        Some("deleteBatches"))))
     }
     doomed
   }
@@ -188,6 +212,40 @@ class Ops(spark: SparkSession, ledger: Ledger) {
     }
   }
 
+  /** Mass reprocess by prefix (`reprocessS3Prefix`,
+    * `fileProcessingUtils.js:39-89`): list the watched tree, keep files
+    * under `prefix` whose name passes `regexFilter`, and queue every one
+    * that has a processed-file entry — the reference's paged
+    * list+filter+reprocess loop as one listing scan, one semi-join, one
+    * ledger append, and one unlink marker per matched file.
+    */
+  def reprocessPrefix(watchRoot: String, prefix: String,
+                      regexFilter: Option[String] = None): OpResult = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val re = regexFilter.map(_.r)
+    val listed = graft.sources.FileEventSource.list(spark, watchRoot)
+      .filter(e => !e.unlink)
+      .map(e => s"${e.bucket}/${e.key}")
+      .filter(f => f.startsWith(prefix) && re.forall(_.findFirstIn(f).isDefined))
+      .persist()
+    val listedCount = listed.count()
+    val matched = ledger.processedFiles
+      .join(broadcast(listed.toDF("loadFile")), Seq("loadFile"), "inner")
+      .collect()
+    listed.unpersist(blocking = false)
+    val at = now()
+    val unlinked = matched.toSeq.map { row =>
+      val prevBatch = row.getAs[String]("batchId")
+      val prev = row.getAs[scala.collection.Seq[String]]("previousBatches").toSeq
+      ProcessedFile(row.getAs[String]("loadFile"), at, 0, None,
+        if (prevBatch.nonEmpty) prev :+ prevBatch else prev)
+    }
+    ledger.appendFiles(unlinked, at)
+    unlinked.foreach(f => Ops.writeUnlinkMarker(watchRoot, f.loadFile))
+    OpResult(ok = unlinked.nonEmpty,
+      s"${unlinked.size} of $listedCount listed files queued for reprocessing under $prefix",
+      unlinked.map(_.loadFile))
+  }
 }
 
 object Ops {

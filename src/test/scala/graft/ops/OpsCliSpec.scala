@@ -1,0 +1,89 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.ledger.Ledger
+
+/** Mass prefix reprocess, bulk-delete append behavior, and the CLI
+  * dispatch over a seeded ledger.
+  */
+class OpsCliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rec(id: String, status: BatchStatus, at: Long) =
+    BatchRecord("b/k", id, status.name, Seq(BatchEntry(s"b/k/$id.csv", 10, at)), 10L, at)
+
+  test("reprocessPrefix: regex excludes one file; unlink markers + ledger unlinks for the rest") {
+    val root = Files.createTempDirectory("graft-rpp").toString
+    Files.createDirectories(Paths.get(s"$root/bucket/input"))
+    Seq("a.csv", "b.csv", "skip.log").foreach { f =>
+      Files.write(Paths.get(s"$root/bucket/input/$f"), "1|2\n".getBytes)
+    }
+    val ledgerDir = Files.createTempDirectory("graft-rpp-ledger").toString
+    val ledger = new Ledger(spark, ledgerDir)
+    // a.csv and skip.log are in the processed ledger; b.csv never was
+    ledger.appendFiles(Seq(
+      ProcessedFile("bucket/input/a.csv", 1000, 1, Some("b1")),
+      ProcessedFile("bucket/input/skip.log", 1000, 1, Some("b1"))), 1000)
+    val ops = new Ops(spark, ledger)
+
+    val r = ops.reprocessPrefix(root, "bucket/input", Some("\\.csv$"))
+    assert(r.ok && r.reinject == Seq("bucket/input/a.csv"),
+      s"only the processed csv qualifies, got $r")
+    // ledger unlink recorded: batchId cleared, previous batch archived
+    val row = ops.queryProcessedFile("bucket/input/a.csv").collect().head
+    assert(row.getAs[String]("batchId") == "")
+    assert(row.getAs[scala.collection.Seq[String]]("previousBatches").toSeq == Seq("b1"))
+    // regex-excluded file untouched
+    val skip = ops.queryProcessedFile("bucket/input/skip.log").collect().head
+    assert(skip.getAs[String]("batchId") == "b1")
+    // exactly one unlink marker dropped, for a.csv
+    val markers = java.nio.file.Files.list(
+      Paths.get(root, graft.sources.FileEventSource.ControlDir, "unlink")).toArray
+    assert(markers.length == 1)
+    assert(markers.head.toString.endsWith(
+      graft.sources.FileEventSource.encodeControlTarget("bucket/input/a.csv")))
+  }
+
+  test("deleteBatches --force appends ONE parquet file for the whole doomed set") {
+    val ledgerDir = Files.createTempDirectory("graft-bulk-ledger").toString
+    val ledger = new Ledger(spark, ledgerDir)
+    (1 to 3).foreach(i => ledger.appendBatch(rec(s"e$i", BatchStatus.Error, 1000L * i)))
+    val ops = new Ops(spark, ledger)
+    def dataFiles(): Long = java.nio.file.Files.walk(Paths.get(s"$ledgerDir/batches"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = dataFiles()
+    val doomed = ops.deleteBatches("error", dryRun = false)
+    assert(doomed.count() == 3)
+    assert(dataFiles() == before + 1, "bulk delete writes one file, not one per row")
+    assert(ledger.currentBatches.count() == 0)
+  }
+
+  test("CLI dispatch: describe/query/unlock/delete/processedFiles over a seeded ledger") {
+    val ledgerDir = Files.createTempDirectory("graft-cli-ledger").toString
+    val ledger = new Ledger(spark, ledgerDir)
+    ledger.appendBatch(rec("b1", BatchStatus.Locked, 1000))
+    ledger.appendBatch(rec("b2", BatchStatus.Error, 2000))
+    ledger.appendFiles(Seq(ProcessedFile("b/k/b1.csv", 1000, 1, Some("b1"))), 1000)
+    val ops = new Ops(spark, ledger)
+
+    assert(OpsCli.run(spark, ops, "describeBatch", List("b/k", "b1")) == 0)
+    assert(OpsCli.run(spark, ops, "describeBatch", List("b/k", "nope")) == 1)
+    assert(OpsCli.run(spark, ops, "queryBatches", List("error")) == 0)
+    assert(OpsCli.run(spark, ops, "unlockBatch", List("b/k", "b1")) == 0)
+    assert(OpsCli.run(spark, ops, "unlockBatch", List("b/k", "b1")) == 1, "now open — refused")
+    assert(OpsCli.run(spark, ops, "reprocessBatch", List("b/k", "b2")) == 0)
+    assert(OpsCli.run(spark, ops, "deleteBatch", List("b/k", "b2")) == 0)
+    assert(OpsCli.run(spark, ops, "processedFiles", List("--query", "b/k/b1.csv")) == 0)
+    assert(OpsCli.run(spark, ops, "processedFiles", List("--delete", "b/k/b1.csv")) == 0)
+    assert(OpsCli.run(spark, ops, "processedFiles", List("--query", "b/k/b1.csv")) == 1)
+    assert(OpsCli.run(spark, ops, "bogus", Nil) == 2)
+  }
+}
