@@ -31,6 +31,8 @@ object Setup {
 
   /** common.js getIntValue: must parse or setup fails. */
   def intValue(field: String, v: Any): Int = v match {
+    case i: Int    => i
+    case l: Long   => l.toInt
     case d: Double => d.toInt
     case s: String =>
       try s.trim.toInt
@@ -86,6 +88,47 @@ object Setup {
     fromMap(v, encryptPassword)
   }
 
+  /** Cluster-target validation core, shared by initial setup and
+    * [[addClusterEndpoint]]: endpoint/port/user/password/table are
+    * required with the reference's exact messages; the URL is assembled,
+    * never taken raw.
+    */
+  def targetFromMap(v: Map[String, Any],
+                    encryptPassword: String => String = identity): LoadTarget = {
+    def opt(k: String): Option[String] =
+      v.get(k).map(_.toString).filter(_.nonEmpty)
+    def required(k: String, msg: String): String =
+      opt(k).getOrElse(throw SetupException(k, msg))
+    val endpoint = required("clusterEndpoint", "You Must Provide a Cluster Endpoint")
+    val port = intValue("clusterPort",
+      v.getOrElse("clusterPort", throw SetupException("clusterPort", "You Must Provide a Cluster Port")))
+    val user = required("userName", "You Must Provide a Username")
+    val pwd = required("userPwd", "You Must Provide a Password")
+    val table = required("table", "You Must Provide a Table Name")
+    LoadTarget(
+      jdbcUrl = buildJdbcUrl(endpoint, port, opt("clusterDB"),
+        v.get("useSSL").exists(boolValue)),
+      user = user,
+      encryptedPassword = encryptPassword(pwd),
+      targetTable = table,
+      truncateTarget = v.get("truncateTable").exists(boolValue),
+      presql = opt("presql"),
+      postsql = opt("postsql"),
+      columnList = opt("columnList").map(_.split(",").map(_.trim).toSeq))
+  }
+
+  /** `addAdditionalClusterEndpoint.js:1-225` parity: validate a NEW
+    * cluster target with the same rules as setup and append it to an
+    * existing stored config — subsequent loads fan out to every target
+    * (T9). Returns the updated config, or None when no config exists for
+    * the prefix.
+    */
+  def addClusterEndpoint(store: ConfigStore, s3Prefix: String, v: Map[String, Any],
+                         encryptPassword: String => String = identity): Option[LoadConfig] = {
+    val t = targetFromMap(v, encryptPassword)
+    store.update(normalizePrefix(s3Prefix), c => c.copy(targets = c.targets :+ t))
+  }
+
   /** The shared validate-and-translate core: both the file mode and the
     * interactive waterfall land here.
     */
@@ -120,23 +163,7 @@ object Setup {
         case _ => None
       }
 
-    val endpoint = required("clusterEndpoint", "You Must Provide a Cluster Endpoint")
-    val port = intValue("clusterPort",
-      v.getOrElse("clusterPort", throw SetupException("clusterPort", "You Must Provide a Cluster Port")))
-    val user = required("userName", "You Must Provide a Username")
-    val pwd = required("userPwd", "You Must Provide a Password")
-    val table = required("table", "You Must Provide a Table Name")
-
-    val target = LoadTarget(
-      jdbcUrl = buildJdbcUrl(endpoint, port, opt("clusterDB"),
-        v.get("useSSL").exists(boolValue)),
-      user = user,
-      encryptedPassword = encryptPassword(pwd),
-      targetTable = table,
-      truncateTarget = v.get("truncateTable").exists(boolValue),
-      presql = opt("presql"),
-      postsql = opt("postsql"),
-      columnList = opt("columnList").map(_.split(",").map(_.trim).toSeq))
+    val target = targetFromMap(v, encryptPassword)
 
     val manifestBucket = required("manifestBucket",
       "You Must Provide a Bucket Name for Manifest File Storage")

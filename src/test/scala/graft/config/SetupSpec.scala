@@ -181,4 +181,59 @@ class SetupSpec extends AnyFunSuite {
       assert(rows() == 2, "file under the setup-registered prefix loaded")
     } finally q.stop()
   }
+
+  test("addAdditionalClusterEndpoint: validated append; load fans out to BOTH targets") {
+    val storeDir = Files.createTempDirectory("graft-addce").toString
+    val store = new ConfigStore(storeDir)
+    val urlA = "jdbc:derby:memory:addceA;create=true"
+    val urlB = "jdbc:derby:memory:addceB;create=true"
+    def ddl(url: String): Unit = {
+      val c = DriverManager.getConnection(url)
+      try c.createStatement().execute("CREATE TABLE addce_t(column_a INT, column_b INT)")
+      finally c.close()
+    }
+    ddl(urlA); ddl(urlB)
+    store.put(LoadConfig(s3Prefix = "bucket/input", dataFormat = DataFormat.Csv,
+      csvDelimiter = "|", batchSize = 1,
+      targets = Seq(LoadTarget(urlA, "", "", "addce_t"))))
+
+    // validation rules are the setup rules
+    val bad = intercept[SetupException] {
+      Setup.addClusterEndpoint(store, "bucket/input", Map(
+        "clusterPort" -> 5439, "userName" -> "u", "userPwd" -> "p", "table" -> "t"))
+    }
+    assert(bad.field == "clusterEndpoint")
+    assert(Setup.addClusterEndpoint(store, "bucket/none", Map(
+      "clusterEndpoint" -> "e", "clusterPort" -> 5439, "userName" -> "u",
+      "userPwd" -> "p", "table" -> "t")).isEmpty, "unknown prefix refuses")
+
+    // append a second endpoint (s3:// form of the prefix accepted, like the CLI)
+    val updated = Setup.addClusterEndpoint(store, "s3://bucket/input", Map(
+      "clusterEndpoint" -> "ignored.local", "clusterPort" -> 5439,
+      "userName" -> "loader", "userPwd" -> "secret", "table" -> "addce_t")).get
+    assert(updated.targets.size == 2)
+    assert(updated.targets(1).jdbcUrl == "jdbc:postgresql://ignored.local:5439")
+
+    // swap the assembled URL for the second Derby target and verify fan-out
+    val runCfg = updated.copy(targets = Seq(
+      updated.targets.head,
+      updated.targets(1).copy(jdbcUrl = urlB, user = "", encryptedPassword = "")))
+    val root = Files.createTempDirectory("graft-addce-data").toString
+    Files.createDirectories(Paths.get(s"$root/bucket/input"))
+    Files.write(Paths.get(s"$root/bucket/input/x.csv"), "1|2\n3|4\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("column_a", IntegerType), StructField("column_b", IntegerType)))
+    val cmd = FlushCommand("bucket/input", "ce1",
+      Seq(BatchEntry("bucket/input/x.csv", 8, 1000L)), 8L, "count", 2000L)
+    val out = graft.loader.Loader.loadBatch(spark, runCfg, cmd, root, Some(schema))
+    assert(out.status == "complete" && out.results.size == 2)
+    def count(url: String): Long = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT count(*) FROM addce_t")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    assert(count(urlA) == 2 && count(urlB) == 2, "both endpoints loaded")
+  }
 }
