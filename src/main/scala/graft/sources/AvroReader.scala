@@ -144,9 +144,12 @@ object AvroReader {
   }
 
   /** Read a batch of avro files as a DataFrame. The schema comes from the
-    * first file's header; files whose writer schema drifted still decode
-    * through Avro's own resolution against their local header, and the
-    * field lookup is by name.
+    * first file's header and is passed as the datum reader's EXPECTED
+    * schema, so files whose writer schema drifted decode through Avro's
+    * real schema resolution (field reorder, added-with-default, promoted
+    * types) against it — not just a name lookup. Readers close on task
+    * completion, so partial consumption (limit, task failure) can't leak
+    * handles.
     */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "avro read needs at least one path")
@@ -158,19 +161,18 @@ object AvroReader {
       val schema = new Schema.Parser().parse(schemaJson)
       val st = toStructType(schema)
       val in = new FsInput(new Path(p), new Configuration())
-      val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
-      val it = reader.iterator().asScala.map { rec =>
+      // one-arg constructor sets the expected (reader) schema; the
+      // container reader swaps in each file's writer schema from its
+      // header, which is exactly Avro's resolution setup
+      val reader = DataFileReader.openReader(in,
+        new GenericDatumReader[GenericRecord](schema))
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try reader.close() finally in.close()
+        })
+      reader.iterator().asScala.map { rec =>
         Row.fromSeq(st.fields.map(f =>
           convert(rec.get(f.name), schema.getField(f.name).schema(), f.dataType)).toSeq)
-      }
-      // exhaust then close: the iterator is consumed lazily by the task
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h) { reader.close(); in.close() }
-          h
-        }
-        def next(): Row = it.next()
       }
     }
     spark.createDataFrame(rows, struct)

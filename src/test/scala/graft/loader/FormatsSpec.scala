@@ -90,6 +90,43 @@ class FormatsSpec extends AnyFunSuite {
     assert(projected.count() == 2)
   }
 
+  test("Avro writer-schema drift resolves against the first file's schema (S8)") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder}
+
+    val v1: Schema = SchemaBuilder.record("rec").fields()
+      .requiredInt("id").requiredString("name").endRecord()
+    // drifted writer: fields REORDERED plus an extra field the reader
+    // schema doesn't know — real Avro resolution handles both; a naive
+    // first-file-StructType decode would mis-type or drop values
+    val v2: Schema = SchemaBuilder.record("rec").fields()
+      .requiredString("extra").requiredString("name").requiredInt("id").endRecord()
+
+    val d = Files.createTempDirectory("graft-avro-drift")
+    val f1 = d.resolve("a.avro").toFile
+    val w1 = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](v1))
+    w1.create(v1, f1)
+    w1.append(new GenericRecordBuilder(v1).set("id", 1).set("name", "one").build())
+    w1.close()
+    val f2 = d.resolve("b.avro").toFile
+    val w2 = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](v2))
+    w2.create(v2, f2)
+    w2.append(new GenericRecordBuilder(v2)
+      .set("extra", "x").set("name", "two").set("id", 2).build())
+    w2.close()
+
+    val got = Formats.read(spark, LoadConfig("p", DataFormat.Avro),
+      Seq(f1.toString, f2.toString), None).orderBy("id").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(got.map(_.getString(1)).toSeq == Seq("one", "two"))
+    // partial consumption must not leak handles (close is on task
+    // completion now): a limit(1) over both files completes cleanly
+    val limited = Formats.read(spark, LoadConfig("p", DataFormat.Avro),
+      Seq(f1.toString, f2.toString), None).limit(1).collect()
+    assert(limited.length == 1)
+  }
+
   test("Avro logical types map to date/timestamp/decimal (S8)") {
     import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
