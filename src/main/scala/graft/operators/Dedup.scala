@@ -93,11 +93,14 @@ object Dedup {
     // so broadcasting it makes the prune map-side: only ~candidate-count
     // shingle sets ever ride an exchange — the full corpus's sets never
     // re-enter a shuffle after the compact (band, hash, id) bucket join.
+    // The pruned table is persisted so BOTH side-fetches read it; without
+    // that, each equi-join would re-run the prune (and the scan under it).
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id")))
       .distinct()
     val sets = sigs.select(col("doc_id"), col("shingle_set"))
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .persist()
     val verified = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shingle_set").as("sh_b")), Seq("id_b"))
@@ -107,7 +110,7 @@ object Dedup {
       .withColumn("jaccard", col("intersection").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    releaseAfter(Seq(sigs, candidates), verified)
+    releaseAfter(Seq(sigs, candidates, sets), verified)
   }
 
   /** Materialize `result` (it's the operator's verified-pair output —

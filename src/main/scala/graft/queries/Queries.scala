@@ -337,15 +337,19 @@ object Queries {
     // (small by construction — simhashPairs already materialized them)
     // broadcast into a semi-join that prunes the hash-set table
     // map-side, so only candidate-count rows ride the fetch exchanges.
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id")))
-      .distinct()
+    // UN-HINTED fetch joins, by design: the hash-set table is one compact
+    // row per document while the hamming-verified candidate set is the
+    // big side (~1M pairs vs ~5k docs at sf0.1), so no fixed strategy is
+    // right at every scale. AQE picks: at test SFs the corpus side is
+    // broadcast-sized and converts automatically; at corpus scale the
+    // joins shuffle only candidate ids plus compact hash arrays — there
+    // is no hard-coded corpus-sized broadcast anywhere in the plan.
     val toks = docs.select(col("doc_id"),
       graft.functions.expressions.hashed_set(
         array_distinct(graft.functions.expressions.shingles_fast(
           TextFunctions.tokens(col("text")), 2))).as("sh"))
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    cands
+      .persist()
+    val out = cands
       .join(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -353,6 +357,10 @@ object Queries {
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+      .persist()
+    out.count()
+    toks.unpersist(blocking = false)
+    out
   }
 
   /** Brute-force cosine top-5 for the first 10 query vectors. Oracle-
