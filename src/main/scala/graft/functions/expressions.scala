@@ -354,6 +354,67 @@ object NearestCells {
   }
 }
 
+/** Random-hyperplane LSH signature: bit i = sign(dot(vec, plane_i)).
+  * The plane matrix rides as ONE codegen reference object — the same
+  * shape that fixed IVF's nlist=4096 cliff — so `bits` can grow to 64
+  * without emitting a literal array column per plane (the composed
+  * Column form at bits=b generates b array literals and b aggregate
+  * loops; this is one fused loop).
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 64,
+    "hyperplane signature packs into one long: 1..64 planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires array<float> or array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSig.compute($c, $pRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  def compute(vec: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val d = math.min(dim, p.length)
+      var s = 0.0; var j = 0
+      while (j < d) { s += v(j) * p(j); j += 1 }
+      if (s > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 /** array<string> → SORTED array<long> of per-element XXH64 hashes: the
   * compact set representation the exact-Jaccard verification joins carry
   * instead of the string arrays themselves (8 bytes/element, and sorted
@@ -461,6 +522,10 @@ object expressions {
   /** Column wrapper for [[NearestCells]]. */
   def nearest_cells(vec: Column, centroids: Array[Array[Double]], take: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(vec), centroids, take))
+
+  /** Column wrapper for [[HyperplaneSig]]. */
+  def hyperplane_sig(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
 
   /** Column wrapper for [[HashedSet]]. */
   def hashed_set(strings: Column): Column =

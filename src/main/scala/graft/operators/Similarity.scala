@@ -53,14 +53,14 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
-  /** b-bit signature column: bit i = sign(dot(v, plane_i)). */
-  def signature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** b-bit signature column: bit i = sign(dot(v, plane_i)). The plane
+    * matrix is a single codegen reference object ([[graft.functions.HyperplaneSig]]),
+    * not one literal array column per plane — the composed form hit the
+    * same codegen blowup at high `bits` that sank the literal-centroid
+    * IVF at nlist=4096.
+    */
+  def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.expressions.hyperplane_sig(vec, planes)
 
   /** Approximate top-k: signature bands bucket the corpus; queries probe
     * their own buckets; cosine re-ranks. With `bits`=16 and 2 bands of 8

@@ -160,6 +160,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.values.forall(_.channels == 3))
   }
 
+  test("hyperplane_sig matches the composed per-plane-literal form bit for bit") {
+    import graft.operators.Similarity
+    val ps = Similarity.planes(bits = 16, dim = 8, seed = 42L)
+    val vecs = Seq(
+      (1L, Array(0.1f, -0.3f, 0.7f, 0.2f, -0.9f, 0.4f, 0.0f, 1.1f)),
+      (2L, Array(-1.0f, 0.5f, 0.5f, -0.2f, 0.3f, -0.6f, 0.8f, -0.1f)),
+      (3L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("id", "vec")
+    // the pre-expression composed form: one literal array column per plane
+    def composedSig(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ps.zipWithIndex.map { case (p, i) =>
+        val planeLit = array(p.map(lit): _*)
+        when(Similarity.dot(vec, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val rows = vecs.select($"id",
+      graft.functions.expressions.hyperplane_sig($"vec", ps).as("fast"),
+      composedSig($"vec").as("slow")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+  }
+
   test("rolling-chunk CDC finds partial overlap exact hashing misses") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
