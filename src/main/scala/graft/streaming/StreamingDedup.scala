@@ -68,6 +68,49 @@ object StreamingDedup {
       }
   }
 
+  /** Exact streaming dedup on Spark 4's `transformWithState` — the same
+    * first-seen-per-fingerprint semantics as [[exact]], expressed with
+    * the new `StatefulProcessor` API where TTL is DECLARATIVE
+    * (`TTLConfig` on the state handle): no manual timeout registration
+    * or `hasTimedOut` branches — the store expires entries itself, and
+    * an expired fingerprint readmits the next arrival exactly like the
+    * timeout path of the old API.
+    *
+    * Requires the RocksDB state store provider (the only provider the
+    * operator supports), which [[graft.Pipeline.Settings.rocksDbState]]
+    * already wires; state stays off-heap-bounded at any corpus rate.
+    */
+  def exactTws(spark: SparkSession, docs: Dataset[Doc],
+               stateTtlMs: Long = 86400000L): Dataset[Admitted] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    class ExactProcessor extends StatefulProcessor[Long, (Long, Long), Admitted] {
+      @transient private var seen: ValueState[SeenState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getValueState[SeenState]("seen",
+          org.apache.spark.sql.Encoders.product[SeenState],
+          TTLConfig(java.time.Duration.ofMillis(stateTtlMs)))
+      override def handleInputRows(fp: Long, rows: Iterator[(Long, Long)],
+                                   timers: TimerValues): Iterator[Admitted] =
+        if (seen.exists()) Iterator.empty
+        else rows.map(_._1).minOption match {
+          case Some(id) =>
+            seen.update(SeenState(id, timers.getCurrentProcessingTimeInMs()))
+            Iterator.single(Admitted(id, fp))
+          case None => Iterator.empty
+        }
+    }
+
+    docs
+      .select(col("doc_id"),
+        xxhash64(lower(trim(col("text")))).as("fingerprint"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .transformWithState(new ExactProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Near-dup suppression, stage 1: first-seen-wins ownership per
     * MinHash band bucket. Emits one [[Claim]] per bucket a document is
     * the first ever to occupy; documents colliding with any seen bucket

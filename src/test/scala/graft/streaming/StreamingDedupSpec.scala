@@ -68,6 +68,33 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState exact dedup: declarative-TTL variant matches flatMapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the tws operator supports only the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Doc]
+      val q = StreamingDedup.exactTws(spark, input.toDS())
+        .writeStream.format("memory").queryName("sdedup_tws").outputMode("append").start()
+      try {
+        input.addData(Seq(
+          Doc(1, "tws content a"),
+          Doc(2, "TWS CONTENT A  "), // same normalized content → dup
+          Doc(3, "tws content b")))
+        assert(awaitCount("sdedup_tws", 2) == 2)
+        assert(spark.table("sdedup_tws").as[Admitted].collect().map(_.doc_id).toSet
+          == Set(1L, 3L))
+        // cross-batch replay suppressed by ValueState
+        input.addData(Seq(Doc(4, "tws content b"), Doc(5, "tws content c")))
+        assert(awaitCount("sdedup_tws", 3) == 3)
+        assert(spark.table("sdedup_tws").as[Admitted].collect().map(_.doc_id).toSet
+          == Set(1L, 3L, 5L))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("near-dup band claims suppress later near-duplicates; admission = all bands claimed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
