@@ -153,4 +153,65 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
+
+  /** Persist the assignment table BUCKETED BY CELL (plus a centroid
+    * table), so repeated query workloads against a stored index scan
+    * only their probed buckets: [[searchStored]] pushes `cell IN
+    * (probes)` into the scan, and bucket pruning reads ~nprobe/nlist of
+    * the files — the piece that turns the probe join from "scan the
+    * corpus, join cheap" into "scan almost nothing". Bucket count = one
+    * bucket per cell.
+    *
+    * (Uses the session catalog: with the default in-memory catalog the
+    * table registration lives for the session; point the session at a
+    * persistent metastore for cross-session reuse — the data files and
+    * layout are identical either way.)
+    */
+  def saveIndex(spark: SparkSession, index: Index, table: String): Unit = {
+    val nlist = index.centroids.length
+    index.assigned.write.mode("overwrite")
+      .bucketBy(nlist, "cell").sortBy("cell")
+      .saveAsTable(table)
+    import spark.implicits._
+    index.centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Load the centroid matrix back from a stored index. */
+  def loadCentroids(spark: SparkSession, table: String): Array[Array[Double]] =
+    spark.table(s"${table}_centroids")
+      .collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** [[search]] against a stored bucketed index. The probe-cell set is
+    * computed on the driver (queries are small by construction — they
+    * are the probe side), so the `cell IN (...)` filter is a literal
+    * predicate the scan can bucket-prune on.
+    */
+  def searchStored(spark: SparkSession, table: String, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int = 5,
+                   nprobe: Int = 4): DataFrame = {
+    val centroidMatrix = loadCentroids(spark, table)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(nearest_cells(col("qvec"), centroidMatrix, nprobe)))
+      .persist()
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.table(table).filter(col("cell").isin(cells.toSeq: _*))
+    val candidates = corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", Similarity.cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    val out = candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .persist()
+    out.count()
+    probed.unpersist(blocking = false)
+    out
+  }
 }

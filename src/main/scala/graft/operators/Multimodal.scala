@@ -135,6 +135,38 @@ object Multimodal {
       .toDF("media_id", "modality", "thumb")
   }
 
+  final case class SampledFrame(
+      media_id: Long,
+      frame_idx: Int,
+      /** fraction of the stream the frame was sampled at, [0, 1). */
+      ts_frac: Double,
+      frame: Array[Byte])
+
+  /** Frame-sampling analogue for video/audio blobs: emit `n` evenly
+    * spaced bounded-size frames per record. The DECODE is stubbed (no
+    * codec libs here — a real implementation seeks keyframes/samples in
+    * the container), but the Spark shape is the real one: per-partition
+    * batched iteration, one output row per sampled frame with bounded
+    * bytes, full blobs never duplicated into more than their own
+    * partition's task and never shuffled — downstream sees only frames.
+    */
+  def frameSample(spark: SparkSession, media: Dataset[MediaRecord],
+                  n: Int = 4, frameBytes: Int = 256): Dataset[SampledFrame] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open the demuxer context once per partition here
+      rows.flatMap { r =>
+        val len = r.content.length
+        if (len == 0) Iterator.empty
+        else Iterator.tabulate(n) { i =>
+          val off = (len.toLong * i / n).toInt
+          SampledFrame(r.media_id, i, i.toDouble / n,
+            r.content.slice(off, math.min(len, off + frameBytes)))
+        }
+      }
+    }
+  }
+
   /** Wrap a text/doc table as pseudo-media for pipeline testing where no
     * real binary corpus exists: content = utf-8 bytes.
     */

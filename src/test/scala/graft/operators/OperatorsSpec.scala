@@ -160,6 +160,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.values.forall(_.channels == 3))
   }
 
+  test("IVF stored index: bucketed probe scan prunes to probed buckets, results match live search") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val index = IvfIndex.build(spark, emb, "vec_id", "embedding", nlist = 16)
+    val live = IvfIndex.search(spark, index, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "rank", "corpus_id").collect().toSet
+
+    IvfIndex.saveIndex(spark, index, "ivf_spec_idx")
+    try {
+      val stored = IvfIndex.searchStored(spark, "ivf_spec_idx", queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      assert(stored.select("query_id", "rank", "corpus_id").collect().toSet == live)
+      // the stored path must BUCKET-PRUNE: the scan reads a strict
+      // subset of the 16 buckets (5 queries x 4 probes <= 16, and the
+      // plan records the selection)
+      val plan = stored.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount".r.findFirstIn(plan)
+      assert(sel.isDefined, s"bucketed scan expected in:\n$plan")
+      val counts = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).get
+      assert(counts.group(2).toInt == 16 && counts.group(1).toInt <= 16)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_spec_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_spec_idx_centroids")
+    }
+  }
+
+  test("multi-block simhash: full recall up to blocks-keyBlocks hamming vs brute force") {
+    import graft.operators.Dedup
+    // deterministic corpus with planted near-dups at varying distances
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val words = base.split(" ")
+    val docs = (0 until 40).map { i =>
+      // vary a sliding window of words so pair distances spread out
+      val mutated = words.zipWithIndex.map { case (w, j) =>
+        if (j >= i % 12 && j < i % 12 + (i % 5)) s"${w}_$i" else w
+      }.mkString(" ")
+      (i.toLong, mutated)
+    }.toDF("doc_id", "text")
+
+    val sigs = Dedup.withSimhash(docs, "text").select($"doc_id", $"sig")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val budget = 8 - 2 // blocks=8, keyBlocks=2
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = hamming(sigs(a), sigs(b)) if h <= budget
+    } yield (a, b, h)).toSet
+
+    val got = Dedup.simhashPairsMultiBlock(docs, "doc_id", "text",
+      blocks = 8, keyBlocks = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"pigeonhole recall must be exact; missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "corpus must actually contain qualifying pairs")
+
+    // keyBlocks=1 degenerates to the simple banding operator's output
+    val simple = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val multi1 = Dedup.simhashPairsMultiBlock(docs, "doc_id", "text",
+      blocks = 8, keyBlocks = 1, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(multi1 == simple)
+  }
+
   test("hyperplane_sig matches the composed per-plane-literal form bit for bit") {
     import graft.operators.Similarity
     val ps = Similarity.planes(bits = 16, dim = 8, seed = 42L)
@@ -177,6 +243,21 @@ class OperatorsSpec extends AnyFunSuite {
       graft.functions.expressions.hyperplane_sig($"vec", ps).as("fast"),
       composedSig($"vec").as("slow")).collect()
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+  }
+
+  test("multimodal: frame sampling emits n bounded evenly-spaced frames per blob") {
+    val content = Array.tabulate(1000)(_.toByte)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "video", content, "video/mp4", "test"),
+      Multimodal.MediaRecord(2L, "video", Array.emptyByteArray, "video/mp4", "empty")))
+    val frames = Multimodal.frameSample(spark, media, n = 4, frameBytes = 16).collect()
+    assert(frames.length == 4, "empty blob yields no frames")
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+    frames.sortBy(_.frame_idx).zipWithIndex.foreach { case (f, i) =>
+      assert(f.media_id == 1L && f.frame.length == 16)
+      assert(f.frame.head == (1000 * i / 4).toByte, "frame starts at its even offset")
+      assert(f.ts_frac == i / 4.0)
+    }
   }
 
   test("rolling-chunk CDC finds partial overlap exact hashing misses") {
