@@ -278,6 +278,27 @@ object Setup {
       } catch {
         case e: SetupException => System.err.println(e.getMessage); sys.exit(2)
       }
+    // addAdditionalClusterEndpoint.js as a CLI arm: same file shape as
+    // setup, but only the cluster-target fields are read; the validated
+    // target appends to the EXISTING config for s3Prefix
+    case Array("--add-endpoint", configFile, storeDir, keystoreDir) =>
+      try {
+        val v = Json.parse(Files.readString(Paths.get(configFile)))
+          .asInstanceOf[Map[String, Any]]
+        val prefix = v.get("s3Prefix").map(_.toString).getOrElse(
+          throw SetupException("s3Prefix", "You Must Provide an S3 Bucket Name, and optionally a Prefix"))
+        val ks = graft.crypto.Keystore(keystoreDir)
+        addClusterEndpoint(new ConfigStore(storeDir), prefix, v, ks.encrypt) match {
+          case Some(cfg) =>
+            println(s"prefix ${cfg.s3Prefix} now targets " +
+              cfg.targets.map(_.targetTable).mkString(","))
+          case None =>
+            System.err.println(s"no existing config for prefix $prefix — run setup first")
+            sys.exit(1)
+        }
+      } catch {
+        case e: SetupException => System.err.println(e.getMessage); sys.exit(2)
+      }
     case Array(configFile, storeDir, keystoreDir) =>
       try {
         val cfg = run(configFile, storeDir, keystoreDir)
@@ -288,7 +309,7 @@ object Setup {
       }
     case _ =>
       System.err.println(
-        "usage: graft.config.Setup (<configFile>|--interactive) <configStoreDir> <keystoreDir>")
+        "usage: graft.config.Setup (<configFile>|--interactive|--add-endpoint <endpointFile>) <configStoreDir> <keystoreDir>")
       sys.exit(2)
   }
 }

@@ -158,6 +158,56 @@ object StreamingDedup {
       }
   }
 
+  final case class Vec(doc_id: Long, embedding: Array[Float])
+
+  /** Embedding near-dup suppression: first-seen-wins ownership per
+    * random-hyperplane signature band — the streaming dual of
+    * [[graft.operators.Similarity.cosineDupPairs]], same claim/admit
+    * protocol as [[nearDupClaims]] (admit iff ALL bands claimed, fold
+    * with [[admitted]]). Signatures come from the codegen'd
+    * [[graft.functions.HyperplaneSig]] expression, so only
+    * (doc_id, band, bucket) ever reaches the exchange and the state
+    * store — embeddings never shuffle.
+    */
+  def embeddingClaims(spark: SparkSession, vecs: Dataset[Vec],
+                      bits: Int = 16, bands: Int = 2, dim: Int = 64,
+                      seed: Long = 42L,
+                      stateTtlMs: Long = 86400000L,
+                      now: () => Long = () => System.currentTimeMillis()): Dataset[Claim] = {
+    import spark.implicits._
+    require(bits % bands == 0, "bands must divide bits")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val planes = graft.operators.Similarity.planes(bits, dim, seed)
+
+    vecs
+      .select(col("doc_id"),
+        graft.functions.expressions.hyperplane_sig(col("embedding"), planes).as("sig"))
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), b * lit(bandBits))
+            .bitwiseAND(lit(mask)).as("bucket")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else rows.map(_._1).minOption match {
+                case Some(id) =>
+                  state.update(SeenState(id, now()))
+                  Iterator.single(Claim(id, key._1))
+                case None => Iterator.empty
+              }
+            if (state.exists) state.setTimeoutDuration(stateTtlMs)
+            out
+          }
+      }
+  }
+
   /** Near-dup suppression, stage 2: admit documents that claimed every
     * band. All of a document's claims land in the same micro-batch (its
     * band rows flow through one trigger), so this is a BATCH-side fold —

@@ -95,6 +95,36 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("embedding claims: near-identical vector suppressed, distant vector admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val nearDup = base.clone(); nearDup(0) += 0.001f // cosine ~ 1
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val input = MemoryStream[Vec]
+    val claims = StreamingDedup.embeddingClaims(spark, input.toDS(), bits = 16, bands = 2)
+    val q = claims.writeStream
+      .format("memory").queryName("sdedup_emb").outputMode("append").start()
+    try {
+      input.addData(Seq(Vec(1, base)))
+      assert(awaitCount("sdedup_emb", 2) == 2, "first vector claims both bands")
+      // later batch: near-dup collides in every band -> zero claims;
+      // far vector claims at least one unseen band
+      input.addData(Seq(Vec(2, nearDup), Vec(3, far)))
+      Thread.sleep(3000)
+      val byDoc = spark.table("sdedup_emb").as[Claim].collect()
+        .groupBy(_.doc_id).view.mapValues(_.length).toMap
+      assert(byDoc(1L) == 2)
+      assert(!byDoc.contains(2L), s"near-dup must claim nothing, got $byDoc")
+      // admission fold: only doc 1 claimed ALL bands (doc 3 may or may
+      // not collide with doc 1 in some band, never in both)
+      val adm = StreamingDedup.admitted(spark.table("sdedup_emb"), bands = 2)
+        .collect().map(_.getLong(0)).toSet
+      assert(adm.contains(1L) && !adm.contains(2L))
+    } finally q.stop()
+  }
+
   test("near-dup band claims suppress later near-duplicates; admission = all bands claimed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
