@@ -129,6 +129,47 @@ object Setup {
     store.update(normalizePrefix(s3Prefix), c => c.copy(targets = c.targets :+ t))
   }
 
+  /** `updateConfig.js` / `common.js:772-806` parity: set ONE named
+    * config attribute (string-typed on the wire, like the reference's
+    * DynamoDB `S` value), or REMOVE it when the value is empty — which
+    * resets optionals to None and scalars to their defaults. Attribute
+    * names are the setup-file keys. Unknown or structurally-typed
+    * attributes (targets, jsonPaths) are refused loudly rather than
+    * silently corrupting a typed config — use `--add-endpoint`/setup
+    * for those.
+    */
+  def updateConfigAttribute(store: ConfigStore, s3Prefix: String,
+                            attribute: String, value: Option[String]): Option[LoadConfig] = {
+    val v = value.filter(_.nonEmpty)
+    def set(f: (LoadConfig, Option[String]) => LoadConfig): LoadConfig => LoadConfig =
+      c => f(c, v)
+    val mutate: LoadConfig => LoadConfig = attribute match {
+      case "df" => set((c, o) => o.map { s =>
+        val up = s.toUpperCase
+        if (!AllowedFormats.contains(up))
+          throw SetupException("df", s"Value must be one of ${AllowedFormats.mkString(",")}")
+        c.copy(dataFormat = DataFormat.parse(up))
+      }.getOrElse(c.copy(dataFormat = DataFormat.Csv)))
+      case "csvDelimiter" => set((c, o) => c.copy(csvDelimiter = o.getOrElse(",")))
+      case "ignoreCsvHeader" => set((c, o) => c.copy(ignoreCsvHeader = o.exists(boolValue)))
+      case "batchSize" => set((c, o) =>
+        c.copy(batchSize = o.map(intValue("batchSize", _)).getOrElse(1000)))
+      case "batchSizeBytes" => set((c, o) =>
+        c.copy(batchSizeBytes = o.map(intValue("batchSizeBytes", _).toLong)))
+      case "batchTimeoutSecs" => set((c, o) =>
+        c.copy(batchTimeoutSecs = o.map(intValue("batchTimeoutSecs", _))))
+      case "filenameFilterRegex" => set((c, o) => c.copy(filenameFilterRegex = o))
+      case "successTopic" => set((c, o) => c.copy(successTopic = o))
+      case "failureTopic" => set((c, o) => c.copy(failureTopic = o))
+      case "compression" => set((c, o) => c.copy(compression = o))
+      case "manifestBucket" | "manifestPrefix" => set((c, o) => c.copy(manifestDir = o))
+      case "failedManifestPrefix" => set((c, o) => c.copy(failedManifestDir = o))
+      case other =>
+        throw SetupException(other, s"Attribute '$other' is not updatable via updateConfig")
+    }
+    store.update(normalizePrefix(s3Prefix), mutate)
+  }
+
   /** The shared validate-and-translate core: both the file mode and the
     * interactive waterfall land here.
     */
@@ -307,9 +348,29 @@ object Setup {
       } catch {
         case e: SetupException => System.err.println(e.getMessage); sys.exit(2)
       }
+    // updateConfig.js parity: set (or, with no value, remove) one attribute
+    case arr if arr.length >= 4 && arr(0) == "--update" =>
+      try {
+        val (storeDir, prefix, attribute) = (arr(1), arr(2), arr(3))
+        val value = arr.lift(4)
+        Setup.updateConfigAttribute(new ConfigStore(storeDir), prefix, attribute, value) match {
+          case Some(_) =>
+            println(value match {
+              case Some(vv) => s"Updated Attribute $attribute = $vv OK"
+              case None     => s"Removed Attribute $attribute"
+            })
+          case None =>
+            System.err.println(s"no existing config for prefix $prefix"); sys.exit(1)
+        }
+      } catch {
+        case e: SetupException => System.err.println(e.getMessage); sys.exit(2)
+      }
     case _ =>
       System.err.println(
-        "usage: graft.config.Setup (<configFile>|--interactive|--add-endpoint <endpointFile>) <configStoreDir> <keystoreDir>")
+        """usage: graft.config.Setup <configFile> <configStoreDir> <keystoreDir>
+          |       graft.config.Setup --interactive <configStoreDir> <keystoreDir>
+          |       graft.config.Setup --add-endpoint <endpointFile> <configStoreDir> <keystoreDir>
+          |       graft.config.Setup --update <configStoreDir> <s3Prefix> <attribute> [value]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -182,6 +182,40 @@ class SetupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("updateConfig: set/remove single attributes, typed validation, unknown refused") {
+    val store = new ConfigStore(Files.createTempDirectory("graft-upd").toString)
+    store.put(LoadConfig(s3Prefix = "bucket/input", dataFormat = DataFormat.Csv,
+      batchSize = 10, successTopic = Some("arn:old")))
+
+    // set: typed scalar + optional string
+    val c1 = Setup.updateConfigAttribute(store, "s3://bucket/input/",
+      "batchSize", Some("250")).get
+    assert(c1.batchSize == 250)
+    val c2 = Setup.updateConfigAttribute(store, "bucket/input",
+      "failureTopic", Some("arn:fail")).get
+    assert(c2.failureTopic.contains("arn:fail") && c2.batchSize == 250,
+      "updates accumulate in the store")
+    // remove: empty value resets optionals to None, scalars to defaults
+    assert(Setup.updateConfigAttribute(store, "bucket/input",
+      "successTopic", None).get.successTopic.isEmpty)
+    assert(Setup.updateConfigAttribute(store, "bucket/input",
+      "batchSize", Some("")).get.batchSize == 1000)
+    // validation parity with setup
+    val bad = intercept[SetupException] {
+      Setup.updateConfigAttribute(store, "bucket/input", "batchSize", Some("ten"))
+    }
+    assert(bad.field == "batchSize")
+    assert(intercept[SetupException] {
+      Setup.updateConfigAttribute(store, "bucket/input", "df", Some("XML"))
+    }.field == "df")
+    // structural / unknown attributes refused loudly
+    assert(intercept[SetupException] {
+      Setup.updateConfigAttribute(store, "bucket/input", "targets", Some("x"))
+    }.field == "targets")
+    // unknown prefix -> None
+    assert(Setup.updateConfigAttribute(store, "bucket/other", "batchSize", Some("1")).isEmpty)
+  }
+
   test("addAdditionalClusterEndpoint: validated append; load fans out to BOTH targets") {
     val storeDir = Files.createTempDirectory("graft-addce").toString
     val store = new ConfigStore(storeDir)
