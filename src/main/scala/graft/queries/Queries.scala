@@ -487,6 +487,29 @@ object Queries {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable-sketch rollup ([[graft.operators.Sketches]]): one HLL
+    * sketch of the distinct users per event-day shard, then the
+    * corpus-wide distinct estimate from UNIONING the shard sketches —
+    * never rescanning the rows that built them. Rows-only (sketch
+    * binaries are engine-specific), but self-asserting: `pass` checks
+    * the merged estimate against the exact count within the sketch's
+    * error envelope, so an estimator or merge regression flips rows.
+    */
+  def q34SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+      .withColumn("day", to_date(col("ts")))
+    val daily = graft.operators.Sketches.sketchBy(ev, Seq("day"), "user_id")
+    val merged = graft.operators.Sketches.unionEstimate(daily, Seq.empty)
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"),
+      count(lit(1)).as("n_events"))
+    merged.crossJoin(exact)
+      .withColumn("rel_err",
+        abs(col("distinct_estimate") - col("exact_users")) / col("exact_users"))
+      .withColumn("pass", col("rel_err") <= 0.05)
+      .select(col("distinct_estimate").cast("long").as("distinct_estimate"),
+        col("exact_users"), col("n_events"), col("pass"))
+  }
+
   /** Register the test tables as temp views so literal SQL text runs
     * through spark.sql — the engine's SQL surface.
     */
@@ -590,5 +613,6 @@ object Queries {
     "q31_sql_exists_having" -> (q31SqlExistsHaving _),
     "q32_chunk_dedup"     -> (q32ChunkDedup _),
     "q33_ivf_recall"      -> (q33IvfRecall _),
+    "q34_sketch_union"    -> (q34SketchUnion _),
   )
 }

@@ -188,6 +188,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeable sketches: per-shard HLL union matches exact distinct within error; overlap estimate sane") {
+    import graft.operators.Sketches
+    val rows = (1 to 5000).map(i => (i % 7, s"user_${i % 997}")).toDF("shard", "user")
+    val daily = Sketches.sketchBy(rows, Seq("shard"), "user")
+    assert(daily.count() == 7, "one sketch per shard")
+    val est = Sketches.unionEstimate(daily, Seq.empty)
+      .collect().head.getAs[Long]("distinct_estimate")
+    assert(math.abs(est - 997) / 997.0 <= 0.05, s"union estimate $est vs exact 997")
+    // overlap of two half-corpora sharing users 0..499 of each side's 997
+    val a = (0 until 997).map(i => ("a", s"user_$i")).toDF("side", "user")
+    val b = (500 until 1497).map(i => ("b", s"user_$i")).toDF("side", "user")
+    val sk = Sketches.sketchBy(a.union(b), Seq("side"), "user")
+      .groupBy().pivot("side").agg(first($"sketch"))
+    val overlap = sk.select(Sketches.overlapEstimate($"a", $"b").as("o"))
+      .collect().head.getAs[Long]("o")
+    assert(math.abs(overlap - 497) <= 60, s"overlap $overlap vs true 497")
+  }
+
   test("multi-block simhash: full recall up to blocks-keyBlocks hamming vs brute force") {
     import graft.operators.Dedup
     // deterministic corpus with planted near-dups at varying distances
