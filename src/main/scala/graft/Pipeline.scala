@@ -20,6 +20,13 @@ import graft.streaming.Batcher
   * The flush-command stream is tiny control-plane data, so `collect()`
   * inside foreachBatch is correct at any scale — the data files
   * themselves are read and written entirely on executors.
+  *
+  * Shutdown note: `query.stop()` interrupts the micro-batch thread; an
+  * in-flight ledger append then surfaces as a logged TASK_WRITE_FAILED
+  * (InterruptedIOException). This is the designed teardown path, not
+  * data loss: the interrupted trigger never reaches the streaming
+  * commit log, so it replays on restart — the commit registry makes
+  * the JDBC load a no-op and the ledger append re-runs.
   */
 object Pipeline {
 
