@@ -523,6 +523,14 @@ object expressions {
   def nearest_cells(vec: Column, centroids: Array[Array[Double]], take: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(vec), centroids, take))
 
+  /** Column wrapper for [[graft.functions.SpaceSavingTopK]] (an
+    * aggregate — use inside `agg(...)`). */
+  def space_saving_top_k(item: Column, k: Int, capacity: Int = 0): Column = {
+    val cap = if (capacity > 0) capacity else math.max(8 * k, 64)
+    GraftBridge.column(
+      SpaceSavingTopK(GraftBridge.expression(item), k, cap).toAggregateExpression())
+  }
+
   /** Column wrapper for [[HyperplaneSig]]. */
   def hyperplane_sig(vec: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))

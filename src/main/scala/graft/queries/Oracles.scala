@@ -290,6 +290,21 @@ object Oracles {
       GROUP BY lang
       ORDER BY lang""",
 
+    "q35_top_tokens" -> """
+      WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+      ), counts AS (
+        SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+      ), ranked AS (
+        SELECT lang, token, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+        FROM counts
+      )
+      SELECT lang, CAST(rank AS BIGINT) AS rank, token, n
+      FROM ranked WHERE rank <= 5
+      ORDER BY lang, rank""",
+
     "q16_exact_dedup" -> """
       SELECT dup_count, count(*) AS n_groups
       FROM (SELECT md5(text) AS h, count(*) AS dup_count

@@ -510,6 +510,25 @@ object Queries {
         col("exact_users"), col("n_events"), col("pass"))
   }
 
+  /** Heavy hitters per language through the custom SpaceSaving
+    * `TypedImperativeAggregate` ([[graft.functions.SpaceSavingTopK]]).
+    * ORACLE-CHECKED: this corpus's per-lang vocabulary (31 tokens) fits
+    * the sketch capacity, so counts are exact and DuckDB's
+    * unnest+group+rank must hash-match — proving update/merge/eval and
+    * the partial-aggregation serialization end-to-end. (The eviction
+    * path under overflow is spec-covered in OperatorsSpec.)
+    */
+  def q35TopTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
+    toks.groupBy(col("lang"))
+      .agg(graft.functions.expressions.space_saving_top_k(col("token"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("token"), col("col.count").as("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Register the test tables as temp views so literal SQL text runs
     * through spark.sql — the engine's SQL surface.
     */
@@ -614,5 +633,6 @@ object Queries {
     "q32_chunk_dedup"     -> (q32ChunkDedup _),
     "q33_ivf_recall"      -> (q33IvfRecall _),
     "q34_sketch_union"    -> (q34SketchUnion _),
+    "q35_top_tokens"      -> (q35TopTokens _),
   )
 }

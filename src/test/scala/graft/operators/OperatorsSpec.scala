@@ -188,6 +188,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("space_saving_top_k: exact heavy hitters across partition merges; bounded error reported") {
+    import graft.functions.expressions.space_saving_top_k
+    // planted heavy hitters over a long noise tail, spread over many
+    // partitions so the merge path is exercised
+    val rows = (
+      Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++ Seq.fill(200)("gamma") ++
+      (1 to 2000).map(i => s"noise_$i")
+    )
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("item")
+    val got = df.agg(space_saving_top_k($"item", 3).as("top"))
+      .selectExpr("inline(top)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq("alpha", "beta", "gamma"), s"got ${got.toSeq}")
+    // counts are overestimates by at most the reported error
+    got.zip(Seq(500L, 300L, 200L)).foreach { case ((item, c, e), truth) =>
+      assert(c >= truth && c - e <= truth, s"$item count=$c error=$e truth=$truth")
+    }
+    // per-group form: heavy hitter per language over documents
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val perLang = docs.groupBy($"lang")
+      .agg(space_saving_top_k(graft.functions.TextFunctions.langId($"text"), 1).as("top"))
+      .selectExpr("lang", "top[0].item AS predicted")
+      .collect()
+    assert(perLang.nonEmpty)
+  }
+
   test("mergeable sketches: per-shard HLL union matches exact distinct within error; overlap estimate sane") {
     import graft.operators.Sketches
     val rows = (1 to 5000).map(i => (i % 7, s"user_${i % 997}")).toDF("shard", "user")
