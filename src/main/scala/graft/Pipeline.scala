@@ -141,19 +141,27 @@ object Pipeline {
     ledger.appendFiles(cmd.entries.map(e =>
       ProcessedFile(e.file, e.writeDate, 1, Some(cmd.batchId))), System.currentTimeMillis())
 
-    // route by configured topic and outcome (reference index.js:1491-1541)
-    val topic = if (outcome.status == "error") cfg.failureTopic else cfg.successTopic
-    val route = topic.flatMap(topicNotifiers.get).getOrElse(notifier)
-    route.notify(Notification(
+    // route by configured topic and outcome (reference index.js:1491-1541):
+    // the success topic is notified UNCONDITIONALLY when configured — an
+    // error batch reaches BOTH topics; only the failure delivery routes to
+    // the injected default when no failure topic is set.
+    val notification = Notification(
       outcome.results.flatMap(_.error).headOption,
       outcome.status, cmd.batchId, cmd.s3Prefix, cmd.s3Prefix,
-      Some(manifestPath), failedManifestPath))
+      Some(manifestPath), failedManifestPath)
+    val successRoute = cfg.successTopic.flatMap(topicNotifiers.get)
+    val primary =
+      if (outcome.status == "error") cfg.failureTopic.flatMap(topicNotifiers.get).getOrElse(notifier)
+      else successRoute.getOrElse(notifier)
+    primary.notify(notification)
+    if (outcome.status == "error") successRoute.foreach(_.notify(notification))
 
     // SuppressFailureStatusOnSuccessfulNotification (index.js:1476-1481):
     // a DELIVERED failure notification downgrades the hard failure, which
     // in this architecture means the failure-driven retry is not taken —
     // the same role the flag plays against Lambda's event redelivery.
-    val suppressed = outcome.status == "error" && route.suppressFailureOnDelivery
+    // Suppression is judged on the failure-topic delivery only.
+    val suppressed = outcome.status == "error" && primary.suppressFailureOnDelivery
 
     // T8: failure-driven auto-retry, no SNS hop needed
     if (outcome.status == "error" && !suppressed && attempt < settings.maxAutoReprocess &&

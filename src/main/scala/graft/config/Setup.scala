@@ -162,13 +162,41 @@ object Setup {
       case "successTopic" => set((c, o) => c.copy(successTopic = o))
       case "failureTopic" => set((c, o) => c.copy(failureTopic = o))
       case "compression" => set((c, o) => c.copy(compression = o))
-      case "manifestBucket" | "manifestPrefix" => set((c, o) => c.copy(manifestDir = o))
-      case "failedManifestPrefix" => set((c, o) => c.copy(failedManifestDir = o))
+      // manifestDir/failedManifestDir are stored as the composite
+      // "$bucket/$prefix" ([[fromMap]]); updating one wire attribute must
+      // replace only its segment, never the whole composite. The bucket
+      // half is shared by both composites, exactly as in fromMap.
+      case "manifestBucket" => set((c, o) => o.map { b =>
+        c.copy(
+          manifestDir = Some(s"$b/${dirSegment(c.manifestDir, "manifestBucket")._2}"),
+          failedManifestDir =
+            Some(s"$b/${dirSegment(c.failedManifestDir, "manifestBucket")._2}"))
+      }.getOrElse(throw SetupException("manifestBucket",
+        "manifestBucket is required and cannot be removed")))
+      case "manifestPrefix" => set((c, o) => o.map { p =>
+        c.copy(manifestDir = Some(s"${dirSegment(c.manifestDir, "manifestPrefix")._1}/$p"))
+      }.getOrElse(throw SetupException("manifestPrefix",
+        "manifestPrefix is required and cannot be removed")))
+      case "failedManifestPrefix" => set((c, o) => o.map { p =>
+        c.copy(failedManifestDir =
+          Some(s"${dirSegment(c.failedManifestDir, "failedManifestPrefix")._1}/$p"))
+      }.getOrElse(throw SetupException("failedManifestPrefix",
+        "failedManifestPrefix is required and cannot be removed")))
       case other =>
         throw SetupException(other, s"Attribute '$other' is not updatable via updateConfig")
     }
     store.update(normalizePrefix(s3Prefix), mutate)
   }
+
+  /** Split a stored "$bucket/$prefix" composite into its halves; refuse
+    * to guess when the stored value is absent or has no prefix half.
+    */
+  private def dirSegment(d: Option[String], attr: String): (String, String) =
+    d.map(_.split("/", 2)) match {
+      case Some(Array(b, p)) => (b, p)
+      case _ => throw SetupException(attr,
+        s"No existing bucket/prefix composite to update for '$attr'")
+    }
 
   /** The shared validate-and-translate core: both the file mode and the
     * interactive waterfall land here.

@@ -67,6 +67,16 @@ class Ledger(spark: SparkSession, dir: String) {
   private def fs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Hadoop signals most rename failures by returning false, not
+    * throwing; a silent false here followed by a delete would destroy the
+    * only complete copy of the log, so every swap step must abort on it.
+    */
+  private def renameOrAbort(f: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"ledger swap aborted: rename $src -> $dst returned false")
+
   /** Finish an interrupted [[compact]] swap. The swap order (write
     * `.compact` → rename live aside to `.old` → rename `.compact` in →
     * delete `.old`) guarantees a complete copy of the log exists on disk
@@ -86,10 +96,10 @@ class Ledger(spark: SparkSession, dir: String) {
       if (f.exists(tmp)) f.delete(tmp, true)
       if (f.exists(old)) f.delete(old, true)
     } else if (f.exists(tmp)) {
-      f.rename(tmp, live)
+      renameOrAbort(f, tmp, live)
       if (f.exists(old)) f.delete(old, true)
     } else if (f.exists(old)) {
-      f.rename(old, live)
+      renameOrAbort(f, old, live)
     }
   }
   recoverSwap(batchDir)
@@ -262,9 +272,9 @@ class Ledger(spark: SparkSession, dir: String) {
       current().coalesce(1).write.mode(SaveMode.Overwrite)
         .partitionBy("eventDate").parquet(tmp.toString)
       if (crashAfterStep <= 1) throw new IllegalStateException("simulated crash after step 1")
-      f.rename(live, old)
+      renameOrAbort(f, live, old)
       if (crashAfterStep <= 2) throw new IllegalStateException("simulated crash after step 2")
-      f.rename(tmp, live)
+      renameOrAbort(f, tmp, live)
       if (crashAfterStep <= 3) throw new IllegalStateException("simulated crash after step 3")
       f.delete(old, true)
     }

@@ -33,6 +33,11 @@ object FileEventSource {
     * so a dot-dir marker would never be discovered. Marker filenames are
     * prefixed `t-` for the same reason — URLEncoder leaves `.` and `_`
     * unescaped, so an encoded target could otherwise start with one.
+    *
+    * RESERVED NAME: because the namespace is visible, the first path
+    * segment `graft-control` under a watch root cannot be used as a data
+    * bucket — any `graft-control/unlink/...` object is consumed as a
+    * control marker, never loaded.
     */
   val ControlDir = "graft-control"
   private val LegacyControlDir = ".graft-control"
@@ -60,9 +65,15 @@ object FileEventSource {
       if (decodeS3Keys) java.net.URLDecoder.decode(stripped.replace("+", "%2B"), "UTF-8")
       else stripped
     decoded.split("/", 2) match {
-      case Array(ControlDir | LegacyControlDir, rest) if rest.startsWith("unlink/") =>
+      case Array(dir @ (ControlDir | LegacyControlDir), rest) if rest.startsWith("unlink/") =>
+        // Only new-namespace markers carry the "t-" filename prefix (it
+        // exists to defeat InMemoryFileIndex's dot/underscore hiding);
+        // legacy .graft-control markers never did, so stripping there
+        // would corrupt an encoded target that legitimately starts with
+        // "t-" and clear the wrong dedup entry.
+        val enc = rest.stripPrefix("unlink/")
         val target = java.net.URLDecoder.decode(
-          rest.stripPrefix("unlink/").stripPrefix("t-"), "UTF-8")
+          if (dir == ControlDir) enc.stripPrefix("t-") else enc, "UTF-8")
         target.split("/", 2) match {
           case Array(b, k) => FileEvent(b, k, size, modMs, unlink = true)
           case Array(b)    => FileEvent(b, "", size, modMs, unlink = true)

@@ -140,4 +140,46 @@ class PipelineSpec extends AnyFunSuite {
       assert(ledger.queryBatches("error").count() == 2)
     } finally q.stop()
   }
+
+  test("error batch notifies BOTH topics; success topic is unconditional (index.js:1507-1541)") {
+    val root = Files.createTempDirectory("graft-pipeb").toString
+    val ledgerDir = Files.createTempDirectory("graft-pipeb-ledger").toString
+    val ckpt = Files.createTempDirectory("graft-pipeb-ckpt").toString
+    Files.createDirectories(Paths.get(s"$root/bucket/inputa"))
+    Files.createDirectories(Paths.get(s"$root/bucket/inputb"))
+    val schema = StructType(Seq(StructField("column_a", IntegerType)))
+    val badTarget = Seq(LoadTarget("jdbc:derby:memory:doesnotexist", "", "", "no_table"))
+    // prefix A: both topics configured — an error reaches BOTH
+    val cfgA = LoadConfig(s3Prefix = "bucket/inputa", dataFormat = DataFormat.Csv,
+      batchSize = 1, successTopic = Some("arn:okA"), failureTopic = Some("arn:failA"),
+      targets = badTarget)
+    // prefix B: ONLY a success topic — the failure leg falls back to the
+    // default notifier, and the success topic still sees the error status
+    val cfgB = LoadConfig(s3Prefix = "bucket/inputb", dataFormat = DataFormat.Csv,
+      batchSize = 1, successTopic = Some("arn:okB"), targets = badTarget)
+    val notifier = new CollectingNotifier
+    val okA = new CollectingNotifier
+    val failA = new CollectingNotifier
+    val okB = new CollectingNotifier
+    Files.write(Paths.get(s"$root/bucket/inputa/f.csv"), "1\n".getBytes)
+    Files.write(Paths.get(s"$root/bucket/inputb/g.csv"), "2\n".getBytes)
+
+    val q = Pipeline.start(spark,
+      Pipeline.Settings(root, ledgerDir, ckpt, triggerInterval = "1 second",
+        schemas = Map("no_table" -> schema), maxAutoReprocess = 0),
+      Map("bucket/inputa" -> cfgA, "bucket/inputb" -> cfgB), notifier,
+      topicNotifiers = Map("arn:okA" -> okA, "arn:failA" -> failA, "arn:okB" -> okB))
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while ((okA.received.isEmpty || okB.received.isEmpty || failA.received.isEmpty ||
+              notifier.received.isEmpty) && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(failA.received.map(n => (n.s3Prefix, n.status)) == Seq(("bucket/inputa", "error")))
+      assert(okA.received.map(n => (n.s3Prefix, n.status)) == Seq(("bucket/inputa", "error")),
+        "success topic subscribers see error-status batches too")
+      assert(okB.received.map(n => (n.s3Prefix, n.status)) == Seq(("bucket/inputb", "error")))
+      assert(notifier.received.map(n => (n.s3Prefix, n.status)) == Seq(("bucket/inputb", "error")),
+        "default notifier carries only the unconfigured failure leg")
+    } finally q.stop()
+  }
 }

@@ -216,6 +216,36 @@ class SetupSpec extends AnyFunSuite {
     assert(Setup.updateConfigAttribute(store, "bucket/other", "batchSize", Some("1")).isEmpty)
   }
 
+  test("updateConfig: manifest bucket/prefix replace ONLY their composite segment") {
+    val store = new ConfigStore(Files.createTempDirectory("graft-updm").toString)
+    store.put(LoadConfig(s3Prefix = "bucket/input", dataFormat = DataFormat.Csv,
+      manifestDir = Some("mbkt/man"), failedManifestDir = Some("mbkt/failed/deep")))
+
+    val c1 = Setup.updateConfigAttribute(store, "bucket/input",
+      "manifestPrefix", Some("man2")).get
+    assert(c1.manifestDir.contains("mbkt/man2"), "bucket half preserved")
+    assert(c1.failedManifestDir.contains("mbkt/failed/deep"), "failed composite untouched")
+
+    val c2 = Setup.updateConfigAttribute(store, "bucket/input",
+      "failedManifestPrefix", Some("failed2")).get
+    assert(c2.failedManifestDir.contains("mbkt/failed2"))
+    assert(c2.manifestDir.contains("mbkt/man2"))
+
+    // the bucket half is shared by both composites, exactly as in fromMap
+    val c3 = Setup.updateConfigAttribute(store, "bucket/input",
+      "manifestBucket", Some("nbkt")).get
+    assert(c3.manifestDir.contains("nbkt/man2"))
+    assert(c3.failedManifestDir.contains("nbkt/failed2"))
+
+    // required composites cannot be removed
+    assert(intercept[SetupException] {
+      Setup.updateConfigAttribute(store, "bucket/input", "manifestPrefix", None)
+    }.field == "manifestPrefix")
+    assert(intercept[SetupException] {
+      Setup.updateConfigAttribute(store, "bucket/input", "manifestBucket", Some(""))
+    }.field == "manifestBucket")
+  }
+
   test("addAdditionalClusterEndpoint: validated append; load fans out to BOTH targets") {
     val storeDir = Files.createTempDirectory("graft-addce").toString
     val store = new ConfigStore(storeDir)

@@ -5,6 +5,28 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core._
 
+/** Hadoop signals most rename failures by RETURNING FALSE, not throwing.
+  * This local filesystem makes the two compaction-swap renames do exactly
+  * that (selected by name shape, so parquet write-commit renames inside
+  * the `.compact` dir are untouched), driving the real swap code through
+  * the failure mode the crash seams can't reach.
+  */
+class FlakyRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val aside = dst.getName.endsWith(".old")
+    val in = src.getName.endsWith(".compact") && !dst.getName.endsWith(".compact")
+    FlakyRenameFileSystem.mode match {
+      case "fail-aside" if aside => false
+      case "fail-in" if in => false
+      case _ => super.rename(src, dst)
+    }
+  }
+}
+object FlakyRenameFileSystem { @volatile var mode: String = "off" }
+
 /** Crash-safety of the compaction swap and read-side schema migration of
   * pre-upgrade ledgers — both must leave a readable ledger after
   * reconstruction, never an empty or unreadable one.
@@ -49,6 +71,39 @@ class LedgerCrashSpec extends AnyFunSuite {
       l2.compact()
       assert(new Ledger(spark, dir).currentBatches.count() == 2)
     }
+
+  test("rename returning FALSE aborts the swap before any delete touches the log") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flaky.impl", classOf[FlakyRenameFileSystem].getName)
+    val dir = "flaky:" + Files.createTempDirectory("graft-flaky").toString
+    FlakyRenameFileSystem.mode = "off"
+    val l = seeded(dir)
+    try {
+      // rename-aside fails silently → compactOne must throw, and the live
+      // log must survive untouched (pre-fix, execution fell through)
+      FlakyRenameFileSystem.mode = "fail-aside"
+      val ex = intercept[java.io.IOException] {
+        l.compactOne(s"$dir/batches", () => l.currentBatches)
+      }
+      assert(ex.getMessage.contains("rename"))
+      FlakyRenameFileSystem.mode = "off"
+      val l2 = new Ledger(spark, dir)
+      assert(l2.currentBatches.count() == 2)
+
+      // rename-IN fails after live was moved aside: abort, then the next
+      // construction's recoverSwap must ALSO abort on a false rename
+      // rather than fall through — and complete once renames work again
+      FlakyRenameFileSystem.mode = "fail-in"
+      intercept[java.io.IOException] {
+        l2.compactOne(s"$dir/batches", () => l2.currentBatches)
+      }
+      intercept[java.io.IOException] { new Ledger(spark, dir) }
+      FlakyRenameFileSystem.mode = "off"
+      val l3 = new Ledger(spark, dir)
+      assert(l3.currentBatches.count() == 2)
+      assert(l3.processedFiles.count() == 2)
+    } finally FlakyRenameFileSystem.mode = "off"
+  }
 
   test("pre-upgrade ledger (no seq/deleted columns) reads with defaults") {
     import spark.implicits._

@@ -66,4 +66,20 @@ class FileEventSourceSpec extends AnyFunSuite {
       0L, 1000L)
     assert(e.unlink && e.bucket == "bucket" && e.key == "input/x.csv")
   }
+
+  test("'t-' is a FILENAME prefix of the new namespace, not part of any legacy target") {
+    // legacy marker whose encoded target legitimately starts with "t-":
+    // stripping there would clear the WRONG dedup entry
+    val legacy = FileEventSource.toEvent("/watch")(
+      "/watch/.graft-control/unlink/" +
+        java.net.URLEncoder.encode("t-bucket/input/t-file.csv", "UTF-8"),
+      0L, 1000L)
+    assert(legacy.unlink && legacy.bucket == "t-bucket" && legacy.key == "input/t-file.csv")
+    // the new namespace round-trips the same target through its t- prefix
+    val fresh = FileEventSource.toEvent("/watch")(
+      "/watch/graft-control/unlink/" +
+        FileEventSource.encodeControlTarget("t-bucket/input/t-file.csv"),
+      0L, 1000L)
+    assert(fresh.unlink && fresh.bucket == "t-bucket" && fresh.key == "input/t-file.csv")
+  }
 }
