@@ -58,6 +58,34 @@ object Oracles {
       SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
       ORDER BY id_a, id_b""",
 
+    // q36: q20's edges + a recursive-CTE transitive closure — the
+    // sequential answer to what large-star/small-star computes
+    // distributively. min reachable id per doc = cluster root.
+    "q36_dup_clusters" -> """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)]) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT doc_id, cluster, doc_id = cluster AS keep
+      FROM comp ORDER BY doc_id""",
+
     "q21_simhash_dedup" -> """
       WITH tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

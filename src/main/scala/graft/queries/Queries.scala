@@ -377,6 +377,19 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Append the self-asserting `pass` column (mean recall ≥ bar) to a
+    * per-query recall frame. The scalar mean rides a broadcast cross
+    * join instead of an empty-partition window (which funneled rows
+    * through a single partition and warned `No Partition Defined` on
+    * every run). Both branches fork AFTER the recall aggregation's
+    * shuffle, so ReuseExchange computes the expensive exact+approx legs
+    * once — no persist needed.
+    */
+  private def meanRecallPass(bar: Double)(perQuery: DataFrame): DataFrame =
+    perQuery.crossJoin(broadcast(perQuery.agg(avg(col("recall_at_5")).as("mean_recall"))))
+      .withColumn("pass", col("mean_recall") >= bar)
+      .drop("mean_recall")
+
   /** LSH ANN vs brute force: per-query recall@5 of the bucketed path. */
   def q23AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
@@ -394,7 +407,7 @@ object Queries {
       // deterministic, so `pass` (mean recall ≥ 0.9) encodes the recall
       // bar in the rows themselves — a bucketing regression flips every
       // pass value even though no DuckDB oracle can run LSH
-      .withColumn("pass", avg(col("recall_at_5")).over(Window.partitionBy()) >= 0.9)
+      .transform(meanRecallPass(0.9))
       .orderBy(col("query_id"))
   }
 
@@ -590,8 +603,23 @@ object Queries {
         .as("recall_at_5"))
       // same self-asserting bar as q23: deterministic sampled Lloyd fit
       // ⇒ stable recall; pass flips if the IVF routing ever regresses
-      .withColumn("pass", avg(col("recall_at_5")).over(Window.partitionBy()) >= 0.9)
+      .transform(meanRecallPass(0.9))
       .orderBy(col("query_id"))
+  }
+
+  /** Duplicate-cluster survivorship: q20's near-dup pairs collapsed to
+    * transitive clusters (large-star/small-star connected components),
+    * one kept document per cluster. Oracle-checked end to end: DuckDB
+    * recomputes the ALL-pairs exact-Jaccard edges, then a recursive CTE
+    * takes the transitive closure — equality proves candidate recall,
+    * Jaccard arithmetic, AND the distributed connected-components
+    * agreement with a sequential closure.
+    */
+  def q36DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashLSH(docs, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+    graft.operators.Clusters.dedupClusters(docs, "doc_id", pairs.select(col("id_a"), col("id_b")))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -634,5 +662,6 @@ object Queries {
     "q33_ivf_recall"      -> (q33IvfRecall _),
     "q34_sketch_union"    -> (q34SketchUnion _),
     "q35_top_tokens"      -> (q35TopTokens _),
+    "q36_dup_clusters"    -> (q36DupClusters _),
   )
 }
