@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+import graft.functions.expressions.{hashed_set, minhash64, shingles_fast, sorted_jaccard}
+
+/** Incremental dedup against a STORED corpus — the operational shape of
+  * near-dedup at 100 TB. A pipeline doesn't re-LSH its whole corpus for
+  * every new crawl dump; it stores the corpus's LSH state once and
+  * checks each incoming batch against it:
+  *
+  *  - `saveCorpus` persists two tables: the (band, band_hash, doc_id)
+  *    bucket table and a (doc_id, hset) sorted-hash shingle-set table
+  *    BUCKETED BY doc_id.
+  *  - `dedupAgainstStored` computes the new batch's buckets (the batch
+  *    is the small side by construction), BROADCASTS them against the
+  *    stored bucket table — the 100 TB corpus side is scanned linearly
+  *    but never shuffled — and verifies candidates with exact Jaccard,
+  *    fetching only the matched corpus docs' shingle sets through the
+  *    bucketed doc_id join (no exchange on the stored side there
+  *    either: the bucketing IS the partitioning the join needs).
+  *  - `admitAgainstStored` is the filter a pipeline actually applies:
+  *    the new batch minus anything duplicating the stored corpus
+  *    (intra-batch dups are [[Dedup.minhashLSH]]'s job — compose both).
+  *
+  * Same signature scheme as [[Dedup.minhashLSH]] (seeded xxhash64
+  * MinHash over word shingles), so a batch admitted today and appended
+  * to the stored tables is checked against tomorrow with no rebuild.
+  * Jaccard here runs over sorted 64-bit shingle hashes
+  * ([[graft.functions.SortedJaccard]]): linear merge per candidate,
+  * and the stored set rows are compact longs, not shingle text.
+  *
+  * (Like [[IvfIndex.saveIndex]], tables go through the session
+  * catalog: with the default in-memory catalog the registration lives
+  * for the session; point the session at a persistent metastore for
+  * cross-session reuse — files and layout are identical either way.)
+  */
+object DedupIndex {
+
+  /** (doc_id, hset, sig) for any document frame — the shared shape of
+    * both the stored corpus and an incoming batch.
+    */
+  private def signatures(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(shingles_fast(tokens(col(textCol)), shingleN)).as("shingle_set"))
+      .select(col("doc_id"),
+        hashed_set(col("shingle_set")).as("hset"),
+        minhash64(col("shingle_set"), k).as("sig"))
+
+  /** Explode a signature frame into its LSH buckets: (band, band_hash,
+    * doc_id) — identical banding arithmetic to [[Dedup.minhashLSH]].
+    */
+  private def buckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+                v => v.cast("string"))), b).as("band_hash")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+  }
+
+  /** Persist a corpus's LSH state: `<table>_buckets` (band, band_hash,
+    * doc_id) and `<table>_sets` (doc_id, hset) bucketed by doc_id so the
+    * verification fetch join needs no exchange on the stored side.
+    */
+  def saveCorpus(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+                 table: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                 setBuckets: Int = 32): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
+    buckets(sigs, k, bands)
+      .write.mode("overwrite").saveAsTable(s"${table}_buckets")
+    sigs.select(col("doc_id"), col("hset"))
+      .write.mode("overwrite")
+      .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${table}_sets")
+    sigs.unpersist(blocking = false)
+  }
+
+  /** Near-duplicate pairs (new_id, corpus_id, jaccard) between an
+    * incoming batch and the stored corpus. The stored tables are
+    * scanned, never shuffled: the batch's buckets broadcast into the
+    * candidate join, and the set fetch rides the stored table's
+    * doc_id bucketing.
+    */
+  def dedupAgainstStored(spark: SparkSession, table: String, newDocs: DataFrame,
+                         idCol: String, textCol: String, threshold: Double = 0.5,
+                         k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val newSigs = signatures(newDocs, idCol, textCol, k, shingleN).persist()
+    val newBuckets = buckets(newSigs, k, bands)
+      .withColumnRenamed("doc_id", "new_id")
+
+    val candidates = spark.table(s"${table}_buckets")
+      .join(broadcast(newBuckets), Seq("band", "band_hash"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+
+    // fetch ONLY matched corpus docs' sets; candidate ids are small by
+    // construction, so the semi-prune is map-side and the equi-join
+    // uses the stored bucketing instead of an exchange
+    val corpusSets = spark.table(s"${table}_sets")
+      .join(broadcast(candidates.select(col("corpus_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    val out = candidates
+      .join(corpusSets.select(col("doc_id").as("corpus_id"), col("hset").as("h_c")),
+        Seq("corpus_id"))
+      .join(broadcast(newSigs.select(col("doc_id").as("new_id"), col("hset").as("h_n"))),
+        Seq("new_id"))
+      .withColumn("jaccard", sorted_jaccard(col("h_n"), col("h_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .persist()
+    out.count()
+    newSigs.unpersist(blocking = false)
+    out
+  }
+
+  /** The admission filter: the new batch minus documents that duplicate
+    * the stored corpus at `threshold`.
+    */
+  def admitAgainstStored(spark: SparkSession, table: String, newDocs: DataFrame,
+                         idCol: String, textCol: String, threshold: Double = 0.5,
+                         k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val dups = dedupAgainstStored(spark, table, newDocs, idCol, textCol,
+      threshold, k, bands, shingleN)
+    newDocs.join(dups.select(col("new_id")).distinct(),
+      newDocs(idCol).cast("long") === col("new_id"), "left_anti")
+  }
+}

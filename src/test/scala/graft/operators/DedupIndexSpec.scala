@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup against a stored corpus: correctness vs the batch
+  * operator over the unioned corpus, the admission filter, and the
+  * plan-shape guarantee that the stored side is never shuffled.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-dix-wh").toString)
+    .getOrCreate()
+
+  private lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def newBatch = {
+    import spark.implicits._
+    val base = corpus.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).collect().head
+    val text = base.getString(1)
+    val nearDup = text.split("\\s+").toSeq.patch(2, Seq("altered"), 1).mkString(" ")
+    Seq(
+      (900001L, text),                       // exact duplicate of corpus doc
+      (900002L, nearDup),                    // near duplicate (one token swapped)
+      (900003L, "completely fresh unrelated content about volcanic geology basalt")
+    ).toDF("doc_id", "text")
+  }
+
+  test("stored-corpus dedup matches the batch operator over the union") {
+    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", "dix")
+    val got = DedupIndex.dedupAgainstStored(spark, "dix", newBatch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // oracle: the already-verified batch operator over corpus ∪ batch,
+    // restricted to cross pairs (new ids are > any corpus id)
+    val unioned = corpus.select(col("doc_id"), col("text"))
+      .union(newBatch)
+    val expected = Dedup.minhashLSH(unioned, "doc_id", "text", k = 32, bands = 8,
+        threshold = 0.5)
+      .filter(col("id_b") >= 900001L && col("id_a") < 900001L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.map(_._1) == Set(900001L, 900002L),
+      "exact and near dup flagged, fresh doc not")
+    assert(got.exists(p => p._1 == 900001L && p._3 == 1.0), "exact dup at jaccard 1.0")
+  }
+
+  test("admitAgainstStored keeps only documents new to the corpus") {
+    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", "dix2")
+    val admitted = DedupIndex.admitAgainstStored(spark, "dix2", newBatch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(900003L))
+  }
+
+  test("the stored sets table joins through its bucketing — no shuffle on the stored side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", "dix3")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path a 100 TB corpus side would take
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq(1L, 2L, 3L).toDF("doc_id")
+      val j = spark.table("dix3_sets").join(probe, Seq("doc_id"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def subtreeScansSets(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains("dix3_sets"))
+      val shufflesOverSets = plan.collect {
+        case s: ShuffleExchangeExec if subtreeScansSets(s) => s
+      }
+      assert(plan.toString.contains("dix3_sets"), "stored scan present")
+      assert(shufflesOverSets.isEmpty,
+        s"stored side must ride its bucketing, plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
