@@ -37,6 +37,31 @@ object StreamingDedup {
     * reach the constructor). */
   final case class SeenState(firstDocId: Long, firstSeenMs: Long)
 
+  /** The one state transition every operator here shares: first arrival
+    * per key wins (lowest doc_id within a micro-batch), everything later
+    * is suppressed, entries age out after `ttlMs`.
+    */
+  private def firstSeen[K, R, T](extractId: R => Long, emit: (Long, K) => T,
+      now: () => Long, ttlMs: Long): (K, Iterator[R], GroupState[SeenState]) => Iterator[T] =
+    (key, rows, state) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val out =
+          if (state.exists) Iterator.empty
+          else rows.map(extractId).minOption match {
+            case Some(id) =>
+              state.update(SeenState(id, now()))
+              Iterator.single(emit(id, key))
+            case None => Iterator.empty
+          }
+        if (state.exists) state.setTimeoutDuration(ttlMs)
+        out
+      }
+
+  private def fingerprinted(docs: Dataset[Doc]): DataFrame =
+    docs.select(col("doc_id"),
+      xxhash64(lower(trim(col("text")))).as("fingerprint"))
+
   /** Exact streaming dedup: emits only the FIRST document per content
     * fingerprint; later arrivals with the same normalized content are
     * dropped. Deterministic within a micro-batch (lowest doc_id wins).
@@ -45,27 +70,49 @@ object StreamingDedup {
             stateTtlMs: Long = 86400000L,
             now: () => Long = () => System.currentTimeMillis()): Dataset[Admitted] = {
     import spark.implicits._
-    docs
-      .select(col("doc_id"),
-        xxhash64(lower(trim(col("text")))).as("fingerprint"))
+    fingerprinted(docs)
       .as[(Long, Long)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[SeenState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val out =
-              if (state.exists) Iterator.empty
-              else rows.map(_._1).minOption match {
-                case Some(id) =>
-                  state.update(SeenState(id, now()))
-                  Iterator.single(Admitted(id, fp))
-                case None => Iterator.empty
-              }
-            if (state.exists) state.setTimeoutDuration(stateTtlMs)
-            out
-          }
-      }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        firstSeen[Long, (Long, Long), Admitted](_._1, (id, fp) => Admitted(id, fp),
+          now, stateTtlMs))
+  }
+
+  /** Seed state for [[exactSeeded]]: one fingerprint → first-doc entry
+    * per distinct normalized content in an existing corpus (same
+    * fingerprint arithmetic as [[exact]]).
+    */
+  def exactSeedState(corpus: DataFrame, idCol: String, textCol: String,
+                     nowMs: Long = System.currentTimeMillis()): Dataset[(Long, SeenState)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .groupBy(xxhash64(lower(trim(col(textCol)))).as("fingerprint"))
+      .agg(min(col(idCol).cast("long")).as("doc_id"))
+      .as[(Long, Long)]
+      .map { case (fp, id) => (fp, SeenState(id, nowMs)) }
+  }
+
+  /** [[exact]] bootstrapped from an existing corpus: the query starts
+    * with the corpus's fingerprints already in its state store, so
+    * replays of documents admitted BEFORE the query existed are
+    * suppressed without replaying the corpus through the stream.
+    * Seeded entries register their TTL on first contact; untouched ones
+    * persist for the life of the query (the batch corpus has no arrival
+    * time to age from).
+    */
+  def exactSeeded(spark: SparkSession, docs: Dataset[Doc],
+                  initial: Dataset[(Long, SeenState)],
+                  stateTtlMs: Long = 86400000L,
+                  now: () => Long = () => System.currentTimeMillis()): Dataset[Admitted] = {
+    import spark.implicits._
+    fingerprinted(docs)
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(
+        firstSeen[Long, (Long, Long), Admitted](_._1, (id, fp) => Admitted(id, fp),
+          now, stateTtlMs))
   }
 
   /** Exact streaming dedup on Spark 4's `transformWithState` — the same
@@ -124,10 +171,57 @@ object StreamingDedup {
                     stateTtlMs: Long = 86400000L,
                     now: () => Long = () => System.currentTimeMillis()): Dataset[Claim] = {
     import spark.implicits._
+    bandedBuckets(docs, k, bands, shingleN)
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        firstSeen[(Int, Long), (Long, Int, Long), Claim](_._1,
+          (id, key) => Claim(id, key._1), now, stateTtlMs))
+  }
+
+  /** Seed state for [[nearDupClaimsSeeded]] from a
+    * [[graft.operators.DedupIndex.saveCorpus]] `<table>_buckets` table —
+    * the banding arithmetic is identical on both sides, so the stored
+    * batch corpus's bucket ownership carries straight into streaming
+    * admission: one (band, bucket) → first-doc entry per stored bucket.
+    */
+  def claimSeedState(spark: SparkSession, bucketsTable: String,
+                     nowMs: Long = System.currentTimeMillis()): Dataset[((Int, Long), SeenState)] = {
+    import spark.implicits._
+    spark.table(bucketsTable)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .as[(Int, Long, Long)]
+      .map { case (band, bucket, id) => ((band, bucket), SeenState(id, nowMs)) }
+  }
+
+  /** [[nearDupClaims]] bootstrapped from stored corpus buckets: arrivals
+    * colliding with ANY corpus-owned bucket fail their all-bands claim
+    * and are suppressed, exactly as if the corpus had streamed first.
+    */
+  def nearDupClaimsSeeded(spark: SparkSession, docs: Dataset[Doc],
+                          initial: Dataset[((Int, Long), SeenState)],
+                          k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                          stateTtlMs: Long = 86400000L,
+                          now: () => Long = () => System.currentTimeMillis()): Dataset[Claim] = {
+    import spark.implicits._
+    bandedBuckets(docs, k, bands, shingleN)
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(
+        firstSeen[(Int, Long), (Long, Int, Long), Claim](_._1,
+          (id, key) => Claim(id, key._1), now, stateTtlMs))
+  }
+
+  /** (doc_id, band, bucket) stream rows — [[Dedup.minhashLSH]]'s banding
+    * arithmetic; text is projected away before any exchange.
+    */
+  private def bandedBuckets(docs: Dataset[Doc], k: Int, bands: Int,
+                            shingleN: Int): Dataset[(Long, Int, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     import graft.functions.expressions.{minhash64, shingles_fast}
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-
     docs
       .select(col("doc_id"),
         minhash64(array_distinct(shingles_fast(
@@ -139,23 +233,6 @@ object StreamingDedup {
               v => v.cast("string"))), b).as("bucket")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
       .as[(Long, Int, Long)]
-      .groupByKey(r => (r._2, r._3))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (key: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[SeenState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val out =
-              if (state.exists) Iterator.empty
-              else rows.map(_._1).minOption match {
-                case Some(id) =>
-                  state.update(SeenState(id, now()))
-                  Iterator.single(Claim(id, key._1))
-                case None => Iterator.empty
-              }
-            if (state.exists) state.setTimeoutDuration(stateTtlMs)
-            out
-          }
-      }
   }
 
   final case class Vec(doc_id: Long, embedding: Array[Float])
@@ -190,22 +267,9 @@ object StreamingDedup {
       .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (key: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[SeenState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val out =
-              if (state.exists) Iterator.empty
-              else rows.map(_._1).minOption match {
-                case Some(id) =>
-                  state.update(SeenState(id, now()))
-                  Iterator.single(Claim(id, key._1))
-                case None => Iterator.empty
-              }
-            if (state.exists) state.setTimeoutDuration(stateTtlMs)
-            out
-          }
-      }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        firstSeen[(Int, Long), (Long, Int, Long), Claim](_._1,
+          (id, key) => Claim(id, key._1), now, stateTtlMs))
   }
 
   /** Near-dup suppression, stage 2: admit documents that claimed every

@@ -21,6 +21,10 @@ class DedupIndexSpec extends AnyFunSuite {
   private lazy val corpus = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet")
 
+  // unique per run: managed-table LOCATIONS outlive the in-memory
+  // catalog, so a reused name from a previous JVM fails creation
+  private def freshTable(prefix: String) = s"$prefix${System.nanoTime()}"
+
   private def newBatch = {
     import spark.implicits._
     val base = corpus.orderBy("doc_id").limit(1)
@@ -35,8 +39,9 @@ class DedupIndexSpec extends AnyFunSuite {
   }
 
   test("stored-corpus dedup matches the batch operator over the union") {
-    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", "dix")
-    val got = DedupIndex.dedupAgainstStored(spark, "dix", newBatch, "doc_id", "text")
+    val tbl = freshTable("dix")
+    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+    val got = DedupIndex.dedupAgainstStored(spark, tbl, newBatch, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
     // oracle: the already-verified batch operator over corpus ∪ batch,
@@ -55,8 +60,9 @@ class DedupIndexSpec extends AnyFunSuite {
   }
 
   test("admitAgainstStored keeps only documents new to the corpus") {
-    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", "dix2")
-    val admitted = DedupIndex.admitAgainstStored(spark, "dix2", newBatch, "doc_id", "text")
+    val tbl = freshTable("dix")
+    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+    val admitted = DedupIndex.admitAgainstStored(spark, tbl, newBatch, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(900003L))
   }
@@ -66,24 +72,25 @@ class DedupIndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import spark.implicits._
-    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", "dix3")
+    val tbl = freshTable("dix")
+    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force the sort-merge path a 100 TB corpus side would take
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val probe = Seq(1L, 2L, 3L).toDF("doc_id")
-      val j = spark.table("dix3_sets").join(probe, Seq("doc_id"))
+      val j = spark.table(s"${tbl}_sets").join(probe, Seq("doc_id"))
       j.collect()
       val plan = j.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
       def subtreeScansSets(p: SparkPlan): Boolean =
-        p.collectLeaves().exists(_.toString.contains("dix3_sets"))
+        p.collectLeaves().exists(_.toString.contains(s"${tbl}_sets"))
       val shufflesOverSets = plan.collect {
         case s: ShuffleExchangeExec if subtreeScansSets(s) => s
       }
-      assert(plan.toString.contains("dix3_sets"), "stored scan present")
+      assert(plan.toString.contains(s"${tbl}_sets"), "stored scan present")
       assert(shufflesOverSets.isEmpty,
         s"stored side must ride its bucketing, plan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

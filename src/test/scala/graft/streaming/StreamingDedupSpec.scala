@@ -153,4 +153,63 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(admittedAll == Set(10L, 11L)) // doc 12 suppressed
     } finally q.stop()
   }
+
+  test("exactSeeded: corpus fingerprints suppress replays the stream never saw") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((10L, "seeded corpus document one"), (11L, "seeded corpus document two"))
+      .toDF("doc_id", "text")
+    val initial = StreamingDedup.exactSeedState(corpus, "doc_id", "text", nowMs = 1000L)
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.exactSeeded(spark, input.toDS(), initial)
+      .writeStream.format("memory").queryName("sdedup_seeded").outputMode("append").start()
+    try {
+      // doc 20 replays corpus content the STREAM never saw; 21 is new
+      input.addData(Seq(
+        Doc(20, "SEEDED corpus document one  "), // normalizes to corpus doc 10
+        Doc(21, "genuinely new streaming content")))
+      assert(awaitCount("sdedup_seeded", 1) == 1)
+      Thread.sleep(2000)
+      assert(spark.table("sdedup_seeded").as[Admitted].collect().map(_.doc_id).toSet
+        == Set(21L), "corpus replay suppressed by seeded state, fresh doc admitted")
+    } finally q.stop()
+  }
+
+  test("nearDupClaimsSeeded: DedupIndex stored buckets carry into streaming admission") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((10L, base), (11L, "some entirely other stored corpus text body"))
+      .toDF("doc_id", "text")
+    // the stored BATCH corpus state seeds the STREAMING query (table
+    // name unique per run: managed-table locations outlive the
+    // in-memory catalog)
+    val tbl = s"sdix${System.nanoTime()}"
+    graft.operators.DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+    val initial = StreamingDedup.claimSeedState(spark, s"${tbl}_buckets", nowMs = 1000L)
+    val input = MemoryStream[Doc]
+    val claims = StreamingDedup.nearDupClaimsSeeded(spark, input.toDS(), initial,
+      k = 32, bands = 8)
+    val q = claims.writeStream
+      .format("memory").queryName("sdedup_seeded_claims").outputMode("append").start()
+    try {
+      // near-dup of stored doc 10 + a fresh doc, in the FIRST batch the
+      // stream ever processes
+      input.addData(Seq(
+        Doc(20, base.replace("omicron", "OMICRON")),
+        Doc(21, "fresh words never indexed before at all right")))
+      val deadline = System.currentTimeMillis() + 60000
+      def admittedNow() = StreamingDedup.admitted(
+        spark.table("sdedup_seeded_claims"), bands = 8)
+        .collect().map(_.getLong(0)).toSet
+      while (!admittedNow().contains(21L) && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      Thread.sleep(2000)
+      val claimed20 = spark.table("sdedup_seeded_claims").as[Claim].collect()
+        .filter(_.doc_id == 20L).length
+      assert(claimed20 < 8, s"stored-corpus collision must block bands, claimed $claimed20")
+      assert(admittedNow() == Set(21L), "near-dup of stored doc suppressed, fresh admitted")
+    } finally q.stop()
+  }
 }
