@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * The IMAGE leg is real: PNG/JPEG/GIF/BMP decode through the JDK's
   * `javax.imageio` in the per-partition loop, yielding true
   * width/height/channels and a luminance-histogram feature vector.
-  * Audio/video decode stays STUBBED (`decodeStub`) — no codec libraries
-  * exist in this environment; swapping one in means replacing ONE
-  * function whose contract is `Array[Byte] => features`. Everything
-  * around it (the expensive part at 100 TB: batching, partition sizing,
-  * one decoder init per partition, avoiding per-row JNI setup) is real.
+  * The AUDIO leg is real for the JDK-supported containers (WAV/AIFF/AU,
+  * PCM encodings) via `javax.sound.sampled`: true sample rate, frame
+  * count, channels and a bounded-sample amplitude histogram. VIDEO
+  * decode stays STUBBED (`decodeStub`) — no video codec exists in the
+  * JDK; swapping one in means replacing ONE function whose contract is
+  * `Array[Byte] => features`. Everything around it (the expensive part
+  * at 100 TB: batching, partition sizing, one decoder init per
+  * partition, avoiding per-row JNI setup) is real.
   *
   * Scale notes: media blobs must never be shuffled — all feature
   * extraction is mapPartitions on the scan side, and downstream
@@ -33,8 +36,10 @@ object Multimodal {
       media_id: Long,
       modality: String,
       byte_length: Int,
-      /** Real decode outputs for images; -1 when the blob isn't a
-        * decodable image (or modality is audio/video — stub path). */
+      /** Real decode outputs. Images: pixel width/height/components.
+        * Audio: width = sample rate (Hz), height = frame count,
+        * channels = channels. -1s when the blob doesn't decode (or
+        * modality is video — stub path). */
       width: Int,
       height: Int,
       channels: Int,
@@ -97,11 +102,81 @@ object Multimodal {
     }
   }
 
-  /** Batched per-partition feature extraction. Image blobs decode for
-    * real (ImageIO); non-image or undecodable blobs take the stub path
-    * with sentinel dimensions. Decoder init happens once per partition
-    * (ImageIO's disk cache is disabled there — temp-file churn per image
-    * would dominate at scale).
+  /** Real audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM_SIGNED/PCM_UNSIGNED encodings — the JDK's shipped
+    * support). Returns (sampleRateHz, frames, channels, normalized
+    * dim-bucket amplitude histogram), or None when the bytes aren't
+    * readable audio. Sample work is bounded like [[decodeImage]]'s: at
+    * most ~4096 frames are read on a uniform stride regardless of clip
+    * length, so an hour-long input costs the same as a chirp.
+    */
+  def decodeAudio(content: Array[Byte], dim: Int = 8): Option[(Int, Int, Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (ais == null) None
+    else try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val pcm = enc == AudioFormat.Encoding.PCM_SIGNED ||
+        enc == AudioFormat.Encoding.PCM_UNSIGNED
+      val frames = ais.getFrameLength
+      val frameSize = fmt.getFrameSize
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      if (!pcm || frames <= 0 || frameSize <= 0 || bytesPerSample < 1) None
+      else {
+        val rate = math.round(fmt.getSampleRate)
+        val ch = fmt.getChannels
+        val stride = math.max(1L, frames / 4096L)
+        val hist = new Array[Int](dim)
+        val buf = new Array[Byte](frameSize)
+        var read = 0L
+        var n = 0
+        var eof = false
+        while (read < frames && !eof) {
+          if (ais.read(buf) != frameSize) eof = true
+          else {
+            // first channel's sample → amplitude bucket; 8-bit WAV is
+            // unsigned, deeper PCM is signed little/big per the format
+            val amp = math.abs(sampleValue(buf, bytesPerSample, fmt)) // in [0,1]
+            hist(math.min(dim - 1, (amp * dim).toInt)) += 1
+            n += 1
+            if (stride > 1) { ais.skip((stride - 1) * frameSize); read += stride - 1 }
+          }
+          read += 1
+        }
+        val vec = hist.map(c => if (n == 0) 0f else c.toFloat / n)
+        Some((rate, frames.toInt, ch, vec))
+      }
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** First-channel normalized |sample| of one PCM frame, in [0, 1]. */
+  private def sampleValue(frame: Array[Byte], bytesPerSample: Int,
+                          fmt: javax.sound.sampled.AudioFormat): Double = {
+    val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+    var v = 0L
+    var i = 0
+    while (i < bytesPerSample) {
+      val idx = if (fmt.isBigEndian) i else bytesPerSample - 1 - i
+      v = (v << 8) | (frame(idx) & 0xFFL)
+      i += 1
+    }
+    val bits = bytesPerSample * 8
+    val raw =
+      if (!signed) v - (1L << (bits - 1)) // center unsigned PCM
+      else if ((v & (1L << (bits - 1))) != 0) v - (1L << bits) // sign-extend
+      else v
+    math.min(1.0, math.abs(raw.toDouble) / (1L << (bits - 1)).toDouble)
+  }
+
+  /** Batched per-partition feature extraction. Image and audio blobs
+    * decode for real (ImageIO / javax.sound); video or undecodable
+    * blobs take the stub path with sentinel dimensions. Decoder init
+    * happens once per partition (ImageIO's disk cache is disabled
+    * there — temp-file churn per blob would dominate at scale).
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord],
                       dim: Int = 8): Dataset[MediaFeatures] = {
@@ -111,7 +186,11 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val (checksum, entropyQ, stubVec) = decodeStub(r.content, dim)
-        val decoded = if (r.modality == "image") decodeImage(r.content, dim) else None
+        val decoded = r.modality match {
+          case "image" => decodeImage(r.content, dim)
+          case "audio" => decodeAudio(r.content, dim)
+          case _ => None
+        }
         decoded match {
           case Some((w, h, ch, vec)) =>
             MediaFeatures(r.media_id, r.modality, r.content.length, w, h, ch,
@@ -211,6 +290,42 @@ object Multimodal {
           val baos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", baos)
           MediaRecord(id, "image", baos.toByteArray, "image/png", "synthetic")
+        }
+      }
+  }
+
+  /** Deterministic synthetic WAV corpus — the audio analogue of
+    * [[syntheticImages]]: each document renders to a short PCM_SIGNED
+    * 16-bit mono WAV (sample rate a fixed 8000 Hz, frame count from the
+    * text length, samples from an id-seeded LCG), encoded with
+    * `javax.sound` on the executors, so the decode leg exercises genuine
+    * container bytes with known ground-truth rate/frames/channels.
+    */
+  def syntheticAudio(spark: SparkSession, docs: DataFrame,
+                     idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    docs.select(col(idCol).cast("long"), length(col(textCol)).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, textLen) =>
+          val frames = 64 + (textLen % 97)
+          val data = new Array[Byte](frames * 2)
+          var seed = id * 2862933555777941757L + 3037000493L
+          var i = 0
+          while (i < frames) {
+            seed = seed * 2862933555777941757L + 3037000493L
+            val s = (seed >>> 48).toShort
+            data(2 * i) = (s & 0xFF).toByte // little-endian 16-bit PCM
+            data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+          MediaRecord(id, "audio", baos.toByteArray, "audio/wav", "synthetic")
         }
       }
   }

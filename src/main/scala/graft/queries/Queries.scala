@@ -431,13 +431,16 @@ object Queries {
       .orderBy(col("lang"))
 
   /** Multimodal plumbing: binary columns through the batched feature
-    * extractor (decode stubbed — schema/batching/partitioning real). */
+    * extractor (image + audio decode REAL; video stays stubbed). */
   def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    // deterministic synthetic PNGs (real ImageIO encode), then REAL
-    // ImageIO decode in the per-partition loop: the emitted dimension
-    // stats are ground truth from the generator, so a decode regression
-    // (any width/height/channel drift, any failed decode) flips rows
-    val media = Multimodal.syntheticImages(s, table(s, dir, "documents"), "doc_id", "text")
+    // deterministic synthetic PNGs + WAVs (real ImageIO / javax.sound
+    // encode), then REAL decode in the per-partition loop: the emitted
+    // dimension stats are ground truth from the generators (audio
+    // min/max width must pin to the fixed 8000 Hz rate), so a decode
+    // regression (dimension drift, any failed decode) flips rows
+    val docs = table(s, dir, "documents")
+    val media = Multimodal.syntheticImages(s, docs, "doc_id", "text")
+      .union(Multimodal.syntheticAudio(s, docs, "doc_id", "text"))
     Multimodal.extractFeatures(s, media)
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),

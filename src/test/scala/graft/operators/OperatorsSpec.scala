@@ -160,6 +160,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.values.forall(_.channels == 3))
   }
 
+  test("multimodal: REAL javax.sound decode recovers known WAV parameters") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // hand-built 16-bit mono 8000 Hz WAV, 100 frames: first half
+    // silence, second half full-scale → histogram mass at both extremes
+    val frames = 100
+    val data = new Array[Byte](frames * 2)
+    for (i <- 50 until 100) { data(2 * i) = 0xFF.toByte; data(2 * i + 1) = 0x7F.toByte }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(9L, "audio", baos.toByteArray, "audio/wav", "test")))
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.width == 8000, "width carries the sample rate")
+    assert(f.height == 100, "height carries the frame count")
+    assert(f.channels == 1)
+    assert(math.abs(f.feature_vec(0) - 0.5f) < 1e-6, "half the frames are silent")
+    assert(math.abs(f.feature_vec(7) - 0.5f) < 1e-6, "half the frames are full-scale")
+    // image modality never attempts audio decode on the same bytes
+    val asImage = spark.createDataset(Seq(
+      Multimodal.MediaRecord(10L, "image", baos.toByteArray, "image/png", "test")))
+    assert(Multimodal.extractFeatures(spark, asImage).collect().head.width == -1)
+  }
+
+  test("multimodal: synthetic WAV corpus round-trips generator ground truth") {
+    val docs = Seq((1L, "abcde"), (2L, "a longer text body here"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticAudio(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    // generator contract: frames = 64 + len(text) % 97, 8000 Hz mono
+    assert(feats(1L).height == 64 + 5 && feats(2L).height == 64 + 23 && feats(3L).height == 64 + 2)
+    assert(feats.values.forall(f => f.width == 8000 && f.channels == 1))
+    assert(feats.values.forall(f => math.abs(f.feature_vec.sum - 1f) < 1e-4),
+      "amplitude histogram is normalized over sampled frames")
+  }
+
   test("IVF stored index: bucketed probe scan prunes to probed buckets, results match live search") {
     import graft.operators.IvfIndex
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
