@@ -86,6 +86,26 @@ object Oracles {
       SELECT doc_id, cluster, doc_id = cluster AS keep
       FROM comp ORDER BY doc_id""",
 
+    // q37: gram tables rebuilt from the same tokenization; DuckDB joins
+    // gram STRINGS where Spark joins xxhash64 gram hashes — equality
+    // certifies the hashed path too. Short docs (< 13 tokens) take the
+    // whole-text fallback, mirroring Shingles' semantics.
+    "q37_contamination" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+12], ' ')
+                                        for i in range(1, len(t) - 11)]) END AS g
+        FROM tok),
+      dg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+      bg AS (SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id % 50 = 0)
+      SELECT d.doc_id, count(DISTINCT d.gram) AS matched_grams,
+             count(DISTINCT b.bench_id) AS bench_docs
+      FROM dg d JOIN bg b USING (gram) WHERE d.doc_id <> b.bench_id
+      GROUP BY d.doc_id ORDER BY d.doc_id""",
+
     "q21_simhash_dedup" -> """
       WITH tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

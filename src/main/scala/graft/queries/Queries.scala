@@ -625,6 +625,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Test-set contamination: training docs sharing any 13-token gram
+    * with the benchmark subset (doc_id % 50 == 0 stands in for an eval
+    * set). Oracle-checked — DuckDB rebuilds the gram tables from the
+    * same tokenization and compares gram STRINGS where Spark joins
+    * 64-bit gram hashes, so equality also certifies the hashed-gram
+    * path collides on nothing.
+    */
+  def q37Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.operators.Contamination.contaminated(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 13)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -666,5 +681,6 @@ object Queries {
     "q34_sketch_union"    -> (q34SketchUnion _),
     "q35_top_tokens"      -> (q35TopTokens _),
     "q36_dup_clusters"    -> (q36DupClusters _),
+    "q37_contamination"   -> (q37Contamination _),
   )
 }

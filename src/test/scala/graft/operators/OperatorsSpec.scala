@@ -199,6 +199,39 @@ class OperatorsSpec extends AnyFunSuite {
       "amplitude histogram is normalized over sampled frames")
   }
 
+  test("contamination: shared 13-gram flags the doc; decontaminated drops it") {
+    val benchText = "every benchmark question has exactly this one canonical " +
+      "phrasing that must never leak into the training corpus at all"
+    // 23 tokens in benchText; contaminated doc embeds a verbatim 13-token run
+    val leaked13 = benchText.split(" ").slice(4, 17).mkString(" ")
+    val docs = Seq(
+      (1L, s"some training document that quotes $leaked13 inside a longer body of words"),
+      (2L, "a perfectly clean training document with entirely original content throughout " +
+        "its whole considerable and unremarkable length of many plain tokens"),
+      (3L, "short clean doc")).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    val hits = Contamination.contaminated(docs, "doc_id", "text", bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(_._1).toSeq == Seq(1L), s"only the quoting doc is contaminated: ${hits.toSeq}")
+    assert(hits.head._2 == 1L && hits.head._3 == 1L,
+      "exactly the one leaked 13-gram, from one benchmark doc")
+
+    val clean = Contamination.decontaminated(docs, "doc_id", "text", bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+
+    // short-doc fallback: a verbatim copy of a < 13-token benchmark item
+    // still matches through the whole-text gram
+    val shortBench = Seq((200L, "tiny eval item of seven tokens total")).toDF("doc_id", "text")
+    val copied = Seq((5L, "tiny eval item of seven tokens total"),
+      (6L, "tiny eval item of seven tokens CHANGED")).toDF("doc_id", "text")
+    val shortHits = Contamination.contaminated(copied, "doc_id", "text",
+      shortBench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(shortHits == Set(5L), "verbatim short copy flagged, near-miss not")
+  }
+
   test("IVF stored index: bucketed probe scan prunes to probed buckets, results match live search") {
     import graft.operators.IvfIndex
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
