@@ -458,6 +458,86 @@ object HashedSet {
   }
 }
 
+/** Per-document n-gram repetition statistics — the raw counts behind
+  * Gopher/MassiveText-style repetition quality filters (duplicate-
+  * n-gram fraction, top-n-gram fraction): struct(total_ngrams,
+  * distinct_ngrams, top_count) over the token array's n-grams, with
+  * [[Shingles]]' short-input fallback (fewer than n tokens → one
+  * whole-text gram). One codegen'd pass per row — hash the windows,
+  * sort, run-scan — so the metric is computed at the scan with NO
+  * shuffle; the explode + groupBy(doc, gram) formulation shuffles every
+  * gram occurrence of the corpus.
+  */
+case class GramStats(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_stats requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_ngrams", IntegerType, nullable = false),
+    StructField("distinct_ngrams", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false)))
+  override def prettyName: String = "gram_stats"
+
+  protected override def nullSafeEval(input: Any): Any =
+    GramStats.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramStats.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
+
+object GramStats {
+  def compute(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = arr.numElements()
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val hashes: Array[Long] =
+      if (len < n)
+        Array(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          UTF8String.fromString(toks.mkString(" ")), 0L))
+      else {
+        val out = new Array[Long](len - n + 1)
+        var s = 0
+        while (s <= len - n) {
+          val sb = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          out(s) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+            UTF8String.fromString(sb.toString), 0L)
+          s += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hashes)
+    var distinct = 0
+    var top = 0
+    var run = 0
+    i = 0
+    while (i < hashes.length) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { distinct += 1; run = 1 }
+      else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hashes.length, distinct, top))
+  }
+}
+
 /** Exact Jaccard of two SORTED long arrays (from [[HashedSet]]) by
   * linear merge — O(|a|+|b|), no per-row hash-set allocation. The
   * composed form (array_intersect over string arrays) builds and probes
@@ -542,4 +622,8 @@ object expressions {
   /** Column wrapper for [[SortedJaccard]]. */
   def sorted_jaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column wrapper for [[GramStats]]. */
+  def gram_stats(tokens: Column, n: Int): Column =
+    GraftBridge.column(GramStats(GraftBridge.expression(tokens), n))
 }

@@ -106,6 +106,28 @@ object Oracles {
       FROM dg d JOIN bg b USING (gram) WHERE d.doc_id <> b.bench_id
       GROUP BY d.doc_id ORDER BY d.doc_id""",
 
+    // q38: the oracle counts gram STRINGS via explode + group; Spark's
+    // GramStats hashes windows in one codegen'd pass — equality also
+    // certifies the hashed run-scan. Bigrams keep duplicates (no
+    // list_distinct), unlike the dedup oracles.
+    "q38_repetition" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i:i+1], ' ')
+                          for i in range(1, len(t))] END AS g
+        FROM tok),
+      counts AS (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+        GROUP BY doc_id, gram)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bigrams,
+             CAST(count(*) AS BIGINT) AS distinct_bigrams,
+             CAST(max(c) AS BIGINT) AS top_count
+      FROM counts GROUP BY doc_id ORDER BY doc_id""",
+
     "q21_simhash_dedup" -> """
       WITH tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

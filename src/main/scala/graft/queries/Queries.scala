@@ -640,6 +640,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document bigram repetition counts (the raw numbers behind
+    * Gopher/MassiveText repetition filters: duplicate-n-gram and
+    * top-n-gram fractions). Computed at the scan by the codegen'd
+    * [[graft.functions.GramStats]] expression — no shuffle except the
+    * presentation sort; the explode + groupBy(doc, gram) formulation
+    * DuckDB uses as the oracle shuffles every gram occurrence.
+    */
+  def q38Repetition(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("stats",
+        graft.functions.expressions.gram_stats(TextFunctions.tokens(col("text")), 2))
+      .select(col("doc_id"),
+        col("stats.total_ngrams").cast("long").as("total_bigrams"),
+        col("stats.distinct_ngrams").cast("long").as("distinct_bigrams"),
+        col("stats.top_count").cast("long").as("top_count"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -682,5 +699,6 @@ object Queries {
     "q35_top_tokens"      -> (q35TopTokens _),
     "q36_dup_clusters"    -> (q36DupClusters _),
     "q37_contamination"   -> (q37Contamination _),
+    "q38_repetition"      -> (q38Repetition _),
   )
 }

@@ -199,6 +199,36 @@ class OperatorsSpec extends AnyFunSuite {
       "amplitude histogram is normalized over sampled frames")
   }
 
+  test("gram_stats: repetition counts match the exploded groupBy form") {
+    import graft.functions.expressions.gram_stats
+    import graft.functions.TextFunctions.tokens
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → total 5,
+    // distinct 2, top 3
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "all distinct tokens in this document"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val stats = docs.withColumn("s", gram_stats(tokens($"text"), 2))
+      .select($"doc_id", $"s.total_ngrams", $"s.distinct_ngrams", $"s.top_count")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(stats(1L) == ((5, 2, 3)))
+    assert(stats(2L) == ((5, 5, 1)))
+    assert(stats(3L) == ((1, 1, 1)), "short-input whole-text fallback")
+    // parity with the shuffled formulation on real corpus text
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val viaExpr = real.withColumn("s", gram_stats(tokens($"text"), 2))
+      .select($"doc_id", $"s.total_ngrams".as("t"), $"s.distinct_ngrams".as("d"), $"s.top_count".as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val viaGroup = real
+      .select($"doc_id", explode(graft.functions.expressions.shingles_fast(tokens($"text"), 2)).as("g"))
+      .groupBy($"doc_id", $"g").count()
+      .groupBy($"doc_id")
+      .agg(sum($"count").cast("int").as("t"), count(lit(1)).cast("int").as("d"),
+        max($"count").cast("int").as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(viaExpr == viaGroup)
+  }
+
   test("contamination: shared 13-gram flags the doc; decontaminated drops it") {
     val benchText = "every benchmark question has exactly this one canonical " +
       "phrasing that must never leak into the training corpus at all"
