@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -184,6 +184,25 @@ object IvfIndex {
       .collect()
       .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
+
+  /** Grow a STORED index without refitting: route the new vectors
+    * through the STORED centroids and append their assignments into the
+    * bucketed table (same bucketBy spec, so [[searchStored]] keeps
+    * bucket-pruning over old and new rows alike). The quantizer is
+    * intentionally frozen — standard IVF practice: distribution drift
+    * is handled by periodic rebuilds, not per-batch refits that would
+    * silently invalidate every stored cell assignment.
+    */
+  def appendToStored(spark: SparkSession, table: String, newVecs: DataFrame,
+                     idCol: String, vecCol: String, nassign: Int = 4): Unit = {
+    val centroidMatrix = loadCentroids(spark, table)
+    newVecs.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cell", explode(nearest_cells(col("cvec"), centroidMatrix, nassign)))
+      .select(col("corpus_id"), col("cvec"), col("cell"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(centroidMatrix.length, "cell").sortBy("cell")
+      .saveAsTable(table)
+  }
 
   /** [[search]] against a stored bucketed index. The probe-cell set is
     * computed on the driver (queries are small by construction — they

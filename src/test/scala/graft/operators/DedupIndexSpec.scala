@@ -25,6 +25,12 @@ class DedupIndexSpec extends AnyFunSuite {
   // catalog, so a reused name from a previous JVM fails creation
   private def freshTable(prefix: String) = s"$prefix${System.nanoTime()}"
 
+  private def withTables(tbl: String)(body: => Unit): Unit =
+    try body finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sets")
+    }
+
   private def newBatch = {
     import spark.implicits._
     val base = corpus.orderBy("doc_id").limit(1)
@@ -40,6 +46,7 @@ class DedupIndexSpec extends AnyFunSuite {
 
   test("stored-corpus dedup matches the batch operator over the union") {
     val tbl = freshTable("dix")
+    withTables(tbl) {
     DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
     val got = DedupIndex.dedupAgainstStored(spark, tbl, newBatch, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -57,14 +64,17 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(got.map(_._1) == Set(900001L, 900002L),
       "exact and near dup flagged, fresh doc not")
     assert(got.exists(p => p._1 == 900001L && p._3 == 1.0), "exact dup at jaccard 1.0")
+    }
   }
 
   test("admitAgainstStored keeps only documents new to the corpus") {
     val tbl = freshTable("dix")
+    withTables(tbl) {
     DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
     val admitted = DedupIndex.admitAgainstStored(spark, tbl, newBatch, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(900003L))
+    }
   }
 
   test("the stored sets table joins through its bucketing — no shuffle on the stored side") {
@@ -73,6 +83,7 @@ class DedupIndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import spark.implicits._
     val tbl = freshTable("dix")
+    withTables(tbl) {
     DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -94,5 +105,6 @@ class DedupIndexSpec extends AnyFunSuite {
       assert(shufflesOverSets.isEmpty,
         s"stored side must ride its bucketing, plan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 }

@@ -406,6 +406,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF appendToStored: new vectors join the stored index without a refit") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.filter($"vec_id" < 400)
+    val fresh = emb.filter($"vec_id" >= 400)
+    val tbl = s"ivf_append${System.nanoTime()}"
+    try {
+    val index = IvfIndex.build(spark, old, "vec_id", "embedding", nlist = 16)
+    IvfIndex.saveIndex(spark, index, tbl)
+    IvfIndex.appendToStored(spark, tbl, fresh, "vec_id", "embedding")
+
+    val queries = emb.filter($"vec_id" >= 400 && $"vec_id" < 405)
+    val stored = IvfIndex.searchStored(spark, tbl, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+      .select("query_id", "rank", "corpus_id").collect().toSet
+
+    // oracle: a live index with the SAME (stored) centroids assigned
+    // over the full corpus — append must be exactly that, no refit
+    val centroids = IvfIndex.loadCentroids(spark, tbl)
+    val liveIndex = IvfIndex.Index(
+      centroids.zipWithIndex.map { case (c, i) => i -> c },
+      emb.select($"vec_id".as("corpus_id"), $"embedding".as("cvec"))
+        .withColumn("cell", explode(
+          graft.functions.expressions.nearest_cells($"cvec", centroids, 4)))
+        .select($"corpus_id", $"cvec", $"cell"))
+    val live = IvfIndex.search(spark, liveIndex, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+      .select("query_id", "rank", "corpus_id").collect().toSet
+    assert(stored == live)
+    assert(stored.exists(r => r.getLong(2) >= 400),
+      "appended vectors are reachable as neighbors")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+    }
+  }
+
   test("rolling-chunk CDC finds partial overlap exact hashing misses") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(

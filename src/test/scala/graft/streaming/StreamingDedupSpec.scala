@@ -186,6 +186,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     // name unique per run: managed-table locations outlive the
     // in-memory catalog)
     val tbl = s"sdix${System.nanoTime()}"
+    try {
     graft.operators.DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
     val initial = StreamingDedup.claimSeedState(spark, s"${tbl}_buckets", nowMs = 1000L)
     val input = MemoryStream[Doc]
@@ -211,5 +212,9 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(claimed20 < 8, s"stored-corpus collision must block bands, claimed $claimed20")
       assert(admittedNow() == Set(21L), "near-dup of stored doc suppressed, fresh admitted")
     } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sets")
+    }
   }
 }
