@@ -58,6 +58,24 @@ class ClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("empty pair set: every document is its own kept singleton") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Clusters.dedupClusters(docs, "doc_id", noPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+  }
+
+  test("a 300-node chain converges within the iteration bound (breaks label propagation)") {
+    // plain min-label propagation needs ~300 rounds here; the
+    // alternating algorithm's O(log n) contraction must finish well
+    // inside maxIter = 25
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = sparkComponents(scala.util.Random.shuffle(chain))
+    assert(got.size == 300 && got.values.forall(_ == 0L))
+  }
+
   test("reversed and duplicated edges don't change components") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (7L, 5L))
     assert(sparkComponents(edges) ==
