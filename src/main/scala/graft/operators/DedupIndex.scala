@@ -81,6 +81,27 @@ object DedupIndex {
     sigs.unpersist(blocking = false)
   }
 
+  /** Append an (admitted) batch's LSH state to the stored tables — the
+    * other half of the incremental loop: admit today's batch against the
+    * corpus, append its state, and tomorrow's batch is checked against
+    * both with no rebuild. Bucket rows append plainly; set rows append
+    * through the same doc_id bucketBy spec, so the fetch join keeps
+    * riding the bucketing over old and new rows alike.
+    */
+  def appendCorpus(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+                   table: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                   setBuckets: Int = 32): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
+    buckets(sigs, k, bands)
+      .write.mode("append").saveAsTable(s"${table}_buckets")
+    sigs.select(col("doc_id"), col("hset"))
+      .write.mode("append")
+      .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${table}_sets")
+    sigs.unpersist(blocking = false)
+  }
+
   /** Near-duplicate pairs (new_id, corpus_id, jaccard) between an
     * incoming batch and the stored corpus. The stored tables are
     * scanned, never shuffled: the batch's buckets broadcast into the

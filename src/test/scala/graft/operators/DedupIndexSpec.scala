@@ -77,6 +77,27 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendCorpus completes the incremental loop: tomorrow checks against today's batch") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+      // day 1: admit a fresh doc, then append the batch's state
+      val day1 = Seq((910001L, "completely fresh unrelated content about volcanic geology basalt"))
+        .toDF("doc_id", "text")
+      assert(DedupIndex.dedupAgainstStored(spark, tbl, day1, "doc_id", "text").count() == 0)
+      DedupIndex.appendCorpus(spark, day1, "doc_id", "text", tbl)
+      // day 2: a near-dup of the DAY-1 doc (never in the original
+      // corpus) must now be caught, with no rebuild
+      val day2 = Seq(
+        (920001L, "completely fresh unrelated content about volcanic geology pumice"),
+        (920002L, "and some genuinely novel second day material entirely")).toDF("doc_id", "text")
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, day2, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((920001L, 910001L)), s"day-2 near-dup caught against day-1 state: $hits")
+    }
+  }
+
   test("the stored sets table joins through its bucketing — no shuffle on the stored side") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
