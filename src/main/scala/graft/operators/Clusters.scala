@@ -87,10 +87,11 @@ object Clusters {
     * orientation, so all of u's listed neighbors are < u.
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min("v").as("m"))
-    e.join(mins, "u")
-      .select(col("v").as("u"), col("m").as("v")) // v ≥ m, both < u
-      .union(e.select(col("u"), col("v")).join(mins, "u").select(col("u"), col("m").as("v")))
+    // one join, two projections of it: (v → m) for every smaller
+    // neighbor (v ≥ m, both < u) plus (u → m) for the node itself
+    val joined = e.join(e.groupBy("u").agg(min("v").as("m")), "u")
+    joined.select(col("v").as("u"), col("m").as("v"))
+      .union(joined.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()

@@ -39,6 +39,38 @@ object Contamination {
         countDistinct(col("bench_id")).as("bench_docs"))
   }
 
+  /** Streaming dual: flag contaminated documents on a STREAM of
+    * arrivals against a static benchmark — a stateless stream-static
+    * join with the static gram side broadcast into every micro-batch.
+    * Emits one (doc_id, bench_id, gram) row per hit; clean documents
+    * emit nothing, so the common case is a map-side filter with no
+    * state store at all. Fold hits per micro-batch with
+    * [[contaminationCounts]] inside `foreachBatch` (a streaming
+    * aggregation would add state for a metric that is per-arrival
+    * anyway — the same batch-side-fold contract as
+    * [[graft.streaming.StreamingDedup.admitted]]).
+    */
+  def contaminatedStream(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                         n: Int = 13): DataFrame = {
+    val streamGrams = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(hashed_set(shingles_fast(tokens(col(textCol)), n))).as("gram"))
+    val benchGrams = bench.select(col(benchIdCol).cast("long").as("bench_id"),
+      explode(hashed_set(shingles_fast(tokens(col(benchTextCol)), n))).as("gram"))
+    streamGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("gram"))
+  }
+
+  /** Batch-side fold over [[contaminatedStream]] hits: per-doc matched
+    * gram / benchmark-doc counts, same shape as [[contaminated]].
+    */
+  def contaminationCounts(hitsBatch: DataFrame): DataFrame =
+    hitsBatch.groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("matched_grams"),
+        countDistinct(col("bench_id")).as("bench_docs"))
+
   /** The filter a pipeline applies: `docs` minus contaminated ones. */
   def decontaminated(docs: DataFrame, idCol: String, textCol: String,
                      bench: DataFrame, benchIdCol: String, benchTextCol: String,

@@ -406,6 +406,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminatedStream: stream-static gram join flags arrivals against a static benchmark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "every benchmark question has exactly this one canonical " +
+      "phrasing that must never leak into the training corpus at all"
+    val leaked13 = benchText.split(" ").slice(4, 17).mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val hits = Contamination.contaminatedStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", bench, "doc_id", "text")
+    val q = hits.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, s"a streamed document that quotes $leaked13 inside its body of words"),
+        (2L, "a clean streamed document with entirely original content throughout here")))
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("contam_stream").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      Thread.sleep(1500)
+      val counts = Contamination.contaminationCounts(spark.table("contam_stream"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(counts.toSeq == Seq((1L, 1L, 1L)),
+        s"one hit for the quoting doc, nothing for the clean one: ${counts.toSeq}")
+    } finally q.stop()
+  }
+
   test("IVF appendToStored: new vectors join the stored index without a refit") {
     import graft.operators.IvfIndex
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
