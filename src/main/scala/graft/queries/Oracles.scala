@@ -19,22 +19,56 @@ object Oracles {
 
   /** SQL mirror of TextFunctions.langId: same marker sets, same greatest
     * + fixed preference order (en, de, fr, es, zh), same `und` fallback.
+    * The greatest/CASE fragments are shared by q19 and q39.
     */
-  private val langIdSql: String = {
-    val scores = graft.functions.TextFunctions.LangMarkers.map { case (l, ws) =>
-      l -> ws.map(hitsSql).mkString("(", " + ", ")")
-    }
-    val greatest = scores.map(_._2).mkString("greatest(", ", ", ")")
-    val cases = scores.map { case (l, s) =>
-      s"WHEN $s = best AND $s > 0 THEN '$l'"
-    }.mkString(" ")
-    s"""WITH scored AS (SELECT lang, text, $greatest AS best FROM documents)
-        SELECT lang, CASE $cases ELSE 'und' END AS predicted, count(*) AS n_docs
-        FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""
+  private val langScores = graft.functions.TextFunctions.LangMarkers.map { case (l, ws) =>
+    l -> ws.map(hitsSql).mkString("(", " + ", ")")
   }
+  private val langGreatest = langScores.map(_._2).mkString("greatest(", ", ", ")")
+  private val langCases = langScores.map { case (l, s) =>
+    s"WHEN $s = best AND $s > 0 THEN '$l'"
+  }.mkString(" ")
+
+  private val langIdSql: String =
+    s"""WITH scored AS (SELECT lang, text, $langGreatest AS best FROM documents)
+        SELECT lang, CASE $langCases ELSE 'und' END AS predicted, count(*) AS n_docs
+        FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""
+
+  /** q39: the composed curation verdict. Repetition uses an INTEGER
+    * cross-multiply (top*5 > total ⇔ top fraction > 0.2) so no double
+    * division can drift between engines.
+    */
+  private val qualityFilterSql: String =
+    s"""WITH tok AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                      ELSE [array_to_string(t[i:i+1], ' ')
+                            for i in range(1, len(t))] END AS g
+          FROM tok),
+        rep AS (
+          SELECT doc_id, max(c) * 5 > sum(c) AS bad_repetitive
+          FROM (SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+                GROUP BY doc_id, gram)
+          GROUP BY doc_id),
+        lang AS (
+          SELECT doc_id, CASE $langCases ELSE 'und' END AS predicted
+          FROM (SELECT doc_id, text, $langGreatest AS best FROM documents)),
+        base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok)
+        SELECT b.doc_id, b.n_tokens,
+               b.n_tokens < 15 AS bad_short,
+               r.bad_repetitive,
+               l.predicted = 'und' AS bad_lang,
+               NOT (b.n_tokens < 15 OR r.bad_repetitive OR l.predicted = 'und') AS keep
+        FROM base b JOIN rep r USING (doc_id) JOIN lang l USING (doc_id)
+        ORDER BY doc_id"""
 
   val all: Map[String, String] = Map(
     "q19_lang_id" -> langIdSql,
+    "q39_quality_filter" -> qualityFilterSql,
 
     // q20/q21: the oracle is ALL-pairs exact Jaccard — no LSH. Equality
     // with Spark's banded-LSH output proves the candidate stage missed

@@ -657,6 +657,29 @@ object Queries {
         col("stats.top_count").cast("long").as("top_count"))
       .orderBy(col("doc_id"))
 
+  /** The composed curation verdict — the decision a C4/Gopher-style
+    * filter pipeline actually makes per document, from signals that are
+    * each individually oracle-checked elsewhere: token count (q15/q25
+    * tokenization), bigram repetition ([[graft.functions.GramStats]],
+    * q38) and language-ID (q19). Repetition compares with an integer
+    * cross-multiply (top*5 > total ⇔ fraction > 0.2) so no double
+    * division can drift between engines. All three signals come from
+    * ONE scan — no joins, no shuffle except the presentation sort.
+    */
+  def q39QualityFilter(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("st",
+        graft.functions.expressions.gram_stats(TextFunctions.tokens(col("text")), 2))
+      .withColumn("predicted", TextFunctions.langId(col("text")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") < 15).as("bad_short"),
+        (col("st.top_count") * 5 > col("st.total_ngrams")).as("bad_repetitive"),
+        (col("predicted") === "und").as("bad_lang"))
+      .withColumn("keep",
+        !col("bad_short") && !col("bad_repetitive") && !col("bad_lang"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -700,5 +723,6 @@ object Queries {
     "q36_dup_clusters"    -> (q36DupClusters _),
     "q37_contamination"   -> (q37Contamination _),
     "q38_repetition"      -> (q38Repetition _),
+    "q39_quality_filter"  -> (q39QualityFilter _),
   )
 }
