@@ -229,6 +229,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaExpr == viaGroup)
   }
 
+  test("gram_stats property: random token arrays match driver-side brute force (seeded)") {
+    import graft.functions.expressions.gram_stats
+    import graft.functions.TextFunctions.tokens
+    val vocab = Array("a", "b", "c", "d")
+    val cases = for (seed <- 1 to 8) yield {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(30)
+      (seed.toLong, Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val got = cases.toDF("id", "text")
+      .withColumn("s", gram_stats(tokens($"text"), 3))
+      .select($"id", $"s.total_ngrams", $"s.distinct_ngrams", $"s.top_count")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    cases.foreach { case (id, text) =>
+      val t = text.split(" ")
+      val grams = if (t.length < 3) Seq(t.mkString(" "))
+        else t.sliding(3).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      assert(got(id) == ((grams.size, counts.size, counts.values.max)), s"seed $id: '$text'")
+    }
+  }
+
   test("contamination: shared 13-gram flags the doc; decontaminated drops it") {
     val benchText = "every benchmark question has exactly this one canonical " +
       "phrasing that must never leak into the training corpus at all"
