@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation column builders a training-data pipeline runs before
+  * anything touches a tokenizer: PII scrubbing and deterministic
+  * train/val/test split assignment.
+  *
+  * Everything here is composed from codegen'd built-ins (`functions._`)
+  * — no UDFs — so the ops fold into whole-stage codegen and run
+  * scan-adjacent with zero shuffle: at 100 TB both redaction and split
+  * assignment are pure map work whose cost is the scan itself.
+  */
+object Curation {
+
+  // -------------------------------------------------------------------
+  // PII redaction (C4/Dolma-style scrubbing pass).
+  //
+  // Patterns stay inside the POSIX-class subset shared by Java regex
+  // and RE2 so the same pattern text runs identically in Spark and in
+  // external engines (the oracle relies on this).
+  // -------------------------------------------------------------------
+
+  /** Email addresses. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (loose — no octet range check, like C4's scrubber). */
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** US-SSN-shaped government id: 3-2-4 digit groups. */
+  val GovIdRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def countMatches(c: Column, re: String): Column =
+    regexp_count(c, lit(re)).cast("long")
+
+  /** Scrub the three PII families, replacing each hit with a typed mask
+    * token. Order matters and is part of the contract: emails first
+    * (an all-digit local part could otherwise half-match the IP
+    * pattern), then ids (no dots — can't collide with what's left),
+    * then IPs.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        GovIdRe, "<ID>"),
+      Ipv4Re, "<IP>")
+
+  // -------------------------------------------------------------------
+  // Deterministic split assignment (reproducible sampling).
+  //
+  // The split of a document is a pure function of (salt, key): stable
+  // across re-runs, cluster sizes, partitionings and engines — the
+  // property a train/test split must have so no document ever migrates
+  // between splits when the corpus is re-processed. Bucketing uses the
+  // first two hex chars of md5 (256 buckets) decoded with pure string
+  // ops, so any engine with md5 + strpos reproduces it bit-for-bit.
+  // -------------------------------------------------------------------
+
+  /** Stable bucket in [0, 256) from md5(salt:key): the first two hex
+    * chars decoded base-16 (Spark `conv`; an external engine reproduces
+    * it with strpos arithmetic over "0123456789abcdef").
+    */
+  def hashBucket256(key: Column, salt: String): Column = {
+    val h = md5(concat(lit(salt + ":"), key.cast("string")).cast("binary"))
+    conv(substring(h, 1, 2), 16, 10).cast("int")
+  }
+
+  /** Split label from cumulative per-256 bucket thresholds, e.g.
+    * trainUpto=230, valUpto=243 → ~89.8% / ~5.1% / ~5.1%.
+    */
+  def splitAssign(key: Column, salt: String = "split",
+                  trainUpto: Int = 230, valUpto: Int = 243): Column = {
+    val b = hashBucket256(key, salt)
+    when(b < trainUpto, lit("train"))
+      .when(b < valUpto, lit("val"))
+      .otherwise(lit("test"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing — the GPT-style pretraining layout: documents are
+  * concatenated in a deterministic order inside each pack group and the
+  * token stream is cut into fixed-`budget` sequences, documents spanning
+  * sequence boundaries. Every (doc → sequence) incidence is closed-form
+  * from the running token offset, so the whole operator is one window
+  * cumsum + an explode — no sequential driver loop, no iteration.
+  *
+  * 100 TB design: the only shuffle is the window's partition-by on the
+  * pack group key. Packing is per-group sequential BY DEFINITION (the
+  * token offsets of a group form one ordered stream), so the group key
+  * IS the parallelism: real pipelines pack per (source, shard) with
+  * shards sized to executors — pass that composite as `groupCols`. Each
+  * group's rows are one window partition; nothing global exists.
+  */
+object Packing {
+
+  /** Per-document packing coordinates: running token offsets and the
+    * [first_seq, last_seq] range of `budget`-token sequences the doc
+    * overlaps. Purely integer arithmetic.
+    */
+  def withOffsets(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                  tokenCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+      .withColumn("start_tok", col("cum_tokens") - col(tokenCol))
+      .withColumn("first_seq", floor(col("start_tok") / budget))
+      .withColumn("last_seq", floor((col("cum_tokens") - 1) / budget))
+  }
+
+  /** Per-sequence manifest: for each (group, seq_id), how many documents
+    * land in it, the doc-id span, and the token count it holds (budget
+    * for every sequence except each group's last). This is the table a
+    * training job reads to materialize packed examples.
+    */
+  def packManifest(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   tokenCol: String, budget: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    withOffsets(df, groupCols, orderCol, tokenCol, budget)
+      .select(gcols :+ col(orderCol).as("doc_key") :+ col("start_tok") :+
+        col("cum_tokens") :+
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"): _*)
+      .withColumn("tokens_in_seq",
+        least(col("cum_tokens"), (col("seq_id") + 1) * budget) -
+          greatest(col("start_tok"), col("seq_id") * budget))
+      .groupBy(gcols :+ col("seq_id"): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_key")).as("first_doc"),
+        max(col("doc_key")).as("last_doc"),
+        sum(col("tokens_in_seq")).cast("long").as("n_tokens"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023): near-duplicate
+  * detection in EMBEDDING space — documents whose vectors sit within a
+  * cosine threshold are semantic copies even when their surface text
+  * shares no n-grams, so MinHash/SimHash misses them.
+  *
+  * The scale path reuses the IVF coarse quantizer
+  * ([[IvfIndex.build]]'s sampled spherical k-means): every vector is
+  * multi-assigned to its `nassign` nearest cells, candidate pairs come
+  * from a self-join WITHIN cells only, and exact cosine verifies. With
+  * balanced cells the pair volume drops from n²/2 to
+  * Σ_cells (cell_size²/2) ≈ n²·nassign²/(2·nlist) — the SemDeDup paper's
+  * own construction. Keep-min survivorship composes through
+  * [[Clusters.dedupClusters]] exactly like the text dedup family.
+  *
+  * 100 TB design: the only corpus-sized shuffle is the self-join's
+  * hash-partition on `cell` (and the centroid routing is a broadcast
+  * reference object, not a join). Cell-size skew is the known failure
+  * mode at scale — oversized cells get quadratic locally — so `nlist`
+  * must grow with n (the paper uses √n-ish); the operator takes it as a
+  * parameter rather than hiding a heuristic.
+  */
+object SemDedup {
+
+  /** Candidate-verified semantic duplicate pairs: (id_a, id_b, cosine)
+    * with cosine ≥ `threshold`, found via shared IVF cells.
+    */
+  def semanticDupPairs(spark: SparkSession, emb: DataFrame,
+                       idCol: String, vecCol: String,
+                       threshold: Double = 0.95, nlist: Int = 16,
+                       nassign: Int = 2, seed: Long = 42L): DataFrame = {
+    val index = IvfIndex.build(spark, emb, idCol, vecCol,
+      nlist = nlist, seed = seed, nassign = nassign)
+    val a = index.assigned.select(col("cell"),
+      col("corpus_id").as("id_a"), col("cvec").as("vec_a"))
+    val b = index.assigned.select(col("cell"),
+      col("corpus_id").as("id_b"), col("cvec").as("vec_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Exact all-pairs baseline (verification only — quadratic by
+    * construction, never the shipped path).
+    */
+  def exactDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Survivorship: one kept vector per semantic-duplicate component. */
+  def keep(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+           threshold: Double = 0.95, nlist: Int = 16, nassign: Int = 2): DataFrame = {
+    val pairs = semanticDupPairs(spark, emb, idCol, vecCol, threshold, nlist, nassign)
+    Clusters.dedupClusters(emb, idCol, pairs.select(col("id_a"), col("id_b")))
+  }
+}

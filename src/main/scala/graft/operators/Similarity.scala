@@ -21,13 +21,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate, computed in double. */
+  /** dot(a, b) via zip_with + aggregate, computed in double. Kept as the
+    * composed reference form ([[graft.functions.CosineSim]] is spec-
+    * checked against it); the shipped cosine below uses the fused
+    * codegen kernel — the HOF form allocates an intermediate array per
+    * row, which dominates multi-million-pair re-rank stages.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused single-pass codegen'd cosine — the hot kernel of every
+    * embedding operator. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.cosine_sim(a, b)
 
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` must be small enough to broadcast (it is, by construction:

@@ -66,9 +66,126 @@ object Oracles {
         FROM base b JOIN rep r USING (doc_id) JOIN lang l USING (doc_id)
         ORDER BY doc_id"""
 
+  /** q40: the PII patterns are interpolated from the SAME Curation
+    * constants the Spark side compiles, so the two engines run
+    * byte-identical regex text (the patterns stay inside the
+    * Java-regex ∩ RE2 subset). Replacement order — email, id, ip — is
+    * part of the contract and mirrored exactly.
+    */
+  private val piiRedactionSql: String = {
+    import graft.functions.Curation.{EmailRe, Ipv4Re, GovIdRe}
+    s"""WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text
+                      ELSE concat(text, ' contact u', CAST(doc_id AS VARCHAR),
+                                  '@ex', CAST(doc_id % 7 AS VARCHAR),
+                                  '.org via 10.', CAST(doc_id % 200 AS VARCHAR),
+                                  '.', CAST(doc_id % 256 AS VARCHAR),
+                                  '.9 id 867-53-',
+                                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                 END AS aug
+          FROM documents),
+        red AS (
+          SELECT doc_id, aug,
+                 regexp_replace(regexp_replace(regexp_replace(aug,
+                   '$EmailRe', '<EMAIL>', 'g'),
+                   '$GovIdRe', '<ID>', 'g'),
+                   '$Ipv4Re', '<IP>', 'g') AS redacted
+          FROM aug)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(aug, '$GovIdRe')) AS BIGINT) AS n_ids,
+               CAST(length(redacted) AS BIGINT) AS redacted_len,
+               md5(redacted) AS redacted_md5
+        FROM red ORDER BY doc_id"""
+  }
+
   val all: Map[String, String] = Map(
     "q19_lang_id" -> langIdSql,
     "q39_quality_filter" -> qualityFilterSql,
+    "q40_pii_redaction" -> piiRedactionSql,
+
+    // q41: DuckDB reproduces Curation.hashBucket256 — first two hex
+    // chars of md5('split:' || id) decoded with strpos arithmetic —
+    // proving the split function is engine-independent, which is the
+    // operator's entire point.
+    "q41_split_assign" -> """
+      WITH h AS (
+        SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      b AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS bucket
+        FROM h)
+      SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+             CASE WHEN bucket < 230 THEN 'train'
+                  WHEN bucket < 243 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""",
+
+    // q42: lines rebuilt with the same 1-based slice arithmetic; the
+    // oracle groups/joins on line STRINGS where Spark uses xxhash64 —
+    // equality certifies the hashed path (q37's construction).
+    "q42_line_dedup" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      ln AS (
+        SELECT doc_id,
+               array_to_string(t[(i*8+1):least((i+1)*8, len(t))], ' ') AS line,
+               least((i+1)*8, len(t)) - i*8 AS n_tokens
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1)) AS i
+              FROM tok)),
+      dup AS (
+        SELECT line AS dline FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+      SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN d.dline IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_lines,
+             CAST(sum(CASE WHEN d.dline IS NULL THEN l.n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+      FROM ln l LEFT JOIN dup d ON l.line = d.dline
+      GROUP BY l.doc_id ORDER BY l.doc_id""",
+
+    // q43: window cumsum + generate_series reproduces the closed-form
+    // offset expansion; all arithmetic integer-exact.
+    "q43_seq_packing" -> """
+      WITH d AS (
+        SELECT source, doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      off AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d),
+      ex AS (
+        SELECT source, doc_id, cum - n_tokens AS start_tok, cum,
+               unnest(generate_series(CAST(floor((cum - n_tokens) / 128.0) AS BIGINT),
+                                      CAST(floor((cum - 1) / 128.0) AS BIGINT))) AS seq_id
+        FROM off)
+      SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             CAST(sum(least(cum, (seq_id + 1) * 128) -
+                      greatest(start_tok, seq_id * 128)) AS BIGINT) AS n_tokens
+      FROM ex GROUP BY source, seq_id ORDER BY source, seq_id""",
+
+    // q44: discrete quantiles at explicitly-defined ranks (value at
+    // row_number ceil(p*n) under (n_chars, doc_id)) — integer-exact
+    // where interpolated quantile_cont would drift in the last ulp.
+    "q44_length_quantiles" -> """
+      WITH r AS (
+        SELECT lang, n_chars, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             min(n_chars) AS min_chars,
+             max(CASE WHEN rn = floor((n + 1) / 2.0) THEN n_chars END) AS p50,
+             max(CASE WHEN rn = floor((n * 9 + 9) / 10.0) THEN n_chars END) AS p90,
+             max(CASE WHEN rn = floor((n * 99 + 99) / 100.0) THEN n_chars END) AS p99,
+             max(n_chars) AS max_chars
+      FROM r GROUP BY lang ORDER BY lang""",
 
     // q20/q21: the oracle is ALL-pairs exact Jaccard — no LSH. Equality
     // with Spark's banded-LSH output proves the candidate stage missed

@@ -680,6 +680,133 @@ object Queries {
         !col("bad_short") && !col("bad_repetitive") && !col("bad_lang"))
       .orderBy(col("doc_id"))
 
+  /** PII scrubbing ([[graft.functions.Curation]]): the corpus carries no
+    * PII, so the query plants deterministic synthetic PII (email + IPv4 +
+    * SSN-shaped id built from doc_id; every third doc left clean) and
+    * scrubs it. Oracle-checked per doc — match counts, redacted length
+    * AND the md5 of the redacted text, so the multi-pattern replacement
+    * (including its order contract) is proven byte-exact. Pure map work:
+    * no shuffle except the presentation sort.
+    */
+  def q40PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val planted = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"),
+      lit(".org via 10."), (col("doc_id") % 200).cast("string"),
+      lit("."), (col("doc_id") % 256).cast("string"),
+      lit(".9 id 867-53-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    table(s, dir, "documents")
+      .withColumn("aug", when(col("doc_id") % 3 === 0, col("text")).otherwise(planted))
+      .select(col("doc_id"),
+        Curation.countMatches(col("aug"), Curation.EmailRe).as("n_emails"),
+        Curation.countMatches(col("aug"), Curation.Ipv4Re).as("n_ips"),
+        Curation.countMatches(col("aug"), Curation.GovIdRe).as("n_ids"),
+        length(Curation.redactPii(col("aug"))).cast("long").as("redacted_len"),
+        md5(Curation.redactPii(col("aug")).cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test split assignment
+    * ([[graft.functions.Curation.splitAssign]]): split is a pure
+    * function of md5(salt:doc_id), so it is identical across re-runs,
+    * partitionings, cluster sizes — and engines, which is exactly what
+    * the oracle certifies (DuckDB reproduces the bucket with strpos
+    * arithmetic over the same md5 hex). Zero-shuffle map work.
+    */
+  def q41SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        Curation.hashBucket256(col("doc_id"), "split").as("bucket"),
+        Curation.splitAssign(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Line-level boilerplate dedup ([[graft.operators.Lines]]): 8-token
+    * pseudo-lines, corpus-wide duplicate-line detection (≥3 distinct
+    * docs), per-doc kept-token stats. Spark groups and joins on 64-bit
+    * line hashes; DuckDB's oracle uses the line STRINGS — equality also
+    * certifies the hashed path collides on nothing (q37's construction).
+    */
+  def q42LineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lines.dedupStats(
+        table(s, dir, "documents"), "doc_id", "text", width = 8, minDocs = 3)
+      .orderBy(col("doc_id"))
+
+  /** Sequence packing ([[graft.operators.Packing]]): concat-and-chunk
+    * per source at a 128-token budget; per-sequence manifest
+    * (doc count, span, tokens). Closed-form offset arithmetic — the
+    * oracle reproduces it with a window cumsum + generate_series, so
+    * the hash match proves the incidence expansion exactly.
+    */
+  def q43SeqPacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packManifest(
+        table(s, dir, "documents")
+          .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text"))),
+        groupCols = Seq("source"), orderCol = "doc_id", tokenCol = "n_tokens",
+        budget = 128)
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        col("first_doc"), col("last_doc"), col("n_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+
+  /** Corpus length profile with EXACT discrete quantiles: the value at
+    * rank ceil(p·n) under a total order (n_chars, doc_id). Rank
+    * arithmetic is integer-exact on both engines (floor((n·k+k)/den) —
+    * no float literal whose decimal/binary typing could differ), so
+    * this hash-matches where interpolated quantiles would drift in the
+    * last ulp. One window + one agg, both partitioned by lang.
+    */
+  def q44LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    table(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(when(col("rn") === floor((col("n") + 1) / lit(2.0)), col("n_chars"))).as("p50"),
+        max(when(col("rn") === floor((col("n") * 9 + 9) / lit(10.0)), col("n_chars"))).as("p90"),
+        max(when(col("rn") === floor((col("n") * 99 + 99) / lit(100.0)), col("n_chars"))).as("p99"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Semantic dedup ([[graft.operators.SemDedup]], SemDeDup-style):
+    * embedding-space near-dup pairs via IVF-cell candidates + exact
+    * cosine verify, against a corpus with planted perturbed duplicates
+    * (the natural corpus has no pairs above 0.52). Rows-only (k-means
+    * routing is engine-specific) but self-asserting: recall vs the
+    * exact all-pairs baseline is in the rows, so a routing regression
+    * flips `pass` (q23/q33's construction).
+    */
+  def q45SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    // the exact all-pairs baseline the recall check requires is
+    // quadratic BY CONSTRUCTION (like q23/q33's brute-force leg), so
+    // the checked corpus is capped at 1000 base vectors — the shipped
+    // operator (semanticDupPairs) has no such cap
+    val emb = table(s, dir, "embeddings").filter(col("vec_id") < 1000)
+    // perturbed copies of the first 50 vectors: cosine(v, v') ≈ 0.9998,
+    // deterministic (element-scaled wobble, no RNG)
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0f) + (i % 7).cast("float") / 350f)).as("embedding"),
+        col("label"))
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label")).union(planted)
+    val found = graft.operators.SemDedup.semanticDupPairs(s, corpus,
+      "vec_id", "embedding", threshold = 0.95, nlist = 16, nassign = 2)
+      .select(col("id_a").as("fa"), col("id_b").as("fb"))
+    val exact = graft.operators.SemDedup.exactDupPairs(corpus,
+      "vec_id", "embedding", threshold = 0.95)
+      .select(col("id_a"), col("id_b"))
+    exact.join(found, col("id_a") === col("fa") && col("id_b") === col("fb"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("fa").isNotNull, 1).otherwise(0)).cast("long").as("n_found"))
+      .withColumn("recall", col("n_found") / col("n_exact"))
+      .withColumn("pass", col("recall") >= 0.95)
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -724,5 +851,11 @@ object Queries {
     "q37_contamination"   -> (q37Contamination _),
     "q38_repetition"      -> (q38Repetition _),
     "q39_quality_filter"  -> (q39QualityFilter _),
+    "q40_pii_redaction"   -> (q40PiiRedaction _),
+    "q41_split_assign"    -> (q41SplitAssign _),
+    "q42_line_dedup"      -> (q42LineDedup _),
+    "q43_seq_packing"     -> (q43SeqPacking _),
+    "q44_length_quantiles" -> (q44LengthQuantiles _),
+    "q45_semantic_dedup"  -> (q45SemanticDedup _),
   )
 }

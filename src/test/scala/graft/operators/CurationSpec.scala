@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation-pass operators: PII scrubbing, deterministic splits,
+  * line-level boilerplate dedup, sequence packing, semantic dedup.
+  * Each is checked against a driver-side brute-force oracle or
+  * hand-computed expected output.
+  */
+class CurationSpec extends AnyFunSuite {
+  import graft.functions.Curation
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def scrub(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(Curation.redactPii(col("t"))).as[String].head()
+  }
+
+  test("redactPii masks emails, govt ids and IPs with typed tokens") {
+    assert(scrub("mail a.b+c@foo-bar.example.com now") == "mail <EMAIL> now")
+    assert(scrub("ip 192.168.3.7 and 10.0.0.1.") == "ip <IP> and <IP>.")
+    assert(scrub("ssn 123-45-6789 ok") == "ssn <ID> ok")
+    assert(scrub("x u1@ex2.org 10.3.4.9 867-53-0042 y") == "x <EMAIL> <IP> <ID> y")
+  }
+
+  test("redaction order: dotted-digit email local parts never leak as IPs") {
+    // if IPs ran first, the local part would half-match Ipv4Re
+    assert(scrub("a 10.20.30.41@evil.org b") == "a <EMAIL> b")
+  }
+
+  test("clean text passes through unchanged") {
+    val s = "no pii here just words and 42 numbers 1.5"
+    assert(scrub(s) == s)
+  }
+
+  test("splitAssign matches a JVM md5 oracle and is deterministic") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val got = keys.select(col("k"), Curation.hashBucket256(col("k"), "split").as("b"),
+        Curation.splitAssign(col("k")).as("s"))
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (k, b, s) =>
+      val hex = md.digest(s"split:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expected = Integer.parseInt(hex.take(2), 16)
+      assert(b == expected, s"bucket for key $k")
+      val label = if (b < 230) "train" else if (b < 243) "val" else "test"
+      assert(s == label)
+    }
+    // fractions land near 230/256, 13/256, 13/256
+    val frac = got.groupBy(_._3).view.mapValues(_.length / 2000.0).toMap
+    assert(math.abs(frac("train") - 230.0 / 256) < 0.03)
+    assert(math.abs(frac("val") - 13.0 / 256) < 0.02)
+    assert(math.abs(frac("test") - 13.0 / 256) < 0.02)
+  }
+
+  test("tokenLines: width-8 windows with 1-based slice arithmetic") {
+    import spark.implicits._
+    val doc = (1 to 19).map(i => s"w$i").mkString(" ")
+    val lines = Lines.tokenLines(Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("line_no").as[(Long, Int, String)].collect()
+    assert(lines.length == 3)
+    assert(lines(0)._3 == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(lines(1)._3 == (9 to 16).map(i => s"w$i").mkString(" "))
+    assert(lines(2)._3 == (17 to 19).map(i => s"w$i").mkString(" "))
+  }
+
+  test("dedupStats flags lines shared by >= minDocs distinct docs only") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    // docs 1..3 share the boilerplate line; each also has a unique line
+    val docs = (1 to 3).map(i => (i.toLong, boiler + " " + (1 to 8).map(j => s"u${i}_$j").mkString(" "))) :+
+      (4L, (1 to 8).map(j => s"solo$j").mkString(" "))
+    val stats = Lines.dedupStats(docs.toDF("doc_id", "text"), "doc_id", "text",
+        width = 8, minDocs = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(stats.take(3).forall { case (_, nl, nd, kept) => nl == 2 && nd == 1 && kept == 8 })
+    assert(stats(3) == (4L, 1L, 0L, 8L))
+  }
+
+  test("removeBoilerplate drops shared lines, keeps order") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = (1 to 3).map { i =>
+      val unique = (1 to 8).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, unique + " " + boiler + " " + unique.replace("u", "v"))
+    }
+    val out = Lines.removeBoilerplate(docs.toDF("doc_id", "text"), "doc_id", "text",
+        width = 8, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    out.foreach { case (id, text) =>
+      assert(!text.contains("b1"), s"doc $id kept boilerplate")
+      assert(text == (1 to 8).map(j => s"u${id}_$j").mkString(" ") + " " +
+        (1 to 8).map(j => s"v${id}_$j").mkString(" "))
+    }
+  }
+
+  test("packManifest matches a sequential driver-side packer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val budget = 50
+    val docs = for (g <- Seq("a", "b"); i <- 0 until 40)
+      yield (g, i.toLong, 1 + rnd.nextInt(30))
+    val got = Packing.packManifest(docs.toDF("source", "doc_id", "n_tokens"),
+        Seq("source"), "doc_id", "n_tokens", budget)
+      .select("source", "seq_id", "n_docs", "first_doc", "last_doc", "n_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
+    // sequential oracle: walk the concatenated token stream per group,
+    // crediting each doc to every sequence its token interval overlaps
+    val expected = scala.collection.mutable.Map[(String, Long), (Long, Long, Long, Long)]()
+    for (g <- Seq("a", "b")) {
+      var off = 0L
+      for ((_, id, n) <- docs.filter(_._1 == g).sortBy(_._2)) {
+        val (start, end) = (off, off + n)
+        for (seq <- (start / budget) to ((end - 1) / budget)) {
+          val overlap = math.min(end, (seq + 1) * budget) - math.max(start, seq * budget)
+          val (c, f, l, tok) = expected.getOrElse((g, seq), (0L, Long.MaxValue, -1L, 0L))
+          expected((g, seq)) = (c + 1, math.min(f, id), math.max(l, id), tok + overlap)
+        }
+        off = end
+      }
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (c, f, l, tok)) =>
+      assert(got(k) == ((c, f, l, tok)), s"seq $k")
+    }
+    // invariant: every sequence but each group's last holds exactly `budget`
+    for (g <- Seq("a", "b")) {
+      val seqs = got.keys.filter(_._1 == g).map(_._2)
+      val last = seqs.max
+      seqs.filter(_ != last).foreach(s => assert(got((g, s))._4 == budget))
+    }
+  }
+
+  test("semanticDupPairs finds planted perturbed duplicates (recall 1.0)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, j) => x * (1.0f + (j % 5) / 200f) })
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",
+        threshold = 0.98, nlist = 8, nassign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = SemDedup.exactDupPairs(emb, "vec_id", "embedding", 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && exact.subsetOf(pairs.union(exact)))
+    assert((exact -- pairs).isEmpty, s"missed ${(exact -- pairs).size} of ${exact.size}")
+    (0L until 20L).foreach(i => assert(pairs.contains((i, i + 1000L))))
+  }
+
+  test("SemDedup.keep drops exactly one of each planted pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = base.take(10).map { case (i, v) => (i + 500L, v.map(x => x * 1.0001f)) }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val kept = SemDedup.keep(spark, emb, "vec_id", "embedding",
+        threshold = 0.98, nlist = 4, nassign = 2)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 100)
+    (0L until 10L).foreach { i =>
+      assert(kept.contains(i) && !kept.contains(i + 500L))
+    }
+  }
+}

@@ -529,6 +529,31 @@ class OperatorsSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("cosine_sim matches the composed zip_with/aggregate form") {
+    import graft.functions.expressions.cosine_sim
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(200)((Array.fill(64)(rnd.nextGaussian().toFloat),
+      Array.fill(64)(rnd.nextGaussian().toFloat))) :+
+      ((Array.fill(64)(0f), Array.fill(64)(1f)))   // zero norm → 0.0, not NaN
+    val df = rows.toDF("a", "b")
+    // HOF form divides by zero on the zero-norm row (ANSI) — compare on
+    // the nonzero rows; the kernel's zero-norm → 0.0 checked separately
+    val both = df.filter(aggregate($"a", lit(0.0d), (s, x) => s + abs(x)) > 0)
+      .select(cosine_sim($"a", $"b").as("fast"),
+        Similarity.cosineHof($"a", $"b").as("hof")).collect()
+    assert(both.length == 200)
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+        s"fast=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    val zero = Seq((Array.fill(8)(0f), Array.fill(8)(1f))).toDF("a", "b")
+      .select(cosine_sim($"a", $"b")).collect()
+    assert(zero.head.getDouble(0) == 0.0)
+    // identical vectors → exactly-ish 1.0
+    val self = df.limit(5).select(cosine_sim($"a", $"a")).collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("nearest_cells ranks centroids by cosine, deterministic tie-break") {
     import graft.functions.expressions.nearest_cells
     // centroids along +x, +y, -x: a vector at (1, 0.1) ranks 0, 1, 2
