@@ -101,10 +101,114 @@ object Oracles {
         FROM red ORDER BY doc_id"""
   }
 
+  /** q49: the composed pipeline — dup survivorship (grouped by text —
+    * identical grouping to Spark's md5 key absent collisions), the q39
+    * quality fragments, and the q41 split arithmetic, composed exactly
+    * as the Spark plan composes them.
+    */
+  private val curationPipelineSql: String =
+    s"""WITH tok AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                      ELSE [array_to_string(t[i:i+1], ' ')
+                            for i in range(1, len(t))] END AS g
+          FROM tok),
+        rep AS (
+          SELECT doc_id, max(c) * 5 > sum(c) AS bad_repetitive
+          FROM (SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+                GROUP BY doc_id, gram)
+          GROUP BY doc_id),
+        lang AS (
+          SELECT doc_id, CASE $langCases ELSE 'und' END AS predicted
+          FROM (SELECT doc_id, text, $langGreatest AS best FROM documents)),
+        dup AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+          FROM documents),
+        bucket AS (
+          SELECT doc_id,
+                 (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b
+          FROM (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+                FROM documents)),
+        verdict AS (
+          SELECT t.doc_id,
+                 d.doc_id <> d.keep_id AS is_dup_loser,
+                 NOT (CAST(len(t.t) AS BIGINT) < 15 OR r.bad_repetitive
+                      OR l.predicted = 'und') AS quality_keep
+          FROM tok t JOIN rep r ON t.doc_id = r.doc_id
+                     JOIN lang l ON t.doc_id = l.doc_id
+                     JOIN dup d ON t.doc_id = d.doc_id)
+        SELECT v.doc_id, v.is_dup_loser, v.quality_keep,
+               (NOT v.is_dup_loser) AND v.quality_keep AS keep,
+               CASE WHEN (NOT v.is_dup_loser) AND v.quality_keep THEN
+                 CASE WHEN k.b < 230 THEN 'train'
+                      WHEN k.b < 243 THEN 'val'
+                      ELSE 'test' END
+               ELSE 'dropped' END AS split
+        FROM verdict v JOIN bucket k ON v.doc_id = k.doc_id
+        ORDER BY v.doc_id"""
+
   val all: Map[String, String] = Map(
     "q19_lang_id" -> langIdSql,
     "q39_quality_filter" -> qualityFilterSql,
     "q40_pii_redaction" -> piiRedactionSql,
+    "q49_curation_pipeline" -> curationPipelineSql,
+
+    // q46: gram strings rebuilt with the same tokenization; DuckDB
+    // counts/joins STRINGS where Spark rides xxhash64 — equality
+    // certifies the hashed path. The avg is one IEEE division of
+    // exact integers, so it is engine-exact.
+    "q46_bigram_commonness" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+1], ' ')
+                     for i in range(1, len(t))] END) AS gram
+        FROM tok),
+      counts AS (SELECT gram, count(*) AS corpus_count FROM grams GROUP BY gram)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(c.corpus_count) AS BIGINT) AS sum_counts,
+             CAST(sum(c.corpus_count) AS DOUBLE) / count(*) AS avg_commonness
+      FROM grams g JOIN counts c ON g.gram = c.gram
+      GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // q47: md5 hex strings sort identically (lowercase hex, ASCII), so
+    // the per-stratum order and the integer quota arithmetic reproduce
+    // the sample exactly.
+    "q47_stratified_sample" -> """
+      WITH w AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+      FROM w WHERE rn <= floor((n + 9) / 10.0)
+      ORDER BY lang, rank""",
+
+    // q48: global top-5 vocab under (count desc, token asc) — a total
+    // order, so LIMIT is deterministic in both engines.
+    "q48_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, count(*) AS c FROM toks GROUP BY token
+          ORDER BY c DESC, token LIMIT 5)),
+      j AS (
+        SELECT t.lang, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+      SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens,
+             CAST(sum(hit) AS BIGINT) AS covered_tokens,
+             CAST(sum(hit) AS DOUBLE) / count(*) AS coverage
+      FROM j GROUP BY lang ORDER BY lang""",
 
     // q41: DuckDB reproduces Curation.hashBucket256 — first two hex
     // chars of md5('split:' || id) decoded with strpos arithmetic —

@@ -807,6 +807,105 @@ object Queries {
       .withColumn("pass", col("recall") >= 0.95)
   }
 
+  /** Bigram commonness scoring — the integer-exact cousin of CCNet's
+    * LM-perplexity quality signal: a document whose bigrams are common
+    * corpus-wide is boilerplate-like; rare bigrams mark novel text.
+    * avg_commonness = (Σ corpus-wide count of each bigram occurrence) /
+    * n_bigrams — one double division of exact integers (correctly
+    * rounded per IEEE, so engine-exact; log-based perplexity would
+    * drift with libm). Spark carries 64-bit gram hashes through the
+    * count shuffle and the join; the oracle uses gram strings —
+    * equality certifies the hashed path (q37's construction).
+    */
+  def q46BigramCommonness(s: SparkSession, dir: String): DataFrame = {
+    val occurrences = table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.expressions.shingles_fast(
+          TextFunctions.tokens(col("text")), 2)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val counts = occurrences.groupBy(col("gh"))
+      .agg(count(lit(1)).as("corpus_count"))
+    occurrences.join(counts, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("corpus_count")).cast("long").as("sum_counts"))
+      .withColumn("avg_commonness",
+        col("sum_counts").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified sampling with exact per-stratum quotas: ceil(n/10) docs
+    * per language, chosen by md5 hash order — deterministic, engine-
+    * independent (the oracle reproduces both the order and the quota
+    * arithmetic), and balanced by construction. The 100 TB shape is a
+    * per-stratum window over the hash sort key; no global ordering
+    * exists anywhere.
+    */
+  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("sample:"), col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    table(s, dir, "documents")
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") <= floor((col("n") + 9) / lit(10.0)))
+      .select(col("lang"), col("rn").cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Tokenizer-vocabulary coverage: global top-5 tokens by corpus count
+    * (count desc, token asc — total order), then per-language coverage
+    * = tokens covered by that vocab / total tokens. The vocab is the
+    * broadcast side of the coverage join; counts are integer-exact and
+    * the single coverage division is IEEE-exact.
+    */
+  def q48VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(5)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"),
+        coalesce(sum(col("in_vocab")), lit(0)).cast("long").as("covered_tokens"))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") / col("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** The composed curation pipeline — what a user actually runs before
+    * training: exact-dedup survivorship (content-hash group, keep-min)
+    * ∧ the q39 quality verdict, then split assignment for survivors.
+    * Each signal is individually oracle-checked elsewhere (q16/q28,
+    * q39, q41); this query proves the COMPOSITION end to end. One scan
+    * feeds the quality signals; the dup group adds the one shuffle on
+    * the content hash; split is scan-level arithmetic.
+    */
+  def q49CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val docs = table(s, dir, "documents")
+    val keepIds = docs
+      .withColumn("ch", md5(col("text").cast("binary")))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+    keepIds
+      .withColumn("is_dup_loser", col("doc_id") =!= col("keep_id"))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("st",
+        graft.functions.expressions.gram_stats(TextFunctions.tokens(col("text")), 2))
+      .withColumn("predicted", TextFunctions.langId(col("text")))
+      .withColumn("quality_keep",
+        !(col("n_tokens") < 15) &&
+        !(col("st.top_count") * 5 > col("st.total_ngrams")) &&
+        !(col("predicted") === "und"))
+      .withColumn("keep", !col("is_dup_loser") && col("quality_keep"))
+      .withColumn("split",
+        when(col("keep"), Curation.splitAssign(col("doc_id"))).otherwise(lit("dropped")))
+      .select(col("doc_id"), col("is_dup_loser"), col("quality_keep"),
+        col("keep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -857,5 +956,9 @@ object Queries {
     "q43_seq_packing"     -> (q43SeqPacking _),
     "q44_length_quantiles" -> (q44LengthQuantiles _),
     "q45_semantic_dedup"  -> (q45SemanticDedup _),
+    "q46_bigram_commonness" -> (q46BigramCommonness _),
+    "q47_stratified_sample" -> (q47StratifiedSample _),
+    "q48_vocab_coverage"  -> (q48VocabCoverage _),
+    "q49_curation_pipeline" -> (q49CurationPipeline _),
   )
 }
