@@ -67,4 +67,56 @@ object SemDedup {
     val pairs = semanticDupPairs(spark, emb, idCol, vecCol, threshold, nlist, nassign)
     Clusters.dedupClusters(emb, idCol, pairs.select(col("id_a"), col("id_b")))
   }
+
+  // -------------------------------------------------------------------
+  // Incremental form against a STORED index — the operational shape
+  // (the embedding mirror of [[DedupIndex]]): persist the corpus's IVF
+  // state once ([[IvfIndex.saveIndex]]), then check each incoming batch
+  // against it and append what survives ([[IvfIndex.appendToStored]]).
+  // The stored corpus is bucket-pruned and scanned, never shuffled: the
+  // batch routes through the STORED centroids (broadcast reference
+  // object), its (cell, vec) rows broadcast into the candidate join,
+  // and `cell IN (...)` is a literal predicate the bucketed scan prunes
+  // on.
+  // -------------------------------------------------------------------
+
+  /** Semantic-duplicate pairs (new_id, corpus_id, cosine) between an
+    * incoming batch and a stored IVF index.
+    */
+  def semanticDupAgainstStored(spark: SparkSession, table: String, newVecs: DataFrame,
+                               idCol: String, vecCol: String,
+                               threshold: Double = 0.95, nprobe: Int = 2): DataFrame = {
+    val centroidMatrix = IvfIndex.loadCentroids(spark, table)
+    val probed = newVecs
+      .select(col(idCol).as("new_id"), col(vecCol).as("nvec"))
+      .withColumn("cell",
+        explode(graft.functions.expressions.nearest_cells(col("nvec"), centroidMatrix, nprobe)))
+      .persist()
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.table(table).filter(col("cell").isin(cells.toSeq: _*))
+    val out = corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+      .withColumn("cosine", Similarity.cosine(col("cvec"), col("nvec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("cosine"))
+      .persist()
+    out.count()
+    probed.unpersist(blocking = false)
+    out
+  }
+
+  /** The admission filter: the batch minus vectors semantically
+    * duplicating the stored corpus. Compose with [[semanticDupPairs]]
+    * for intra-batch dups, and [[IvfIndex.appendToStored]] to grow the
+    * index with what's admitted.
+    */
+  def admitAgainstStored(spark: SparkSession, table: String, newVecs: DataFrame,
+                         idCol: String, vecCol: String,
+                         threshold: Double = 0.95, nprobe: Int = 2): DataFrame = {
+    val dups = semanticDupAgainstStored(spark, table, newVecs, idCol, vecCol,
+      threshold, nprobe)
+    newVecs.join(dups.select(col("new_id")).distinct(),
+      newVecs(idCol) === col("new_id"), "left_anti")
+  }
 }

@@ -159,6 +159,40 @@ class CurationSpec extends AnyFunSuite {
     (0L until 20L).foreach(i => assert(pairs.contains((i, i + 1000L))))
   }
 
+  test("stored semantic index: admit rejects dups of stored AND appended vectors") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val rnd = new scala.util.Random(17)
+    val corpus = (0L until 150L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val idx = IvfIndex.build(spark, corpus.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nlist = 4, nassign = 2)
+    IvfIndex.saveIndex(spark, idx, "semdedup_spec_idx")
+
+    // day 1: 5 perturbed copies of stored vectors + 5 novel vectors
+    val dupsOfStored = corpus.take(5).map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.0002f)) }
+    val novel = (0 until 5).map(i =>
+      (2000L + i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val day1 = (dupsOfStored ++ novel).toDF("vec_id", "embedding")
+    val admitted = SemDedup.admitAgainstStored(spark, "semdedup_spec_idx", day1,
+        "vec_id", "embedding", threshold = 0.98, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == novel.map(_._1).toSet,
+      s"expected only novel ids admitted, got $admitted")
+
+    // append what survived; day 2 duplicates an appended vector
+    IvfIndex.appendToStored(spark, "semdedup_spec_idx",
+      day1.filter(col("vec_id").isin(admitted.toSeq: _*)),
+      "vec_id", "embedding", nassign = 2)
+    val day2 = Seq((3000L, novel.head._2.map(x => x * 1.0001f)),
+      (3001L, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val admitted2 = SemDedup.admitAgainstStored(spark, "semdedup_spec_idx", day2,
+        "vec_id", "embedding", threshold = 0.98, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted2 == Set(3001L),
+      s"dup of an appended vector must be rejected, got $admitted2")
+  }
+
   test("SemDedup.keep drops exactly one of each planted pair") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
