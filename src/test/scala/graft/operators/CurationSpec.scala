@@ -162,6 +162,20 @@ class CurationSpec extends AnyFunSuite {
   test("stored semantic index: admit rejects dups of stored AND appended vectors") {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse locations persist — clear both before re-creating
+    Seq("semdedup_spec_idx", "semdedup_spec_idx_centroids").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val rnd = new scala.util.Random(17)
     val corpus = (0L until 150L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
     val idx = IvfIndex.build(spark, corpus.toDF("vec_id", "embedding"),
