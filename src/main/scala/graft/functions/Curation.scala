@@ -77,4 +77,22 @@ object Curation {
       .when(b < valUpto, lit("val"))
       .otherwise(lit("test"))
   }
+
+  // -------------------------------------------------------------------
+  // Text normalization — the pass every pipeline runs before anything
+  // hashes, shingles or tokenizes, so dedup keys are whitespace- and
+  // control-char-independent.
+  // -------------------------------------------------------------------
+
+  /** C0/C1 control characters except tab/newline/CR (which the
+    * whitespace collapse handles). Both Java regex and RE2 accept this
+    * class syntax.
+    */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Normalize: strip control chars, collapse all whitespace runs to
+    * one space, trim. Idempotent; pure map work.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, ControlRe, ""), "[ \\t\\n\\r]+", " "))
 }

@@ -274,6 +274,28 @@ object Oracles {
                       greatest(start_tok, seq_id * 128)) AS BIGINT) AS n_tokens
       FROM ex GROUP BY source, seq_id ORDER BY source, seq_id""",
 
+    // q50: DuckDB re-plants the identical damage (chr() for the control
+    // bytes, literal tab/newline in the replacement) and repairs it with
+    // the same two regexes — `restored` certifies byte-exact inversion.
+    "q50_normalize_text" -> """
+      WITH c AS (
+        SELECT doc_id, text,
+               chr(7) || '  ' ||
+               regexp_replace(text, ' the ', ' ' || chr(9) || 'the' || chr(10) || '  ', 'g') ||
+               chr(127) || ' ' AS corrupt
+        FROM documents),
+      n AS (
+        SELECT doc_id, text, corrupt,
+               trim(regexp_replace(regexp_replace(corrupt,
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '[ \t\n\r]+', ' ', 'g')) AS norm
+        FROM c)
+      SELECT doc_id,
+             CAST(length(corrupt) AS BIGINT) AS len_corrupt,
+             CAST(length(norm) AS BIGINT) AS len_norm,
+             md5(norm) = md5(text) AS restored
+      FROM n ORDER BY doc_id""",
+
     // q44: discrete quantiles at explicitly-defined ranks (value at
     // row_number ceil(p*n) under (n_chars, doc_id)) — integer-exact
     // where interpolated quantile_cont would drift in the last ulp.

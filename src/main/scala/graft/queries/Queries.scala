@@ -793,7 +793,10 @@ object Queries {
         transform(col("embedding"),
           (x, i) => x * (lit(1.0f) + (i % 7).cast("float") / 350f)).as("embedding"),
         col("label"))
+    // persist: the unioned+perturbed corpus otherwise re-derives for the
+    // IVF build's count/sample, both self-join sides and both exact legs
     val corpus = emb.select(col("vec_id"), col("embedding"), col("label")).union(planted)
+      .persist()
     val found = graft.operators.SemDedup.semanticDupPairs(s, corpus,
       "vec_id", "embedding", threshold = 0.95, nlist = 16, nassign = 2)
       .select(col("id_a").as("fa"), col("id_b").as("fb"))
@@ -906,6 +909,30 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization ([[graft.functions.Curation.normalizeText]]):
+    * the corpus is pre-clean, so the query plants deterministic damage
+    * (BEL/DEL control chars, tab/newline injections, padding) and
+    * normalizes it back. `restored` asserts md5(normalized) ==
+    * md5(original) per document — the normalizer provably inverts the
+    * damage byte-exactly, and the oracle reproduces both the damage and
+    * the repair. Pure map work, zero shuffle.
+    */
+  def q50NormalizeText(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val corrupt = concat(lit("\u0007  "),
+      regexp_replace(col("text"), " the ", " \tthe\n  "),
+      lit("\u007f "))
+    table(s, dir, "documents")
+      .withColumn("corrupt", corrupt)
+      .withColumn("norm", Curation.normalizeText(col("corrupt")))
+      .select(col("doc_id"),
+        length(col("corrupt")).cast("long").as("len_corrupt"),
+        length(col("norm")).cast("long").as("len_norm"),
+        (md5(col("norm").cast("binary")) === md5(col("text").cast("binary")))
+          .as("restored"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -960,5 +987,6 @@ object Queries {
     "q47_stratified_sample" -> (q47StratifiedSample _),
     "q48_vocab_coverage"  -> (q48VocabCoverage _),
     "q49_curation_pipeline" -> (q49CurationPipeline _),
+    "q50_normalize_text"  -> (q50NormalizeText _),
   )
 }

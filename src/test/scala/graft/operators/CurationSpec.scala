@@ -40,6 +40,24 @@ class CurationSpec extends AnyFunSuite {
     assert(scrub(s) == s)
   }
 
+  test("normalizeText strips control chars, collapses whitespace, is idempotent") {
+    import spark.implicits._
+    val cases = Seq(
+      "\u0007  a\tb\n\n  c\u007f ",   // bell/del + mixed whitespace
+      "already clean text",
+      "\u0001\u0002\u0003",           // control-only → empty
+      "  leading and trailing  ")
+    val out = cases.toDF("t")
+      .select(Curation.normalizeText(col("t")).as("n"),
+        Curation.normalizeText(Curation.normalizeText(col("t"))).as("nn"))
+      .as[(String, String)].collect()
+    assert(out(0)._1 == "a b c")
+    assert(out(1)._1 == "already clean text")
+    assert(out(2)._1 == "")
+    assert(out(3)._1 == "leading and trailing")
+    out.foreach { case (n, nn) => assert(n == nn, "idempotence") }
+  }
+
   test("splitAssign matches a JVM md5 oracle and is deterministic") {
     import spark.implicits._
     val keys = (0L until 2000L).toDF("k")
