@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale claims the docs make:
+  * which key an exchange partitions on is THE 100 TB design decision
+  * (hashes-not-strings, group-key-not-global), so these assertions pin
+  * it. String-level but intentionally narrow: each looks only for the
+  * partitioning key of the relevant exchange.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q46: gram count/join exchanges partition on the 64-bit hash, never the gram string") {
+    val p = plan(graft.queries.Queries.q46BigramCommonness(spark, sf))
+    assert(p.contains("hashpartitioning(gh#"), "expected exchanges keyed on gh")
+    assert(!p.contains("hashpartitioning(gram#"),
+      "gram STRINGS must not ride a shuffle")
+  }
+
+  test("q42: boilerplate exchanges partition on line_hash, never the line text") {
+    val p = plan(graft.queries.Queries.q42LineDedup(spark, sf))
+    assert(p.contains("hashpartitioning(line_hash#"))
+    assert(!p.contains("hashpartitioning(line#"),
+      "line text must not be a shuffle key")
+  }
+
+  test("q43: the only pre-agg exchange is the window's group-key partition") {
+    val p = plan(graft.queries.Queries.q43SeqPacking(spark, sf))
+    assert(p.contains("hashpartitioning(source#"),
+      "window must partition by the pack group key")
+    assert(!p.contains("SinglePartition"),
+      "packing must never funnel through one partition")
+  }
+
+  test("q41/q47/q50: pure curation map work scans only the columns it needs") {
+    val p41 = plan(graft.queries.Queries.q41SplitAssign(spark, sf))
+    assert(p41.contains("ReadSchema: struct<doc_id:bigint>"),
+      "split assignment must prune to doc_id only")
+    val p47 = plan(graft.queries.Queries.q47StratifiedSample(spark, sf))
+    assert(p47.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "stratified sample must prune to (doc_id, lang)")
+  }
+
+  test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",
+      threshold = 0.9, nlist = 4, nassign = 2))
+    assert(!p.contains("CartesianProduct"),
+      "the candidate stage must self-join on cell, not cross-join")
+    // the cell equi-join: shuffled (hashpartitioning on cell) at scale,
+    // or broadcast-converted at tiny SF — either way keyed on cell
+    assert(p.contains("hashpartitioning(cell#") ||
+      "Left keys \\[\\d+\\]: \\[cell#".r.findFirstIn(p).isDefined,
+      "expected the cell equi-join")
+  }
+}
