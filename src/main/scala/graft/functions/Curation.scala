@@ -95,4 +95,43 @@ object Curation {
     */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, ControlRe, ""), "[ \\t\\n\\r]+", " "))
+
+  // -------------------------------------------------------------------
+  // Linear quality-classifier inference (the fastText/logreg-filter
+  // shape used by GPT-3/LLaMA curation: hashed bag-of-words × weight
+  // vector → per-document margin). The weight of a token is a pure
+  // deterministic function of its hash bucket, standing in for a
+  // learned vector: the plumbing under grade-out — per-token bucket
+  // lookup folded into a per-document reduce with zero shuffle — is
+  // exactly what a real hashed linear model runs at 100 TB; swapping
+  // in trained weights replaces `tokenWeight` with a broadcast
+  // bucket→weight array and nothing else moves.
+  // -------------------------------------------------------------------
+
+  /** Signed integer weight in [-128, 127] from the token's 256-way
+    * hash bucket (engine-reproducible: md5 + hex arithmetic).
+    */
+  def tokenWeight(t: Column, salt: String = "clf"): Column =
+    hashBucket256(t, salt) - 128
+
+  /** Per-document classifier margin: Σ tokenWeight over whitespace
+    * tokens. Integer-exact, HOF-composed (one codegen'd pass over the
+    * token array — the groupBy-free shape; no explode, no shuffle).
+    */
+  def classifierMargin(c: Column, salt: String = "clf"): Column =
+    aggregate(TextFunctions.tokens(c), lit(0L),
+      (acc, t) => acc + tokenWeight(t, salt).cast("long"))
+
+  // -------------------------------------------------------------------
+  // Intra-document paragraph dedup — the sub-document pass that strips
+  // boilerplate repeated WITHIN one page (nav blocks, repeated footers)
+  // before any corpus-wide dedup runs. Purely per-document: array ops
+  // inside whole-stage codegen, zero shuffle at any scale.
+  // -------------------------------------------------------------------
+
+  /** Drop repeated paragraphs keeping the first occurrence (Spark's
+    * `array_distinct` preserves first-occurrence order) and rejoin.
+    */
+  def dedupParagraphs(c: Column, delim: String = "\n"): Column =
+    array_join(array_distinct(split(c, java.util.regex.Pattern.quote(delim))), delim)
 }

@@ -210,6 +210,75 @@ object Oracles {
              CAST(sum(hit) AS DOUBLE) / count(*) AS coverage
       FROM j GROUP BY lang ORDER BY lang""",
 
+    // q51: every per-token bucket weight recomputed with md5 hex
+    // arithmetic and re-summed through an explode+groupBy — the hash
+    // match proves Spark's shuffle-free HOF reduce computes the same
+    // margins as the relational formulation.
+    "q51_classifier_score" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substring(md5('clf:' || t), 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substring(md5('clf:' || t), 2, 1)) - 1)
+               - 128 AS wt
+        FROM tok)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(wt) AS BIGINT) AS margin,
+             sum(wt) >= 0 AS keep
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
+
+    // q52: first-occurrence-keep rebuilt with a window over paragraph
+    // ordinals + an ordered string_agg — certifying array_distinct's
+    // ordering contract engine-independently, md5-byte-exact.
+    "q52_para_dedup" -> """
+      WITH c AS (
+        SELECT doc_id, text,
+               text || chr(10) || text || chr(10) || 'END ' || substring(text, 1, 20)
+                 AS corrupt
+        FROM documents),
+      p AS (
+        SELECT doc_id, corrupt, text,
+               unnest(string_split(corrupt, chr(10))) AS para,
+               generate_subscripts(string_split(corrupt, chr(10)), 1) AS i
+        FROM c),
+      k AS (
+        SELECT doc_id, corrupt, text, para, i,
+               min(i) OVER (PARTITION BY doc_id, para) AS first_i
+        FROM p),
+      d AS (
+        SELECT doc_id,
+               CAST(max(i) AS BIGINT) AS n_paras_in,
+               CAST(count(DISTINCT para) AS BIGINT) AS n_paras_out,
+               string_agg(CASE WHEN i = first_i THEN para END, chr(10) ORDER BY i)
+                 AS deduped,
+               any_value(text) AS text
+        FROM k GROUP BY doc_id)
+      SELECT doc_id, n_paras_in, n_paras_out,
+             md5(deduped) AS dedup_md5,
+             deduped = text || chr(10) || 'END ' || substring(text, 1, 20) AS restored
+      FROM d ORDER BY doc_id""",
+
+    // q53: per-source counts + the integer cross-multiply keep rule,
+    // bucket from the same md5 hex arithmetic as q41 — the match proves
+    // the mixing decision is a pure engine-independent function.
+    "q53_source_mix" -> """
+      WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+      t AS (SELECT min(n_source) AS target FROM c),
+      b AS (
+        SELECT doc_id, source,
+               (strpos('0123456789abcdef', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                 AS bucket
+        FROM documents)
+      SELECT b.doc_id, b.source, CAST(c.n_source AS BIGINT) AS n_source,
+             CAST(t.target AS BIGINT) AS target,
+             CAST(b.bucket AS INTEGER) AS bucket,
+             b.bucket * c.n_source < 256 * t.target AS keep
+      FROM b JOIN c ON b.source = c.source CROSS JOIN t
+      ORDER BY b.doc_id""",
+
     // q41: DuckDB reproduces Curation.hashBucket256 — first two hex
     // chars of md5('split:' || id) decoded with strpos arithmetic —
     // proving the split function is engine-independent, which is the

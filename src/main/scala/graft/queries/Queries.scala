@@ -933,6 +933,76 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Linear quality-classifier inference
+    * ([[graft.functions.Curation.classifierMargin]]): hashed
+    * bag-of-words × deterministic weight vector → per-document margin,
+    * keep = margin ≥ 0. The whole pass is one codegen'd HOF reduce over
+    * the token array — no explode, no shuffle; at 100 TB the cost is
+    * the scan. The oracle recomputes every per-token bucket weight with
+    * md5 hex arithmetic, so the hash match proves the inference is
+    * engine-exact end to end.
+    */
+  def q51ClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Curation.classifierMargin(col("text")).as("margin"))
+      .withColumn("keep", col("margin") >= 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document paragraph dedup
+    * ([[graft.functions.Curation.dedupParagraphs]]): the corpus has no
+    * natural newlines, so the query plants repeated-boilerplate damage
+    * (the document body twice + a distinct trailer paragraph) and
+    * strips it back out. `restored` asserts the deduped text equals
+    * body + trailer byte-exactly (md5), and the oracle reproduces the
+    * first-occurrence-keep semantics with a window — certifying
+    * `array_distinct`'s ordering contract cross-engine. Pure per-doc
+    * map work, zero shuffle.
+    */
+  def q52ParaDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val trailer = concat(lit("END "), substring(col("text"), 1, 20))
+    val corrupt = concat_ws("\n", col("text"), col("text"), trailer)
+    val expected = concat_ws("\n", col("text"), trailer)
+    table(s, dir, "documents")
+      .withColumn("corrupt", corrupt)
+      .withColumn("deduped", Curation.dedupParagraphs(col("corrupt")))
+      .select(col("doc_id"),
+        size(split(col("corrupt"), "\n")).cast("long").as("n_paras_in"),
+        size(array_distinct(split(col("corrupt"), "\n"))).cast("long").as("n_paras_out"),
+        md5(col("deduped").cast("binary")).as("dedup_md5"),
+        (col("deduped") === expected).as("restored"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic source mixing: rebalance the corpus so every source
+    * contributes ≈ the smallest source's document count (the Pile-style
+    * downsample-to-target pass). keep ⇔ bucket256(doc_id)·n_source <
+    * 256·target — integer cross-multiply, no float rate anywhere. The
+    * 100 TB shape is the point: per-source counts are a tiny broadcast
+    * aggregate, the keep decision is scan-level arithmetic — no
+    * per-stratum window, no sort, no global ordering (contrast q47's
+    * exact-quota sampler, which pays a per-stratum window for exact
+    * counts).
+    */
+  def q53SourceMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val docs = table(s, dir, "documents")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val target = counts.agg(min(col("n_source")).as("target"))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(target))
+      .withColumn("bucket", Curation.hashBucket256(col("doc_id"), "mix"))
+      .withColumn("keep",
+        col("bucket").cast("long") * col("n_source") < lit(256L) * col("target"))
+      .select(col("doc_id"), col("source"), col("n_source").cast("long").as("n_source"),
+        col("target").cast("long").as("target"), col("bucket"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -988,5 +1058,8 @@ object Queries {
     "q48_vocab_coverage"  -> (q48VocabCoverage _),
     "q49_curation_pipeline" -> (q49CurationPipeline _),
     "q50_normalize_text"  -> (q50NormalizeText _),
+    "q51_classifier_score" -> (q51ClassifierScore _),
+    "q52_para_dedup"      -> (q52ParaDedup _),
+    "q53_source_mix"      -> (q53SourceMix _),
   )
 }

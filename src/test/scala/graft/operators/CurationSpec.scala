@@ -40,6 +40,29 @@ class CurationSpec extends AnyFunSuite {
     assert(scrub(s) == s)
   }
 
+  test("classifierMargin equals a driver-side recompute of bucket weights") {
+    import spark.implicits._
+    def bucket(s: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"clf:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 2), 16)
+    }
+    val docs = Seq("the quick brown fox", "one", "a a a repeated tokens a")
+    val expected = docs.map(_.trim.split("\\s+").map(t => (bucket(t) - 128).toLong).sum)
+    val got = docs.toDF("t")
+      .select(Curation.classifierMargin(col("t")).as("m")).as[Long].collect()
+    assert(got.toSeq == expected)
+  }
+
+  test("dedupParagraphs keeps first occurrences in order, zero shuffle") {
+    import spark.implicits._
+    val df = Seq("a\nb\na\nc\nb\na", "solo", "x\nx").toDF("t")
+      .select(Curation.dedupParagraphs(col("t")).as("d"))
+    assert(df.as[String].collect().toSeq == Seq("a\nb\nc", "solo", "x"))
+    // per-document map work only: no Exchange anywhere in the plan
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("normalizeText strips control chars, collapses whitespace, is idempotent") {
     import spark.implicits._
     val cases = Seq(
