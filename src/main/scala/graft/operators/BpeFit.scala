@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge fitting — the tokenizer-training
+  * step of a pretraining pipeline (Sennrich et al. 2016's algorithm at
+  * corpus scale). [[graft.functions.TextFunctions.bpeishTokens]] applies
+  * a FIXED vocabulary; this operator LEARNS the merge table.
+  *
+  * Scale design (the part that matters at 100 TB): BPE never iterates
+  * over the corpus — it iterates over the word-frequency table. So:
+  *
+  *  - `wordCounts` is the only corpus-sized pass: pre-tokenize, one
+  *    groupBy shuffle on the word string, done. 100 TB of text contracts
+  *    to O(distinct words) rows (~10^8 — still a distributed table, NOT
+  *    driver state).
+  *  - each merge iteration is a flatMap → groupBy-sum over the vocab
+  *    table: pair counts weighted by word frequency. Shuffle payload is
+  *    (left, right, count) — never documents, never the corpus.
+  *  - the argmax is a 1-row collect under the total order
+  *    (count desc, left asc, right asc) — deterministic across
+  *    partitionings and cluster sizes.
+  *  - the learned merge list itself is O(numMerges) driver state — it
+  *    IS the model artifact.
+  *
+  * Each iteration re-materializes the symbolized vocab via
+  * `localCheckpoint` ([[Clusters]]' pattern): without it the plan nests
+  * one map per merge and Catalyst lineage blows up long before data
+  * size matters.
+  */
+object BpeFit {
+
+  /** One learned merge: at `rank`, (`left`,`right`) was the most
+    * frequent adjacent symbol pair, occurring `count` times (weighted
+    * by word frequency).
+    */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** A vocabulary word as its current symbol sequence + corpus count. */
+  final case class SymWord(syms: Seq[String], count: Long)
+
+  /** The corpus-sized pass: pre-tokenize and count distinct words, then
+    * explode each word into single-character symbols. One shuffle, on
+    * the word string.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): Dataset[SymWord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(graft.functions.TextFunctions.bpeishTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .map { case (w, c) => SymWord(w.map(_.toString), c) }
+  }
+
+  /** Left-to-right non-overlapping merge of adjacent (a,b) → a+b —
+    * the standard BPE application rule ("aaa" with merge (a,a) gives
+    * ["aa","a"], not two overlapping pairs).
+    */
+  def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Adjacent-pair counts over the current symbolized vocab, weighted
+    * by word frequency. Overlap-aware: "aaa" contributes 1 to (a,a) per
+    * word occurrence under left-to-right application, so count
+    * non-overlapping occurrences — this keeps the learned `count` equal
+    * to the number of replacements the merge will actually perform.
+    */
+  private def pairCounts(words: Dataset[SymWord]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.flatMap { sw =>
+      val pairs = Seq.newBuilder[(String, String, Long)]
+      var i = 0
+      while (i + 1 < sw.syms.length) {
+        pairs += ((sw.syms(i), sw.syms(i + 1), sw.count))
+        // skip the right symbol if it would start an identical pair:
+        // non-overlapping left-to-right semantics
+        if (i + 2 < sw.syms.length && sw.syms(i) == sw.syms(i + 1) &&
+            sw.syms(i + 1) == sw.syms(i + 2)) i += 2
+        else i += 1
+      }
+      pairs.result()
+    }.toDF("left", "right", "c")
+      .groupBy(col("left"), col("right"))
+      .agg(sum(col("c")).cast("long").as("count"))
+  }
+
+  /** Learn `numMerges` merges. Stops early when no pair reaches
+    * `minCount`. The per-iteration shuffle is vocab-sized; the corpus
+    * is touched exactly once (inside [[wordCounts]], if `docs` came
+    * from there).
+    */
+  def fit(words0: Dataset[SymWord], numMerges: Int, minCount: Long = 2L): Seq[Merge] = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0.localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("count").desc, col("left"), col("right"))
+        .limit(1).as[(String, String, Long)].collect()
+      top.headOption.filter(_._3 >= minCount) match {
+        case Some((a, b, c)) =>
+          rank += 1
+          merges += Merge(rank, a, b, c)
+          val prev = words
+          words = words.map(sw => SymWord(mergePair(sw.syms, a, b), sw.count))
+            .localCheckpoint()
+          prev.unpersist()
+        case None => done = true
+      }
+    }
+    merges.result()
+  }
+
+  /** End-to-end: corpus → merge table, as a DataFrame for the query
+    * surface. `pass` encodes the algorithm's invariant — best-pair
+    * counts are monotone non-increasing (a merged symbol's successor
+    * pairs are bounded by the pair count that formed it) — so a
+    * counting regression flips rows even without an oracle.
+    */
+  def fitTable(spark: SparkSession, docs: DataFrame, textCol: String,
+               numMerges: Int, minCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val merges = fit(wordCounts(docs, textCol), numMerges, minCount)
+    val monotone = merges.sliding(2).forall {
+      case Seq(x, y) => y.count <= x.count
+      case _         => true
+    }
+    merges.map(m => (m.rank, m.left, m.right, m.count, monotone && m.count >= minCount))
+      .toDF("rank", "left", "right", "count", "pass")
+  }
+}

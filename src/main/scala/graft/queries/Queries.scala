@@ -1003,6 +1003,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE tokenizer fitting ([[graft.operators.BpeFit]]): learn the
+    * first 8 merges over the corpus. Rows-only by design (iterative
+    * argmax is not SQL-expressible), but self-asserting: `pass` encodes
+    * the monotone-count invariant (each merge's count ≤ its
+    * predecessor's — a counting/tie-break regression flips it), and the
+    * spec proves exact equality with a sequential reference trainer.
+    * The corpus is touched once (word-count shuffle); every iteration
+    * runs over the vocab table only.
+    */
+  def q54BpeFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeFit.fitTable(s, table(s, dir, "documents"), "text",
+      numMerges = 8, minCount = 2)
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1061,5 +1074,6 @@ object Queries {
     "q51_classifier_score" -> (q51ClassifierScore _),
     "q52_para_dedup"      -> (q52ParaDedup _),
     "q53_source_mix"      -> (q53SourceMix _),
+    "q54_bpe_fit"         -> (q54BpeFit _),
   )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge fitting vs a driver-side sequential reference: the
+  * distributed fit must learn the exact same merge table (pairs, order
+  * AND counts) as a straightforward single-machine BPE trainer using
+  * the same conventions (non-overlapping pair counts, total-order
+  * tie-break count desc / left asc / right asc).
+  */
+class BpeFitSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- independent sequential reference --------------------------------
+
+  private def refPairCounts(words: Map[Seq[String], Long]): Map[(String, String), Long] = {
+    var m = Map.empty[(String, String), Long].withDefaultValue(0L)
+    for ((syms, c) <- words) {
+      var i = 0
+      while (i + 1 < syms.length) {
+        m = m.updated((syms(i), syms(i + 1)), m((syms(i), syms(i + 1))) + c)
+        val tripled = i + 2 < syms.length &&
+          syms(i) == syms(i + 1) && syms(i + 1) == syms(i + 2)
+        i += (if (tripled) 2 else 1)
+      }
+    }
+    m
+  }
+
+  private def refMergeWord(syms: Seq[String], a: String, b: String): Seq[String] = {
+    var out = Vector.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out :+= (a + b); i += 2
+      } else { out :+= syms(i); i += 1 }
+    }
+    out
+  }
+
+  private def refFit(corpus: Seq[String], numMerges: Int,
+                     minCount: Long): Seq[(String, String, Long)] = {
+    val tokRe = "[a-z0-9]+|[^a-z0-9\\s]".r
+    var words: Map[Seq[String], Long] =
+      corpus.flatMap(d => tokRe.findAllIn(d.toLowerCase).toSeq)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString): Seq[String]) -> ws.size.toLong }
+    var merges = Vector.empty[(String, String, Long)]
+    var stop = false
+    while (merges.size < numMerges && !stop) {
+      val pc = refPairCounts(words)
+      val candidates = pc.toSeq.filter(_._2 >= minCount)
+      if (candidates.isEmpty) stop = true
+      else {
+        val ((a, b), c) = candidates.minBy { case ((l, r), n) => (-n, l, r) }
+        merges :+= ((a, b, c))
+        words = words.toSeq.map { case (s, n) => (refMergeWord(s, a, b), n) }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      }
+    }
+    merges
+  }
+
+  // ---- tests -----------------------------------------------------------
+
+  test("mergePair is left-to-right non-overlapping") {
+    assert(BpeFit.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(BpeFit.mergePair(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(BpeFit.mergePair(Seq("l", "o", "w"), "l", "o") == Seq("lo", "w"))
+    assert(BpeFit.mergePair(Seq("x"), "a", "b") == Seq("x"))
+    assert(BpeFit.mergePair(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("distributed fit matches the sequential reference on the classic corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest",
+      "widest widest widest")
+    val got = BpeFit.fit(
+      BpeFit.wordCounts(corpus.toDF("text"), "text"), numMerges = 10, minCount = 2)
+      .map(m => (m.left, m.right, m.count))
+    val want = refFit(corpus, numMerges = 10, minCount = 2)
+    assert(got == want)
+    // sanity on the first merges: 'es' (newest+widest = 9) dominates
+    assert(got.head == (("e", "s", 9L)))
+  }
+
+  test("fit stops early when no pair reaches minCount") {
+    import spark.implicits._
+    val merges = BpeFit.fit(
+      BpeFit.wordCounts(Seq("ab cd ef").toDF("text"), "text"),
+      numMerges = 5, minCount = 2)
+    assert(merges.isEmpty)
+  }
+
+  test("fitTable pass column encodes the monotone-count invariant") {
+    import spark.implicits._
+    val df = BpeFit.fitTable(spark,
+      Seq("aa aa aa bb bb aa", "aa bb aa bb").toDF("text"), "text",
+      numMerges = 4, minCount = 2)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)))
+    val counts = rows.map(_.getLong(3)).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+}
