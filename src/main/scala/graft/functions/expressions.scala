@@ -635,6 +635,183 @@ object CosineSim {
   }
 }
 
+/** Product-quantization encode: split the (optionally unit-normalized)
+  * vector into `m` subvectors and emit, per subspace, the index of the
+  * L2-nearest codebook centroid — one byte each, so a d-dim float
+  * vector compresses to m bytes (d=64 floats = 256 B → 8 B at m=8:
+  * 32×). The codebook tensor (m × ksub × d/m) rides as ONE reference
+  * object, same as [[NearestCells]]' centroid matrix — codegen-safe at
+  * any ksub.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
+                    normalize: Boolean)
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks(0).length <= 256,
+    "pq_encode needs 1..256 centroids per subspace (one byte per code)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float> or array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    PqEncode.compute(input.asInstanceOf[ArrayData], codebooks, isFloat, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqEncode.compute($c, $ref, $isFloat, $normalize)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def unitize(vec: ArrayData, isFloat: Boolean): Array[Double] = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var s = 0.0
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      s += v(i) * v(i)
+      i += 1
+    }
+    if (s > 0.0) {
+      val n = math.sqrt(s)
+      i = 0
+      while (i < dim) { v(i) /= n; i += 1 }
+    }
+    v
+  }
+
+  def compute(vec: ArrayData, books: Array[Array[Array[Double]]],
+              isFloat: Boolean, normalize: Boolean): Array[Byte] = {
+    val v =
+      if (normalize) unitize(vec, isFloat)
+      else {
+        val dim = vec.numElements()
+        val a = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          a(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          i += 1
+        }
+        a
+      }
+    val m = books.length
+    val out = new Array[Byte](m)
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val cents = books(sub)
+      val dsub = cents(0).length
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val ce = cents(c)
+        var d2 = 0.0; var j = 0
+        while (j < dsub && off + j < v.length) {
+          val diff = v(off + j) - ce(j)
+          d2 += diff * diff
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(sub) = (best & 0xFF).toByte
+      off += dsub
+      sub += 1
+    }
+    out
+  }
+}
+
+/** PQ asymmetric-distance computation: approximate dot(query, corpus
+  * vector) from the corpus vector's m-byte code alone — Σ over
+  * subspaces of dot(querySub, codebook[sub][code]). The scan reads
+  * 8-byte codes instead of 256-byte vectors (the 100 TB win: the ANN
+  * scan is IO-bound); compute per pair is the same O(d) as an exact
+  * dot, on reconstructed centroids. Query-side normalization folds the
+  * cosine denominator into the ADC score (corpus side was normalized
+  * before encoding).
+  */
+case class PqAdc(left: Expression, right: Expression,
+                 codebooks: Array[Array[Array[Double]]], normalize: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(FloatType, _) | ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (binary codes, array<float|double> query), got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  private def qIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(codes: Any, qvec: Any): Any =
+    PqAdc.compute(codes.asInstanceOf[Array[Byte]], qvec.asInstanceOf[ArrayData],
+      codebooks, qIsFloat, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.PqAdc.compute($c, $q, $ref, $qIsFloat, $normalize)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def compute(codes: Array[Byte], qvec: ArrayData,
+              books: Array[Array[Array[Double]]], qIsFloat: Boolean,
+              normalize: Boolean): Double = {
+    val q =
+      if (normalize) PqEncode.unitize(qvec, qIsFloat)
+      else {
+        val dim = qvec.numElements()
+        val a = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          a(i) = if (qIsFloat) qvec.getFloat(i).toDouble else qvec.getDouble(i)
+          i += 1
+        }
+        a
+      }
+    val m = math.min(codes.length, books.length)
+    var s = 0.0
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val ce = books(sub)(codes(sub) & 0xFF)
+      var j = 0
+      while (j < ce.length && off + j < q.length) {
+        s += q(off + j) * ce(j)
+        j += 1
+      }
+      off += ce.length
+      sub += 1
+    }
+    s
+  }
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -683,6 +860,17 @@ object expressions {
     GraftBridge.column(GramStats(GraftBridge.expression(tokens), n))
 
   /** Column wrapper for [[CosineSim]]. */
+  /** Column wrapper for [[PqEncode]]. */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]],
+                normalize: Boolean = true): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks, normalize))
+
+  /** Column wrapper for [[PqAdc]]. */
+  def pq_adc(codes: Column, qvec: Column, codebooks: Array[Array[Array[Double]]],
+             normalize: Boolean = true): Column =
+    GraftBridge.column(PqAdc(GraftBridge.expression(codes), GraftBridge.expression(qvec),
+      codebooks, normalize))
+
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -1016,6 +1016,32 @@ object Queries {
     graft.operators.BpeFit.fitTable(s, table(s, dir, "documents"), "text",
       numMerges = 8, minCount = 2)
 
+  /** Product-quantization ANN ([[graft.operators.PqIndex]]) recall@5 vs
+    * brute force: 16-byte codes (16× compression over the 64-dim float
+    * vectors; the synthetic near-uniform embeddings are PQ's worst
+    * case — clustered real corpora compress harder), ADC shortlist +
+    * exact re-rank. Self-asserting like
+    * q23/q33 — deterministic sampled codebook fit ⇒ stable recall; pass
+    * flips if encoding or ADC ranking ever regresses.
+    */
+  def q55PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val model = graft.operators.PqIndex.build(s, emb, "vec_id", "embedding",
+      m = 16, ksub = 256)
+    val approx = graft.operators.PqIndex.searchRerank(model, emb, queries,
+      "vec_id", "embedding", k = 5, refine = 8)
+      .select(col("query_id").as("aq"), col("corpus_id").as("ac"))
+    exact.join(approx, col("query_id") === col("aq") && col("corpus_id") === col("ac"), "left")
+      .groupBy(col("query_id"))
+      .agg((coalesce(sum(when(col("ac").isNotNull, 1).otherwise(0)), lit(0)) / count(lit(1)))
+        .as("recall_at_5"))
+      .transform(meanRecallPass(0.9))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1075,5 +1101,6 @@ object Queries {
     "q52_para_dedup"      -> (q52ParaDedup _),
     "q53_source_mix"      -> (q53SourceMix _),
     "q54_bpe_fit"         -> (q54BpeFit _),
+    "q55_pq_recall"       -> (q55PqRecall _),
   )
 }
