@@ -812,6 +812,47 @@ object PqAdc {
   }
 }
 
+/** Serializable carrier for a Spark sketch BloomFilter: holds the
+  * serialized bytes (what actually ships with the plan / task closure)
+  * and lazily inflates the filter once per executor.
+  */
+final class BloomRef(val bytes: Array[Byte]) extends Serializable {
+  @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+}
+
+/** Bloom-filter membership test for a long key, with the filter as a
+  * plan reference object ([[NearestCells]]' pattern — never N literal
+  * columns, never a UDF). Used to prune an incoming batch's LSH
+  * buckets against a stored corpus's bucket-hash Bloom before any join
+  * touches the stored table: a definite miss (the common case for a
+  * clean batch) drops the row in the scan, and an all-miss batch lets
+  * AQE's empty-relation propagation skip the stored scan entirely.
+  */
+case class BloomContainsLong(child: Expression, bloom: BloomRef)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_long requires bigint, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains_long"
+
+  protected override def nullSafeEval(input: Any): Any =
+    bloom.filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomRef", bloom, "graft.functions.BloomRef")
+    defineCodeGen(ctx, ev, c => s"$ref.filter().mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsLong =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -860,6 +901,10 @@ object expressions {
     GraftBridge.column(GramStats(GraftBridge.expression(tokens), n))
 
   /** Column wrapper for [[CosineSim]]. */
+  /** Column wrapper for [[BloomContainsLong]]. */
+  def bloom_contains_long(key: Column, bloom: BloomRef): Column =
+    GraftBridge.column(BloomContainsLong(GraftBridge.expression(key), bloom))
+
   /** Column wrapper for [[PqEncode]]. */
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]],
                 normalize: Boolean = true): Column =

@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.BloomRef
 import graft.functions.TextFunctions.tokens
-import graft.functions.expressions.{hashed_set, minhash64, shingles_fast, sorted_jaccard}
+import graft.functions.expressions.{bloom_contains_long, hashed_set, minhash64, shingles_fast, sorted_jaccard}
 
 /** Incremental dedup against a STORED corpus — the operational shape of
   * near-dedup at 100 TB. A pipeline doesn't re-LSH its whole corpus for
@@ -23,6 +24,15 @@ import graft.functions.expressions.{hashed_set, minhash64, shingles_fast, sorted
   *  - `admitAgainstStored` is the filter a pipeline actually applies:
   *    the new batch minus anything duplicating the stored corpus
   *    (intra-batch dups are [[Dedup.minhashLSH]]'s job — compose both).
+  *  - a bucket-hash Bloom filter (`<table>_bloom`, built distributed at
+  *    save time, MERGED — never rebuilt — at append time) pre-prunes an
+  *    incoming batch's buckets before any join touches the stored
+  *    table: a definite miss drops the bucket at the batch scan, and a
+  *    fully-clean batch (the common case in steady state) prunes to
+  *    zero buckets, which AQE's empty-relation propagation turns into
+  *    "never scan the stored corpus at all". False positives only cost
+  *    a redundant candidate check — the exact-Jaccard verify stage is
+  *    unchanged.
   *
   * Same signature scheme as [[Dedup.minhashLSH]] (seeded xxhash64
   * MinHash over word shingles), so a batch admitted today and appended
@@ -69,17 +79,42 @@ object DedupIndex {
     */
   def saveCorpus(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                  table: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                 setBuckets: Int = 32): Unit = {
+                 setBuckets: Int = 32, bloomItems: Long = 1L << 22,
+                 bloomFpp: Double = 0.01): Unit = {
     require(k % bands == 0, "bands must divide k")
     val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
-    buckets(sigs, k, bands)
-      .write.mode("overwrite").saveAsTable(s"${table}_buckets")
+    val bk = buckets(sigs, k, bands).persist()
+    bk.write.mode("overwrite").saveAsTable(s"${table}_buckets")
+    writeBloom(spark, table,
+      bk.stat.bloomFilter("band_hash", bloomItems, bloomFpp), bloomItems, bloomFpp)
+    bk.unpersist(blocking = false)
     sigs.select(col("doc_id"), col("hset"))
       .write.mode("overwrite")
       .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${table}_sets")
     sigs.unpersist(blocking = false)
   }
+
+  private def writeBloom(spark: SparkSession, table: String,
+                         bloom: org.apache.spark.util.sketch.BloomFilter,
+                         items: Long, fpp: Double): Unit = {
+    import spark.implicits._
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Seq((bos.toByteArray, items, fpp)).toDF("bloom", "items", "fpp")
+      .write.mode("overwrite").saveAsTable(s"${table}_bloom")
+  }
+
+  /** Stored Bloom + its build parameters, if the corpus has one (older
+    * stored corpora predate the Bloom — everything degrades gracefully
+    * to the un-pruned path).
+    */
+  private def readBloom(spark: SparkSession, table: String): Option[(BloomRef, Long, Double)] =
+    if (!spark.catalog.tableExists(s"${table}_bloom")) None
+    else spark.table(s"${table}_bloom").collect().headOption.map { r =>
+      (new BloomRef(r.getAs[Array[Byte]]("bloom")),
+        r.getAs[Long]("items"), r.getAs[Double]("fpp"))
+    }
 
   /** Append an (admitted) batch's LSH state to the stored tables — the
     * other half of the incremental loop: admit today's batch against the
@@ -93,14 +128,41 @@ object DedupIndex {
                    setBuckets: Int = 32): Unit = {
     require(k % bands == 0, "bands must divide k")
     val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
-    buckets(sigs, k, bands)
-      .write.mode("append").saveAsTable(s"${table}_buckets")
+    val bk = buckets(sigs, k, bands).persist()
+    bk.write.mode("append").saveAsTable(s"${table}_buckets")
+    // merge the batch's Bloom into the stored one (same build params ⇒
+    // compatible bit arrays) — an O(filter bytes) driver op, no rebuild
+    readBloom(spark, table).foreach { case (ref, items, fpp) =>
+      val merged = ref.filter.mergeInPlace(bk.stat.bloomFilter("band_hash", items, fpp))
+      writeBloom(spark, table, merged, items, fpp)
+    }
+    bk.unpersist(blocking = false)
     sigs.select(col("doc_id"), col("hset"))
       .write.mode("append")
       .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${table}_sets")
     sigs.unpersist(blocking = false)
   }
+
+  /** A batch's LSH buckets under the corpus's signature scheme — the
+    * exact rows [[dedupAgainstStored]] probes with (public so specs and
+    * prune-rate monitoring see the same arithmetic).
+    */
+  def batchBuckets(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    buckets(signatures(df, idCol, textCol, k, shingleN), k, bands)
+  }
+
+  /** Prune a batch's buckets to those whose band_hash might exist in
+    * the stored corpus (public so specs and pipelines can observe the
+    * prune rate). Identity when no Bloom is stored.
+    */
+  def bloomPrune(spark: SparkSession, table: String, newBuckets: DataFrame): DataFrame =
+    readBloom(spark, table) match {
+      case Some((ref, _, _)) => newBuckets.filter(bloom_contains_long(col("band_hash"), ref))
+      case None              => newBuckets
+    }
 
   /** Near-duplicate pairs (new_id, corpus_id, jaccard) between an
     * incoming batch and the stored corpus. The stored tables are
@@ -113,8 +175,8 @@ object DedupIndex {
                          k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val newSigs = signatures(newDocs, idCol, textCol, k, shingleN).persist()
-    val newBuckets = buckets(newSigs, k, bands)
-      .withColumnRenamed("doc_id", "new_id")
+    val newBuckets = bloomPrune(spark, table,
+      buckets(newSigs, k, bands).withColumnRenamed("doc_id", "new_id"))
 
     val candidates = spark.table(s"${table}_buckets")
       .join(broadcast(newBuckets), Seq("band", "band_hash"))

@@ -29,6 +29,7 @@ class DedupIndexSpec extends AnyFunSuite {
     try body finally {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sets")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bloom")
     }
 
   private def newBatch = {
@@ -95,6 +96,56 @@ class DedupIndexSpec extends AnyFunSuite {
       val hits = DedupIndex.dedupAgainstStored(spark, tbl, day2, "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(hits == Set((920001L, 910001L)), s"day-2 near-dup caught against day-1 state: $hits")
+    }
+  }
+
+  test("bloom prefilter: clean batch prunes to zero buckets; results unchanged either way") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+      // a fully-fresh batch: every bucket is a definite Bloom miss
+      val clean = Seq(
+        (930001L, "totally novel prose about deep sea hydrothermal vents"),
+        (930002L, "second novel fragment regarding alpine glacier dynamics"))
+        .toDF("doc_id", "text")
+      assert(DedupIndex.dedupAgainstStored(spark, tbl, clean, "doc_id", "text").count() == 0)
+      assert(DedupIndex.bloomPrune(spark, tbl,
+        DedupIndex.batchBuckets(clean, "doc_id", "text")).count() == 0,
+        "a clean batch prunes to zero buckets before any stored-table join")
+      // dirty batch: identical results with the bloom present vs dropped
+      val dirty = newBatch
+      val withBloom = DedupIndex.dedupAgainstStored(spark, tbl, dirty, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.sql(s"DROP TABLE ${tbl}_bloom")
+      val without = DedupIndex.dedupAgainstStored(spark, tbl, dirty, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(withBloom == without, "bloom prune must not change results")
+      assert(withBloom.map(_._1) == Set(900001L, 900002L))
+    }
+  }
+
+  test("bloom prune rate is observable and the append path keeps the filter in sync") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+      val fresh = Seq((940001L, "entirely new content on desert varnish microbiomes today"))
+        .toDF("doc_id", "text")
+      // the fresh batch's buckets all miss the stored bloom
+      val freshBuckets = DedupIndex.batchBuckets(fresh, "doc_id", "text")
+      assert(DedupIndex.bloomPrune(spark, tbl, freshBuckets).count() == 0,
+        "every bucket of a fresh doc is a definite miss")
+      // after appending the fresh doc, its buckets are bloom hits
+      DedupIndex.appendCorpus(spark, fresh, "doc_id", "text", tbl)
+      assert(DedupIndex.bloomPrune(spark, tbl, freshBuckets).count() == freshBuckets.count(),
+        "appended batch's buckets must be present in the merged bloom")
+      // and an exact re-send of the doc is caught through the bloom path
+      val resend = Seq((950001L, "entirely new content on desert varnish microbiomes today"))
+        .toDF("doc_id", "text")
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, resend, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((950001L, 940001L)))
     }
   }
 
