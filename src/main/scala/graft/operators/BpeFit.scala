@@ -125,6 +125,60 @@ object BpeFit {
     merges.result()
   }
 
+  /** Apply a learned merge list to one symbol sequence, in rank order —
+    * the standard BPE segmenter (each merge replayed with the same
+    * non-overlapping left-to-right rule it was counted under, so
+    * encoding a training word reproduces its training segmentation).
+    */
+  def applyMerges(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(syms) { case (s, (a, b)) =>
+      if (s.lengthCompare(2) < 0) s else mergePair(s, a, b)
+    }
+
+  /** Tokenize a corpus with a fitted merge table. The scale shape is a
+    * DICTIONARY encode: the merge loop runs once per DISTINCT word (the
+    * same contraction [[wordCounts]] exploits — 100 TB of text is
+    * ~10^8 distinct words), and documents join the encoded dictionary
+    * by word. Shuffles: one distinct on the word string, one join on
+    * the word string; the merge list is closure-captured driver state
+    * of O(numMerges).
+    *
+    * Output: (doc_id, word_pos, word, bpe) — one row per word
+    * occurrence, `bpe` the word's symbol sequence.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.bpeishTokens(col(textCol))))
+      .select(col("doc_id"), col("pos").as("word_pos"), col("col").as("word"))
+    val dict = words.select(col("word")).distinct().as[String]
+      .map(w => (w, applyMerges(w.map(_.toString), pairs)))
+      .toDF("word", "bpe")
+    words.join(dict, Seq("word"))
+      .select(col("doc_id"), col("word_pos"), col("word"), col("bpe"))
+  }
+
+  /** Per-document token stats for a fitted tokenizer, with the
+    * round-trip invariant as a `pass` column: concatenating each
+    * word's BPE symbols must reproduce the word exactly (a lossy
+    * merge application would flip it). One IEEE division for the
+    * compression ratio.
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge]): DataFrame =
+    encode(docs, idCol, textCol, merges)
+      .withColumn("ok", concat_ws("", col("bpe")) === col("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("bpe"))).cast("long").as("n_bpe_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        min(col("ok")).as("pass"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens"))
+
   /** End-to-end: corpus → merge table, as a DataFrame for the query
     * surface. `pass` encodes the algorithm's invariant — best-pair
     * counts are monotone non-increasing (a merged symbol's successor

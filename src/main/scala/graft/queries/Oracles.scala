@@ -750,5 +750,39 @@ object Oracles {
       FROM documents
       GROUP BY 1
       ORDER BY bucket""",
+
+    // q56: ExactSubstr span dedup — grams rebuilt as strings with the
+    // same 0-based position arithmetic (Spark rides xxhash64 of the
+    // chr(1)-joined gram; equality certifies the hashed path), islands
+    // merged with the same running-max rule, one IEEE division.
+    "q56_span_dedup" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+8)], chr(1)) AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-8)) AS i
+              FROM tok WHERE len(t) >= 8)),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN coalesce(max(pos + 8) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) >= pos THEN 0 ELSE 1 END AS new_span
+        FROM dp),
+      isl2 AS (
+        SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM isl),
+      spans AS (
+        SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e
+        FROM isl2 GROUP BY doc_id, span_id)
+      SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+             CAST(any_value(len(t.t)) AS BIGINT) AS n_tokens,
+             CAST(sum(e - s) AS DOUBLE) / any_value(len(t.t)) AS dup_frac
+      FROM spans sp JOIN tok t ON sp.doc_id = t.doc_id
+      GROUP BY sp.doc_id ORDER BY sp.doc_id""",
   )
 }

@@ -1042,6 +1042,35 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** BPE round-trip ([[graft.operators.BpeFit.encode]]): fit 8 merges,
+    * then tokenize the corpus with them via the dictionary encode
+    * (merge loop per DISTINCT word, join back by word). Rows-only by
+    * design (the iterative fit is not SQL-expressible) but
+    * self-asserting: `pass` is the per-doc round-trip invariant —
+    * concat of every word's BPE symbols must equal the word — and the
+    * spec proves parity with a sequential reference encoder.
+    */
+  def q57BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val merges = graft.operators.BpeFit.fit(
+      graft.operators.BpeFit.wordCounts(docs, "text"), numMerges = 8, minCount = 2)
+    graft.operators.BpeFit.encodeStats(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repeated-substring span dedup ([[graft.operators.SpanDedup]]):
+    * ExactSubstr (Lee et al. 2022) at k=8 tokens — per-doc maximal
+    * duplicated spans, duplicated-token totals and fraction. Spark
+    * rides 64-bit gram hashes; the DuckDB oracle rebuilds the grams as
+    * STRINGS with the same position arithmetic and merges islands with
+    * the same running-max rule — hash equality certifies both the
+    * hashed path and the span-merge window (q37/q42's construction).
+    */
+  def q56SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup.spanStats(
+        table(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1102,5 +1131,7 @@ object Queries {
     "q53_source_mix"      -> (q53SourceMix _),
     "q54_bpe_fit"         -> (q54BpeFit _),
     "q55_pq_recall"       -> (q55PqRecall _),
+    "q56_span_dedup"      -> (q56SpanDedup _),
+    "q57_bpe_encode"      -> (q57BpeEncode _),
   )
 }

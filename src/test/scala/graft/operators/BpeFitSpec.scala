@@ -101,6 +101,45 @@ class BpeFitSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("encode reproduces the sequential segmenter and round-trips") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest",
+      "widest widest widest")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeFit.fit(BpeFit.wordCounts(docs, "text"), 10, 2)
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val got = BpeFit.encode(docs, "doc_id", "text", merges)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("word_pos"),
+        r.getAs[String]("word"), r.getSeq[String](r.fieldIndex("bpe")).toList))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, w, bpe) =>
+      // parity with a driver-side fold over the same merge list
+      assert(bpe == BpeFit.applyMerges(w.map(_.toString), pairs).toList)
+      // lossless: symbols concatenate back to the word
+      assert(bpe.mkString("") == w)
+    }
+    // the training corpus's own words segment to learned symbols, not chars
+    val newest = got.find(_._3 == "newest").get._4
+    assert(newest.length < "newest".length)
+  }
+
+  test("encodeStats pass column is the round-trip invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa bb bb cc")).toDF("doc_id", "text")
+    val merges = BpeFit.fit(BpeFit.wordCounts(docs, "text"), 4, 2)
+    val rows = BpeFit.encodeStats(docs, "doc_id", "text", merges).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Boolean]("pass")))
+    val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("n_words") == 3L)
+    assert(r1.getAs[Long]("n_chars") == 6L)
+  }
+
   test("fitTable pass column encodes the monotone-count invariant") {
     import spark.implicits._
     val df = BpeFit.fitTable(spark,
