@@ -784,5 +784,26 @@ object Oracles {
              CAST(sum(e - s) AS DOUBLE) / any_value(len(t.t)) AS dup_frac
       FROM spans sp JOIN tok t ON sp.doc_id = t.doc_id
       GROUP BY sp.doc_id ORDER BY sp.doc_id""",
+
+    // q58: DSIR importance — bigrams rebuilt as strings (Spark rides
+    // xxhash64), integer masses, one IEEE division.
+    "q58_importance" -> """
+      WITH tok AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, lang, array_to_string(t[(i+1):(i+2)], chr(1)) AS gram
+        FROM (SELECT doc_id, lang, t, unnest(generate_series(0, len(t)-2)) AS i
+              FROM tok WHERE len(t) >= 2)),
+      c AS (
+        SELECT gram, count(*) AS raw_n,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+        FROM g GROUP BY gram)
+      SELECT g.doc_id,
+             CAST(sum(c.tgt_n) AS BIGINT) AS tgt_mass,
+             CAST(sum(c.raw_n) AS BIGINT) AS raw_mass,
+             CAST(sum(c.tgt_n) + 1 AS DOUBLE) / (sum(c.raw_n) + 1) AS importance
+      FROM g JOIN c USING (gram)
+      GROUP BY g.doc_id ORDER BY g.doc_id""",
   )
 }

@@ -1071,6 +1071,19 @@ object Queries {
         table(s, dir, "documents"), "doc_id", "text", k = 8)
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weighting ([[graft.operators.Importance]]):
+    * hashed-bigram target/raw frequency masses against the lang='en'
+    * target slice, add-one ratio as the selection signal. Spark rides
+    * 64-bit bigram hashes; the DuckDB oracle counts bigram STRINGS —
+    * hash equality certifies the hashed feature space (q37/q42/q56's
+    * construction) and the integer masses make the check exact.
+    */
+  def q58ImportanceWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.weights(
+        table(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("lang") === "en")
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1133,5 +1146,6 @@ object Queries {
     "q55_pq_recall"       -> (q55PqRecall _),
     "q56_span_dedup"      -> (q56SpanDedup _),
     "q57_bpe_encode"      -> (q57BpeEncode _),
+    "q58_importance"      -> (q58ImportanceWeights _),
   )
 }
