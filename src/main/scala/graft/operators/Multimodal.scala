@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * width/height/channels and a luminance-histogram feature vector.
   * The AUDIO leg is real for the JDK-supported containers (WAV/AIFF/AU,
   * PCM encodings) via `javax.sound.sampled`: true sample rate, frame
-  * count, channels and a bounded-sample amplitude histogram. VIDEO
-  * decode stays STUBBED (`decodeStub`) — no video codec exists in the
-  * JDK; swapping one in means replacing ONE function whose contract is
-  * `Array[Byte] => features`. Everything around it (the expensive part
-  * at 100 TB: batching, partition sizing, one decoder init per
-  * partition, avoiding per-row JNI setup) is real.
+  * count, channels and a bounded-sample amplitude histogram. The VIDEO
+  * leg is real for the one multi-frame container the JDK can decode —
+  * animated GIF (`decodeVideo`: true width/height/frameCount + a
+  * temporal luminance profile); MP4/WebM and friends have no JDK codec,
+  * and swapping one in means replacing ONE function whose contract is
+  * `Array[Byte] => features`. Everything around the codecs (the
+  * expensive part at 100 TB: batching, partition sizing, one decoder
+  * init per partition, avoiding per-row JNI setup) is shared and real.
   *
   * Scale notes: media blobs must never be shuffled — all feature
   * extraction is mapPartitions on the scan side, and downstream
@@ -38,8 +40,8 @@ object Multimodal {
       byte_length: Int,
       /** Real decode outputs. Images: pixel width/height/components.
         * Audio: width = sample rate (Hz), height = frame count,
-        * channels = channels. -1s when the blob doesn't decode (or
-        * modality is video — stub path). */
+        * channels = channels. Video (animated GIF): pixel width/height,
+        * channels = frame count. -1s when the blob doesn't decode. */
       width: Int,
       height: Int,
       channels: Int,
@@ -47,9 +49,10 @@ object Multimodal {
       feat_entropy_q: Int,
       feature_vec: Array[Float])
 
-  /** Deterministic fake decoder for the modalities whose codecs aren't
-    * available here (audio/video). Derives stable pseudo-features from
-    * the bytes so the plumbing is testable end-to-end.
+  /** Deterministic fake decoder for blobs with no JDK codec (e.g. MP4/
+    * WebM video) and the fallback fingerprint for undecodable bytes.
+    * Derives stable pseudo-features so the plumbing stays testable
+    * end-to-end whatever the corpus contains.
     */
   def decodeStub(content: Array[Byte], dim: Int = 8): (Long, Int, Array[Float]) = {
     var checksum = 1125899906842597L
@@ -153,6 +156,61 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** Real video decode for the one multi-frame container the JDK ships
+    * a codec for: animated GIF via ImageIO's sequence reader. Returns
+    * (width, height, frameCount, temporal luminance profile — the mean
+    * luminance of `dim` evenly spaced frames, normalized to [0,1]), or
+    * None when the bytes aren't a readable GIF. Work is bounded twice
+    * over: at most `dim` frames decode (seek-by-index, not a full
+    * demux) and each frame samples ≤ ~4096 pixels on a uniform grid,
+    * so clip length and resolution never change the cost.
+    */
+  def decodeVideo(content: Array[Byte], dim: Int = 8): Option[(Int, Int, Int, Array[Float])] = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      reader.setInput(iis, false)
+      val nFrames = reader.getNumImages(true)
+      if (nFrames <= 0) None
+      else {
+        val vec = new Array[Float](dim)
+        var w = 0
+        var h = 0
+        var d = 0
+        while (d < dim) {
+          val idx = math.min(nFrames - 1, nFrames.toLong * d / dim).toInt
+          val img = reader.read(idx)
+          w = img.getWidth
+          h = img.getHeight
+          val strideX = math.max(1, w / 64)
+          val strideY = math.max(1, h / 64)
+          var sum = 0L
+          var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) * 299 +
+                      ((rgb >> 8) & 0xFF) * 587 +
+                      (rgb & 0xFF) * 114) / 1000
+              n += 1
+              x += strideX
+            }
+            y += strideY
+          }
+          vec(d) = if (n == 0) 0f else sum.toFloat / n / 255f
+          d += 1
+        }
+        Some((w, h, nFrames, vec))
+      }
+    } catch { case _: Exception => None }
+    finally reader.dispose()
+  }
+
   /** First-channel normalized |sample| of one PCM frame, in [0, 1]. */
   private def sampleValue(frame: Array[Byte], bytesPerSample: Int,
                           fmt: javax.sound.sampled.AudioFormat): Double = {
@@ -189,6 +247,7 @@ object Multimodal {
         val decoded = r.modality match {
           case "image" => decodeImage(r.content, dim)
           case "audio" => decodeAudio(r.content, dim)
+          case "video" => decodeVideo(r.content, dim)
           case _ => None
         }
         decoded match {
@@ -326,6 +385,60 @@ object Multimodal {
           val baos = new java.io.ByteArrayOutputStream()
           AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
           MediaRecord(id, "audio", baos.toByteArray, "audio/wav", "synthetic")
+        }
+      }
+  }
+
+  /** Deterministic synthetic animated-GIF corpus — the video analogue
+    * of [[syntheticImages]]: each document renders to a short
+    * multi-frame grayscale GIF (frame count from the text length,
+    * dimensions from the id, pixels from an (id, frame)-seeded LCG),
+    * encoded with ImageIO's sequence writer on the executors, so the
+    * video decode leg exercises a genuine multi-frame container with
+    * known ground-truth width/height/frameCount.
+    */
+  def syntheticVideo(spark: SparkSession, docs: DataFrame,
+                     idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), length(col(textCol)).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, textLen) =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (textLen % 11)
+          val nFrames = 2 + (textLen % 6)
+          val baos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            // grayscale frames: a GIF palette holds ≤256 colors, and 256
+            // grays fit exactly — no quantizer in the loop
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var seed = (id * 31 + f) * 6364136223846793005L + 1442695040888963407L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                seed = seed * 6364136223846793005L + 1442695040888963407L
+                raster.setSample(x, y, 0, ((seed >>> 32) & 0xFF).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          MediaRecord(id, "video", baos.toByteArray, "image/gif", "synthetic")
         }
       }
   }

@@ -431,16 +431,19 @@ object Queries {
       .orderBy(col("lang"))
 
   /** Multimodal plumbing: binary columns through the batched feature
-    * extractor (image + audio decode REAL; video stays stubbed). */
+    * extractor (image + audio + video decode all REAL — ImageIO,
+    * javax.sound, ImageIO's animated-GIF sequence reader). */
   def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    // deterministic synthetic PNGs + WAVs (real ImageIO / javax.sound
-    // encode), then REAL decode in the per-partition loop: the emitted
-    // dimension stats are ground truth from the generators (audio
-    // min/max width must pin to the fixed 8000 Hz rate), so a decode
+    // deterministic synthetic PNGs + WAVs + animated GIFs (real
+    // executor-side encode), then REAL decode in the per-partition
+    // loop: the emitted dimension stats are ground truth from the
+    // generators (audio min/max width must pin to the fixed 8000 Hz
+    // rate; video channels carry the frame count), so a decode
     // regression (dimension drift, any failed decode) flips rows
     val docs = table(s, dir, "documents")
     val media = Multimodal.syntheticImages(s, docs, "doc_id", "text")
       .union(Multimodal.syntheticAudio(s, docs, "doc_id", "text"))
+      .union(Multimodal.syntheticVideo(s, docs, "doc_id", "text"))
     Multimodal.extractFeatures(s, media)
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),

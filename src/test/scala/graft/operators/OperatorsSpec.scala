@@ -199,6 +199,48 @@ class OperatorsSpec extends AnyFunSuite {
       "amplitude histogram is normalized over sampled frames")
   }
 
+  test("multimodal: REAL ImageIO GIF decode recovers frame count and dims") {
+    // hand-built 3-frame 10×6 animated GIF: black, mid-gray, white
+    val w = 10; val h = 6
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(0, 128, 255).foreach { gray =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, gray)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(11L, "video", baos.toByteArray, "image/gif", "test")))
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.width == w && f.height == h)
+    assert(f.channels == 3, "channels carries the frame count")
+    // temporal profile: dim=8 over 3 frames → indices 0,0,0,1,1,1,2,2
+    assert(f.feature_vec(0) == 0f, "first frames are black")
+    assert(f.feature_vec(7) == 1f, "last frames are white")
+    assert(math.abs(f.feature_vec(3) - 128f / 255f) < 1e-6, "middle frame mid-gray")
+  }
+
+  test("multimodal: synthetic GIF corpus round-trips generator ground truth") {
+    val docs = Seq((1L, "abcde"), (2L, "a longer text body here"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticVideo(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    // generator contract: w = 8 + id % 9, h = 8 + len % 11, frames = 2 + len % 6
+    assert(feats(1L).width == 9 && feats(1L).height == 8 + 5 && feats(1L).channels == 2 + 5 % 6)
+    assert(feats(2L).width == 10 && feats(2L).height == 8 + 23 % 11 && feats(2L).channels == 2 + 23 % 6)
+    assert(feats(3L).width == 11 && feats(3L).height == 8 + 2 && feats(3L).channels == 2 + 2)
+    // audio modality never attempts GIF decode on the same bytes
+    val asAudio = spark.createDataset(Seq(Multimodal.MediaRecord(
+      12L, "audio", feats(1L).feature_vec.map(_.toByte), "audio/wav", "test")))
+    assert(Multimodal.extractFeatures(spark, asAudio).collect().head.width == -1)
+  }
+
   test("gram_stats: repetition counts match the exploded groupBy form") {
     import graft.functions.expressions.gram_stats
     import graft.functions.TextFunctions.tokens
