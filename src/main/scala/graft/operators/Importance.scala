@@ -70,4 +70,60 @@ object Importance {
     weights(docs, idCol, textCol, targetPred)
       .orderBy(col("importance").desc, col("doc_id"))
       .limit(quota)
+
+  // ---- stored-counts form (incremental curation) -----------------------
+  //
+  // The operational shape at 100 TB ([[DedupIndex]]'s pattern): the
+  // reference-corpus count table is fitted ONCE, stored bucketed by
+  // gram_hash, and every incoming crawl batch scores against it with no
+  // rebuild. Because the masses are plain sums, the stored table is
+  // MERGEABLE — appending a new batch's (gram_hash, raw_n, tgt_n) delta
+  // rows is a correct update (Σ over partial-count rows = Σ over the
+  // union corpus), so growing the reference never rewrites it.
+
+  /** Fit and persist the count table through the session catalog,
+    * bucketed by gram_hash so batch-scoring joins need no exchange on
+    * the stored side.
+    */
+  def saveCounts(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, table: String, buckets: Int = 32): Unit =
+    bigramOccurrences(docs, idCol, textCol, targetPred)
+      .groupBy(col("gram_hash"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(col("is_target")).cast("long").as("tgt_n"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "gram_hash").sortBy("gram_hash")
+      .saveAsTable(table)
+
+  /** Append one batch's count delta (same bucket spec — Spark unions
+    * bucketed appends per bucket, so the join-side layout survives).
+    */
+  def appendCounts(docs: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, table: String, buckets: Int = 32): Unit =
+    bigramOccurrences(docs, idCol, textCol, targetPred)
+      .groupBy(col("gram_hash"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(col("is_target")).cast("long").as("tgt_n"))
+      .write.mode("append")
+      .bucketBy(buckets, "gram_hash").sortBy("gram_hash")
+      .saveAsTable(table)
+
+  /** Score an incoming batch against the stored reference counts. The
+    * batch side shuffles by gram_hash to meet the bucketed stored
+    * table; grams the reference has never seen contribute 0 (left
+    * join + coalesce), so scoring is total. `is_target` of the batch
+    * is irrelevant here — the reference distribution is the stored one.
+    */
+  def weightsAgainstStored(spark: org.apache.spark.sql.SparkSession,
+                           table: String, docs: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val grams = bigramOccurrences(docs, idCol, textCol, lit(false))
+      .select(col("doc_id"), col("gram_hash"))
+    grams.join(spark.table(table), Seq("gram_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("tgt_n"), lit(0L))).cast("long").as("tgt_mass"),
+        sum(coalesce(col("raw_n"), lit(0L))).cast("long").as("raw_mass"))
+      .withColumn("importance",
+        (col("tgt_mass") + 1).cast("double") / (col("raw_mass") + 1))
+  }
 }

@@ -54,6 +54,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "stratified sample must prune to (doc_id, lang)")
   }
 
+  test("q56: span-dedup exchanges partition on gram_hash / doc_id, never text") {
+    val p = plan(graft.queries.Queries.q56SpanDedup(spark, sf))
+    assert(p.contains("hashpartitioning(gram_hash#"),
+      "duplicate detection must shuffle on the 64-bit gram hash")
+    assert(p.contains("hashpartitioning(doc_id#"),
+      "span merge must partition by doc_id (parallel across docs)")
+    assert(!p.contains("hashpartitioning(toks#") &&
+      !p.contains("hashpartitioning(text#"),
+      "token/text payloads must not be shuffle keys")
+    assert(!p.contains("SinglePartition"),
+      "no stage may funnel through one partition")
+  }
+
+  test("q58: importance exchanges partition on gram_hash / doc_id only") {
+    val p = plan(graft.queries.Queries.q58ImportanceWeights(spark, sf))
+    assert(p.contains("hashpartitioning(gram_hash#"))
+    assert(p.contains("hashpartitioning(doc_id#"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",
