@@ -1087,6 +1087,33 @@ object Queries {
         targetPred = col("lang") === "en")
       .orderBy(col("doc_id"))
 
+  /** Quantile sketch vs exact — completes the sketch family beside HLL
+    * (q29/q34) and SpaceSaving (q35): Spark's built-in mergeable
+    * Greenwald-Khanna summary (`percentile_approx`, accuracy 100 ⇒
+    * rank error ≤ 1%) per language, bracketed by the EXACT discrete
+    * quantiles at p ± 2% from q44's rank arithmetic. Rows-only (the
+    * sketch is engine-specific) but self-asserting: `pass` flips if
+    * the sketch's median ever leaves its guaranteed rank window.
+    */
+  def q59QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    def exactAt(numer: Int, denom: Int) = // value at rank ceil(p·n), p = numer/denom
+      max(when(col("rn") === floor((col("n") * numer + numer) / lit(denom.toDouble)),
+        col("n_chars")))
+    table(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("sketch_p50"),
+        exactAt(48, 100).as("lo_p48"),
+        exactAt(50, 100).as("exact_p50"),
+        exactAt(52, 100).as("hi_p52"))
+      .withColumn("pass",
+        col("sketch_p50") >= col("lo_p48") && col("sketch_p50") <= col("hi_p52"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1150,5 +1177,6 @@ object Queries {
     "q56_span_dedup"      -> (q56SpanDedup _),
     "q57_bpe_encode"      -> (q57BpeEncode _),
     "q58_importance"      -> (q58ImportanceWeights _),
+    "q59_quantile_sketch" -> (q59QuantileSketch _),
   )
 }
