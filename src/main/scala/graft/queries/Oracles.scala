@@ -785,6 +785,23 @@ object Oracles {
       FROM spans sp JOIN tok t ON sp.doc_id = t.doc_id
       GROUP BY sp.doc_id ORDER BY sp.doc_id""",
 
+    // q60: DuckDB's NATIVE ASOF LEFT JOIN checks AsofJoin's
+    // union-and-carry implementation against an independent
+    // first-class implementation; the right side is tie-regularized
+    // identically on both engines (greatest event_id per (user, ts)).
+    "q60_asof_join" -> """
+      WITH l AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      r AS (
+        SELECT user_id, ts, max(event_id) AS event_id,
+               max_by(value, event_id) AS value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT l.user_id, l.event_id, l.ts, l.value,
+             r.event_id AS r_event_id, r.ts AS r_ts, r.value AS r_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""",
+
     // q58: DSIR importance — bigrams rebuilt as strings (Spark rides
     // xxhash64), integer masses, one IEEE division.
     "q58_importance" -> """

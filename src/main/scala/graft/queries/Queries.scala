@@ -41,7 +41,10 @@ object Queries {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType.typeName match {
       case "long" | "bigint" =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // integer `div`, NOT floor(x / 1000): epoch nanos exceed 2^53,
+        // so double division drifts by hundreds of ns — enough to flip
+        // a microsecond and break hash equality on µs-granular outputs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -1114,6 +1117,25 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** As-of join ([[graft.operators.AsofJoin]]): every purchase picks
+    * the user's latest click at-or-before it — union-and-carry (one
+    * keyed shuffle + one window), never a range scan. The oracle is
+    * DuckDB's NATIVE `ASOF LEFT JOIN` over the same tie-regularized
+    * right side, so the hash match checks this operator against an
+    * independent first-class implementation of the semantics.
+    */
+  def q60AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin.backward(purchases, clicks,
+        keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id", "ts", "value"), tieCol = "event_id")
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1178,5 +1200,6 @@ object Queries {
     "q57_bpe_encode"      -> (q57BpeEncode _),
     "q58_importance"      -> (q58ImportanceWeights _),
     "q59_quantile_sketch" -> (q59QuantileSketch _),
+    "q60_asof_join"       -> (q60AsofJoin _),
   )
 }
