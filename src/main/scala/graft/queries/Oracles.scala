@@ -802,6 +802,37 @@ object Oracles {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id""",
 
+    // q61: the bucketed equi-join form is checked against DuckDB's
+    // plain inequality join over identical click sessions.
+    "q61_range_join" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events),
+      flags AS (
+        SELECT user_id, event_id, sec,
+               CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev WHERE event_type = 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      sess0 AS (
+        SELECT user_id, sec,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flags),
+      sessions AS (
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               min(sec) AS start_sec, max(sec) + 1800 AS end_sec,
+               CAST(count(*) AS BIGINT) AS n_clicks
+        FROM sess0 GROUP BY user_id, session_no)
+      SELECT e.event_id, e.user_id, e.sec,
+             s.session_no AS i_session_no, s.start_sec AS i_start_sec,
+             s.end_sec AS i_end_sec, s.n_clicks AS i_n_clicks
+      FROM ev e JOIN sessions s
+        ON e.user_id = s.user_id AND e.sec BETWEEN s.start_sec AND s.end_sec
+      WHERE e.event_type = 'error'
+      ORDER BY e.event_id""",
+
     // q58: DSIR importance — bigrams rebuilt as strings (Spark rides
     // xxhash64), integer masses, one IEEE division.
     "q58_importance" -> """

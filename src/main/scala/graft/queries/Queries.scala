@@ -1136,6 +1136,39 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Range join ([[graft.operators.RangeJoin]]): each error event maps
+    * to the user's click session whose [start, end] contains it. The
+    * non-equi containment predicate runs as a bucketed EQUI-join
+    * (hour-wide buckets), never a nested loop; the DuckDB oracle runs
+    * the same sessions + a plain inequality join — hash equality
+    * proves the bucketization loses and invents nothing.
+    */
+  def q61RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir).withColumn("sec", col("ts").cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val sessions = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("sec")).as("start_sec"),
+        // the session's influence window: errors within 30 min of the
+        // last click attribute to the session (zero-width single-click
+        // sessions would otherwise make containment vacuous)
+        (max(col("sec")) + 1800L).as("end_sec"),
+        count(lit(1)).as("n_clicks"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    graft.operators.RangeJoin.pointInInterval(errors, sessions,
+        keys = Seq("user_id"), ptCol = "sec",
+        startCol = "start_sec", endCol = "end_sec", bucketWidth = 3600L)
+      .select(col("event_id"), col("user_id"), col("sec"),
+        col("i_session_no"), col("i_start_sec"), col("i_end_sec"), col("i_n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1201,5 +1234,6 @@ object Queries {
     "q58_importance"      -> (q58ImportanceWeights _),
     "q59_quantile_sketch" -> (q59QuantileSketch _),
     "q60_asof_join"       -> (q60AsofJoin _),
+    "q61_range_join"      -> (q61RangeJoin _),
   )
 }
