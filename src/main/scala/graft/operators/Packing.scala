@@ -34,6 +34,44 @@ object Packing {
       .withColumn("last_seq", floor((col("cum_tokens") - 1) / budget))
   }
 
+  /** Overlapping-window chunking — packing's sibling and the
+    * embedding/RAG prep pass: each document yields windows of `size`
+    * tokens every `stride` tokens (stride < size ⇒ overlap), last
+    * window truncated, every token covered. Pure per-row map work —
+    * the chunk positions are closed-form (`transform` over
+    * `sequence`), so there is NO shuffle at all; `chunk_md5`
+    * fingerprints the exact chunk text for byte-level verification.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("n", size_(col("toks")))
+      // m = number of chunks: 1 + ceil((n - size)/stride) when n > size
+      .withColumn("m",
+        when(col("n") <= size, lit(1L))
+          .otherwise(lit(1L) + ceil((col("n") - size) / lit(stride.toDouble)).cast("long")))
+      .select(col("doc_id"), col("toks"),
+        explode(transform(sequence(lit(0L), col("m") - 1), i =>
+          struct(i.as("chunk_id"),
+            (i * stride).as("start_tok"),
+            least(i * stride + size, col("n")).as("end_tok")))).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_id").as("chunk_id"),
+        col("c.start_tok").as("start_tok"),
+        col("c.end_tok").as("end_tok"),
+        (col("c.end_tok") - col("c.start_tok")).as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("c.start_tok") + 1,
+            (col("c.end_tok") - col("c.start_tok")).cast("int")))).as("chunk_md5"))
+  }
+
+  // spark.sql.functions.size, unshadowed from this object's scope
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
   /** Per-sequence manifest: for each (group, seq_id), how many documents
     * land in it, the doc-id span, and the token count it holds (budget
     * for every sequence except each group's last). This is the table a

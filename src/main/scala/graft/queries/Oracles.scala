@@ -833,6 +833,54 @@ object Oracles {
       WHERE e.event_type = 'error'
       ORDER BY e.event_id""",
 
+    // q62: same integer rank arithmetic (cum·B ≥ k·n), same
+    // strictly-greater bucket rule — ties share a bucket on both
+    // engines by construction.
+    "q62_quantile_bins" -> """
+      WITH counts AS (
+        SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars),
+      cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+        FROM counts),
+      th AS (
+        SELECT k, min(v) AS threshold
+        FROM cum, range(1, 10) AS r(k)
+        WHERE cum * 10 >= k * n
+        GROUP BY k),
+      assigned AS (
+        SELECT d.doc_id, d.n_chars,
+               1 + (SELECT count(*) FROM th WHERE d.n_chars > th.threshold)
+                 AS bucket
+        FROM documents d)
+      SELECT CAST(bucket AS INT) AS bucket,
+             count(*) AS n_docs,
+             min(n_chars) AS min_chars,
+             max(n_chars) AS max_chars
+      FROM assigned GROUP BY bucket ORDER BY bucket""",
+
+    // q63: chunk windows rebuilt with the same closed-form positions;
+    // md5 of the 1-based array slice proves the token arithmetic
+    // byte-for-byte.
+    "q63_chunk_manifest" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id, t, len(t) AS n,
+               CASE WHEN len(t) <= 64 THEN 1
+                    ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) END AS m
+        FROM tok),
+      ch AS (
+        SELECT doc_id, n, i AS chunk_id, i * 48 AS start_tok,
+               least(i * 48 + 64, n) AS end_tok, t
+        FROM (SELECT doc_id, t, n, unnest(generate_series(0, m - 1)) AS i FROM m))
+      SELECT doc_id, chunk_id, start_tok, end_tok,
+             end_tok - start_tok AS chunk_tokens,
+             md5(array_to_string(t[(start_tok + 1):end_tok], ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_id""",
+
     // q58: DSIR importance — bigrams rebuilt as strings (Spark rides
     // xxhash64), integer masses, one IEEE division.
     "q58_importance" -> """

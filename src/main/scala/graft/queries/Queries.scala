@@ -1169,6 +1169,34 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Quantile binning ([[graft.operators.Quantiles]]): corpus-wide
+    * length deciles WITHOUT ntile's global sort — groupBy(value) +
+    * threshold broadcast; ties share one bucket by construction (a
+    * pure function of the value), which is exactly what makes the
+    * result engine-independent. Oracle rebuilds thresholds with the
+    * same integer rank arithmetic.
+    */
+  def q62QuantileBins(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.bucketAssign(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", buckets = 10)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bucket"))
+
+  /** Overlapping chunking ([[graft.operators.Packing.chunk]]): 64-token
+    * windows every 48 tokens — the embedding/RAG prep pass. Shuffle-free
+    * map work; `chunk_md5` makes the oracle compare byte-exact on the
+    * chunk text (q40's construction), so the token slice arithmetic is
+    * proven, not just the counts.
+    */
+  def q63ChunkManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunk(
+        table(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1235,5 +1263,7 @@ object Queries {
     "q59_quantile_sketch" -> (q59QuantileSketch _),
     "q60_asof_join"       -> (q60AsofJoin _),
     "q61_range_join"      -> (q61RangeJoin _),
+    "q62_quantile_bins"   -> (q62QuantileBins _),
+    "q63_chunk_manifest"  -> (q63ChunkManifest _),
   )
 }

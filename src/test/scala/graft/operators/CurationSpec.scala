@@ -182,6 +182,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk: overlapping windows cover every token; md5 matches driver slice") {
+    import spark.implicits._
+    // 10 tokens, size 4, stride 3 → chunks [0,4) [3,7) [6,10); 3 tokens → [0,3)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = Packing.chunk(docs, "doc_id", "text", size = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+          r.getAs[String]("chunk_md5")))).toMap
+    assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(got((1L, 0L))._1 == 0 && got((1L, 0L))._2 == 4)
+    assert(got((1L, 2L))._1 == 6 && got((1L, 2L))._2 == 10)
+    // md5 of the exact token slice
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got((1L, 1L))._3 == md5("w4 w5 w6 w7"))
+    assert(got((2L, 0L))._3 == md5("a b c"))
+    // coverage: union of [start,end) is [0,n)
+    val spans1 = got.filter(_._1._1 == 1L).values.map(v => (v._1, v._2)).toSeq.sorted
+    assert(spans1.head._1 == 0 && spans1.last._2 == 10)
+    spans1.sliding(2).foreach { case Seq(a, b) => assert(b._1 <= a._2); case _ => }
+  }
+
   test("semanticDupPairs finds planted perturbed duplicates (recall 1.0)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantilesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("thresholds are the values at ranks ceil(k·n/B)") {
+    // values 1..10, quartiles (B=4): ranks ceil(10k/4) = 3,5,8 → 3,5,8
+    val df = (1 to 10).map(v => (v.toLong, v)).toDF("id", "v")
+    val th = Quantiles.valueThresholds(df, "v", 4)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Int]("threshold")).toMap
+    assert(th == Map(1L -> 3, 2L -> 5, 3L -> 8))
+  }
+
+  test("ties share a bucket; buckets partition the corpus in value order") {
+    // heavy tie on value 5: deciles can't split it
+    val vals = Seq(1, 2, 5, 5, 5, 5, 5, 5, 8, 9)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Quantiles.bucketAssign(df, "v", 10)
+      .collect().map(r => r.getAs[Int]("v") -> r.getAs[Int]("bucket"))
+    val byVal = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(byVal.forall(_._2.size == 1), "equal values must share one bucket")
+    // bucket is monotone in value
+    val ordered = got.distinct.sortBy(_._1).map(_._2).toSeq
+    assert(ordered == ordered.sorted)
+    assert(got.filter(_._1 == 1).head._2 == 1, "smallest value in bucket 1")
+  }
+
+  test("seeded parity with a driver-side sort-based binning") {
+    val rnd = new scala.util.Random(3)
+    val vals = Seq.fill(500)(rnd.nextInt(40))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val buckets = 10
+    val got = Quantiles.bucketAssign(df, "v", buckets)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    // reference: thresholds from the sorted list at ranks ceil(k·n/B)
+    val sorted = vals.sorted
+    val n = sorted.length
+    val th = (1 until buckets).map(k => sorted(((k.toLong * n + buckets - 1) / buckets).toInt - 1))
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val want = 1 + th.count(v > _)
+      assert(got(i.toLong) == want, s"v=$v")
+    }
+  }
+}
