@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-layout-wh").toString)
+    .getOrCreate()
+
+  private def freshTable(prefix: String) = s"$prefix${System.nanoTime()}"
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("partitioned+bucketed write: slice reads prune partitions, id joins skip the stored exchange") {
+    val tbl = freshTable("layout")
+    try {
+      CorpusLayout.writeCurated(docs, tbl,
+        partitionCols = Seq("lang"), bucketCol = "doc_id", buckets = 8)
+
+      // identical content
+      assert(spark.table(tbl).count() == docs.count())
+
+      // 1) partition pruning: the 'en' slice scan filters partitions
+      val slice = CorpusLayout.readSlice(spark, tbl, "lang", "en")
+      val p = slice.queryExecution.explainString(FormattedMode)
+      assert(p.contains("PartitionFilters") && p.contains("lang"),
+        s"expected a partition-pruned scan:\n$p")
+      val enCount = docs.filter(col("lang") === "en").count()
+      assert(slice.count() == enCount)
+
+      // 2) bucketed join: stored side needs no Exchange on doc_id
+      val probe = docs.select(col("doc_id")).limit(10)
+      val joined = spark.table(tbl).join(
+        probe.hint("SHUFFLE_HASH"), Seq("doc_id"))
+      val jp = joined.queryExecution.explainString(FormattedMode)
+      assert(jp.contains("SelectedBucketsCount") || jp.contains("Bucketed: true"),
+        s"stored side should scan bucketed:\n$jp")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("maxRecordsPerFile bounds file sizes") {
+    val tbl = freshTable("layoutsz")
+    try {
+      CorpusLayout.writeCurated(docs, tbl,
+        partitionCols = Seq.empty, bucketCol = "doc_id", buckets = 2,
+        maxRecordsPerFile = 20L)
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+        .filter(col("col_name") === "Location")
+        .collect().head.getString(1).stripPrefix("file:")
+      val files = new java.io.File(loc).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 20, s"${f.getName} holds $n rows > 20")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
