@@ -74,6 +74,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q60: as-of runs as one keyed exchange + window — no nested loop") {
+    val p = plan(graft.queries.Queries.q60AsofJoin(spark, sf))
+    assert(p.contains("hashpartitioning(user_id#"),
+      "union-and-carry must partition by the join key")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must never plan as a nested loop")
+    assert(!p.contains("SinglePartition"),
+      "no global window allowed")
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",

@@ -58,6 +58,41 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(stats(2L) == ((1L, 11L)))
   }
 
+  test("seeded brute-force parity on a repeat-heavy random corpus") {
+    val k = 4
+    val rnd = new scala.util.Random(13)
+    val vocab = Array("a", "b", "c", "d", "e") // tiny vocab → many repeats
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = corpus.toDF("doc_id", "text")
+    val got = SpanDedup.spanStats(df, "doc_id", "text", k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens")))).toMap
+    // brute force: count gram occurrences corpus-wide, mark positions,
+    // merge overlapping/adjacent intervals per doc
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val occ = scala.collection.mutable.Map[Seq[String], Int]().withDefaultValue(0)
+    toks.values.foreach(ts =>
+      ts.sliding(k).filter(_.length == k).foreach(g => occ(g) += 1))
+    toks.foreach { case (id, ts) =>
+      val dupPos = ts.sliding(k).zipWithIndex
+        .filter { case (g, _) => g.length == k && occ(g) >= 2 }
+        .map(_._2).toSeq
+      if (dupPos.isEmpty) assert(!got.contains(id), s"doc $id")
+      else {
+        var spans = List.empty[(Int, Int)]
+        dupPos.foreach { p =>
+          spans match {
+            case (s, e) :: rest if p <= e => spans = (s, math.max(e, p + k)) :: rest
+            case _                        => spans = (p, p + k) :: spans
+          }
+        }
+        val want = (spans.length.toLong, spans.map(x => x._2 - x._1).sum.toLong)
+        assert(got(id) == want, s"doc $id")
+      }
+    }
+  }
+
   test("removeSpans drops all occurrences and preserves unique text") {
     val out = SpanDedup.removeSpans(corpus, "doc_id", "text", k = 8)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
