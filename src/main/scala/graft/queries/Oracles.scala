@@ -881,6 +881,42 @@ object Oracles {
              md5(array_to_string(t[(start_tok + 1):end_tok], ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_id""",
 
+    // q64: the composed normalize → chunk → chunk-dedup pipeline —
+    // q50's normalization fragment + q63's chunk expansion + a
+    // windowed keeper rule, composed exactly as the Spark plan.
+    "q64_rag_prep" -> """
+      WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text,
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '[ \t\n\r]+', ' ', 'g')) AS text
+        FROM documents),
+      tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM n),
+      m AS (
+        SELECT doc_id, t, len(t) AS n,
+               CASE WHEN len(t) <= 64 THEN 1
+                    ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) END AS m
+        FROM tok),
+      ch AS (
+        SELECT doc_id, i AS chunk_id,
+               least(i * 48 + 64, n) - i * 48 AS chunk_tokens,
+               md5(array_to_string(t[(i * 48 + 1):least(i * 48 + 64, n)], ' '))
+                 AS chunk_md5
+        FROM (SELECT doc_id, t, n, unnest(generate_series(0, m - 1)) AS i FROM m)),
+      marked AS (
+        SELECT doc_id, chunk_tokens,
+               count(*) OVER (PARTITION BY chunk_md5) AS occ,
+               row_number() OVER (PARTITION BY chunk_md5
+                 ORDER BY doc_id, chunk_id) AS rn
+        FROM ch)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN occ >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             CAST(sum(CASE WHEN occ >= 2 AND rn > 1 THEN 0 ELSE chunk_tokens END)
+               AS BIGINT) AS kept_chunk_tokens
+      FROM marked GROUP BY doc_id ORDER BY doc_id""",
+
     // q58: DSIR importance — bigrams rebuilt as strings (Spark rides
     // xxhash64), integer masses, one IEEE division.
     "q58_importance" -> """

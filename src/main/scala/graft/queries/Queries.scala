@@ -1197,6 +1197,33 @@ object Queries {
         table(s, dir, "documents"), "doc_id", "text", size = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Composed RAG-prep pipeline: normalize → overlapping chunk →
+    * corpus-wide chunk dedup, ONE plan (q49's construction: each stage
+    * is oracle-checked alone in q50/q63; this proves the composition a
+    * retrieval pipeline actually ships). The dedup rides the chunk
+    * fingerprint (never chunk text); losers are every duplicate
+    * occurrence after the (doc_id, chunk_id)-least keeper.
+    */
+  def q64RagPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Curation.normalizeText(col("text")).as("text"))
+    val chunks = graft.operators.Packing.chunk(docs, "doc_id", "text",
+      size = 64, stride = 48)
+    val byMd5 = Window.partitionBy(col("chunk_md5"))
+    chunks
+      .withColumn("occ", count(lit(1)).over(byMd5))
+      .withColumn("rn", row_number().over(
+        byMd5.orderBy(col("doc_id"), col("chunk_id"))))
+      .withColumn("is_dup_loser", col("occ") >= 2 && col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup_loser"), 1).otherwise(0)).cast("long").as("n_dup_chunks"),
+        sum(when(!col("is_dup_loser"), col("chunk_tokens")).otherwise(0L))
+          .cast("long").as("kept_chunk_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1265,5 +1292,6 @@ object Queries {
     "q61_range_join"      -> (q61RangeJoin _),
     "q62_quantile_bins"   -> (q62QuantileBins _),
     "q63_chunk_manifest"  -> (q63ChunkManifest _),
+    "q64_rag_prep"        -> (q64RagPrep _),
   )
 }
