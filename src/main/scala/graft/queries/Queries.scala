@@ -1224,6 +1224,35 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** SQL-surface parity ([[graft.functions.GraftFunctions]]): the same
+    * custom kernels run once through registered SQL functions and once
+    * through the Column wrappers, compared row-by-row in one plan.
+    * Rows-only (DuckDB has no simhash), but `pass` IS the parity
+    * proof — a registration or argument-wiring regression flips it.
+    */
+  def q65SqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    table(s, dir, "documents").createOrReplaceTempView("g_documents")
+    val viaSql = s.sql("""
+      SELECT doc_id,
+             simhash64(split(lower(text), '\\s+')) AS sh_sql,
+             gram_stats(split(lower(text), '\\s+'), 2).total_ngrams AS tg_sql
+      FROM g_documents""")
+    import graft.functions.expressions._
+    val toks = split(lower(col("text")), "\\s+")
+    val viaDf = table(s, dir, "documents")
+      .select(col("doc_id"), simhash64(toks).as("sh_df"),
+        gram_stats(toks, 2).getField("total_ngrams").as("tg_df"))
+    viaSql.join(viaDf, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sh_sql") === col("sh_df"), 1).otherwise(0)).cast("long")
+          .as("n_sh_match"),
+        sum(when(col("tg_sql") === col("tg_df"), 1).otherwise(0)).cast("long")
+          .as("n_tg_match"))
+      .withColumn("pass",
+        col("n_docs") === col("n_sh_match") && col("n_docs") === col("n_tg_match"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1293,5 +1322,6 @@ object Queries {
     "q62_quantile_bins"   -> (q62QuantileBins _),
     "q63_chunk_manifest"  -> (q63ChunkManifest _),
     "q64_rag_prep"        -> (q64RagPrep _),
+    "q65_sql_functions"   -> (q65SqlFunctions _),
   )
 }
