@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation column builders a training-data pipeline runs before
@@ -65,6 +65,36 @@ object Curation {
   def hashBucket256(key: Column, salt: String): Column = {
     val h = md5(concat(lit(salt + ":"), key.cast("string")).cast("binary"))
     conv(substring(h, 1, 2), 16, 10).cast("int")
+  }
+
+  /** Data-recipe epoch expansion — the source-upsampling pass of a
+    * pretraining mixture (wiki ×2.5, web ×1, code ×0.5 …): emit one
+    * row per (doc, epoch) instance. Epoch factors are FIXED-POINT in
+    * 1/256ths (`epochs256 = 640` ⇒ 2.5 epochs): every doc gets
+    * `epochs256 div 256` full copies, plus one more iff its
+    * [[hashBucket256]] < `epochs256 mod 256` — so fractional epochs
+    * (and sub-1 downsampling) are exact in expectation, deterministic
+    * per document, and engine-reproducible (no RNG, no float rate;
+    * q41/q53's arithmetic). Pure scan-level work: one broadcast join
+    * of the (tiny) recipe + a closed-form explode.
+    */
+  def epochExpand(docs: DataFrame, idCol: String, sourceCol: String,
+                  epochs256: Map[String, Int],
+                  salt: String = "epoch"): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val recipe = spark.createDataFrame(
+        epochs256.toSeq.map { case (s, e) => (s, e / 256, e % 256) })
+      .toDF(sourceCol, "__full", "__rem")
+    docs.join(broadcast(recipe), Seq(sourceCol))
+      .withColumn("__n", col("__full") +
+        when(hashBucket256(col(idCol), salt) < col("__rem"), 1).otherwise(0))
+      // guard the zero-copy case: Spark's sequence(1, 0) yields a
+      // DESCENDING [1, 0], not empty — downsampled docs must vanish
+      .withColumn("epoch_no", explode(
+        when(col("__n") >= 1, sequence(lit(1), col("__n")))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__full", "__rem", "__n")
   }
 
   /** Split label from cumulative per-256 bucket thresholds, e.g.

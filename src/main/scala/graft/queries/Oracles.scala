@@ -917,6 +917,32 @@ object Oracles {
                AS BIGINT) AS kept_chunk_tokens
       FROM marked GROUP BY doc_id ORDER BY doc_id""",
 
+    // q66: the same md5 bucket (q41's strpos arithmetic) and integer
+    // div/mod fixed-point expansion, instance-for-instance.
+    "q66_epoch_expand" -> """
+      WITH recipe AS (
+        SELECT 'src' || CAST(i AS VARCHAR) AS source,
+               CASE WHEN i = 0 THEN 640 WHEN i = 1 THEN 256
+                    WHEN i = 2 THEN 128 ELSE 320 END AS e256
+        FROM range(0, 20) AS r(i)),
+      b AS (
+        SELECT d.doc_id, d.source, r.e256,
+               (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS bucket
+        FROM (SELECT doc_id, source,
+                     md5('epoch:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents) d
+        JOIN recipe r USING (source)),
+      n AS (
+        SELECT doc_id, source,
+               e256 // 256 + CASE WHEN bucket < e256 % 256 THEN 1 ELSE 0 END
+                 AS n_copies
+        FROM b)
+      SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT)
+               AS epoch_no
+      FROM n WHERE n_copies > 0
+      ORDER BY doc_id, epoch_no""",
+
     // q58: DSIR importance — bigrams rebuilt as strings (Spark rides
     // xxhash64), integer masses, one IEEE division.
     "q58_importance" -> """

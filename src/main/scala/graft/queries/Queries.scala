@@ -1253,6 +1253,22 @@ object Queries {
         col("n_docs") === col("n_sh_match") && col("n_docs") === col("n_tg_match"))
   }
 
+  /** Data-recipe epoch expansion ([[graft.functions.Curation
+    * .epochExpand]]): fixed-point source upsampling — src0 ×2.5
+    * (640/256), src1 ×1, src2 ×0.5 (downsample), everything else ×1.25
+    * (320/256). The oracle recomputes the md5 bucket and the same
+    * integer div/mod expansion; hash equality proves every (doc,
+    * epoch) instance, not just the counts.
+    */
+  def q66EpochExpand(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Curation.epochExpand(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        epochs256 = (0 until 20).map(i => s"src$i" -> 320).toMap ++
+          Map("src0" -> 640, "src1" -> 256, "src2" -> 128))
+      .select(col("doc_id"), col("source"), col("epoch_no"))
+      .orderBy(col("doc_id"), col("epoch_no"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1323,5 +1339,6 @@ object Queries {
     "q63_chunk_manifest"  -> (q63ChunkManifest _),
     "q64_rag_prep"        -> (q64RagPrep _),
     "q65_sql_functions"   -> (q65SqlFunctions _),
+    "q66_epoch_expand"    -> (q66EpochExpand _),
   )
 }

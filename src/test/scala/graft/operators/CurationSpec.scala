@@ -182,6 +182,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("epochExpand: fixed-point copies match a JVM md5 oracle, incl. downsampling") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    // a ×2.25 (576/256), b ×0.5 (128/256)
+    val got = graft.functions.Curation.epochExpand(docs, "doc_id", "source",
+        Map("a" -> 576, "b" -> 128))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("epoch_no")))
+    val perDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    def bucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"epoch:$id".getBytes("UTF-8"))
+      ((h(0) & 0xFF))
+    }
+    (1L to 200L).foreach { id =>
+      val (full, rem) = if (id % 2 == 0) (2, 64) else (0, 128)
+      val want = full + (if (bucket(id) < rem) 1 else 0)
+      assert(perDoc.getOrElse(id, 0) == want, s"doc $id bucket ${bucket(id)}")
+    }
+    // epoch numbering is 1..n with no gaps
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("chunk: overlapping windows cover every token; md5 matches driver slice") {
     import spark.implicits._
     // 10 tokens, size 4, stride 3 → chunks [0,4) [3,7) [6,10); 3 tokens → [0,3)
