@@ -112,7 +112,7 @@ class Ledger(spark: SparkSession, dir: String) {
   private val seqCounter = {
     def maxSeq(exists: Boolean, read: () => DataFrame): Long =
       if (!exists) 0L
-      else read().agg(max($"seq")).head.get(0) match {
+      else read().agg(max($"seq")).head().get(0) match {
         case l: java.lang.Long => l.longValue()
         case _ => 0L
       }
