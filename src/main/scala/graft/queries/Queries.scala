@@ -1269,6 +1269,38 @@ object Queries {
       .select(col("doc_id"), col("source"), col("epoch_no"))
       .orderBy(col("doc_id"), col("epoch_no"))
 
+  /** Tokenize-then-pack, end to end: fit BPE merges, tokenize via the
+    * dictionary encode, pack the REAL per-doc BPE token counts into
+    * 256-token sequences per source — the last batch-prep step before
+    * training. Rows-only (BPE is not SQL-expressible) but doubly
+    * self-asserting per source: packed tokens must equal tokenized
+    * tokens exactly (nothing lost or invented at sequence boundaries),
+    * and every sequence except the last must hold exactly the budget.
+    */
+  def q67TokenizePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val merges = graft.operators.BpeFit.fit(
+      graft.operators.BpeFit.wordCounts(docs, "text"), numMerges = 8, minCount = 2)
+    val counts = graft.operators.BpeFit.encodeStats(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val withSource = docs.select(col("doc_id"), col("source"))
+      .join(counts, Seq("doc_id"))
+    val packed = graft.operators.Packing.packManifest(withSource,
+      groupCols = Seq("source"), orderCol = "doc_id",
+      tokenCol = "n_bpe_tokens", budget = 256)
+    val docTotals = withSource.groupBy(col("source"))
+      .agg(sum(col("n_bpe_tokens")).cast("long").as("doc_tokens"))
+    packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("packed_tokens"),
+        sum(when(col("n_tokens") === 256, 1).otherwise(0)).cast("long").as("n_full"))
+      .join(docTotals, Seq("source"))
+      .withColumn("pass",
+        col("packed_tokens") === col("doc_tokens") &&
+          col("n_full") >= col("n_seqs") - 1)
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1340,5 +1372,6 @@ object Queries {
     "q64_rag_prep"        -> (q64RagPrep _),
     "q65_sql_functions"   -> (q65SqlFunctions _),
     "q66_epoch_expand"    -> (q66EpochExpand _),
+    "q67_tokenize_pack"   -> (q67TokenizePack _),
   )
 }
