@@ -64,6 +64,29 @@ class Ledger(spark: SparkSession, dir: String) {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** A stop() that interrupts an in-flight append can leave the log dir
+    * existing but holding only uncommitted droppings (_temporary, no
+    * parquet footer anywhere). `spark.read.parquet` on such a dir throws
+    * UNABLE_TO_INFER_SCHEMA — from the CONSTRUCTOR's seq resume, which
+    * would brick pipeline restart (the exact recovery moment the
+    * interrupted append makes inevitable). A log counts as present only
+    * when at least one committed parquet file exists; the listing is
+    * metadata-only and the log's file count is bounded by compaction.
+    */
+  private def hasData(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val f = fs(hp)
+    // listStatus recursion, not listFiles(recursive): the flat iterator
+    // resolves child paths through the default FS and breaks on wrapper
+    // filesystems (LedgerCrashSpec's fault-injecting scheme)
+    def anyParquet(d: org.apache.hadoop.fs.Path): Boolean =
+      f.listStatus(d).exists { s =>
+        if (s.isFile) s.getPath.getName.endsWith(".parquet")
+        else s.getPath.getName != "_temporary" && anyParquet(s.getPath)
+      }
+    f.exists(hp) && anyParquet(hp)
+  }
+
   private def fs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -117,8 +140,8 @@ class Ledger(spark: SparkSession, dir: String) {
         case _ => 0L
       }
     new java.util.concurrent.atomic.AtomicLong(math.max(
-      maxSeq(pathExists(batchDir), () => batchLog.toDF()),
-      maxSeq(pathExists(fileDir), () => fileLog.toDF())))
+      maxSeq(hasData(batchDir), () => batchLog.toDF()),
+      maxSeq(hasData(fileDir), () => fileLog.toDF())))
   }
 
   def appendBatch(rec: BatchRecord, reason: String = ""): Unit =
@@ -182,13 +205,13 @@ class Ledger(spark: SparkSession, dir: String) {
     * history".
     */
   def batchLog: Dataset[BatchLedgerEvent] =
-    if (pathExists(batchDir))
+    if (hasData(batchDir))
       withDefault(spark.read.parquet(batchDir), "seq", lit(0L).cast("long"))
         .as[BatchLedgerEvent]
     else spark.emptyDataset[BatchLedgerEvent]
 
   def fileLog: Dataset[FileLedgerEvent] =
-    if (pathExists(fileDir)) {
+    if (hasData(fileDir)) {
       val raw = spark.read.parquet(fileDir)
       withDefault(withDefault(raw, "seq", lit(0L).cast("long")),
         "deleted", lit(false)).as[FileLedgerEvent]

@@ -84,9 +84,19 @@ class PipelineRestartSpec extends AnyFunSuite {
       assert(rs.getLong(1) == (1 + 2 + 3) + (4 + 5 + 6) + (13 + 14 + 15),
         "the rewritten content of the processed path must never land")
 
+      // ledger appends land AFTER the JDBC commit and can be interrupted
+      // by stop() (benign — the restart replays them), so poll with a
+      // catch like PipelineSpec does rather than asserting immediately
       val ledger = new Ledger(spark, ledgerDir)
-      assert(ledger.processedFiles.count() == 2, "one ledger row per path")
-      assert(ledger.queryBatches("complete").count() == 2)
+      def filesCount(): Long =
+        try ledger.processedFiles.count() catch { case _: Throwable => 0L }
+      def completeCount(): Long =
+        try ledger.queryBatches("complete").count() catch { case _: Throwable => 0L }
+      val ledgerDeadline = System.currentTimeMillis() + 60000
+      while ((filesCount() < 2 || completeCount() < 2) &&
+             System.currentTimeMillis() < ledgerDeadline) Thread.sleep(500)
+      assert(filesCount() == 2, "one ledger row per path")
+      assert(completeCount() == 2)
     } finally q2.stop()
   }
 }
