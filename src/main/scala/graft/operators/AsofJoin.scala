@@ -35,27 +35,38 @@ object AsofJoin {
     * @param tieCol right-side tie-breaker on equal (key, ts) — the row
     *               with the greatest value wins.
     */
+  /** @param tolerance max |left.ts − right.ts| to accept (pandas
+    *                   merge_asof's `tolerance`), in the ts column's
+    *                   integral unit — native units for long columns,
+    *                   whole seconds for timestamps: a match staler
+    *                   than this yields nulls, same as no match. None =
+    *                   any age. Applied AFTER the carry, so it costs
+    *                   one scan-level comparison, not a different join.
+    */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String], tieCol: String,
-               prefix: String = "r_"): DataFrame =
-    join(left, right, keys, tsCol, payload, tieCol, prefix, fwd = false)
+               prefix: String = "r_", tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, tsCol, payload, tieCol, prefix, fwd = false, tolerance)
 
   /** Forward as-of: earliest right row with `right.ts >= left.ts`. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               tsCol: String, payload: Seq[String], tieCol: String,
-              prefix: String = "r_"): DataFrame =
-    join(left, right, keys, tsCol, payload, tieCol, prefix, fwd = true)
+              prefix: String = "r_", tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, tsCol, payload, tieCol, prefix, fwd = true, tolerance)
 
   private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
                    tsCol: String, payload: Seq[String], tieCol: String,
-                   prefix: String, fwd: Boolean): DataFrame = {
+                   prefix: String, fwd: Boolean,
+                   tolerance: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "payload columns required")
     val leftRest = left.columns.toSeq.filterNot(keys.contains)
 
-    // regularize right ties: one row per (keys, ts), greatest tieCol wins
+    // regularize right ties: one row per (keys, ts), greatest tieCol
+    // wins; the struct carries the matched ts for the tolerance gate
     val rightOne = right
       .groupBy((keys :+ tsCol).map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(tieCol)).as("__r"))
+      .agg(max_by(struct(col(tsCol).as("__rts") +: payload.map(col): _*),
+        col(tieCol)).as("__r"))
 
     val rSide = rightOne.select(
       (keys.map(col) :+ col(tsCol).as("__ts") :+ lit(0).as("__side") :+ col("__r")) ++
@@ -73,8 +84,15 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lSide.unionByName(rSide)
+    val carried = lSide.unionByName(rSide)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val gated = tolerance match {
+      case Some(tol) => carried.withColumn("__m",
+        when(abs(col("__ts").cast("long") -
+          col("__m").getField("__rts").cast("long")) <= tol, col("__m")))
+      case None => carried
+    }
+    gated
       .filter(col("__side") === 1)
       .select(keys.map(col) ++ leftRest.map(col) ++
         payload.map(p => col("__m").getField(p).as(prefix + p)): _*)

@@ -71,6 +71,37 @@ object Importance {
       .orderBy(col("importance").desc, col("doc_id"))
       .limit(quota)
 
+  /** The two-corpus form — DSIR's actual setup: the target distribution
+    * comes from a SEPARATE corpus (the high-quality set you want more
+    * of), not a predicate over the raw one. Raw counts aggregate over
+    * `docs`, target counts over `target`; a full outer merge of the two
+    * count tables scores every gram (a raw-only gram has tgt_n = 0 — the
+    * signal; a target-only gram never matches a doc occurrence and
+    * drops out naturally). When `target` IS a subset of `docs`, this
+    * reduces to [[weights]] with the membership predicate — spec-proven.
+    */
+  def weightsVsCorpus(docs: DataFrame, idCol: String, textCol: String,
+                      target: DataFrame, targetIdCol: String,
+                      targetTextCol: String): DataFrame = {
+    val rawGrams = bigramOccurrences(docs, idCol, textCol, lit(false))
+      .select(col("doc_id"), col("gram_hash"))
+    val rawCounts = rawGrams.groupBy(col("gram_hash"))
+      .agg(count(lit(1)).as("raw_n"))
+    val tgtCounts = bigramOccurrences(target, targetIdCol, targetTextCol, lit(false))
+      .groupBy(col("gram_hash"))
+      .agg(count(lit(1)).as("tgt_n"))
+    val counts = rawCounts.join(tgtCounts, Seq("gram_hash"), "full_outer")
+      .select(col("gram_hash"),
+        coalesce(col("raw_n"), lit(0L)).as("raw_n"),
+        coalesce(col("tgt_n"), lit(0L)).as("tgt_n"))
+    rawGrams.join(counts, Seq("gram_hash"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tgt_n")).cast("long").as("tgt_mass"),
+        sum(col("raw_n")).cast("long").as("raw_mass"))
+      .withColumn("importance",
+        (col("tgt_mass") + 1).cast("double") / (col("raw_mass") + 1))
+  }
+
   // ---- stored-counts form (incremental curation) -----------------------
   //
   // The operational shape at 100 TB ([[DedupIndex]]'s pattern): the

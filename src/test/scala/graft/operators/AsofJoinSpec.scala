@@ -55,6 +55,17 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(m(2L) == Some(999L), "the tie row with greatest rid must win")
   }
 
+  test("tolerance nulls stale matches without changing fresh ones") {
+    val m = AsofJoin.backward(left, right, Seq("k"), "t", Seq("rid", "px"),
+        "rid", tolerance = Some(3L))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("r_rid"))).toMap
+    assert(m(1L) == Some(101L)) // t=10 vs 10: age 0 ≤ 3
+    assert(m(2L) == None)       // t=20 vs 15: age 5 > 3 → nulled
+    assert(m(4L) == Some(105L)) // t=100 vs 100: age 0
+    assert(m(5L) == None)
+  }
+
   test("matches pandas-merge_asof-style brute force on a seeded corpus") {
     val rnd = new scala.util.Random(7)
     val l = (1 to 200).map(i => (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))

@@ -44,6 +44,31 @@ class ImportanceSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L)) // 0.8, 0.75 — the two target-like docs
   }
 
+  test("weightsVsCorpus reduces to the predicate form when target ⊆ corpus") {
+    val viaPred = Importance.weights(docs, "doc_id", "text", col("lang") === "t")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tgt_mass"), r.getAs[Long]("raw_mass")))).toMap
+    val viaCorpus = Importance.weightsVsCorpus(docs, "doc_id", "text",
+        docs.filter(col("lang") === "t"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tgt_mass"), r.getAs[Long]("raw_mass")))).toMap
+    assert(viaPred == viaCorpus)
+  }
+
+  test("weightsVsCorpus with a disjoint target: external grams score, alien grams drop") {
+    // external target shares gram (a,b) with the corpus and adds (q,z)
+    val target = Seq((100L, "a b a b"), (101L, "q z")).toDF("t_id", "t_text")
+    val w = Importance.weightsVsCorpus(docs, "doc_id", "text",
+        target, "t_id", "t_text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tgt_mass"), r.getAs[Long]("raw_mass")))).toMap
+    // target counts: (a,b) ×2, (b,a) ×1, (q,z) ×1 — corpus raw unchanged
+    // doc1 grams (a,b)(b,c): tgt 2+0, raw 3+1
+    assert(w(1L) == ((2L, 4L)))
+    // doc4 grams (x,y)(y,x)(x,y): tgt 0, raw 7 — (q,z) never matches
+    assert(w(4L) == ((0L, 7L)))
+  }
+
   test("docs without bigrams are excluded, single-token docs don't crash") {
     val d = Seq((1L, "t", "solo"), (2L, "t", "a b")).toDF("doc_id", "lang", "text")
     val w = Importance.weights(d, "doc_id", "text", col("lang") === "t")
