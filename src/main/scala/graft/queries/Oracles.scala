@@ -802,6 +802,33 @@ object Oracles {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id""",
 
+    // q68: the tolerance gate as a CASE over the native ASOF match,
+    // integer epoch-second arithmetic (q60's construction otherwise).
+    "q68_asof_tolerance" -> """
+      WITH l AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      r AS (
+        SELECT user_id, ts, max(event_id) AS event_id,
+               max_by(value, event_id) AS value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      j AS (
+        SELECT l.user_id, l.event_id, l.ts, l.value,
+               r.event_id AS re, r.value AS rv, r.ts AS rts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+      g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN rts IS NOT NULL AND
+                    abs(CAST(floor(epoch(ts)) AS BIGINT) -
+                        CAST(floor(epoch(rts)) AS BIGINT)) <= 3600
+                    THEN 1 ELSE 0 END AS fresh,
+               re, rv
+        FROM j)
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN fresh = 1 THEN re END AS r_event_id,
+             CASE WHEN fresh = 1 THEN rv END AS r_value
+      FROM g ORDER BY event_id""",
+
     // q61: the bucketed equi-join form is checked against DuckDB's
     // plain inequality join over identical click sessions.
     "q61_range_join" -> """

@@ -1301,6 +1301,24 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** q60 with a freshness SLA: matches staler than one hour null out
+    * (merge_asof `tolerance`). The oracle applies the same gate as a
+    * CASE over DuckDB's native ASOF match — integer epoch-second
+    * arithmetic on both sides.
+    */
+  def q68AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin.backward(purchases, clicks,
+        keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("event_id", "value"), tieCol = "event_id",
+        tolerance = Some(3600L))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1373,5 +1391,6 @@ object Queries {
     "q65_sql_functions"   -> (q65SqlFunctions _),
     "q66_epoch_expand"    -> (q66EpochExpand _),
     "q67_tokenize_pack"   -> (q67TokenizePack _),
+    "q68_asof_tolerance"  -> (q68AsofTolerance _),
   )
 }

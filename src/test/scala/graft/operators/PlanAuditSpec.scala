@@ -84,6 +84,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "no global window allowed")
   }
 
+  test("q63: chunking is shuffle-free map work (only the output sort exchanges)") {
+    val p = plan(graft.queries.Queries.q63ChunkManifest(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      "chunk expansion must not hash-shuffle anything")
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",
