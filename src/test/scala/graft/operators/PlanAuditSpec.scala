@@ -90,6 +90,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "chunk expansion must not hash-shuffle anything")
   }
 
+  test("q66: the recipe joins broadcast; expansion adds no hash shuffle") {
+    val p = plan(graft.queries.Queries.q66EpochExpand(spark, sf))
+    assert(p.contains("BroadcastExchange"),
+      "the 20-row recipe must broadcast")
+    assert(!p.contains("hashpartitioning"),
+      "epoch expansion is scan-level work — no hash exchange allowed")
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",
