@@ -77,16 +77,23 @@ object Curation {
     * per document, and engine-reproducible (no RNG, no float rate;
     * q41/q53's arithmetic). Pure scan-level work: one broadcast join
     * of the (tiny) recipe + a closed-form explode.
+    *
+    * Sources absent from the recipe take `defaultEpochs256` (default
+    * 256 = ×1, pass-through); pass 0 to drop unlisted sources. A
+    * partial recipe therefore never silently shrinks the corpus.
     */
   def epochExpand(docs: DataFrame, idCol: String, sourceCol: String,
                   epochs256: Map[String, Int],
-                  salt: String = "epoch"): DataFrame = {
+                  salt: String = "epoch",
+                  defaultEpochs256: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.functions.broadcast
     val recipe = spark.createDataFrame(
         epochs256.toSeq.map { case (s, e) => (s, e / 256, e % 256) })
       .toDF(sourceCol, "__full", "__rem")
-    docs.join(broadcast(recipe), Seq(sourceCol))
+    docs.join(broadcast(recipe), Seq(sourceCol), "left")
+      .withColumn("__full", coalesce(col("__full"), lit(defaultEpochs256 / 256)))
+      .withColumn("__rem", coalesce(col("__rem"), lit(defaultEpochs256 % 256)))
       .withColumn("__n", col("__full") +
         when(hashBucket256(col(idCol), salt) < col("__rem"), 1).otherwise(0))
       // guard the zero-copy case: Spark's sequence(1, 0) yields a

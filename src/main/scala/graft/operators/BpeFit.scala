@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   *    groupBy shuffle on the word string, done. 100 TB of text contracts
   *    to O(distinct words) rows (~10^8 — still a distributed table, NOT
   *    driver state).
-  *  - each merge iteration is a flatMap → groupBy-sum over the vocab
-  *    table: pair counts weighted by word frequency. Shuffle payload is
+  *  - each ROUND is a flatMap → groupBy-sum over the vocab table: pair
+  *    counts weighted by word frequency. Shuffle payload is
   *    (left, right, count) — never documents, never the corpus.
-  *  - the argmax is a 1-row collect under the total order
-  *    (count desc, left asc, right asc) — deterministic across
-  *    partitionings and cluster sizes.
+  *  - one round yields up to `batch` merges ([[selectCompatible]]: a
+  *    symbol-disjoint prefix of the top-K under the total order
+  *    (count desc, left asc, right asc), with a strict count margin) —
+  *    provably identical to merging one pair at a time, so a 32k-merge
+  *    production fit is ~32k/batch vocab-sized jobs, not 32k
+  *    sequential ones. Deterministic across partitionings and cluster
+  *    sizes.
   *  - the learned merge list itself is O(numMerges) driver state — it
   *    IS the model artifact.
   *
@@ -95,12 +99,66 @@ object BpeFit {
       .agg(sum(col("c")).cast("long").as("count"))
   }
 
+  /** Greedy batch selection with EXACT sequential parity (driver-side,
+    * over the round's top-K candidates sorted by (count desc, left,
+    * right)):
+    *
+    *  1. select candidates in order while each is symbol-DISJOINT from
+    *     every already-selected pair, up to `batch`;
+    *  2. note the first unselected candidate's count (`stopCount` —
+    *     interference or the batch cap) and DROP any selected pair
+    *     tying with it (the strict margin).
+    *
+    * Why this replays the sequential fit exactly: a selected pair's
+    * count is INVARIANT under applying the pairs selected before it
+    * (disjoint support — no adjacency involving its symbols is created
+    * or destroyed), while every other pair the sequential algorithm
+    * could see at that step is strictly below it: old pairs sharing a
+    * merged symbol only lose occurrences, and a NEW pair (x, ab) is
+    * bounded by the old count of (x, a) — a pair sharing `a`, hence
+    * unselected, hence ≤ `stopCount` < the selected minimum. Ties
+    * among SELECTED pairs resolve by the same (left, right) order the
+    * sequential argmax uses. So the sequential fit picks exactly this
+    * list, in this order.
+    *
+    * The documented tie-case: when the top candidate itself ties with
+    * the first interfering one, the margin empties the selection — fall
+    * back to the top-1 pair, which IS the sequential step.
+    */
+  def selectCompatible(cands: Seq[(String, String, Long)],
+                       batch: Int): Seq[(String, String, Long)] = {
+    val support = scala.collection.mutable.HashSet.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stopCount = -1L
+    var stopped = false
+    val it = cands.iterator
+    while (it.hasNext && !stopped) {
+      val c = it.next()
+      if (sel.length >= batch || support(c._1) || support(c._2)) {
+        stopCount = c._3; stopped = true
+      } else { sel += c; support += c._1; support += c._2 }
+    }
+    val safe = if (stopped) sel.filter(_._3 > stopCount) else sel
+    if (safe.isEmpty && cands.nonEmpty) Seq(cands.head) else safe.toSeq
+  }
+
   /** Learn `numMerges` merges. Stops early when no pair reaches
     * `minCount`. The per-iteration shuffle is vocab-sized; the corpus
     * is touched exactly once (inside [[wordCounts]], if `docs` came
     * from there).
+    *
+    * Rounds are BATCHED: each vocab-sized job yields up to `batch`
+    * merges via [[selectCompatible]] — bitwise identical to the
+    * sequential (batch=1) fit by the strict-margin argument there, so
+    * a 32k-merge production fit takes ~32k/batch round-trips instead
+    * of one full Spark job per merge (the r4 scale finding). The
+    * worst case (every round's top pairs mutually interfering)
+    * degrades gracefully to one merge per round, never to a wrong
+    * merge table.
     */
-  def fit(words0: Dataset[SymWord], numMerges: Int, minCount: Long = 2L): Seq[Merge] = {
+  def fit(words0: Dataset[SymWord], numMerges: Int, minCount: Long = 2L,
+          batch: Int = 64): Seq[Merge] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = words0.sparkSession
     import spark.implicits._
     var words = words0.localCheckpoint()
@@ -108,18 +166,24 @@ object BpeFit {
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
+      val m = math.min(batch, numMerges - rank)
+      // K > cap so the cap's stopper count is always observed; a list
+      // truncated by the minCount filter only hides pairs strictly
+      // below every selected count, which the margin never needs
+      val k = 2 * m + 8
       val top = pairCounts(words)
         .orderBy(col("count").desc, col("left"), col("right"))
-        .limit(1).as[(String, String, Long)].collect()
-      top.headOption.filter(_._3 >= minCount) match {
-        case Some((a, b, c)) =>
-          rank += 1
-          merges += Merge(rank, a, b, c)
-          val prev = words
-          words = words.map(sw => SymWord(mergePair(sw.syms, a, b), sw.count))
-            .localCheckpoint()
-          prev.unpersist()
-        case None => done = true
+        .limit(k).as[(String, String, Long)].collect().toSeq
+        .filter(_._3 >= minCount)
+      if (top.isEmpty) done = true
+      else {
+        val sel = selectCompatible(top, m)
+        sel.foreach { case (a, b, c) => rank += 1; merges += Merge(rank, a, b, c) }
+        val roundPairs = sel.map(p => (p._1, p._2))
+        val prev = words
+        words = words.map(sw => SymWord(applyMerges(sw.syms, roundPairs), sw.count))
+          .localCheckpoint()
+        prev.unpersist()
       }
     }
     merges.result()

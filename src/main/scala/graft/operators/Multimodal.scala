@@ -169,30 +169,32 @@ object Multimodal {
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
     val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(content))
       reader.setInput(iis, false)
       val nFrames = reader.getNumImages(true)
       if (nFrames <= 0) None
       else {
         val vec = new Array[Float](dim)
-        var w = 0
-        var h = 0
+        // dims from frame 0, not the last sampled frame: real-world GIFs
+        // store delta frames smaller than the logical screen
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
         var d = 0
         while (d < dim) {
           val idx = math.min(nFrames - 1, nFrames.toLong * d / dim).toInt
           val img = reader.read(idx)
-          w = img.getWidth
-          h = img.getHeight
-          val strideX = math.max(1, w / 64)
-          val strideY = math.max(1, h / 64)
+          val fw = img.getWidth
+          val fh = img.getHeight
+          val strideX = math.max(1, fw / 64)
+          val strideY = math.max(1, fh / 64)
           var sum = 0L
           var n = 0
           var y = 0
-          while (y < h) {
+          while (y < fh) {
             var x = 0
-            while (x < w) {
+            while (x < fw) {
               val rgb = img.getRGB(x, y)
               sum += (((rgb >> 16) & 0xFF) * 299 +
                       ((rgb >> 8) & 0xFF) * 587 +
@@ -208,7 +210,7 @@ object Multimodal {
         Some((w, h, nFrames, vec))
       }
     } catch { case _: Exception => None }
-    finally reader.dispose()
+    finally { reader.dispose(); iis.close() }
   }
 
   /** First-channel normalized |sample| of one PCM frame, in [0, 1]. */

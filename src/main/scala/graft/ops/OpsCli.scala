@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Standalone command-line entry for the §2.9 operational surface — the
   * reference ships each of these as its own script (`describeBatch.js`,
   * `queryBatches.js`, `unlockBatch.js`, `deleteBatch.js`,
-  * `deleteBatches.js`, `processedFiles.js`, `reprocessBatch.js`); here
-  * one thin main dispatches to the [[Ops]]/[[graft.ledger.Ledger]]
-  * methods those scripts map to.
+  * `deleteBatches.js`, `processedFiles.js`, `reprocessBatch.js`,
+  * `resetCurrentBatch.js`, `encryptValue.js`); here one thin main
+  * dispatches to the [[Ops]]/[[graft.ledger.Ledger]]/
+  * [[graft.crypto.Keystore]] methods those scripts map to.
   *
   * Usage: OpsCli <ledgerDir> <command> [args...]
   *
@@ -21,6 +22,8 @@ import org.apache.spark.sql.SparkSession
   *                  --delete <file>
   *                  --reprocess <file> [watchRoot]
   *                  --reprocessPrefix <watchRoot> <prefix> [regex]
+  *   resetCurrentBatch <configDir> <prefix>
+  *   encryptValue   <keyPath> <value>
   */
 object OpsCli {
 
@@ -87,6 +90,17 @@ object OpsCli {
         report(ops.reprocessFile(file, tail.headOption))
       case ("processedFiles", "--reprocessPrefix" :: watchRoot :: prefix :: tail) =>
         report(ops.reprocessPrefix(watchRoot, prefix, tail.headOption))
+      case ("resetCurrentBatch", configDir :: prefix :: Nil) =>
+        // reference: standalone resetCurrentBatch.js:79-152
+        report(ops.resetCurrentBatch(
+          new graft.config.ConfigStore(configDir), prefix))
+      case ("encryptValue", keyPath :: value :: Nil) =>
+        // reference: standalone encryptValue.js:26-64 — encrypt, then
+        // decrypt-verify before printing the configuration-entry value
+        val ks = new graft.crypto.Keystore(java.nio.file.Paths.get(keyPath))
+        val ct = ks.encrypt(value)
+        if (ks.decrypt(ct) == value) { println(ct); 0 }
+        else { System.err.println("encryption completed but could not be validated"); 1 }
       case _ =>
         System.err.println(usage)
         2
@@ -104,5 +118,7 @@ object OpsCli {
       |  processedFiles --query <file> | --delete <file> |
       |                 --reprocess <file> [watchRoot] |
       |                 --reprocessPrefix <watchRoot> <prefix> [regex]
+      |  resetCurrentBatch <configDir> <prefix>
+      |  encryptValue   <keyPath> <value>
       |""".stripMargin
 }

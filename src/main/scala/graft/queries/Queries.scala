@@ -1100,8 +1100,12 @@ object Queries {
     */
   def q59QuantileSketch(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-    def exactAt(numer: Int, denom: Int) = // value at rank ceil(p·n), p = numer/denom
-      max(when(col("rn") === floor((col("n") * numer + numer) / lit(denom.toDouble)),
+    // value at rank ceil(p·n) clamped into [1, n], p = numer/denom;
+    // ceil(a/b) = floor((a + b - 1)/b) in integers, so small groups
+    // never produce a rank-0 null bracket
+    def exactAt(numer: Int, denom: Int) =
+      max(when(col("rn") === greatest(lit(1L), least(col("n"),
+        floor((col("n") * numer + (denom - 1)) / lit(denom.toDouble)))),
         col("n_chars")))
     table(s, dir, "documents")
       .withColumn("rn", row_number().over(w))

@@ -93,6 +93,50 @@ class BpeFitSpec extends AnyFunSuite {
     assert(got.head == (("e", "s", 9L)))
   }
 
+  test("batched fit parity: batch ∈ {1, 2, 8, 64} all replay the sequential fit exactly") {
+    import spark.implicits._
+    // seeded random corpus with heavy pair interaction (tiny alphabet →
+    // selected pairs constantly share symbols, exercising the margin
+    // and the one-merge fallback rounds)
+    val rnd = new scala.util.Random(7)
+    val corpus = Seq.fill(60)(
+      Seq.fill(3 + rnd.nextInt(5))(
+        Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(4)).toChar).mkString
+      ).mkString(" "))
+    val want = refFit(corpus, numMerges = 12, minCount = 2)
+    for (batch <- Seq(1, 2, 8, 64)) {
+      val got = BpeFit.fit(
+        BpeFit.wordCounts(corpus.toDF("text"), "text"),
+        numMerges = 12, minCount = 2, batch = batch)
+        .map(m => (m.left, m.right, m.count))
+      assert(got == want, s"batch=$batch diverged from sequential")
+    }
+  }
+
+  test("selectCompatible: disjoint prefix, interference stop, strict margin, tie fallback") {
+    // disjoint prefix selected in order, capped at batch
+    val cands = Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L), ("g", "h", 4L))
+    assert(BpeFit.selectCompatible(cands, 4) == cands)
+    // batch cap: the 3rd candidate becomes the stopper; no ties → keep 2
+    assert(BpeFit.selectCompatible(cands, 2) == cands.take(2))
+    // interference: (b,c) shares b with (a,b) → stop; margin keeps
+    // only pairs strictly above the stopper's count 8
+    val interf = Seq(("a", "b", 10L), ("b", "c", 8L), ("e", "f", 6L))
+    assert(BpeFit.selectCompatible(interf, 4) == Seq(("a", "b", 10L)))
+    // margin drops a selected pair tying with the stopper: (e,f) ties
+    // the interfering (b,c) at 8 → dropped
+    val tie = Seq(("a", "b", 10L), ("e", "f", 8L), ("b", "c", 8L))
+    assert(BpeFit.selectCompatible(tie, 4) == Seq(("a", "b", 10L)))
+    // tie fallback: top candidate ties the interfering one → margin
+    // empties the selection → fall back to the sequential top-1
+    val topTie = Seq(("a", "b", 10L), ("b", "c", 10L))
+    assert(BpeFit.selectCompatible(topTie, 4) == Seq(("a", "b", 10L)))
+    // self-pair support: (a,a) then anything with a interferes
+    val selfp = Seq(("a", "a", 10L), ("a", "b", 4L), ("c", "d", 3L))
+    assert(BpeFit.selectCompatible(selfp, 4) == Seq(("a", "a", 10L)))
+    assert(BpeFit.selectCompatible(Nil, 4) == Nil)
+  }
+
   test("fit stops early when no pair reaches minCount") {
     import spark.implicits._
     val merges = BpeFit.fit(

@@ -207,6 +207,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("epochExpand: sources missing from the recipe default to ×1, not a silent drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "listed"), (2L, "unlisted"), (3L, "unlisted"))
+      .toDF("doc_id", "source")
+    val got = graft.functions.Curation.epochExpand(docs, "doc_id", "source",
+        Map("listed" -> 512)) // listed ×2; unlisted takes the default 256
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("epoch_no")))
+    assert(got.count(_._1 == 1L) == 2)
+    assert(got.count(_._1 == 2L) == 1 && got.count(_._1 == 3L) == 1)
+    // explicit opt-out: default 0 reproduces the old drop behavior
+    val dropped = graft.functions.Curation.epochExpand(docs, "doc_id", "source",
+        Map("listed" -> 512), defaultEpochs256 = 0)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(dropped.forall(_ == 1L))
+  }
+
   test("chunk: overlapping windows cover every token; md5 matches driver slice") {
     import spark.implicits._
     // 10 tokens, size 4, stride 3 → chunks [0,4) [3,7) [6,10); 3 tokens → [0,3)

@@ -34,6 +34,35 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 1).head._2 == 1, "smallest value in bucket 1")
   }
 
+  test("continuous domain (600k distinct doubles) falls back to the GK sketch path") {
+    import org.apache.spark.sql.functions._
+    // 600k distinct doubles > DefaultMaxDistinct (1e5): the exact
+    // value-distinct window would be corpus-sized — must not run
+    val df = spark.range(600000L).select(
+      col("id"), (col("id").cast("double") + lit(0.5)).as("v"))
+    val th = Quantiles.valueThresholds(df, "v", 4)
+    val plan = th.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      s"fallback must not contain the unpartitioned window:\n$plan")
+    val got = th.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("threshold"))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // GK accuracy 10000 ⇒ rank error ≤ 0.01% = ±60 ranks on 600k
+    got.foreach { case (k, t) =>
+      val wantRank = 600000.0 * k / 4
+      assert(math.abs((t - 0.5) + 1 - wantRank) <= 120, s"k=$k t=$t")
+    }
+  }
+
+  test("exact path unchanged below the bound; sketch path respects maxDistinct override") {
+    val df = (1 to 10).map(v => (v.toLong, v)).toDF("id", "v")
+    // force the sketch path on a tiny domain via the override
+    val th = Quantiles.valueThresholds(df, "v", 4, maxDistinct = 2L)
+    val plan = th.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(th.count() == 3)
+  }
+
   test("seeded parity with a driver-side sort-based binning") {
     val rnd = new scala.util.Random(3)
     val vals = Seq.fill(500)(rnd.nextInt(40))

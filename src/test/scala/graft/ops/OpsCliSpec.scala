@@ -86,4 +86,33 @@ class OpsCliSpec extends AnyFunSuite {
     assert(OpsCli.run(spark, ops, "processedFiles", List("--query", "b/k/b1.csv")) == 1)
     assert(OpsCli.run(spark, ops, "bogus", Nil) == 2)
   }
+
+  test("CLI resetCurrentBatch: clears the config pointer; missing config refused") {
+    val ledgerDir = Files.createTempDirectory("graft-rcb-ledger").toString
+    val ops = new Ops(spark, new Ledger(spark, ledgerDir))
+    val configDir = Files.createTempDirectory("graft-rcb-cfg").toString
+    val store = new graft.config.ConfigStore(configDir)
+    store.put(graft.core.LoadConfig(s3Prefix = "bucket/input",
+      dataFormat = graft.core.DataFormat.Csv, batchSize = 10,
+      currentBatch = "batch-42"))
+    assert(OpsCli.run(spark, ops, "resetCurrentBatch",
+      List(configDir, "bucket/input")) == 0)
+    assert(store.get("bucket/input").get.currentBatch == "")
+    assert(OpsCli.run(spark, ops, "resetCurrentBatch",
+      List(configDir, "bucket/other")) == 1)
+  }
+
+  test("CLI encryptValue: round-trips through the keystore (encrypt + decrypt-verify)") {
+    val ledgerDir = Files.createTempDirectory("graft-ev-ledger").toString
+    val ops = new Ops(spark, new Ledger(spark, ledgerDir))
+    val keyPath = Files.createTempDirectory("graft-ev-key").resolve("master.key")
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      OpsCli.run(spark, ops, "encryptValue", List(keyPath.toString, "s3cret"))
+    }
+    assert(code == 0)
+    val ct = out.toString.trim
+    assert(ct.nonEmpty && ct != "s3cret")
+    assert(new graft.crypto.Keystore(keyPath).decrypt(ct) == "s3cret")
+  }
 }
