@@ -31,8 +31,18 @@ object Clusters {
     * component. Nodes appearing only as isolated self-pairs are fine;
     * nodes absent from `edges` simply don't appear (join the node table
     * afterwards — [[dedupClusters]] does).
+    *
+    * Skew hardening: each star step joins the neighbor view to its
+    * per-node minimum; a mega-hub (crawl dedup routinely produces one
+    * boilerplate component of millions) would funnel all its neighbor
+    * rows through one reducer. Nodes whose neighbor count reaches
+    * `hotThreshold` instead take [[Skew.hotColdLookupJoin]]'s broadcast
+    * leg — their rows join map-side, never entering the exchange. The
+    * min aggregation itself is safe at any skew (partial_min combines
+    * map-side: one row per key per map task reaches the reducer).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          hotThreshold: Long = 1L << 20): DataFrame = {
     val cols = edges.columns
     var e = edges.select(col(cols(0)).cast("long").as("src"), col(cols(1)).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -53,7 +63,7 @@ object Clusters {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e, hotThreshold), hotThreshold).localCheckpoint()
       val s = sig(e)
       converged = s == last
       last = s
@@ -71,11 +81,13 @@ object Clusters {
     * of its neighborhood (including itself). Operates on the symmetric
     * neighbor view; keeps canonical (larger, smaller) orientation.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[operators] def largeStar(e: DataFrame,
+                                   hotThreshold: Long = 1L << 20): DataFrame = {
     val nbrs = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-    nbrs.join(mins, "u")
+    val mins = nbrs.groupBy("u").agg(
+      least(min(col("v")), col("u")).as("m"), count(lit(1)).as("__c"))
+    Skew.hotColdLookupJoin(nbrs, mins, "u", "__c", hotThreshold)
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
@@ -86,10 +98,12 @@ object Clusters {
     * to the minimum among them. Edges arrive in (larger u, smaller v)
     * orientation, so all of u's listed neighbors are < u.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[operators] def smallStar(e: DataFrame,
+                                   hotThreshold: Long = 1L << 20): DataFrame = {
     // one join, two projections of it: (v → m) for every smaller
     // neighbor (v ≥ m, both < u) plus (u → m) for the node itself
-    val joined = e.join(e.groupBy("u").agg(min("v").as("m")), "u")
+    val mins = e.groupBy("u").agg(min("v").as("m"), count(lit(1)).as("__c"))
+    val joined = Skew.hotColdLookupJoin(e, mins, "u", "__c", hotThreshold)
     joined.select(col("v").as("u"), col("m").as("v"))
       .union(joined.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))

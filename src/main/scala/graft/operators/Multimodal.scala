@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * count, channels and a bounded-sample amplitude histogram. The VIDEO
   * leg is real for the one multi-frame container the JDK can decode —
   * animated GIF (`decodeVideo`: true width/height/frameCount + a
-  * temporal luminance profile); MP4/WebM and friends have no JDK codec,
-  * and swapping one in means replacing ONE function whose contract is
+  * temporal luminance profile); MP4/WebM have no JDK codec, so they
+  * carry real CONTAINER METADATA ([[MediaContainers]]: moov/EBML
+  * width/height/duration/codec/sample-count) with stub frame features —
+  * swapping a codec in means replacing ONE function whose contract is
   * `Array[Byte] => features`. Everything around the codecs (the
   * expensive part at 100 TB: batching, partition sizing, one decoder
   * init per partition, avoiding per-row JNI setup) is shared and real.
@@ -233,10 +235,14 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction. Image and audio blobs
-    * decode for real (ImageIO / javax.sound); video or undecodable
-    * blobs take the stub path with sentinel dimensions. Decoder init
-    * happens once per partition (ImageIO's disk cache is disabled
-    * there — temp-file churn per blob would dominate at scale).
+    * decode for real (ImageIO / javax.sound); GIF video decodes for
+    * real too, and MP4/WebM video falls back to CONTAINER METADATA
+    * ([[MediaContainers]] — real width/height/sample-count from the
+    * moov/EBML atoms, stub feature vector: no JVM codec exists for the
+    * frames). Undecodable blobs take the stub path with sentinel
+    * dimensions. Decoder init happens once per partition (ImageIO's
+    * disk cache is disabled there — temp-file churn per blob would
+    * dominate at scale).
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord],
                       dim: Int = 8): Dataset[MediaFeatures] = {
@@ -250,6 +256,8 @@ object Multimodal {
           case "image" => decodeImage(r.content, dim)
           case "audio" => decodeAudio(r.content, dim)
           case "video" => decodeVideo(r.content, dim)
+            .orElse(MediaContainers.parseVideoMeta(r.content)
+              .map(m => (m.width, m.height, m.nSamples, stubVec)))
           case _ => None
         }
         decoded match {
@@ -442,6 +450,73 @@ object Multimodal {
           writer.dispose()
           MediaRecord(id, "video", baos.toByteArray, "image/gif", "synthetic")
         }
+      }
+  }
+
+  // ---- MP4 fixture corpus ----------------------------------------------
+
+  /** One ISO BMFF box: 32-bit size + fourcc + concatenated children. */
+  private def mp4Box(typ: String, body: Array[Byte]*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.map(_.length).sum)
+    bb.putInt(bb.capacity)
+    bb.put(typ.getBytes("ISO-8859-1"))
+    body.foreach(bb.put)
+    bb.array()
+  }
+
+  private def mp4U32(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => bb.putInt(v.toInt))
+    bb.array()
+  }
+
+  /** A minimal-but-well-formed MP4 whose metadata atoms carry the
+    * given ground truth: mvhd timescale 1000 / duration = durationMs,
+    * tkhd 16.16 dimensions, stsd fourcc `avc1`, stsz sample count.
+    * The mdat payload is an id-seeded LCG stream (no real frames —
+    * there is no JVM codec to decode them anyway).
+    */
+  def buildMp4(w: Int, h: Int, nFrames: Int, durationMs: Long,
+               seed: Long): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", "isomiso2".getBytes("ISO-8859-1"))
+    val mvhd = mp4Box("mvhd", mp4U32(0, 0, 0, 1000, durationMs))
+    val tkhd = mp4Box("tkhd",
+      mp4U32(0, 0, 0, 1, 0, durationMs), // ver/flags..duration
+      new Array[Byte](52),               // reserved/layer/volume/matrix
+      mp4U32(w.toLong << 16, h.toLong << 16))
+    val stsd = mp4Box("stsd", mp4U32(0, 1), mp4Box("avc1", new Array[Byte](8)))
+    val stsz = mp4Box("stsz", mp4U32(0, 0, nFrames))
+    val moov = mp4Box("moov", mvhd,
+      mp4Box("trak", tkhd, mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stsd, stsz)))))
+    val payload = new Array[Byte](64)
+    var s = seed
+    var i = 0
+    while (i < payload.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      payload(i) = (s >>> 56).toByte
+      i += 1
+    }
+    ftyp ++ moov ++ mp4Box("mdat", payload)
+  }
+
+  /** Deterministic synthetic MP4 corpus — the container-metadata leg
+    * of the video family ([[MediaContainers]]): dimensions, duration
+    * and sample count derive from id/text length, so the metadata
+    * parse has generator ground truth the way [[syntheticVideo]]'s
+    * GIF decode does.
+    */
+  def syntheticMp4(spark: SparkSession, docs: DataFrame,
+                   idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), length(col(textCol)).cast("int"))
+      .as[(Long, Int)]
+      .map { case (id, textLen) =>
+        val w = 16 * (1 + (id % 4).toInt)
+        val h = 16 * (1 + (textLen % 3))
+        val nFrames = 8 + (textLen % 24)
+        MediaRecord(id, "video",
+          buildMp4(w, h, nFrames, durationMs = 40L * nFrames, seed = id),
+          "video/mp4", "synthetic")
       }
   }
 }

@@ -28,6 +28,31 @@ object Skew {
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Inner-join `fact` against a ONE-ROW-PER-KEY `lookup` when a
+    * handful of keys can dominate (a mega-hub in a dedup graph: one
+    * boilerplate cluster of millions): lookup rows whose `countCol` ≥
+    * `hotThreshold` are BROADCAST, so the hot keys' fact rows join
+    * map-side and never concentrate on one reducer; the cold majority
+    * takes the normal keyed exchange with hot keys filtered out
+    * map-side (anti-join against the broadcast hot-key set). Hot keys
+    * number ≤ |fact| / hotThreshold by construction — a bounded, tiny
+    * broadcast.
+    *
+    * Complements AQE's skew-join: AQE splits oversized partitions at
+    * runtime, but only after the exchange materializes them; this
+    * keeps the hub rows out of the exchange entirely, which is the
+    * shape you want when one key exceeds a task's memory, not just its
+    * fair share.
+    */
+  def hotColdLookupJoin(fact: DataFrame, lookup: DataFrame, key: String,
+                        countCol: String, hotThreshold: Long): DataFrame = {
+    val hot = broadcast(lookup.filter(col(countCol) >= hotThreshold).drop(countCol))
+    val cold = lookup.filter(col(countCol) < hotThreshold).drop(countCol)
+    fact.join(broadcast(hot.select(key)), Seq(key), "left_anti")
+      .join(cold, key)
+      .unionByName(fact.join(hot, key))
+  }
+
   /** Two-phase (partial → final) aggregation for skewed group keys:
     * aggregate on (key, salt) first, then merge per key. Spark's hash
     * aggregate already does map-side partials; this helps when a single

@@ -990,5 +990,24 @@ object Oracles {
              CAST(sum(c.tgt_n) + 1 AS DOUBLE) / (sum(c.raw_n) + 1) AS importance
       FROM g JOIN c USING (gram)
       GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // q69: q59's exact bracket legs recomputed with the identical
+    // clamped integer ceil-rank arithmetic over the same total order —
+    // hash equality certifies the GK bracket's ground truth.
+    "q69_exact_quantiles" -> """
+      WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             max(CASE WHEN rn = greatest(1, least(n, (n*48 + 99)//100))
+                 THEN n_chars END) AS p48,
+             max(CASE WHEN rn = greatest(1, least(n, (n*50 + 99)//100))
+                 THEN n_chars END) AS p50,
+             max(CASE WHEN rn = greatest(1, least(n, (n*52 + 99)//100))
+                 THEN n_chars END) AS p52
+      FROM ranked GROUP BY lang ORDER BY lang""",
   )
 }

@@ -435,18 +435,22 @@ object Queries {
 
   /** Multimodal plumbing: binary columns through the batched feature
     * extractor (image + audio + video decode all REAL — ImageIO,
-    * javax.sound, ImageIO's animated-GIF sequence reader). */
+    * javax.sound, ImageIO's animated-GIF sequence reader — plus real
+    * MP4 CONTAINER METADATA via [[graft.operators.MediaContainers]]). */
   def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    // deterministic synthetic PNGs + WAVs + animated GIFs (real
+    // deterministic synthetic PNGs + WAVs + animated GIFs + MP4s (real
     // executor-side encode), then REAL decode in the per-partition
     // loop: the emitted dimension stats are ground truth from the
     // generators (audio min/max width must pin to the fixed 8000 Hz
-    // rate; video channels carry the frame count), so a decode
-    // regression (dimension drift, any failed decode) flips rows
+    // rate; video channels carry the frame/sample count — GIF from
+    // the sequence decode, MP4 from the moov/stsz atoms), so a decode
+    // or atom-parse regression (dimension drift, any failed decode)
+    // flips rows
     val docs = table(s, dir, "documents")
     val media = Multimodal.syntheticImages(s, docs, "doc_id", "text")
       .union(Multimodal.syntheticAudio(s, docs, "doc_id", "text"))
       .union(Multimodal.syntheticVideo(s, docs, "doc_id", "text"))
+      .union(Multimodal.syntheticMp4(s, docs, "doc_id", "text"))
     Multimodal.extractFeatures(s, media)
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),
@@ -1121,6 +1125,31 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** The exact rank-quantile legs of q59's bracket, as their own
+    * ORACLE-CHECKED query: per-language values at ranks
+    * clamp(ceil(p·n), 1, n) for p ∈ {48%, 50%, 52%} under the total
+    * order (n_chars, doc_id). q59's sketch check is rows-only (the GK
+    * summary is engine-specific); hash-matching these legs against
+    * DuckDB's identical rank arithmetic certifies the bracket's
+    * ground truth independently.
+    */
+  def q69ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    def exactAt(numer: Int, denom: Int) =
+      max(when(col("rn") === greatest(lit(1L), least(col("n"),
+        floor((col("n") * numer + (denom - 1)) / lit(denom.toDouble)))),
+        col("n_chars")))
+    table(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        exactAt(48, 100).as("p48"),
+        exactAt(50, 100).as("p50"),
+        exactAt(52, 100).as("p52"))
+      .orderBy(col("lang"))
+  }
+
   /** As-of join ([[graft.operators.AsofJoin]]): every purchase picks
     * the user's latest click at-or-before it — union-and-carry (one
     * keyed shuffle + one window), never a range scan. The oracle is
@@ -1396,5 +1425,6 @@ object Queries {
     "q66_epoch_expand"    -> (q66EpochExpand _),
     "q67_tokenize_pack"   -> (q67TokenizePack _),
     "q68_asof_tolerance"  -> (q68AsofTolerance _),
+    "q69_exact_quantiles" -> (q69ExactQuantiles _),
   )
 }

@@ -241,6 +241,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(spark, asAudio).collect().head.width == -1)
   }
 
+  test("MP4 container metadata: moov/mvhd/tkhd/stsd/stsz atoms recover ground truth") {
+    val bytes = Multimodal.buildMp4(w = 320, h = 240, nFrames = 48,
+      durationMs = 1920L, seed = 7L)
+    val m = MediaContainers.parseVideoMeta(bytes).get
+    assert(m.width == 320 && m.height == 240)
+    assert(m.durationMs == 1920L, "mvhd timescale 1000 → duration in ms")
+    assert(m.codec == "avc1")
+    assert(m.nSamples == 48, "stsz sample count")
+    // truncated mid-moov: bounds-checked None, never an exception
+    (1 until bytes.length by 37).foreach { cut =>
+      assert(MediaContainers.parseVideoMeta(bytes.take(cut)).isEmpty ||
+        cut >= bytes.length - 80 /* cutting inside trailing mdat is fine */,
+        s"truncation at $cut must not parse")
+    }
+    // corrupt: a box size pointing past the buffer
+    val corrupt = bytes.clone()
+    corrupt(0) = 0x7F.toByte
+    assert(MediaContainers.parseVideoMeta(corrupt).isEmpty)
+    // not a container at all
+    assert(MediaContainers.parseVideoMeta("plain text".getBytes).isEmpty)
+  }
+
+  test("WebM EBML metadata: Info + Tracks walk recovers dims, duration, codec") {
+    def el(id: Array[Int], body: Array[Byte]*): Array[Byte] = {
+      val len = body.map(_.length).sum
+      require(len < 127)
+      id.map(_.toByte) ++ Array((0x80 | len).toByte) ++ body.flatten
+    }
+    val header = el(Array(0x1A, 0x45, 0xDF, 0xA3))
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      el(Array(0x2A, 0xD7, 0xB1), Array(0x0F, 0x42, 0x40).map(_.toByte)), // 1e6 ns
+      el(Array(0x44, 0x89), // Duration float32 = 2500.0 ticks
+        java.nio.ByteBuffer.allocate(4).putFloat(2500f).array()))
+    val video = el(Array(0xE0),
+      el(Array(0xB0), Array(0x01, 0x40).map(_.toByte)),  // PixelWidth 320
+      el(Array(0xBA), Array(0xF0).map(_.toByte)))        // PixelHeight 240
+    val track = el(Array(0xAE),
+      el(Array(0x86), "V_VP9".getBytes("ISO-8859-1")), video)
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), track)
+    val seg = el(Array(0x18, 0x53, 0x80, 0x67), info, tracks)
+    val bytes = header ++ seg
+    val m = MediaContainers.parseVideoMeta(bytes).get
+    assert(m.width == 320 && m.height == 240)
+    assert(m.durationMs == 2500L, "2500 ticks × 1e6 ns/tick = 2500 ms")
+    assert(m.codec == "V_VP9")
+    // truncation safety
+    (1 until bytes.length).foreach { cut =>
+      MediaContainers.parseVideoMeta(bytes.take(cut)) // must not throw
+    }
+  }
+
+  test("multimodal: synthetic MP4 corpus carries container metadata through extractFeatures") {
+    val docs = Seq((1L, "abcde"), (2L, "a longer text body here"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticMp4(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    // generator contract: w = 16(1 + id%4), h = 16(1 + len%3),
+    // frames = 8 + len % 24 (carried in channels, like GIF)
+    assert(feats(1L).width == 32 && feats(1L).height == 16 * (1 + 5 % 3))
+    assert(feats(1L).channels == 8 + 5 % 24)
+    assert(feats(2L).width == 48 && feats(2L).height == 16 * (1 + 23 % 3))
+    assert(feats(2L).channels == 8 + 23 % 24)
+    assert(feats(3L).width == 64 && feats(3L).channels == 8 + 2)
+    // the frame features stay the stub fingerprint (no JVM codec):
+    // distinct per blob via the id-seeded mdat payload
+    assert(feats.values.map(_.feat_checksum).toSet.size == 3)
+  }
+
   test("gram_stats: repetition counts match the exploded groupBy form") {
     import graft.functions.expressions.gram_stats
     import graft.functions.TextFunctions.tokens

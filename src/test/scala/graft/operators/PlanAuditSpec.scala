@@ -98,6 +98,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "epoch expansion is scan-level work — no hash exchange allowed")
   }
 
+  test("BpeFit.encode: dictionary join keyed on the word string; never cartesian") {
+    // disable broadcast so the SCALE shape is planned (at 100 TB
+    // neither the corpus nor the 10^8-word dictionary broadcasts):
+    // must be an equi-join exchanging on word, merge list closure state
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val merges = Seq(BpeFit.Merge(1, "t", "h", 100L), BpeFit.Merge(2, "e", "r", 50L))
+      val p = plan(BpeFit.encode(docs, "doc_id", "text", merges))
+      assert(p.contains("hashpartitioning(word#"),
+        "the dictionary join must exchange on the word string")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "encode must never degrade to a cross join")
+      assert(!p.contains("BroadcastExchange"),
+        "nothing may broadcast once the threshold is off — the merge " +
+        "list rides the closure, not a join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",

@@ -40,4 +40,20 @@ class SkewSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(salted == plain)
   }
+
+  test("hotColdLookupJoin: parity with a plain join; hot keys take the broadcast leg") {
+    import org.apache.spark.sql.functions._
+    // one mega-key (5000 rows) + a cold tail
+    val fact = ((1 to 5000).map(i => (1L, i)) ++
+      (1 to 200).map(i => (2L + i % 9, i))).toDF("k", "payload")
+    val lookup = fact.groupBy("k").agg(min("payload").as("m"), count(lit(1)).as("__c"))
+    val got = Skew.hotColdLookupJoin(fact, lookup, "k", "__c", hotThreshold = 1000)
+    val plain = fact.join(lookup.drop("__c"), "k")
+    assert(got.count() == plain.count())
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+    // plan shape: the hot leg is a broadcast join — hub rows never
+    // enter a keyed exchange
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast hot leg:\n$p")
+  }
 }
