@@ -142,6 +142,37 @@ object BpeFit {
     if (safe.isEmpty && cands.nonEmpty) Seq(cands.head) else safe.toSeq
   }
 
+  /** Approximate batch selection: scan the whole candidate list,
+    * SKIPPING interfering pairs instead of stopping at the first one —
+    * every maximal symbol-disjoint prefix-greedy subset up to `batch`.
+    *
+    * This abandons exact sequential parity (the sequential fit might
+    * have picked a skipped pair first; merge-table order can differ
+    * and ranks need not be count-monotone across rounds) in exchange
+    * for a GUARANTEED fill rate: on Zipfian pair distributions the
+    * strict margin of [[selectCompatible]] collapses to ~1–2 merges
+    * per round (ties at the stopper count empty the batch), while
+    * skip-and-continue keeps rounds at O(numMerges/batch). Within a
+    * round the counts are still exact — selected pairs are mutually
+    * disjoint, so applying them in rank order performs exactly `count`
+    * replacements each. This is the standard trade in distributed BPE
+    * trainers; use it for production-size merge tables, the exact mode
+    * for oracle work.
+    */
+  def selectGreedy(cands: Seq[(String, String, Long)],
+                   batch: Int): Seq[(String, String, Long)] = {
+    val support = scala.collection.mutable.HashSet.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = cands.iterator
+    while (it.hasNext && sel.length < batch) {
+      val c = it.next()
+      if (!support(c._1) && !support(c._2)) {
+        sel += c; support += c._1; support += c._2
+      }
+    }
+    sel.toSeq
+  }
+
   /** Learn `numMerges` merges. Stops early when no pair reaches
     * `minCount`. The per-iteration shuffle is vocab-sized; the corpus
     * is touched exactly once (inside [[wordCounts]], if `docs` came
@@ -157,27 +188,43 @@ object BpeFit {
     * merge table.
     */
   def fit(words0: Dataset[SymWord], numMerges: Int, minCount: Long = 2L,
-          batch: Int = 64): Seq[Merge] = {
+          batch: Int = 64, exact: Boolean = true): Seq[Merge] =
+    fitWithRounds(words0, numMerges, minCount, batch, exact)._1
+
+  /** [[fit]] plus the number of vocab-sized rounds it took — the scale
+    * diagnostic (exact mode on tie-heavy distributions degrades toward
+    * one merge per round; approximate mode stays ~numMerges/batch).
+    */
+  def fitWithRounds(words0: Dataset[SymWord], numMerges: Int,
+                    minCount: Long = 2L, batch: Int = 64,
+                    exact: Boolean = true): (Seq[Merge], Int) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = words0.sparkSession
     import spark.implicits._
     var words = words0.localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 0
+    var rounds = 0
     var done = false
     while (rank < numMerges && !done) {
       val m = math.min(batch, numMerges - rank)
       // K > cap so the cap's stopper count is always observed; a list
       // truncated by the minCount filter only hides pairs strictly
-      // below every selected count, which the margin never needs
-      val k = 2 * m + 8
+      // below every selected count, which the margin never needs.
+      // Approximate mode scans past interference, so give it a deep
+      // pool to fill the batch from: the head of a Zipfian pair
+      // distribution concentrates on few symbols (everything touches
+      // 'e' or space), and disjoint picks come from well down the
+      // list. The collect is still O(k) driver rows — trivial.
+      val k = if (exact) 2 * m + 8 else 32 * m + 64
       val top = pairCounts(words)
         .orderBy(col("count").desc, col("left"), col("right"))
         .limit(k).as[(String, String, Long)].collect().toSeq
         .filter(_._3 >= minCount)
       if (top.isEmpty) done = true
       else {
-        val sel = selectCompatible(top, m)
+        rounds += 1
+        val sel = if (exact) selectCompatible(top, m) else selectGreedy(top, m)
         sel.foreach { case (a, b, c) => rank += 1; merges += Merge(rank, a, b, c) }
         val roundPairs = sel.map(p => (p._1, p._2))
         val prev = words
@@ -186,7 +233,7 @@ object BpeFit {
         prev.unpersist()
       }
     }
-    merges.result()
+    (merges.result(), rounds)
   }
 
   /** Apply a learned merge list to one symbol sequence, in rank order —

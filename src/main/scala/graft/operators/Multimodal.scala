@@ -499,6 +499,66 @@ object Multimodal {
     ftyp ++ moov ++ mp4Box("mdat", payload)
   }
 
+  // ---- WebM fixture corpus ---------------------------------------------
+
+  /** One EBML element: id bytes (marker kept) + 1-byte size + body.
+    * Bodies must stay under 127 bytes — ample for header fixtures.
+    */
+  private def ebmlEl(id: Seq[Int], body: Array[Byte]*): Array[Byte] = {
+    val len = body.map(_.length).sum
+    require(len < 127, s"1-byte EBML size overflow: $len")
+    id.map(_.toByte).toArray ++ Array((0x80 | len).toByte) ++ body.flatten
+  }
+
+  /** A minimal-but-well-formed WebM whose header elements carry the
+    * given ground truth: TimecodeScale 1e6 ns (1 ms ticks), Duration
+    * float32 = durationMs, Video PixelWidth/PixelHeight, CodecID
+    * V_VP9. A Cluster with an id-seeded payload stands in for frame
+    * data (no JVM codec decodes it anyway) and varies the content
+    * fingerprint per record.
+    */
+  def buildWebm(w: Int, h: Int, durationMs: Long, seed: Long): Array[Byte] = {
+    def u16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val header = ebmlEl(Seq(0x1A, 0x45, 0xDF, 0xA3))
+    val info = ebmlEl(Seq(0x15, 0x49, 0xA9, 0x66),
+      ebmlEl(Seq(0x2A, 0xD7, 0xB1), Array(0x0F, 0x42, 0x40).map(_.toByte)),
+      ebmlEl(Seq(0x44, 0x89),
+        java.nio.ByteBuffer.allocate(4).putFloat(durationMs.toFloat).array()))
+    val video = ebmlEl(Seq(0xE0),
+      ebmlEl(Seq(0xB0), u16(w)), ebmlEl(Seq(0xBA), u16(h)))
+    val tracks = ebmlEl(Seq(0x16, 0x54, 0xAE, 0x6B),
+      ebmlEl(Seq(0xAE), ebmlEl(Seq(0x86), "V_VP9".getBytes("ISO-8859-1")), video))
+    val payload = new Array[Byte](48)
+    var s = seed
+    var i = 0
+    while (i < payload.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      payload(i) = (s >>> 56).toByte
+      i += 1
+    }
+    val cluster = ebmlEl(Seq(0x1F, 0x43, 0xB6, 0x75), payload)
+    header ++ ebmlEl(Seq(0x18, 0x53, 0x80, 0x67), info, tracks, cluster)
+  }
+
+  /** Deterministic synthetic WebM corpus — the EBML leg of the
+    * container-metadata family, ground-truthed like [[syntheticMp4]].
+    * WebM headers carry no sample count (frames live per-cluster), so
+    * these rows pin `channels == 0` — itself part of the contract.
+    */
+  def syntheticWebm(spark: SparkSession, docs: DataFrame,
+                    idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), length(col(textCol)).cast("int"))
+      .as[(Long, Int)]
+      .map { case (id, textLen) =>
+        val w = 32 * (1 + (id % 3).toInt)
+        val h = 16 * (1 + (textLen % 4))
+        MediaRecord(id, "video",
+          buildWebm(w, h, durationMs = 500L + (textLen % 7) * 100L, seed = id),
+          "video/webm", "synthetic")
+      }
+  }
+
   /** Deterministic synthetic MP4 corpus — the container-metadata leg
     * of the video family ([[MediaContainers]]): dimensions, duration
     * and sample count derive from id/text length, so the metadata

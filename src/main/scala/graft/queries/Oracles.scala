@@ -1009,5 +1009,18 @@ object Oracles {
              max(CASE WHEN rn = greatest(1, least(n, (n*52 + 99)//100))
                  THEN n_chars END) AS p52
       FROM ranked GROUP BY lang ORDER BY lang""",
+
+    // q70: q29's exact bracket legs — per-flag distinct parts + rows.
+    "q70_exact_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q71: q34's exact bracket leg — global distinct users + events.
+    "q71_exact_users" -> """
+      SELECT count(DISTINCT user_id) AS exact_users,
+             count(*) AS n_events
+      FROM events""",
   )
 }

@@ -137,6 +137,48 @@ class BpeFitSpec extends AnyFunSuite {
     assert(BpeFit.selectCompatible(Nil, 4) == Nil)
   }
 
+  test("selectGreedy: skips interference, keeps filling the batch") {
+    val interf = Seq(("a", "b", 10L), ("b", "c", 8L), ("e", "f", 6L), ("f", "g", 5L), ("h", "i", 4L))
+    // selectCompatible stops at (b,c); selectGreedy skips it and fills
+    assert(BpeFit.selectGreedy(interf, 4) ==
+      Seq(("a", "b", 10L), ("e", "f", 6L), ("h", "i", 4L)))
+    assert(BpeFit.selectGreedy(interf, 2) == Seq(("a", "b", 10L), ("e", "f", 6L)))
+    assert(BpeFit.selectGreedy(Nil, 4) == Nil)
+  }
+
+  test("approximate fit: batch=1 is the sequential fit; batched rounds stay O(numMerges/batch)") {
+    import spark.implicits._
+    // tie-heavy tiny-alphabet corpus — the adversarial case where the
+    // exact margin collapses to ~1 merge/round
+    val rnd = new scala.util.Random(11)
+    val corpus = Seq.fill(80)(
+      Seq.fill(4 + rnd.nextInt(4))(
+        Seq.fill(3 + rnd.nextInt(5))(('a' + rnd.nextInt(3)).toChar).mkString
+      ).mkString(" "))
+    val words = BpeFit.wordCounts(corpus.toDF("text"), "text")
+    // batch=1: greedy selection IS the sequential argmax
+    val seq1 = BpeFit.fit(words, numMerges = 8, minCount = 2, batch = 1, exact = false)
+      .map(m => (m.left, m.right, m.count))
+    assert(seq1 == refFit(corpus, numMerges = 8, minCount = 2))
+    // batched approximate mode: every round fills (skip-and-continue),
+    // so rounds ≤ ceil(numMerges / ~fillable) stays far below numMerges
+    val (approx, rounds) = BpeFit.fitWithRounds(
+      words, numMerges = 12, minCount = 2, batch = 8, exact = false)
+    assert(approx.length == 12)
+    assert(rounds <= 4, s"approximate fit used $rounds rounds for 12 merges at batch=8")
+    // merge table is well-formed: ranks contiguous, pairs distinct
+    assert(approx.map(_.rank) == (1 to 12))
+    assert(approx.map(m => (m.left, m.right)).distinct.length == 12)
+    // and the encode built from it still round-trips losslessly
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val enc = BpeFit.encode(docs, "doc_id", "text", approx).collect()
+    enc.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("bpe")).mkString("") ==
+        r.getAs[String]("word"))
+    }
+  }
+
   test("fit stops early when no pair reaches minCount") {
     import spark.implicits._
     val merges = BpeFit.fit(

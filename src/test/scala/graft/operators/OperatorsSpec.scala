@@ -310,6 +310,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.values.map(_.feat_checksum).toSet.size == 3)
   }
 
+  test("multimodal: synthetic WebM corpus carries EBML metadata through extractFeatures") {
+    val docs = Seq((1L, "abcde"), (2L, "a longer text body here"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticWebm(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    // generator contract: w = 32(1 + id%3), h = 16(1 + len%4);
+    // WebM headers carry no sample count → channels pins to 0
+    assert(feats(1L).width == 64 && feats(1L).height == 16 * (1 + 5 % 4))
+    assert(feats(2L).width == 96 && feats(2L).height == 16 * (1 + 23 % 4))
+    assert(feats(3L).width == 32 && feats(3L).height == 16 * (1 + 2 % 4))
+    assert(feats.values.forall(_.channels == 0))
+    // content fingerprints distinct per blob via the id-seeded cluster
+    assert(feats.values.map(_.feat_checksum).toSet.size == 3)
+    // and buildWebm output parses back with full metadata
+    val m = MediaContainers.parseVideoMeta(
+      Multimodal.buildWebm(320, 240, durationMs = 700L, seed = 9L)).get
+    assert(m.width == 320 && m.height == 240 && m.durationMs == 700L &&
+      m.codec == "V_VP9")
+  }
+
   test("gram_stats: repetition counts match the exploded groupBy form") {
     import graft.functions.expressions.gram_stats
     import graft.functions.TextFunctions.tokens

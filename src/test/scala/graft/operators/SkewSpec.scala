@@ -41,6 +41,85 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("connectedComponents: 100k-node star resolves with bounded per-task shuffle input") {
+    import org.apache.spark.sql.functions._
+    val starSize = 100000
+    // one mega-hub (node 0 ↔ 1..100k) + a cold tail of 3-cycles
+    val star = spark.range(1, starSize + 1).select(lit(0L).as("a"), col("id").as("b"))
+    val tail = spark.range(0, 300).select(
+      (col("id") * 3 + 1000000).as("a"), (col("id") * 3 + 1000001).as("b"))
+      .union(spark.range(0, 300).select(
+        (col("id") * 3 + 1000001).as("a"), (col("id") * 3 + 1000002).as("b")))
+    val edges = star.union(tail)
+
+    // per-task shuffle-read record ceiling, observed via listener: with
+    // the hub on the broadcast leg, no reducer ever receives the star
+    def maxTaskShuffleRead(body: => Unit): Long = {
+      val maxTaskRecords = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            maxTaskRecords.getAndUpdate(_ max m.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events are async: poll until the max is stable
+        var prev = -1L
+        var stable = 0
+        while (stable < 4) {
+          val cur = maxTaskRecords.get()
+          if (cur == prev) stable += 1 else stable = 0
+          prev = cur
+          Thread.sleep(250)
+        }
+        maxTaskRecords.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // 16 real reducers: AQE's partition coalescing folds this tiny
+    // exchange into ONE task (bounded by bytes, not rows), which would
+    // mask exactly the per-key concentration this test measures
+    // auto-broadcast off: at this toy scale Spark would broadcast the
+    // whole min-lookup and no exchange forms at all; at 100 TB the
+    // lookup is corpus-sized and MUST shuffle — that's the shape under
+    // test (the hot leg's explicit broadcast() hint still applies)
+    val confs = Seq("spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      var cc = Map.empty[Long, Long]
+      val protectedCeiling = maxTaskShuffleRead {
+        cc = Clusters.connectedComponents(edges, hotThreshold = 1000)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      // correctness: every star node maps to the hub's min id
+      assert(cc(0L) == 0L && cc(1L) == 0L && cc(starSize.toLong) == 0L)
+      assert((1 to starSize by 9973).forall(i => cc(i.toLong) == 0L))
+      // tail components resolve to their own minima, not the hub
+      assert(cc(1000001L) == 1000000L && cc(1000002L) == 1000000L)
+      // baseline: the SAME first star step with the hub UNPROTECTED
+      // funnels the hub's whole neighbor list through one reducer
+      val unprotectedCeiling = maxTaskShuffleRead {
+        Clusters.largeStar(
+          edges.toDF("u", "v"), hotThreshold = Long.MaxValue).count()
+      }
+      assert(unprotectedCeiling >= starSize,
+        s"baseline invalid: expected the hub (~$starSize rows) on one task, " +
+          s"saw $unprotectedCeiling")
+      assert(protectedCeiling < starSize / 2,
+        s"a task shuffle-read $protectedCeiling records — the hub leaked " +
+          s"into the exchange (unprotected baseline: $unprotectedCeiling)")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hotColdLookupJoin: parity with a plain join; hot keys take the broadcast leg") {
     import org.apache.spark.sql.functions._
     // one mega-key (5000 rows) + a cold tail
