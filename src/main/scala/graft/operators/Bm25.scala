@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval scoring over a document corpus — the lexical leg of
+  * a RAG / retrieval pipeline beside the ANN family ([[Similarity]],
+  * [[IvfIndex]], [[PqIndex]]). Robertson–Spärck Jones BM25 with the
+  * standard k1/b parameterization. Reference analogue: none
+  * (driver-brief operator family).
+  *
+  * Scale design (the 100 TB shape):
+  *
+  *  - the QUERY term set is a literal array in the plan — the
+  *    tf filter (`array_contains`) runs AT THE SCAN, so the exploded
+  *    token stream contracts to query-term hits before anything
+  *    shuffles. Per-doc tf is one groupBy on (doc_id, term).
+  *  - document lengths are a scan-level `size(split(...))` — no
+  *    second tokenization pass, no shuffle beyond the tf groupBy.
+  *  - corpus scalars (N docs, Σ dl) are a 1-row aggregate
+  *    cross-joined back — a broadcast of two longs.
+  *  - df per query term comes from the tf table itself
+  *    (`countDistinct(doc_id)`) — query-terms-sized, tiny.
+  *
+  * Correctness strategy (q73): with k1 = 1.2, b = 0.75 the
+  * length-normalized tf component clears denominators to a ratio of
+  * two EXACT integers:
+  *
+  *   tfNorm = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/S)
+  *          = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+  *
+  * (multiply through by 10·S; S = Σ dl, N = corpus size). Both sides
+  * fit a BIGINT at test scale, so `tf_norm` is ONE IEEE division of
+  * two exact integers — hash-certifiable in DuckDB alongside the raw
+  * tf/df/dl integers. The log idf and the final summed score are
+  * transcendental → engine-side, spec'd against a driver reference.
+  * (At corpus scales where 10·tf·S overflows 2^53 the scaled form is
+  * only a certification artifact anyway — [[score]] computes the
+  * normalized form directly.)
+  */
+object Bm25 {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Per-(doc, term) integer statistics for a fixed query term set:
+    * tf, dl, df, plus corpus scalars n_docs / sum_dl and the
+    * scaled-integer `tf_norm` (k1=1.2, b=0.75 — the clearing above).
+    * Every column is exact-arithmetic except the single-division
+    * `tf_norm`; the whole frame is DuckDB-certifiable (q73).
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String,
+                query: Seq[String]): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val corpus = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("tf_norm",
+        (lit(22L) * col("tf") * col("sum_dl")).cast("double") /
+          (lit(10L) * col("tf") * col("sum_dl") + lit(3L) * col("sum_dl") +
+            lit(9L) * col("dl") * col("n_docs")))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("sum_dl"), col("tf_norm"))
+  }
+
+  /** Full per-doc BM25 for a query: Σ_terms idf(t) · tfNorm(t, d),
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — always positive, the
+    * Lucene convention. General k1/b (the normalized form, no integer
+    * clearing). Engine-side metric; spec'd against a driver
+    * reference.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            query: Seq[String], k1: Double = DefaultK1,
+            b: Double = DefaultB): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val corpus = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1)).cast("double") /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib", idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("contrib")).as("bm25"))
+  }
+}

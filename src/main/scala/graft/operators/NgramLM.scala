@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model fit + document scoring — the n-gram-LM
+  * quality-filter step of a curation pipeline (the CCNet / KenLM
+  * recipe: score every crawled document under a small LM, keep the
+  * low-perplexity tail). Reference analogue: none (driver-brief
+  * operator family, like [[Importance]]).
+  *
+  * Scale design (the 100 TB shape):
+  *
+  *  - the MODEL is a pair of count tables keyed by 64-bit xxhash64
+  *    grams — (gram_hash, c2) for bigrams, (prefix_hash, c1) for
+  *    prefix occurrences — built with one groupBy shuffle each over
+  *    hashes, never strings ([[Importance]]'s convention, certified
+  *    by q58's string-built oracle). At web scale these are
+  *    vocab-sized distributed tables, NOT driver state.
+  *  - SCORING is occurrences ⋈ bigrams ⋈ prefixes on the hash keys —
+  *    two equi-joins AQE can broadcast when the model is small and
+  *    shuffle when it isn't. Documents never ride a shuffle; only
+  *    (doc_id, hash) pairs do.
+  *  - add-one smoothing over prefix counts: p(w2|w1) =
+  *    (c(w1,w2)+1) / (c1(w1)+V), V = distinct-token vocabulary size.
+  *
+  * Two scoring forms, one correctness strategy:
+  *
+  *  - [[likelihoodMass]] emits integer masses Σ(c2+1) and Σ(c1+V)
+  *    plus their SINGLE IEEE division as `score` — exactly
+  *    reproducible by an engine that rebuilds grams as strings
+  *    (DuckDB, q72), so the model counts and join shape are
+  *    hash-certifiable.
+  *  - [[perplexity]] is the real per-doc metric, 2^(avg −log2 p):
+  *    transcendental, so engine-specific — spec'd against a
+  *    driver-side reference instead of the oracle.
+  */
+object NgramLM {
+
+  /** The fitted model: distributed count tables + vocab size. */
+  final case class Model(bigrams: DataFrame, prefixes: DataFrame,
+                         vocabSize: Long)
+
+  private def toks(textCol: String): Column =
+    split(trim(col(textCol)), "\\s+")
+
+  /** One row per bigram occurrence: (doc_id, prefix_hash, gram_hash).
+    * Grams ride as 64-bit hashes from the scan on (q58's convention);
+    * the gram string is `w1  w2`, the prefix just `w1`.
+    */
+  def gramOccurrences(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n") - 2), i => struct(
+          xxhash64(element_at(col("toks"), i + 1)).as("prefix_hash"),
+          xxhash64(concat_ws("\u0001", slice(col("toks"), i + 1, lit(2))))
+            .as("gram_hash")))).as("g"))
+      .select(col("doc_id"), col("g.prefix_hash"), col("g.gram_hash"))
+
+  /** Fit on a training corpus: two hash-keyed count shuffles + one
+    * exact distinct-token count. `c1` counts PREFIX occurrences
+    * (Σ_w2 c(w1,w2)), so add-one probabilities normalize by
+    * construction.
+    */
+  def fit(docs: DataFrame, idCol: String, textCol: String): Model = {
+    val occ = gramOccurrences(docs, idCol, textCol)
+    val bigrams = occ.groupBy(col("gram_hash"))
+      .agg(count(lit(1)).as("c2"))
+    val prefixes = occ.groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(toks(textCol)).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    Model(bigrams, prefixes, v)
+  }
+
+  private def scored(docs: DataFrame, idCol: String, textCol: String,
+                     model: Model): DataFrame =
+    gramOccurrences(docs, idCol, textCol)
+      .join(model.bigrams, Seq("gram_hash"), "left")
+      .join(model.prefixes, Seq("prefix_hash"), "left")
+      .na.fill(0L, Seq("c2", "c1"))
+
+  /** Per-doc smoothed likelihood masses: `hit_mass` = Σ(c2+1),
+    * `prefix_mass` = Σ(c1+V) over the doc's bigram occurrences, and
+    * `score` = hit_mass / prefix_mass — one IEEE division of two
+    * exact integers, so the whole result is hash-certifiable against
+    * a string-gram re-computation (q72). Unseen grams (scoring corpus
+    * ⊄ fit corpus) contribute their add-one floor.
+    */
+  def likelihoodMass(docs: DataFrame, idCol: String, textCol: String,
+                     model: Model): DataFrame =
+    scored(docs, idCol, textCol, model)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("c2") + 1).cast("long").as("hit_mass"),
+        sum(col("c1") + model.vocabSize).cast("long").as("prefix_mass"))
+      .withColumn("score",
+        col("hit_mass").cast("double") / col("prefix_mass"))
+
+  /** Per-doc bigram perplexity, 2^(avg −log2 p(w2|w1)) with add-one
+    * smoothing — the number the CCNet filter thresholds on. Uses
+    * transcendental ops, so certified by spec (driver-side reference
+    * parity), not by the DuckDB oracle.
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 model: Model): DataFrame =
+    scored(docs, idCol, textCol, model)
+      .withColumn("nll",
+        -log2((col("c2") + 1).cast("double") /
+          (col("c1") + model.vocabSize)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        avg(col("nll")).as("avg_nll"))
+      .withColumn("perplexity", pow(lit(2.0), col("avg_nll")))
+}

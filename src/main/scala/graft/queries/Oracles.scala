@@ -1022,5 +1022,53 @@ object Oracles {
       SELECT count(DISTINCT user_id) AS exact_users,
              count(*) AS n_events
       FROM events""",
+
+    // q72: bigram-LM likelihood masses — grams rebuilt as strings
+    // (Spark rides xxhash64), integer masses, one IEEE division.
+    "q72_ngram_lm" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, t[(i+1)] AS w1,
+               array_to_string(t[(i+1):(i+2)], chr(1)) AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-2)) AS i
+              FROM tok WHERE len(t) >= 2)),
+      c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram),
+      c1 AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+      v AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM tok))
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(c2.c2 + 1) AS BIGINT) AS hit_mass,
+             CAST(sum(c1.c1 + v.v) AS BIGINT) AS prefix_mass,
+             CAST(CAST(sum(c2.c2 + 1) AS BIGINT) AS DOUBLE)
+               / CAST(sum(c1.c1 + v.v) AS BIGINT) AS score
+      FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // q73: BM25 per-(doc, term) integers + the k1=1.2/b=0.75 scaled
+    // tf-norm — 22*tf*S / (10*tf*S + 3*S + 9*dl*N), one division of
+    // two exact integers.
+    "q73_bm25_stats" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      corpus AS (
+        SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl
+        FROM tok),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                     unnest(t) AS term FROM tok)
+        WHERE term IN ('join', 'hash', 'customer')
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+      SELECT tf.doc_id, tf.term, tf.tf, tf.dl, df.df,
+             corpus.n_docs, corpus.sum_dl,
+             CAST(22 * tf.tf * corpus.sum_dl AS DOUBLE) /
+               (10 * tf.tf * corpus.sum_dl + 3 * corpus.sum_dl
+                 + 9 * tf.dl * corpus.n_docs) AS tf_norm
+      FROM tf JOIN df USING (term) CROSS JOIN corpus
+      ORDER BY tf.doc_id, tf.term""",
   )
 }

@@ -1175,6 +1175,32 @@ object Queries {
       .agg(countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
 
+  /** Bigram-LM quality scoring ([[graft.operators.NgramLM]] — the
+    * CCNet/KenLM curation step): fit add-one bigram counts on the
+    * corpus, score every document's smoothed likelihood masses.
+    * Spark rides 64-bit gram hashes; the DuckDB oracle rebuilds the
+    * grams as strings — hash equality certifies the count tables,
+    * the two scoring joins, and the single-division score.
+    */
+  def q72NgramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val model = graft.operators.NgramLM.fit(docs, "doc_id", "text")
+    graft.operators.NgramLM.likelihoodMass(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 term statistics ([[graft.operators.Bm25]] — the lexical
+    * retrieval leg beside the ANN family): per-(doc, query-term)
+    * tf/dl/df integers plus the k1=1.2/b=0.75 length-normalized tf as
+    * a scaled-integer single division — every column DuckDB-exact.
+    * The log-idf composite ([[graft.operators.Bm25.score]]) is
+    * spec-certified engine-side.
+    */
+  def q73Bm25Stats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.termStats(table(s, dir, "documents"),
+        "doc_id", "text", Seq("join", "hash", "customer"))
+      .orderBy(col("doc_id"), col("term"))
+
   /** As-of join ([[graft.operators.AsofJoin]]): every purchase picks
     * the user's latest click at-or-before it — union-and-carry (one
     * keyed shuffle + one window), never a range scan. The oracle is
@@ -1453,5 +1479,7 @@ object Queries {
     "q69_exact_quantiles" -> (q69ExactQuantiles _),
     "q70_exact_distinct"  -> (q70ExactDistinct _),
     "q71_exact_users"     -> (q71ExactUsers _),
+    "q72_ngram_lm"        -> (q72NgramLm _),
+    "q73_bm25_stats"      -> (q73Bm25Stats _),
   )
 }

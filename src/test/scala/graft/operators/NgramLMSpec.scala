@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram LM vs a driver-side reference: count tables, likelihood
+  * masses, and the transcendental perplexity (which the DuckDB oracle
+  * can't certify — q72 covers the mass form).
+  */
+class NgramLMSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ate the rat"),
+    (3L, "a dog sat on a log"),
+    (4L, "single"),          // < 2 tokens: no grams, absent from scores
+    (5L, "the the the"))     // repeated-token degenerate case
+
+  private def refTokens(t: String) = t.trim.split("\\s+").toSeq
+
+  private def refModel = {
+    val grams = corpus.flatMap { case (_, t) =>
+      val w = refTokens(t); if (w.length < 2) Nil else w.sliding(2).toSeq
+    }
+    val c2 = grams.groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val c1 = grams.groupBy(_.head).map { case (w, gs) => w -> gs.size.toLong }
+    val v = corpus.flatMap(c => refTokens(c._2)).distinct.size.toLong
+    (c2, c1, v)
+  }
+
+  test("fit: count tables and vocab size match the reference") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = NgramLM.fit(docs, "doc_id", "text")
+    val (c2, c1, v) = refModel
+    assert(model.vocabSize == v)
+    assert(model.bigrams.count() == c2.size)
+    assert(model.prefixes.count() == c1.size)
+    // spot totals: sum of bigram counts == total gram occurrences
+    assert(model.bigrams.agg(org.apache.spark.sql.functions.sum("c2"))
+      .head().getLong(0) == c2.values.sum)
+  }
+
+  test("likelihoodMass: masses and single-division score match the reference") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = NgramLM.fit(docs, "doc_id", "text")
+    val (c2, c1, v) = refModel
+    val got = NgramLM.likelihoodMass(docs, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("hit_mass"),
+          r.getAs[Long]("prefix_mass"), r.getAs[Double]("score"))).toMap
+    assert(!got.contains(4L), "a one-token doc has no grams")
+    corpus.filter(c => refTokens(c._2).length >= 2).foreach { case (id, t) =>
+      val grams = refTokens(t).sliding(2).toSeq
+      val hit = grams.map(g => c2(g) + 1).sum
+      val pre = grams.map(g => c1(g.head) + v).sum
+      assert(got(id) == ((grams.size.toLong, hit, pre, hit.toDouble / pre)),
+        s"doc $id")
+    }
+  }
+
+  test("perplexity: matches the driver-side add-one bigram computation") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = NgramLM.fit(docs, "doc_id", "text")
+    val (c2, c1, v) = refModel
+    val got = NgramLM.perplexity(docs, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("perplexity")).toMap
+    corpus.filter(c => refTokens(c._2).length >= 2).foreach { case (id, t) =>
+      val nlls = refTokens(t).sliding(2).toSeq.map { g =>
+        -math.log((c2(g) + 1).toDouble / (c1(g.head) + v)) / math.log(2)
+      }
+      val want = math.pow(2, nlls.sum / nlls.size)
+      assert(math.abs(got(id) - want) < 1e-9, s"doc $id: ${got(id)} vs $want")
+    }
+    // the degenerate doc "the the the": both grams are ("the","the"),
+    // seen twice in fit → well-defined finite perplexity
+    assert(got(5L) > 1.0 && java.lang.Double.isFinite(got(5L)))
+  }
+
+  test("scoring a corpus with unseen grams takes the add-one floor, never NPE") {
+    val train = corpus.toDF("doc_id", "text")
+    val model = NgramLM.fit(train, "doc_id", "text")
+    val unseen = Seq((9L, "completely novel words here")).toDF("doc_id", "text")
+    val row = NgramLM.likelihoodMass(unseen, "doc_id", "text", model)
+      .collect().head
+    // every gram unseen: hit_mass = n_grams * 1, prefix_mass = n_grams * V
+    assert(row.getAs[Long]("n_grams") == 3L)
+    assert(row.getAs[Long]("hit_mass") == 3L)
+    assert(row.getAs[Long]("prefix_mass") == 3L * model.vocabSize)
+  }
+}

@@ -118,6 +118,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q72: LM scoring joins key on gram/prefix hashes, never gram strings; no cartesian") {
+    // broadcast off: at 100 TB the model tables are vocab-sized and
+    // MUST exchange on their hash keys
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.queries.Queries.q72NgramLm(spark, sf))
+      assert(p.contains("hashpartitioning(gram_hash#") &&
+        p.contains("hashpartitioning(prefix_hash#"),
+        "scoring joins must exchange on the 64-bit gram/prefix hashes")
+      assert(!p.contains("CartesianProduct"),
+        "no unbounded cross join anywhere in LM scoring")
+      assert(!p.contains("hashpartitioning(toks#") && !p.contains("hashpartitioning(text#"),
+        "document text must never be a shuffle key")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q73: BM25 contracts to query-term hits at the scan; only scalar broadcasts cross") {
+    val df = graft.queries.Queries.q73Bm25Stats(spark, sf)
+    val p = plan(df)
+    // the term filter must sit below the tf aggregation (scan-level
+    // contraction — the exploded token stream never shuffles whole)
+    assert(p.contains("join,hash,customer") || p.contains("join, hash, customer"),
+      s"expected the literal query-term filter in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "corpus scalars must broadcast (1-row), not cartesian")
+    assert(p.contains("hashpartitioning(doc_id#") || p.contains("hashpartitioning(term#"),
+      "tf aggregation exchanges on (doc_id, term)")
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",
