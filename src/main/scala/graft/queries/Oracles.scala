@@ -1070,5 +1070,41 @@ object Oracles {
                  + 9 * tf.dl * corpus.n_docs) AS tf_norm
       FROM tf JOIN df USING (term) CROSS JOIN corpus
       ORDER BY tf.doc_id, tf.term""",
+
+    // q74: the composed LM-quality gate — q72's score, per-lang lower
+    // median as the cut (ties keep), surviving count + char mass.
+    "q74_lm_quality_gate" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, t[(i+1)] AS w1,
+               array_to_string(t[(i+1):(i+2)], chr(1)) AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-2)) AS i
+              FROM tok WHERE len(t) >= 2)),
+      c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram),
+      c1 AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+      v AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM tok)),
+      scores AS (
+        SELECT g.doc_id,
+               CAST(CAST(sum(c2.c2 + 1) AS BIGINT) AS DOUBLE)
+                 / CAST(sum(c1.c1 + v.v) AS BIGINT) AS score
+        FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY g.doc_id),
+      ranked AS (
+        SELECT d.lang, d.n_chars, s.score, s.doc_id,
+               row_number() OVER (PARTITION BY d.lang
+                 ORDER BY s.score, s.doc_id) AS rn,
+               count(*) OVER (PARTITION BY d.lang) AS n
+        FROM scores s JOIN documents d USING (doc_id)),
+      cuts AS (
+        SELECT lang, score AS cut FROM ranked
+        WHERE rn = greatest(1, least(n, (n+1)//2)))
+      SELECT r.lang, count(*) AS n_kept,
+             CAST(sum(r.n_chars) AS BIGINT) AS kept_chars
+      FROM ranked r JOIN cuts c USING (lang)
+      WHERE r.score >= c.cut
+      GROUP BY r.lang ORDER BY r.lang""",
   )
 }

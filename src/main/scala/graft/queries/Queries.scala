@@ -1189,6 +1189,36 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Composed LM-quality gate (q72's scorer + q69's rank arithmetic):
+    * score every document's smoothed likelihood mass under the corpus
+    * bigram LM, then keep each language's top half — docs whose score
+    * reaches the value at rank clamp(ceil(n/2), 1, n) under the total
+    * order (score, doc_id) — and report the surviving count and char
+    * mass per language. The whole gate (LM counts, joins, division,
+    * rank threshold, filter, rollup) hash-matches DuckDB.
+    */
+  def q74LmQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val model = graft.operators.NgramLM.fit(docs, "doc_id", "text")
+    val scoredDocs = graft.operators.NgramLM
+      .likelihoodMass(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    val ranked = scoredDocs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val thresholds = ranked
+      .filter(col("rn") === greatest(lit(1L), least(col("n"),
+        floor((col("n") + 1) / lit(2.0)))))
+      .select(col("lang"), col("score").as("cut"))
+    ranked.join(thresholds, "lang")
+      .filter(col("score") >= col("cut"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** BM25 term statistics ([[graft.operators.Bm25]] — the lexical
     * retrieval leg beside the ANN family): per-(doc, query-term)
     * tf/dl/df integers plus the k1=1.2/b=0.75 length-normalized tf as
@@ -1481,5 +1511,6 @@ object Queries {
     "q71_exact_users"     -> (q71ExactUsers _),
     "q72_ngram_lm"        -> (q72NgramLm _),
     "q73_bm25_stats"      -> (q73Bm25Stats _),
+    "q74_lm_quality_gate" -> (q74LmQualityGate _),
   )
 }
