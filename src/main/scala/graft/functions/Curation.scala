@@ -115,6 +115,29 @@ object Curation {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic within-corpus shuffle key: md5(salt:key) hex.
+    * Lowercase hex sorts identically everywhere (q47's convention), so
+    * ordering by it is an engine-reproducible random permutation — the
+    * training-order randomization a data-loader shard write needs,
+    * with no RNG and no global row numbering.
+    */
+  def shuffleKey(key: Column, salt: String = "shuffle"): Column =
+    md5(concat(lit(salt + ":"), key.cast("string")).cast("binary"))
+
+  /** Deterministic shard assignment in [0, nShards): [[hashBucket256]]
+    * mod nShards (nShards ≤ 256). Hash-bucketed, NOT rank-balanced —
+    * a global row_number would serialize the corpus through one
+    * partition; bucket counts concentrate within O(√(n/256)) of even
+    * anyway. The shard write is `partitionBy(shard)` +
+    * `sortWithinPartitions(shuffleKey)`: shuffled order, bounded
+    * memory, no global sort.
+    */
+  def shardAssign(key: Column, nShards: Int,
+                  salt: String = "shuffle"): Column = {
+    require(nShards >= 1 && nShards <= 256, s"nShards in [1,256]: $nShards")
+    pmod(hashBucket256(key, salt), lit(nShards))
+  }
+
   // -------------------------------------------------------------------
   // Text normalization — the pass every pipeline runs before anything
   // hashes, shingles or tokenizes, so dedup keys are whitespace- and

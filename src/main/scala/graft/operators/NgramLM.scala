@@ -100,6 +100,25 @@ object NgramLM {
       .withColumn("score",
         col("hit_mass").cast("double") / col("prefix_mass"))
 
+  /** Merge two fitted models — count tables are trivially mergeable
+    * (outer-join + sum), so a corpus-wide LM accretes batch-by-batch
+    * the way [[Importance]]'s stored counts and [[DedupIndex]] do:
+    * fit(A ∪ B) ≡ merge(fit(A), fit(B)) except `vocabSize`, which
+    * over-counts tokens seen in both batches — pass the union's exact
+    * distinct count (or an HLL estimate at scale) when A and B
+    * overlap.
+    */
+  def merge(a: Model, b: Model): Model = Model(
+    a.bigrams.withColumnRenamed("c2", "ca")
+      .join(b.bigrams.withColumnRenamed("c2", "cb"), Seq("gram_hash"), "full")
+      .select(col("gram_hash"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c2")),
+    a.prefixes.withColumnRenamed("c1", "ca")
+      .join(b.prefixes.withColumnRenamed("c1", "cb"), Seq("prefix_hash"), "full")
+      .select(col("prefix_hash"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c1")),
+    a.vocabSize + b.vocabSize)
+
   /** Per-doc bigram perplexity, 2^(avg −log2 p(w2|w1)) with add-one
     * smoothing — the number the CCNet filter thresholds on. Uses
     * transcendental ops, so certified by spec (driver-side reference

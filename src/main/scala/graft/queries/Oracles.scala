@@ -1106,5 +1106,23 @@ object Oracles {
       FROM ranked r JOIN cuts c USING (lang)
       WHERE r.score >= c.cut
       GROUP BY r.lang ORDER BY r.lang""",
+
+    // q75: shard bucket via q41's strpos arithmetic mod 8; shuffle keys
+    // are raw md5 hex (lowercase hex sorts identically, q47's rule).
+    "q75_shuffle_shards" -> """
+      WITH k AS (
+        SELECT doc_id, n_chars,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_chars, hx,
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 8
+                 AS shard
+        FROM k)
+      SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             min(hx) AS first_key, max(hx) AS last_key
+      FROM b GROUP BY shard ORDER BY shard""",
   )
 }

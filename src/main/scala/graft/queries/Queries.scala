@@ -1219,6 +1219,28 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic corpus shuffle + sharding
+    * ([[graft.functions.Curation.shardAssign]]/`shuffleKey` — the
+    * training-order randomization before a data-loader shard write):
+    * md5-bucketed shard in [0,8), per-shard doc count, char mass, and
+    * the min/max shuffle keys (the within-shard sort bounds). All
+    * engine-reproducible — DuckDB rebuilds the bucket with q41's
+    * strpos arithmetic and the same md5 hex ordering.
+    */
+  def q75ShuffleShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        Curation.shardAssign(col("doc_id"), 8).as("shard"),
+        Curation.shuffleKey(col("doc_id")).as("k"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("k")).as("first_key"),
+        max(col("k")).as("last_key"))
+      .orderBy(col("shard"))
+  }
+
   /** BM25 term statistics ([[graft.operators.Bm25]] — the lexical
     * retrieval leg beside the ANN family): per-(doc, query-term)
     * tf/dl/df integers plus the k1=1.2/b=0.75 length-normalized tf as
@@ -1512,5 +1534,6 @@ object Queries {
     "q72_ngram_lm"        -> (q72NgramLm _),
     "q73_bm25_stats"      -> (q73Bm25Stats _),
     "q74_lm_quality_gate" -> (q74LmQualityGate _),
+    "q75_shuffle_shards"  -> (q75ShuffleShards _),
   )
 }

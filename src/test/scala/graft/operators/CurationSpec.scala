@@ -103,6 +103,32 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 13.0 / 256) < 0.02)
   }
 
+  test("shardAssign/shuffleKey: deterministic, in-range, decorrelates sequential ids") {
+    import graft.functions.Curation
+    import spark.implicits._
+    val docs = (0L until 256L).toDF("doc_id")
+    def run() = docs.select(col("doc_id"),
+        Curation.shardAssign(col("doc_id"), 8).as("shard"),
+        Curation.shuffleKey(col("doc_id")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val a = run()
+    assert(a.toSeq == run().toSeq, "assignment must be deterministic")
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // parity with the documented md5 arithmetic
+    a.foreach { case (id, s, k) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuffle:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(k == hex, s"doc $id shuffle key")
+      assert(s == Integer.parseInt(hex.take(2), 16) % 8, s"doc $id shard")
+    }
+    // a random permutation scatters: all 8 shards hit, and sorting by
+    // shuffle key breaks the sequential id order immediately
+    assert(a.map(_._2).distinct.length == 8)
+    val firstBySorted = a.sortBy(_._3).take(8).map(_._1).toSeq
+    assert(firstBySorted != (0L until 8L).toSeq)
+  }
+
   test("tokenLines: width-8 windows with 1-based slice arithmetic") {
     import spark.implicits._
     val doc = (1 to 19).map(i => s"w$i").mkString(" ")

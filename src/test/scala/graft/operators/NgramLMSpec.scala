@@ -84,6 +84,22 @@ class NgramLMSpec extends AnyFunSuite {
     assert(got(5L) > 1.0 && java.lang.Double.isFinite(got(5L)))
   }
 
+  test("merge: fit(A ∪ B) count tables equal merge(fit(A), fit(B))") {
+    val a = corpus.take(2).toDF("doc_id", "text")
+    val b = corpus.drop(2).toDF("doc_id", "text")
+    val whole = NgramLM.fit(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val pieces = NgramLM.merge(
+      NgramLM.fit(a, "doc_id", "text"), NgramLM.fit(b, "doc_id", "text"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(pieces.bigrams) == m(whole.bigrams))
+    assert(m(pieces.prefixes) == m(whole.prefixes))
+    // vocabSize sums per-batch vocab (documented over-count on
+    // overlap): equality only when batches share no tokens — here
+    // they DO share ("the", "sat", "on"), so merged > whole
+    assert(pieces.vocabSize > whole.vocabSize)
+  }
+
   test("scoring a corpus with unseen grams takes the add-one floor, never NPE") {
     val train = corpus.toDF("doc_id", "text")
     val model = NgramLM.fit(train, "doc_id", "text")
