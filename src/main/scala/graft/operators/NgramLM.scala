@@ -119,6 +119,53 @@ object NgramLM {
         (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c1")),
     a.vocabSize + b.vocabSize)
 
+  /** Persist a fitted model as BUCKETED tables (`<name>_bigrams`
+    * bucketed on gram_hash, `<name>_prefixes` on prefix_hash, plus a
+    * 1-row `<name>_meta` with the vocab size): the [[DedupIndex]] /
+    * [[IvfIndex]] stored-index pattern. Scoring a daily batch against
+    * a stored web-scale LM then shuffles ONLY the batch — the count
+    * tables come off disk already hash-partitioned on the join key,
+    * so the stored side never exchanges (plan-asserted in the spec).
+    */
+  def store(model: Model, name: String, buckets: Int = 32): Unit = {
+    model.bigrams.write.mode("overwrite")
+      .bucketBy(buckets, "gram_hash").sortBy("gram_hash")
+      .saveAsTable(s"${name}_bigrams")
+    model.prefixes.write.mode("overwrite")
+      .bucketBy(buckets, "prefix_hash").sortBy("prefix_hash")
+      .saveAsTable(s"${name}_prefixes")
+    val spark = model.bigrams.sparkSession
+    import spark.implicits._
+    Seq(model.vocabSize).toDF("vocab_size")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Reload a stored model; the count DataFrames carry the bucket
+    * spec, so joins on their keys skip the stored-side exchange.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, name: String): Model =
+    Model(spark.table(s"${name}_bigrams"), spark.table(s"${name}_prefixes"),
+      spark.table(s"${name}_meta").head().getLong(0))
+
+  /** Accrete a batch into a stored model: merge the batch's counts
+    * into the bucketed tables (rewrite — counts tables are vocab-sized
+    * but contracted; the corpus itself is never rescanned) and bump
+    * the vocab size by the batch's NEW-token count (exact: the batch's
+    * distinct tokens anti-joined against a stored token table would
+    * add a third table; this uses the documented over-count bound).
+    */
+  def appendToStored(spark: org.apache.spark.sql.SparkSession, name: String,
+                     batch: DataFrame, idCol: String, textCol: String,
+                     buckets: Int = 32): Model = {
+    val merged = merge(load(spark, name), fit(batch, idCol, textCol))
+    // materialize BEFORE overwriting the tables being read
+    val big = merged.bigrams.localCheckpoint()
+    val pre = merged.prefixes.localCheckpoint()
+    val out = Model(big, pre, merged.vocabSize)
+    store(out, name, buckets)
+    load(spark, name)
+  }
+
   /** Per-doc bigram perplexity, 2^(avg −log2 p(w2|w1)) with add-one
     * smoothing — the number the CCNet filter thresholds on. Uses
     * transcendental ops, so certified by spec (driver-side reference

@@ -100,6 +100,57 @@ class NgramLMSpec extends AnyFunSuite {
     assert(pieces.vocabSize > whole.vocabSize)
   }
 
+  test("stored model: store/load round-trips scores; stored side joins without a shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val tbl = s"lm${System.nanoTime()}"
+    try {
+      val docs = corpus.toDF("doc_id", "text")
+      val model = NgramLM.fit(docs, "doc_id", "text")
+      NgramLM.store(model, tbl, buckets = 4)
+      val stored = NgramLM.load(spark, tbl)
+      assert(stored.vocabSize == model.vocabSize)
+      // scoring through the stored model reproduces the live scores
+      def scores(m: NgramLM.Model) =
+        NgramLM.likelihoodMass(docs, "doc_id", "text", m).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      assert(scores(stored) == scores(model))
+      // plan shape at the 100 TB setting (no broadcast): the stored
+      // bigram table must ride its bucketing into the join — no
+      // exchange whose subtree scans it
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = NgramLM.likelihoodMass(docs, "doc_id", "text", stored)
+        j.collect()
+        val plan = j.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        def scansStored(p: SparkPlan): Boolean =
+          p.collectLeaves().exists(l => l.toString.contains(s"${tbl}_bigrams") ||
+            l.toString.contains(s"${tbl}_prefixes"))
+        val shufflesOverStored = plan.collect {
+          case s: ShuffleExchangeExec if scansStored(s) => s
+        }
+        assert(plan.toString.contains(s"${tbl}_bigrams"), "stored scan present")
+        assert(shufflesOverStored.isEmpty,
+          s"stored count tables must join through their bucketing, plan:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // appendToStored: day-2 batch accretes; counts equal whole-corpus fit
+      val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")
+      NgramLM.appendToStored(spark, tbl, day2, "doc_id", "text", buckets = 4)
+      val whole = NgramLM.fit(docs.union(day2), "doc_id", "text")
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val after = NgramLM.load(spark, tbl)
+      assert(m(after.bigrams) == m(whole.bigrams))
+      assert(m(after.prefixes) == m(whole.prefixes))
+    } finally Seq("_bigrams", "_prefixes", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
   test("scoring a corpus with unseen grams takes the add-one floor, never NPE") {
     val train = corpus.toDF("doc_id", "text")
     val model = NgramLM.fit(train, "doc_id", "text")
