@@ -89,6 +89,12 @@ object NgramLM {
     * exact integers, so the whole result is hash-certifiable against
     * a string-gram re-computation (q72). Unseen grams (scoring corpus
     * ⊄ fit corpus) contribute their add-one floor.
+    *
+    * STREAMING-COMPATIBLE: pass a streaming `docs` frame and this is
+    * a stream-static join against the model tables plus a streaming
+    * per-doc aggregation (update/complete output mode) — score
+    * arrivals against a stored corpus LM with no extra code
+    * (spec-proven against the batch scorer).
     */
   def likelihoodMass(docs: DataFrame, idCol: String, textCol: String,
                      model: Model): DataFrame =

@@ -151,6 +151,32 @@ class NgramLMSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
+  test("streaming: likelihoodMass scores arrivals against a static model, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val model = NgramLM.fit(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val arrivals = Seq((11L, "the cat sat on a log"), (12L, "novel words entirely"))
+    val input = MemoryStream[(Long, String)]
+    val scored = NgramLM.likelihoodMass(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = scored.writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(arrivals)
+      q.processAllAvailable()
+      val got = spark.table("lm_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("hit_mass"), r.getAs[Long]("prefix_mass"),
+            r.getAs[Double]("score"))).toMap
+      val want = NgramLM.likelihoodMass(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("hit_mass"), r.getAs[Long]("prefix_mass"),
+            r.getAs[Double]("score"))).toMap
+      assert(got == want, s"stream scores must match batch: $got vs $want")
+    } finally q.stop()
+  }
+
   test("scoring a corpus with unseen grams takes the add-one floor, never NPE") {
     val train = corpus.toDF("doc_id", "text")
     val model = NgramLM.fit(train, "doc_id", "text")

@@ -310,6 +310,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.values.map(_.feat_checksum).toSet.size == 3)
   }
 
+  test("MediaContainers: seeded fuzz — random bytes, bit flips and splices never throw") {
+    val rnd = new scala.util.Random(1234)
+    // pure noise (sometimes magic-prefixed to force the parsers in)
+    (1 to 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      if (b.length >= 8 && rnd.nextBoolean()) {
+        if (rnd.nextBoolean()) { b(4) = 'f'; b(5) = 't'; b(6) = 'y'; b(7) = 'p' }
+        else { b(0) = 0x1A.toByte; b(1) = 0x45.toByte; b(2) = 0xDF.toByte; b(3) = 0xA3.toByte }
+      }
+      MediaContainers.parseVideoMeta(b) // must not throw
+    }
+    // structured fixtures with random single-bit corruption + splices
+    val mp4 = Multimodal.buildMp4(64, 48, 12, 480L, seed = 5L)
+    val webm = Multimodal.buildWebm(64, 48, 480L, seed = 5L)
+    (1 to 300).foreach { _ =>
+      val src = if (rnd.nextBoolean()) mp4 else webm
+      val b = src.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        val i = rnd.nextInt(b.length)
+        b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      MediaContainers.parseVideoMeta(b)
+      MediaContainers.parseVideoMeta(b.take(rnd.nextInt(b.length + 1)))
+      MediaContainers.parseVideoMeta(b ++ b.take(rnd.nextInt(b.length)))
+    }
+  }
+
   test("multimodal: synthetic WebM corpus carries EBML metadata through extractFeatures") {
     val docs = Seq((1L, "abcde"), (2L, "a longer text body here"), (3L, "xy"))
       .toDF("doc_id", "text")
