@@ -157,12 +157,26 @@ object Dedup {
     * 4×16 misses) at the cost of more bucket collisions to verify.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hammingPairs64(
+      withSimhash(df.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+        .select(col("doc_id"), col("sig")),
+      maxHamming, bands)
+
+  /** Signature-GENERIC band-LSH Hamming pairing over any 64-bit
+    * fingerprint frame (doc_id, sig) — the engine under
+    * [[simhashPairs]], reused verbatim by perceptual-hash image dedup
+    * ([[Multimodal.imageDupPairs]]). Same contract: a pair collides
+    * iff one 64/bands-bit chunk matches exactly; recall is exactly 1
+    * for hamming ≤ bands − 1 matched chunks condition (pigeonhole when
+    * maxHamming < bands).
+    */
+  def hammingPairs64(sigs0: DataFrame, maxHamming: Int = 3,
+                     bands: Int = 4): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sigs = withSimhash(df.select(col(idCol).as("doc_id"), col(textCol)), textCol)
-      .select(col("doc_id"), col("sig")).cache()
+    val sigs = sigs0.select(col("doc_id"), col("sig")).cache()
     // Repartition by the join key: a small corpus read as one partition
     // would otherwise evaluate the (potentially near-all-pairs) band
     // join single-threaded — and at scale this is exactly the exchange

@@ -499,6 +499,123 @@ object Multimodal {
     ftyp ++ moov ++ mp4Box("mdat", payload)
   }
 
+  // ---- Perceptual image dedup ------------------------------------------
+
+  /** 64-bit difference hash (dHash) — the standard perceptual image
+    * fingerprint: block-average luminance onto a 9×8 grid, one bit per
+    * horizontally-adjacent cell comparison. Invariant under constant
+    * brightness shifts (comparisons are relative), re-encoding, and
+    * resolution changes that preserve the luminance field; near-dups
+    * land within a few bits of Hamming distance. None on undecodable
+    * bytes.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val (gw, gh) = (9, 8)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val lum = Array.ofDim[Double](gh, gw)
+        var gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw) {
+            val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+            val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+            var s = 0.0; var n = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            lum(gy)(gx) = s / n
+            gx += 1
+          }
+          gy += 1
+        }
+        var sig = 0L
+        var bit = 0
+        gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw - 1) {
+            if (lum(gy)(gx) > lum(gy)(gx + 1)) sig |= (1L << bit)
+            bit += 1; gx += 1
+          }
+          gy += 1
+        }
+        Some(sig)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (doc_id, sig) perceptual fingerprints for every decodable image —
+    * one decoder init per partition, blobs never shuffle (the hash is
+    * 8 bytes; everything downstream rides it).
+    */
+  def imageHashes(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap(r => dHash64(r.content).map(sig => (r.media_id, sig)))
+    }.toDF("doc_id", "sig")
+  }
+
+  /** Perceptual near-duplicate image pairs: [[dHash64]] fingerprints
+    * through [[Dedup.hammingPairs64]]'s band-LSH — the image leg of
+    * the dedup family. At 100 TB the only blob-sized pass is the
+    * per-partition hash; pairing shuffles 8-byte signatures keyed on
+    * band values, exactly like text SimHash.
+    */
+  def imageDupPairs(spark: SparkSession, media: Dataset[MediaRecord],
+                    maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    Dedup.hammingPairs64(imageHashes(spark, media), maxHamming, bands)
+
+  /** [[syntheticImages]] with the SAME id-seeded pixel noise but a
+    * constant brightness lift and offset ids — planted perceptual
+    * near-duplicates (dHash is brightness-invariant up to clamping at
+    * 255, so each pair lands within a few Hamming bits of its source).
+    */
+  def syntheticNearDupImages(spark: SparkSession, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             idOffset: Long, brightness: Int = 8): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), length(col(textCol)).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, textLen) =>
+          val w = 8 + (textLen % 17)
+          val h = 8 + (id % 13).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var seed = id * 6364136223846793005L + 1442695040888963407L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              seed = seed * 6364136223846793005L + 1442695040888963407L
+              val rgb = ((seed >>> 24) & 0xFFFFFF).toInt
+              def lift(c: Int) = math.min(255, c + brightness)
+              img.setRGB(x, y, (lift((rgb >> 16) & 0xFF) << 16) |
+                (lift((rgb >> 8) & 0xFF) << 8) | lift(rgb & 0xFF))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRecord(id + idOffset, "image", baos.toByteArray, "image/png", "synthetic")
+        }
+      }
+  }
+
   // ---- WebM fixture corpus ---------------------------------------------
 
   /** One EBML element: id bytes (marker kept) + 1-byte size + body.

@@ -1241,6 +1241,34 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** Perceptual image dedup ([[graft.operators.Multimodal.dHash64]] →
+    * [[graft.operators.Dedup.hammingPairs64]] — the IMAGE leg of the
+    * dedup family): every document renders to a deterministic PNG,
+    * each gets a planted brightness-shifted near-duplicate, and the
+    * banded dHash pairing must recover exactly the planted pairs.
+    * Rows-only (DuckDB can't decode PNGs) but self-asserting: `pass`
+    * flips if recall drops below 1 or any spurious pair appears.
+    */
+  def q76ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val off = 10000000L
+    val base = Multimodal.syntheticImages(s, docs, "doc_id", "text")
+    val planted = Multimodal.syntheticNearDupImages(
+      s, docs, "doc_id", "text", idOffset = off, brightness = 8)
+    val pairs = Multimodal.imageDupPairs(s, base.union(planted))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("id_b") === col("id_a") + off, 1).otherwise(0))
+          .cast("long").as("n_planted_found"),
+        sum(when(col("id_b") =!= col("id_a") + off, 1).otherwise(0))
+          .cast("long").as("n_spurious"),
+        max(col("hamming")).cast("long").as("max_hamming"))
+      .crossJoin(nDocs)
+      .withColumn("pass",
+        col("n_planted_found") === col("n_docs") && col("n_spurious") === 0)
+  }
+
   /** BM25 term statistics ([[graft.operators.Bm25]] — the lexical
     * retrieval leg beside the ANN family): per-(doc, query-term)
     * tf/dl/df integers plus the k1=1.2/b=0.75 length-normalized tf as
@@ -1535,5 +1563,6 @@ object Queries {
     "q73_bm25_stats"      -> (q73Bm25Stats _),
     "q74_lm_quality_gate" -> (q74LmQualityGate _),
     "q75_shuffle_shards"  -> (q75ShuffleShards _),
+    "q76_image_dedup"     -> (q76ImageDedup _),
   )
 }

@@ -310,6 +310,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.values.map(_.feat_checksum).toSet.size == 3)
   }
 
+  test("perceptual image dedup: dHash pairs planted brightness-shifted dups, no spurious") {
+    val docs = (1L to 50L).map(i => (i, "x" * (10 + i % 23).toInt)).toDF("doc_id", "text")
+    val base = Multimodal.syntheticImages(spark, docs, "doc_id", "text")
+    val planted = Multimodal.syntheticNearDupImages(
+      spark, docs, "doc_id", "text", idOffset = 1000000L, brightness = 8)
+    // brightness invariance at the single-hash level
+    val b = base.collect().map(r => r.media_id -> r.content).toMap
+    val p = planted.collect().map(r => r.media_id -> r.content).toMap
+    (1L to 50L).foreach { id =>
+      val hb = Multimodal.dHash64(b(id)).get
+      val hp = Multimodal.dHash64(p(id + 1000000L)).get
+      assert(java.lang.Long.bitCount(hb ^ hp) <= 6, s"doc $id drifted too far")
+    }
+    // undecodable bytes hash to None, never throw
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+    assert(Multimodal.dHash64(Array.emptyByteArray).isEmpty)
+    // end-to-end banded pairing: every planted dup found, nothing else
+    val pairs = Multimodal.imageDupPairs(spark, base.union(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (1L to 50L).map(i => (i, i + 1000000L)).toSet
+    assert(wanted.subsetOf(pairs), s"missing planted pairs: ${wanted -- pairs}")
+    assert(pairs == wanted, s"spurious pairs: ${pairs -- wanted}")
+  }
+
   test("MediaContainers: seeded fuzz — random bytes, bit flips and splices never throw") {
     val rnd = new scala.util.Random(1234)
     // pure noise (sometimes magic-prefixed to force the parsers in)
