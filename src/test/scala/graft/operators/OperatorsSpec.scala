@@ -334,6 +334,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == wanted, s"spurious pairs: ${pairs -- wanted}")
   }
 
+  test("imageDupPairs: no exchange carries the image blobs — only 8-byte sigs shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = (1L to 20L).map(i => (i, "y" * (5 + i % 11).toInt)).toDF("doc_id", "text")
+    val media = Multimodal.syntheticImages(spark, docs, "doc_id", "text")
+    val pairs = Multimodal.imageDupPairs(spark, media)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val leaky = plan.collect {
+      case s: ShuffleExchangeExec
+        if s.output.exists(a => a.name == "content" ||
+          a.dataType.typeName == "binary") => s
+    }
+    assert(leaky.isEmpty,
+      s"an exchange carries binary media content:\n${leaky.mkString("\n")}")
+  }
+
   test("MediaContainers: seeded fuzz — random bytes, bit flips and splices never throw") {
     val rnd = new scala.util.Random(1234)
     // pure noise (sometimes magic-prefixed to force the parsers in)
