@@ -60,6 +60,12 @@ object GraftFunctions {
       arity("space_saving_top_k", args, 2)
       val k = intLit(args(1), "k")
       SpaceSavingTopK(args.head, k, math.max(8 * k, 64)).toAggregateExpression()
+    },
+    "cms_union" -> { args =>
+      arity("cms_union", args, 1); CmsUnion(args.head).toAggregateExpression()
+    },
+    "cms_estimate" -> { args =>
+      arity("cms_estimate", args, 2); CmsEstimate(args.head, args(1))
     }
   )
 

@@ -48,4 +48,27 @@ object Sketches {
     greatest(lit(0L),
       (hll_sketch_estimate(a) + hll_sketch_estimate(b) -
         hll_sketch_estimate(hll_union(a, b, allowDifferentLgConfigK = false))).cast("long"))
+
+  /** One mergeable FREQUENCY sketch per group — Spark's built-in
+    * `count_min_sketch` aggregate (estimate ≥ true; ≤ true + ε·N with
+    * probability `confidence`). Same storage recipe as [[sketchBy]]:
+    * binary column beside the shard, re-aggregable forever.
+    */
+  def cmsBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+            eps: Double = 0.001, confidence: Double = 0.99,
+            seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
+  /** Roll stored frequency sketches up to a coarser grouping
+    * ([[graft.functions.CmsSketch.cms_union]] — the seam Spark lacks);
+    * probe with `cms_estimate(cms, item)`.
+    */
+  def cmsUnion(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sketches.groupBy()
+      else sketches.groupBy(groupCols.map(col): _*)
+    grouped.agg(graft.functions.CmsSketch.cms_union(col("cms")).as("cms"))
+  }
 }

@@ -1281,6 +1281,38 @@ object Queries {
         "doc_id", "text", Seq("join", "hash", "customer"))
       .orderBy(col("doc_id"), col("term"))
 
+  /** Count-min frequency-sketch rollup ([[graft.operators.Sketches]]
+    * `cmsBy`/`cmsUnion` + [[graft.functions.CmsSketch]] — completes
+    * the mergeable family beside HLL q34, SpaceSaving q35 and GK q59):
+    * one CMS of user activity per event-day shard, union the stored
+    * binaries corpus-wide, probe the top-5 users. Rows-only (the
+    * sketch binary is engine-specific) but self-asserting: `pass`
+    * flips unless exact ≤ estimate ≤ exact + ⌈ε·N⌉ — the CMS
+    * guarantee, checked against the in-plan exact counts.
+    */
+  def q77CmsRollup(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    val ev = eventsTable(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("user", col("user_id").cast("string"))
+    val daily = graft.operators.Sketches.cmsBy(ev, Seq("day"), "user", eps = eps)
+    val merged = graft.operators.Sketches.cmsUnion(daily, Seq.empty)
+    val exact = ev.groupBy(col("user"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user"))
+      .limit(5)
+    val total = ev.agg(count(lit(1)).as("n_events"))
+    exact.crossJoin(merged).crossJoin(total)
+      .withColumn("estimate",
+        graft.functions.CmsSketch.cms_estimate(col("cms"), col("user")))
+      .withColumn("pass",
+        col("estimate") >= col("exact_n") &&
+          col("estimate") <= col("exact_n") + ceil(col("n_events") * eps))
+      .select(col("user"), col("exact_n"), col("estimate"),
+        col("n_events"), col("pass"))
+      .orderBy(col("exact_n").desc, col("user"))
+  }
+
   /** As-of join ([[graft.operators.AsofJoin]]): every purchase picks
     * the user's latest click at-or-before it — union-and-carry (one
     * keyed shuffle + one window), never a range scan. The oracle is
@@ -1564,5 +1596,6 @@ object Queries {
     "q74_lm_quality_gate" -> (q74LmQualityGate _),
     "q75_shuffle_shards"  -> (q75ShuffleShards _),
     "q76_image_dedup"     -> (q76ImageDedup _),
+    "q77_cms_rollup"      -> (q77CmsRollup _),
   )
 }
