@@ -106,4 +106,17 @@ object Bm25 {
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("contrib")).as("bm25"))
   }
+
+  /** Top-k retrieval: [[score]] then a GLOBAL top-k. `orderBy.limit`
+    * plans as TakeOrderedAndProject — per-partition heaps merged on
+    * the driver, k rows of driver state — never a full sort shuffle
+    * (spec-pinned), so "give me the 100 best documents out of 10^10"
+    * costs one pass over the per-doc scores.
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k: Int, k1: Double = DefaultK1,
+           b: Double = DefaultB): DataFrame =
+    score(docs, idCol, textCol, query, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
 }

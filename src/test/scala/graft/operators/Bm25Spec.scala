@@ -64,6 +64,21 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("topK: global top-k plans as TakeOrdered, never a full sort exchange") {
+    val docs = corpus.toDF("doc_id", "text")
+    val top = Bm25.topK(docs, "doc_id", "text", query, k = 2)
+    val rows = top.collect()
+    assert(rows.length == 2)
+    // the 3-term doc outranks everything
+    assert(rows.head.getAs[Long]("doc_id") == 4L)
+    assert(rows(0).getAs[Double]("bm25") >= rows(1).getAs[Double]("bm25"))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a bounded heap, not a sort shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no range-partitioned global sort allowed:\n$plan")
+  }
+
   test("score: full BM25 matches the driver reference; ranking sane") {
     val docs = corpus.toDF("doc_id", "text")
     val n = corpus.size.toLong
