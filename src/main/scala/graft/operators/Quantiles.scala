@@ -80,6 +80,89 @@ object Quantiles {
       .select((col("pos") + 1).cast("long").as("k"), col("threshold"))
   }
 
+  /** Exact per-group lower median — the value at rank
+    * k = clamp(floor((n+1)/2), 1, n) within each group — WITHOUT a
+    * per-group full sort. `row_number() OVER (PARTITION BY g ORDER BY
+    * v)` is the textbook formulation and a scale trap when the group
+    * key is low-cardinality and skewed (a ~10-value `lang` column puts
+    * the dominant language — English ≈ 2/3 of web text — through ONE
+    * task's sort). Two passes instead:
+    *
+    *  1. BRACKET: one mergeable GK pass (`percentile_approx` at
+    *     0.5 ± 2/accuracy) yields per-group [lo, hi] candidate bounds,
+    *     plus n, min, max. A second exact count pass VERIFIES the
+    *     bracket (#{v < lo} < k ≤ #{v ≤ hi}); any group where the
+    *     sketch guarantee fell short (or n too small for the margin)
+    *     falls back to [min, max] — exactness never depends on the
+    *     sketch, only the size of pass 2.
+    *  2. SELECT: rows inside the bracket — at most O(4·n/accuracy) per
+    *     group by the GK rank guarantee (rank error ≤ n/accuracy) —
+    *     contract to distinct (group, value) counts, and a window
+    *     cumsum over THOSE finds the first value whose cumulative
+    *     count reaches k. The only per-group sort in the plan runs
+    *     over bracket rows (plan-guarded in PlanAuditSpec), a
+    *     accuracy/4-fold reduction vs the naive window.
+    *
+    * The rank-k value of (v, tiebreak) equals the k-th order statistic
+    * of v alone — tie-break columns change which ROW is at rank k,
+    * never the VALUE — so callers ranking by (v, id) get the identical
+    * cut. Nulls are excluded (SQL aggregate semantics). Per-group
+    * stats/bounds are group-cardinality-sized and broadcast; the data
+    * passes are one groupBy each.
+    */
+  def exactMedianByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         accuracy: Int = 10000): DataFrame =
+    exactMedianByGroupImpl(df, groupCol, valueCol, accuracy,
+      delta = 2.0 / accuracy)
+
+  /** Impl with the bracket half-width exposed so tests can force the
+    * degenerate-bracket fallback (e.g. delta < 0 makes lo0 > hi0 — an
+    * empty candidate set that MUST route through [min, max]).
+    */
+  private[graft] def exactMedianByGroupImpl(
+      df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int, delta: Double): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val base = df.select(g, v).where(v.isNotNull)
+    val loP = math.min(1.0, math.max(0.0, 0.5 - delta))
+    val hiP = math.min(1.0, math.max(0.0, 0.5 + delta))
+    val stats = base.groupBy(g).agg(
+        count(lit(1)).as("n"),
+        percentile_approx(v, lit(loP), lit(accuracy)).as("lo0"),
+        percentile_approx(v, lit(hiP), lit(accuracy)).as("hi0"),
+        min(v).as("vmin"), max(v).as("vmax"))
+      .withColumn("k", greatest(lit(1L), least(col("n"),
+        floor((col("n") + 1) / lit(2.0)).cast("long"))))
+    // exact bracket verification: one count pass against the sketch
+    // bounds (stats is group-cardinality-sized — broadcast)
+    val counts = base
+      .join(broadcast(stats.select(g, col("lo0"), col("hi0"))), groupCol)
+      .groupBy(g).agg(
+        sum(when(v < col("lo0"), 1L).otherwise(0L)).as("c_lo"),
+        sum(when(v <= col("hi0"), 1L).otherwise(0L)).as("c_hi"))
+    val br = stats.join(counts, groupCol)
+      .withColumn("ok", col("c_lo") < col("k") && col("k") <= col("c_hi"))
+      .select(g,
+        when(col("ok"), col("lo0")).otherwise(col("vmin")).as("blo"),
+        when(col("ok"), col("hi0")).otherwise(col("vmax")).as("bhi"),
+        when(col("ok"), col("c_lo")).otherwise(lit(0L)).as("c_below"),
+        col("k"))
+    // exact selection inside the bracket: distinct-value cumsum — the
+    // window's per-task input is bracket rows only (see scaladoc bound)
+    val bracket = base.join(broadcast(br), groupCol)
+      .filter(v >= col("blo") && v <= col("bhi"))
+    val perVal = bracket
+      .groupBy(g, v.as("bv"), col("c_below"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(g).orderBy(col("bv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVal.withColumn("cum", sum(col("c")).over(w))
+      .filter(col("c_below") + col("cum") >= col("k") &&
+        col("c_below") + col("cum") - col("c") < col("k"))
+      .select(g, col("bv").as("cut"))
+  }
+
   /** Assign every row its quantile bucket in [1, buckets]: 1 + the
     * number of thresholds strictly below the value. The threshold set
     * is buckets-1 rows — broadcast by construction; assignment adds no

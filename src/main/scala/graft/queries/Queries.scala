@@ -1189,29 +1189,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** Composed LM-quality gate (q72's scorer + q69's rank arithmetic):
-    * score every document's smoothed likelihood mass under the corpus
-    * bigram LM, then keep each language's top half — docs whose score
-    * reaches the value at rank clamp(ceil(n/2), 1, n) under the total
-    * order (score, doc_id) — and report the surviving count and char
-    * mass per language. The whole gate (LM counts, joins, division,
-    * rank threshold, filter, rollup) hash-matches DuckDB.
+  /** Composed LM-quality gate (q72's scorer +
+    * [[graft.operators.Quantiles.exactMedianByGroup]]): score every
+    * document's smoothed likelihood mass under the corpus bigram LM,
+    * then keep each language's top half — docs whose score reaches the
+    * value at rank clamp(ceil(n/2), 1, n) under the total order
+    * (score, doc_id) — and report the surviving count and char mass
+    * per language. The per-lang cut is the two-pass bracketed exact
+    * selection, NOT a `row_number` window: `lang` is a ~10-value
+    * skewed key, so a lang-partitioned full sort would put the
+    * dominant language through one task at scale (the rank-k score
+    * under (score, doc_id) IS the k-th order statistic of score, so
+    * the cut — and the whole hash-checked result — is identical). The
+    * whole gate (LM counts, joins, division, rank threshold, filter,
+    * rollup) hash-matches DuckDB's rank formulation.
     */
   def q74LmQualityGate(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
     val model = graft.operators.NgramLM.fit(docs, "doc_id", "text")
+    // persist: the scorer feeds the median op's two bracket passes +
+    // the final gate — without it the LM pipeline re-derives per pass
     val scoredDocs = graft.operators.NgramLM
       .likelihoodMass(docs, "doc_id", "text", model)
       .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
-    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
-    val ranked = scoredDocs
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-    val thresholds = ranked
-      .filter(col("rn") === greatest(lit(1L), least(col("n"),
-        floor((col("n") + 1) / lit(2.0)))))
-      .select(col("lang"), col("score").as("cut"))
-    ranked.join(thresholds, "lang")
+      .persist()
+    val thresholds = graft.operators.Quantiles.exactMedianByGroup(
+      scoredDocs.select(col("lang"), col("score")), "lang", "score")
+    scoredDocs.join(broadcast(thresholds), "lang")
       .filter(col("score") >= col("cut"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),

@@ -148,6 +148,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "tf aggregation exchanges on (doc_id, term)")
   }
 
+  test("q74: no full-corpus window sort on the lang key — the median cut is bracketed") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin, Window => LWindow}
+    val df = graft.queries.Queries.q74LmQualityGate(spark, sf)
+    // the gate must never rank the corpus: row_number over a ~10-value
+    // skewed lang key = the dominant language through ONE task's sort
+    assert(!plan(df).contains("row_number"),
+      "the gate must not contain a rank window")
+    val winds = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(winds.nonEmpty, "expected the bracketed cumsum window")
+    winds.foreach { w =>
+      if (w.partitionSpec.exists(_.references.exists(_.name == "lang"))) {
+        // every lang-partitioned window must sort BRACKET rows only: a
+        // two-sided score bound must sit beneath it (as a Filter, or
+        // pushed into the bracket join's condition by the optimizer)
+        val conds = w.child.collect {
+          case f: LFilter => f.condition
+          case j: LJoin if j.condition.isDefined => j.condition.get
+        }
+        val bracketed = conds
+          .exists(c => c.find(_.isInstanceOf[GreaterThanOrEqual]).isDefined &&
+            c.find(_.isInstanceOf[LessThanOrEqual]).isDefined)
+        assert(bracketed,
+          "lang-partitioned window without a bracket filter beneath it")
+      }
+    }
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",

@@ -79,4 +79,55 @@ class QuantilesSpec extends AnyFunSuite {
       assert(got(i.toLong) == want, s"v=$v")
     }
   }
+
+  /** Driver-side reference for the per-group lower median: the value at
+    * rank clamp(floor((n+1)/2), 1, n) in the sorted group.
+    */
+  private def refMedian(vals: Seq[Double]): Double = {
+    val sorted = vals.sorted
+    val n = sorted.length
+    val k = math.max(1L, math.min(n.toLong, (n + 1) / 2)).toInt
+    sorted(k - 1)
+  }
+
+  test("exactMedianByGroup: parity with sort-based rank-k on skewed groups, ties, n=1/2") {
+    val rnd = new scala.util.Random(7)
+    // skewed: one dominant group, heavy ties, plus degenerate sizes
+    val rows =
+      Seq.fill(3000)(("en", rnd.nextInt(50).toDouble)) ++
+      Seq.fill(400)(("de", rnd.nextDouble() * 10)) ++
+      Seq.fill(25)(("fr", 7.0)) ++                 // all-tie group
+      Seq(("xx", 42.0)) ++                          // n = 1
+      Seq(("yy", 1.0), ("yy", 2.0))                 // n = 2 → lower median
+    val df = rnd.shuffle(rows).toDF("g", "v")
+    val got = Quantiles.exactMedianByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(g => refMedian(g.map(_._2))).toMap
+    assert(got == want.toMap)
+  }
+
+  test("exactMedianByGroup: degenerate bracket routes through the [min,max] fallback, stays exact") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(800)(("a", rnd.nextDouble())) ++
+      Seq.fill(300)(("b", rnd.nextInt(9).toDouble))
+    val df = rows.toDF("g", "v")
+    // delta < 0 ⇒ lo0 > hi0 ⇒ empty candidate bracket ⇒ the exact count
+    // check MUST fail and route every group through [min, max]
+    val got = Quantiles.exactMedianByGroupImpl(df, "g", "v",
+        accuracy = 10000, delta = -0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(g => refMedian(g.map(_._2))).toMap
+    assert(got == want.toMap)
+  }
+
+  test("exactMedianByGroup: continuous doubles, 50k-row dominant group — bracket bounds the sort") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(50000)(("en", rnd.nextDouble())) ++
+      Seq.fill(500)(("de", rnd.nextDouble()))
+    val df = rows.toDF("g", "v")
+    val out = Quantiles.exactMedianByGroup(df, "g", "v", accuracy = 1000)
+    val got = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(g => refMedian(g.map(_._2))).toMap
+    assert(got == want.toMap)
+  }
 }
