@@ -37,9 +37,14 @@ import org.apache.spark.sql.functions._
   */
 object NgramLM {
 
-  /** The fitted model: distributed count tables + vocab size. */
+  /** The fitted model: distributed count tables + vocab size. `vocab`
+    * is the distinct-token table backing EXACT vocab accounting across
+    * accretion ([[appendToStored]] anti-joins new batches against it);
+    * vocab-sized like the count tables, absent only on hand-built
+    * models (then accretion falls back to the documented over-count).
+    */
   final case class Model(bigrams: DataFrame, prefixes: DataFrame,
-                         vocabSize: Long)
+                         vocabSize: Long, vocab: Option[DataFrame] = None)
 
   private def toks(textCol: String): Column =
     split(trim(col(textCol)), "\\s+")
@@ -71,9 +76,9 @@ object NgramLM {
       .agg(count(lit(1)).as("c2"))
     val prefixes = occ.groupBy(col("prefix_hash"))
       .agg(count(lit(1)).as("c1"))
-    val v = docs.select(explode(toks(textCol)).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
-    Model(bigrams, prefixes, v)
+    val vocab = docs.select(explode(toks(textCol)).as("w")).distinct()
+    val v = vocab.count()
+    Model(bigrams, prefixes, v, Some(vocab))
   }
 
   private def scored(docs: DataFrame, idCol: String, textCol: String,
@@ -109,10 +114,11 @@ object NgramLM {
   /** Merge two fitted models — count tables are trivially mergeable
     * (outer-join + sum), so a corpus-wide LM accretes batch-by-batch
     * the way [[Importance]]'s stored counts and [[DedupIndex]] do:
-    * fit(A ∪ B) ≡ merge(fit(A), fit(B)) except `vocabSize`, which
-    * over-counts tokens seen in both batches — pass the union's exact
-    * distinct count (or an HLL estimate at scale) when A and B
-    * overlap.
+    * fit(A ∪ B) ≡ merge(fit(A), fit(B)) except the EAGER `vocabSize`,
+    * which over-counts tokens seen in both batches; the merged `vocab`
+    * table is the exact union, so [[appendToStored]] (and any caller
+    * that recounts it) gets exact accounting — the lazy-merge scalar
+    * alone carries the over-count bound.
     */
   def merge(a: Model, b: Model): Model = Model(
     a.bigrams.withColumnRenamed("c2", "ca")
@@ -123,15 +129,19 @@ object NgramLM {
       .join(b.prefixes.withColumnRenamed("c1", "cb"), Seq("prefix_hash"), "full")
       .select(col("prefix_hash"),
         (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c1")),
-    a.vocabSize + b.vocabSize)
+    a.vocabSize + b.vocabSize,
+    for (va <- a.vocab; vb <- b.vocab) yield va.union(vb).distinct())
 
   /** Persist a fitted model as BUCKETED tables (`<name>_bigrams`
-    * bucketed on gram_hash, `<name>_prefixes` on prefix_hash, plus a
+    * bucketed on gram_hash, `<name>_prefixes` on prefix_hash,
+    * `<name>_vocab` distinct tokens bucketed on the token, plus a
     * 1-row `<name>_meta` with the vocab size): the [[DedupIndex]] /
     * [[IvfIndex]] stored-index pattern. Scoring a daily batch against
     * a stored web-scale LM then shuffles ONLY the batch — the count
     * tables come off disk already hash-partitioned on the join key,
     * so the stored side never exchanges (plan-asserted in the spec).
+    * The vocab table is what makes accretion's vocab accounting EXACT
+    * (see [[appendToStored]]); models without one (hand-built) skip it.
     */
   def store(model: Model, name: String, buckets: Int = 32): Unit = {
     model.bigrams.write.mode("overwrite")
@@ -140,6 +150,9 @@ object NgramLM {
     model.prefixes.write.mode("overwrite")
       .bucketBy(buckets, "prefix_hash").sortBy("prefix_hash")
       .saveAsTable(s"${name}_prefixes")
+    model.vocab.foreach(_.write.mode("overwrite")
+      .bucketBy(buckets, "w").sortBy("w")
+      .saveAsTable(s"${name}_vocab"))
     val spark = model.bigrams.sparkSession
     import spark.implicits._
     Seq(model.vocabSize).toDF("vocab_size")
@@ -151,24 +164,38 @@ object NgramLM {
     */
   def load(spark: org.apache.spark.sql.SparkSession, name: String): Model =
     Model(spark.table(s"${name}_bigrams"), spark.table(s"${name}_prefixes"),
-      spark.table(s"${name}_meta").head().getLong(0))
+      spark.table(s"${name}_meta").head().getLong(0),
+      if (spark.catalog.tableExists(s"${name}_vocab"))
+        Some(spark.table(s"${name}_vocab")) else None)
 
   /** Accrete a batch into a stored model: merge the batch's counts
-    * into the bucketed tables (rewrite — counts tables are vocab-sized
-    * but contracted; the corpus itself is never rescanned) and bump
-    * the vocab size by the batch's NEW-token count (exact: the batch's
-    * distinct tokens anti-joined against a stored token table would
-    * add a third table; this uses the documented over-count bound).
+    * into the bucketed tables (rewrite — count tables are vocab-sized
+    * but contracted; the corpus itself is never rescanned) and grow
+    * the vocab EXACTLY: the batch's distinct tokens anti-join the
+    * stored `<name>_vocab` table (bucketed on the token — the stored
+    * side reads pre-partitioned), and only genuinely new tokens bump
+    * the count, so `append ≡ refit` holds INCLUDING the smoothing
+    * denominator V even when batches overlap. A store written without
+    * a vocab table falls back to the documented per-batch over-count.
     */
   def appendToStored(spark: org.apache.spark.sql.SparkSession, name: String,
                      batch: DataFrame, idCol: String, textCol: String,
                      buckets: Int = 32): Model = {
-    val merged = merge(load(spark, name), fit(batch, idCol, textCol))
+    val stored = load(spark, name)
+    val batchModel = fit(batch, idCol, textCol)
+    val merged = merge(stored, batchModel)
+    // exact vocab: stored tokens + the batch's anti-joined novelty
+    val (vocabSize, vocabOut) = (stored.vocab, batchModel.vocab) match {
+      case (Some(sv), Some(bv)) =>
+        val newToks = bv.join(sv, Seq("w"), "left_anti")
+        (stored.vocabSize + newToks.count(), Some(sv.union(newToks)))
+      case _ => (merged.vocabSize, None)
+    }
     // materialize BEFORE overwriting the tables being read
     val big = merged.bigrams.localCheckpoint()
     val pre = merged.prefixes.localCheckpoint()
-    val out = Model(big, pre, merged.vocabSize)
-    store(out, name, buckets)
+    val voc = vocabOut.map(_.localCheckpoint())
+    store(Model(big, pre, vocabSize, voc), name, buckets)
     load(spark, name)
   }
 

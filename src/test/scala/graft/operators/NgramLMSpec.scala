@@ -138,7 +138,10 @@ class NgramLMSpec extends AnyFunSuite {
         assert(shufflesOverStored.isEmpty,
           s"stored count tables must join through their bucketing, plan:\n$plan")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      // appendToStored: day-2 batch accretes; counts equal whole-corpus fit
+      // appendToStored: day-2 batch accretes; counts equal whole-corpus
+      // fit INCLUDING vocabSize — day2 OVERLAPS day1's tokens ("the",
+      // "cat", "sat", "a"), so the anti-join must count only the
+      // genuinely new ones ("again", "new", "dog")
       val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")
       NgramLM.appendToStored(spark, tbl, day2, "doc_id", "text", buckets = 4)
       val whole = NgramLM.fit(docs.union(day2), "doc_id", "text")
@@ -147,7 +150,17 @@ class NgramLMSpec extends AnyFunSuite {
       val after = NgramLM.load(spark, tbl)
       assert(m(after.bigrams) == m(whole.bigrams))
       assert(m(after.prefixes) == m(whole.prefixes))
-    } finally Seq("_bigrams", "_prefixes", "_meta").foreach(s =>
+      assert(after.vocabSize == whole.vocabSize,
+        "append ≡ refit must extend to the smoothing denominator V")
+      // a second, FULLY-overlapping append: vocab must not move at all
+      val day3 = Seq((9L, "the cat sat")).toDF("doc_id", "text")
+      NgramLM.appendToStored(spark, tbl, day3, "doc_id", "text", buckets = 4)
+      assert(NgramLM.load(spark, tbl).vocabSize == whole.vocabSize,
+        "an all-seen batch must add zero vocab")
+      // and scoring through the accreted store matches a whole refit
+      val whole3 = NgramLM.fit(docs.union(day2).union(day3), "doc_id", "text")
+      assert(scores(NgramLM.load(spark, tbl)) == scores(whole3))
+    } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
