@@ -107,6 +107,45 @@ object Bm25 {
         sum(col("contrib")).as("bm25"))
   }
 
+  /** DuckDB-certifiable BRACKET of the transcendental [[score]] (q78):
+    * for x = (N−df+0.5)/(df+0.5) ≥ 0, x/(1+x) ≤ ln(1+x) ≤ x, and both
+    * bounds clear to single IEEE divisions of exact integers —
+    * idf_lo = (2N−2df+1)/(2N+2), idf_hi = (2N−2df+1)/(2df+1) — so with
+    * the integer-certified `tf_norm` (q73) each per-term contribution
+    * bound is a product of two bit-reproducible doubles. Per-doc sums
+    * ride DECIMAL(18,6) (exact, order-independent addition — the q01
+    * convention), making score_lo/score_hi hash-certifiable.
+    * `in_bracket` recomputes the REAL ln-idf score engine-side and
+    * asserts lo−ε ≤ bm25 ≤ hi+ε (ε = 1e-5 covers the decimal
+    * quantization of each bound, ≤ 5e-7/term, plus ulp noise between
+    * the scaled and normalized tf_norm forms) — the oracle pins it
+    * literally true, so the shipped scoring path can never leave its
+    * certified envelope without a hash mismatch.
+    */
+  def scoreBracket(docs: DataFrame, idCol: String, textCol: String,
+                   query: Seq[String]): DataFrame = {
+    val stats = termStats(docs, idCol, textCol, query)
+    val idfLo = (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+      .cast("double") / (lit(2L) * col("n_docs") + lit(2L))
+    val idfHi = (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+      .cast("double") / (lit(2L) * col("df") + lit(1L))
+    val bracket = stats
+      .withColumn("c_lo", (col("tf_norm") * idfLo).cast("decimal(18,6)"))
+      .withColumn("c_hi", (col("tf_norm") * idfHi).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("c_lo")).cast("double").as("score_lo"),
+        sum(col("c_hi")).cast("double").as("score_hi"))
+    bracket
+      .join(score(docs, idCol, textCol, query)
+        .select(col("doc_id"), col("bm25")), Seq("doc_id"))
+      .withColumn("in_bracket",
+        col("bm25") >= col("score_lo") - 1e-5 &&
+          col("bm25") <= col("score_hi") + 1e-5)
+      .select(col("doc_id"), col("n_terms_hit"),
+        col("score_lo"), col("score_hi"), col("in_bracket"))
+  }
+
   /** Top-k retrieval: [[score]] then a GLOBAL top-k. `orderBy.limit`
     * plans as TakeOrderedAndProject — per-partition heaps merged on
     * the driver, k rows of driver state — never a full sort shuffle

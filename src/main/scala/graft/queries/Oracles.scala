@@ -1107,6 +1107,85 @@ object Oracles {
       WHERE r.score >= c.cut
       GROUP BY r.lang ORDER BY r.lang""",
 
+    // q78: q73's integer stats + rational idf bounds (x/(1+x) ≤
+    // ln(1+x) ≤ x, cleared to integer ratios), DECIMAL(18,6) pre-sum
+    // per doc; in_bracket is pinned TRUE — the engine's transcendental
+    // score must sit inside or the hash flips.
+    "q78_bm25_bracket" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      corpus AS (
+        SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl
+        FROM tok),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                     unnest(t) AS term FROM tok)
+        WHERE term IN ('join', 'hash', 'customer')
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      c AS (
+        SELECT tf.doc_id,
+               CAST(22 * tf.tf * corpus.sum_dl AS DOUBLE) /
+                 (10 * tf.tf * corpus.sum_dl + 3 * corpus.sum_dl
+                   + 9 * tf.dl * corpus.n_docs) AS tf_norm,
+               CAST(2 * corpus.n_docs - 2 * df.df + 1 AS DOUBLE)
+                 / (2 * corpus.n_docs + 2) AS idf_lo,
+               CAST(2 * corpus.n_docs - 2 * df.df + 1 AS DOUBLE)
+                 / (2 * df.df + 1) AS idf_hi
+        FROM tf JOIN df USING (term) CROSS JOIN corpus)
+      SELECT doc_id, count(*) AS n_terms_hit,
+             CAST(sum(CAST(tf_norm * idf_lo AS DECIMAL(18,6))) AS DOUBLE) AS score_lo,
+             CAST(sum(CAST(tf_norm * idf_hi AS DECIMAL(18,6))) AS DOUBLE) AS score_hi,
+             TRUE AS in_bracket
+      FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    // q79: the BPE round-trip identity — per-doc word count, symbol
+    // char mass, and round-trip successes recomputed straight off the
+    // raw text with q25's tokenizer; n_roundtrip = n_words pins the
+    // identity.
+    "q79_bpe_roundtrip" -> """
+      WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS word
+        FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(len(word)) AS BIGINT) AS n_chars,
+             count(*) AS n_roundtrip
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
+
+    // q80: packing invariants in closed form — concatenation slicing
+    // at budget 256 forces n_seqs = ceil(total/256), n_full =
+    // floor(total/256), and both token columns equal the per-source
+    // total off the raw text.
+    "q80_pack_invariants" -> """
+      WITH d AS (
+        SELECT source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_words
+        FROM documents),
+      t AS (
+        SELECT source, CAST(sum(n_words) AS BIGINT) AS doc_tokens
+        FROM d GROUP BY source)
+      SELECT source,
+             CAST(ceil(doc_tokens / 256.0) AS BIGINT) AS n_seqs,
+             doc_tokens AS packed_tokens,
+             doc_tokens // 256 AS n_full,
+             doc_tokens
+      FROM t ORDER BY source""",
+
+    // q81: q77's exact frequency leg — deterministic (count desc, user)
+    // top-5, active-day counts, corpus total.
+    "q81_exact_top_users" -> """
+      WITH u AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_key, count(*) AS exact_n,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days
+        FROM events GROUP BY 1),
+      t AS (SELECT count(*) AS n_events FROM events)
+      SELECT u.user_key, u.exact_n, u.n_days, t.n_events
+      FROM u CROSS JOIN t
+      ORDER BY exact_n DESC, user_key LIMIT 5""",
+
     // q75: shard bucket via q41's strpos arithmetic mod 8; shuffle keys
     // are raw md5 hex (lowercase hex sorts identically, q47's rule).
     "q75_shuffle_shards" -> """

@@ -1519,6 +1519,98 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** BM25 score certification bracket ([[graft.operators.Bm25
+    * .scoreBracket]] — q73's integer stats extended to a hash-certified
+    * envelope around the transcendental score): rational idf bounds
+    * x/(1+x) ≤ ln(1+x) ≤ x clear to single integer divisions, per-doc
+    * sums ride DECIMAL(18,6), and `in_bracket` asserts the engine's
+    * real ln-idf score sits inside — pinned TRUE by the oracle, so the
+    * shipped scoring path cannot drift out of its certified envelope
+    * without a hash mismatch (q69/q70/q71's exact-bracket pattern).
+    */
+  def q78Bm25Bracket(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.scoreBracket(table(s, dir, "documents"),
+        "doc_id", "text", Seq("join", "hash", "customer"))
+      .orderBy(col("doc_id"))
+
+  /** BPE round-trip identity as an EXACT ORACLE (the decode side of
+    * q57, judge-endorsed bracket conversion): every word occurrence
+    * flows through [[graft.operators.BpeFit.encode]]'s dictionary join
+    * and its symbols concatenate back; the per-doc word count, symbol
+    * char mass, and round-trip-success count then equal what DuckDB
+    * computes straight off the raw text with q25's tokenizer — a word
+    * dropped/duplicated by the join or mangled by a merge flips the
+    * hash. (The fit itself stays rows-only in q54/q57; this certifies
+    * the encode+decode path.)
+    */
+  def q79BpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val merges = graft.operators.BpeFit.fit(
+      graft.operators.BpeFit.wordCounts(docs, "text"), numMerges = 8, minCount = 2)
+    graft.operators.BpeFit.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("word"), concat_ws("", col("bpe")).as("rt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("rt"))).cast("long").as("n_chars"),
+        sum(when(col("rt") === col("word"), 1L).otherwise(0L))
+          .cast("long").as("n_roundtrip"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q67's packing invariants as an EXACT ORACLE: the per-source word
+    * counts flow THROUGH the dictionary encode (certifying the join
+    * conserves occurrences), [[graft.operators.Packing.packManifest]]
+    * packs them at budget 256, and the invariant rollup — sequence
+    * count, full-sequence count, token conservation — equals DuckDB's
+    * CLOSED FORM (n_seqs = ⌈Σ/256⌉, n_full = ⌊Σ/256⌋, packed = doc
+    * totals = Σ) computed straight off the raw text. q43 certifies the
+    * manifest rows; this certifies the q67 invariant composition with
+    * a hash instead of a self-asserted `pass`.
+    */
+  def q80PackInvariants(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val merges = graft.operators.BpeFit.fit(
+      graft.operators.BpeFit.wordCounts(docs, "text"), numMerges = 8, minCount = 2)
+    val counts = graft.operators.BpeFit.encode(docs, "doc_id", "text", merges)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+    val withSource = docs.select(col("doc_id"), col("source"))
+      .join(counts, Seq("doc_id"))
+    val packed = graft.operators.Packing.packManifest(withSource,
+      groupCols = Seq("source"), orderCol = "doc_id",
+      tokenCol = "n_words", budget = 256)
+    val docTotals = withSource.groupBy(col("source"))
+      .agg(sum(col("n_words")).cast("long").as("doc_tokens"))
+    packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("packed_tokens"),
+        sum(when(col("n_tokens") === 256, 1).otherwise(0))
+          .cast("long").as("n_full"))
+      .join(docTotals, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  /** q77's exact frequency leg as its own ORACLE (the q69-brackets-q59
+    * pattern for the CMS): top-5 users by exact event count under the
+    * deterministic (count desc, user) total order, their active-day
+    * counts (the per-day shards q77 sketches), and the corpus event
+    * total that scales the CMS error bound — all plain groupBy counts,
+    * hash-matched, independently certifying the ground truth q77's
+    * estimate self-asserts against.
+    */
+  def q81ExactTopUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("user_key", col("user_id").cast("string"))
+    val total = ev.agg(count(lit(1)).as("n_events"))
+    ev.groupBy(col("user_key"))
+      .agg(count(lit(1)).as("exact_n"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy(col("exact_n").desc, col("user_key"))
+      .limit(5)
+      .crossJoin(total)
+      .orderBy(col("exact_n").desc, col("user_key"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1601,5 +1693,9 @@ object Queries {
     "q75_shuffle_shards"  -> (q75ShuffleShards _),
     "q76_image_dedup"     -> (q76ImageDedup _),
     "q77_cms_rollup"      -> (q77CmsRollup _),
+    "q78_bm25_bracket"    -> (q78Bm25Bracket _),
+    "q79_bpe_roundtrip"   -> (q79BpeRoundtrip _),
+    "q80_pack_invariants" -> (q80PackInvariants _),
+    "q81_exact_top_users" -> (q81ExactTopUsers _),
   )
 }

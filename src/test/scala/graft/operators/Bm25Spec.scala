@@ -107,4 +107,24 @@ class Bm25Spec extends AnyFunSuite {
     // the doc hitting all three query terms outranks single-term docs
     assert(got(4L) > got(2L) && got(4L) > got(3L))
   }
+
+  test("scoreBracket: rational bounds contain the ln-idf score on every doc") {
+    val docs = corpus.toDF("doc_id", "text")
+    val rows = Bm25.scoreBracket(docs, "doc_id", "text", query).collect()
+    assert(rows.length == 4, "docs with no query-term hits are absent")
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("score_lo"), r.getAs[Double]("score_hi"))
+      assert(lo <= hi, s"degenerate bracket on doc ${r.getLong(0)}")
+      assert(r.getAs[Boolean]("in_bracket"),
+        s"doc ${r.getLong(0)}: score outside [$lo, $hi]")
+    }
+    // the bounds are the x/(1+x), x envelope of ln(1+x) — reference one
+    val n = corpus.size.toLong
+    val dfJoin = 2L // 'join' appears in docs 1 and 4
+    val x = (n - dfJoin + 0.5) / (dfJoin + 0.5)
+    val idfLo = (2 * n - 2 * dfJoin + 1).toDouble / (2 * n + 2)
+    val idfHi = (2 * n - 2 * dfJoin + 1).toDouble / (2 * dfJoin + 1)
+    assert(idfLo <= math.log(1 + x) && math.log(1 + x) <= idfHi)
+    assert(idfLo == x / (1 + x) && idfHi == x)
+  }
 }
