@@ -19,28 +19,65 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB design: the only corpus-sized shuffle is the self-join's
   * hash-partition on `cell` (and the centroid routing is a broadcast
-  * reference object, not a join). Cell-size skew is the known failure
-  * mode at scale — oversized cells get quadratic locally — so `nlist`
-  * must grow with n (the paper uses √n-ish); the operator takes it as a
-  * parameter rather than hiding a heuristic.
+  * reference object, not a join). Cell-size skew — oversized cells
+  * going quadratic on ONE reducer — is GUARDED, not just documented:
+  * cells above `maxCellSize` are split into g = ⌈size/maxCellSize⌉
+  * deterministic sub-groups and the self-join runs per block-pair
+  * (bi ≤ bj) on the key (cell, bi, bj), so per-task input is bounded
+  * by ~2·maxCellSize however saturated a cell gets (the m²/2 candidate
+  * VOLUME is inherent to the algorithm, but it spreads over g(g+1)/2
+  * tasks instead of one). Cold cells take g = 1 — bit-identical to the
+  * plain cell join, zero replication. `nlist` should still grow with n
+  * (the paper uses √n-ish); the guard is the backstop for the cells
+  * k-means leaves dense anyway.
   */
 object SemDedup {
 
+  /** The two sides of the blocked per-cell self-join (see object doc):
+    * every row lands in sub-group `sub` = xxhash64(id) mod g; the A
+    * side replicates to block-pairs (sub, j ≥ sub), the B side to
+    * (i ≤ sub, sub), so each unordered pair meets in exactly the block
+    * (min(g_u,g_v), max(g_u,g_v)) — same-group pairs twice, (u,v) and
+    * (v,u), canonicalized downstream. Exposed for the skew spec, which
+    * asserts the per-(cell,bi,bj) group-size bound directly.
+    */
+  private[graft] def blockedSides(assigned: DataFrame,
+                                  maxCellSize: Int): (DataFrame, DataFrame) = {
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val sub = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("g",
+        ceil(col("cell_n") / lit(maxCellSize.toDouble)).cast("int"))
+      .withColumn("sub", pmod(xxhash64(col("corpus_id")), col("g")).cast("int"))
+    val a = sub.select(col("cell"), col("sub").as("bi"),
+      explode(sequence(col("sub"), col("g") - 1)).as("bj"),
+      col("corpus_id").as("id_a"), col("cvec").as("vec_a"))
+    val b = sub.select(col("cell"),
+      explode(sequence(lit(0), col("sub"))).as("bi"),
+      col("sub").as("bj"),
+      col("corpus_id").as("id_b"), col("cvec").as("vec_b"))
+    (a, b)
+  }
+
   /** Candidate-verified semantic duplicate pairs: (id_a, id_b, cosine)
-    * with cosine ≥ `threshold`, found via shared IVF cells.
+    * with cosine ≥ `threshold`, found via shared IVF cells through the
+    * skew-guarded blocked self-join (per-task input ≤ ~2·maxCellSize
+    * even with one saturated cell — see object doc).
     */
   def semanticDupPairs(spark: SparkSession, emb: DataFrame,
                        idCol: String, vecCol: String,
                        threshold: Double = 0.95, nlist: Int = 16,
-                       nassign: Int = 2, seed: Long = 42L): DataFrame = {
+                       nassign: Int = 2, seed: Long = 42L,
+                       maxCellSize: Int = 1000000): DataFrame = {
     val index = IvfIndex.build(spark, emb, idCol, vecCol,
       nlist = nlist, seed = seed, nassign = nassign)
-    val a = index.assigned.select(col("cell"),
-      col("corpus_id").as("id_a"), col("cvec").as("vec_a"))
-    val b = index.assigned.select(col("cell"),
-      col("corpus_id").as("id_b"), col("cvec").as("vec_b"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val (a, b) = blockedSides(index.assigned, maxCellSize)
+    a.join(b, Seq("cell", "bi", "bj"))
+      .filter(col("id_a") =!= col("id_b"))
+      // canonicalize BEFORE dedup: a cross-group pair appears only in
+      // its (min,max) block, whose orientation need not follow id order
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("vec_a"), col("vec_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)

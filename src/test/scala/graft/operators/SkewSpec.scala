@@ -120,6 +120,48 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("SemDedup blocked cell join: exact parity with ONE saturated cell; per-block input bounded") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val n = 1200
+    // all vectors forced into ONE IVF cell (nlist = 1) — the saturated
+    // case the guard exists for — with 30 planted near-dup pairs
+    val base = (0L until n.toLong).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val planted = base.take(30).map { case (i, v) =>
+      (i + 100000L, v.map(x => x * 1.001f))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    // completeness: with every pair a candidate, the blocked join must
+    // reproduce the exact all-pairs result — including cross-sub-group
+    // pairs whose id order opposes their block orientation
+    val got = SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",
+        threshold = 0.98, nlist = 1, nassign = 1, maxCellSize = 100)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SemDedup.exactDupPairs(emb, "vec_id", "embedding", 0.98)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 30, s"expected the planted pairs, got ${exact.size}")
+    assert(got == exact,
+      s"blocked join drifted: missed ${(exact -- got).size}, spurious ${(got -- exact).size}")
+    // the bound itself, asserted at the join-key level (what maps to
+    // per-task input at scale): no (cell, bi, bj) group on either side
+    // may exceed ~the sub-group size; 3× covers hash imbalance
+    val index = IvfIndex.build(spark, emb, "vec_id", "embedding",
+      nlist = 1, seed = 42L, nassign = 1)
+    val (a, b) = SemDedup.blockedSides(index.assigned, maxCellSize = 100)
+    val maxA = a.groupBy("cell", "bi", "bj").count().agg(max("count")).head.getLong(0)
+    val maxB = b.groupBy("cell", "bi", "bj").count().agg(max("count")).head.getLong(0)
+    assert(maxA <= 300 && maxB <= 300,
+      s"saturated cell leaked into one block: maxA=$maxA maxB=$maxB")
+    // baseline: unguarded (maxCellSize = ∞) concentrates the WHOLE
+    // cell — all n+30 rows per side — on the single (cell, 0, 0) key
+    val (a0, b0) = SemDedup.blockedSides(index.assigned, Int.MaxValue)
+    val base0 = a0.groupBy("cell", "bi", "bj").count().agg(max("count")).head.getLong(0)
+    assert(base0 == n + 30, s"baseline invalid: $base0")
+  }
+
   test("hotColdLookupJoin: parity with a plain join; hot keys take the broadcast leg") {
     import org.apache.spark.sql.functions._
     // one mega-key (5000 rows) + a cold tail
