@@ -51,7 +51,13 @@ object Pipeline {
         * default in-memory HDFS-backed store: for deployments watching
         * many prefixes with large dedup ledgers, state no longer has to
         * fit on the executor heap (rocksdbjni ships with Spark). */
-      rocksDbState: Boolean = false)
+      rocksDbState: Boolean = false,
+      /** SURVEY §7.5-7 opt-in fix: gate the T9 fan-out on per-
+        * (file, target) ledger rows, so reprocessing a partially-failed
+        * multi-target batch loads ONLY the targets that never committed
+        * its files. Off by default — the reference's dedup is per-file
+        * only, and faithful parity re-loads committed clusters. */
+      perTargetFileDedup: Boolean = false)
 
   def start(
       spark: SparkSession,
@@ -119,7 +125,25 @@ object Pipeline {
       Some(s"flush:${cmd.reason}")))
 
     val schema = cfg.targets.headOption.flatMap(t => settings.schemas.get(t.targetTable))
-    val outcome = Loader.loadBatch(spark, cfg, cmd, settings.watchRoot, schema, resolvePassword)
+    // per-(file,target) gate (opt-in): targets that already committed
+    // every file of this batch are skipped, not re-loaded
+    val skipTarget: LoadTarget => Boolean =
+      if (!settings.perTargetFileDedup) _ => false
+      else {
+        val done = ledger.targetsFullyLoaded(cmd.entries.map(_.file))
+        t => done.contains((t.jdbcUrl, t.targetTable))
+      }
+    val outcome = Loader.loadBatch(spark, cfg, cmd, settings.watchRoot, schema,
+      resolvePassword, skipTarget = skipTarget)
+    // record the facts the gate reads: one row per (file, target) that
+    // COMMITTED this batch (results align with cfg.targets by order)
+    if (settings.perTargetFileDedup)
+      ledger.appendTargetFiles(
+        for {
+          (t, r) <- cfg.targets.zip(outcome.results) if r.ok && !r.skipped
+          e <- cmd.entries
+        } yield (e.file, t.jdbcUrl, t.targetTable, cmd.batchId),
+        System.currentTimeMillis())
 
     // S5 manifest audit artifact; S12 failed-manifest copy on error
     val manifestJson = Loader.manifestJson(outcome.manifest)

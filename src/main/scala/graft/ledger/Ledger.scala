@@ -51,11 +51,29 @@ final case class FileLedgerEvent(
     seq: Long,
     eventDate: java.sql.Date)
 
+/** One committed (file, target) fact — the opt-in per-target dedup
+  * ledger behind `Pipeline.Settings.perTargetFileDedup` (SURVEY
+  * §7.5-7's documented fix: the reference's dedup is per-file only, so
+  * reprocessing a partially-failed multi-cluster batch re-loads the
+  * clusters that already committed). Append-only facts: a row means
+  * `loadFile` was part of a batch whose transactional commit succeeded
+  * on (jdbcUrl, targetTable).
+  */
+final case class TargetFileLedgerEvent(
+    loadFile: String,
+    jdbcUrl: String,
+    targetTable: String,
+    batchId: String,
+    loadedAt: Long,
+    seq: Long,
+    eventDate: java.sql.Date)
+
 class Ledger(spark: SparkSession, dir: String) {
   import spark.implicits._
 
   private val batchDir = s"$dir/batches"
   private val fileDir = s"$dir/files"
+  private val targetFileDir = s"$dir/target_files"
 
   private def today(ts: Long) = new java.sql.Date(ts - ts % 86400000L)
 
@@ -182,6 +200,40 @@ class Ledger(spark: SparkSession, dir: String) {
     * `processedFiles.js:30-53`): hidden from [[processedFiles]]
     * immediately, physically dropped at [[compact]].
     */
+  /** Append committed (file, target) facts — one parquet file per call
+    * (the [[appendFiles]] small-files rule). Written by the pipeline
+    * only under `perTargetFileDedup`; no compaction applies (immutable
+    * facts, no latest-state projection to collapse).
+    */
+  def appendTargetFiles(evs: Seq[(String, String, String, String)],
+                        atMs: Long): Unit =
+    if (evs.nonEmpty) {
+      evs.map { case (file, url, table, batchId) =>
+        TargetFileLedgerEvent(file, url, table, batchId, atMs,
+          seqCounter.incrementAndGet(), today(atMs))
+      }.toDS().coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("eventDate").parquet(targetFileDir)
+    }
+
+  def targetFileLog: Dataset[TargetFileLedgerEvent] =
+    if (hasData(targetFileDir))
+      spark.read.parquet(targetFileDir).as[TargetFileLedgerEvent]
+    else spark.emptyDataset[TargetFileLedgerEvent]
+
+  /** The (jdbcUrl, targetTable) pairs into which EVERY file of `files`
+    * has already been committed — the gate for the per-target retry
+    * fan-out. Result is targets-sized (control plane); the log scan is
+    * one filtered distinct + count.
+    */
+  def targetsFullyLoaded(files: Seq[String]): Set[(String, String)] =
+    if (files.isEmpty) Set.empty
+    else targetFileLog
+      .filter($"loadFile".isin(files: _*))
+      .select($"loadFile", $"jdbcUrl", $"targetTable").distinct()
+      .groupBy($"jdbcUrl", $"targetTable").count()
+      .filter($"count" === files.size.toLong)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
   def tombstoneFile(loadFile: String, atMs: Long): Unit =
     Seq(FileLedgerEvent(loadFile, atMs, 0, "", Seq.empty, deleted = true,
         seqCounter.incrementAndGet(), today(atMs)))

@@ -29,6 +29,13 @@ object Loader {
   /** Load one flushed batch into every configured target in parallel.
     * The reference fans out with `async.map` and folds "all OK"
     * (`index.js:909-925`); we use Futures and the same conjunction.
+    *
+    * `skipTarget` is the per-(file,target) dedup gate (SURVEY §7.5-7's
+    * opt-in fix): a target it selects is reported ok+skipped without
+    * touching its database — a retry of a partially-failed batch then
+    * loads ONLY the targets that never committed. The default (never
+    * skip) keeps the reference's faithful wart: reprocessing re-loads
+    * already-committed clusters.
     */
   def loadBatch(
       spark: SparkSession,
@@ -37,7 +44,8 @@ object Loader {
       fileRoot: String,
       schema: Option[StructType] = None,
       resolvePassword: PasswordResolver = identity,
-      timeoutSecs: Int = 600): BatchLoadOutcome = {
+      timeoutSecs: Int = 600,
+      skipTarget: LoadTarget => Boolean = _ => false): BatchLoadOutcome = {
 
     val paths = cmd.entries.map(e => s"$fileRoot/${e.file}")
     val manifest = Manifest(cmd.entries.map(e =>
@@ -52,9 +60,13 @@ object Loader {
       implicit val ec: ExecutionContext = ExecutionContext.global
       val futures = cfg.targets.map { t =>
         Future {
-          val renamed = Formats.applyColumnList(df, t.columnList)
-          JdbcWriter.load(renamed, t.copy(columnList = None),
-            resolvePassword(t.encryptedPassword), cmd.batchId)
+          if (skipTarget(t))
+            LoadResult(t.jdbcUrl, ok = true, 0L, skipped = true, None)
+          else {
+            val renamed = Formats.applyColumnList(df, t.columnList)
+            JdbcWriter.load(renamed, t.copy(columnList = None),
+              resolvePassword(t.encryptedPassword), cmd.batchId)
+          }
         }
       }
       val results = Await.result(Future.sequence(futures), timeoutSecs.seconds)

@@ -130,6 +130,64 @@ class LoaderSpec extends AnyFunSuite {
     assert(queryLong("SELECT count(*) FROM fan_good") == 2)
   }
 
+  test("per-(file,target) dedup flag: retry after partial failure loads ONLY the failed target (§7.5.7 fix)") {
+    // second target lives in its OWN database (clusters are separate
+    // DBs); its table doesn't exist yet, so the first attempt fails
+    val fixUrl = "jdbc:derby:memory:ptfix;create=true"
+    def sqlAt(url: String, q: String): Unit = {
+      val c = DriverManager.getConnection(url)
+      try { val s = c.createStatement(); try s.execute(q) finally s.close() }
+      finally c.close()
+    }
+    def countAt(url: String, table: String): Long = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val s = c.createStatement()
+        try { val rs = s.executeQuery(s"SELECT count(*) FROM $table"); rs.next(); rs.getLong(1) }
+        finally s.close()
+      } finally c.close()
+    }
+    sql("CREATE TABLE pt_good(column_a INT, column_b INT, column_c INT)")
+    val other = LoadTarget(fixUrl, "", "", "pt_other")
+    val c = cfg.copy(targets = Seq(target("pt_good"), other))
+    val files = Seq("sample0.csv")
+    val ledgerDir = Files.createTempDirectory("graft-pt-ledger").toString
+    val ledger = new graft.ledger.Ledger(spark, ledgerDir)
+
+    val out1 = Loader.loadBatch(spark, c, cmd("pt1", files), root, Some(schema))
+    assert(out1.status == "error", "pt_other's table is missing — partial failure")
+    assert(queryLong("SELECT count(*) FROM pt_good") == 2)
+    // record what Pipeline records under the flag: (file, target) facts
+    // for the target that committed
+    ledger.appendTargetFiles(
+      for {
+        (t, r) <- c.targets.zip(out1.results) if r.ok && !r.skipped
+        e <- cmd("pt1", files).entries
+      } yield (e.file, t.jdbcUrl, t.targetTable, "pt1"),
+      System.currentTimeMillis())
+
+    // reprocess forms a NEW batch of the same files; the fixed target
+    // must load, the committed one must be gated off
+    sqlAt(fixUrl, "CREATE TABLE pt_other(column_a INT, column_b INT, column_c INT)")
+    val done = ledger.targetsFullyLoaded(cmd("pt1", files).entries.map(_.file))
+    assert(done == Set((dbUrl, "pt_good")))
+    val out2 = Loader.loadBatch(spark, c, cmd("pt2", files), root, Some(schema),
+      skipTarget = t => done.contains((t.jdbcUrl, t.targetTable)))
+    assert(out2.status == "complete")
+    assert(out2.results.head.skipped && out2.results.head.ok,
+      "the committed target must be skipped, not re-loaded")
+    assert(queryLong("SELECT count(*) FROM pt_good") == 2,
+      "per-target gate must prevent the double load")
+    assert(countAt(fixUrl, "pt_other") == 2, "the failed target must load on retry")
+
+    // DEFAULT behavior unchanged — the reference's faithful wart: a
+    // reprocess without the gate re-loads the committed cluster
+    val out3 = Loader.loadBatch(spark, c, cmd("pt3", files), root, Some(schema))
+    assert(out3.status == "complete")
+    assert(queryLong("SELECT count(*) FROM pt_good") == 4,
+      "default path must keep the reference's per-file-only dedup")
+  }
+
   test("column list reorders into target columns (S6 COPY (cols))") {
     sql("CREATE TABLE colmap_t(x INT, y INT, z INT)")
     val t = target("colmap_t").copy(columnList = Some(Seq("z", "y", "x")))
