@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -39,9 +39,12 @@ case class CmsUnion(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[CmsBuffer] {
+  extends TypedImperativeAggregate[CmsBuffer] with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  // wrong-typed SQL arguments (graft_fn registration) must fail at
+  // analysis, not as an executor-side ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "cms_union"
@@ -107,8 +110,9 @@ case class CmsUnion(
   * aggregate applied to string columns.
   */
 case class CmsEstimate(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 

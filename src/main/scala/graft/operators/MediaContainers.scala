@@ -185,6 +185,10 @@ object MediaContainers {
         val body = off + id._2 + sz._2
         // unknown-size element (all size bits set): extends to parent end
         val allOnes = sz._1 == (1L << (7 * sz._2)) - 1
+        // reject 64-bit sizes exceeding the parent BEFORE the Int
+        // narrowing: a corrupt size whose low 32 bits are small would
+        // otherwise wrap into range and pass the bodyEnd checks
+        if (!allOnes && sz._1 > (end - body).toLong) return false
         val bodyEnd = if (allOnes) end else body + sz._1.toInt
         if (bodyEnd > end || bodyEnd < body) return false
         id._1 match {

@@ -35,9 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Value-domain bound for the exact path; above it (HLL estimate,
-    * ±~2%) thresholds come from `percentile_approx`. 10^5 matches the
-    * documented envelope of binnable columns.
+  /** Value-domain bound for the exact path; above it (HLL estimate at
+    * rsd = 2%, passed explicitly — the default is 5%) thresholds come
+    * from `percentile_approx`. 10^5 matches the documented envelope of
+    * binnable columns.
     */
   val DefaultMaxDistinct: Long = 100000L
 
@@ -50,7 +51,7 @@ object Quantiles {
   def valueThresholds(df: DataFrame, valueCol: String, buckets: Int,
                       maxDistinct: Long = DefaultMaxDistinct,
                       sketchAccuracy: Int = 10000): DataFrame = {
-    val est = df.agg(approx_count_distinct(col(valueCol)).as("d")).head.getLong(0)
+    val est = df.agg(approx_count_distinct(col(valueCol), 0.02).as("d")).head.getLong(0)
     if (est > maxDistinct) sketchThresholds(df, valueCol, buckets, sketchAccuracy)
     else {
       val counts = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))

@@ -1255,7 +1255,9 @@ object Queries {
     */
   def q76ImageDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val off = 10000000L
+    // planted ids must never collide with real ones at any SF: derive
+    // the offset from the actual id domain instead of a constant
+    val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val base = Multimodal.syntheticImages(s, docs, "doc_id", "text")
     val planted = Multimodal.syntheticNearDupImages(
       s, docs, "doc_id", "text", idOffset = off, brightness = 8)

@@ -382,6 +382,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("MediaContainers: 64-bit EBML size with small low 32 bits is corrupt, never Some") {
+    val src = Multimodal.buildWebm(64, 48, 480L, seed = 7L)
+    assert(MediaContainers.parseWebm(src).isDefined, "fixture must parse")
+    val seg = src.indices.find(i => i + 4 <= src.length &&
+      src(i) == 0x18.toByte && src(i + 1) == 0x53.toByte &&
+      src(i + 2) == 0x80.toByte && src(i + 3) == 0x67.toByte).get
+    val first = src(seg + 4) & 0xFF
+    val oldLen = {
+      var l = 1; var m = 0x80
+      while ((first & m) == 0 && l < 8) { l += 1; m >>= 1 }; l
+    }
+    val bodyStart = seg + 4 + oldLen
+    val remaining = src.length - bodyStart
+    // 2^33 + remaining: truncated to Int this IS the remaining length,
+    // so the pre-guard parser would walk the whole body and return a
+    // wrong Some for a size that exceeds the parent by 8 GiB
+    val v = (1L << 33) + remaining
+    val corrupt = Array(0x01.toByte) ++
+      (6 to 0 by -1).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+    val out = src.take(seg + 4) ++ corrupt ++ src.drop(bodyStart)
+    assert(MediaContainers.parseWebm(out).isEmpty,
+      "a size exceeding the parent must be corrupt even when its low 32 bits fit")
+  }
+
   test("multimodal: synthetic WebM corpus carries EBML metadata through extractFeatures") {
     val docs = Seq((1L, "abcde"), (2L, "a longer text body here"), (3L, "xy"))
       .toDF("doc_id", "text")
