@@ -61,6 +61,10 @@ object GraftFunctions {
       val k = intLit(args(1), "k")
       SpaceSavingTopK(args.head, k, math.max(8 * k, 64)).toAggregateExpression()
     },
+    "group_top_k" -> { args =>
+      arity("group_top_k", args, 3)
+      GroupTopK(args.head, args(1), intLit(args(2), "k")).toAggregateExpression()
+    },
     "cms_union" -> { args =>
       arity("cms_union", args, 1); CmsUnion(args.head).toAggregateExpression()
     },

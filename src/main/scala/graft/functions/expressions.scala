@@ -884,6 +884,14 @@ object expressions {
       SpaceSavingTopK(GraftBridge.expression(item), k, cap).toAggregateExpression())
   }
 
+  /** Column wrapper for [[graft.functions.GroupTopK]] (an aggregate —
+    * use inside `agg(...)`): exact per-group top-k under (key desc,
+    * id asc) with bounded mergeable state. */
+  def group_top_k(key: Column, id: Column, k: Int): Column =
+    GraftBridge.column(
+      GroupTopK(GraftBridge.expression(key), GraftBridge.expression(id), k)
+        .toAggregateExpression())
+
   /** Column wrapper for [[HyperplaneSig]]. */
   def hyperplane_sig(vec: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))

@@ -1186,6 +1186,18 @@ object Oracles {
       FROM u CROSS JOIN t
       ORDER BY exact_n DESC, user_key LIMIT 5""",
 
+    // q82: per-language top-3 under the total order (n_chars desc,
+    // doc_id asc) — the mergeable bounded-state aggregate must equal an
+    // engine ranking with the identical order, ties included.
+    "q82_group_topk" -> """
+      WITH r AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents)
+      SELECT lang, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      FROM r WHERE rank <= 3 ORDER BY lang, rank""",
+
     // q75: shard bucket via q41's strpos arithmetic mod 8; shuffle keys
     // are raw md5 hex (lowercase hex sorts identically, q47's rule).
     "q75_shuffle_shards" -> """

@@ -1613,6 +1613,28 @@ object Queries {
       .orderBy(col("exact_n").desc, col("user_key"))
   }
 
+  /** Exact per-group top-k WITHOUT a window sort
+    * ([[graft.functions.GroupTopK]] — the per-group analogue of
+    * [[graft.operators.Bm25.topK]]'s TakeOrdered): each language's
+    * top-3 documents under (n_chars desc, doc_id asc), via the
+    * mergeable bounded-state aggregate — map-side partials keep ≤ k
+    * entries per group, so the hottest language costs what the
+    * smallest does; `row_number() OVER (PARTITION BY lang ...)` would
+    * put the dominant language through one task's sort at scale. The
+    * DuckDB oracle ranks with the identical total order — hash
+    * equality certifies exactness, tie-breaks included.
+    */
+  def q82GroupTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.group_top_k
+    table(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(group_top_k(col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.key").cast("long").as("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1699,5 +1721,6 @@ object Queries {
     "q79_bpe_roundtrip"   -> (q79BpeRoundtrip _),
     "q80_pack_invariants" -> (q80PackInvariants _),
     "q81_exact_top_users" -> (q81ExactTopUsers _),
+    "q82_group_topk"      -> (q82GroupTopK _),
   )
 }
