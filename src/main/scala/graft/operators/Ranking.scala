@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group ranking over a UNIFORM HASH key without a per-group
+  * sort — the third member of the rank-without-window family:
+  * [[graft.functions.GroupTopK]] covers small k, [[Quantiles
+  * .exactMedianByGroup]] covers a single order statistic, and this
+  * covers the FULL rank column (deterministic sampling, quota
+  * selection) when the sort key is a hash — md5/sha hex, the usual
+  * deterministic-sampling key, whose uniformity is the whole point of
+  * using it.
+  *
+  * `row_number() OVER (PARTITION BY g ORDER BY hexKey)` puts every row
+  * of the dominant group through one task's sort. But a fixed-width
+  * hex PREFIX is an order-preserving bucketing (hex strings of equal
+  * length sort lexicographically = numerically), so rank decomposes
+  * exactly:
+  *
+  *   rank(row) = (# rows of the group in strictly-earlier buckets)
+  *             + rank within (group, bucket)
+  *
+  * The bucket counts contract to a groups × 16^prefixLen table (tiny —
+  * one groupBy shuffle), the exclusive running offset is a window over
+  * THAT table, and the only corpus-sized window partitions by
+  * (group, bucket) — per-task input ≈ n_group / 16^prefixLen by
+  * uniformity (prefixLen 2 → 256-way; raise it with scale). Ties
+  * across buckets are impossible (equal keys share a prefix), and ties
+  * within a bucket resolve by `tieCol` exactly as the naive window
+  * would.
+  */
+object Ranking {
+
+  /** Add `rn` — the exact 1-based rank under (keyCol asc, tieCol asc)
+    * within each group — with no window partitioned by the group key
+    * alone over corpus-sized input. `keyCol` must be a fixed-width hex
+    * string (md5/sha); uniformity governs balance, not correctness.
+    */
+  def hashRank(df: DataFrame, groupCol: String, keyCol: String,
+               tieCol: String, prefixLen: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8, "need 1 <= prefixLen <= 8")
+    val g = col(groupCol)
+    val bucketed = df.withColumn("__bucket",
+      substring(col(keyCol), 1, prefixLen))
+    // tiny contraction: per-(group, bucket) counts, exclusive running
+    // offset over the ≤ 16^prefixLen buckets of each group
+    val wOff = Window.partitionBy(g).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(g, col("__bucket"))
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__before", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .drop("__bc")
+    // the only corpus-sized window: (group, bucket) — per-task input
+    // is one bucket of one group
+    val wIn = Window.partitionBy(g, col("__bucket"))
+      .orderBy(col(keyCol), col(tieCol))
+    bucketed
+      .join(broadcast(offsets), Seq(groupCol, "__bucket"))
+      .withColumn("rn", col("__before") + row_number().over(wIn))
+      .drop("__bucket", "__before")
+  }
+}

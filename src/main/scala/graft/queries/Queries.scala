@@ -852,17 +852,20 @@ object Queries {
   /** Stratified sampling with exact per-stratum quotas: ceil(n/10) docs
     * per language, chosen by md5 hash order — deterministic, engine-
     * independent (the oracle reproduces both the order and the quota
-    * arithmetic), and balanced by construction. The 100 TB shape is a
-    * per-stratum window over the hash sort key; no global ordering
-    * exists anywhere.
+    * arithmetic), and balanced by construction. The rank comes from
+    * [[graft.operators.Ranking.hashRank]] — hex-prefix bucketed, so
+    * no window ever sorts a whole language in one task (`lang` is a
+    * ~10-value skewed key; a lang-partitioned rank window would be
+    * exactly the q74 trap). The quota join broadcasts the tiny
+    * per-lang counts; output is rank-identical to the naive window.
     */
   def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val h = md5(concat(lit("sample:"), col("doc_id").cast("string")).cast("binary"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    table(s, dir, "documents")
-      .withColumn("h", h)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val docs = table(s, dir, "documents")
+      .withColumn("h",
+        md5(concat(lit("sample:"), col("doc_id").cast("string")).cast("binary")))
+    val quotas = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    graft.operators.Ranking.hashRank(docs, "lang", "h", "doc_id")
+      .join(broadcast(quotas), "lang")
       .filter(col("rn") <= floor((col("n") + 9) / lit(10.0)))
       .select(col("lang"), col("rn").cast("long").as("rank"), col("doc_id"))
       .orderBy(col("lang"), col("rank"))

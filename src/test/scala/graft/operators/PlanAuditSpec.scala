@@ -176,6 +176,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q47: sampling rank is bucket-decomposed — no full-corpus window sort on lang") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
+    val df = graft.queries.Queries.q47StratifiedSample(spark, sf)
+    val winds = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(winds.nonEmpty, "expected the bucketed rank windows")
+    winds.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys == Set("lang")) {
+        // allowed only as the offset window over the bucket-count
+        // contraction (a langs × 256 table), never the raw corpus
+        assert(w.child.collect { case a: LAgg => a }.nonEmpty,
+          "lang-only window must ride the (lang, bucket) aggregate")
+      }
+    }
+  }
+
   test("semanticDupPairs: no cartesian product; candidates come from the cell join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(SemDedup.semanticDupPairs(spark, emb, "vec_id", "embedding",

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("hashRank ≡ naive per-group window rank on skewed md5 keys") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.tabulate(4000)(i => ("hot", i.toLong)) ++
+      Seq.tabulate(300)(i => ("warm", (i + 10000).toLong)) ++
+      Seq(("solo", 99999L))
+    val df = rnd.shuffle(rows).toDF("g", "id")
+      .withColumn("h", md5(concat(lit("k:"), $"id".cast("string")).cast("binary")))
+    for (plen <- Seq(1, 2, 3)) {
+      val got = Ranking.hashRank(df, "g", "h", "id", prefixLen = plen)
+        .select($"g", $"id", $"rn").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val w = Window.partitionBy($"g").orderBy($"h", $"id")
+      val want = df.withColumn("rn", row_number().over(w).cast("long"))
+        .select($"g", $"id", $"rn").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"prefixLen=$plen")
+    }
+  }
+
+  test("hashRank: equal keys tie-break by tieCol; every bucket offset is exact") {
+    // synthetic fixed-width 'hex' keys with deliberate duplicates that
+    // straddle bucket boundaries in count but never in key space
+    val rows = Seq(
+      ("a", "00aa", 5L), ("a", "00aa", 3L), ("a", "01ff", 9L),
+      ("a", "7f00", 1L), ("a", "7f00", 2L), ("a", "ff01", 4L),
+      ("b", "00aa", 7L))
+    val df = rows.toDF("g", "h", "id")
+    val got = Ranking.hashRank(df, "g", "h", "id", prefixLen = 2)
+      .select($"g", $"id", $"rn").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", 3L) -> 1L, ("a", 5L) -> 2L, ("a", 9L) -> 3L,
+      ("a", 1L) -> 4L, ("a", 2L) -> 5L, ("a", 4L) -> 6L,
+      ("b", 7L) -> 1L))
+  }
+
+  test("plan: the only corpus-sized window partitions by (group, bucket), not group alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
+    val df = spark.range(10000)
+      .select(($"id" % 3).cast("string").as("g"), $"id")
+      .withColumn("h", md5($"id".cast("string").cast("binary")))
+    val out = Ranking.hashRank(df, "g", "h", "id")
+    val winds = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(winds.nonEmpty)
+    winds.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys == Set("g")) {
+        // the offset window — must ride the bucket-count contraction
+        assert(w.child.collect { case a: LAgg => a }.nonEmpty,
+          "group-only window must sit above the (group, bucket) aggregate")
+      } else {
+        assert(keys.exists(_.contains("bucket")),
+          s"corpus window must include the bucket key, got $keys")
+      }
+    }
+  }
+}
