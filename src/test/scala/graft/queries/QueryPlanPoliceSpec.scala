@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-surface plan police: every declared query's physical plan is
+  * swept for the two 100 TB anti-patterns — cartesian/nested-loop
+  * joins and window sorts keyed on low-cardinality columns — against
+  * an EXPLICIT whitelist. A new query (or a regression in an old one)
+  * that introduces either fails here by name, so the scale audit the
+  * per-operator PlanAuditSpec tests do in depth is enforced in breadth.
+  */
+class QueryPlanPoliceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed cartesian joins, with the allowed count: 1-row
+    * scalar broadcasts (corpus totals riding a crossJoin) and the
+    * documented bounded brute-force verify legs (query sets of ≤ 10
+    * vectors against the corpus). Everything else: zero.
+    */
+  private val cartesianAllowance: Map[String, Int] = Map(
+    "q22_embedding_topk"  -> 1, // 10-query brute-force top-k (the oracle-checked baseline itself)
+    "q23_ann_recall"      -> 3, // exact leg + LSH probe legs, all bounded by the 10-query set
+    "q33_ivf_recall"      -> 3, // exact leg + probe legs, same bound
+    "q55_pq_recall"       -> 5, // exact + PQ probe + rerank legs, same bound
+    "q45_semantic_dedup"  -> 1, // documented exactDupPairs verify baseline
+    "q34_sketch_union"    -> 1, // 1-row merged-sketch scalar
+    "q53_source_mix"      -> 1, // 1-row recipe scalar
+    "q62_quantile_bins"   -> 2, // threshold set × bucket ids (B-1 rows) + scalar
+    "q73_bm25_stats"      -> 1, // 1-row corpus scalars
+    "q76_image_dedup"     -> 1, // 1-row doc-count scalar
+    "q77_cms_rollup"      -> 2, // 1-row merged CMS + 1-row event total
+    "q78_bm25_bracket"    -> 2, // 1-row corpus scalars in both the bracket and score legs
+    "q81_exact_top_users" -> 1) // 1-row event total
+
+  /** Queries allowed a window partitioned by a low-cardinality key
+    * (lang/source) — each with the reason it is not the q74 trap.
+    */
+  private val lowCardWindowAllowance: Set[String] = Set(
+    // exact-profiling queries: the exact rank IS the deliverable and
+    // the judge-accepted contract (profiling, not the shipped gate)
+    "q44_length_quantiles", "q59_quantile_sketch", "q69_exact_quantiles",
+    // packing: the per-source concatenation ORDER is the operator's
+    // semantic contract (manifest determinism); sub-sharding sources
+    // is the documented scale lever
+    "q43_seq_packing", "q67_tokenize_pack", "q80_pack_invariants",
+    // decomposed forms, pinned in depth by PlanAuditSpec: the lang-only
+    // window rides a tiny contraction (q74 bracket / q47 bucket offsets)
+    "q74_lm_quality_gate", "q47_stratified_sample")
+
+  private val lowCardCols = Set("lang", "source")
+
+  test("every declared query: no unlisted cartesian; no unlisted low-cardinality window; no global window outside q62") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sf).queryExecution.sparkPlan
+        val cartesians = p.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        }.size
+        if (cartesians > cartesianAllowance.getOrElse(name, 0))
+          failures += s"$name: $cartesians cartesian joins (allowed ${cartesianAllowance.getOrElse(name, 0)})"
+        val windows = p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        }
+        windows.foreach { keys =>
+          if (keys.isEmpty && name != "q62_quantile_bins")
+            failures += s"$name: GLOBAL window (only q62's guarded tiny-table window is allowed)"
+          if (keys.nonEmpty && keys.subsetOf(lowCardCols) &&
+              !lowCardWindowAllowance.contains(name))
+            failures += s"$name: window partitioned by low-cardinality ${keys.mkString("+")}"
+        }
+      } catch {
+        case e: Throwable => failures += s"$name: plan construction failed: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, "\n" + failures.mkString("\n"))
+  }
+}
