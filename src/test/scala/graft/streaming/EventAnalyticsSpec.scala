@@ -37,6 +37,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-group top-k: the mergeable aggregate incrementally tracks leaders (q82 dual)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.group_top_k
+    val input = MemoryStream[Event]
+    // leaders per event type by value, ties to the smaller event id —
+    // the bounded-state aggregate composes into a streaming groupBy
+    // exactly like any built-in (update-per-microbatch, no window sort)
+    val agg = input.toDF().groupBy($"event_type")
+      .agg(group_top_k($"value", $"event_id", 2).as("top"))
+    val q = agg.writeStream.format("memory").queryName("stopk")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 5.0),
+        Event(2, ts(1), 2, "click", 9.0),
+        Event(3, ts(2), 3, "click", 7.0))
+      q.processAllAvailable()
+      def leaders(): Seq[(String, Seq[Long])] =
+        spark.table("stopk")
+          .select($"event_type", $"top.id".as("ids")).as[(String, Seq[Long])]
+          .collect().toSeq.sortBy(_._1)
+      assert(leaders() == Seq("click" -> Seq(2L, 3L)))
+      // a later micro-batch displaces a leader and adds a group
+      input.addData(
+        Event(4, ts(3), 4, "click", 8.0),
+        Event(5, ts(4), 5, "view", 1.0))
+      q.processAllAvailable()
+      assert(leaders() == Seq("click" -> Seq(2L, 4L), "view" -> Seq(5L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: gap closes a session, new one opens (q27 streaming dual)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
