@@ -15,8 +15,13 @@ import org.apache.spark.sql.expressions.Window
   * pack group key. Packing is per-group sequential BY DEFINITION (the
   * token offsets of a group form one ordered stream), so the group key
   * IS the parallelism: real pipelines pack per (source, shard) with
-  * shards sized to executors — pass that composite as `groupCols`. Each
-  * group's rows are one window partition; nothing global exists.
+  * shards sized to executors — pass that composite as `groupCols`.
+  * When the NATURAL group key is coarse and re-keying is not an option
+  * (the manifest must stay per-source), pass `slices > 1`: the running
+  * offset then decomposes through [[Ranking.slicedCumsum]]'s GK range
+  * slicing — broadcast exclusive slice offsets + a window per
+  * (group, slice) — with byte-identical output (spec-asserted) and
+  * per-task input ≈ n_group/slices.
   */
 object Packing {
 
@@ -25,10 +30,15 @@ object Packing {
     * overlaps. Purely integer arithmetic.
     */
   def withOffsets(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                  tokenCol: String, budget: Int): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+                  tokenCol: String, budget: Int, slices: Int = 1): DataFrame = {
+    val cum =
+      if (slices <= 1) {
+        val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        df.withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+      } else Ranking.slicedCumsum(df, groupCols, orderCol, tokenCol, slices)
+        .withColumnRenamed("__cum", "cum_tokens")
+    cum
       .withColumn("start_tok", col("cum_tokens") - col(tokenCol))
       .withColumn("first_seq", floor(col("start_tok") / budget))
       .withColumn("last_seq", floor((col("cum_tokens") - 1) / budget))
@@ -78,9 +88,9 @@ object Packing {
     * training job reads to materialize packed examples.
     */
   def packManifest(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                   tokenCol: String, budget: Int): DataFrame = {
+                   tokenCol: String, budget: Int, slices: Int = 1): DataFrame = {
     val gcols = groupCols.map(col)
-    withOffsets(df, groupCols, orderCol, tokenCol, budget)
+    withOffsets(df, groupCols, orderCol, tokenCol, budget, slices)
       .select(gcols :+ col(orderCol).as("doc_key") :+ col("start_tok") :+
         col("cum_tokens") :+
         explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"): _*)

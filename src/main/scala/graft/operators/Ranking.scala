@@ -61,4 +61,50 @@ object Ranking {
       .withColumn("rn", col("__before") + row_number().over(wIn))
       .drop("__bucket", "__before")
   }
+
+  /** Exact per-group running sum over a NUMERIC order key without a
+    * group-wide single-task sort — [[hashRank]]'s sibling for ordered
+    * values where no uniform hash exists (packing offsets over doc
+    * ids). GK boundaries (`percentile_approx` — deterministic,
+    * mergeable) split each group into `slices` order-preserving
+    * ranges; the running sum decomposes exactly:
+    *
+    *   cum(row) = Σ value over strictly-earlier slices (a
+    *              groups × slices contraction, broadcast)
+    *            + running sum within (group, slice)
+    *
+    * so the only corpus-sized window partitions by (group, slice) —
+    * per-task input ≈ n_group/slices by the sketch's rank guarantee,
+    * which governs BALANCE only: boundary placement can never change
+    * a row's cum (rows on a boundary fold into the lower slice on
+    * both sides of the decomposition). `orderCol` must be unique per
+    * group — the same total-order contract the naive window form has.
+    * Adds `__cum` (long).
+    */
+  def slicedCumsum(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   valueCol: String, slices: Int,
+                   accuracy: Int = 10000): DataFrame = {
+    require(slices >= 2, "need slices >= 2 (use a plain window below that)")
+    val g = groupCols.map(col)
+    val ps = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
+    val bounds = df.groupBy(g: _*)
+      .agg(percentile_approx(col(orderCol), ps, lit(accuracy)).as("__bounds"))
+    val sliced = df.join(broadcast(bounds), groupCols)
+      .withColumn("__slice", aggregate(col("__bounds"), lit(0),
+        (acc, b) => acc + when(col(orderCol) > b, 1).otherwise(0)))
+      .drop("__bounds")
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(g :+ col("__slice"): _*)
+      .agg(sum(col(valueCol)).as("__st"))
+      .withColumn("__off", coalesce(sum(col("__st")).over(wOff), lit(0L)))
+      .drop("__st")
+    val wIn = Window.partitionBy(g :+ col("__slice"): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sliced.join(broadcast(offsets), groupCols :+ "__slice")
+      .withColumn("__cum",
+        (col("__off") + sum(col(valueCol)).over(wIn)).cast("long"))
+      .drop("__slice", "__off")
+  }
 }

@@ -50,6 +50,38 @@ class RankingSpec extends AnyFunSuite {
       ("b", 7L) -> 1L))
   }
 
+  test("slicedCumsum ≡ naive window cumsum, including values ON slice boundaries") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(3000)(i => ("hot", i.toLong * 7 % 100000, 1 + rnd.nextInt(50))) ++
+      Seq.tabulate(200)(i => ("warm", i.toLong, 1 + rnd.nextInt(9))) ++
+      Seq(("solo", 5L, 3))
+    val df = rnd.shuffle(rows).toDF("g", "ord", "v").repartition(5)
+    val w = Window.partitionBy($"g").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("c", sum($"v").over(w).cast("long"))
+      .select($"g", $"ord", $"c").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (slices <- Seq(2, 4, 16)) {
+      val got = Ranking.slicedCumsum(df, Seq("g"), "ord", "v", slices)
+        .select($"g", $"ord", $"__cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"slices=$slices")
+    }
+  }
+
+  test("packManifest(slices > 1) is row-identical to the single-window form") {
+    val rnd = new scala.util.Random(37)
+    val docs = Seq.tabulate(2000)(i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, 1 + rnd.nextInt(40)))
+      .toDF("source", "doc_id", "n_toks")
+    def rows(slices: Int) =
+      Packing.packManifest(docs, Seq("source"), "doc_id", "n_toks",
+          budget = 128, slices = slices)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows(8) == rows(1))
+  }
+
   test("plan: the only corpus-sized window partitions by (group, bucket), not group alone") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
     val df = spark.range(10000)
