@@ -56,7 +56,12 @@ object Pipeline {
         * (file, target) ledger rows, so reprocessing a partially-failed
         * multi-target batch loads ONLY the targets that never committed
         * its files. Off by default — the reference's dedup is per-file
-        * only, and faithful parity re-loads committed clusters. */
+        * only, and faithful parity re-loads committed clusters.
+        * Loads are bounded by statement-level query timeouts (see
+        * Loader) so an over-budget target rolls back rather than
+        * committing after the fan-out gave up; the residual
+        * two-generals window (commit acked but the ack lost) degrades
+        * to the default re-load behavior, never to a skipped load. */
       perTargetFileDedup: Boolean = false)
 
   def start(

@@ -64,8 +64,16 @@ object Loader {
             LoadResult(t.jdbcUrl, ok = true, 0L, skipped = true, None)
           else {
             val renamed = Formats.applyColumnList(df, t.columnList)
+            // statement-level timeout = the load budget: a slow target's
+            // transaction is CANCELLED db-side (rolls back → ok=false →
+            // the retry loads it) rather than abandoned mid-flight by
+            // the Await below, which would leave its commit outcome
+            // unknown — exactly what the per-target dedup facts must
+            // never be wrong about. The Await stays as the backstop for
+            // drivers that ignore setQueryTimeout.
             JdbcWriter.load(renamed, t.copy(columnList = None),
-              resolvePassword(t.encryptedPassword), cmd.batchId)
+              resolvePassword(t.encryptedPassword), cmd.batchId,
+              queryTimeoutSecs = timeoutSecs)
           }
         }
       }

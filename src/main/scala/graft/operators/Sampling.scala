@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Deterministic uniform in (0,1] from the first 15 hex chars of
-    * md5(salt:id) — 60 uniform bits, exactly representable in a
-    * double, never 0 (the +1 shift), so ln is always finite.
+    * md5(salt:id): 60 uniform bits, ROUNDED into the double's 53-bit
+    * mantissa (values within ~2^7 of 16^15 can round to u = 1.0
+    * exactly — key 0, probability ~2^-53 per id; harmless, and the
+    * spec's driver reference replicates the identical rounding). The
+    * +1 shift keeps u > 0, so ln is always finite.
     */
   private def u01(idCol: String, salt: String) =
     (conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))

@@ -1218,12 +1218,18 @@ object Queries {
       .persist()
     val thresholds = graft.operators.Quantiles.exactMedianByGroup(
       scoredDocs.select(col("lang"), col("score")), "lang", "score")
-    scoredDocs.join(broadcast(thresholds), "lang")
+    val gate = scoredDocs.join(broadcast(thresholds), "lang")
       .filter(col("score") >= col("cut"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).cast("long").as("kept_chars"))
       .orderBy(col("lang"))
+    // Dedup.releaseAfter's rule: materialize the langs-sized result,
+    // then drop the corpus-sized cache so it can't outlive the query
+    val out = gate.persist()
+    out.count()
+    scoredDocs.unpersist(blocking = false)
+    out
   }
 
   /** Deterministic corpus shuffle + sharding
