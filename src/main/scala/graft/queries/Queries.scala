@@ -1644,6 +1644,38 @@ object Queries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Deterministic weighted sampling ([[graft.operators.Sampling
+    * .weightedSample]] — A-ES keys through the [[graft.functions
+    * .GroupTopK]] bounded aggregate): 5 docs per source with inclusion
+    * ∝ weight, where every doc_id ≡ 0 (mod 7) carries weight 10^9 and
+    * the rest 10^-9 — an 10^18:1 ratio, so the draw must consist of
+    * heavy docs whenever a source has ≥ 5 of them (all of them when it
+    * has fewer). Rows-only (ln keys are engine-specific) but
+    * self-asserting: `pass` encodes exactly that dominance per source,
+    * and the operator's exact key semantics are spec-certified against
+    * a driver-side A-ES reference.
+    */
+  def q83WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, lit(1e9)).otherwise(lit(1e-9)).as("w"))
+    val sampled = graft.operators.Sampling.weightedSample(
+      docs, "source", "doc_id", "w", k = 5)
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(when(col("w") > 1.0, 1).otherwise(0)).cast("long").as("n_heavy"))
+    sampled.join(docs.select(col("doc_id"), col("w")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("w") > 1.0, 1).otherwise(0)).cast("long").as("n_sampled_heavy"))
+      .join(perSource, Seq("source"))
+      .withColumn("pass",
+        when(col("n_heavy") >= 5, col("n_sampled_heavy") === 5)
+          .otherwise(col("n_sampled_heavy") === col("n_heavy")))
+      .select(col("source"), col("n_heavy"), col("n_sampled"),
+        col("n_sampled_heavy"), col("pass"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1731,5 +1763,6 @@ object Queries {
     "q80_pack_invariants" -> (q80PackInvariants _),
     "q81_exact_top_users" -> (q81ExactTopUsers _),
     "q82_group_topk"      -> (q82GroupTopK _),
+    "q83_weighted_sample" -> (q83WeightedSample _),
   )
 }
