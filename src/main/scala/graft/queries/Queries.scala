@@ -1208,6 +1208,21 @@ object Queries {
     * rollup) hash-matches DuckDB's rank formulation.
     */
   def q74LmQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val (scoredDocs, gate) = q74GatePlan(s, dir)
+    // Dedup.releaseAfter's rule: materialize the langs-sized result,
+    // then drop the corpus-sized cache so it can't outlive the query
+    val out = gate.persist()
+    out.count()
+    scoredDocs.unpersist(blocking = false)
+    out
+  }
+
+  /** q74's lazy plan, pre-materialization — (scored corpus, gate). The
+    * shipped entry executes exactly this and then releases the cache;
+    * split out so PlanAuditSpec can inspect the gate's window shape
+    * (the released wrapper reads back an InMemoryRelation).
+    */
+  private[graft] def q74GatePlan(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = table(s, dir, "documents")
     val model = graft.operators.NgramLM.fit(docs, "doc_id", "text")
     // persist: the scorer feeds the median op's two bracket passes +
@@ -1224,12 +1239,7 @@ object Queries {
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).cast("long").as("kept_chars"))
       .orderBy(col("lang"))
-    // Dedup.releaseAfter's rule: materialize the langs-sized result,
-    // then drop the corpus-sized cache so it can't outlive the query
-    val out = gate.persist()
-    out.count()
-    scoredDocs.unpersist(blocking = false)
-    out
+    (scoredDocs, gate)
   }
 
   /** Deterministic corpus shuffle + sharding

@@ -151,7 +151,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q74: no full-corpus window sort on the lang key — the median cut is bracketed") {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin, Window => LWindow}
-    val df = graft.queries.Queries.q74LmQualityGate(spark, sf)
+    // the PRE-materialization gate plan (the shipped q74 executes this
+    // then releases its cache behind an InMemoryRelation)
+    val (scored, df) = graft.queries.Queries.q74GatePlan(spark, sf)
     // the gate must never rank the corpus: row_number over a ~10-value
     // skewed lang key = the dominant language through ONE task's sort
     assert(!plan(df).contains("row_number"),
@@ -174,6 +176,7 @@ class PlanAuditSpec extends AnyFunSuite {
           "lang-partitioned window without a bracket filter beneath it")
       }
     }
+    scored.unpersist(blocking = false)
   }
 
   test("q47: sampling rank is bucket-decomposed — no full-corpus window sort on lang") {
