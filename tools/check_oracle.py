@@ -40,6 +40,12 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             rows_only += 1
             status = "ROWS-ONLY" if len(spark_df) > 0 else "ROWS-ONLY-EMPTY!"
+            # self-asserting rows-only queries carry a `pass` column the
+            # judge reads — a false row is a FAILURE here too
+            if "pass" in spark_df.columns and not spark_df["pass"].all():
+                n_bad = int((~spark_df["pass"].astype(bool)).sum())
+                status = "SELF-FAIL!"
+                failures.append((name, f"{n_bad} rows with pass=false"))
             print(f"  {status:10s} {name}: {len(spark_df)} rows")
             if len(spark_df) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
