@@ -41,6 +41,34 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  /** Per-task shuffle-read record ceiling, observed via listener —
+    * the empirical form of every "bounded per-task input" claim.
+    */
+  private def maxTaskShuffleRead(body: => Unit): Long = {
+    val maxTaskRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxTaskRecords.getAndUpdate(_ max m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener events are async: poll until the max is stable
+      var prev = -1L
+      var stable = 0
+      while (stable < 4) {
+        val cur = maxTaskRecords.get()
+        if (cur == prev) stable += 1 else stable = 0
+        prev = cur
+        Thread.sleep(250)
+      }
+      maxTaskRecords.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("connectedComponents: 100k-node star resolves with bounded per-task shuffle input") {
     import org.apache.spark.sql.functions._
     val starSize = 100000
@@ -51,33 +79,6 @@ class SkewSpec extends AnyFunSuite {
       .union(spark.range(0, 300).select(
         (col("id") * 3 + 1000001).as("a"), (col("id") * 3 + 1000002).as("b")))
     val edges = star.union(tail)
-
-    // per-task shuffle-read record ceiling, observed via listener: with
-    // the hub on the broadcast leg, no reducer ever receives the star
-    def maxTaskShuffleRead(body: => Unit): Long = {
-      val maxTaskRecords = new java.util.concurrent.atomic.AtomicLong(0)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null)
-            maxTaskRecords.getAndUpdate(_ max m.shuffleReadMetrics.recordsRead)
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        body
-        // listener events are async: poll until the max is stable
-        var prev = -1L
-        var stable = 0
-        while (stable < 4) {
-          val cur = maxTaskRecords.get()
-          if (cur == prev) stable += 1 else stable = 0
-          prev = cur
-          Thread.sleep(250)
-        }
-        maxTaskRecords.get()
-      } finally spark.sparkContext.removeSparkListener(listener)
-    }
 
     // 16 real reducers: AQE's partition coalescing folds this tiny
     // exchange into ONE task (bounded by bytes, not rows), which would
@@ -160,6 +161,51 @@ class SkewSpec extends AnyFunSuite {
     val (a0, b0) = SemDedup.blockedSides(index.assigned, Int.MaxValue)
     val base0 = a0.groupBy("cell", "bi", "bj").count().agg(max("count")).head.getLong(0)
     assert(base0 == n + 30, s"baseline invalid: $base0")
+  }
+
+  test("exactMedianByGroup: 200k-row continuous dominant group, bounded per-task shuffle input") {
+    import org.apache.spark.sql.functions._
+    // continuous doubles → every value distinct → the naive
+    // lang-partitioned rank window sorts ALL 200k dominant-group rows
+    // in ONE task; the bracketed two-pass form must never concentrate
+    // more than ~the bracket anywhere (4·n/accuracy + agg partials)
+    val n = 200000
+    val df = spark.range(n).select(lit("en").as("g"),
+        (pmod(xxhash64(col("id")), lit(10000000)).cast("double") / 1e7).as("v"))
+      .union(spark.range(2000).select(lit("de").as("g"),
+        (pmod(xxhash64(col("id") + 500000), lit(10000000)).cast("double") / 1e7).as("v")))
+    val confs = Seq("spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      var got = Map.empty[String, Double]
+      val protectedCeiling = maxTaskShuffleRead {
+        got = Quantiles.exactMedianByGroup(df, "g", "v", accuracy = 1000)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+      // correctness against the naive window (and its ceiling baseline)
+      var want = Map.empty[String, Double]
+      val naiveCeiling = maxTaskShuffleRead {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"))
+        want = df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+          .filter(col("rn") === greatest(lit(1L), least(col("n"),
+            floor((col("n") + 1) / lit(2.0)))))
+          .collect().map(r => r.getString(0) -> r.getAs[Double]("v")).toMap
+      }
+      assert(got == want, "bracketed median must equal the naive window's")
+      assert(naiveCeiling >= n,
+        s"baseline invalid: expected the dominant group (~$n rows) on one task, saw $naiveCeiling")
+      assert(protectedCeiling < n / 10,
+        s"a task shuffle-read $protectedCeiling records — the dominant group " +
+          s"leaked into one task (naive baseline: $naiveCeiling)")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("hotColdLookupJoin: parity with a plain join; hot keys take the broadcast leg") {
