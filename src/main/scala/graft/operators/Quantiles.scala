@@ -107,7 +107,9 @@ object Quantiles {
     * The rank-k value of (v, tiebreak) equals the k-th order statistic
     * of v alone — tie-break columns change which ROW is at rank k,
     * never the VALUE — so callers ranking by (v, id) get the identical
-    * cut. Nulls are excluded (SQL aggregate semantics). Per-group
+    * cut. Null VALUES are excluded (SQL aggregate semantics); null
+    * GROUP KEYS are excluded too (the bound joins are null-unsafe) —
+    * unlike GROUP BY, a null group gets no median row. Per-group
     * stats/bounds are group-cardinality-sized and broadcast; the data
     * passes are one groupBy each.
     */

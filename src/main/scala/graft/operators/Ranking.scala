@@ -37,6 +37,8 @@ object Ranking {
     * within each group — with no window partitioned by the group key
     * alone over corpus-sized input. `keyCol` must be a fixed-width hex
     * string (md5/sha); uniformity governs balance, not correctness.
+    * Null group keys are excluded (the offset join is null-unsafe),
+    * unlike a window's PARTITION BY which would rank them as a group.
     */
   def hashRank(df: DataFrame, groupCol: String, keyCol: String,
                tieCol: String, prefixLen: Int = 2): DataFrame = {
@@ -79,7 +81,8 @@ object Ranking {
     * a row's cum (rows on a boundary fold into the lower slice on
     * both sides of the decomposition). `orderCol` must be unique per
     * group — the same total-order contract the naive window form has.
-    * Adds `__cum` (long).
+    * Null group keys are excluded (null-unsafe joins), unlike a
+    * window's PARTITION BY. Adds `__cum` (long).
     */
   def slicedCumsum(df: DataFrame, groupCols: Seq[String], orderCol: String,
                    valueCol: String, slices: Int,
