@@ -132,6 +132,16 @@ object NgramLM {
     a.vocabSize + b.vocabSize,
     for (va <- a.vocab; vb <- b.vocab) yield va.union(vb).distinct())
 
+  /** Exact distinct-token count off a model's vocab table — the eager
+    * companion to [[merge]]'s lazy over-counting scalar: after merging
+    * overlapping models, `m.copy(vocabSize = exactVocabSize(m))`
+    * restores the true V (one distinct-count job over the vocab-sized
+    * union). Falls back to the stored scalar when no vocab table rides
+    * the model.
+    */
+  def exactVocabSize(m: Model): Long =
+    m.vocab.map(_.distinct().count()).getOrElse(m.vocabSize)
+
   /** Persist a fitted model as BUCKETED tables (`<name>_bigrams`
     * bucketed on gram_hash, `<name>_prefixes` on prefix_hash,
     * `<name>_vocab` distinct tokens bucketed on the token, plus a

@@ -98,6 +98,8 @@ class NgramLMSpec extends AnyFunSuite {
     // overlap): equality only when batches share no tokens — here
     // they DO share ("the", "sat", "on"), so merged > whole
     assert(pieces.vocabSize > whole.vocabSize)
+    // the vocab-table companion restores the exact V
+    assert(NgramLM.exactVocabSize(pieces) == whole.vocabSize)
   }
 
   test("stored model: store/load round-trips scores; stored side joins without a shuffle") {
