@@ -79,4 +79,63 @@ object Contamination {
       contaminated(docs, idCol, textCol, bench, benchIdCol, benchTextCol, n)
         .select(col("doc_id").as("__contaminated_id")),
       docs(idCol).cast("long") === col("__contaminated_id"), "left_anti")
+
+  /** Near-verbatim contamination via bounded edit distance — the
+    * complement to [[contaminated]]'s exact n-gram rule: a benchmark
+    * item lightly perturbed (one character edit every &lt; n tokens —
+    * OCR noise, re-punctuation, paraphrase tooling) shares NO length-n
+    * gram with its source and sails through the gram check, but sits
+    * at small Levenshtein distance from it. Both checks together are
+    * the decontamination recipe of the GPT-3 appendix lineage: exact
+    * grams for substring copies, edit distance for noisy near-copies.
+    *
+    * Scale shape: the benchmark side is eval sets — small by
+    * construction — so it BROADCASTS (normalized once, with lengths);
+    * the corpus streams through one scan. Two bounds keep the
+    * nested-loop honest at 100 TB: (a) the LENGTH BAND
+    * `|len(doc) − len(bench)| ≤ maxDist` (edit distance is at least
+    * the length difference, so the prune is lossless) discards most
+    * pairs before any distance work, and (b) the surviving pairs use
+    * Spark's THRESHOLDED `levenshtein(l, r, maxDist)` — the banded
+    * O(len·maxDist) algorithm, not the full O(len²) matrix. Per-doc
+    * cost is bench-rows × cheap length check + a handful of banded
+    * distance evaluations; nothing shuffles but the final per-doc
+    * fold on doc ids that actually matched.
+    *
+    * One row per contaminated doc: match count, closest distance, and
+    * the closest benchmark id under the deterministic total order
+    * (dist asc, bench_id asc) — encoded as one integer min so the
+    * tie-break never needs a sort or a struct comparator.
+    *
+    * Normalization (lower + whitespace collapse) mirrors what eval
+    * harnesses do before matching; both sides get the same treatment.
+    */
+  def fuzzyContaminated(docs: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                        maxDist: Int = 48): DataFrame = {
+    require(maxDist >= 0, "need maxDist >= 0")
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(lower(trim(c)), "\\s+", " ")
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      norm(col(textCol)).as("d_text"))
+      .withColumn("d_len", length(col("d_text")))
+    val b = bench.select(col(benchIdCol).cast("long").as("bench_id"),
+      norm(col(benchTextCol)).as("b_text"))
+      .withColumn("b_len", length(col("b_text")))
+    d.join(broadcast(b),
+        col("doc_id") =!= col("bench_id") &&
+          abs(col("d_len") - col("b_len")) <= maxDist,
+        "inner")
+      .withColumn("dist", levenshtein(col("d_text"), col("b_text"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      // bench_id rides inside an encoded (dist, id) integer key so the
+      // per-doc "closest" pick is a plain min — no struct ordering, no
+      // window. Ids stay far below the 1e9 band at any plausible SF.
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("dist").cast("long") * 1000000000L + col("bench_id")).as("enc"))
+      .select(col("doc_id"), col("n_matches"),
+        floor(col("enc") / 1000000000L).cast("long").as("min_dist"),
+        pmod(col("enc"), lit(1000000000L)).cast("long").as("closest_bench"))
+  }
 }

@@ -1215,5 +1215,59 @@ object Oracles {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              min(hx) AS first_key, max(hx) AS last_key
       FROM b GROUP BY shard ORDER BY shard""",
+
+    // q84: fuzzy decontamination. Same normalization, the lossless
+    // length-band prune, FULL levenshtein (Spark's thresholded variant
+    // agrees exactly for pairs inside the band), and the encoded
+    // (dist, bench_id) integer min. ASCII restriction on both sides:
+    // DuckDB's levenshtein counts bytes, Spark's counts code points —
+    // equal only when byte==char. dist CASTs to BIGINT before the
+    // 1e9 encode so the product can't overflow INT32.
+    "q84_fuzzy_contamination" -> """
+      WITH ascii AS (
+        SELECT doc_id, text FROM documents
+        WHERE regexp_full_match(text, '[\x20-\x7e\s]*')),
+      norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM ascii),
+      bench AS (
+        SELECT doc_id AS bench_id, t AS bt FROM norm WHERE doc_id % 10 = 0),
+      hits AS (SELECT * FROM (
+        SELECT n.doc_id, b.bench_id,
+               CAST(levenshtein(n.t, b.bt) AS BIGINT) AS dist
+        FROM norm n JOIN bench b
+          ON n.doc_id <> b.bench_id
+         AND abs(length(n.t) - length(b.bt)) <= 48)
+        WHERE dist <= 48)
+      SELECT doc_id, count(*) AS n_matches,
+             min(dist * 1000000000 + bench_id) // 1000000000 AS min_dist,
+             min(dist * 1000000000 + bench_id) % 1000000000 AS closest_bench
+      FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+    // q85: integer-exact ANN ground truth. round(float·1024) is the
+    // same integer in any engine (float times a power of two is exact;
+    // both engines round ties away from zero), so the dot product is
+    // pure BIGINT arithmetic and the top-5 under (iscore DESC,
+    // corpus_id) is a total order both engines replay exactly.
+    "q85_ann_bracket" -> """
+      WITH probes AS (
+        SELECT vec_id AS query_id, embedding AS q
+        FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT p.query_id, e.vec_id AS corpus_id,
+               CAST(list_sum(list_transform(range(1, len(p.q) + 1),
+                 i -> CAST(round(p.q[i] * 1024) AS BIGINT) *
+                      CAST(round(e.embedding[i] * 1024) AS BIGINT)))
+                 AS BIGINT) AS iscore
+        FROM probes p CROSS JOIN embeddings e
+        WHERE e.vec_id <> p.query_id),
+      r AS (
+        SELECT query_id, corpus_id, iscore,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY iscore DESC, corpus_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, iscore
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
   )
 }

@@ -1686,6 +1686,68 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Fuzzy (edit-distance) decontamination
+    * ([[graft.operators.Contamination.fuzzyContaminated]]): training
+    * docs within Levenshtein 48 of a benchmark doc after
+    * normalization — the near-verbatim copies that a light perturbation
+    * hides from q37's exact 13-gram rule. ORACLE-CHECKED end to end:
+    * DuckDB recomputes the same normalization, the lossless length-band
+    * prune, full Levenshtein (the Spark side's thresholded variant
+    * agrees exactly within the band), and the encoded integer min —
+    * distances, counts, and the (dist, bench_id) tie-break are all
+    * exact integers, so the hash match certifies the whole operator.
+    *
+    * Both sides restrict to ASCII documents first: Spark's levenshtein
+    * is code-point exact but DuckDB's counts BYTES, so non-ASCII text
+    * would diverge in the oracle, not the engine. The operator itself
+    * stays fully unicode-correct (spec-covered); only the cross-engine
+    * certification needs the byte==char restriction. This corpus is
+    * entirely ASCII, so the guard drops nothing here.
+    */
+  def q84FuzzyContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .filter(col("text").rlike("^[\\x20-\\x7e\\s]*$"))
+    graft.operators.Contamination.fuzzyContaminated(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", maxDist = 48)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Integer-exact ANN ground truth — the hash-certified bracket for
+    * the recall family (q23/q33/q55 all measure recall against the
+    * brute-force cosine top-k; this query certifies that baseline's
+    * arithmetic and ordering against DuckDB). Embedding floats are
+    * quantized to integers (round(x·1024) — exact: a float times a
+    * power of two just shifts the exponent), the dot product is then
+    * pure 64-bit integer arithmetic, identical in any engine, and the
+    * per-probe top-5 under (score desc, corpus_id asc) comes from the
+    * bounded mergeable [[graft.functions.GroupTopK]] aggregate — NOT a
+    * window sort over corpus-sized partitions, so the shape survives a
+    * 100 TB corpus (probes broadcast, corpus one scan, state ≤ k per
+    * probe per task).
+    */
+  def q85AnnBracket(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.group_top_k
+    val emb = table(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val iscore = aggregate(
+      zip_with(col("q"), col("embedding"),
+        (x, y) => round(x.cast("double") * 1024d).cast("long") *
+          round(y.cast("double") * 1024d).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("iscore", iscore)
+      .groupBy(col("query_id"))
+      .agg(group_top_k(col("iscore").cast("double"), col("vec_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("corpus_id"),
+        col("col.key").cast("long").as("iscore"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1774,5 +1836,7 @@ object Queries {
     "q81_exact_top_users" -> (q81ExactTopUsers _),
     "q82_group_topk"      -> (q82GroupTopK _),
     "q83_weighted_sample" -> (q83WeightedSample _),
+    "q84_fuzzy_contamination" -> (q84FuzzyContamination _),
+    "q85_ann_bracket"     -> (q85AnnBracket _),
   )
 }

@@ -512,6 +512,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(shortHits == Set(5L), "verbatim short copy flagged, near-miss not")
   }
 
+  test("fuzzy contamination: perturbed near-copies flagged with exact distance, tie-break, threshold and unicode semantics") {
+    val benchText = "the canonical benchmark answer text that must not leak"
+    val docs = Seq(
+      // distance 2 from bench 100 (substitution + appended char)
+      (1L, "the canonical benchmark answer text that must not leads"),
+      // whitespace/case noise only -> distance 0 after normalization
+      (2L, "  The   Canonical Benchmark  ANSWER text that must not leak "),
+      // way past maxDist
+      (3L, "entirely different content that matches nothing in the benchmark set"),
+      // length-band prune target: same prefix but 100+ chars longer
+      (4L, benchText + " " + ("x" * 120))).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText), (101L, "zzz unrelated eval item zzz"))
+      .toDF("doc_id", "text")
+
+    val out = Contamination.fuzzyContaminated(docs, "doc_id", "text",
+      bench, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(out == Seq((1L, 1L, 2L, 100L), (2L, 1L, 0L, 100L)),
+      s"doc1 at dist 2, doc2 at dist 0 after normalization, docs 3/4 excluded: $out")
+
+    // closest tie-break: equidistant bench docs resolve to the SMALLER id
+    val tieBench = Seq((7L, "aaaa bbbb cccc"), (5L, "aaaa bbbb dddd")).toDF("doc_id", "text")
+    val tieDoc = Seq((1L, "aaaa bbbb xxxx")).toDF("doc_id", "text")
+    val tie = Contamination.fuzzyContaminated(tieDoc, "doc_id", "text",
+      tieBench, "doc_id", "text", maxDist = 10).head()
+    assert(tie.getLong(1) == 2L && tie.getLong(2) == 4L && tie.getLong(3) == 5L,
+      "two matches at dist 4; closest_bench is the smaller bench id")
+
+    // code-point (not byte) distance: one CJK substitution is distance 1,
+    // the semantics the byte-wise DuckDB oracle cannot certify (q84
+    // restricts to ASCII for exactly this reason)
+    val cjk = Contamination.fuzzyContaminated(
+      Seq((1L, "中文文档内容")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq((9L, "中文文档内卷")).toDF("doc_id", "text"), "doc_id", "text", maxDist = 2).head()
+    assert(cjk.getLong(2) == 1L, "unicode distance counts code points, not bytes")
+  }
+
   test("IVF stored index: bucketed probe scan prunes to probed buckets, results match live search") {
     import graft.operators.IvfIndex
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

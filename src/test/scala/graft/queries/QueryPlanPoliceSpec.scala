@@ -39,7 +39,9 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q76_image_dedup"     -> 1, // 1-row doc-count scalar
     "q77_cms_rollup"      -> 2, // 1-row merged CMS + 1-row event total
     "q78_bm25_bracket"    -> 2, // 1-row corpus scalars in both the bracket and score legs
-    "q81_exact_top_users" -> 1) // 1-row event total
+    "q81_exact_top_users" -> 1, // 1-row event total
+    "q84_fuzzy_contamination" -> 1, // broadcast bench side (eval sets are small by construction); length-band prune bounds per-pair work
+    "q85_ann_bracket"     -> 1) // 20-probe brute-force integer ground truth (the certified baseline itself)
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
