@@ -95,12 +95,18 @@ object Contamination {
     * nested-loop honest at 100 TB: (a) the LENGTH BAND
     * `|len(doc) − len(bench)| ≤ maxDist` (edit distance is at least
     * the length difference, so the prune is lossless) discards most
-    * pairs before any distance work, and (b) the surviving pairs use
+    * pairs before any distance work; (b) the surviving pairs use
     * Spark's THRESHOLDED `levenshtein(l, r, maxDist)` — the banded
-    * O(len·maxDist) algorithm, not the full O(len²) matrix. Per-doc
-    * cost is bench-rows × cheap length check + a handful of banded
-    * distance evaluations; nothing shuffles but the final per-doc
-    * fold on doc ids that actually matched.
+    * O(len·maxDist) algorithm, not the full O(len²) matrix; and (c)
+    * the stream side is fanned out to cluster width when the scan is
+    * under-partitioned, so the per-pair kernel parallelizes even on a
+    * corpus that fits one scan split (at real scale the scan is
+    * already wide and no shuffle is inserted). Deeper per-pair prunes
+    * (char-bag / q-gram count bounds) were measured AND REJECTED here:
+    * Catalyst inlines per-text precomputations through the pushed-down
+    * join predicate, re-evaluating them per PAIR — a net loss. Nothing
+    * shuffles but the final per-doc fold on doc ids that actually
+    * matched.
     *
     * One row per contaminated doc: match count, closest distance, and
     * the closest benchmark id under the deterministic total order
@@ -116,9 +122,18 @@ object Contamination {
     require(maxDist >= 0, "need maxDist >= 0")
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(lower(trim(c)), "\\s+", " ")
-    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+    val dRaw = docs.select(col(idCol).cast("long").as("doc_id"),
       norm(col(textCol)).as("d_text"))
       .withColumn("d_len", length(col("d_text")))
+    // The distance work runs INSIDE the broadcast join's stream side, so
+    // its parallelism is the scan's partition count — and a corpus small
+    // enough to fit one 128 MB scan split would put every banded
+    // levenshtein on ONE core. Fan under-partitioned inputs out to the
+    // cluster width; at real scale the scan is already wide and this is
+    // a no-op (no shuffle inserted).
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val d = if (dRaw.rdd.getNumPartitions < width)
+      dRaw.repartition(width) else dRaw
     val b = bench.select(col(benchIdCol).cast("long").as("bench_id"),
       norm(col(benchTextCol)).as("b_text"))
       .withColumn("b_len", length(col("b_text")))

@@ -1269,5 +1269,78 @@ object Oracles {
         FROM scored)
       SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, iscore
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // q86: CCNet head/middle/tail split — q72's certified LM scorer,
+    // exact score terciles (smallest value whose cumulative count
+    // reaches ceil(k·n/3), the q44/q62 rank rule), bucket = 1 + number
+    // of thresholds strictly below the doc's score. Thresholds are
+    // score values PICKED from the corpus (each a single division of
+    // two exact integers), so the comparison replays exactly.
+    "q86_ccnet_buckets" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, t[(i+1)] AS w1,
+               array_to_string(t[(i+1):(i+2)], chr(1)) AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-2)) AS i
+              FROM tok WHERE len(t) >= 2)),
+      c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram),
+      c1 AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+      v AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM tok)),
+      scored AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(c2.c2 + 1) AS BIGINT) AS hit_mass,
+               CAST(sum(c1.c1 + v.v) AS BIGINT) AS prefix_mass,
+               CAST(CAST(sum(c2.c2 + 1) AS BIGINT) AS DOUBLE)
+                 / CAST(sum(c1.c1 + v.v) AS BIGINT) AS score
+        FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY g.doc_id),
+      cum AS (
+        SELECT sv, sum(c) OVER (ORDER BY sv) AS cum, sum(c) OVER () AS n
+        FROM (SELECT score AS sv, count(*) AS c FROM scored GROUP BY score)),
+      th AS (
+        SELECT k, min(sv) AS threshold
+        FROM cum CROSS JOIN (SELECT unnest([1, 2]) AS k)
+        WHERE cum * 3 >= k * n GROUP BY k),
+      b AS (
+        SELECT s.doc_id, s.n_grams, s.hit_mass, s.prefix_mass, s.score,
+               CAST(1 + sum(CASE WHEN s.score > t.threshold THEN 1 ELSE 0 END)
+                 AS INTEGER) AS bucket
+        FROM scored s CROSS JOIN th t
+        GROUP BY s.doc_id, s.n_grams, s.hit_mass, s.prefix_mass, s.score)
+      SELECT bucket, count(*) AS n_docs,
+             CAST(sum(n_grams) AS BIGINT) AS n_grams,
+             CAST(sum(hit_mass) AS BIGINT) AS hit_mass,
+             CAST(sum(prefix_mass) AS BIGINT) AS prefix_mass,
+             min(score) AS min_score, max(score) AS max_score
+      FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // q87: TF-IDF top terms — tf/df are plain counts and the ranking
+    // weight is (tf·(N−df)·10^6) // df, one truncating division of
+    // positive 64-bit integers (Spark DIV ≡ DuckDB // here), so the
+    // per-doc top-3 under (weight DESC, term ASC) is a total order
+    // both engines replay exactly.
+    "q87_tfidf_terms" -> """
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      wt AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               (tf.tf * (n.n_docs - df.df) * 1000000) // df.df AS w_scaled
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, term, tf, df, w_scaled,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY w_scaled DESC, term ASC) AS rank
+        FROM wt)
+      SELECT doc_id, rank, term, tf, df, CAST(w_scaled AS BIGINT) AS w_scaled
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
   )
 }

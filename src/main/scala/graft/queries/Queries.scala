@@ -45,6 +45,12 @@ object Queries {
         // so double division drifts by hundreds of ns — enough to flip
         // a microsecond and break hash equality on µs-granular outputs
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" =>
+        // naive (isAdjustedToUTC=false) µs timestamps: NTZ forbids the
+        // epoch casts downstream queries rely on. Reinterpret the naive
+        // value as a UTC instant (sessions run UTC) — the same reading
+        // DuckDB's epoch() gives the same file, so oracle parity holds.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
@@ -1748,6 +1754,84 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** CCNet-style perplexity-bucket partition (Wenzek et al. 2020's
+    * head/middle/tail split), hash-certified end to end: score every
+    * document's smoothed likelihood mass under the corpus bigram LM
+    * (q72's certified scorer — integer masses + ONE IEEE division),
+    * then cut the corpus into exact score terciles with
+    * [[graft.operators.Quantiles.bucketAssign]] (the value-distinct
+    * cumsum, not ntile's global sort) and roll up integer masses per
+    * bucket. Thresholds are score VALUES picked (not computed) from
+    * the corpus, so the bucket comparison is exact in any engine —
+    * DuckDB replays the grams as strings, the same rank rule, and the
+    * same division, and the hash must match. The global window rides
+    * the guarded distinct-value contraction only (q62's envelope).
+    */
+  def q86CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val (scored, buckets) = q86BucketPlan(s, dir)
+    val out = buckets.persist()
+    out.count()
+    scored.unpersist(blocking = false)
+    out
+  }
+
+  /** q86's lazy plan, pre-materialization — (persisted scored corpus,
+    * bucket rollup). bucketAssign drives three actions over its input
+    * (HLL routing guard, thresholds, assignment), so the doc-sized
+    * scored table is persisted — the gram joins run once — and the
+    * shipped entry releases it after materializing the buckets-sized
+    * result (Dedup.releaseAfter's rule). Split out so PlanAuditSpec
+    * can see the real bucket plan (the released wrapper reads back an
+    * InMemoryRelation).
+    */
+  private[graft] def q86BucketPlan(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = table(s, dir, "documents")
+    val model = graft.operators.NgramLM.fit(docs, "doc_id", "text")
+    val scored = graft.operators.NgramLM
+      .likelihoodMass(docs, "doc_id", "text", model).persist()
+    val buckets = graft.operators.Quantiles.bucketAssign(scored, "score", buckets = 3)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).cast("long").as("n_grams"),
+        sum(col("hit_mass")).cast("long").as("hit_mass"),
+        sum(col("prefix_mass")).cast("long").as("prefix_mass"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("bucket"))
+    (scored, buckets)
+  }
+
+  /** Per-document TF-IDF keyword extraction, integer-exact: tf and df
+    * are plain counts, and the ranking weight is the rational
+    * tf·(N−df)/df cleared to one 64-bit integer division
+    * (×10^6, truncating — both engines floor the positive quotient),
+    * so the top-3 terms per document under (weight desc, term asc)
+    * are engine-independent — no transcendental idf in the ranking
+    * key (the q73/q78 convention: certify the integer skeleton, spec
+    * the float form). The only window is partitioned by doc_id — a
+    * corpus-cardinality key, so per-task sorts stay O(terms per doc)
+    * at any scale; tf/df are partial-aggregated hash shuffles.
+    */
+  def q87TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w_scaled").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_scaled", expr("(tf * (n_docs - df) * 1000000) DIV df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("w_scaled"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1838,5 +1922,7 @@ object Queries {
     "q83_weighted_sample" -> (q83WeightedSample _),
     "q84_fuzzy_contamination" -> (q84FuzzyContamination _),
     "q85_ann_bracket"     -> (q85AnnBracket _),
+    "q86_ccnet_buckets"   -> (q86CcnetBuckets _),
+    "q87_tfidf_terms"     -> (q87TfidfTerms _),
   )
 }

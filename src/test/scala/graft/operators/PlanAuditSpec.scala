@@ -179,6 +179,26 @@ class PlanAuditSpec extends AnyFunSuite {
     scored.unpersist(blocking = false)
   }
 
+  test("q86: the only window rides the distinct-VALUE contraction, scored corpus cached once") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
+    // the PRE-materialization bucket plan (the shipped q86 executes
+    // this then releases its cache behind an InMemoryRelation)
+    val (scored, df) = graft.queries.Queries.q86BucketPlan(spark, sf)
+    val winds = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(winds.nonEmpty, "expected valueThresholds' cumsum window")
+    winds.foreach { w =>
+      // global by design, but ONLY over the groupBy(value) contraction
+      // (guarded to ≤ maxDistinct rows by the HLL routing pre-check)
+      assert(w.partitionSpec.isEmpty, "q86 windows are the guarded global cumsum only")
+      assert(w.child.collect { case a: LAgg => a }.nonEmpty,
+        "the global window must sit on the distinct-value aggregate, not corpus rows")
+    }
+    // the corpus-sized scored table feeds three actions through ONE cache
+    assert(plan(df).contains("InMemoryTableScan"),
+      "scored corpus must be read back from the persisted table")
+    scored.unpersist(blocking = false)
+  }
+
   test("q47: sampling rank is bucket-decomposed — no full-corpus window sort on lang") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
     val df = graft.queries.Queries.q47StratifiedSample(spark, sf)

@@ -41,7 +41,9 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q78_bm25_bracket"    -> 2, // 1-row corpus scalars in both the bracket and score legs
     "q81_exact_top_users" -> 1, // 1-row event total
     "q84_fuzzy_contamination" -> 1, // broadcast bench side (eval sets are small by construction); length-band prune bounds per-pair work
-    "q85_ann_bracket"     -> 1) // 20-probe brute-force integer ground truth (the certified baseline itself)
+    "q85_ann_bracket"     -> 1, // 20-probe brute-force integer ground truth (the certified baseline itself)
+    "q86_ccnet_buckets"   -> 2, // q62's shape: threshold set × bucket ids (B-1 rows) + 1-row threshold scalar
+    "q87_tfidf_terms"     -> 1) // 1-row corpus doc-count scalar
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
@@ -76,8 +78,11 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
             w.partitionSpec.flatMap(_.references.map(_.name)).toSet
         }
         windows.foreach { keys =>
-          if (keys.isEmpty && name != "q62_quantile_bins")
-            failures += s"$name: GLOBAL window (only q62's guarded tiny-table window is allowed)"
+          // q62/q86 ride Quantiles.valueThresholds' intentionally global
+          // window over the distinct-VALUE contraction (HLL-guarded to
+          // ≤ maxDistinct rows — see the operator scaladoc)
+          if (keys.isEmpty && name != "q62_quantile_bins" && name != "q86_ccnet_buckets")
+            failures += s"$name: GLOBAL window (only the guarded tiny-table window of q62/q86 is allowed)"
           if (keys.nonEmpty && keys.subsetOf(lowCardCols) &&
               !lowCardWindowAllowance.contains(name))
             failures += s"$name: window partitioned by low-cardinality ${keys.mkString("+")}"
