@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored inverted-index form of [[Bm25]] — score queries against a
+  * web-scale corpus WITHOUT rescanning it. Reference analogue: none
+  * (driver-brief retrieval family); the BM25 formula is Robertson–
+  * Spärck Jones with the Lucene positive idf, identical to [[Bm25]].
+  *
+  * This completes the stored/mergeable-model family ([[DedupIndex]],
+  * [[IvfIndex]], [[NgramLM]], [[Importance]], [[BpeDict]]): every
+  * statistic BM25 needs is a sum, so the index accretes batch-by-batch
+  * with `append ≡ rebuild` (spec-proven, including overlapping term
+  * vocabularies — doc_ids must be fresh, see [[appendToStored]]).
+  *
+  * Scale design (the 100 TB shape):
+  *  - `<name>_postings` (term, doc_id, tf, dl) — one row per distinct
+  *    (doc, term), BUCKETED AND SORTED ON term: a query's scan prunes
+  *    to the buckets holding its terms (`SelectedBucketsCount` in the
+  *    plan — spec-pinned), so query cost scales with posting-list
+  *    length, not corpus size. dl is denormalized into the row so
+  *    scoring needs no doc-length join.
+  *  - `<name>_terms` (term, df) — vocab-sized, bucketed on term;
+  *    accretion merges it with an outer-join sum (the [[NgramLM]]
+  *    count-table rule). df is Σ over batches because a doc appears
+  *    in exactly one batch.
+  *  - `<name>_meta` — 1-row (n_docs, sum_dl) corpus scalars.
+  *  - appending a batch APPENDS to postings (O(batch) — the corpus
+  *    tables are never rewritten) and rewrites only the contracted
+  *    terms/meta tables.
+  */
+object Bm25Index {
+
+  /** The index as DataFrames + corpus scalars (eager, like
+    * [[NgramLM.fit]]'s vocab count — two longs off one aggregate). */
+  final case class Index(postings: DataFrame, terms: DataFrame,
+                         nDocs: Long, sumDl: Long)
+
+  private def toks(textCol: String) = split(trim(col(textCol)), "\\s+")
+
+  /** Build from a corpus: one groupBy((doc, term)) shuffle for tf, one
+    * groupBy(term) contraction for df, one scalar aggregate. */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        toks(textCol).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val terms = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scalars = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    Index(postings, terms, scalars.getLong(0),
+      if (scalars.isNullAt(1)) 0L else scalars.getLong(1))
+  }
+
+  /** Persist as bucketed tables (the [[NgramLM.store]] layout). */
+  def store(index: Index, name: String, buckets: Int = 32): Unit = {
+    index.postings.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    index.terms.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_terms")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq((index.nDocs, index.sumDl)).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Reload; the postings/terms frames carry the bucket spec. */
+  def load(spark: SparkSession, name: String): Index = {
+    val meta = spark.table(s"${name}_meta").head()
+    Index(spark.table(s"${name}_postings"), spark.table(s"${name}_terms"),
+      meta.getLong(0), meta.getLong(1))
+  }
+
+  /** Accrete a batch: postings APPEND under the same bucket spec (new
+    * rows only — O(batch) write, the stored postings are never read or
+    * rewritten), terms merge via outer-join sum (vocab-sized rewrite),
+    * meta scalars add. REQUIRES fresh doc_ids — admit the batch through
+    * exact dedup ([[DedupIndex.admit]]'s pattern) first; a re-sent doc
+    * would double-count tf and df exactly as re-COPYing a file without
+    * the loader's ledger would double-load it.
+    */
+  def appendToStored(spark: SparkSession, name: String, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     buckets: Int = 32): Index = {
+    val b = build(batch, idCol, textCol)
+    b.postings.write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    val stored = load(spark, name)
+    val mergedTerms = stored.terms.withColumnRenamed("df", "da")
+      .join(b.terms.withColumnRenamed("df", "db"), Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("da"), lit(0L)) + coalesce(col("db"), lit(0L))).as("df"))
+      .localCheckpoint() // materialize BEFORE overwriting the table being read
+    mergedTerms.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_terms")
+    import spark.implicits._
+    Seq((stored.nDocs + b.nDocs, stored.sumDl + b.sumDl))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    load(spark, name)
+  }
+
+  /** Score a term-set query against the index: the postings scan
+    * carries an `isin` filter Spark turns into bucket pruning + a
+    * sorted-scan predicate, the query's (term, df) rows broadcast, and
+    * the only shuffle is the per-doc contribution fold. Same formula
+    * and column contract as [[Bm25.score]] (row-parity spec'd; the
+    * envelope is hash-certified through q78's bracket).
+    */
+  def searchStored(spark: SparkSession, name: String, query: Seq[String],
+                   k1: Double = Bm25.DefaultK1,
+                   b: Double = Bm25.DefaultB): DataFrame = {
+    val idx = load(spark, name)
+    val avgdl = idx.sumDl.toDouble / math.max(idx.nDocs, 1L)
+    val idf = log(lit(1.0) +
+      (lit(idx.nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1)).cast("double") /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    idx.postings.filter(col("term").isin(query: _*))
+      .join(broadcast(idx.terms.filter(col("term").isin(query: _*))),
+        Seq("term"))
+      .withColumn("contrib", idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("contrib")).as("bm25"))
+  }
+
+  /** Global top-k hits — `orderBy.limit` plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def topKStored(spark: SparkSession, name: String, query: Seq[String],
+                 k: Int): DataFrame =
+    searchStored(spark, name, query)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+}
