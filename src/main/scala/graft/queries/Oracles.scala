@@ -1342,5 +1342,31 @@ object Oracles {
         FROM wt)
       SELECT doc_id, rank, term, tf, df, CAST(w_scaled AS BIGINT) AS w_scaled
       FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // q88: α=1/2 temperature mix. IEEE sqrt is correctly rounded (the
+    // one transcendental-looking op that ISN'T engine-specific), the
+    // DECIMAL(18,6) fixed-pointing matches Spark's cast, and the keep
+    // rule is pure BIGINT arithmetic over the q41/q53 md5 bucket.
+    "q88_temperature_mix" -> """
+      WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+      w AS (SELECT source, n_source,
+              CAST(CAST(sqrt(CAST(n_source AS DOUBLE)) AS DECIMAL(18,6))
+                   * 1000000 AS BIGINT) AS w_micro
+            FROM c),
+      d AS (SELECT CAST(sum(w_micro) AS BIGINT) AS denom_micro FROM w),
+      b AS (
+        SELECT doc_id, source,
+               CAST((strpos('0123456789abcdef', substring(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                    (strpos('0123456789abcdef', substring(md5('tmix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                 AS BIGINT) AS bucket
+        FROM documents)
+      SELECT w.source, CAST(w.n_source AS BIGINT) AS n_source,
+             w.w_micro, d.denom_micro,
+             CAST(w.w_micro AS DOUBLE) / d.denom_micro AS share,
+             CAST(sum(CASE WHEN b.bucket * d.denom_micro < 256 * w.w_micro
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM b JOIN w USING (source) CROSS JOIN d
+      GROUP BY w.source, w.n_source, w.w_micro, d.denom_micro
+      ORDER BY w.source""",
   )
 }

@@ -1832,6 +1832,44 @@ object Queries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Temperature-scaled source mixing at α = 1/2 — the multilingual /
+    * multi-source rebalancing rule (sample source i with probability ∝
+    * n_i^α, α < 1 upweights small sources; the mBERT/XLM-R exponent
+    * family). α = 1/2 makes the whole query hash-certifiable: IEEE
+    * sqrt is CORRECTLY ROUNDED (exact in any engine, unlike pow/ln),
+    * the weight is then fixed-pointed to integer micro-units through
+    * the q01 DECIMAL(18,6) convention, and the per-doc keep rule
+    * `bucket · Σw < 256 · w_i` is pure 64-bit integer arithmetic over
+    * the q41/q53 md5 bucket both engines replay. One row per source:
+    * counts, weight, share (one IEEE division), and the kept-count
+    * under the deterministic rule. Scale shape: groupBy contraction +
+    * two broadcast scalars; docs never ride a shuffle — the rollup is
+    * the only exchange.
+    */
+  def q88TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val docs = table(s, dir, "documents")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      .withColumn("w_micro",
+        (sqrt(col("n_source").cast("double")).cast(Dec) * lit(1000000))
+          .cast("long"))
+    val denom = counts.agg(sum(col("w_micro")).cast("long").as("denom_micro"))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(denom))
+      .withColumn("bucket",
+        Curation.hashBucket256(col("doc_id"), "tmix").cast("long"))
+      .withColumn("keep",
+        col("bucket") * col("denom_micro") < lit(256L) * col("w_micro"))
+      .groupBy(col("source"))
+      .agg(first(col("n_source")).cast("long").as("n_source"),
+        first(col("w_micro")).as("w_micro"),
+        first(col("denom_micro")).as("denom_micro"),
+        (first(col("w_micro")).cast("double") / first(col("denom_micro")))
+          .as("share"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1924,5 +1962,6 @@ object Queries {
     "q85_ann_bracket"     -> (q85AnnBracket _),
     "q86_ccnet_buckets"   -> (q86CcnetBuckets _),
     "q87_tfidf_terms"     -> (q87TfidfTerms _),
+    "q88_temperature_mix" -> (q88TemperatureMix _),
   )
 }
