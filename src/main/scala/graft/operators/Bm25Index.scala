@@ -141,4 +141,54 @@ object Bm25Index {
     searchStored(spark, name, query)
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
+
+  /** Score EXTERNAL documents (not the indexed corpus) against the
+    * index's statistics, as a STATELESS per-row projection: the
+    * query's (term, df) rows — bounded by |query| — are collected and
+    * embedded as literals (the [[IvfIndex]] probe-broadcast rule), and
+    * each term's tf comes from an in-row `filter(toks, ...)` count, so
+    * the whole score needs NO shuffle, NO join, and NO aggregation.
+    * That makes it:
+    *  - the zero-exchange batch form for topical corpus filtering
+    *    ("score every crawled page against these fixed topic terms"):
+    *    pure codegen map work at the scan; and
+    *  - directly streamable in APPEND mode with no state store — a
+    *    micro-batch topical gate over arrivals (spec-proven, plan
+    *    asserted stateless) — where the two-aggregation shape of
+    *    [[Bm25.score]] cannot run as a streaming query at all.
+    * Emits every doc with `n_terms_hit > 0` and the same idf/tfNorm
+    * formula as [[Bm25.score]] (row-parity spec'd; per-doc float sums
+    * run in fixed query order rather than aggregation order, so equal
+    * up to ulp-level addition reordering).
+    */
+  def scoreInline(docs: DataFrame, idCol: String, textCol: String,
+                  index: Index, query: Seq[String],
+                  k1: Double = Bm25.DefaultK1,
+                  b: Double = Bm25.DefaultB): DataFrame = {
+    val dfMap = index.terms.filter(col("term").isin(query: _*))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    val avgdl = index.sumDl.toDouble / math.max(index.nDocs, 1L)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        toks(textCol).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val terms = query.distinct.filter(dfMap.contains)
+    val contribs = terms.map { t =>
+      val df = dfMap(t)
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("long")
+      // same expression shape as Bm25.score, df/N as literals
+      val idf = log(lit(1.0) +
+        (lit(index.nDocs) - lit(df) + 0.5) / (lit(df) + 0.5))
+      val tfNorm = (tf * (k1 + 1)).cast("double") /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+      when(tf > 0, idf * tfNorm)
+    }
+    val hit = contribs.map(c => when(c.isNotNull, 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val score = contribs.map(c => coalesce(c, lit(0.0)))
+      .reduceOption(_ + _).getOrElse(lit(0.0))
+    base.withColumn("n_terms_hit", hit)
+      .withColumn("bm25", score)
+      .filter(col("n_terms_hit") > 0)
+      .select(col("doc_id"), col("n_terms_hit"), col("bm25"))
+  }
 }

@@ -89,6 +89,51 @@ class Bm25IndexSpec extends AnyFunSuite {
     } finally dropAll("bmp")
   }
 
+  test("scoreInline: zero-exchange projection matches Bm25.score on the indexed corpus") {
+    val docs = dayA.toDF("doc_id", "text")
+    val idx = Bm25Index.build(docs, "doc_id", "text")
+    val live = scores(Bm25.score(docs, "doc_id", "text", query))
+    val inline = scores(Bm25Index.scoreInline(docs, "doc_id", "text", idx, query))
+    assert(inline.nonEmpty)
+    assertScoreParity(live, inline)
+    // the batch plan is pure map work: no exchange anywhere
+    val plan = Bm25Index.scoreInline(docs, "doc_id", "text", idx, query)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"scoreInline must not shuffle:\n$plan")
+  }
+
+  test("scoreInline streams: stateless append-mode topical gate, scores equal the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val corpus = dayA.toDF("doc_id", "text")
+    val idx = Bm25Index.build(corpus, "doc_id", "text")
+    val arrivals = Seq(
+      (10L, "cat cat dog"),
+      (11L, "hash loop hash join"),
+      (12L, "nothing relevant here"))
+    val expected = scores(Bm25Index.scoreInline(
+      arrivals.toDF("doc_id", "text"), "doc_id", "text", idx, query))
+    val input = MemoryStream[(Long, String)]
+    val q = Bm25Index.scoreInline(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", idx, query)
+      .writeStream.format("memory").queryName("bmstream")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = scores(spark.table("bmstream"))
+      assert(got.keySet == Set(10L, 11L) && expected.keySet == got.keySet)
+      got.foreach { case (id, (h, s)) =>
+        assert(expected(id) == ((h, s)), s"doc $id stream vs batch") }
+      // stateless: the micro-batch plan carries no state store at all
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(!exec.executedPlan.toString.contains("StateStore"),
+        s"append-mode gate must be stateless:\n${exec.executedPlan}")
+    } finally q.stop()
+  }
+
   private def dropAll(name: String): Unit =
     Seq("_postings", "_terms", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $name$s"))
