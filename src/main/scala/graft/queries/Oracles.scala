@@ -1368,5 +1368,35 @@ object Oracles {
       FROM b JOIN w USING (source) CROSS JOIN d
       GROUP BY w.source, w.n_source, w.w_micro, d.denom_micro
       ORDER BY w.source""",
+
+    // q89: row-validation profile — pure comparisons, one pass; the
+    // per-rule counts and the row/clean totals are exact integers.
+    "q89_validation_profile" -> """
+      WITH f AS (
+        SELECT
+          CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 0 ELSE 1 END AS v_disc,
+          CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END AS v_flag,
+          CASE WHEN l_quantity >= 1 AND l_quantity <= 45.0 THEN 0 ELSE 1 END AS v_qty,
+          CASE WHEN l_shipdate < TIMESTAMP '1998-06-01' THEN 0 ELSE 1 END AS v_ship,
+          CASE WHEN l_tax <= 0.06 THEN 0 ELSE 1 END AS v_tax
+        FROM lineitem),
+      t AS (
+        SELECT CAST(sum(v_disc) AS BIGINT) AS disc_range,
+               CAST(sum(v_flag) AS BIGINT) AS flag_enum,
+               CAST(sum(v_qty) AS BIGINT) AS qty_range,
+               CAST(sum(v_ship) AS BIGINT) AS ship_window,
+               CAST(sum(v_tax) AS BIGINT) AS tax_low,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN v_disc + v_flag + v_qty + v_ship + v_tax = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM f)
+      SELECT u.rule, u.n_violations, t.n_rows, t.n_clean
+      FROM t, (
+        SELECT 'disc_range' AS rule, disc_range AS n_violations FROM t
+        UNION ALL SELECT 'flag_enum', flag_enum FROM t
+        UNION ALL SELECT 'qty_range', qty_range FROM t
+        UNION ALL SELECT 'ship_window', ship_window FROM t
+        UNION ALL SELECT 'tax_low', tax_low FROM t) u
+      ORDER BY u.rule""",
   )
 }

@@ -1870,6 +1870,28 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Row-level validation profile ([[graft.operators.Validate]] — the
+    * loader's bad-record envelope at row granularity, the
+    * stl_load_errors analogue): named rules over lineitem, per-rule
+    * violation counts plus row/clean totals from ONE map-side-combined
+    * aggregate pass (the scan never shuffles; the only exchange is the
+    * final 1-row contraction). Pure comparisons, so DuckDB replays the
+    * exact counts — including a zero-violation rule (the enum) and the
+    * multi-violation overlap (n_clean < n_rows − Σ per-rule is
+    * possible only via rows failing several rules, which the totals
+    * pin).
+    */
+  def q89ValidationProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate, Validate.Rule
+    Validate.profile(table(s, dir, "lineitem"), Seq(
+      Rule("disc_range", col("l_discount") >= 0 && col("l_discount") <= lit(0.08)),
+      Rule("flag_enum", col("l_returnflag").isin("A", "N", "R")),
+      Rule("qty_range", col("l_quantity") >= 1 && col("l_quantity") <= lit(45.0)),
+      Rule("ship_window", col("l_shipdate") < lit("1998-06-01").cast("timestamp")),
+      Rule("tax_low", col("l_tax") <= lit(0.06))))
+      .orderBy(col("rule"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1963,5 +1985,6 @@ object Queries {
     "q86_ccnet_buckets"   -> (q86CcnetBuckets _),
     "q87_tfidf_terms"     -> (q87TfidfTerms _),
     "q88_temperature_mix" -> (q88TemperatureMix _),
+    "q89_validation_profile" -> (q89ValidationProfile _),
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row validation: null-as-violation semantics, multi-rule annotation
+  * order, the clean/quarantine split, and the one-pass profile.
+  */
+class ValidateSpec extends AnyFunSuite {
+  import Validate.Rule
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def rows = Seq(
+    (1L, Some(10.0), "A"),   // clean
+    (2L, Some(-3.0), "A"),   // fails amount_pos
+    (3L, None, "B"),         // fails amount_pos (NULL) AND flag_ok
+    (4L, Some(5.0), "X"))    // fails flag_ok
+    .toDF("id", "amount", "flag")
+
+  private def rules = Seq(
+    Rule("amount_pos", col("amount") > 0),
+    Rule("flag_ok", col("flag").isin("A", "B") && col("flag") =!= "B"))
+
+  test("annotate: nulls violate, multiple failures list in rule order") {
+    val a = Validate.annotate(rows, rules).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Seq[String]]("violations"), r.getAs[Boolean]("valid"))).toMap
+    assert(a(1L) == (Seq(), true))
+    assert(a(2L) == (Seq("amount_pos"), false))
+    // null amount must NOT slip through three-valued logic
+    assert(a(3L) == (Seq("amount_pos", "flag_ok"), false))
+    assert(a(4L) == (Seq("flag_ok"), false))
+  }
+
+  test("split: clean side drops annotations, quarantine keeps the report") {
+    val (clean, quarantine) = Validate.split(rows, rules)
+    assert(clean.columns.toSeq == Seq("id", "amount", "flag"))
+    assert(clean.collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(quarantine.columns.contains("violations"))
+    assert(quarantine.collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+  }
+
+  test("profile: per-rule counts + totals from one pass, no data-row shuffle") {
+    val p = Validate.profile(rows, rules)
+    val got = p.collect().map(r => r.getAs[String]("rule") ->
+      (r.getAs[Long]("n_violations"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_clean"))).toMap
+    assert(got("amount_pos") == (2L, 4L, 1L))
+    assert(got("flag_ok") == (2L, 4L, 1L))
+    // scan-side contraction: the only exchange is the 1-row aggregate
+    val shuffles = p.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, "profile must not shuffle data rows")
+  }
+
+  test("rejects duplicate rule names and empty rule sets") {
+    intercept[IllegalArgumentException](Validate.annotate(rows, Nil))
+    intercept[IllegalArgumentException](
+      Validate.annotate(rows, Seq(Rule("r", lit(true)), Rule("r", lit(false)))))
+  }
+}
