@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 retrieval scoring over a document corpus — the lexical leg of
@@ -42,6 +42,28 @@ object Bm25 {
 
   val DefaultK1 = 1.2
   val DefaultB = 0.75
+
+  /** THE idf column — ln(1 + (N − df + 0.5)/(df + 0.5)), the Lucene
+    * positive convention. Single shared builder: [[score]],
+    * [[Bm25Index.searchStored]] and [[Bm25Index.scoreInline]] all
+    * spec-assert bit-level parity with each other, which only holds
+    * while they build the IDENTICAL expression tree — never re-type
+    * this formula at a call site.
+    */
+  private[operators] def idfCol(nDocs: Column, df: Column): Column =
+    log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5))
+
+  /** THE tf-normalization column — tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)).
+    * Same single-builder contract as [[idfCol]]. */
+  private[operators] def tfNormCol(tf: Column, dl: Column, avgdl: Column,
+                                   k1: Double, b: Double): Column =
+    (tf * (k1 + 1)).cast("double") /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+
+  /** Shared whitespace tokenizer (the corpus-wide convention every
+    * text operator and oracle replays). */
+  private[operators] def toksCol(textCol: String): Column =
+    split(trim(col(textCol)), "\\s+")
 
   /** Per-(doc, term) integer statistics for a fixed query term set:
     * tf, dl, df, plus corpus scalars n_docs / sum_dl and the
@@ -95,10 +117,8 @@ object Bm25 {
     val df = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = (col("tf") * (k1 + 1)).cast("double") /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    val idf = idfCol(col("n_docs"), col("df"))
+    val tfNorm = tfNormCol(col("tf"), col("dl"), avgdl, k1, b)
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(corpus))
       .withColumn("contrib", idf * tfNorm)

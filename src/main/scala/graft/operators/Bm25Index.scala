@@ -37,25 +37,37 @@ object Bm25Index {
   final case class Index(postings: DataFrame, terms: DataFrame,
                          nDocs: Long, sumDl: Long)
 
-  private def toks(textCol: String) = split(trim(col(textCol)), "\\s+")
+  private def toks(textCol: String) = Bm25.toksCol(textCol)
 
-  /** Build from a corpus: one groupBy((doc, term)) shuffle for tf, one
-    * groupBy(term) contraction for df, one scalar aggregate. */
-  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-        toks(textCol).as("toks"))
+  /** The postings frame for a corpus — the index's SOURCE OF TRUTH
+    * (terms/df and the corpus scalars are all derivable from it, see
+    * [[derive]]/[[repairStored]]). */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), toks(textCol).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    val postings = base
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-    val terms = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-    val scalars = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+
+  /** Re-derive the terms table and corpus scalars from a postings
+    * frame: df per term, and the doc-level (n_docs, sum_dl) off the
+    * distinct (doc_id, dl) contraction — every doc has ≥ 1 posting
+    * row (the tokenizer emits [""] even for empty text), so nothing
+    * is lost. */
+  private def derive(postings: DataFrame): Index = {
+    val terms = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     Index(postings, terms, scalars.getLong(0),
       if (scalars.isNullAt(1)) 0L else scalars.getLong(1))
   }
+
+  /** Build from a corpus: one groupBy((doc, term)) shuffle for tf, one
+    * groupBy(term) contraction for df, one scalar aggregate. */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index =
+    derive(postingsOf(docs, idCol, textCol))
 
   /** Persist as bucketed tables (the [[NgramLM.store]] layout). */
   def store(index: Index, name: String, buckets: Int = 32): Unit = {
@@ -81,16 +93,26 @@ object Bm25Index {
   /** Accrete a batch: postings APPEND under the same bucket spec (new
     * rows only — O(batch) write, the stored postings are never read or
     * rewritten), terms merge via outer-join sum (vocab-sized rewrite),
-    * meta scalars add. REQUIRES fresh doc_ids — admit the batch through
-    * exact dedup ([[DedupIndex.admit]]'s pattern) first; a re-sent doc
-    * would double-count tf and df exactly as re-COPYing a file without
-    * the loader's ledger would double-load it.
+    * meta scalars add. The batch pipeline materializes ONCE
+    * (localCheckpoint); the write, the terms delta and the scalar
+    * delta all read the checkpoint. REQUIRES fresh doc_ids — admit the
+    * batch through exact dedup ([[DedupIndex.admit]]'s pattern) first;
+    * a re-sent doc would double-count tf and df exactly as re-COPYing
+    * a file without the loader's ledger would double-load it.
+    *
+    * Failure semantics: the three writes are not one transaction, but
+    * postings go FIRST and are the source of truth — if a later
+    * derived-table write dies, run [[repairStored]] (recomputes
+    * terms/meta from postings); do NOT re-append the batch. If the
+    * postings append itself dies mid-write, Spark's table commit
+    * protocol rolls the files back and nothing changed.
     */
   def appendToStored(spark: SparkSession, name: String, batch: DataFrame,
                      idCol: String, textCol: String,
                      buckets: Int = 32): Index = {
-    val b = build(batch, idCol, textCol)
-    b.postings.write.mode("append")
+    val bp = postingsOf(batch, idCol, textCol).localCheckpoint()
+    val b = derive(bp)
+    bp.write.mode("append")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"${name}_postings")
     val stored = load(spark, name)
@@ -109,6 +131,24 @@ object Bm25Index {
     load(spark, name)
   }
 
+  /** Rebuild the derived tables (`_terms`, `_meta`) from the stored
+    * postings — the recovery arm for an accretion that died between
+    * the postings append and the derived writes (see
+    * [[appendToStored]]'s failure semantics). Idempotent: repairing a
+    * healthy index is a no-op rewrite of identical contents.
+    */
+  def repairStored(spark: SparkSession, name: String,
+                   buckets: Int = 32): Index = {
+    val idx = derive(spark.table(s"${name}_postings"))
+    idx.terms.localCheckpoint().write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_terms")
+    import spark.implicits._
+    Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    load(spark, name)
+  }
+
   /** Score a term-set query against the index: the postings scan
     * carries an `isin` filter Spark turns into bucket pruning + a
     * sorted-scan predicate, the query's (term, df) rows broadcast, and
@@ -121,10 +161,8 @@ object Bm25Index {
                    b: Double = Bm25.DefaultB): DataFrame = {
     val idx = load(spark, name)
     val avgdl = idx.sumDl.toDouble / math.max(idx.nDocs, 1L)
-    val idf = log(lit(1.0) +
-      (lit(idx.nDocs) - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = (col("tf") * (k1 + 1)).cast("double") /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    val idf = Bm25.idfCol(lit(idx.nDocs), col("df"))
+    val tfNorm = Bm25.tfNormCol(col("tf"), col("dl"), lit(avgdl), k1, b)
     idx.postings.filter(col("term").isin(query: _*))
       .join(broadcast(idx.terms.filter(col("term").isin(query: _*))),
         Seq("term"))
@@ -175,11 +213,9 @@ object Bm25Index {
     val contribs = terms.map { t =>
       val df = dfMap(t)
       val tf = size(filter(col("toks"), x => x === lit(t))).cast("long")
-      // same expression shape as Bm25.score, df/N as literals
-      val idf = log(lit(1.0) +
-        (lit(index.nDocs) - lit(df) + 0.5) / (lit(df) + 0.5))
-      val tfNorm = (tf * (k1 + 1)).cast("double") /
-        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+      // same expression builders as Bm25.score, df/N as literals
+      val idf = Bm25.idfCol(lit(index.nDocs), lit(df))
+      val tfNorm = Bm25.tfNormCol(tf, col("dl"), lit(avgdl), k1, b)
       when(tf > 0, idf * tfNorm)
     }
     val hit = contribs.map(c => when(c.isNotNull, 1L).otherwise(0L))

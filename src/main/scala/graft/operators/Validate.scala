@@ -33,6 +33,10 @@ object Validate {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
+    // loud, not silent: withColumn would CLOBBER caller columns with
+    // the reserved output names, and split() would then drop them
+    require(!df.columns.contains("violations") && !df.columns.contains("valid"),
+      "input already has a 'violations' or 'valid' column")
     val fails = rules.map(r =>
       when(coalesce(r.pred, lit(false)), lit(null).cast("string"))
         .otherwise(lit(r.name)))
@@ -55,14 +59,17 @@ object Validate {
     * combined — the scan never shuffles). */
   def profile(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val a = annotate(df, rules)
+    // internal aliases are INDEX-based: a rule name with a dot or
+    // backtick is data here, never a column-path to re-parse
     val aggs =
-      rules.map(r => sum(when(array_contains(col("violations"), r.name), 1L)
-        .otherwise(0L)).as(s"__v_${r.name}")) ++
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(array_contains(col("violations"), r.name), 1L)
+          .otherwise(0L)).as(s"__v_$i") } ++
       Seq(count(lit(1)).as("__rows"),
         sum(when(col("valid"), 1L).otherwise(0L)).as("__clean"))
     val one = a.agg(aggs.head, aggs.tail: _*)
-    val pairs = rules.map(r =>
-      struct(lit(r.name).as("rule"), col(s"__v_${r.name}").as("n_violations")))
+    val pairs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__v_$i").as("n_violations")) }
     one.select(explode(array(pairs: _*)).as("p"),
         col("__rows").as("n_rows"), col("__clean").as("n_clean"))
       .select(col("p.rule"), col("p.n_violations").cast("long").as("n_violations"),

@@ -1808,9 +1808,13 @@ object Queries {
     * so the top-3 terms per document under (weight desc, term asc)
     * are engine-independent — no transcendental idf in the ranking
     * key (the q73/q78 convention: certify the integer skeleton, spec
-    * the float form). The only window is partitioned by doc_id — a
-    * corpus-cardinality key, so per-task sorts stay O(terms per doc)
-    * at any scale; tf/df are partial-aggregated hash shuffles.
+    * the float form). Overflow envelope (the q73 2^53-note rule):
+    * exact while tf·(N−df)·10⁶ < 2^63, i.e. tf·N ≲ 9.2×10^12 — fine
+    * to ~10^9 docs at tf ≤ 10^3; past that, drop the ×10⁶ scale or
+    * rank on (tf·(N−df)) DIV df directly. The only window is
+    * partitioned by doc_id — a corpus-cardinality key, so per-task
+    * sorts stay O(terms per doc); tf/df are partial-aggregated hash
+    * shuffles.
     */
   def q87TfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")

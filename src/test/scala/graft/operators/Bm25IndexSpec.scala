@@ -89,6 +89,28 @@ class Bm25IndexSpec extends AnyFunSuite {
     } finally dropAll("bmp")
   }
 
+  test("repairStored recovers a mid-accretion failure from the postings source of truth") {
+    val a = dayA.toDF("doc_id", "text"); val b = dayB.toDF("doc_id", "text")
+    Bm25Index.store(Bm25Index.build(a, "doc_id", "text"), "bmr", buckets = 4)
+    try {
+      // simulate appendToStored dying AFTER the postings append but
+      // BEFORE the derived-table writes: postings hold A∪B, terms/meta
+      // still describe A only
+      Bm25Index.build(b, "doc_id", "text").postings.write.mode("append")
+        .bucketBy(4, "term").sortBy("term").saveAsTable("bmr_postings")
+      val broken = Bm25Index.load(spark, "bmr")
+      assert(broken.nDocs == dayA.size, "precondition: meta is stale")
+      val repaired = Bm25Index.repairStored(spark, "bmr", buckets = 4)
+      val full = Bm25Index.build(a.union(b), "doc_id", "text")
+      assert(repaired.nDocs == full.nDocs && repaired.sumDl == full.sumDl)
+      assertScoreParity(scores(Bm25.score(a.union(b), "doc_id", "text", query)),
+        scores(Bm25Index.searchStored(spark, "bmr", query)))
+      // idempotent on a healthy index
+      val again = Bm25Index.repairStored(spark, "bmr", buckets = 4)
+      assert(again.nDocs == full.nDocs && again.sumDl == full.sumDl)
+    } finally dropAll("bmr")
+  }
+
   test("scoreInline: zero-exchange projection matches Bm25.score on the indexed corpus") {
     val docs = dayA.toDF("doc_id", "text")
     val idx = Bm25Index.build(docs, "doc_id", "text")

@@ -60,9 +60,21 @@ class ValidateSpec extends AnyFunSuite {
     assert(shuffles.size <= 1, "profile must not shuffle data rows")
   }
 
-  test("rejects duplicate rule names and empty rule sets") {
+  test("rejects duplicate rule names, empty rule sets, and reserved input columns") {
     intercept[IllegalArgumentException](Validate.annotate(rows, Nil))
     intercept[IllegalArgumentException](
       Validate.annotate(rows, Seq(Rule("r", lit(true)), Rule("r", lit(false)))))
+    intercept[IllegalArgumentException](
+      Validate.annotate(rows.withColumn("valid", lit(true)),
+        Seq(Rule("r", lit(true)))))
+  }
+
+  test("profile: rule names are data, not column paths — dots and backticks are fine") {
+    val p = Validate.profile(rows, Seq(
+      Rule("amount.pos", col("amount") > 0),
+      Rule("flag`tick", col("flag") === "A")))
+    val got = p.collect().map(r =>
+      r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(got == Map("amount.pos" -> 2L, "flag`tick" -> 2L))
   }
 }
