@@ -44,7 +44,8 @@ object NgramLM {
     * models (then accretion falls back to the documented over-count).
     */
   final case class Model(bigrams: DataFrame, prefixes: DataFrame,
-                         vocabSize: Long, vocab: Option[DataFrame] = None)
+                         vocabSize: Long, vocab: Option[DataFrame] = None,
+                         order: Int = 2)
 
   private def toks(textCol: String): Column =
     split(trim(col(textCol)), "\\s+")
@@ -54,36 +55,53 @@ object NgramLM {
     * the gram string is `w1  w2`, the prefix just `w1`.
     */
   def gramOccurrences(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame =
+                      textCol: String): DataFrame = gramOccurrences(docs, idCol, textCol, 2)
+
+  /** Order-n form (CCNet runs a 5-gram KenLM; the default everywhere
+    * else here is the bigram): the gram is the n-token window, the
+    * prefix its first n−1 tokens — count tables, scoring joins,
+    * accretion and the string-gram oracle replay are order-agnostic
+    * (q90 certifies the trigram form the way q72 certifies the
+    * bigram). For order 2 the prefix hashes the single token itself
+    * (no join separator), so the order-2 plan is IDENTICAL to the
+    * historical bigram plan — q72's hashes are unchanged.
+    */
+  def gramOccurrences(docs: DataFrame, idCol: String,
+                      textCol: String, order: Int): DataFrame = {
+    require(order >= 2, s"need order >= 2, got $order")
     docs.select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
       .withColumn("n", size(col("toks")))
-      .filter(col("n") >= 2)
+      .filter(col("n") >= order)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), col("n") - 2), i => struct(
-          xxhash64(element_at(col("toks"), i + 1)).as("prefix_hash"),
-          xxhash64(concat_ws("\u0001", slice(col("toks"), i + 1, lit(2))))
+        explode(transform(sequence(lit(0), col("n") - order), i => struct(
+          xxhash64(if (order == 2) element_at(col("toks"), i + 1)
+            else concat_ws("\u0001", slice(col("toks"), i + 1, lit(order - 1))))
+            .as("prefix_hash"),
+          xxhash64(concat_ws("\u0001", slice(col("toks"), i + 1, lit(order))))
             .as("gram_hash")))).as("g"))
       .select(col("doc_id"), col("g.prefix_hash"), col("g.gram_hash"))
+  }
 
   /** Fit on a training corpus: two hash-keyed count shuffles + one
     * exact distinct-token count. `c1` counts PREFIX occurrences
     * (Σ_w2 c(w1,w2)), so add-one probabilities normalize by
     * construction.
     */
-  def fit(docs: DataFrame, idCol: String, textCol: String): Model = {
-    val occ = gramOccurrences(docs, idCol, textCol)
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+          order: Int = 2): Model = {
+    val occ = gramOccurrences(docs, idCol, textCol, order)
     val bigrams = occ.groupBy(col("gram_hash"))
       .agg(count(lit(1)).as("c2"))
     val prefixes = occ.groupBy(col("prefix_hash"))
       .agg(count(lit(1)).as("c1"))
     val vocab = docs.select(explode(toks(textCol)).as("w")).distinct()
     val v = vocab.count()
-    Model(bigrams, prefixes, v, Some(vocab))
+    Model(bigrams, prefixes, v, Some(vocab), order)
   }
 
   private def scored(docs: DataFrame, idCol: String, textCol: String,
                      model: Model): DataFrame =
-    gramOccurrences(docs, idCol, textCol)
+    gramOccurrences(docs, idCol, textCol, model.order)
       .join(model.bigrams, Seq("gram_hash"), "left")
       .join(model.prefixes, Seq("prefix_hash"), "left")
       .na.fill(0L, Seq("c2", "c1"))
@@ -120,7 +138,13 @@ object NgramLM {
     * that recounts it) gets exact accounting — the lazy-merge scalar
     * alone carries the over-count bound.
     */
-  def merge(a: Model, b: Model): Model = Model(
+  def merge(a: Model, b: Model): Model = {
+    require(a.order == b.order,
+      s"cannot merge models of different orders (${a.order} vs ${b.order})")
+    mergeSameOrder(a, b)
+  }
+
+  private def mergeSameOrder(a: Model, b: Model): Model = Model(
     a.bigrams.withColumnRenamed("c2", "ca")
       .join(b.bigrams.withColumnRenamed("c2", "cb"), Seq("gram_hash"), "full")
       .select(col("gram_hash"),
@@ -130,7 +154,8 @@ object NgramLM {
       .select(col("prefix_hash"),
         (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c1")),
     a.vocabSize + b.vocabSize,
-    for (va <- a.vocab; vb <- b.vocab) yield va.union(vb).distinct())
+    for (va <- a.vocab; vb <- b.vocab) yield va.union(vb).distinct(),
+    a.order)
 
   /** Exact distinct-token count off a model's vocab table — the eager
     * companion to [[merge]]'s lazy over-counting scalar: after merging
@@ -165,18 +190,23 @@ object NgramLM {
       .saveAsTable(s"${name}_vocab"))
     val spark = model.bigrams.sparkSession
     import spark.implicits._
-    Seq(model.vocabSize).toDF("vocab_size")
+    Seq((model.vocabSize, model.order)).toDF("vocab_size", "gram_order")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
   /** Reload a stored model; the count DataFrames carry the bucket
     * spec, so joins on their keys skip the stored-side exchange.
+    * Meta written before the order column existed reads as order 2
+    * (the only order that ever produced such a store).
     */
-  def load(spark: org.apache.spark.sql.SparkSession, name: String): Model =
+  def load(spark: org.apache.spark.sql.SparkSession, name: String): Model = {
+    val meta = spark.table(s"${name}_meta").head()
     Model(spark.table(s"${name}_bigrams"), spark.table(s"${name}_prefixes"),
-      spark.table(s"${name}_meta").head().getLong(0),
+      meta.getLong(0),
       if (spark.catalog.tableExists(s"${name}_vocab"))
-        Some(spark.table(s"${name}_vocab")) else None)
+        Some(spark.table(s"${name}_vocab")) else None,
+      if (meta.length > 1) meta.getInt(1) else 2)
+  }
 
   /** Accrete a batch into a stored model: merge the batch's counts
     * into the bucketed tables (rewrite — count tables are vocab-sized
@@ -192,7 +222,7 @@ object NgramLM {
                      batch: DataFrame, idCol: String, textCol: String,
                      buckets: Int = 32): Model = {
     val stored = load(spark, name)
-    val batchModel = fit(batch, idCol, textCol)
+    val batchModel = fit(batch, idCol, textCol, stored.order)
     val merged = merge(stored, batchModel)
     // exact vocab: stored tokens + the batch's anti-joined novelty
     val (vocabSize, vocabOut) = (stored.vocab, batchModel.vocab) match {
@@ -205,7 +235,7 @@ object NgramLM {
     val big = merged.bigrams.localCheckpoint()
     val pre = merged.prefixes.localCheckpoint()
     val voc = vocabOut.map(_.localCheckpoint())
-    store(Model(big, pre, vocabSize, voc), name, buckets)
+    store(Model(big, pre, vocabSize, voc, stored.order), name, buckets)
     load(spark, name)
   }
 

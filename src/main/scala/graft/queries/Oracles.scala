@@ -1398,5 +1398,28 @@ object Oracles {
         UNION ALL SELECT 'ship_window', ship_window FROM t
         UNION ALL SELECT 'tax_low', tax_low FROM t) u
       ORDER BY u.rule""",
+
+    // q90: q72's replay at order 3 — 3-token grams, 2-token prefixes,
+    // same count/join/mass arithmetic.
+    "q90_trigram_lm" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, array_to_string(t[(i+1):(i+2)], chr(1)) AS w1,
+               array_to_string(t[(i+1):(i+3)], chr(1)) AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-3)) AS i
+              FROM tok WHERE len(t) >= 3)),
+      c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram),
+      c1 AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+      v AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM tok))
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(c2.c2 + 1) AS BIGINT) AS hit_mass,
+             CAST(sum(c1.c1 + v.v) AS BIGINT) AS prefix_mass,
+             CAST(CAST(sum(c2.c2 + 1) AS BIGINT) AS DOUBLE)
+               / CAST(sum(c1.c1 + v.v) AS BIGINT) AS score
+      FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY g.doc_id ORDER BY g.doc_id""",
   )
 }

@@ -1896,6 +1896,20 @@ object Queries {
       .orderBy(col("rule"))
   }
 
+  /** Trigram-LM scoring — q72's scorer at order 3 ([[graft.operators
+    * .NgramLM]] is order-parameterized; CCNet's production filter runs
+    * a 5-gram KenLM, and this certifies the order-generic window/count
+    * /join arithmetic the same way q72 certifies the bigram: DuckDB
+    * rebuilds 3-token grams and 2-token prefixes as strings and the
+    * integer masses + single division must hash-match).
+    */
+  def q90TrigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val model = graft.operators.NgramLM.fit(docs, "doc_id", "text", order = 3)
+    graft.operators.NgramLM.likelihoodMass(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1990,5 +2004,6 @@ object Queries {
     "q87_tfidf_terms"     -> (q87TfidfTerms _),
     "q88_temperature_mix" -> (q88TemperatureMix _),
     "q89_validation_profile" -> (q89ValidationProfile _),
+    "q90_trigram_lm"      -> (q90TrigramLm _),
   )
 }

@@ -192,6 +192,41 @@ class NgramLMSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("order 3: trigram count tables and masses match a sliding-window reference") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = NgramLM.fit(docs, "doc_id", "text", order = 3)
+    assert(model.order == 3)
+    // reference trigram model off the same corpus
+    val grams3 = corpus.flatMap { case (_, t) =>
+      val w = refTokens(t); if (w.length < 3) Nil else w.sliding(3).toSeq
+    }
+    val c3 = grams3.groupBy(identity).map { case (_, gs) => gs.size.toLong }
+    assert(model.bigrams.count() == grams3.distinct.size)
+    assert(model.bigrams.agg(org.apache.spark.sql.functions.sum("c2"))
+      .head().getLong(0) == c3.sum)
+    // prefixes are 2-token windows of docs long enough for a trigram
+    val p2 = grams3.map(_.take(2)).distinct.size
+    assert(model.prefixes.count() == p2)
+    // mass parity per doc against the reference arithmetic
+    val cnt3 = grams3.groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val cnt2 = grams3.groupBy(_.take(2)).map { case (p, gs) => p -> gs.size.toLong }
+    val v = corpus.flatMap(c => refTokens(c._2)).distinct.size.toLong
+    val expect = corpus.flatMap { case (id, t) =>
+      val w = refTokens(t)
+      if (w.length < 3) None else {
+        val ws = w.sliding(3).toSeq
+        Some(id -> (ws.map(g => cnt3(g) + 1).sum, ws.map(g => cnt2(g.take(2)) + v).sum))
+      }
+    }.toMap
+    val got = NgramLM.likelihoodMass(docs, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("hit_mass"), r.getAs[Long]("prefix_mass"))).toMap
+    assert(got == expect)
+    // merging across orders must fail loud, not corrupt counts
+    val m2 = NgramLM.fit(docs, "doc_id", "text")
+    intercept[IllegalArgumentException](NgramLM.merge(model, m2))
+  }
+
   test("scoring a corpus with unseen grams takes the add-one floor, never NPE") {
     val train = corpus.toDF("doc_id", "text")
     val model = NgramLM.fit(train, "doc_id", "text")

@@ -77,4 +77,24 @@ class ValidateSpec extends AnyFunSuite {
       r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
     assert(got == Map("amount.pos" -> 2L, "flag`tick" -> 2L))
   }
+
+  test("annotate streams: stateless append-mode quarantine, no state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    val input = MemoryStream[(Long, Double, String)]
+    val q = Validate.annotate(
+        input.toDS().toDF("id", "amount", "flag"),
+        Seq(Rule("amount_pos", col("amount") > 0)))
+      .filter(!col("valid"))
+      .writeStream.format("memory").queryName("vstream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0, "A"), (2L, -3.0, "A"), (3L, -1.0, "B"))
+      q.processAllAvailable()
+      assert(spark.table("vstream").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      assert(!exec.executedPlan.toString.contains("StateStore"),
+        "the quarantine gate must be stateless")
+    } finally q.stop()
+  }
 }
