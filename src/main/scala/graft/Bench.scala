@@ -47,8 +47,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // field order matters for the driver's tail capture: stdout is
+    // scraped from the END, so the summary scalars (metric/value/sf)
+    // go LAST — past ~75 queries the 2000-char tail would otherwise
+    // truncate the total and keep only the per-query map (JSON object
+    // key order is semantically irrelevant to any parser)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}"""
     println(line)
     // first-class artifact: the driver's tail capture (2000 chars) can
     // truncate the head of the one-line contract once the query count

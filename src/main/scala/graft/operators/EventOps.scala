@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics over user streams — funnel completion and
+  * cohort retention, the two workhorse queries run on the events a
+  * loader like the reference lands in the warehouse (reference usage:
+  * the Redshift-side analytics its README motivates the load FOR —
+  * `/root/reference/README.md:21-28` positions the pipeline as feeding
+  * exactly this kind of clickstream analysis; the loader itself stops
+  * at COPY, so these are engine-side capabilities, not ports).
+  *
+  * Scale design (100 TB): both operators reduce events to per-user
+  * contractions with ONE shuffle on the high-cardinality user key —
+  * no window over a low-cardinality partition, no sequential
+  * self-joins. Funnel matching folds each user's sorted step events
+  * with a higher-order `aggregate` (codegen'd, no UDF); the collected
+  * per-user list holds only events whose type is one of the funnel's
+  * k steps (the `isin` filter sits on the scan), so its size is
+  * bounded by per-user FUNNEL activity, not total activity.
+  */
+object EventOps {
+
+  /** Per-user funnel completion times under strict step ordering:
+    * `t(0)` is the user's earliest step-0 event; `t(i)` the earliest
+    * step-i event at or after `t(i-1)` (and, when `maxStepGapMicros`
+    * is set, within that many microseconds of it — the windowed-funnel
+    * bound). Equal timestamps admit same-instant progression (a view
+    * and its click in the same microsecond both count), matching the
+    * relational formulation
+    * `t_i = min(ts) FILTER (type = step_i AND ts >= t_{i-1} [AND ts <= t_{i-1}+gap])`
+    * exactly: the fold scans ascending (ts, step_idx), so the first
+    * admissible match IS the minimum. The chain is GREEDY — it anchors
+    * on each step's earliest completion; a user who could complete
+    * more steps by skipping an early event is counted by the greedy
+    * chain, the standard windowed-funnel semantic (an optimal-chain
+    * search is exponential in k and not what funnel dashboards mean).
+    *
+    * Returns one row per user with `times` (array of k nullable epoch-
+    * micros longs) and `steps_completed` (longest completed prefix).
+    */
+  def funnelUsers(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  maxStepGapMicros: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val k = steps.size
+    // step name -> index as a CASE chain (tiny, codegen'd); the isin
+    // filter is the scan-pushed guard that bounds the per-user list
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    val slim = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        unix_micros(col(tsCol)).as("ts_us"),
+        stepIdx.as("step"))
+    // one shuffle: per-user sorted (ts, step) list, then a pure
+    // expression fold filling the first admissible time per step.
+    // transform's index is 0-based; element_at is 1-based, so
+    // element_at(acc, i) is the PREVIOUS step's slot at index i.
+    val gapGuard = maxStepGapMicros
+      .map(g => s"AND e.ts_us <= element_at(acc, i) + ${g}L")
+      .getOrElse("")
+    val foldExpr =
+      s"""aggregate(
+         |  sort_array(collect_list(struct(ts_us, step))),
+         |  array_repeat(CAST(NULL AS BIGINT), $k),
+         |  (acc, e) -> transform(acc, (v, i) ->
+         |    CASE WHEN v IS NOT NULL THEN v
+         |         WHEN e.step != i THEN CAST(NULL AS BIGINT)
+         |         WHEN i = 0 THEN e.ts_us
+         |         WHEN element_at(acc, i) IS NOT NULL AND e.ts_us >= element_at(acc, i)
+         |           $gapGuard
+         |           THEN e.ts_us
+         |         ELSE CAST(NULL AS BIGINT) END))""".stripMargin
+    slim.groupBy(col(userCol))
+      .agg(expr(foldExpr).as("times"))
+      .withColumn("steps_completed",
+        // longest prefix of non-null times: a later null ends the funnel
+        // even if a deeper slot were somehow set (it cannot be, but the
+        // prefix form makes the contract explicit)
+        expr(s"""aggregate(times, named_struct('n', 0, 'open', true),
+                 |  (st, t) -> IF(st.open AND t IS NOT NULL,
+                 |                named_struct('n', st.n + 1, 'open', true),
+                 |                named_struct('n', st.n, 'open', false)),
+                 |  st -> st.n)""".stripMargin))
+  }
+
+  /** Classic funnel rollup: for each step, how many users completed it
+    * (reached at least that depth). Output is k rows
+    * (step 1-based, step_type, n_users) — integers end to end, so the
+    * whole operator is hash-certifiable against the sequential min-if
+    * relational form.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   maxStepGapMicros: Option[Long] = None): DataFrame = {
+    val users = funnelUsers(events, userCol, typeCol, tsCol, steps, maxStepGapMicros)
+    val stepNames = array(steps.map(lit): _*)
+    users
+      .select(explode(sequence(lit(1), lit(steps.size))).as("step"),
+        col("steps_completed"))
+      .groupBy(col("step"))
+      .agg(sum(when(col("steps_completed") >= col("step"), 1L).otherwise(0L))
+        .as("n_users"))
+      .withColumn("step_type", element_at(stepNames, col("step")))
+      .select(col("step").cast("long").as("step"), col("step_type"), col("n_users"))
+  }
+
+  /** Cohort retention: users are cohorted by the day of their first
+    * `cohortType` event; a user is active in day-offset d if they have
+    * ANY event d days after their cohort day. Output is one row per
+    * (cohort_day, day_offset) with the distinct active-user count —
+    * the retention triangle.
+    *
+    * Shuffles: distinct on (user, day), groupBy user for the cohort
+    * anchor, an equi-join on user, then a groupBy on the tiny
+    * (cohort_day, offset) key — nothing partitioned low-cardinality,
+    * nothing sorted. Days before the cohort anchor are excluded.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, cohortType: String): DataFrame = {
+    val days = events.select(col(userCol).as("user"),
+      col(typeCol).as("etype"), to_date(col(tsCol)).as("day"))
+    val cohorts = days.filter(col("etype") === cohortType)
+      .groupBy(col("user")).agg(min(col("day")).as("cohort_day"))
+    val active = days.select(col("user"), col("day")).distinct()
+    active.join(cohorts, "user")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user")).as("n_active"))
+  }
+
+  /** Column helper: epoch microseconds of a timestamp column (the
+    * funnel's time axis; integer so every comparison is exact).
+    */
+  def epochMicros(c: Column): Column = unix_micros(c)
+}

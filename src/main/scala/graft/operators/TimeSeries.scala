@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series repair and rolling aggregation — gap filling
+  * (dense grid + forward fill + exact linear interpolation) and
+  * bounded rolling sums, the resample/smooth steps of event-series
+  * analytics over the tables a loader lands.
+  *
+  * Scale design (100 TB): every window below partitions by the
+  * HIGH-CARDINALITY series key (user, sensor, entity), never by a
+  * categorical column — per-task input is one key's series, whose
+  * length is bounded by the time RANGE (buckets between the key's
+  * first and last observation), not by corpus size. Grid expansion is
+  * a per-key `sequence` (no cross join with a calendar table, no
+  * global sort); the observed values join back on (key, bucket) — a
+  * co-partitioned hash join.
+  *
+  * Exactness: interpolation is emitted as an INTEGER numerator /
+  * denominator pair (value·Δ products of longs), so results are
+  * hash-certifiable — no float division inside the operator; callers
+  * divide at the edge if they want doubles.
+  */
+object TimeSeries {
+
+  /** Densify an integer-bucketed series per key: one output row for
+    * every bucket in [min(bucket), max(bucket)] of each key, carrying
+    *
+    *  - `value`       — the observed value (null on gap rows)
+    *  - `ffill_value` — last observed value at or before the bucket
+    *  - `interp_num` / `interp_den` — exact linear interpolation as a
+    *    rational: for a gap at position p between observations
+    *    (p0, v0) and (p1, v1), num = v0·(p1−p) + v1·(p−p0) and
+    *    den = p1−p0 (so num/den is the interpolated value). Observed
+    *    rows carry (value, 1). Leading/trailing gaps (no neighbor on
+    *    one side): null — gap fill does not extrapolate.
+    *
+    * Input must have at most one row per (key, bucket) — pre-aggregate
+    * first (the q93 pattern). `bucketCol` and `valueCol` must be
+    * integral (LongType after cast); bucket step is 1.
+    */
+  def gapFill(df: DataFrame, keyCol: String, bucketCol: String,
+              valueCol: String): DataFrame = {
+    val key = col(keyCol)
+    val obs = df.select(key, col(bucketCol).cast("long").as(bucketCol),
+      col(valueCol).cast("long").as(valueCol))
+    val spans = obs.groupBy(key)
+      .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
+    // per-key dense grid: sequence length = the key's own time range
+    val grid = spans.select(key,
+      explode(sequence(col("__b0"), col("__b1"))).as(bucketCol))
+    val joined = grid.join(obs, Seq(keyCol, bucketCol), "left")
+    val wAsc = Window.partitionBy(key).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(key).orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val withNbrs = joined
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wAsc))
+      .withColumn("__pp", last(when(v.isNotNull, col(bucketCol)), ignoreNulls = true).over(wAsc))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wDesc))
+      .withColumn("__np", first(when(v.isNotNull, col(bucketCol)), ignoreNulls = true).over(wDesc))
+    withNbrs
+      .withColumn("ffill_value", col("__pv"))
+      .withColumn("interp_num",
+        when(v.isNotNull, v)
+          .otherwise(col("__pv") * (col("__np") - col(bucketCol)) +
+            col("__nv") * (col(bucketCol) - col("__pp"))))
+      .withColumn("interp_den",
+        when(v.isNotNull, lit(1L))
+          .otherwise(col("__np") - col("__pp")))
+      .drop("__pv", "__pp", "__nv", "__np")
+  }
+
+  /** Rolling sum and count over the trailing `span` buckets (RANGE
+    * frame [bucket−span+1, bucket], so gaps in the series shrink the
+    * window's population, as a time-based rolling metric should).
+    * `valueCol` may be any numeric; pre-cast to DECIMAL upstream when
+    * exact (associativity-independent) sums are required — the q96
+    * pattern.
+    */
+  def rollingSum(df: DataFrame, keyCol: String, bucketCol: String,
+                 valueCols: Seq[String], span: Long): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    require(valueCols.nonEmpty, "need at least one value column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rangeBetween(-(span - 1), 0)
+    // one WindowExec evaluates every frame function — adding columns
+    // over the same (partition, order, frame) spec costs no extra
+    // shuffle or sort
+    val withSums = valueCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"rolling_$c", sum(col(c)).over(w))
+    }
+    withSums.withColumn("rolling_n", count(lit(1)).over(w))
+  }
+}

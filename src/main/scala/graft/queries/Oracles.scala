@@ -1421,5 +1421,118 @@ object Oracles {
                / CAST(sum(c1.c1 + v.v) AS BIGINT) AS score
       FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
       GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // q91: EventOps.funnelCounts — the fold's greedy chain IS the
+    // sequential min-if with the 48h per-step gap (scan order makes
+    // the first admissible match the minimum).
+    "q91_funnel" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        WHERE event_type IN ('signup','view','click','purchase')),
+      s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND t >= t1 AND t <= t1 + 172800000000 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'click' AND t >= t2 AND t <= t2 + 172800000000 GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+             WHERE event_type = 'purchase' AND t >= t3 AND t <= t3 + 172800000000 GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_type, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'view', count(*) FROM s2
+        UNION ALL SELECT 3, 'click', count(*) FROM s3
+        UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      ORDER BY step""",
+
+    // q92: EventOps.cohortRetention — first-signup-day cohorts ×
+    // distinct active days.
+    "q92_cohort_retention" -> """
+      WITH days AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+      coh AS (SELECT user_id, min(day) AS cohort_day FROM days
+              WHERE event_type = 'signup' GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, day FROM days)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+             CAST(day - cohort_day AS BIGINT) AS day_offset,
+             count(DISTINCT user_id) AS n_active
+      FROM act JOIN coh USING (user_id)
+      WHERE day >= cohort_day
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q93: TimeSeries.gapFill — identical dense grid, neighbor scan,
+    // and integer interpolation rationals; grid bounds at each user's
+    // own [min, max] day mean interior gaps always have both
+    // neighbors.
+    "q93_gap_fill" -> """
+      WITH daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT user_id, min(day_idx) AS b0, max(day_idx) AS b1
+                FROM daily GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS day_idx FROM spans),
+      j AS (SELECT g.user_id, g.day_idx, d.n_events
+            FROM grid g LEFT JOIN daily d USING (user_id, day_idx)),
+      nb AS (SELECT user_id, day_idx, n_events,
+               last_value(n_events IGNORE NULLS) OVER wA AS pv,
+               max(CASE WHEN n_events IS NOT NULL THEN day_idx END) OVER wA AS pp,
+               first_value(n_events IGNORE NULLS) OVER wD AS nv,
+               min(CASE WHEN n_events IS NOT NULL THEN day_idx END) OVER wD AS np
+             FROM j
+             WINDOW wA AS (PARTITION BY user_id ORDER BY day_idx
+                           ROWS UNBOUNDED PRECEDING),
+                    wD AS (PARTITION BY user_id ORDER BY day_idx
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, count(*) AS n_days,
+             CAST(sum(CASE WHEN n_events IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+             CAST(sum(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+             CAST(sum(pv) AS BIGINT) AS sum_ffill,
+             CAST(sum(CASE WHEN n_events IS NULL
+                           THEN pv * (np - day_idx) + nv * (day_idx - pp) END) AS BIGINT) AS sum_interp_num,
+             CAST(sum(CASE WHEN n_events IS NULL THEN np - pp END) AS BIGINT) AS sum_interp_den
+      FROM nb GROUP BY 1 ORDER BY user_id""",
+
+    // q94: CUBE with SQL-standard grouping flags; DECIMAL pre-sums per
+    // the q01 convention.
+    "q94_cube_orders" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_priority, status, priority""",
+
+    // q95: pivot = FILTERed conditional sums over the explicit lang
+    // domain; empty cells stay NULL on both sides.
+    "q95_pivot_langs" -> """
+      SELECT source,
+             CAST(sum(n_chars) FILTER (lang = 'de') AS BIGINT) AS chars_de,
+             CAST(sum(n_chars) FILTER (lang = 'en') AS BIGINT) AS chars_en,
+             CAST(sum(n_chars) FILTER (lang = 'es') AS BIGINT) AS chars_es,
+             CAST(sum(n_chars) FILTER (lang = 'fr') AS BIGINT) AS chars_fr,
+             CAST(sum(n_chars) FILTER (lang = 'zh') AS BIGINT) AS chars_zh
+      FROM documents GROUP BY source ORDER BY source""",
+
+    // q96: TimeSeries.rollingSum — RANGE-framed trailing 7 days;
+    // DECIMAL day sums keep the rolling mass associativity-exact.
+    "q96_rolling_events" -> """
+      WITH daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,6))) AS day_value
+        FROM events GROUP BY 1, 2)
+      SELECT user_id, day_idx, n_events,
+             CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+             CAST(count(*) OVER w AS BIGINT) AS days_7d,
+             CAST(CAST(sum(day_value) OVER w AS DECIMAL(28,6)) AS DOUBLE) AS value_7d
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, day_idx""",
   )
 }

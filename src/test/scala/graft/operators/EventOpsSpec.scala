@@ -1,0 +1,141 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val steps = Seq("signup", "view", "purchase")
+
+  private def funnelOf(rows: Seq[(Long, String, String)]) =
+    EventOps.funnelUsers(
+      rows.map { case (u, t, time) => (u, t, ts(time)) }
+        .toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[collection.Seq[java.lang.Long]]("times"), r.getAs[Int]("steps_completed")))
+      .toMap
+
+  test("funnel: strict ordering — later-step events before the anchor don't count") {
+    val f = funnelOf(Seq(
+      // user 1: purchase BEFORE signup, view after → depth 2, not 3
+      (1L, "purchase", "2024-01-01 00:00:00"),
+      (1L, "signup", "2024-01-01 01:00:00"),
+      (1L, "view", "2024-01-01 02:00:00"),
+      // user 2: full ordered funnel
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "view", "2024-01-01 00:10:00"),
+      (2L, "purchase", "2024-01-01 00:20:00"),
+      // user 3: never signs up → depth 0 despite later steps
+      (3L, "view", "2024-01-01 00:00:00"),
+      (3L, "purchase", "2024-01-01 00:01:00")))
+    assert(f(1L)._2 == 2)
+    assert(f(2L)._2 == 3)
+    assert(f(3L)._2 == 0)
+  }
+
+  test("funnel: anchor is the EARLIEST completion of each step (min semantics)") {
+    val f = funnelOf(Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "signup", "2024-01-01 05:00:00"), // later signup must not move the anchor
+      (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "view", "2024-01-01 06:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00")))
+    val times = f(1L)._1.toSeq.map(Option(_).map(_.longValue))
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(times == Seq(Some(us("2024-01-01 00:00:00")),
+      Some(us("2024-01-01 01:00:00")), Some(us("2024-01-01 02:00:00"))))
+  }
+
+  test("funnel: same-microsecond progression counts (ts >= anchor, not >)") {
+    val f = funnelOf(Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "purchase", "2024-01-01 00:00:00")))
+    assert(f(1L)._2 == 3)
+  }
+
+  test("funnel gap bound: a step outside maxStepGapMicros breaks the chain") {
+    val rows = Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 02:00:00"), // 2h after signup
+      (1L, "purchase", "2024-01-01 02:30:00"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "view", "2024-01-01 00:30:00"),
+      (2L, "purchase", "2024-01-01 00:45:00"))
+      .map { case (u, t, time) => (u, t, ts(time)) }
+      .toDF("user_id", "event_type", "ts")
+    val gap1h = EventOps.funnelUsers(rows, "user_id", "event_type", "ts",
+      steps, maxStepGapMicros = Some(3600L * 1000000))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("steps_completed")).toMap
+    assert(gap1h(1L) == 1, "view at 2h exceeds the 1h gap")
+    assert(gap1h(2L) == 3)
+  }
+
+  test("funnelCounts: per-step user counts are monotone non-increasing, types labelled") {
+    val rows = Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "view", "2024-01-01 01:00:00"),
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (4L, "view", "2024-01-01 00:00:00")) // no signup
+      .map { case (u, t, time) => (u, t, ts(time)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnelCounts(rows, "user_id", "event_type", "ts", steps)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("step_type"), r.getAs[Long]("n_users")))
+    assert(got.toSeq == Seq((1L, "signup", 3L), (2L, "view", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel plan: one shuffle on user, scan-level step filter, no window") {
+    val rows = Seq((1L, "signup", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val plan = EventOps.funnelUsers(rows, "user_id", "event_type", "ts", steps)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "the fold must not use a window")
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, "sorting happens inside sort_array, not a SortExec")
+  }
+
+  test("cohortRetention: offsets anchor at first signup; pre-signup days excluded") {
+    val rows = Seq(
+      (1L, "signup", "2024-01-03 10:00:00"),
+      (1L, "view", "2024-01-01 10:00:00"), // before cohort day → excluded
+      (1L, "view", "2024-01-03 12:00:00"), // offset 0 (same day as signup)
+      (1L, "click", "2024-01-05 12:00:00"), // offset 2
+      (2L, "signup", "2024-01-03 00:00:00"),
+      (2L, "signup", "2024-01-06 00:00:00"), // second signup ignored
+      (2L, "view", "2024-01-04 00:00:00"), // offset 1
+      (3L, "view", "2024-01-01 00:00:00")) // never signed up → absent
+      .map { case (u, t, time) => (u, t, ts(time)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.cohortRetention(rows, "user_id", "event_type", "ts", "signup")
+      .collect()
+      .map(r => (r.getAs[String]("cohort_day"), r.getAs[Long]("day_offset"),
+        r.getAs[Long]("n_active"))).toSet
+    assert(got == Set(
+      ("2024-01-03", 0L, 2L), // both users active on their cohort day
+      ("2024-01-03", 1L, 1L), // user 2
+      ("2024-01-03", 2L, 1L), // user 1
+      ("2024-01-03", 3L, 1L))) // user 2's second signup event, day 6
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def fillOf(rows: Seq[(String, Long, Long)]) =
+    TimeSeries.gapFill(rows.toDF("k", "b", "v"), "k", "b", "v")
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("b"),
+        Option(r.getAs[java.lang.Long]("v")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("ffill_value")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("interp_num")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("interp_den")).map(_.longValue)))
+      .sortBy(t => (t._1, t._2))
+
+  test("gapFill: dense grid per key over [min,max]; observed rows pass through") {
+    val got = fillOf(Seq(("a", 10L, 5L), ("a", 13L, 8L), ("b", 1L, 2L)))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", 10L), ("a", 11L), ("a", 12L), ("a", 13L), ("b", 1L)))
+    // observed rows: value carried, rational = (v, 1)
+    assert(got.head == ("a", 10L, Some(5L), Some(5L), Some(5L), Some(1L)))
+    assert(got(3) == ("a", 13L, Some(8L), Some(8L), Some(8L), Some(1L)))
+  }
+
+  test("gapFill: ffill carries last observation; interpolation rational is exact") {
+    val got = fillOf(Seq(("a", 0L, 4L), ("a", 3L, 10L)))
+    val gap1 = got.find(_._2 == 1L).get
+    val gap2 = got.find(_._2 == 2L).get
+    assert(gap1._4 == Some(4L), "ffill at b=1 is the b=0 value")
+    // linear between (0,4) and (3,10): at b=1 → 4*(3-1)+10*(1-0)=18 over 3 (=6)
+    assert((gap1._5, gap1._6) == (Some(18L), Some(3L)))
+    // at b=2 → 4*1+10*2=24 over 3 (=8)
+    assert((gap2._5, gap2._6) == (Some(24L), Some(3L)))
+  }
+
+  test("gapFill: single-observation key yields exactly its own row, no gaps") {
+    val got = fillOf(Seq(("solo", 7L, 3L)))
+    assert(got.toSeq == Seq(("solo", 7L, Some(3L), Some(3L), Some(3L), Some(1L))))
+  }
+
+  test("gapFill: windows partition by the series key only (scale audit)") {
+    val df = Seq(("a", 1L, 1L)).toDF("k", "b", "v")
+    val plan = TimeSeries.gapFill(df, "k", "b", "v").queryExecution.sparkPlan
+    val windowKeys = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    }
+    assert(windowKeys.nonEmpty && windowKeys.forall(_ == Set("k")),
+      s"every window must partition by the key: $windowKeys")
+  }
+
+  test("rollingSum: RANGE frame spans buckets, so series gaps shrink the window") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 5L, 40L), ("b", 1L, 7L))
+      .toDF("k", "b", "v")
+    val got = TimeSeries.rollingSum(df, "k", "b", Seq("v"), span = 3L)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("b"),
+        r.getAs[Long]("rolling_v"), r.getAs[Long]("rolling_n")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 10L, 1L),
+      ("a", 2L, 30L, 2L),
+      ("a", 5L, 40L, 1L), // buckets 3,4 absent: only b=5 in [3,5]
+      ("b", 1L, 7L, 1L)))
+  }
+
+  test("rollingSum: multiple value columns share one WindowExec") {
+    val df = Seq(("a", 1L, 10L, 1L), ("a", 2L, 20L, 2L))
+      .toDF("k", "b", "x", "y")
+    val out = TimeSeries.rollingSum(df, "k", "b", Seq("x", "y"), span = 2L)
+    val windows = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1,
+      s"both rolling sums must ride one window, got ${windows.size}")
+    val r = out.filter(col("b") === 2L).collect().head
+    assert(r.getAs[Long]("rolling_x") == 30L && r.getAs[Long]("rolling_y") == 3L)
+  }
+}
