@@ -1534,5 +1534,65 @@ object Oracles {
       WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, day_idx""",
+
+    // q97: robust med/MAD outlier profile — quantile_disc(·,0.5) IS
+    // the engine's lower median (rank ⌊(n+1)/2⌋, verified); the
+    // deviations and the 3·MAD cut are shared IEEE arithmetic, so the
+    // float columns hash-certify too.
+    "q97_robust_outliers" -> """
+      WITH v AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM v GROUP BY 1),
+      dev AS (
+        SELECT v.event_type, med.med, abs(v.value - med.med) AS dev
+        FROM v JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_disc(dev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_type,
+             count(*) AS n,
+             min(d.med) AS med,
+             min(m.mad) AS mad,
+             CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+             CAST(coalesce(sum(CASE WHEN d.dev > 3.0 * m.mad
+                    THEN CAST(d.dev AS DECIMAL(18,6)) END),
+                  CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS outlier_dev_mass
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY 1 ORDER BY 1""",
+
+    // q98: grouped OLS via integer sufficient statistics (day-anchored
+    // x, micro-unit fixed-point y); slope/intercept derive from the
+    // BIGINTs through the identical double expression shape.
+    "q98_trend_slopes" -> """
+      WITH b AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(x*y) AS BIGINT) AS sxy
+        FROM b GROUP BY 1),
+      d AS (
+        SELECT *,
+               CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num0,
+               CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den0
+        FROM s)
+      SELECT event_type, n, sx, sy, sxx, sxy,
+             CASE WHEN den0 <> 0 THEN num0 / den0 END AS slope,
+             CASE WHEN den0 <> 0 THEN
+               (CAST(sy AS DOUBLE) - (num0 / den0) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept
+      FROM d ORDER BY event_type""",
   )
 }

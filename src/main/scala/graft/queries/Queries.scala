@@ -2031,6 +2031,49 @@ object Queries {
       .orderBy(col("user_id"), col("day_idx"))
   }
 
+  /** Robust outlier profile per event type ([[graft.operators
+    * .Outliers.robustProfile]]): exact lower median + MAD via the
+    * GK-bracketed two-pass selection (no per-group single-task sort),
+    * flags at the standard |v − med| > 3·MAD cut, then an integer /
+    * decimal rollup. med and mad are DATA values (exact doubles), the
+    * deviations are IEEE arithmetic both engines share, so the whole
+    * row — including the float columns — hash-certifies against
+    * DuckDB's `quantile_disc(·, 0.5)` (verified = the same lower
+    * median, rank ⌊(n+1)/2⌋).
+    */
+  def q97RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+      .select(col("event_type"), col("value"))
+    graft.operators.Outliers.robustProfile(ev, "event_type", "value", k = 3.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(sum(when(col("is_outlier"), col("dev").cast(Dec))), lit(0).cast(Dec))
+          .cast("double").as("outlier_dev_mass"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-event-type value trend ([[graft.operators.Regression
+    * .groupedOls]]): OLS slope of daily-anchored fixed-point value
+    * series as ONE map-side-partial aggregate — the sufficient
+    * statistics are integer-exact BIGINTs, the slope/intercept doubles
+    * derive from them through a fixed IEEE expression shape both
+    * engines reproduce bit-for-bit. No window, no second pass, no
+    * skew sensitivity: the 100 TB plan is identical to groupBy-sum.
+    */
+  def q98TrendSlopes(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Regression
+    val ev = eventsTable(s, dir)
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        Regression.dayIndex(col("ts")).as("x"),
+        Regression.microUnits(col("value")).as("y"))
+    Regression.groupedOls(ev, "event_type", "x", "y")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2132,5 +2175,7 @@ object Queries {
     "q94_cube_orders"     -> (q94CubeOrders _),
     "q95_pivot_langs"     -> (q95PivotLangs _),
     "q96_rolling_events"  -> (q96RollingEvents _),
+    "q97_robust_outliers" -> (q97RobustOutliers _),
+    "q98_trend_slopes"    -> (q98TrendSlopes _),
   )
 }

@@ -59,9 +59,12 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q43_seq_packing", "q67_tokenize_pack", "q80_pack_invariants",
     // decomposed forms, pinned in depth by PlanAuditSpec: the lang-only
     // window rides a tiny contraction (q74 bracket / q47 bucket offsets)
-    "q74_lm_quality_gate", "q47_stratified_sample")
+    "q74_lm_quality_gate", "q47_stratified_sample",
+    // robust outliers: both windows are exactMedianByGroup's guarded
+    // distinct-value cumsum over BRACKET rows (the q74 decomposed form)
+    "q97_robust_outliers")
 
-  private val lowCardCols = Set("lang", "source")
+  private val lowCardCols = Set("lang", "source", "event_type")
 
   test("every declared query: no unlisted cartesian; no unlisted low-cardinality window; no global window outside q62") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
