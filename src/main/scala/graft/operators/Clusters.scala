@@ -111,6 +111,78 @@ object Clusters {
       .distinct()
   }
 
+  /** Incremental clustering — the accretion leg of the stored-model
+    * family ([[DedupIndex]], [[IvfIndex]], [[graft.operators.Bm25Index]],
+    * [[NgramLM]]): a stored `(doc_id, cluster)` assignment absorbs a new
+    * batch WITHOUT re-clustering the corpus.
+    *
+    * Key invariant (established by [[dedupClusters]] and preserved
+    * here): every stored cluster id IS the minimum doc_id of its
+    * cluster — i.e. cluster ids are their own representatives. An
+    * incoming edge's endpoints therefore contract to representatives
+    * (stored docs → their cluster id, batch docs → themselves), and
+    * connected components run over the REPRESENTATIVE edge graph:
+    * O(|batch pairs|) edges total, regardless of corpus size. A batch
+    * doc bridging two stored clusters unifies them transitively, the
+    * same merge a full re-cluster would make.
+    *
+    * Scale shape — the stored table is scanned, never shuffled:
+    *  - endpoint→rep resolution joins stored against the DISTINCT edge
+    *    endpoints (≤ 2·|pairs| longs, broadcast);
+    *  - relabeling joins stored against the rep→root map (≤ touched
+    *    clusters + batch ids, broadcast); untouched rows coalesce
+    *    through unchanged.
+    * Everything shuffled is O(batch). Both broadcasts are bounded by
+    * the batch pair count — the daily increment, not the corpus.
+    *
+    * Returns the updated full assignment `(doc_id, cluster, keep)` —
+    * byte-identical to [[dedupClusters]] over the union of all docs and
+    * all pairs (spec-proven), because component minima agree: the
+    * stored rep is already its cluster's min, and min over reps = min
+    * over members.
+    */
+  def appendClusters(stored: DataFrame, batchDocs: DataFrame, idCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val pcols = pairs.columns
+    val e = pairs
+      .select(col(pcols(0)).cast("long").as("a"), col(pcols(1)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val st = stored.select(col("doc_id").cast("long").as("doc_id"),
+      col("cluster").cast("long").as("cluster"))
+
+    // endpoint → representative (stored docs only; batch docs are their
+    // own rep). Stored side: broadcast hash join against the endpoint
+    // set — scan, no exchange.
+    val endpoints = e.select(col("a").as("doc_id"))
+      .union(e.select(col("b").as("doc_id"))).distinct()
+    val endpointRep = st.join(broadcast(endpoints), Seq("doc_id"))
+
+    val repEdges = e
+      .join(broadcast(endpointRep.select(col("doc_id").as("a"), col("cluster").as("ra"))),
+        Seq("a"), "left")
+      .join(broadcast(endpointRep.select(col("doc_id").as("b"), col("cluster").as("rb"))),
+        Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("id_a"),
+        coalesce(col("rb"), col("b")).as("id_b"))
+
+    // components over the contracted graph: nodes are touched stored
+    // reps + batch ids that appear in any pair
+    val comps = connectedComponents(repEdges)
+
+    val storedNew = st
+      .join(broadcast(comps.select(col("id").as("cluster"), col("component").as("__new"))),
+        Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("cluster")).as("cluster"))
+    val batchNew = batchDocs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(comps.select(col("id").as("doc_id"), col("component").as("__new"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("doc_id")).as("cluster"))
+
+    storedNew.union(batchNew)
+      .withColumn("keep", col("cluster") === col("doc_id"))
+  }
+
   /** Survivorship: assign every document its duplicate-cluster root and
     * a keep flag (the minimum id in each cluster survives; documents in
     * no pair are their own singleton cluster and survive).

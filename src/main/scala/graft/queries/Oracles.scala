@@ -1594,5 +1594,33 @@ object Oracles {
                (CAST(sy AS DOUBLE) - (num0 / den0) * CAST(sx AS DOUBLE))
                  / CAST(n AS DOUBLE) END AS intercept
       FROM d ORDER BY event_type""",
+
+    // q99: the incremental two-day accretion must land on exactly the
+    // clusters of a from-scratch run — certified against q36's
+    // sequential full-corpus transitive closure, verbatim.
+    "q99_incremental_clusters" -> """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)]) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT doc_id, cluster, doc_id = cluster AS keep
+      FROM comp ORDER BY doc_id""",
   )
 }

@@ -2074,6 +2074,36 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Incremental duplicate clustering ([[graft.operators.Clusters
+    * .appendClusters]]): the two-day accretion path — even doc_ids are
+    * "yesterday's" corpus, clustered and stored; odd doc_ids arrive as
+    * today's batch, pair against the whole corpus, and merge INTO the
+    * stored assignment without re-clustering it (stored side scanned,
+    * never shuffled; everything shuffled is O(batch), spec-proven in
+    * ClustersSpec). The oracle is q36's sequential recursive-CTE
+    * closure over the FULL corpus: hash equality proves the
+    * incremental path lands on exactly the clusters a from-scratch
+    * re-cluster produces — including batch docs bridging two stored
+    * clusters.
+    */
+  def q99IncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clusters, Dedup}
+    val docs = table(s, dir, "documents")
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+    // day-1 pairs: LSH is corpus-independent per doc, so banding day 1
+    // alone yields exactly the even-even pairs of the full run
+    val p1 = Dedup.minhashLSH(day1, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+    val stored = Clusters.dedupClusters(day1, "doc_id",
+        p1.select(col("id_a"), col("id_b")))
+      .select(col("doc_id"), col("cluster"))
+    val pAll = Dedup.minhashLSH(docs, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+    val p2 = pAll.filter(col("id_a") % 2 =!= 0 || col("id_b") % 2 =!= 0)
+    Clusters.appendClusters(stored, day2, "doc_id",
+        p2.select(col("id_a"), col("id_b")))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2177,5 +2207,6 @@ object Queries {
     "q96_rolling_events"  -> (q96RollingEvents _),
     "q97_robust_outliers" -> (q97RobustOutliers _),
     "q98_trend_slopes"    -> (q98TrendSlopes _),
+    "q99_incremental_clusters" -> (q99IncrementalClusters _),
   )
 }

@@ -91,4 +91,79 @@ class ClustersSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
+
+  test("appendClusters: batch bridging two stored clusters unifies them; untouched clusters unchanged") {
+    import spark.implicits._
+    // stored: {1,2} root 1, {5,6} root 5, {10,11} root 10 (untouched)
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    // batch doc 20 links to a member of each of the first two clusters;
+    // batch doc 21 is a singleton
+    val batch = Seq(20L, 21L).toDF("doc_id")
+    val pairs = Seq((20L, 2L), (20L, 6L)).toDF("id_a", "id_b")
+    val out = Clusters.appendClusters(stored, batch, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (5L, 1L, false), (6L, 1L, false),
+      (20L, 1L, false), (21L, 21L, true),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("appendClusters ≡ full dedupClusters on seeded random two-day corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val ids = (0L until n.toLong)
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val docs = ids.toDF("doc_id")
+      val full = Clusters.dedupClusters(docs, "doc_id", edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+      val day1 = ids.filter(_ % 2 == 0)
+      val day1Edges = edges.filter(e => e._1 % 2 == 0 && e._2 % 2 == 0)
+      val day2Edges = edges.filter(e => e._1 % 2 != 0 || e._2 % 2 != 0)
+      val stored = Clusters.dedupClusters(day1.toDF("doc_id"), "doc_id",
+          day1Edges.toDF("id_a", "id_b"))
+        .select("doc_id", "cluster")
+      val inc = Clusters.appendClusters(stored,
+          ids.filter(_ % 2 != 0).toDF("doc_id"), "doc_id",
+          day2Edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(inc == full, s"trial $trial")
+    }
+  }
+
+  test("appendClusters: the stored table is scanned, never shuffled") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("stored_clusters").toString
+    try {
+      (0L until 1000L).map(i => (i, i - i % 4)).toDF("doc_id", "cluster")
+        .write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val batch = Seq(5000L, 5001L).toDF("doc_id")
+      val pairs = Seq((5000L, 3L), (5000L, 7L)).toDF("id_a", "id_b")
+      val res = Clusters.appendClusters(stored, batch, "doc_id", pairs)
+      res.collect()
+      val plan = res.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def scansStored(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains(dir.stripPrefix("/")))
+      val shufflesOverStored = plan.collect {
+        case s: ShuffleExchangeExec if scansStored(s) => s
+      }
+      assert(plan.collectLeaves().exists(_.toString.contains(dir.stripPrefix("/"))),
+        "stored scan present in the final plan")
+      assert(shufflesOverStored.isEmpty,
+        s"stored side must never ride an exchange, plan:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
