@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   * bracket contraction, plan-pinned in PlanAuditSpec). The per-group
   * (med, mad) tables are group-cardinality-sized and broadcast back,
   * so row flagging adds no shuffle to the scan: the whole operator is
-  * four aggregation passes + two broadcast joins regardless of group
-  * skew. Deviations are exact IEEE arithmetic on both engine and
-  * oracle sides (`abs(v − med)` of the same doubles), so the flags —
-  * and the hash — are reproducible bit-for-bit.
+  * four aggregation passes + broadcast joins regardless of group skew.
+  * Deviations are exact IEEE arithmetic on both engine and oracle
+  * sides (`abs(v − med)` of the same doubles), so the flags — and the
+  * hash — are reproducible bit-for-bit.
   *
   * Reference semantics: the loader profiles per-batch load metrics for
   * anomalous files (`README.md` "Viewing Previous Batches"
@@ -33,33 +33,59 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  /** Row-level robust profile: every input row with its group's exact
-    * lower median `med`, `mad` (lower median of |v − med|), the row's
-    * absolute deviation `dev`, and `is_outlier` = dev > k·MAD.
+  /** The per-group threshold table — `(group, med, mad)`, one row per
+    * group: med is the exact lower median of the values, mad the exact
+    * lower median of |v − med|. This is also the STORED form: compute
+    * it on yesterday's batch, save it, and score today's stream
+    * against it with [[flagAgainstProfile]] (the stored-model pattern
+    * of DedupIndex / NgramLM / Bm25Index applied to anomaly gating).
     *
-    * MAD = 0 (more than half the group shares one value) flags ONLY
-    * rows off the shared value when k > 0 — the standard convention:
-    * any nonzero deviation from a majority-constant group is anomalous.
-    * Null values are excluded (the underlying median excludes them and
-    * a null deviation has no rank); null group keys likewise (the
-    * median operator's documented null-group contract).
+    * Null values and null group keys are excluded (the underlying
+    * median's documented null contract).
     */
-  def robustProfile(df: DataFrame, groupCol: String, valueCol: String,
-                    k: Double = 3.0, accuracy: Int = 10000): DataFrame = {
+  def thresholds(df: DataFrame, groupCol: String, valueCol: String,
+                 accuracy: Int = 10000): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
     val base = df.where(v.isNotNull && g.isNotNull)
-
     val med = Quantiles.exactMedianByGroup(base, groupCol, valueCol, accuracy)
       .withColumnRenamed("cut", "med")
-    val withMed = base.join(broadcast(med), groupCol)
-      .withColumn("dev", abs(v - col("med")))
-
-    val mad = Quantiles.exactMedianByGroup(
-        withMed.select(g, col("dev")), groupCol, "dev", accuracy)
+    val devs = base.join(broadcast(med), groupCol)
+      .select(g, abs(v - col("med")).as("dev"))
+    val mad = Quantiles.exactMedianByGroup(devs, groupCol, "dev", accuracy)
       .withColumnRenamed("cut", "mad")
+    med.join(mad, groupCol)
+  }
 
-    withMed.join(broadcast(mad), groupCol)
-      .withColumn("is_outlier", col("dev") > lit(k) * col("mad"))
+  /** Score rows against a `(group, med, mad)` profile: a stream-static
+    * (or batch-batch) broadcast join + IEEE arithmetic — stateless, so
+    * it runs unchanged under Structured Streaming micro-batches, and
+    * flags agree bit-for-bit with the batch path over the same
+    * thresholds. Rows whose group has no stored profile pass with
+    * `is_outlier` = false (fail-open, the admission-filter convention —
+    * an unknown group is new data, not an anomaly).
+    */
+  def flagAgainstProfile(rows: DataFrame, profile: DataFrame,
+                         groupCol: String, valueCol: String,
+                         k: Double = 3.0): DataFrame =
+    rows.join(broadcast(profile), Seq(groupCol), "left")
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+      .withColumn("is_outlier",
+        coalesce(col("dev") > lit(k) * col("mad"), lit(false)))
+
+  /** Row-level robust profile in one shot: every input row with its
+    * group's exact `med` and `mad`, the row's absolute deviation
+    * `dev`, and `is_outlier` = dev > k·MAD.
+    *
+    * MAD = 0 (more than half the group shares one value) flags ONLY
+    * rows off the shared value when k > 0 — the standard convention:
+    * any nonzero deviation from a majority-constant group is
+    * anomalous. Null values and null group keys are excluded.
+    */
+  def robustProfile(df: DataFrame, groupCol: String, valueCol: String,
+                    k: Double = 3.0, accuracy: Int = 10000): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    flagAgainstProfile(base, thresholds(df, groupCol, valueCol, accuracy),
+      groupCol, valueCol, k)
   }
 }

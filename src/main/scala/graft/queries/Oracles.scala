@@ -1622,5 +1622,38 @@ object Oracles {
       comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
       SELECT doc_id, cluster, doc_id = cluster AS keep
       FROM comp ORDER BY doc_id""",
+
+    // q100: week-over-week residual anomalies — integer residuals,
+    // quantile_disc med/MAD, shared IEEE flag arithmetic.
+    "q100_seasonal_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+               count(*) AS n_events
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      r AS (
+        SELECT a.event_type,
+               CAST(a.n_events AS BIGINT) - CAST(b.n_events AS BIGINT) AS residual_l,
+               CAST(CAST(a.n_events AS BIGINT) - b.n_events AS DOUBLE) AS residual
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day_idx = b.day_idx + 7),
+      med AS (
+        SELECT event_type, quantile_disc(residual, 0.5) AS med FROM r GROUP BY 1),
+      dev AS (
+        SELECT r.event_type, r.residual_l, med.med,
+               abs(r.residual - med.med) AS dev
+        FROM r JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM dev GROUP BY 1)
+      SELECT d.event_type,
+             count(*) AS n_days,
+             min(d.med) AS med,
+             min(m.mad) AS mad,
+             CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_anomalies,
+             CAST(min(d.residual_l) AS BIGINT) AS min_residual,
+             CAST(max(d.residual_l) AS BIGINT) AS max_residual
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2042,9 +2042,12 @@ object Queries {
     * median, rank ⌊(n+1)/2⌋).
     */
   def q97RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    // persist the 2-column projection: the two median ops drive ~8
+    // aggregation passes over it (Dedup.releaseAfter's rule — drop the
+    // cache once the types-sized rollup is materialized)
     val ev = eventsTable(s, dir)
-      .select(col("event_type"), col("value"))
-    graft.operators.Outliers.robustProfile(ev, "event_type", "value", k = 3.0)
+      .select(col("event_type"), col("value")).persist()
+    val out = graft.operators.Outliers.robustProfile(ev, "event_type", "value", k = 3.0)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         min(col("med")).as("med"),
@@ -2053,6 +2056,10 @@ object Queries {
         coalesce(sum(when(col("is_outlier"), col("dev").cast(Dec))), lit(0).cast(Dec))
           .cast("double").as("outlier_dev_mass"))
       .orderBy(col("event_type"))
+      .persist()
+    out.count()
+    ev.unpersist(blocking = false)
+    out
   }
 
   /** Per-event-type value trend ([[graft.operators.Regression
@@ -2091,17 +2098,59 @@ object Queries {
     val docs = table(s, dir, "documents")
     val day1 = docs.filter(col("doc_id") % 2 === 0)
     val day2 = docs.filter(col("doc_id") % 2 =!= 0)
-    // day-1 pairs: LSH is corpus-independent per doc, so banding day 1
-    // alone yields exactly the even-even pairs of the full run
-    val p1 = Dedup.minhashLSH(day1, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
-    val stored = Clusters.dedupClusters(day1, "doc_id",
-        p1.select(col("id_a"), col("id_b")))
-      .select(col("doc_id"), col("cluster"))
+    // ONE LSH pass, persisted; per-doc signatures are corpus-independent,
+    // so day-1's pairs are exactly the even-even restriction and today's
+    // increment is every pair touching an odd id — filters, not re-runs
     val pAll = Dedup.minhashLSH(docs, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).persist()
+    val p1 = pAll.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    val stored = Clusters.dedupClusters(day1, "doc_id", p1)
+      .select(col("doc_id"), col("cluster"))
     val p2 = pAll.filter(col("id_a") % 2 =!= 0 || col("id_b") % 2 =!= 0)
-    Clusters.appendClusters(stored, day2, "doc_id",
-        p2.select(col("id_a"), col("id_b")))
-      .orderBy(col("doc_id"))
+    val out = Clusters.appendClusters(stored, day2, "doc_id", p2)
+      .orderBy(col("doc_id")).persist()
+    out.count()
+    pAll.unpersist(blocking = false)
+    out
+  }
+
+  /** Seasonality-adjusted anomaly detection — the composition the
+    * operators were built for: daily per-type counts (hash agg), a
+    * week-over-week residual (equi-join on the day-contracted table —
+    * O(types × days) rows, not events), then [[graft.operators
+    * .Outliers.robustProfile]] flags residuals at 3·MAD. Counts and
+    * residuals are integers, med/mad are data values: every column
+    * hash-certifies.
+    */
+  def q100SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val prior = daily.select(col("event_type"),
+      (col("day_idx") + 7).as("day_idx"), col("n_events").as("n_prior"))
+    // persist the (types × days)-sized residual table: the profile op
+    // would otherwise re-run the events aggregation per median pass
+    val resid = daily.join(prior, Seq("event_type", "day_idx"))
+      .withColumn("residual_l", col("n_events") - col("n_prior"))
+      .withColumn("residual", col("residual_l").cast("double"))
+      .select(col("event_type"), col("residual_l"), col("residual"))
+      .persist()
+    val out = graft.operators.Outliers.robustProfile(resid, "event_type", "residual", k = 3.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_anomalies"),
+        min(col("residual_l")).as("min_residual"),
+        max(col("residual_l")).as("max_residual"))
+      .orderBy(col("event_type"))
+      .persist()
+    out.count()
+    resid.unpersist(blocking = false)
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -2208,5 +2257,6 @@ object Queries {
     "q97_robust_outliers" -> (q97RobustOutliers _),
     "q98_trend_slopes"    -> (q98TrendSlopes _),
     "q99_incremental_clusters" -> (q99IncrementalClusters _),
+    "q100_seasonal_anomaly" -> (q100SeasonalAnomaly _),
   )
 }

@@ -98,4 +98,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(closed.head.session_end == ts(10).getTime)
     } finally q.stop()
   }
+
+  test("stored outlier profile gates a stream: micro-batch flags ≡ batch flags, unknown group fail-open") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Outliers
+    // yesterday's batch fixes the thresholds
+    val hist = ((1 to 50).map(i => ("click", 10.0 + (i % 3))) ++
+      (1 to 40).map(i => ("view", 100.0 + (i % 5)))).toDF("event_type", "value")
+    val profile = Outliers.thresholds(hist, "event_type", "value")
+    profile.persist().count()
+
+    val today = Seq(
+      Event(1, ts(0), 1, "click", 11.0),   // in band
+      Event(2, ts(1), 2, "click", 500.0),  // spike
+      Event(3, ts(2), 3, "view", 102.0),   // in band
+      Event(4, ts(3), 4, "view", -9.0),    // spike
+      Event(5, ts(4), 5, "purchase", 1.0)) // no stored profile: fail-open
+    val batchFlags = Outliers
+      .flagAgainstProfile(today.toDF(), profile, "event_type", "value")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_outlier")).toMap
+
+    val input = MemoryStream[Event]
+    val gated = Outliers.flagAgainstProfile(input.toDF(), profile, "event_type", "value")
+    val q = gated.writeStream.format("memory").queryName("outgate")
+      .outputMode("append").start()
+    try {
+      input.addData(today.take(2): _*)
+      q.processAllAvailable()
+      input.addData(today.drop(2): _*)
+      q.processAllAvailable()
+      val streamFlags = spark.table("outgate")
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_outlier")).toMap
+      assert(streamFlags == batchFlags)
+      assert(streamFlags(2L) && streamFlags(4L))
+      assert(!streamFlags(1L) && !streamFlags(3L) && !streamFlags(5L))
+    } finally { q.stop(); profile.unpersist(blocking = false) }
+  }
 }
