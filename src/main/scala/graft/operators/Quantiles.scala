@@ -115,28 +115,48 @@ object Quantiles {
     */
   def exactMedianByGroup(df: DataFrame, groupCol: String, valueCol: String,
                          accuracy: Int = 10000): DataFrame =
-    exactMedianByGroupImpl(df, groupCol, valueCol, accuracy,
+    exactQuantileByGroup(df, groupCol, valueCol, 0.5, accuracy)
+
+  /** Exact per-group p-quantile — the value at rank
+    * k = clamp(⌈p·n⌉, 1, n), the discrete-quantile convention DuckDB's
+    * `quantile_disc` shares (at p = 0.5 this IS the lower median:
+    * ⌈n/2⌉ = ⌊(n+1)/2⌋). Same two-pass GK-bracketed selection as the
+    * median — see the scaladoc above; the bracket simply sits at
+    * p ± 2/accuracy instead of 0.5 ± 2/accuracy. Tail quantiles
+    * (P95/P99 latency-style profiling) stay exact AND scale-safe: no
+    * per-group sort anywhere, pass-2 input is O(n/accuracy) rows per
+    * group.
+    */
+  def exactQuantileByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                           p: Double, accuracy: Int = 10000): DataFrame =
+    exactQuantileByGroupImpl(df, groupCol, valueCol, p, accuracy,
       delta = 2.0 / accuracy)
+
+  private[graft] def exactMedianByGroupImpl(
+      df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int, delta: Double): DataFrame =
+    exactQuantileByGroupImpl(df, groupCol, valueCol, 0.5, accuracy, delta)
 
   /** Impl with the bracket half-width exposed so tests can force the
     * degenerate-bracket fallback (e.g. delta < 0 makes lo0 > hi0 — an
     * empty candidate set that MUST route through [min, max]).
     */
-  private[graft] def exactMedianByGroupImpl(
+  private[graft] def exactQuantileByGroupImpl(
       df: DataFrame, groupCol: String, valueCol: String,
-      accuracy: Int, delta: Double): DataFrame = {
+      p: Double, accuracy: Int, delta: Double): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"quantile p must be in (0,1), got $p")
     val g = col(groupCol)
     val v = col(valueCol)
     val base = df.select(g, v).where(v.isNotNull)
-    val loP = math.min(1.0, math.max(0.0, 0.5 - delta))
-    val hiP = math.min(1.0, math.max(0.0, 0.5 + delta))
+    val loP = math.min(1.0, math.max(0.0, p - delta))
+    val hiP = math.min(1.0, math.max(0.0, p + delta))
     val stats = base.groupBy(g).agg(
         count(lit(1)).as("n"),
         percentile_approx(v, lit(loP), lit(accuracy)).as("lo0"),
         percentile_approx(v, lit(hiP), lit(accuracy)).as("hi0"),
         min(v).as("vmin"), max(v).as("vmax"))
       .withColumn("k", greatest(lit(1L), least(col("n"),
-        floor((col("n") + 1) / lit(2.0)).cast("long"))))
+        ceil(lit(p) * col("n")).cast("long"))))
     // exact bracket verification: one count pass against the sketch
     // bounds (stats is group-cardinality-sized — broadcast)
     val counts = base

@@ -1655,5 +1655,17 @@ object Oracles {
              CAST(max(d.residual_l) AS BIGINT) AS max_residual
       FROM dev d JOIN mad m USING (event_type)
       GROUP BY 1 ORDER BY 1""",
+
+    // q101: exact P50/P90/P99 — quantile_disc shares the engine's
+    // rank-⌈p·n⌉ convention, so the order statistics hash-match.
+    "q101_tail_quantiles" -> """
+      SELECT event_type,
+             count(value) AS n,
+             quantile_disc(value, 0.5)  AS p50,
+             quantile_disc(value, 0.9)  AS p90,
+             quantile_disc(value, 0.99) AS p99
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1 ORDER BY 1""",
   )
 }

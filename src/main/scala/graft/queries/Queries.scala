@@ -2153,6 +2153,34 @@ object Queries {
     out
   }
 
+  /** Exact tail-quantile profile per event type ([[graft.operators
+    * .Quantiles.exactQuantileByGroup]]): P50/P90/P99 of `value` — the
+    * latency-dashboard staple — each an exact rank-⌈p·n⌉ order
+    * statistic selected through the GK-bracketed two-pass path (no
+    * per-group sort; tail brackets are O(n/accuracy) rows). The
+    * quantiles are data values, so the whole row hash-certifies
+    * against DuckDB's `quantile_disc`, which shares the ⌈p·n⌉
+    * convention (verified across n and p).
+    */
+  def q101TailQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val ev = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .select(col("event_type"), col("value")).persist()
+    val n = ev.groupBy(col("event_type")).agg(count(col("value")).as("n"))
+    val out = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+      .map { case (p, name) =>
+        Quantiles.exactQuantileByGroup(ev, "event_type", "value", p)
+          .withColumnRenamed("cut", name)
+      }
+      .foldLeft(n)((acc, q) => acc.join(q, "event_type"))
+      .orderBy(col("event_type"))
+      .persist()
+    out.count()
+    ev.unpersist(blocking = false)
+    out
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2258,5 +2286,6 @@ object Queries {
     "q98_trend_slopes"    -> (q98TrendSlopes _),
     "q99_incremental_clusters" -> (q99IncrementalClusters _),
     "q100_seasonal_anomaly" -> (q100SeasonalAnomaly _),
+    "q101_tail_quantiles" -> (q101TailQuantiles _),
   )
 }

@@ -130,4 +130,49 @@ class QuantilesSpec extends AnyFunSuite {
     val want = rows.groupBy(_._1).view.mapValues(g => refMedian(g.map(_._2))).toMap
     assert(got == want.toMap)
   }
+
+  /** Rank-⌈p·n⌉ reference (quantile_disc's convention; the double
+    * multiply deliberately mirrors the operator's arithmetic). */
+  private def refQuantile(vals: Seq[Double], p: Double): Double = {
+    val sorted = vals.sorted
+    val n = sorted.length
+    val k = math.max(1L, math.min(n.toLong, math.ceil(p * n).toLong)).toInt
+    sorted(k - 1)
+  }
+
+  test("exactQuantileByGroup: P05/P25/P50/P90/P99 parity with sort-based rank-k, incl. ties and tiny n") {
+    val rnd = new scala.util.Random(23)
+    val rows =
+      Seq.fill(4000)(("en", rnd.nextInt(100).toDouble)) ++   // heavy ties
+      Seq.fill(700)(("de", rnd.nextDouble() * 1000)) ++      // continuous
+      Seq.fill(10)(("fr", 3.0)) ++                           // all-tie
+      Seq(("xx", 42.0)) ++                                   // n = 1
+      Seq(("yy", 1.0), ("yy", 2.0), ("yy", 3.0))             // n = 3
+    val df = rnd.shuffle(rows).toDF("g", "v")
+    for (p <- Seq(0.05, 0.25, 0.5, 0.9, 0.99)) {
+      val got = Quantiles.exactQuantileByGroup(df, "g", "v", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(g => refQuantile(g.map(_._2), p)).toMap
+      assert(got == want.toMap, s"p=$p")
+    }
+    // median path unchanged: the p=0.5 ceil(n/2) rank IS the lower median
+    val med = Quantiles.exactMedianByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val med2 = Quantiles.exactQuantileByGroup(df, "g", "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med == med2)
+  }
+
+  test("exactQuantileByGroup: tail quantile on a 50k continuous group stays exact through the bracket") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(50000)(("en", rnd.nextDouble())) ++
+      Seq.fill(120)(("de", rnd.nextDouble()))
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.exactQuantileByGroup(df, "g", "v", 0.99, accuracy = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._1).view
+      .mapValues(g => refQuantile(g.map(_._2), 0.99)).toMap
+    assert(got == want.toMap)
+  }
 }

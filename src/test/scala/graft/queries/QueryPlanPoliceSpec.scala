@@ -60,9 +60,10 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // decomposed forms, pinned in depth by PlanAuditSpec: the lang-only
     // window rides a tiny contraction (q74 bracket / q47 bucket offsets)
     "q74_lm_quality_gate", "q47_stratified_sample",
-    // robust outliers: both windows are exactMedianByGroup's guarded
-    // distinct-value cumsum over BRACKET rows (the q74 decomposed form)
-    "q97_robust_outliers")
+    // robust outliers / tail quantiles: every window is
+    // exactQuantileByGroup's guarded distinct-value cumsum over
+    // BRACKET rows (the q74 decomposed form)
+    "q97_robust_outliers", "q101_tail_quantiles")
 
   private val lowCardCols = Set("lang", "source", "event_type")
 
