@@ -63,6 +63,11 @@ object Clusters {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
+      // exactly ONE alternation round per materialization: each star
+      // references its input several times (symmetric view + min join
+      // + hot/cold legs), so an un-checkpointed second round multiplies
+      // the logical plan ~100× — plan-string work alone then dwarfs
+      // the data work (measured: OOM in explainString at 2 rounds)
       e = smallStar(largeStar(e, hotThreshold), hotThreshold).localCheckpoint()
       val s = sig(e)
       converged = s == last
