@@ -186,6 +186,37 @@ object Quantiles {
       .select(g, col("bv").as("cut"))
   }
 
+  /** Per-group equi-WIDTH histogram (the profiling complement of the
+    * equi-depth [[valueThresholds]] buckets): bin i of B covers
+    * [min + i·w, min + (i+1)·w) with w = (max − min)/B, the last bin
+    * closed. Two passes, both plain hash aggregates: a per-group
+    * (min, max, n) pass (group-cardinality-sized, broadcast back) and
+    * the binned count pass — `floor((v − min)/w)` is scan-side IEEE
+    * arithmetic any engine reproduces bit-for-bit, so bin edges AND
+    * counts hash-certify. Degenerate all-equal groups (w = 0) land in
+    * bin 0. Empty bins are absent (count table, not a dense grid —
+    * join [[graft.operators.TimeSeries.gapFill]] for dense output).
+    */
+  def histogramByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val base = df.select(g, v).where(v.isNotNull && g.isNotNull)
+    val stats = base.groupBy(g).agg(min(v).as("vmin"), max(v).as("vmax"))
+      .withColumn("w", (col("vmax") - col("vmin")) / lit(bins.toDouble))
+    base.join(broadcast(stats), groupCol)
+      .withColumn("bin",
+        when(col("w") === 0.0, lit(0L)).otherwise(
+          least(lit(bins - 1L), floor((v - col("vmin")) / col("w")).cast("long"))))
+      .groupBy(g, col("bin"), col("vmin"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(g, col("bin"),
+        (col("vmin") + col("bin") * col("w")).as("bin_lo"),
+        (col("vmin") + (col("bin") + 1) * col("w")).as("bin_hi"),
+        col("n"))
+  }
+
   /** Assign every row its quantile bucket in [1, buckets]: 1 + the
     * number of thresholds strictly below the value. The threshold set
     * is buckets-1 rows — broadcast by construction; assignment adds no

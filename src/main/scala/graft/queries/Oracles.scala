@@ -1667,5 +1667,32 @@ object Oracles {
       FROM events
       WHERE event_type IS NOT NULL AND value IS NOT NULL
       GROUP BY 1 ORDER BY 1""",
+
+    // q102: equi-width histogram — bin arithmetic is the identical
+    // IEEE expression shape on both engines (w = range/10, floor
+    // division, last bin closed via least), so edges and counts match.
+    "q102_value_histogram" -> """
+      WITH b AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      s AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+               (max(value) - min(value)) / 10.0 AS w
+        FROM b GROUP BY 1),
+      binned AS (
+        SELECT b.event_type,
+               CASE WHEN s.w = 0 THEN CAST(0 AS BIGINT)
+                    ELSE least(CAST(9 AS BIGINT),
+                               CAST(floor((b.value - s.vmin) / s.w) AS BIGINT))
+               END AS bin,
+               s.vmin, s.w
+        FROM b JOIN s USING (event_type))
+      SELECT event_type, bin,
+             vmin + bin * w AS bin_lo,
+             vmin + (bin + 1) * w AS bin_hi,
+             count(*) AS n
+      FROM binned
+      GROUP BY event_type, bin, vmin, w
+      ORDER BY event_type, bin""",
   )
 }

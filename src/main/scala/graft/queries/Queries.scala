@@ -2181,6 +2181,18 @@ object Queries {
     out
   }
 
+  /** Per-type equi-width value histogram ([[graft.operators.Quantiles
+    * .histogramByGroup]]): two hash-aggregate passes (per-group
+    * min/max broadcast back, then binned counts at the scan) — the
+    * equi-WIDTH complement of q62's equi-depth buckets. Bin indices,
+    * edges and counts are shared IEEE arithmetic: the whole histogram
+    * hash-certifies.
+    */
+  def q102ValueHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.histogramByGroup(
+        eventsTable(s, dir), "event_type", "value", bins = 10)
+      .orderBy(col("event_type"), col("bin"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2287,5 +2299,6 @@ object Queries {
     "q99_incremental_clusters" -> (q99IncrementalClusters _),
     "q100_seasonal_anomaly" -> (q100SeasonalAnomaly _),
     "q101_tail_quantiles" -> (q101TailQuantiles _),
+    "q102_value_histogram" -> (q102ValueHistogram _),
   )
 }

@@ -175,4 +175,31 @@ class QuantilesSpec extends AnyFunSuite {
       .mapValues(g => refQuantile(g.map(_._2), 0.99)).toMap
     assert(got == want.toMap)
   }
+
+  test("histogramByGroup: bins/edges/counts match a driver reference; max lands in the last bin; w=0 group degenerates to bin 0") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(5000)(("a", rnd.nextDouble() * 100 - 50)) ++
+      Seq.fill(200)(("b", rnd.nextInt(7).toDouble)) ++
+      Seq.fill(9)(("c", 4.25))                       // all-equal: w = 0
+    val bins = 8
+    val got = Quantiles.histogramByGroup(rows.toDF("g", "v"), "g", "v", bins)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val vs = rs.map(_._2)
+      val (lo, hi) = (vs.min, vs.max)
+      val w = (hi - lo) / bins
+      vs.groupBy { v =>
+        if (w == 0.0) 0L else math.min(bins - 1L, math.floor((v - lo) / w).toLong)
+      }.map { case (b, bucket) =>
+        (g, b) -> (lo + b * w, lo + (b + 1) * w, bucket.size.toLong)
+      }
+    }
+    assert(got == want)
+    // conservation: every row lands in exactly one bin
+    assert(got.values.map(_._3).sum == rows.size)
+    // the max value is inside (closed) the last bin for each non-degenerate group
+    assert(got.keys.filter(_._1 == "a").map(_._2).max == bins - 1L)
+  }
 }

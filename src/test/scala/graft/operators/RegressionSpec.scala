@@ -67,4 +67,25 @@ class RegressionSpec extends AnyFunSuite {
       case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
       "sufficient-stats OLS must not sort")
   }
+
+  test("sufficient statistics are streaming-mergeable: complete-mode OLS ≡ batch over the union of micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = Seq(("a", 0L, 10L), ("a", 1L, 13L), ("b", 0L, 5L))
+    val b2 = Seq(("a", 2L, 16L), ("a", 3L, 19L), ("b", 2L, 1L), ("b", 4L, 9L))
+    val input = MemoryStream[(String, Long, Long)]
+    val ols = Regression.groupedOls(input.toDF().toDF("g", "x", "y"), "g", "x", "y")
+    val q = ols.writeStream.format("memory").queryName("olsstream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = spark.table("olsstream").collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("sxy"), r.getAs[Double]("slope"))).toMap
+      val batch = Regression.groupedOls((b1 ++ b2).toDF("g", "x", "y"), "g", "x", "y")
+        .collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("sxy"), r.getAs[Double]("slope"))).toMap
+      assert(stream == batch)
+    } finally q.stop()
+  }
 }
