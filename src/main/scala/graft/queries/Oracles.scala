@@ -1694,5 +1694,63 @@ object Oracles {
       FROM binned
       GROUP BY event_type, bin, vmin, w
       ORDER BY event_type, bin""",
+
+    // q103: retrieval metrics over the integer-cleared rational
+    // ranking key (q87's convention) with (score DESC, doc_id ASC)
+    // ties — row_number here, GroupTopK there, identical ranking;
+    // metric floats are single IEEE divisions of small integers.
+    "q103_retrieval_eval" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      nd AS (SELECT count(*) AS n FROM tok),
+      tfc AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        WHERE term IN ('join', 'hash', 'customer')
+        GROUP BY 1, 2),
+      dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+      q(query_id, term) AS (VALUES
+        ('q1','join'), ('q1','hash'), ('q2','customer'),
+        ('q3','hash'), ('q3','customer')),
+      scored AS (
+        SELECT q.query_id, tfc.doc_id,
+               CAST(sum((tfc.tf * (nd.n - dfc.df) * 1000000) // dfc.df)
+                    AS BIGINT) AS score,
+               count(DISTINCT q.term) AS n_hit
+        FROM q JOIN tfc USING (term) JOIN dfc USING (term) CROSS JOIN nd
+        GROUP BY 1, 2),
+      qsize AS (SELECT query_id, count(DISTINCT term) AS qn FROM q GROUP BY 1),
+      rel AS (
+        SELECT s.query_id, s.doc_id
+        FROM scored s JOIN qsize USING (query_id)
+        WHERE s.n_hit = qsize.qn),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM scored),
+      top AS (SELECT * FROM ranked WHERE rank <= 10),
+      m AS (
+        SELECT t.query_id,
+               CAST(count(r.doc_id) AS BIGINT) AS hits_at_k,
+               min(CASE WHEN r.doc_id IS NOT NULL THEN t.rank END) AS first_rel_rank
+        FROM top t LEFT JOIN rel r
+          ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        GROUP BY 1),
+      nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1)
+      SELECT m.query_id,
+             CAST(coalesce(nrel.n_relevant, 0) AS BIGINT) AS n_relevant,
+             m.hits_at_k,
+             CAST(m.first_rel_rank AS BIGINT) AS first_rel_rank,
+             CASE WHEN m.first_rel_rank IS NOT NULL
+                  THEN CAST(1 AS DOUBLE) / m.first_rel_rank
+                  ELSE CAST(0 AS DOUBLE) END AS mrr,
+             CAST(m.hits_at_k AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k,
+             CASE WHEN coalesce(nrel.n_relevant, 0) > 0
+                  THEN CAST(m.hits_at_k AS DOUBLE) / nrel.n_relevant
+                  ELSE CAST(0 AS DOUBLE) END AS recall_at_k
+      FROM m LEFT JOIN nrel USING (query_id)
+      ORDER BY m.query_id""",
   )
 }

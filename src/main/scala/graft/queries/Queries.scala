@@ -2193,6 +2193,51 @@ object Queries {
         eventsTable(s, dir), "event_type", "value", bins = 10)
       .orderBy(col("event_type"), col("bin"))
 
+  /** Retrieval evaluation ([[graft.operators.RetrievalEval]]): a
+    * 3-query benchmark scored in ONE corpus pass (all queries' terms
+    * in a single [[graft.operators.Bm25.termStats]] scan-level
+    * contraction), ranked by the integer-cleared rational relevance
+    * key `Σ_t (tf·(N−df)·10⁶) div df` (the q87 convention — certify
+    * the integer skeleton) through GroupTopK (no window), then
+    * hits@10 / MRR / precision / recall against the exact all-terms
+    * relevance definition. Metric floats are single IEEE divisions of
+    * small integers — the whole row hash-certifies.
+    */
+  def q103RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bm25, RetrievalEval}
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+    val queries = Seq(
+      "q1" -> Seq("join", "hash"),
+      "q2" -> Seq("customer"),
+      "q3" -> Seq("hash", "customer"))
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    // one pass over the corpus for every query's terms
+    val stats = Bm25.termStats(docs, "doc_id", "text", allTerms)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("n_docs"))
+    val scored = stats.join(broadcast(qt), "term")
+      .withColumn("pscore",
+        expr("CAST((tf * (n_docs - df) * 1000000) div df AS BIGINT)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("pscore")).as("score"),
+        countDistinct(col("term")).as("n_hit"))
+      .persist()
+    val qsize = qt.groupBy(col("query_id"))
+      .agg(countDistinct(col("term")).as("qn"))
+    val rel = scored.join(broadcast(qsize), "query_id")
+      .filter(col("n_hit") === col("qn"))
+      .select(col("query_id"), col("doc_id"))
+    val ranked = RetrievalEval.topKRanked(scored, "query_id", "doc_id", "score", 10)
+    val out = RetrievalEval.metricsAtK(ranked, rel, "query_id", "doc_id", 10)
+      .orderBy(col("query_id"))
+      .persist()
+    out.count()
+    scored.unpersist(blocking = false)
+    out
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2300,5 +2345,6 @@ object Queries {
     "q100_seasonal_anomaly" -> (q100SeasonalAnomaly _),
     "q101_tail_quantiles" -> (q101TailQuantiles _),
     "q102_value_histogram" -> (q102ValueHistogram _),
+    "q103_retrieval_eval" -> (q103RetrievalEval _),
   )
 }
