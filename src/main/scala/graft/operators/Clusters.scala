@@ -178,8 +178,16 @@ object Clusters {
       .join(broadcast(comps.select(col("id").as("cluster"), col("component").as("__new"))),
         Seq("cluster"), "left")
       .select(col("doc_id"), coalesce(col("__new"), col("cluster")).as("cluster"))
-    val batchNew = batchDocs
-      .select(col(idCol).cast("long").as("doc_id"))
+    // resend guard: a batch doc already present in `stored` keeps its
+    // stored row (the reference's duplicate-admission semantics) —
+    // without this a re-sent id would emit TWO assignment rows. The
+    // already-stored subset is found by one more broadcast-probed scan
+    // of the stored table (scan, never shuffle — same as endpointRep).
+    val batchIds = batchDocs.select(col(idCol).cast("long").as("doc_id"))
+    val resent = st.join(broadcast(batchIds), Seq("doc_id"))
+      .select(col("doc_id"))
+    val batchNew = batchIds
+      .join(broadcast(resent), Seq("doc_id"), "left_anti")
       .join(broadcast(comps.select(col("id").as("doc_id"), col("component").as("__new"))),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__new"), col("doc_id")).as("cluster"))

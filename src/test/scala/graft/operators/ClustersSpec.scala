@@ -109,6 +109,19 @@ class ClustersSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("appendClusters: a re-sent batch doc keeps its stored row, no duplicate assignment") {
+    import spark.implicits._
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster")
+    // doc 2 is re-sent alongside genuinely-new doc 30
+    val batch = Seq(2L, 30L).toDF("doc_id")
+    val pairs = Seq((30L, 5L)).toDF("id_a", "id_b")
+    val out = Clusters.appendClusters(stored, batch, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == out.map(_._1).distinct.length, "one row per doc")
+    val m = out.map(r => r._1 -> r._2).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 30L -> 5L))
+  }
+
   test("appendClusters ≡ full dedupClusters on seeded random two-day corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(1234)
