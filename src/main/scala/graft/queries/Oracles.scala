@@ -1752,5 +1752,31 @@ object Oracles {
                   ELSE CAST(0 AS DOUBLE) END AS recall_at_k
       FROM m LEFT JOIN nrel USING (query_id)
       ORDER BY m.query_id""",
+
+    // q104: q91's sequential min-chain funnel, full conversions only,
+    // delay = t4 − t1; exact weekly P50/P90 via quantile_disc (the
+    // engine's rank-⌈p·n⌉ convention).
+    "q104_funnel_latency" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        WHERE event_type IN ('signup','view','click','purchase')),
+      s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND t >= t1 AND t <= t1 + 172800000000 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'click' AND t >= t2 AND t <= t2 + 172800000000 GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+             WHERE event_type = 'purchase' AND t >= t3 AND t <= t3 + 172800000000 GROUP BY 1),
+      conv AS (
+        SELECT CAST(CAST(make_timestamp(s1.t1) AS DATE) - DATE '2024-01-01'
+                    AS BIGINT) // 7 AS week_idx,
+               s4.t4 - s1.t1 AS delay_us
+        FROM s4 JOIN s1 USING (user_id))
+      SELECT week_idx,
+             count(*) AS n_converted,
+             quantile_disc(delay_us, 0.5) AS p50_us,
+             quantile_disc(delay_us, 0.9) AS p90_us
+      FROM conv GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2238,6 +2238,43 @@ object Queries {
     out
   }
 
+  /** Funnel conversion latency ([[graft.operators.EventOps
+    * .funnelUsers]] × [[graft.operators.Quantiles
+    * .exactQuantileByGroup]]): per signup-week cohort, how long full
+    * conversion takes — exact P50/P90 of (t_purchase − t_signup) over
+    * users completing the whole 4-step windowed funnel. The per-user
+    * step times come from the one-shuffle greedy fold (q91's
+    * machinery — the fold's first-admissible time IS the relational
+    * min-chain's, so the oracle can replay it sequentially); delays
+    * are integer epoch-micro differences, the quantiles are data
+    * values — every column hash-certifies.
+    */
+  def q104FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{EventOps, Quantiles}
+    val gap = 172800000000L // 2 days in µs, q91's window
+    val fu = EventOps.funnelUsers(eventsTable(s, dir), "user_id", "event_type",
+      "ts", Seq("signup", "view", "click", "purchase"), Some(gap))
+    val conv = fu.filter(col("steps_completed") === 4)
+      .select(
+        expr("CAST(datediff(to_date(timestamp_micros(element_at(times, 1))), " +
+          "DATE'2024-01-01') div 7 AS BIGINT)").as("week_idx"),
+        (element_at(col("times"), 4) - element_at(col("times"), 1)).as("delay_us"))
+      .persist()
+    val base = conv.select(col("week_idx"), col("delay_us").cast("double").as("delay"))
+    val n = conv.groupBy(col("week_idx")).agg(count(lit(1)).as("n_converted"))
+    val out = Seq(0.5 -> "p50_us", 0.9 -> "p90_us")
+      .map { case (p, name) =>
+        Quantiles.exactQuantileByGroup(base, "week_idx", "delay", p)
+          .select(col("week_idx"), col("cut").cast("long").as(name))
+      }
+      .foldLeft(n)((acc, q) => acc.join(q, "week_idx"))
+      .orderBy(col("week_idx"))
+      .persist()
+    out.count()
+    conv.unpersist(blocking = false)
+    out
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2346,5 +2383,6 @@ object Queries {
     "q101_tail_quantiles" -> (q101TailQuantiles _),
     "q102_value_histogram" -> (q102ValueHistogram _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
+    "q104_funnel_latency" -> (q104FunnelLatency _),
   )
 }

@@ -64,9 +64,9 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // robust outliers / tail quantiles: every window is
     // exactQuantileByGroup's guarded distinct-value cumsum over
     // BRACKET rows (the q74 decomposed form)
-    "q97_robust_outliers", "q101_tail_quantiles")
+    "q97_robust_outliers", "q101_tail_quantiles", "q104_funnel_latency")
 
-  private val lowCardCols = Set("lang", "source", "event_type")
+  private val lowCardCols = Set("lang", "source", "event_type", "week_idx")
 
   test("every declared query: no unlisted cartesian; no unlisted low-cardinality window; no global window outside q62") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
