@@ -1778,5 +1778,51 @@ object Oracles {
              quantile_disc(delay_us, 0.5) AS p50_us,
              quantile_disc(delay_us, 0.9) AS p90_us
       FROM conv GROUP BY 1 ORDER BY 1""",
+
+    // q105: half-year drift — reference edges from the first half,
+    // clamped binning, cleared-denominator L1, one IEEE division.
+    "q105_drift_monitor" -> """
+      WITH ev AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+               value
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      ref AS (SELECT * FROM ev WHERE day_idx < 15),
+      batch AS (SELECT * FROM ev WHERE day_idx >= 15),
+      e AS (
+        SELECT event_type, min(value) AS vmin,
+               (max(value) - min(value)) / 10.0 AS w
+        FROM ref GROUP BY 1),
+      h1 AS (
+        SELECT r.event_type,
+               CASE WHEN e.w = 0 THEN CAST(0 AS BIGINT)
+                    ELSE greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+                         CAST(floor((r.value - e.vmin) / e.w) AS BIGINT))) END AS bin,
+               count(*) AS n
+        FROM ref r JOIN e USING (event_type) GROUP BY 1, 2),
+      h2 AS (
+        SELECT b.event_type,
+               CASE WHEN e.w = 0 THEN CAST(0 AS BIGINT)
+                    ELSE greatest(CAST(0 AS BIGINT), least(CAST(9 AS BIGINT),
+                         CAST(floor((b.value - e.vmin) / e.w) AS BIGINT))) END AS bin,
+               count(*) AS n
+        FROM batch b JOIN e USING (event_type) GROUP BY 1, 2),
+      t1 AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t_ref FROM h1 GROUP BY 1),
+      t2 AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t_batch FROM h2 GROUP BY 1),
+      j AS (
+        SELECT coalesce(h1.event_type, h2.event_type) AS event_type,
+               coalesce(h1.n, 0) AS n_ref, coalesce(h2.n, 0) AS n_batch
+        FROM h1 FULL OUTER JOIN h2
+          ON h1.event_type = h2.event_type AND h1.bin = h2.bin),
+      d AS (
+        SELECT j.event_type, min(t1.t_ref) AS t_ref, min(t2.t_batch) AS t_batch,
+               CAST(sum(abs(j.n_ref * t2.t_batch - j.n_batch * t1.t_ref))
+                    AS BIGINT) AS l1_num
+        FROM j JOIN t1 USING (event_type) JOIN t2 USING (event_type)
+        GROUP BY 1)
+      SELECT event_type, t_ref, t_batch, l1_num,
+             CAST(l1_num AS DOUBLE) /
+               (CAST(2 AS DOUBLE) * CAST(t_ref * t_batch AS DOUBLE)) AS tvd
+      FROM d ORDER BY event_type""",
   )
 }

@@ -2275,6 +2275,36 @@ object Queries {
     out
   }
 
+  /** Distribution-drift monitor ([[graft.operators.Drift]]): the
+    * value distribution of each event type in the back half of the
+    * corpus window measured against the front half's REFERENCE histogram —
+    * shared reference edges (out-of-range mass clamps into the end
+    * bins), exact cleared-denominator L1 numerator, and TVD as one
+    * IEEE division. Each half is scanned once; the comparison runs on
+    * the (types × bins)-sized count tables. Everything hash-certifies.
+    */
+  def q105DriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift
+    val ev = eventsTable(s, dir)
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"),
+        col("value"))
+      .persist()
+    val ref = ev.filter(col("day_idx") < 15)
+    val batch = ev.filter(col("day_idx") >= 15)
+    val e = Drift.edges(ref, "event_type", "value", bins = 10)
+    val h1 = Drift.histogram(ref, "event_type", "value", e, bins = 10)
+    val h2 = Drift.histogram(batch, "event_type", "value", e, bins = 10)
+    val out = Drift.l1(h1, h2, "event_type")
+      .orderBy(col("event_type"))
+      .persist()
+    out.count()
+    ev.unpersist(blocking = false)
+    out
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2384,5 +2414,6 @@ object Queries {
     "q102_value_histogram" -> (q102ValueHistogram _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_funnel_latency" -> (q104FunnelLatency _),
+    "q105_drift_monitor" -> (q105DriftMonitor _),
   )
 }

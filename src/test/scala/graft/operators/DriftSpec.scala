@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DriftSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val bins = 5
+
+  private def tvdRef(ref: Seq[Double], batch: Seq[Double]): (Long, Double) = {
+    val (lo, hi) = (ref.min, ref.max)
+    val w = (hi - lo) / bins
+    def bin(v: Double): Long =
+      if (w == 0.0) 0L
+      else math.max(0L, math.min(bins - 1L, math.floor((v - lo) / w).toLong))
+    val h1 = ref.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val h2 = batch.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val (t1, t2) = (ref.size.toLong, batch.size.toLong)
+    val num = (0L until bins.toLong).map { b =>
+      math.abs(h1.getOrElse(b, 0L) * t2 - h2.getOrElse(b, 0L) * t1)
+    }.sum
+    (num, num.toDouble / (2.0 * (t1 * t2).toDouble))
+  }
+
+  private def run(data: Seq[(String, Double, Boolean)]) = {
+    val df = data.map { case (g, v, isRef) => (g, v, isRef) }.toDF("g", "v", "is_ref")
+    val ref = df.filter($"is_ref")
+    val batch = df.filter(!$"is_ref")
+    val e = Drift.edges(ref, "g", "v", bins)
+    Drift.l1(
+        Drift.histogram(ref, "g", "v", e, bins),
+        Drift.histogram(batch, "g", "v", e, bins), "g")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+  }
+
+  test("TVD matches a driver reference; identical distributions give 0; clamping catches out-of-range drift") {
+    val rnd = new scala.util.Random(41)
+    val refA = Seq.fill(400)(rnd.nextDouble() * 10)
+    val batchA = Seq.fill(300)(rnd.nextDouble() * 10 + 4)   // shifted, partly out of range
+    val refB = Seq.fill(100)(rnd.nextInt(5).toDouble)
+    val batchB = refB                                       // identical ⇒ zero drift
+    val data = refA.map(("a", _, true)) ++ batchA.map(("a", _, false)) ++
+      refB.map(("b", _, true)) ++ batchB.map(("b", _, false))
+    val got = run(data)
+    val (numA, tvdA) = tvdRef(refA, batchA)
+    assert(got("a") == ((numA, tvdA)))
+    assert(got("b")._2 == 0.0)
+    assert(tvdA > 0.0 && tvdA <= 1.0)
+  }
+
+  test("degenerate reference (w = 0) puts all mass in bin 0 on both sides") {
+    val data = Seq.fill(10)(("c", 7.0, true)) ++
+      Seq(("c", 7.0, false), ("c", 99.0, false))
+    // everything bins to 0 ⇒ identical normalized histograms ⇒ TVD 0
+    assert(run(data)("c")._2 == 0.0)
+  }
+}
