@@ -64,6 +64,22 @@ object Drift {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Categorical histogram — the no-binning counterpart of
+    * [[histogram]] for discrete columns (language, source, label):
+    * `(group, bin, n)` with the category itself as the bin. Feed two
+    * of these to [[l1]] for categorical drift (lang-mix shift,
+    * source-mix shift); categories unseen on one side count 0 there,
+    * exactly like empty bins.
+    */
+  def categoricalHistogram(df: DataFrame, groupCol: String,
+                           catCol: String): DataFrame = {
+    val g = col(groupCol)
+    val c = col(catCol)
+    df.where(c.isNotNull && g.isNotNull)
+      .groupBy(g, c.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Exact L1 / total-variation drift between two histograms sharing a
     * binning. One row per group present in BOTH: per-group totals,
     * `l1_num` (the cleared-denominator L1 numerator, BIGINT-exact) and

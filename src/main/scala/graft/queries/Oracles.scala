@@ -1824,5 +1824,37 @@ object Oracles {
              CAST(l1_num AS DOUBLE) /
                (CAST(2 AS DOUBLE) * CAST(t_ref * t_batch AS DOUBLE)) AS tvd
       FROM d ORDER BY event_type""",
+
+    // q106: categorical (language-mix) drift per source between the
+    // doc_id-parity snapshots — categories as bins, same arithmetic.
+    "q106_mix_drift" -> """
+      WITH hb AS (
+        SELECT source, lang,
+               (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS bucket
+        FROM (SELECT source, lang,
+                     md5('snapshot:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents)),
+      ref AS (SELECT source, lang FROM hb WHERE bucket < 128),
+      batch AS (SELECT source, lang FROM hb WHERE bucket >= 128),
+      h1 AS (SELECT source, lang AS bin, count(*) AS n FROM ref GROUP BY 1, 2),
+      h2 AS (SELECT source, lang AS bin, count(*) AS n FROM batch GROUP BY 1, 2),
+      t1 AS (SELECT source, CAST(sum(n) AS BIGINT) AS t_ref FROM h1 GROUP BY 1),
+      t2 AS (SELECT source, CAST(sum(n) AS BIGINT) AS t_batch FROM h2 GROUP BY 1),
+      j AS (
+        SELECT coalesce(h1.source, h2.source) AS source,
+               coalesce(h1.n, 0) AS n_ref, coalesce(h2.n, 0) AS n_batch
+        FROM h1 FULL OUTER JOIN h2
+          ON h1.source = h2.source AND h1.bin = h2.bin),
+      d AS (
+        SELECT j.source, min(t1.t_ref) AS t_ref, min(t2.t_batch) AS t_batch,
+               CAST(sum(abs(j.n_ref * t2.t_batch - j.n_batch * t1.t_ref))
+                    AS BIGINT) AS l1_num
+        FROM j JOIN t1 USING (source) JOIN t2 USING (source)
+        GROUP BY 1)
+      SELECT source, t_ref, t_batch, l1_num,
+             CAST(l1_num AS DOUBLE) /
+               (CAST(2 AS DOUBLE) * CAST(t_ref * t_batch AS DOUBLE)) AS tvd
+      FROM d ORDER BY source""",
   )
 }

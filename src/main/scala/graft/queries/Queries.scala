@@ -2305,6 +2305,29 @@ object Queries {
     out
   }
 
+  /** Categorical mix drift ([[graft.operators.Drift
+    * .categoricalHistogram]]): per-source LANGUAGE-mix divergence
+    * between two corpus snapshots — the no-binning Drift leg:
+    * categories are the bins, unseen categories count 0, same exact
+    * L1/TVD arithmetic. The snapshot split is the md5 hash bucket
+    * (q41's engine-independent machinery), NOT doc_id parity: the
+    * generator assigns source by doc_id modulo, so any arithmetic
+    * split correlates with source and degenerates to empty overlap.
+    */
+  def q106MixDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift
+    import graft.functions.Curation
+    val docs = table(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        Curation.hashBucket256(col("doc_id"), "snapshot").as("bucket"))
+    val ref = docs.filter(col("bucket") < 128)
+    val batch = docs.filter(col("bucket") >= 128)
+    Drift.l1(
+        Drift.categoricalHistogram(ref, "source", "lang"),
+        Drift.categoricalHistogram(batch, "source", "lang"), "source")
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2415,5 +2438,6 @@ object Queries {
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_funnel_latency" -> (q104FunnelLatency _),
     "q105_drift_monitor" -> (q105DriftMonitor _),
+    "q106_mix_drift"     -> (q106MixDrift _),
   )
 }

@@ -56,6 +56,17 @@ class DriftSpec extends AnyFunSuite {
     assert(tvdA > 0.0 && tvdA <= 1.0)
   }
 
+  test("categorical drift: categories as bins, one-sided categories count 0") {
+    val ref = Seq(("s", "en"), ("s", "en"), ("s", "de"))          // en 2/3, de 1/3
+    val batch = Seq(("s", "en"), ("s", "fr"), ("s", "fr"))        // en 1/3, fr 2/3
+    val got = Drift.l1(
+        Drift.categoricalHistogram(ref.toDF("g", "c"), "g", "c"),
+        Drift.categoricalHistogram(batch.toDF("g", "c"), "g", "c"), "g")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // l1_num = |2*3-1*3| + |1*3-0| + |0-2*3| = 3+3+6 = 12; tvd = 12/(2*9) = 2/3
+    assert(got.toSeq == Seq((3L, 3L, 12L, 12.0 / 18.0)))
+  }
+
   test("degenerate reference (w = 0) puts all mass in bin 0 on both sides") {
     val data = Seq.fill(10)(("c", 7.0, true)) ++
       Seq(("c", 7.0, false), ("c", 99.0, false))
