@@ -73,4 +73,42 @@ class DriftSpec extends AnyFunSuite {
     // everything bins to 0 ⇒ identical normalized histograms ⇒ TVD 0
     assert(run(data)("c")._2 == 0.0)
   }
+
+  test("streaming drift gate: per-micro-batch TVD vs the stored reference ≡ the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(43)
+    val refRows = Seq.fill(300)(("a", rnd.nextDouble() * 10))
+    val refDf = refRows.toDF("g", "v")
+    val e = Drift.edges(refDf, "g", "v", bins)
+    val refHist = Drift.histogram(refDf, "g", "v", e, bins)
+    e.persist().count(); refHist.persist().count()
+
+    val batches = Seq(
+      Seq.fill(50)(("a", rnd.nextDouble() * 10 + 3)),
+      Seq.fill(80)(("a", rnd.nextDouble() * 2)))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the stored edges/reference are static; each micro-batch is
+        // histogrammed against them and scored — the monitoring loop
+        val row = Drift.l1(refHist, Drift.histogram(df, "g", "v", e, bins), "g")
+          .collect().headOption
+        row.foreach(r => seen += ((r.getLong(3), r.getDouble(4))))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val want = batches.map { b =>
+        val got = Drift.l1(refHist,
+          Drift.histogram(b.toDF("g", "v"), "g", "v", e, bins), "g")
+          .collect().head
+        (got.getLong(3), got.getDouble(4))
+      }
+      assert(seen.toSeq == want)
+      assert(want.forall(_._2 > 0.0))
+    } finally { q.stop(); e.unpersist(blocking = false); refHist.unpersist(blocking = false) }
+  }
 }
