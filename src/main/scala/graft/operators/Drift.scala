@@ -80,6 +80,41 @@ object Drift {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** A stored reference: edges + histogram persisted as tables (the
+    * stored-model family's save/load convention — NgramLM, Bm25Index,
+    * DedupIndex). Both tables are group-cardinality × bins sized, so
+    * no bucketing is needed: they broadcast wherever they're used.
+    */
+  final case class Reference(edges: DataFrame, histogram: DataFrame, bins: Int)
+
+  /** Compute and persist the reference for `df` under `name`
+    * (`<name>_edges`, `<name>_hist`, `<name>_meta`). */
+  def store(df: DataFrame, groupCol: String, valueCol: String,
+            bins: Int, name: String): Reference = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = edges(df, groupCol, valueCol, bins)
+    e.write.mode("overwrite").saveAsTable(s"${name}_edges")
+    val storedEdges = spark.table(s"${name}_edges")
+    val h = histogram(df, groupCol, valueCol, storedEdges, bins)
+    h.write.mode("overwrite").saveAsTable(s"${name}_hist")
+    Seq(bins).toDF("bins").write.mode("overwrite").saveAsTable(s"${name}_meta")
+    Reference(storedEdges, spark.table(s"${name}_hist"), bins)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, name: String): Reference =
+    Reference(spark.table(s"${name}_edges"), spark.table(s"${name}_hist"),
+      spark.table(s"${name}_meta").head().getInt(0))
+
+  /** Score a batch against a stored reference: histogram with the
+    * REFERENCE edges, then exact L1/TVD. The monitoring loop — batch
+    * or per-micro-batch via foreachBatch (DriftSpec proves parity).
+    */
+  def scoreAgainst(ref: Reference, batch: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame =
+    l1(ref.histogram, histogram(batch, groupCol, valueCol, ref.edges, ref.bins),
+      groupCol)
+
   /** Exact L1 / total-variation drift between two histograms sharing a
     * binning. One row per group present in BOTH: per-group totals,
     * `l1_num` (the cleared-denominator L1 numerator, BIGINT-exact) and

@@ -74,6 +74,33 @@ class DriftSpec extends AnyFunSuite {
     assert(run(data)("c")._2 == 0.0)
   }
 
+  test("store/load round-trip: scoreAgainst a reloaded reference ≡ the direct computation") {
+    val rnd = new scala.util.Random(47)
+    val refRows = Seq.fill(500)(("a", rnd.nextDouble() * 20)) ++
+      Seq.fill(200)(("b", rnd.nextInt(9).toDouble))
+    val batchRows = Seq.fill(150)(("a", rnd.nextDouble() * 30 - 5)) ++
+      Seq.fill(90)(("b", rnd.nextInt(4).toDouble))
+    val tbl = s"driftref${System.nanoTime()}"
+    try {
+      val stored = Drift.store(refRows.toDF("g", "v"), "g", "v", bins, tbl)
+      val reloaded = Drift.load(spark, tbl)
+      assert(reloaded.bins == bins)
+      val viaStored = Drift.scoreAgainst(reloaded, batchRows.toDF("g", "v"), "g", "v")
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      val refDf = refRows.toDF("g", "v")
+      val e = Drift.edges(refDf, "g", "v", bins)
+      val direct = Drift.l1(
+          Drift.histogram(refDf, "g", "v", e, bins),
+          Drift.histogram(batchRows.toDF("g", "v"), "g", "v", e, bins), "g")
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      assert(viaStored == direct)
+      assert(stored.bins == bins)
+    } finally {
+      Seq("_edges", "_hist", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    }
+  }
+
   test("streaming drift gate: per-micro-batch TVD vs the stored reference ≡ the batch computation") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
