@@ -51,6 +51,7 @@ object RetrievalEval {
     require(k > 0, s"k must be positive, got $k")
     val rel = relevance.select(col(queryCol), col(idCol)).distinct()
     val perQ = ranked
+      .filter(col("rank") <= k) // metrics@k never see deeper ranks, whatever the caller ranked
       .join(rel.withColumn("__rel", lit(1L)), Seq(queryCol, idCol), "left")
       .groupBy(col(queryCol))
       .agg(

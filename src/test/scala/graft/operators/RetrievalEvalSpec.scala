@@ -35,7 +35,9 @@ class RetrievalEvalSpec extends AnyFunSuite {
       ("a", 99L),               // relevant but never ranked
       ("b", 77L))               // b's only relevant is unranked; c has none
       .toDF("q", "doc")
-    val got = RetrievalEval.metricsAtK(ranked, rel, "q", "doc", k = 3)
+    // a deeper-ranked relevant row must NOT leak into metrics@3
+    val rankedDeep = ranked.union(Seq(("a", 99L, 4L)).toDF("q", "doc", "rank"))
+    val got = RetrievalEval.metricsAtK(rankedDeep, rel, "q", "doc", k = 3)
       .collect().map { r =>
         r.getString(0) -> ((r.getLong(1), r.getLong(2),
           Option(r.get(3)).map(_.asInstanceOf[Long]),
