@@ -45,4 +45,43 @@ object RangeJoin {
         col(ptCol) <= col(prefix + endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: every (a, b) pair sharing `keys` whose
+    * inclusive ranges intersect (`aStart ≤ b_end AND bStart ≤ a_end`).
+    * Spark plans this non-equi predicate as a nested loop; here both
+    * sides explode to their covered buckets and meet in a plain
+    * shuffled equi-join on (key, bucket).
+    *
+    * An overlapping pair shares EVERY bucket of its intersection, so
+    * naive bucketing duplicates it; instead of a distinct (a full
+    * extra shuffle of the output), each pair is attributed to ONE
+    * canonical bucket — the bucket containing the intersection's
+    * start, `max(aStart, bStart) div width` — and all other meetings
+    * are filtered. Exact, no dedup shuffle. Cost: each side pays
+    * (length/width + 1) rows; pick `bucketWidth` near the median
+    * interval length. Columns must be NONNEGATIVE integers (the
+    * `div` bucketing contract above). B-side columns arrive prefixed.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+                      aStartCol: String, aEndCol: String,
+                      bStartCol: String, bEndCol: String,
+                      bucketWidth: Long, prefix: String = "b_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, startCol: String, endCol: String,
+                 pfx: String): DataFrame = {
+      val payload = df.columns.toSeq.filterNot(keys.contains)
+      df.select(keys.map(col) ++ payload.map(c => col(c).as(pfx + c)) :+
+        explode(sequence(
+          expr(s"$startCol div ${bucketWidth}L"),
+          expr(s"$endCol div ${bucketWidth}L"))).as("__bucket"): _*)
+    }
+    val aExp = exploded(a, aStartCol, aEndCol, "")
+    val bExp = exploded(b, bStartCol, bEndCol, prefix)
+    aExp.join(bExp, keys :+ "__bucket")
+      .filter(col(aStartCol) <= col(prefix + bEndCol) &&
+        col(prefix + bStartCol) <= col(aEndCol))
+      .filter(col("__bucket") ===
+        expr(s"greatest($aStartCol, $prefix$bStartCol) div ${bucketWidth}L"))
+      .drop("__bucket")
+  }
 }

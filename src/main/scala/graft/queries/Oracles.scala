@@ -1856,5 +1856,27 @@ object Oracles {
              CAST(l1_num AS DOUBLE) /
                (CAST(2 AS DOUBLE) * CAST(t_ref * t_batch AS DOUBLE)) AS tvd
       FROM d ORDER BY source""",
+
+    // q107: the interval-overlap join as a straight inequality join —
+    // DuckDB's IEJoin handles it natively; overlap length in exact
+    // integer days.
+    "q107_overlap_join" -> """
+      WITH ord AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS d
+        FROM orders),
+      u AS (SELECT o_custkey, d AS u_start, d + 6 AS u_end FROM ord
+            WHERE o_orderpriority = '1-URGENT'),
+      l AS (SELECT o_custkey, d AS l_start, d + 6 AS l_end FROM ord
+            WHERE o_orderpriority = '5-LOW'),
+      p AS (
+        SELECT u.o_custkey,
+               least(u.u_end, l.l_end) - greatest(u.u_start, l.l_start) + 1
+                 AS overlap_days
+        FROM u JOIN l ON u.o_custkey = l.o_custkey
+          AND u.u_start <= l.l_end AND l.l_start <= u.u_end)
+      SELECT overlap_days, count(*) AS n_pairs,
+             count(DISTINCT o_custkey) AS n_customers
+      FROM p GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2328,6 +2328,37 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Interval-overlap join ([[graft.operators.RangeJoin
+    * .intervalOverlap]]): per-customer 7-day order windows — every
+    * URGENT order whose week overlaps a LOW-priority order's week of
+    * the same customer. The non-equi overlap predicate runs as a
+    * bucketed equi-join with canonical-bucket dedup (no nested loop,
+    * no distinct shuffle — plan-pinned in RangeJoinSpec's machinery);
+    * the rollup distributes pairs by exact integer overlap length.
+    */
+  def q107OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val ord = table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("d"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey").as("u_key"),
+        col("d").as("u_start"), (col("d") + 6).as("u_end"))
+    val low = ord.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey"), col("o_orderkey").as("l_key"),
+        col("d").as("l_start"), (col("d") + 6).as("l_end"))
+    RangeJoin.intervalOverlap(urgent, low, Seq("o_custkey"),
+        "u_start", "u_end", "l_start", "l_end", bucketWidth = 7L)
+      .withColumn("overlap_days",
+        least(col("u_end"), col("b_l_end")) -
+          greatest(col("u_start"), col("b_l_start")) + 1)
+      .groupBy(col("overlap_days"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("overlap_days"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2439,5 +2470,6 @@ object Queries {
     "q104_funnel_latency" -> (q104FunnelLatency _),
     "q105_drift_monitor" -> (q105DriftMonitor _),
     "q106_mix_drift"     -> (q106MixDrift _),
+    "q107_overlap_join"  -> (q107OverlapJoin _),
   )
 }

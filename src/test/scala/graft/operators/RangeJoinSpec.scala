@@ -68,6 +68,38 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlap: seeded brute-force parity across widths; touching endpoints overlap; no duplicates") {
+    val rnd = new scala.util.Random(53)
+    val as = (1 to 120).map { i =>
+      val s = rnd.nextInt(300).toLong
+      (i.toLong, s"k${rnd.nextInt(4)}", s, s + rnd.nextInt(40))
+    }
+    val bs = (1 to 120).map { i =>
+      val s = rnd.nextInt(300).toLong
+      (i.toLong, s"k${rnd.nextInt(4)}", s, s + rnd.nextInt(40))
+    }
+    val expect = (for {
+      (ai, ak, as0, ae) <- as
+      (bi, bk, bs0, be) <- bs
+      if ak == bk && as0 <= be && bs0 <= ae
+    } yield (ai, bi)).sorted.toSeq
+    for (width <- Seq(1L, 7L, 32L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(
+          as.toDF("aid", "k", "a_s", "a_e"), bs.toDF("bid", "k", "b_s", "b_e"),
+          Seq("k"), "a_s", "a_e", "b_s", "b_e", width)
+        .select("aid", "b_bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expect, s"width=$width")
+      assert(got.distinct == got, s"duplicates at width=$width")
+    }
+    // touching endpoints (inclusive): [0,5] and [5,9] overlap
+    val t = RangeJoin.intervalOverlap(
+        Seq((1L, "x", 0L, 5L)).toDF("aid", "k", "a_s", "a_e"),
+        Seq((2L, "x", 5L, 9L)).toDF("bid", "k", "b_s", "b_e"),
+        Seq("k"), "a_s", "a_e", "b_s", "b_e", 4L)
+    assert(t.count() == 1)
+  }
+
   test("q61 plans as an equi-join — no nested loop, no cartesian") {
     val p = graft.queries.Queries.q61RangeJoin(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
