@@ -81,6 +81,30 @@ object TimeSeries {
     * exact (associativity-independent) sums are required — the q96
     * pattern.
     */
+  /** Sweep-line interval concurrency: for each key, the maximum number
+    * of simultaneously-open inclusive integer intervals. The classic
+    * sweep — +1 at `start`, −1 at `end + 1` — with the per-(key, t)
+    * NET delta aggregated FIRST, so the running cumsum orders over
+    * distinct times only (no tie ambiguity: an interval closing at t
+    * and another opening at t net out before the max is read, which is
+    * exactly the inclusive-interval semantic). The only window
+    * partitions by the high-cardinality key over its distinct event
+    * times — bounded per-task input at any corpus size.
+    */
+  def maxConcurrency(intervals: DataFrame, keyCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val k = col(keyCol)
+    val deltas = intervals
+      .select(k, col(startCol).cast("long").as("t"), lit(1L).as("d"))
+      .union(intervals.select(k, (col(endCol).cast("long") + 1).as("t"),
+        lit(-1L).as("d")))
+      .groupBy(k, col("t")).agg(sum(col("d")).as("net"))
+    val w = Window.partitionBy(k).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open", sum(col("net")).over(w))
+      .groupBy(k).agg(max(col("open")).as("max_concurrent"))
+  }
+
   def rollingSum(df: DataFrame, keyCol: String, bucketCol: String,
                  valueCols: Seq[String], span: Long): DataFrame = {
     require(span >= 1, "span must be >= 1")

@@ -1878,5 +1878,31 @@ object Oracles {
       SELECT overlap_days, count(*) AS n_pairs,
              count(DISTINCT o_custkey) AS n_customers
       FROM p GROUP BY 1 ORDER BY 1""",
+
+    // q108: sweep-line concurrency — net deltas per (customer, day),
+    // running sum over distinct days, max per customer.
+    "q108_concurrency" -> """
+      WITH win AS (
+        SELECT o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS s,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) + 6 AS e
+        FROM orders),
+      ev AS (
+        SELECT o_custkey, s AS t, CAST(1 AS BIGINT) AS d FROM win
+        UNION ALL
+        SELECT o_custkey, e + 1 AS t, CAST(-1 AS BIGINT) AS d FROM win),
+      net AS (
+        SELECT o_custkey, t, CAST(sum(d) AS BIGINT) AS net
+        FROM ev GROUP BY 1, 2),
+      run AS (
+        SELECT o_custkey,
+               CAST(sum(net) OVER (PARTITION BY o_custkey ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS open
+        FROM net),
+      mx AS (
+        SELECT o_custkey, max(open) AS max_concurrent FROM run GROUP BY 1)
+      SELECT max_concurrent, count(*) AS n_customers
+      FROM mx GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2359,6 +2359,24 @@ object Queries {
       .orderBy(col("overlap_days"))
   }
 
+  /** Interval concurrency ([[graft.operators.TimeSeries
+    * .maxConcurrency]]): how many 7-day order windows each customer
+    * holds open at once, rolled into a distribution — the sweep-line
+    * net-delta cumsum per customer (high-cardinality window over
+    * distinct event days only). Integers end to end.
+    */
+  def q108Concurrency(s: SparkSession, dir: String): DataFrame = {
+    val win = table(s, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("w_start"))
+      .withColumn("w_end", col("w_start") + 6)
+    graft.operators.TimeSeries.maxConcurrency(win, "o_custkey", "w_start", "w_end")
+      .groupBy(col("max_concurrent"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("max_concurrent"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2471,5 +2489,6 @@ object Queries {
     "q105_drift_monitor" -> (q105DriftMonitor _),
     "q106_mix_drift"     -> (q106MixDrift _),
     "q107_overlap_join"  -> (q107OverlapJoin _),
+    "q108_concurrency"   -> (q108Concurrency _),
   )
 }

@@ -85,4 +85,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     val r = out.filter(col("b") === 2L).collect().head
     assert(r.getAs[Long]("rolling_x") == 30L && r.getAs[Long]("rolling_y") == 3L)
   }
+
+  test("maxConcurrency: sweep-line vs brute-force on seeded intervals; touching intervals never stack") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 300).map { _ =>
+      val s = rnd.nextInt(60).toLong
+      (s"k${rnd.nextInt(6)}", s, s + rnd.nextInt(10))
+    }
+    val got = TimeSeries.maxConcurrency(rows.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues { ivs =>
+      (0L to 80L).map(t => ivs.count(iv => iv._2 <= t && t <= iv._3).toLong).max
+    }.toMap
+    assert(got == want.toMap)
+    // [0,4] and [5,9]: closing day 4 means day 5's opener never stacks
+    val touch = TimeSeries.maxConcurrency(
+      Seq(("x", 0L, 4L), ("x", 5L, 9L)).toDF("k", "s", "e"), "k", "s", "e")
+      .collect().head.getLong(1)
+    assert(touch == 1L)
+  }
 }
