@@ -36,4 +36,38 @@ object CorpusLayout {
   def readSlice(spark: SparkSession, table: String,
                 partitionCol: String, value: String): DataFrame =
     spark.table(table).filter(col(partitionCol) === value)
+
+  /** Compaction planning — the reference's bytes-threshold batching
+    * (`batchOperations.js` sizeTrigger: files accumulate until the
+    * configured byte budget tips, then the batch rotates) re-expressed
+    * as an offline, deterministic assignment: within each group, order
+    * items by a unique key, take the exact running byte total, and cut
+    * a bin every `targetBytes` — `bin = ⌊(cumBytes − size) / target⌋`
+    * puts each item in the bin its FIRST byte lands in (an item
+    * straddling a boundary stays with the bin it started filling, the
+    * reference's rotate-AFTER-append semantic; an item ≥ target fills
+    * bins alone).
+    *
+    * Scale path: the running total is [[Ranking.slicedCumsum]] — the
+    * group's order domain is sliced by sampled quantile bounds, the
+    * per-slice offsets are tiny and broadcast, and the only window
+    * sorts one slice of one group per task. No global sort, no
+    * single-task group scan, exact at any skew. Output is the input
+    * plus `cum_bytes` (inclusive running total) and `bin` (0-based
+    * within the group).
+    *
+    * Determinism contract: `orderCol` must be unique within a group
+    * (tied orders would make the running sum — and thus bins —
+    * ambiguous on ANY engine).
+    */
+  def planCompaction(df: DataFrame, groupCols: Seq[String],
+                     orderCol: String, sizeCol: String,
+                     targetBytes: Long, slices: Int = 32): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    Ranking.slicedCumsum(df, groupCols, orderCol, sizeCol, slices)
+      .withColumnRenamed("__cum", "cum_bytes")
+      .withColumn("bin",
+        floor((col("cum_bytes") - col(sizeCol).cast("long"))
+          / lit(targetBytes)).cast("bigint"))
+  }
 }

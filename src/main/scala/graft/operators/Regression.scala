@@ -83,4 +83,55 @@ object Regression {
         when(col("den0") =!= 0.0, (syD - col("slope") * sxD) / nD))
       .drop("num0", "den0")
   }
+
+  /** Per-group pairwise Pearson correlation matrix over k integer
+    * metric columns, in ONE hash aggregate: k sums, k sums of squares,
+    * and k·(k−1)/2 cross sums — all map-side-partial, one shuffle on
+    * the group key, no window, skew-immune (the [[groupedOls]] plan).
+    *
+    * Magnitude: micro-unit squares reach ~1e22 — past BIGINT — so the
+    * quadratic statistics accumulate as decimal(38,0) (Spark sums
+    * decimals exactly; the DuckDB oracle's HUGEINT/decimal sums match
+    * digit for digit to ~1e38) and are emitted as DOUBLE — one
+    * correctly-rounded conversion of an exact sum, deterministic on
+    * both engines, avoiding cross-engine decimal stringification
+    * skew. Linear sums stay BIGINT. Each r is then derived by a fixed
+    * IEEE shape FROM THE OUTPUT COLUMNS
+    * ((n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))),
+    * so the doubles hash-match too. Zero-variance columns yield null r
+    * for their pairs, never ±Inf/NaN. Rows with a null in ANY metric
+    * are dropped first (one consistent n for the whole matrix —
+    * listwise deletion, the standard correlation-matrix contract).
+    *
+    * Correlation is invariant under positive affine maps, so any exact
+    * fixed-point scaling ([[microUnits]]) leaves r equal to the
+    * unscaled ideal — scaling is purely an exactness device.
+    */
+  def corrMatrix(df: DataFrame, groupCol: String,
+                 valueCols: Seq[String]): DataFrame = {
+    require(valueCols.size >= 2, "need at least two metric columns")
+    val pairs = for {
+      i <- valueCols.indices; j <- valueCols.indices if i < j
+    } yield (valueCols(i), valueCols(j))
+    def dec(c: String): Column = col(c).cast("bigint").cast("decimal(19,0)")
+    val nonNull = valueCols.map(col(_).isNotNull).reduce(_ && _)
+    val aggs: Seq[Column] =
+      valueCols.map(c => sum(col(c).cast("bigint")).as(s"s_$c")) ++
+      valueCols.map(c =>
+        sum(dec(c) * dec(c)).cast("double").as(s"ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(dec(a) * dec(b)).cast("double").as(s"sp_${a}_$b") }
+    val agg = df.where(nonNull).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("double")
+    def varD(c: String): Column =
+      nD * col(s"ss_$c") -
+        col(s"s_$c").cast("double") * col(s"s_$c").cast("double")
+    pairs.foldLeft(agg) { case (d, (a, b)) =>
+      val num = nD * col(s"sp_${a}_$b") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      d.withColumn(s"corr_${a}_$b",
+        when(varD(a) > 0.0 && varD(b) > 0.0, num / sqrt(varD(a) * varD(b))))
+    }
+  }
 }

@@ -1904,5 +1904,77 @@ object Oracles {
         SELECT o_custkey, max(open) AS max_concurrent FROM run GROUP BY 1)
       SELECT max_concurrent, count(*) AS n_customers
       FROM mx GROUP BY 1 ORDER BY 1""",
+
+    // q109: pairwise Pearson matrix from one aggregate's sufficient
+    // statistics — linear sums BIGINT, quadratic sums exact
+    // decimal(38,0) rounded once to double, r via the identical IEEE
+    // expression shape (n·Σxy − Σx·Σy)/√(va·vb).
+    "q109_corr_matrix" -> """
+      WITH b AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS price,
+               CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS disc
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL),
+      s AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(qty) AS BIGINT) AS s_qty,
+               CAST(sum(price) AS BIGINT) AS s_price,
+               CAST(sum(disc) AS BIGINT) AS s_disc,
+               CAST(CAST(sum(CAST(qty AS DECIMAL(19,0)) * CAST(qty AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS ss_qty,
+               CAST(CAST(sum(CAST(price AS DECIMAL(19,0)) * CAST(price AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS ss_price,
+               CAST(CAST(sum(CAST(disc AS DECIMAL(19,0)) * CAST(disc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS ss_disc,
+               CAST(CAST(sum(CAST(qty AS DECIMAL(19,0)) * CAST(price AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sp_qty_price,
+               CAST(CAST(sum(CAST(qty AS DECIMAL(19,0)) * CAST(disc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sp_qty_disc,
+               CAST(CAST(sum(CAST(price AS DECIMAL(19,0)) * CAST(disc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sp_price_disc
+        FROM b GROUP BY 1)
+      SELECT l_returnflag, n, s_qty, s_price, s_disc,
+             ss_qty, ss_price, ss_disc,
+             sp_qty_price, sp_qty_disc, sp_price_disc,
+             CASE WHEN (CAST(n AS DOUBLE)*ss_qty - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE)*ss_price - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE)*sp_qty_price - CAST(s_qty AS DOUBLE)*CAST(s_price AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE)*ss_qty - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE))
+                         * (CAST(n AS DOUBLE)*ss_price - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE))) END
+               AS corr_qty_price,
+             CASE WHEN (CAST(n AS DOUBLE)*ss_qty - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE)*ss_disc - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE)*sp_qty_disc - CAST(s_qty AS DOUBLE)*CAST(s_disc AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE)*ss_qty - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE))
+                         * (CAST(n AS DOUBLE)*ss_disc - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE))) END
+               AS corr_qty_disc,
+             CASE WHEN (CAST(n AS DOUBLE)*ss_price - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE)*ss_disc - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE)*sp_price_disc - CAST(s_price AS DOUBLE)*CAST(s_disc AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE)*ss_price - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE))
+                         * (CAST(n AS DOUBLE)*ss_disc - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE))) END
+               AS corr_price_disc
+      FROM s ORDER BY l_returnflag""",
+
+    // q110: deterministic bin packing — exact running byte totals per
+    // source (doc_id order), bin = floor(exclusive-cum / target), then
+    // the per-source packing profile. The engine's sliced cumsum must
+    // land on exactly the sequential window's totals.
+    "q110_compaction_plan" -> """
+      WITH c AS (
+        SELECT source, doc_id, n_chars,
+               CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM documents),
+      pb AS (
+        SELECT source,
+               CAST(floor(CAST(cum - n_chars AS DOUBLE) / 32768.0) AS BIGINT) AS bin,
+               count(*) AS nf, CAST(sum(n_chars) AS BIGINT) AS bb
+        FROM c GROUP BY 1, 2)
+      SELECT source,
+             CAST(sum(nf) AS BIGINT) AS n_files,
+             count(*) AS n_bins,
+             CAST(sum(bb) AS BIGINT) AS total_bytes,
+             CAST(max(bb) AS BIGINT) AS max_bin_bytes,
+             CAST(max(nf) AS BIGINT) AS max_bin_files
+      FROM pb GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2377,6 +2377,49 @@ object Queries {
       .orderBy(col("max_concurrent"))
   }
 
+  /** Pairwise metric correlation matrix ([[graft.operators.Regression
+    * .corrMatrix]]): per return-flag Pearson r across quantity /
+    * extended-price / discount in ONE map-side-partial hash aggregate
+    * — linear sums BIGINT-exact, quadratic sums decimal(38,0)-exact
+    * then one deterministic rounding to double, r derived through the
+    * fixed IEEE shape both engines reproduce bit-for-bit. No window,
+    * no second pass, skew-immune at any scale.
+    */
+  def q109CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Regression
+    val li = table(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Regression.microUnits(col("l_quantity")).as("qty"),
+        Regression.microUnits(col("l_extendedprice")).as("price"),
+        Regression.microUnits(col("l_discount")).as("disc"))
+    Regression.corrMatrix(li, "l_returnflag", Seq("qty", "price", "disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Compaction planning ([[graft.operators.CorpusLayout
+    * .planCompaction]]): the reference's bytes-trigger batch rotation
+    * as a deterministic offline plan — per-source docs packed into
+    * ~32 KB bins by exact running byte totals (sliced-cumsum scale
+    * path: no per-source single-task sort), rolled up to a per-source
+    * packing profile. Integers end to end.
+    */
+  def q110CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val planned = graft.operators.CorpusLayout.planCompaction(
+      docs, Seq("source"), "doc_id", "n_chars", targetBytes = 32768L)
+    val perBin = planned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("nf"), sum(col("n_chars")).as("bb"))
+    perBin.groupBy(col("source"))
+      .agg(
+        sum(col("nf")).cast("bigint").as("n_files"),
+        count(lit(1)).as("n_bins"),
+        sum(col("bb")).cast("bigint").as("total_bytes"),
+        max(col("bb")).cast("bigint").as("max_bin_bytes"),
+        max(col("nf")).cast("bigint").as("max_bin_files"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2490,5 +2533,7 @@ object Queries {
     "q106_mix_drift"     -> (q106MixDrift _),
     "q107_overlap_join"  -> (q107OverlapJoin _),
     "q108_concurrency"   -> (q108Concurrency _),
+    "q109_corr_matrix"   -> (q109CorrMatrix _),
+    "q110_compaction_plan" -> (q110CompactionPlan _),
   )
 }

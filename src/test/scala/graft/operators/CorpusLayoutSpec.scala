@@ -65,4 +65,38 @@ class CorpusLayoutSpec extends AnyFunSuite {
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("planCompaction: bins match a sequential driver reference; oversized items fill bins alone; no low-cardinality window sort in the plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val rows = (for {
+      g <- Seq("a", "b"); i <- 1 to 200
+    } yield (g, i.toLong, (rnd.nextInt(40) + 1).toLong)) ++
+      Seq(("a", 500L, 1000L), ("a", 501L, 7L)) // 1000 >> target: fills bins alone
+    val out = CorpusLayout.planCompaction(
+        rows.toDF("g", "id", "bytes"), Seq("g"), "id", "bytes",
+        targetBytes = 100L, slices = 4)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id")) ->
+        (r.getAs[Long]("cum_bytes"), r.getAs[Long]("bin"))).toMap
+
+    rows.groupBy(_._1).foreach { case (g, items) =>
+      var cum = 0L
+      items.sortBy(_._2).foreach { case (_, id, sz) =>
+        val bin = cum / 100L // first byte of this item
+        cum += sz
+        assert(out((g, id)) == ((cum, bin)), s"($g,$id)")
+      }
+    }
+    // the straddler after the 1000-byte item starts in the giant's last bin
+    val (bigCum, bigBin) = out(("a", 500L))
+    val (_, afterBin) = out(("a", 501L))
+    assert(afterBin == bigCum / 100L && bigBin < afterBin)
+
+    // scale audit: every window sort in the plan partitions by the
+    // sliced key, never by the raw low-cardinality group alone
+    val plan = CorpusLayout.planCompaction(
+      rows.toDF("g", "id", "bytes"), Seq("g"), "id", "bytes", 100L, 4)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("__slice"), "expected the sliced-cumsum shape")
+  }
 }

@@ -88,4 +88,61 @@ class RegressionSpec extends AnyFunSuite {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("corrMatrix: stats + r match a BigInt driver reference; constant column nulls its pairs; micro-unit magnitudes don't overflow; null rows listwise-dropped") {
+    val rows = Seq(
+      ("a", 1L, 10L, 7L), ("a", 2L, 19L, 7L), ("a", 3L, 31L, 7L),
+      ("a", 4L, 38L, 7L),
+      ("b", 100000000000L, 99999999999L, 5L),
+      ("b", 200000000000L, 150000000000L, 9L),
+      ("b", 300000000000L, 310000000000L, 2L))
+    val withNull = rows.map { case (g, x, y, z) =>
+      (g, Option(x), Option(y), Option(z))
+    } :+ (("a", Option(999L), Option.empty[Long], Option(1L)))
+    val out = Regression.corrMatrix(
+        withNull.toDF("g", "x", "y", "z"), "g", Seq("x", "y", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val r = out(g)
+      def s(f: ((String, Long, Long, Long)) => Long) = rs.map(f).sum
+      val (sx, sy, sz) = (s(_._2), s(_._3), s(_._4))
+      def bsum(f: ((String, Long, Long, Long)) => BigInt) = rs.map(f).sum
+      val ssx = bsum(t => BigInt(t._2) * t._2)
+      val ssy = bsum(t => BigInt(t._3) * t._3)
+      val ssz = bsum(t => BigInt(t._4) * t._4)
+      val sxy = bsum(t => BigInt(t._2) * t._3)
+      val sxz = bsum(t => BigInt(t._2) * t._4)
+      val syz = bsum(t => BigInt(t._3) * t._4)
+      assert(r.getAs[Long]("n") == rs.size)
+      assert(r.getAs[Long]("s_x") == sx && r.getAs[Long]("s_y") == sy &&
+        r.getAs[Long]("s_z") == sz)
+      assert(r.getAs[Double]("ss_x") == ssx.toDouble &&
+        r.getAs[Double]("ss_y") == ssy.toDouble &&
+        r.getAs[Double]("ss_z") == ssz.toDouble)
+      assert(r.getAs[Double]("sp_x_y") == sxy.toDouble &&
+        r.getAs[Double]("sp_x_z") == sxz.toDouble &&
+        r.getAs[Double]("sp_y_z") == syz.toDouble)
+      val n = rs.size.toDouble
+      def varOf(sv: Long, ssv: BigInt) =
+        n * ssv.toDouble - sv.toDouble * sv.toDouble
+      def corrOf(sa: Long, ssa: BigInt, sb: Long, ssb: BigInt, sp: BigInt) = {
+        val (va, vb) = (varOf(sa, ssa), varOf(sb, ssb))
+        if (va > 0.0 && vb > 0.0)
+          Some((n * sp.toDouble - sa.toDouble * sb.toDouble) /
+            math.sqrt(va * vb))
+        else None
+      }
+      def got(c: String): Option[Double] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+      assert(got("corr_x_y") == corrOf(sx, ssx, sy, ssy, sxy), s"x_y for $g")
+      assert(got("corr_x_z") == corrOf(sx, ssx, sz, ssz, sxz), s"x_z for $g")
+      assert(got("corr_y_z") == corrOf(sy, ssy, sz, ssz, syz), s"y_z for $g")
+    }
+    // group a's z is constant → its pairs are null, x~y is not
+    assert(out("a").isNullAt(out("a").fieldIndex("corr_x_z")))
+    assert(!out("a").isNullAt(out("a").fieldIndex("corr_x_y")))
+    // the null-y row was dropped entirely: n reflects listwise deletion
+    assert(out("a").getAs[Long]("n") == 4L)
+  }
 }
