@@ -138,4 +138,79 @@ object EventOps {
     * funnel's time axis; integer so every comparison is exact).
     */
   def epochMicros(c: Column): Column = unix_micros(c)
+
+  /** Gap-based sessionization: a user's events sorted by
+    * `(ts, tieCol)` start a new session whenever the gap from the
+    * previous event exceeds `gapMicros`. Returns the input plus
+    * `ts_us` and a per-user 1-based `session_idx`.
+    *
+    * Scale design (100 TB): the only shuffle is the window partitioned
+    * by the HIGH-cardinality user key — per-task input is one user's
+    * events, never a global or low-cardinality sort (the
+    * QueryPlanPoliceSpec invariant). Session numbering is the classic
+    * boundary-flag cumulative sum; tied timestamps have gap 0, so they
+    * can never open a session and the assignment is order-independent
+    * across ties — `tieCol` still pins a total order so the oracle
+    * replays the identical frame.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapMicros: Long, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts_us"), col(tieCol))
+    events
+      .withColumn("ts_us", unix_micros(col(tsCol)))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapMicros, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx",
+        (sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) + 1L).cast("long"))
+      .drop("new_sess")
+  }
+
+  /** Per-session rollup over [[sessionize]]: one row per
+    * (user, session) with the event count, start/end epoch-micros and
+    * integer duration. Integers end to end — hash-certifiable against
+    * the relational lag/cumsum form.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   gapMicros: Long, tieCol: String): DataFrame =
+    sessionize(events, userCol, tsCol, gapMicros, tieCol)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  /** First-order event-type transition counts (the Markov-chain view
+    * of user journeys): for each user's events under the total order
+    * `(ts, tieCol)`, count consecutive `(prev_type, next_type)` pairs,
+    * and clear the per-prev transition probability to integer
+    * micro-units (`(n·10⁶) div total_from_prev` — the repo's rational
+    * convention, so the whole matrix hash-certifies).
+    *
+    * One high-cardinality user window for the lag, then hash
+    * aggregates on the tiny (prev, next) key — no low-cardinality
+    * sort anywhere. Ties matter here (unlike [[sessionize]] the pair
+    * VALUES depend on order), which is why `tieCol` is required: both
+    * engines replay the identical (ts, tie) frame.
+    */
+  def transitionCounts(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("next_type"),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    // the second window runs over the (types × types)-sized count
+    // table, not the corpus — bounded rows, any partitioning is fine
+    pairs
+      .withColumn("p_micro",
+        expr("CAST((n_trans * 1000000) div sum(n_trans) " +
+          "OVER (PARTITION BY prev_type) AS BIGINT)"))
+  }
 }

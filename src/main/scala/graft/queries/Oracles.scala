@@ -1976,5 +1976,101 @@ object Oracles {
              CAST(max(bb) AS BIGINT) AS max_bin_bytes,
              CAST(max(nf) AS BIGINT) AS max_bin_files
       FROM pb GROUP BY 1 ORDER BY 1""",
+
+    // q111: gap sessionization — same (ts, event_id) total order; tied
+    // timestamps have gap 0 so the boundary cumsum is order-free.
+    "q111_sessionization" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+      f AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id) > 3600000000 THEN 1 ELSE 0 END AS nf
+        FROM e),
+      sess AS (
+        SELECT user_id, t,
+               1 + sum(nf) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM f),
+      g AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               min(t) AS s, max(t) AS e2
+        FROM sess GROUP BY 1, 2)
+      SELECT n_events, count(*) AS n_sessions,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(e2 - s) AS BIGINT) AS total_duration_us
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    // q112: journey transitions under the identical (ts, event_id)
+    // frame; p_micro is one truncating division of positive integers
+    // (Spark div ≡ DuckDB // on positives).
+    "q112_transitions" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),
+      p AS (
+        SELECT user_id, event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id) AS prev_type
+        FROM e),
+      c AS (
+        SELECT prev_type, next_type, count(*) AS n_trans
+        FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n_trans,
+             CAST((n_trans * 1000000) // sum(n_trans)
+               OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+      FROM c ORDER BY 1, 2""",
+
+    // q113: the oracle replays the ALL-PAIRS levenshtein definition —
+    // hash equality certifies the deletion-neighborhood blocking
+    // loses no pair (candidates are a proven superset; the engine
+    // verifies with the same exact levenshtein).
+    "q113_edit_pairs" -> """
+      WITH p AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+          AND levenshtein(a.c_name, b.c_name) <= 1),
+      n AS (
+        SELECT id, count(*) AS n_neighbors FROM (
+          SELECT id_a AS id FROM p
+          UNION ALL SELECT id_b AS id FROM p)
+        GROUP BY 1)
+      SELECT n_neighbors, count(*) AS n_customers
+      FROM n GROUP BY 1 ORDER BY 1""",
+
+    // q114: PageRank's three integer rounds unrolled — every term is
+    // BIGINT with truncating division on positives, so the engines'
+    // iterative and unrolled replays are bit-identical.
+    "q114_pagerank" -> """
+      WITH e AS (
+        SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      m1 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r0 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r1 AS (SELECT n.node,
+               CAST(150000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN m1 m ON n.node = m.dst),
+      m2 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r1 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r2 AS (SELECT n.node,
+               CAST(150000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN m2 m ON n.node = m.dst),
+      m3 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r2 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r3 AS (SELECT n.node,
+               CAST(150000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
+      SELECT node, r AS rank_micro FROM r3 ORDER BY node""",
   )
 }

@@ -2420,6 +2420,85 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Gap-based sessionization ([[graft.operators.EventOps
+    * .sessionStats]]): users' event streams cut at 1-hour silences,
+    * rolled into the session-length distribution — sessions, distinct
+    * users and total dwell time per session size. ONE window on the
+    * high-cardinality user key; ties can't open a session (gap 0), so
+    * the boundary cumsum is order-independent and integer end to end.
+    */
+  def q111Sessionization(s: SparkSession, dir: String): DataFrame = {
+    val gap = 3600000000L // 1 hour in µs
+    graft.operators.EventOps
+      .sessionStats(eventsTable(s, dir), "user_id", "ts", gap, "event_id")
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("duration_us")).cast("long").as("total_duration_us"))
+      .orderBy(col("n_events"))
+  }
+
+  /** First-order journey transition matrix ([[graft.operators.EventOps
+    * .transitionCounts]]): consecutive event-type pairs per user under
+    * the total order (ts, event_id), with the per-prev probability
+    * cleared to integer micro-units — the Markov-chain view of the
+    * landed clickstream. High-cardinality lag window; the probability
+    * window rides the types×types count table.
+    */
+  def q112Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps
+      .transitionCounts(eventsTable(s, dir), "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("prev_type"), col("next_type"))
+
+  /** Edit-distance-1 similarity self-join ([[graft.operators.EditJoin]]):
+    * customer names within one typo of each other via deletion-
+    * neighborhood blocking (prefix-capped SymSpell keys → bucketed
+    * equi-join → exact `levenshtein` verify — candidates are a proven
+    * superset, the verify makes the result EXACT). Rolled into the
+    * per-customer neighbor-count distribution; the oracle replays the
+    * all-pairs definition directly, certifying the blocking loses
+    * nothing. No cartesian anywhere in the engine plan.
+    */
+  def q113EditPairs(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val p = graft.operators.EditJoin.pairs(cust, "c_custkey", "c_name",
+      maxDist = 1, prefixLen = 12)
+    val perCust = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    perCust.groupBy(col("n_neighbors"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_neighbors"))
+  }
+
+  /** Fixed-point PageRank ([[graft.operators.Graphs.pageRank]]) over
+    * the nation trade graph — edges are DISTINCT (customer nation →
+    * supplier nation) relationships realized by lineitems. Three
+    * integer rounds at damping 85/100 in BIGINT micro-units: the
+    * whole iterative computation hash-certifies against the oracle's
+    * unrolled replay (no float summation-order drift possible).
+    */
+  def q114Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("ck"), col("n_name").as("src"))),
+        cust("c_nationkey") === col("ck"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sk"), col("n_name").as("dst"))),
+        supp("s_nationkey") === col("sk"))
+      .select(col("src"), col("dst"))
+    graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("node"), col("rank_micro"))
+      .orderBy(col("node"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2535,5 +2614,9 @@ object Queries {
     "q108_concurrency"   -> (q108Concurrency _),
     "q109_corr_matrix"   -> (q109CorrMatrix _),
     "q110_compaction_plan" -> (q110CompactionPlan _),
+    "q111_sessionization" -> (q111Sessionization _),
+    "q112_transitions"   -> (q112Transitions _),
+    "q113_edit_pairs"    -> (q113EditPairs _),
+    "q114_pagerank"      -> (q114Pagerank _),
   )
 }

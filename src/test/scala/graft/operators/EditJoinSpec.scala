@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EditJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def enginePairs(strs: Seq[String], prefixLen: Int = 12): Set[(Long, Long)] =
+    EditJoin.pairs(
+        strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+        "id", "s", maxDist = 1, prefixLen = prefixLen)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+
+  private def brutePairs(strs: Seq[String]): Set[(Long, Long)] =
+    (for {
+      i <- strs.indices; j <- (i + 1) until strs.size
+      if lev(strs(i), strs(j)) <= 1
+    } yield (i.toLong, j.toLong)).toSet
+
+  test("deletionKeys: prefix itself plus each single deletion; empty guarded") {
+    val got = spark.range(1).select(lit("abc").as("s"))
+      .select(EditJoin.deletionKeys("s", 12).as("k"))
+      .head().getAs[collection.Seq[String]]("k").toSet
+    assert(got == Set("abc", "bc", "ac", "ab"))
+    val empty = spark.range(1).select(lit("").as("s"))
+      .select(EditJoin.deletionKeys("s", 12).as("k"))
+      .head().getAs[collection.Seq[String]]("k").toSet
+    assert(empty == Set(""))
+  }
+
+  test("pairs = brute force: substitutions, inserts, deletes, inside and beyond the prefix") {
+    val strs = Seq(
+      "Customer#000000001",
+      "Customer#000000002", // substitution BEYOND prefix 12 vs #1
+      "Custoner#000000001", // substitution INSIDE prefix vs #1
+      "Customer#0000000012", // insert at tail vs #1
+      "Custome#000000001",  // delete inside prefix vs #1
+      "Supplier#000000001", // far from all
+      "ab", "ba",           // ed 2 via transposition: must NOT pair
+      "x")                  // short string, prefix shorter than cap
+    assert(enginePairs(strs) == brutePairs(strs))
+  }
+
+  test("pairs = brute force on a generated typo corpus (several prefix lengths)") {
+    val base = (0 until 60).map(i => f"item-${i}%04d-label")
+    val rng = new scala.util.Random(7)
+    val withTypos = base ++ base.take(25).map { s =>
+      val pos = rng.nextInt(s.length)
+      rng.nextInt(3) match {
+        case 0 => s.updated(pos, '#')                       // substitute
+        case 1 => s.substring(0, pos) + s.substring(pos + 1) // delete
+        case _ => s.substring(0, pos) + "Z" + s.substring(pos) // insert
+      }
+    }
+    val expect = brutePairs(withTypos)
+    assert(expect.nonEmpty, "corpus must actually contain ed<=1 pairs")
+    for (p <- Seq(4, 12, 40))
+      assert(enginePairs(withTypos, prefixLen = p) == expect, s"prefixLen=$p")
+  }
+
+  test("pairs carries the exact distance column") {
+    val got = EditJoin.pairs(
+        Seq((1L, "abcd"), (2L, "abed"), (3L, "abcd")).toDF("id", "s"),
+        "id", "s", maxDist = 1, prefixLen = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist")))
+      .toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
+}

@@ -138,4 +138,75 @@ class EventOpsSpec extends AnyFunSuite {
       ("2024-01-03", 2L, 1L), // user 1
       ("2024-01-03", 3L, 1L))) // user 2's second signup event, day 6
   }
+
+  // --- sessionize / sessionStats ---------------------------------------
+
+  private def sessionsOf(rows: Seq[(Long, Long, String)], gapUs: Long) =
+    EventOps.sessionStats(
+      rows.map { case (u, id, time) => (u, id, ts(time)) }
+        .toDF("user_id", "event_id", "ts"),
+      "user_id", "ts", gapUs, "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_us")))
+      .toSet
+
+  test("sessionize: gap strictly greater than the threshold opens a session") {
+    val got = sessionsOf(Seq(
+      (1L, 1L, "2024-01-01 00:00:00"),
+      (1L, 2L, "2024-01-01 01:00:00"),   // gap EXACTLY 1h → same session
+      (1L, 3L, "2024-01-01 02:00:00.000001"), // 1h + 1µs → new session
+      (2L, 4L, "2024-01-01 00:00:00")),  // separate user, own numbering
+      gapUs = 3600000000L)
+    assert(got == Set(
+      (1L, 1L, 2L, 3600000000L),
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("sessionize: tied timestamps never split and numbering is tie-order-free") {
+    val got = sessionsOf(Seq(
+      (1L, 9L, "2024-01-01 00:00:00"), // tie, listed in reverse id order
+      (1L, 3L, "2024-01-01 00:00:00"),
+      (1L, 5L, "2024-01-01 12:00:00")),
+      gapUs = 3600000000L)
+    assert(got == Set((1L, 1L, 2L, 0L), (1L, 2L, 1L, 0L)))
+  }
+
+  // --- transitionCounts ------------------------------------------------
+
+  test("transitions: counts follow the (ts, tie) total order; p_micro is the cleared ratio") {
+    val rows = Seq(
+      // user 1: a -> b -> b ; user 2: a -> c. From 'a': b once, c once.
+      (1L, 1L, "2024-01-01 00:00:00", "a"),
+      (1L, 2L, "2024-01-01 00:01:00", "b"),
+      (1L, 3L, "2024-01-01 00:02:00", "b"),
+      (2L, 4L, "2024-01-01 00:00:00", "a"),
+      (2L, 5L, "2024-01-01 00:01:00", "c"))
+      .map { case (u, id, time, t) => (u, id, ts(time), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventOps.transitionCounts(rows, "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"),
+        r.getAs[Long]("n_trans"), r.getAs[Long]("p_micro")))
+      .toSet
+    assert(got == Set(
+      ("a", "b", 1L, 500000L),
+      ("a", "c", 1L, 500000L),
+      ("b", "b", 1L, 1000000L)))
+  }
+
+  test("transitions: same-timestamp order resolves by the tie column") {
+    val rows = Seq(
+      (1L, 2L, "2024-01-01 00:00:00", "y"), // tie: id 1 ('x') comes first
+      (1L, 1L, "2024-01-01 00:00:00", "x"),
+      (1L, 3L, "2024-01-01 00:01:00", "z"))
+      .map { case (u, id, time, t) => (u, id, ts(time), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventOps.transitionCounts(rows, "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")))
+      .toSet
+    assert(got == Set(("x", "y"), ("y", "z")))
+  }
 }

@@ -64,7 +64,11 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // robust outliers / tail quantiles: every window is
     // exactQuantileByGroup's guarded distinct-value cumsum over
     // BRACKET rows (the q74 decomposed form)
-    "q97_robust_outliers", "q101_tail_quantiles", "q104_funnel_latency")
+    "q97_robust_outliers", "q101_tail_quantiles", "q104_funnel_latency",
+    // slicedCumsum's offset roll-up: the source-only window runs over
+    // the (groups × slices) contraction, never the corpus (the doc
+    // rows ride the (source, __slice) high-cardinality window)
+    "q110_compaction_plan")
 
   private val lowCardCols = Set("lang", "source", "event_type", "week_idx")
 
