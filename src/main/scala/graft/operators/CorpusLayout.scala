@@ -70,4 +70,28 @@ object CorpusLayout {
         floor((col("cum_bytes") - col(sizeCol).cast("long"))
           / lit(targetBytes)).cast("bigint"))
   }
+
+  /** Z-order (Morton) interleave key over two non-negative integer
+    * dimensions — the multi-dimensional layout complement to
+    * [[writeCurated]]'s single-key bucketing: range-sorting on the
+    * z-key clusters BOTH dimensions at once, so files carry narrow
+    * min/max envelopes on each and a predicate on EITHER dimension
+    * prunes (the Delta/Iceberg OPTIMIZE ZORDER recipe, built from
+    * Morton's 1966 interleave — public algorithm, original code).
+    *
+    * Pure codegen'd bit arithmetic: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1 (2·bits literal terms, whole-stage-codegen
+    * friendly, no UDF). Inputs must fit in `bits` bits — values are
+    * masked, so out-of-range bits are DROPPED (clamp upstream if the
+    * domain can exceed the budget). bits ≤ 31 keeps the key in a
+    * signed 64-bit.
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    (0 until bits).map { i =>
+      (shiftright(a.cast("long"), i).bitwiseAND(1L) * lit(1L << (2 * i))) +
+        (shiftright(b.cast("long"), i).bitwiseAND(1L) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
 }

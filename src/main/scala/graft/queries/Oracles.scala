@@ -2072,5 +2072,60 @@ object Oracles {
                CAST(150000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
              FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
       SELECT node, r AS rank_micro FROM r3 ORDER BY node""",
+
+    // q115: Morton interleave replayed as the closed-form bit
+    // expansion — bit i of sz at 4^i, bit i of pr at 2·4^i.
+    "q115_zorder" -> """
+      WITH p AS (
+        SELECT CAST(p_size AS BIGINT) AS sz,
+               CAST(floor(p_retailprice) AS BIGINT) % 256 AS pr
+        FROM part),
+      z AS (
+        SELECT sz, pr,
+          ((sz // 1) % 2) * 1 + ((sz // 2) % 2) * 4 +
+          ((sz // 4) % 2) * 16 + ((sz // 8) % 2) * 64 +
+          ((sz // 16) % 2) * 256 + ((sz // 32) % 2) * 1024 +
+          ((sz // 64) % 2) * 4096 + ((sz // 128) % 2) * 16384 +
+          2 * (((pr // 1) % 2) * 1 + ((pr // 2) % 2) * 4 +
+               ((pr // 4) % 2) * 16 + ((pr // 8) % 2) * 64 +
+               ((pr // 16) % 2) * 256 + ((pr // 32) % 2) * 1024 +
+               ((pr // 64) % 2) * 4096 + ((pr // 128) % 2) * 16384) AS zk
+        FROM p)
+      SELECT CAST(zk // 1024 AS BIGINT) AS z_bucket,
+             count(*) AS n_parts,
+             CAST(min(sz) AS BIGINT) AS min_size,
+             CAST(max(sz) AS BIGINT) AS max_size,
+             CAST(min(pr) AS BIGINT) AS min_price,
+             CAST(max(pr) AS BIGINT) AS max_price
+      FROM z GROUP BY 1 ORDER BY 1""",
+
+    // q116: PMI collocations — DuckDB rebuilds the adjacent pairs as
+    // strings under the shared whitespace tokenization (q46's
+    // convention); the cleared rational is one truncating division of
+    // positive BIGINTs, and the (pmi desc, w1, w2) order is total, so
+    // the top-20 is deterministic on both engines.
+    "q116_collocations" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM tok),
+      uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+      tot AS (SELECT count(*) AS n_tokens FROM uni),
+      grams AS (
+        SELECT unnest([array_to_string(t[i:i+1], ' ')
+                       for i in range(1, len(t))]) AS g
+        FROM tok WHERE len(t) >= 2),
+      pc AS (
+        SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+               count(*) AS n_pair
+        FROM grams GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+             CAST((p.n_pair * t.n_tokens * 1000000) // (u1.n_w * u2.n_w)
+               AS BIGINT) AS pmi_scaled
+      FROM pc p
+      JOIN uc u1 ON p.w1 = u1.w
+      JOIN uc u2 ON p.w2 = u2.w
+      CROSS JOIN tot t
+      ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20""",
   )
 }

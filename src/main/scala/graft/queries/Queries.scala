@@ -2499,6 +2499,38 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** Z-order layout audit ([[graft.operators.CorpusLayout.zOrderKey]]):
+    * Morton-interleave parts on (size, integer price) and roll the key
+    * space into 64 buckets — per bucket, the min/max envelope of BOTH
+    * dimensions, the pruning statistic a z-ordered file layout gives a
+    * scan on either column. Bit arithmetic end to end: the whole
+    * result (and thus the interleave) hash-certifies against the
+    * oracle's closed-form bit expansion.
+    */
+  def q115Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusLayout
+    table(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("long").as("sz"),
+        expr("CAST(floor(p_retailprice) AS BIGINT) % 256").as("pr"))
+      .withColumn("z", CorpusLayout.zOrderKey(col("sz"), col("pr"), bits = 8))
+      .groupBy(expr("z div 1024").cast("long").as("z_bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"),
+        min(col("pr")).as("min_price"), max(col("pr")).as("max_price"))
+      .orderBy(col("z_bucket"))
+  }
+
+  /** Collocation extraction ([[graft.operators.Collocations.pmiTopK]]):
+    * the corpus' top-20 adjacent-token pairs by pointwise mutual
+    * information, ranked by the integer-cleared PMI skeleton
+    * `(n_pair·N·10⁶) div (n_w1·n_w2)` (log-monotone, so the order IS
+    * the PMI order) under the total order (pmi desc, w1, w2). Global
+    * top-k is TakeOrderedAndProject — never a global sort.
+    */
+  def q116Collocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.pmiTopK(
+      table(s, dir, "documents"), "text", k = 20, minPair = 5L)
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2618,5 +2650,7 @@ object Queries {
     "q112_transitions"   -> (q112Transitions _),
     "q113_edit_pairs"    -> (q113EditPairs _),
     "q114_pagerank"      -> (q114Pagerank _),
+    "q115_zorder"        -> (q115Zorder _),
+    "q116_collocations"  -> (q116Collocations _),
   )
 }

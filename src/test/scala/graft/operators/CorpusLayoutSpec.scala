@@ -99,4 +99,45 @@ class CorpusLayoutSpec extends AnyFunSuite {
       .queryExecution.explainString(FormattedMode)
     assert(plan.contains("__slice"), "expected the sliced-cumsum shape")
   }
+
+  test("zOrderKey: exhaustive 8-bit interleave matches the bit-spec reference") {
+    import spark.implicits._
+    def ref(a: Long, b: Long): Long =
+      (0 until 8).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val got = (0 until 256).flatMap(a => Seq((a.toLong, (a * 37 + 11) % 256L)))
+      .toDF("a", "b")
+      .withColumn("z", CorpusLayout.zOrderKey(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), 8))
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("z")))
+    got.foreach { case (a, b, z) => assert(z == ref(a, b), s"a=$a b=$b") }
+  }
+
+  test("zOrderKey locality: an aligned 4^k z-block is a 2^k x 2^k square in dim space") {
+    import spark.implicits._
+    // exhaustive 6-bit domain: every aligned 4^3 block must span <= 2^3 per dim
+    val rows = for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)
+    val spans = rows.toDF("a", "b")
+      .withColumn("z", CorpusLayout.zOrderKey(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), 6))
+      .selectExpr("z div 64 AS blk", "a", "b")
+      .groupBy("blk")
+      .agg(org.apache.spark.sql.functions.expr("max(a) - min(a)").as("sa"),
+        org.apache.spark.sql.functions.expr("max(b) - min(b)").as("sb"))
+      .collect()
+    spans.foreach { r =>
+      assert(r.getAs[Long]("sa") <= 7L && r.getAs[Long]("sb") <= 7L,
+        s"block ${r.getAs[Long]("blk")} spans ${r.getAs[Long]("sa")}x${r.getAs[Long]("sb")}")
+    }
+  }
+
+  test("zOrderKey: out-of-budget bits are masked, not overflowed") {
+    import spark.implicits._
+    val z = Seq((256L + 3L, 0L)).toDF("a", "b")
+      .withColumn("z", CorpusLayout.zOrderKey(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), 8))
+      .head().getAs[Long]("z")
+    // 259 masked to 8 bits = 3 -> interleaved 0b101 at even positions = 5
+    assert(z == 5L)
+  }
 }

@@ -45,7 +45,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q86_ccnet_buckets"   -> 2, // q62's shape: threshold set × bucket ids (B-1 rows) + 1-row threshold scalar
     "q87_tfidf_terms"     -> 1, // 1-row corpus doc-count scalar
     "q88_temperature_mix" -> 1, // 1-row weight-denominator scalar
-    "q103_retrieval_eval" -> 1) // termStats' 1-row corpus scalars
+    "q103_retrieval_eval" -> 1, // termStats' 1-row corpus scalars
+    "q116_collocations"   -> 1) // 1-row corpus token-total scalar
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
