@@ -2127,5 +2127,24 @@ object Oracles {
       JOIN uc u2 ON p.w2 = u2.w
       CROSS JOIN tot t
       ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20""",
+
+    // q117: batch-wins MERGE replayed as union + anti-join; decimal
+    // pre-sums keep the totals engine-exact.
+    "q117_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0),
+      m AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey)
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             count(DISTINCT o_orderkey) AS n_keys,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total
+      FROM m GROUP BY 1 ORDER BY 1""",
   )
 }

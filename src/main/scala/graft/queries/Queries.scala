@@ -2421,11 +2421,13 @@ object Queries {
   }
 
   /** Gap-based sessionization ([[graft.operators.EventOps
-    * .sessionStats]]): users' event streams cut at 1-hour silences,
-    * rolled into the session-length distribution — sessions, distinct
-    * users and total dwell time per session size. ONE window on the
-    * high-cardinality user key; ties can't open a session (gap 0), so
-    * the boundary cumsum is order-independent and integer end to end.
+    * .sessionStats]] — q27's inline lag/cumsum promoted to a reusable
+    * operator, at µs granularity with per-session stats): users'
+    * event streams cut at 1-hour silences, rolled into the
+    * session-length distribution — sessions, distinct users and total
+    * dwell time per session size. ONE window on the high-cardinality
+    * user key; ties can't open a session (gap 0), so the boundary
+    * cumsum is order-independent and integer end to end.
     */
   def q111Sessionization(s: SparkSession, dir: String): DataFrame = {
     val gap = 3600000000L // 1 hour in µs
@@ -2530,6 +2532,30 @@ object Queries {
   def q116Collocations(s: SparkSession, dir: String): DataFrame =
     graft.operators.Collocations.pmiTopK(
       table(s, dir, "documents"), "text", k = 20, minPair = 5L)
+
+  /** Keyed upsert ([[graft.operators.StoredMerge.upsert]] — the MERGE
+    * write path): a deterministic update batch (every key divisible by
+    * 3, price bumped) merged batch-wins into a stored base (keys not
+    * divisible by 5) — replaces where keys overlap, inserts the %15
+    * keys absent from the base, passes the rest through — then the
+    * merged state is profiled per order status. One anti-join on the
+    * key; decimal pre-sums; hash-certified against the oracle's
+    * union/anti replay.
+    */
+  def q117Upsert(s: SparkSession, dir: String): DataFrame = {
+    val ord = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = ord.filter(col("o_orderkey") % 5 =!= 0)
+    val upd = ord.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    graft.operators.StoredMerge.upsert(base, upd, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   // ---------------------------------------------------------------------
   // Registry
@@ -2652,5 +2678,6 @@ object Queries {
     "q114_pagerank"      -> (q114Pagerank _),
     "q115_zorder"        -> (q115Zorder _),
     "q116_collocations"  -> (q116Collocations _),
+    "q117_upsert"        -> (q117Upsert _),
   )
 }
