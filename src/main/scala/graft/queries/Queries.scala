@@ -2464,7 +2464,7 @@ object Queries {
   def q113EditPairs(s: SparkSession, dir: String): DataFrame = {
     val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
     val p = graft.operators.EditJoin.pairs(cust, "c_custkey", "c_name",
-      maxDist = 1, prefixLen = 12)
+      maxDist = 1)
     val perCust = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id")))
       .groupBy(col("id"))

@@ -23,10 +23,10 @@ class EditJoinSpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
-  private def enginePairs(strs: Seq[String], prefixLen: Int = 12): Set[(Long, Long)] =
+  private def enginePairs(strs: Seq[String]): Set[(Long, Long)] =
     EditJoin.pairs(
         strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
-        "id", "s", maxDist = 1, prefixLen = prefixLen)
+        "id", "s", maxDist = 1)
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
       .toSet
@@ -37,31 +37,35 @@ class EditJoinSpec extends AnyFunSuite {
       if lev(strs(i), strs(j)) <= 1
     } yield (i.toLong, j.toLong)).toSet
 
-  test("deletionKeys: prefix itself plus each single deletion; empty guarded") {
+  test("deletionKeys: the string itself plus each single deletion; empty guarded") {
     val got = spark.range(1).select(lit("abc").as("s"))
-      .select(EditJoin.deletionKeys("s", 12).as("k"))
+      .select(EditJoin.deletionKeys("s").as("k"))
       .head().getAs[collection.Seq[String]]("k").toSet
     assert(got == Set("abc", "bc", "ac", "ab"))
+    val dup = spark.range(1).select(lit("aa").as("s"))
+      .select(EditJoin.deletionKeys("s").as("k"))
+      .head().getAs[collection.Seq[String]]("k")
+    assert(dup.toSet == Set("aa", "a") && dup.size == 2, "repeated-char variants dedup")
     val empty = spark.range(1).select(lit("").as("s"))
-      .select(EditJoin.deletionKeys("s", 12).as("k"))
+      .select(EditJoin.deletionKeys("s").as("k"))
       .head().getAs[collection.Seq[String]]("k").toSet
     assert(empty == Set(""))
   }
 
-  test("pairs = brute force: substitutions, inserts, deletes, inside and beyond the prefix") {
+  test("pairs = brute force: substitutions, inserts, deletes, anywhere in the string") {
     val strs = Seq(
       "Customer#000000001",
-      "Customer#000000002", // substitution BEYOND prefix 12 vs #1
-      "Custoner#000000001", // substitution INSIDE prefix vs #1
+      "Customer#000000002", // substitution at tail vs #1
+      "Custoner#000000001", // substitution at head vs #1
       "Customer#0000000012", // insert at tail vs #1
-      "Custome#000000001",  // delete inside prefix vs #1
+      "Custome#000000001",  // delete vs #1
       "Supplier#000000001", // far from all
       "ab", "ba",           // ed 2 via transposition: must NOT pair
-      "x")                  // short string, prefix shorter than cap
+      "x")                  // single-char string
     assert(enginePairs(strs) == brutePairs(strs))
   }
 
-  test("pairs = brute force on a generated typo corpus (several prefix lengths)") {
+  test("pairs = brute force on a generated typo corpus") {
     val base = (0 until 60).map(i => f"item-${i}%04d-label")
     val rng = new scala.util.Random(7)
     val withTypos = base ++ base.take(25).map { s =>
@@ -74,14 +78,20 @@ class EditJoinSpec extends AnyFunSuite {
     }
     val expect = brutePairs(withTypos)
     assert(expect.nonEmpty, "corpus must actually contain ed<=1 pairs")
-    for (p <- Seq(4, 12, 40))
-      assert(enginePairs(withTypos, prefixLen = p) == expect, s"prefixLen=$p")
+    assert(enginePairs(withTypos) == expect)
+  }
+
+  test("pairs = brute force on a common-prefix corpus (the degenerate case for prefix blocking)") {
+    // Every string shares a long common prefix; blocking must stay selective.
+    val strs = (0 until 80).map(i => f"Customer#000000$i%03d") ++
+      Seq("Customer#000000007X", "Customer#00000000")
+    assert(enginePairs(strs) == brutePairs(strs))
   }
 
   test("pairs carries the exact distance column") {
     val got = EditJoin.pairs(
         Seq((1L, "abcd"), (2L, "abed"), (3L, "abcd")).toDF("id", "s"),
-        "id", "s", maxDist = 1, prefixLen = 12)
+        "id", "s", maxDist = 1)
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist")))
       .toSet
