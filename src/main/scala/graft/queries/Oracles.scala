@@ -2146,5 +2146,60 @@ object Oracles {
              count(DISTINCT o_orderkey) AS n_keys,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total
       FROM m GROUP BY 1 ORDER BY 1""",
+
+    // q118: Gopher repetition signals replayed with string grams and
+    // explicit position arithmetic — a gram at word position i covers
+    // i..i+2; covered chars are summed over DISTINCT positions, so
+    // overlapping duplicate occurrences never double-count. The two
+    // fractions are single IEEE divisions of exact integers.
+    "q118_repetition" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      words AS (
+        SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS word FROM tok),
+      stats AS (
+        SELECT doc_id, count(*) AS n_words, sum(len(word)) AS word_chars
+        FROM words GROUP BY doc_id),
+      g2 AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END
+        ) AS gram FROM tok),
+      top2 AS (
+        SELECT doc_id, gram, cnt FROM (
+          SELECT doc_id, gram, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY count(*) DESC, gram) AS rn
+          FROM g2 GROUP BY doc_id, gram)
+        WHERE rn = 1),
+      g3l AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END
+          AS gs FROM tok),
+      g3 AS (
+        SELECT doc_id, unnest(range(len(gs))) AS gpos, unnest(gs) AS gram FROM g3l),
+      dup3 AS (
+        SELECT doc_id, gram FROM g3 GROUP BY doc_id, gram HAVING count(*) >= 2),
+      cov AS (
+        SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+        FROM g3 g JOIN dup3 d ON g.doc_id = d.doc_id AND g.gram = d.gram,
+             (SELECT unnest(range(3)) AS o) o),
+      covc AS (
+        SELECT c.doc_id, sum(len(w.word)) AS dup_covered_chars
+        FROM cov c JOIN words w ON c.doc_id = w.doc_id AND c.pos = w.pos
+        GROUP BY c.doc_id)
+      SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+             CAST(s.word_chars AS BIGINT) AS word_chars,
+             t.gram AS top_gram, CAST(t.cnt AS BIGINT) AS top_gram_count,
+             CAST(t.cnt * len(replace(t.gram, ' ', '')) AS DOUBLE) / s.word_chars
+               AS top_gram_frac,
+             CAST(coalesce(c.dup_covered_chars, 0) AS BIGINT) AS dup_covered_chars,
+             CAST(coalesce(c.dup_covered_chars, 0) AS DOUBLE) / s.word_chars
+               AS dup_frac
+      FROM stats s
+      JOIN top2 t ON s.doc_id = t.doc_id
+      LEFT JOIN covc c ON s.doc_id = c.doc_id
+      ORDER BY s.doc_id""",
   )
 }

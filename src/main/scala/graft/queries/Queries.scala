@@ -2557,6 +2557,19 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Gopher-style repetition quality signals
+    * ([[graft.operators.Repetition]]): per-document top-2-gram
+    * character fraction and duplicated-3-gram position coverage — the
+    * published MassiveText repetition filters as exact integers plus
+    * one IEEE division each, hash-certified against the string-gram
+    * replay (the q46 convention). The only windows are partitioned on
+    * the high-cardinality doc_id / (doc_id, gram) keys.
+    */
+  def q118Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Repetition.signals(
+        table(s, dir, "documents"), "doc_id", "text", topN = 2, dupN = 3)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2679,5 +2692,6 @@ object Queries {
     "q115_zorder"        -> (q115Zorder _),
     "q116_collocations"  -> (q116Collocations _),
     "q117_upsert"        -> (q117Upsert _),
+    "q118_repetition"    -> (q118Repetition _),
   )
 }
