@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, expressions => gx}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2004 — the MOSS local fingerprinting algorithm): slide a
+  * window of `w` consecutive word-`k`-gram ranks over each document
+  * and keep the minimum-rank gram per window (rightmost on ties).
+  * The published guarantee: any shared run of ≥ `w + k - 1` words
+  * between two documents yields at least one SHARED fingerprint, and
+  * the expected density is 2/(w+1) — a position-robust alternative to
+  * MinHash for substring-level overlap detection. Reference analogue:
+  * none (extends the dedup family of [[Dedup]]/[[SpanDedup]]).
+  *
+  * The rank is `md5(gram)` (lowercase hex, compared as a string):
+  * deterministic, pseudo-random across grams, and byte-identical in
+  * any engine — so fingerprint sets hash-certify against a DuckDB
+  * replay of the same construction (the q47 md5-ordering convention).
+  * A production deployment would swap in `xxhash64` ranks (8-byte
+  * state); the selection logic is rank-agnostic.
+  *
+  * Scale design (100 TB): gram construction is per-row codegen'd
+  * expression work; the window-min selection is ONE window function
+  * pass partitioned by the high-cardinality doc_id, ordered by gram
+  * position with a bounded RANGE frame (w rows) — no self-join, no
+  * O(G·w) blowup; the distinct on selected occurrences is a hash
+  * aggregate keyed on (doc_id, pos). Per-document work is linear in
+  * document length.
+  */
+object Winnow {
+
+  /** Per-document winnowing fingerprints. Output: `doc_id, pos, gram,
+    * rank` — one row per SELECTED gram occurrence (distinct positions;
+    * the same gram selected by several windows appears once per
+    * selected position).
+    *
+    * Windows are the `G - w + 1` full spans of `w` consecutive gram
+    * positions (G = gram count); each selects its min-rank gram,
+    * rightmost on rank ties. Documents with fewer than `w` grams get
+    * their single global minimum (at least one fingerprint per
+    * non-empty document, per the paper).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        gx.shingles_fast(TextFunctions.tokens(col(textCol)), k).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("g_total"),
+        posexplode(col("gs")).as(Seq("gpos", "gram")))
+      .withColumn("rank", md5(col("gram").cast("binary")))
+
+    // One RANGE-framed window pass: for each window START gpos, the
+    // min (rank, -pos, gram) struct over the next w gram positions —
+    // min rank, rightmost position on rank ties; the struct carries
+    // the winning gram and position out of the frame.
+    val winFrame = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
+      .rangeBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("sel", min(struct(col("rank"), (-col("gpos")).as("negpos"),
+        col("gram"))).over(winFrame))
+      // full windows only; a shorter-than-w document keeps its single
+      // global min via the gpos = 0 window
+      .filter(col("gpos") <= col("g_total") - w ||
+        (col("g_total") < w && col("gpos") === 0))
+      .select(col("doc_id"), (-col("sel.negpos")).cast("int").as("pos"),
+        col("sel.gram").as("gram"), col("sel.rank").as("rank"))
+      .distinct()
+  }
+
+  /** Document pairs sharing at least `minShared` fingerprint GRAMS —
+    * the MOSS candidate-pair report. Same bucketed contract as the
+    * MinHash legs: pairs form only inside a fingerprint's posting
+    * list, never all-pairs.
+    */
+  def sharedPairs(fp: DataFrame, minShared: Long = 1L): DataFrame = {
+    val sides = fp.select(col("doc_id"), col("rank")).distinct()
+    val a = sides.select(col("rank"), col("doc_id").as("id_a"))
+    val b = sides.select(col("rank"), col("doc_id").as("id_b"))
+    a.join(b, Seq("rank"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

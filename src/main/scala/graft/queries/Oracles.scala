@@ -2201,5 +2201,35 @@ object Oracles {
       JOIN top2 t ON s.doc_id = t.doc_id
       LEFT JOIN covc c ON s.doc_id = c.doc_id
       ORDER BY s.doc_id""",
+
+    // q119: winnowing replayed window-by-window — md5 hex ranks sort
+    // identically in both engines; each full w-window keeps its
+    // (rank asc, pos desc) leader; documents with fewer than w grams
+    // keep their single global minimum via the j = 0 window.
+    "q119_winnow" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      gl AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)] END
+          AS gs FROM tok),
+      g AS (
+        SELECT doc_id, unnest(range(len(gs))) AS gpos, unnest(gs) AS gram FROM gl),
+      gr AS (SELECT doc_id, gpos, gram, md5(gram) AS rank FROM g),
+      gt AS (SELECT doc_id, count(*) AS g_total FROM gr GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, unnest(range(
+          CASE WHEN g_total < 4 THEN 1 ELSE g_total - 3 END)) AS j
+        FROM gt),
+      sel AS (
+        SELECT w.doc_id, g.gpos, g.gram, g.rank,
+               row_number() OVER (PARTITION BY w.doc_id, w.j
+                 ORDER BY g.rank, g.gpos DESC) AS rn
+        FROM wins w JOIN gr g
+          ON g.doc_id = w.doc_id AND g.gpos >= w.j AND g.gpos < w.j + 4)
+      SELECT DISTINCT doc_id, CAST(gpos AS BIGINT) AS pos, gram, rank
+      FROM sel WHERE rn = 1
+      ORDER BY doc_id, pos""",
   )
 }

@@ -2570,6 +2570,21 @@ object Queries {
         table(s, dir, "documents"), "doc_id", "text", topN = 2, dupN = 3)
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints ([[graft.operators.Winnow]]): the MOSS
+    * local fingerprinting selection (k=4 word grams, w=4 windows,
+    * md5-hex ranks) over the corpus — the full selected set, one row
+    * per (doc, position). md5 ranks are byte-identical across
+    * engines, so the WHOLE selection (window minima, rightmost tie
+    * rule, short-doc fallback) hash-certifies against the oracle's
+    * replay of the same construction.
+    */
+  def q119Winnow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.fingerprints(
+        table(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("gram"), col("rank"))
+      .orderBy(col("doc_id"), col("pos"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2693,5 +2708,6 @@ object Queries {
     "q116_collocations"  -> (q116Collocations _),
     "q117_upsert"        -> (q117Upsert _),
     "q118_repetition"    -> (q118Repetition _),
+    "q119_winnow"        -> (q119Winnow _),
   )
 }
