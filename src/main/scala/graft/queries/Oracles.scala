@@ -2231,5 +2231,45 @@ object Oracles {
       SELECT DISTINCT doc_id, CAST(gpos AS BIGINT) AS pos, gram, rank
       FROM sel WHERE rn = 1
       ORDER BY doc_id, pos""",
+
+    // q120: each phrase replayed as m-gram STRING equality (no
+    // positional index) — occurrence = an m-gram equal to the phrase,
+    // docs shorter than m contribute none. Equality certifies the
+    // positional-alignment path including overlapping duplicate-term
+    // matches.
+    "q120_phrase_search" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g2 AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) < 2 THEN []
+               ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END
+        ) AS gram FROM tok),
+      g3 AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) < 3 THEN []
+               ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END
+        ) AS gram FROM tok)
+      SELECT phrase, n_docs, n_occ FROM (
+        SELECT 'batch batch batch' AS phrase,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(doc_id) AS BIGINT) AS n_occ
+        FROM g3 WHERE gram = 'batch batch batch'
+        UNION ALL
+        SELECT 'window window',
+               CAST(count(DISTINCT doc_id) AS BIGINT),
+               CAST(count(doc_id) AS BIGINT)
+        FROM g2 WHERE gram = 'window window'
+        UNION ALL
+        SELECT 'key order sort',
+               CAST(count(DISTINCT doc_id) AS BIGINT),
+               CAST(count(doc_id) AS BIGINT)
+        FROM g3 WHERE gram = 'key order sort'
+        UNION ALL
+        SELECT 'spark stream',
+               CAST(count(DISTINCT doc_id) AS BIGINT),
+               CAST(count(doc_id) AS BIGINT)
+        FROM g2 WHERE gram = 'spark stream')
+      ORDER BY phrase""",
   )
 }

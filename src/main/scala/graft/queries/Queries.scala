@@ -2585,6 +2585,26 @@ object Queries {
         col("gram"), col("rank"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Exact phrase search through the positional inverted index
+    * ([[graft.operators.PhraseIndex]]): four phrases of mixed length
+    * against the corpus — per phrase, matching-doc and total
+    * occurrence counts. The oracle replays each phrase as m-gram
+    * string equality (no index), so hash equality certifies the
+    * whole positional-alignment path: postings construction, the
+    * doc_id join chain, and the offset-aligned HOF count (including
+    * the overlapping duplicate-term case).
+    */
+  def q120PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val postings = graft.operators.PhraseIndex.build(
+      table(s, dir, "documents"), "doc_id", "text")
+    graft.operators.PhraseIndex.search(postings, Seq(
+        Seq("batch", "batch", "batch"),
+        Seq("window", "window"),
+        Seq("key", "order", "sort"),
+        Seq("spark", "stream")))
+      .orderBy(col("phrase"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2709,5 +2729,6 @@ object Queries {
     "q117_upsert"        -> (q117Upsert _),
     "q118_repetition"    -> (q118Repetition _),
     "q119_winnow"        -> (q119Winnow _),
+    "q120_phrase_search" -> (q120PhraseSearch _),
   )
 }
