@@ -2271,5 +2271,30 @@ object Oracles {
                CAST(count(doc_id) AS BIGINT)
         FROM g2 WHERE gram = 'spark stream')
       ORDER BY phrase""",
+
+    // q121: distinct 3-gram sets per source as STRINGS (Spark rides
+    // xxhash64 — q46's certification construction); exact set sizes,
+    // gram-keyed intersection, one IEEE division for Jaccard.
+    "q121_source_overlap" -> """
+      WITH tok AS (
+        SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g AS (
+        SELECT DISTINCT source, unnest(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END
+        ) AS gram FROM tok),
+      sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+      inter AS (
+        SELECT a.source AS ga, b.source AS gb, count(*) AS n_common
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT a.source AS group_a, b.source AS group_b,
+             CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+             CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+             CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+               (a.n + b.n - coalesce(i.n_common, 0)) AS jaccard
+      FROM sz a JOIN sz b ON a.source < b.source
+      LEFT JOIN inter i ON i.ga = a.source AND i.gb = b.source
+      ORDER BY group_a, group_b""",
   )
 }

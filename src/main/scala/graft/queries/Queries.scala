@@ -2605,6 +2605,19 @@ object Queries {
       .orderBy(col("phrase"))
   }
 
+  /** Exact 3-gram Jaccard overlap matrix between sources
+    * ([[graft.operators.CorpusOverlap]]): the pre-mixing redundancy
+    * audit — per source pair, exact distinct-gram set sizes,
+    * intersection, and Jaccard (one IEEE division). Spark rides
+    * 64-bit gram hashes; the string-gram oracle certifies the hashed
+    * path (q46's construction). The only non-equi join is the
+    * |sources|² sizes self-join (20 rows a side).
+    */
+  def q121SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOverlap.jaccardMatrix(
+        table(s, dir, "documents"), "source", "text", n = 3)
+      .orderBy(col("group_a"), col("group_b"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2730,5 +2743,6 @@ object Queries {
     "q118_repetition"    -> (q118Repetition _),
     "q119_winnow"        -> (q119Winnow _),
     "q120_phrase_search" -> (q120PhraseSearch _),
+    "q121_source_overlap" -> (q121SourceOverlap _),
   )
 }
