@@ -67,6 +67,74 @@ object EditJoin {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** The PassJoin-style constant-key alternative to [[pairs]] for
+    * LONG strings (Li, Deng, Feng, ICDE 2011 — segment-based
+    * pigeonhole blocking): a single edit splits an alignment into an
+    * untouched prefix and an untouched suffix, so two strings within
+    * distance 1 agree on the INDEX string's first-half prefix or
+    * second-half suffix. Each string emits 2 index keys (its own
+    * halves) and ≤ 6 probe keys (prefix/suffix cuts for the three
+    * candidate lengths) — O(1) keys per string versus [[pairs]]'
+    * O(L), so shuffle volume stays ~4 string-copies regardless of
+    * string length. Same candidate-prune-verify contract; output is
+    * row-identical to [[pairs]] (spec-pinned).
+    *
+    * Selectivity caveat (why [[pairs]] stays the default): the keys
+    * are half-length substrings, so corpora whose strings share a
+    * long common TEMPLATE (ids with a fixed prefix) collapse onto hot
+    * first-half keys — the [[Skew]] hot/cold composition is the
+    * remedy there. On natural long text (titles, sentences, URLs)
+    * half-strings are selective and this path wins.
+    */
+  def pairsSegmented(df: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1, "segment blocking shipped for maxDist = 1")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val idx = base
+      .withColumn("key", explode(expr(
+        """array(
+          |  named_struct('m', length(s), 'seg', 1,
+          |    'k', substring(s, 1, length(s) div 2)),
+          |  named_struct('m', length(s), 'seg', 2,
+          |    'k', substring(s, length(s) div 2 + 1,
+          |           length(s) - length(s) div 2)))""".stripMargin)))
+    val probeParts = (-1 to 1).flatMap { dm =>
+      val M = s"(length(s) + ($dm))"
+      val m1 = s"($M div 2)"
+      val m2 = s"($M - $m1)"
+      Seq(
+        s"""IF($M >= 0 AND length(s) >= $m1,
+           |  named_struct('m', $M, 'seg', 1, 'k', substring(s, 1, $m1)),
+           |  NULL)""".stripMargin,
+        s"""IF($M >= 0 AND length(s) >= $m2,
+           |  named_struct('m', $M, 'seg', 2,
+           |    'k', substring(s, length(s) - $m2 + 1, $m2)),
+           |  NULL)""".stripMargin)
+    }
+    val probe = base
+      .withColumn("key", explode(expr(
+        s"filter(array(${probeParts.mkString(",")}), x -> x IS NOT NULL)")))
+    val cand = probe
+      .select(xxhash64(col("key.m"), col("key.seg"), col("key.k")).as("bk"),
+        col("id").as("id_p"), col("s").as("s_p"))
+      .join(idx.select(
+          xxhash64(col("key.m"), col("key.seg"), col("key.k")).as("bk"),
+          col("id").as("id_i"), col("s").as("s_i")),
+        Seq("bk"))
+      .filter(col("id_p") =!= col("id_i"))
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"),
+        when(col("id_p") < col("id_i"), col("s_p")).otherwise(col("s_i")).as("s_a"),
+        when(col("id_p") < col("id_i"), col("s_i")).otherwise(col("s_p")).as("s_b"))
+    cand
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("s_a")).as("s_a"), first(col("s_b")).as("s_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** The blocking keys as a single expression column (array of
     * strings): the string itself plus each single-deletion variant,
     * guarded for the empty string (Spark's `sequence(1, 0)` DESCENDS,

@@ -88,6 +88,42 @@ class EditJoinSpec extends AnyFunSuite {
     assert(enginePairs(strs) == brutePairs(strs))
   }
 
+  private def enginePairsSeg(strs: Seq[String]): Set[(Long, Long)] =
+    EditJoin.pairsSegmented(
+        strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+        "id", "s", maxDist = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+
+  test("pairsSegmented = brute force on random typo corpora, short and long strings") {
+    val rng = new scala.util.Random(13)
+    def corpus(wordLen: Int): Seq[String] = {
+      val base = (0 until 40).map(i =>
+        (0 until wordLen).map(j => ('a' + ((i * 7 + j * 3) % 9)).toChar).mkString + f"-$i%03d")
+      base ++ base.take(18).map { s =>
+        val pos = rng.nextInt(s.length)
+        rng.nextInt(3) match {
+          case 0 => s.updated(pos, '#')
+          case 1 => s.substring(0, pos) + s.substring(pos + 1)
+          case _ => s.substring(0, pos) + "Z" + s.substring(pos)
+        }
+      }
+    }
+    for (len <- Seq(3, 17, 120)) {
+      val strs = corpus(len)
+      val expect = brutePairs(strs)
+      assert(expect.nonEmpty, s"len=$len corpus must contain pairs")
+      assert(enginePairsSeg(strs) == expect, s"len=$len")
+      assert(enginePairs(strs) == expect, s"len=$len (deletion path)")
+    }
+  }
+
+  test("pairsSegmented handles empty and single-char strings") {
+    val strs = Seq("", "x", "xy", "a", "")
+    assert(enginePairsSeg(strs) == brutePairs(strs))
+  }
+
   test("pairs carries the exact distance column") {
     val got = EditJoin.pairs(
         Seq((1L, "abcd"), (2L, "abed"), (3L, "abcd")).toDF("id", "s"),
