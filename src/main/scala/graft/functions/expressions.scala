@@ -853,6 +853,130 @@ case class BloomContainsLong(child: Expression, bloom: BloomRef)
     copy(child = newChild)
 }
 
+/** Single-pass row-local form of [[graft.operators.Repetition]]'s
+  * per-document signals: top-`topN`-gram leader (count desc, gram asc)
+  * and character coverage of duplicated `dupN`-grams, off one token
+  * array — no explode, no shuffle, no window. Row-locality makes it
+  * streaming-safe where the relational form's windows are not; a
+  * parity spec pins it row-identical to the oracle-certified
+  * relational signals. Gram semantics match [[Shingles]] exactly
+  * (shorter-than-n fallback included); character counts are codepoint
+  * counts (Spark `length` semantics).
+  */
+case class RepetitionSignals(child: Expression, topN: Int, dupN: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_signals requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("word_chars", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_gram_count", LongType, nullable = false),
+    StructField("top_gram_chars", LongType, nullable = false),
+    StructField("dup_covered_chars", LongType, nullable = false)))
+  override def prettyName: String = "repetition_signals"
+
+  protected override def nullSafeEval(input: Any): Any =
+    RepetitionSignals.compute(input.asInstanceOf[ArrayData], topN, dupN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionSignals.compute($c, $topN, $dupN)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionSignals =
+    copy(child = newChild)
+}
+
+object RepetitionSignals {
+
+  private def grams(toks: Array[String], n: Int): Array[String] =
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val out = new Array[String](toks.length - n + 1)
+      var s = 0
+      while (s <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(32)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(s + j))
+          j += 1
+        }
+        out(s) = sb.toString
+        s += 1
+      }
+      out
+    }
+
+  private def numChars(s: String): Int = s.codePointCount(0, s.length)
+
+  def compute(arr: ArrayData, topN: Int, dupN: Int): InternalRow = {
+    val len = arr.numElements()
+    val toks = new Array[String](len)
+    var wordChars = 0L
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      wordChars += numChars(toks(i))
+      i += 1
+    }
+
+    // top-topN-gram under (count desc, gram asc)
+    val topGrams = grams(toks, topN)
+    val cnt = new java.util.HashMap[String, Int](topGrams.length * 2)
+    i = 0
+    while (i < topGrams.length) {
+      cnt.merge(topGrams(i), 1, (a, b) => a + b); i += 1
+    }
+    var bestGram: String = null
+    var bestCnt = 0
+    val it = cnt.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > bestCnt ||
+          (e.getValue == bestCnt && (bestGram == null || e.getKey.compareTo(bestGram) < 0))) {
+        bestGram = e.getKey; bestCnt = e.getValue
+      }
+    }
+    if (bestGram == null) bestGram = ""
+    var bestSpaces = 0
+    i = 0
+    while (i < bestGram.length) { if (bestGram.charAt(i) == ' ') bestSpaces += 1; i += 1 }
+    val topChars = bestCnt.toLong * (numChars(bestGram) - bestSpaces)
+
+    // duplicated-dupN-gram position coverage (full windows only — the
+    // shorter-than-n fallback gram occurs once and can never be dup)
+    var covChars = 0L
+    if (len >= dupN) {
+      val dupGrams = grams(toks, dupN)
+      val cnt2 = new java.util.HashMap[String, Int](dupGrams.length * 2)
+      i = 0
+      while (i < dupGrams.length) { cnt2.merge(dupGrams(i), 1, (a, b) => a + b); i += 1 }
+      val covered = new Array[Boolean](len)
+      i = 0
+      while (i < dupGrams.length) {
+        if (cnt2.get(dupGrams(i)) >= 2) {
+          var p = i
+          while (p < i + dupN) { covered(p) = true; p += 1 }
+        }
+        i += 1
+      }
+      i = 0
+      while (i < len) {
+        if (covered(i)) covChars += numChars(toks(i))
+        i += 1
+      }
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](len, wordChars, UTF8String.fromString(bestGram),
+        bestCnt.toLong, topChars, covChars))
+  }
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -907,6 +1031,10 @@ object expressions {
   /** Column wrapper for [[GramStats]]. */
   def gram_stats(tokens: Column, n: Int): Column =
     GraftBridge.column(GramStats(GraftBridge.expression(tokens), n))
+
+  /** Column wrapper for [[RepetitionSignals]]. */
+  def repetition_signals(tokens: Column, topN: Int, dupN: Int): Column =
+    GraftBridge.column(RepetitionSignals(GraftBridge.expression(tokens), topN, dupN))
 
   /** Column wrapper for [[CosineSim]]. */
   /** Column wrapper for [[BloomContainsLong]]. */

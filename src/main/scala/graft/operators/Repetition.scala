@@ -28,9 +28,14 @@ import graft.functions.{TextFunctions, expressions => gx}
   * per-row codegen'd expression work ([[gx.shingles_fast]]); the only
   * shuffles are hash aggregates keyed on (doc_id) or (doc_id, gram) —
   * high-cardinality, map-side-partial, skew-free. The top-gram window
-  * is partitioned by doc_id (high-cardinality). Everything is
-  * stateless per document, so the scorer runs unchanged under
-  * Structured Streaming (the [[Outliers.flagAgainstProfile]] pattern).
+  * is partitioned by doc_id (high-cardinality).
+  *
+  * For streaming (and as the zero-shuffle production hot path) use
+  * [[signalsInline]]: the same signals off the single-pass codegen'd
+  * [[graft.functions.RepetitionSignals]] expression — row-local, so
+  * it runs unchanged under Structured Streaming where this relational
+  * form's windows cannot; a parity spec pins the two row-identical,
+  * transferring the oracle certification to the inline path.
   */
 object Repetition {
 
@@ -101,6 +106,29 @@ object Repetition {
           col("word_chars")).as("dup_frac"))
   }
 
+  /** [[signals]] computed row-locally in ONE pass by the codegen'd
+    * [[graft.functions.RepetitionSignals]] expression — no explode,
+    * no shuffle, no window; identical output (spec-pinned). This is
+    * the form to embed in scans, curation pipelines, and streaming
+    * queries. Empty documents (tokenizer yields `[""]`) come out with
+    * `word_chars = 0` exactly as the relational form's single
+    * empty-word row does.
+    */
+  def signalsInline(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 2, dupN: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        gx.repetition_signals(TextFunctions.tokens(col(textCol)), topN, dupN).as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").cast("long").as("n_words"),
+        col("r.word_chars").as("word_chars"),
+        col("r.top_gram").as("top_gram"),
+        col("r.top_gram_count").as("top_gram_count"),
+        (col("r.top_gram_chars").cast("double") / col("r.word_chars"))
+          .as("top_gram_frac"),
+        col("r.dup_covered_chars").as("dup_covered_chars"),
+        (col("r.dup_covered_chars").cast("double") / col("r.word_chars"))
+          .as("dup_frac"))
+
   /** The Gopher-style keep/drop gate composed from [[signals]]:
     * keep docs whose top-gram fraction and duplicate-gram coverage
     * are both under their thresholds. Stateless given the signals —
@@ -108,8 +136,10 @@ object Repetition {
     */
   def gate(df: DataFrame, idCol: String, textCol: String,
            maxTopGramFrac: Double = 0.20, maxDupFrac: Double = 0.50,
-           topN: Int = 2, dupN: Int = 3): DataFrame =
-    signals(df, idCol, textCol, topN, dupN)
+           topN: Int = 2, dupN: Int = 3,
+           inline: Boolean = false): DataFrame =
+    (if (inline) signalsInline(df, idCol, textCol, topN, dupN)
+     else signals(df, idCol, textCol, topN, dupN))
       .withColumn("keep",
         col("top_gram_frac") <= maxTopGramFrac &&
         col("dup_frac") <= maxDupFrac)

@@ -63,6 +63,29 @@ class RepetitionSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dup_frac") == 0.5)
   }
 
+  test("signalsInline = signals row-identically on a random corpus (certification transfer)") {
+    val rng = new scala.util.Random(57)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until (2 + rng.nextInt(30))).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("word_chars"),
+          r.getAs[String]("top_gram"), r.getAs[Long]("top_gram_count"),
+          r.getAs[Double]("top_gram_frac"), r.getAs[Long]("dup_covered_chars"),
+          r.getAs[Double]("dup_frac")))).toMap
+    val rel = canon(Repetition.signals(df, "id", "text").collect())
+    val inl = canon(Repetition.signalsInline(df, "id", "text").collect())
+    assert(inl == rel)
+    // no explode/shuffle in the inline plan: a single projection stage
+    val plan = Repetition.signalsInline(df, "id", "text").queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "inline signals must not shuffle")
+  }
+
   test("gate keeps clean docs and drops repetitive ones") {
     val got = Repetition.gate(
         Seq((1L, "the quick brown fox jumps over lazy dogs now"),
