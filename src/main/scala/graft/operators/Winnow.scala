@@ -86,4 +86,21 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** The MOSS similarity report: [[sharedPairs]] enriched with each
+    * side's distinct-fingerprint count and the containment score
+    * `n_shared / min(n_a, n_b)` (one IEEE division of exact
+    * integers). The per-doc sizes ride a doc-keyed contraction join —
+    * no second corpus pass.
+    */
+  def containmentPairs(fp: DataFrame, minShared: Long = 1L): DataFrame = {
+    val sizes = fp.select(col("doc_id"), col("rank")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    sharedPairs(fp, minShared)
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
 }

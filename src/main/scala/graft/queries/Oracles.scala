@@ -2296,5 +2296,66 @@ object Oracles {
       FROM sz a JOIN sz b ON a.source < b.source
       LEFT JOIN inter i ON i.ga = a.source AND i.gb = b.source
       ORDER BY group_a, group_b""",
+
+    // q122: q119's winnowing replay rolled to the pair report —
+    // distinct fingerprint ranks per doc, rank-keyed pair counts,
+    // containment = n_shared / min(n_a, n_b) as one IEEE division.
+    "q122_winnow_pairs" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      gl AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)] END
+          AS gs FROM tok),
+      g AS (
+        SELECT doc_id, unnest(range(len(gs))) AS gpos, unnest(gs) AS gram FROM gl),
+      gr AS (SELECT doc_id, gpos, gram, md5(gram) AS rank FROM g),
+      gt AS (SELECT doc_id, count(*) AS g_total FROM gr GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, unnest(range(
+          CASE WHEN g_total < 4 THEN 1 ELSE g_total - 3 END)) AS j
+        FROM gt),
+      sel AS (
+        SELECT w.doc_id, g.gpos, g.rank,
+               row_number() OVER (PARTITION BY w.doc_id, w.j
+                 ORDER BY g.rank, g.gpos DESC) AS rn
+        FROM wins w JOIN gr g
+          ON g.doc_id = w.doc_id AND g.gpos >= w.j AND g.gpos < w.j + 4),
+      fp AS (SELECT DISTINCT doc_id, rank FROM sel WHERE rn = 1),
+      sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.rank = b.rank AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+             CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
+             CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS containment
+      FROM pr p
+      JOIN sz sa ON p.id_a = sa.doc_id
+      JOIN sz sb ON p.id_b = sb.doc_id
+      ORDER BY p.id_a, p.id_b""",
+
+    // q123: the diff replayed as a full-outer join with null-safe
+    // (IS NOT DISTINCT FROM) comparison; integer counts.
+    "q123_snapshot_diff" -> """
+      WITH prev AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      nxt AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      d AS (
+        SELECT CASE
+            WHEN p.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN p.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              OR p.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+        FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+      SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys
+      FROM d GROUP BY change_type ORDER BY change_type""",
   )
 }

@@ -2618,6 +2618,39 @@ object Queries {
         table(s, dir, "documents"), "source", "text", n = 3)
       .orderBy(col("group_a"), col("group_b"))
 
+  /** MOSS containment report ([[graft.operators.Winnow
+    * .containmentPairs]]): document pairs sharing ≥ 3 winnowing
+    * fingerprints, with per-side fingerprint counts and the
+    * containment score — the plagiarism-style overlap ranking built
+    * on q119's certified fingerprint construction. Pairs form only
+    * inside fingerprint posting lists.
+    */
+  def q122WinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.operators.Winnow.fingerprints(
+      table(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+    graft.operators.Winnow.containmentPairs(fp, minShared = 3L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Snapshot differencing ([[graft.operators.SnapshotDiff]]): two
+    * synthetic order-table versions (keys dropped, keys added, prices
+    * bumped on a residue class) classified per key and rolled up —
+    * the CDC audit complement to q117's MERGE. One full-outer hash
+    * join on the key; counts are exact integers.
+    */
+  def q123SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ord = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val prev = ord.filter(col("o_orderkey") % 7 =!= 0)
+    val next = ord.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    graft.operators.SnapshotDiff.summary(prev, next,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .orderBy(col("change_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2744,5 +2777,7 @@ object Queries {
     "q119_winnow"        -> (q119Winnow _),
     "q120_phrase_search" -> (q120PhraseSearch _),
     "q121_source_overlap" -> (q121SourceOverlap _),
+    "q122_winnow_pairs"  -> (q122WinnowPairs _),
+    "q123_snapshot_diff" -> (q123SnapshotDiff _),
   )
 }

@@ -75,6 +75,22 @@ class WinnowSpec extends AnyFunSuite {
       r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
   }
 
+  test("containmentPairs: sizes and score off the shared fingerprint count") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fp = Winnow.fingerprints(
+      Seq((1L, s"one two three $shared"),
+          (2L, s"$shared nine eight seven"),
+          (3L, "completely different words entirely here now")).toDF("id", "text"),
+      "id", "text", 4, 4)
+    val got = Winnow.containmentPairs(fp, minShared = 1L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("containment")))).toMap
+    assert(got.contains((1L, 2L)) && !got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    val (ns, na, nb, c) = got((1L, 2L))
+    assert(ns >= 1 && c == ns.toDouble / math.min(na, nb))
+  }
+
   test("density: selected fraction is near 2/(w+1) on a long random doc") {
     val rng = new scala.util.Random(23)
     val text = (0 until 2000).map(_ => f"w${rng.nextInt(100000)}%06d").mkString(" ")
