@@ -2357,5 +2357,27 @@ object Oracles {
         FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
       SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys
       FROM d GROUP BY change_type ORDER BY change_type""",
+
+    // q124: suppression replayed with a group-size join; the released
+    // segment of a suppressed row is the literal '*'. floor(x/100.0)
+    // is IEEE-exact at the bin boundaries in both engines.
+    "q124_k_anonymity" -> """
+      WITH cust AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(CAST(floor(c_acctbal / 100.0) AS BIGINT) AS VARCHAR) AS bal_bin
+        FROM customer),
+      sz AS (
+        SELECT c_mktsegment, bal_bin, count(*) AS n
+        FROM cust GROUP BY 1, 2),
+      anon AS (
+        SELECT CASE WHEN s.n < 3 THEN '*' ELSE c.c_mktsegment END AS c_mktsegment,
+               CASE WHEN s.n < 3 THEN '*' ELSE c.bal_bin END AS bal_bin,
+               (s.n < 3) AS suppressed
+        FROM cust c JOIN sz s
+          ON c.c_mktsegment = s.c_mktsegment AND c.bal_bin = s.bal_bin)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT bal_bin) AS BIGINT) AS n_bins,
+             CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+      FROM anon GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

@@ -2651,6 +2651,25 @@ object Queries {
       .orderBy(col("change_type"))
   }
 
+  /** k-anonymity release audit ([[graft.operators.Anonymize]]):
+    * customers quasi-identified by (market segment, account-balance
+    * 100-unit bin), k = 3 — suppression applied, then the released
+    * table profiled per segment value (suppressed rows collapse into
+    * the `*` segment). Group sizing is a hash aggregate + join back
+    * on the composite key; integer counts end to end.
+    */
+  def q124KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(CAST(floor(c_acctbal / 100.0) AS BIGINT) AS STRING)").as("bal_bin"))
+    graft.operators.Anonymize.kAnonymize(cust, Seq("c_mktsegment", "bal_bin"), k = 3L)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("bal_bin")).as("n_bins"),
+        sum(when(col("suppressed"), 1L).otherwise(0L)).as("n_suppressed"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2779,5 +2798,6 @@ object Queries {
     "q121_source_overlap" -> (q121SourceOverlap _),
     "q122_winnow_pairs"  -> (q122WinnowPairs _),
     "q123_snapshot_diff" -> (q123SnapshotDiff _),
+    "q124_k_anonymity"   -> (q124KAnonymity _),
   )
 }
