@@ -2379,5 +2379,25 @@ object Oracles {
              CAST(count(DISTINCT bal_bin) AS BIGINT) AS n_bins,
              CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
       FROM anon GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // q125: q20's exact all-pairs construction verbatim — equality
+    // certifies the prefix filter's completeness at the 1/2 threshold
+    // and the hashed sorted-merge Jaccard.
+    "q125_setsim_join" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)]) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b""",
   )
 }

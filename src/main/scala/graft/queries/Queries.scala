@@ -2670,6 +2670,19 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Exact set-similarity join ([[graft.operators.SetSimJoin]]):
+    * 3-gram-set Jaccard ≥ 1/2 via prefix filtering — the EXACT
+    * counterpart to q20's MinHash-LSH candidates, at the same
+    * threshold, still never all-pairs (candidates form only on each
+    * document's rarest prefix shingles). The oracle replays exact
+    * all-pairs set arithmetic, so hash equality certifies the prefix
+    * filter loses no pair AND the sorted-merge Jaccard kernel.
+    */
+  def q125SetSimJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin.pairs(
+        table(s, dir, "documents"), "doc_id", "text", tNum = 1, tDen = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2799,5 +2812,6 @@ object Queries {
     "q122_winnow_pairs"  -> (q122WinnowPairs _),
     "q123_snapshot_diff" -> (q123SnapshotDiff _),
     "q124_k_anonymity"   -> (q124KAnonymity _),
+    "q125_setsim_join"   -> (q125SetSimJoin _),
   )
 }
