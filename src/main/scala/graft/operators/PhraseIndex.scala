@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, expressions => gx}
 
 /** Positional inverted index + exact phrase search — the classic
   * IR positional-postings design (Manning/Raghavan/Schütze ch. 2):
@@ -76,6 +76,34 @@ object PhraseIndex {
       }
     joined.select(col("doc_id"), occ.cast("long").as("n_occ"))
       .filter(col("n_occ") >= 1)
+  }
+
+  /** Row-local phrase matching — per document, the occurrence count
+    * of each phrase via m-gram equality over the token array
+    * ([[graft.functions.Shingles]], one codegen'd pass per phrase
+    * length). No index, no shuffle, no state: composes into scans and
+    * Structured Streaming queries unchanged (the admission-gate /
+    * contamination-block use case), and is parity-pinned to
+    * [[phraseHits]] by spec. Output: the input columns +
+    * `phrase_hits: map<string, long>` with one entry per MATCHED
+    * phrase.
+    */
+  def matchInline(df: DataFrame, textCol: String,
+                  phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty, "no phrases")
+    val toks = TextFunctions.tokens(col(textCol))
+    val counts = phrases.map { ph =>
+      val phraseStr = ph.mkString(" ")
+      // guard the shorter-than-m fallback gram: it only counts when the
+      // whole document IS the phrase
+      val occ = when(size(toks) < ph.size,
+          when(concat_ws(" ", toks) === phraseStr, 1L).otherwise(0L))
+        .otherwise(size(filter(gx.shingles_fast(toks, ph.size),
+          g => g === lit(phraseStr))).cast("long"))
+      struct(lit(phraseStr).as("p"), occ.as("c"))
+    }
+    df.withColumn("phrase_hits",
+      map_from_entries(filter(array(counts: _*), s => s.getField("c") > 0)))
   }
 
   /** Corpus-level phrase report over several phrases: per phrase the

@@ -61,6 +61,33 @@ class PhraseIndexSpec extends AnyFunSuite {
     assert(got == Set(("a b", 2L, 3L), ("c c", 1L, 2L), ("z", 0L, 0L)))
   }
 
+  test("matchInline = phraseHits per document (parity), map carries only matched phrases") {
+    val rng = new scala.util.Random(67)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 25L).map { i =>
+      i -> (0 until (3 + rng.nextInt(25))).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val phrases = Seq(Seq("a", "b"), Seq("c", "a", "b"), Seq("d"), Seq("b", "b"))
+    val df = docs.toDF("id", "text")
+    val inline = PhraseIndex.matchInline(df, "text", phrases)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Map[String, Long]]("phrase_hits"))
+      .toMap
+    val postings = PhraseIndex.build(df, "id", "text")
+    phrases.foreach { ph =>
+      val key = ph.mkString(" ")
+      val idx = PhraseIndex.phraseHits(postings, ph).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+      val inl = inline.collect { case (id, m) if m.contains(key) => id -> m(key) }.toMap
+      assert(inl == idx, s"phrase '$key'")
+    }
+    // whole-doc-equals-phrase fallback
+    val short = PhraseIndex.matchInline(Seq((1L, "a b")).toDF("id", "text"),
+        "text", Seq(Seq("a", "b", "c"), Seq("a", "b")))
+      .head().getAs[Map[String, Long]]("phrase_hits")
+    assert(short == Map("a b" -> 1L))
+  }
+
   test("stored postings bucket-prune on the term filter") {
     val docs = (0L until 40L).map(i => (i, s"w$i common w${i % 7}")).toDF("id", "text")
     PhraseIndex.store(PhraseIndex.build(docs, "id", "text"), "phix", buckets = 4)

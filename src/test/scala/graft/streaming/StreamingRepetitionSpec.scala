@@ -61,4 +61,25 @@ class StreamingRepetitionSpec extends AnyFunSuite {
       assert(batch(2L)._8 == false && batch(1L)._8 == true)
     } finally q.stop()
   }
+
+  test("inline phrase matching runs identically under a micro-batch stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RepDoc]
+    val phrases = Seq(Seq("spam", "spam"), Seq("x", "y", "z"))
+    val q = graft.operators.PhraseIndex.matchInline(input.toDF(), "text", phrases)
+      .writeStream.format("memory").queryName("sphr").outputMode("append").start()
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table("sphr").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Map[String, Long]]("phrase_hits"))
+        .toMap
+      val batch = graft.operators.PhraseIndex.matchInline(docs.toDF(), "text", phrases)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Map[String, Long]]("phrase_hits"))
+        .toMap
+      assert(streamed == batch)
+      assert(batch(2L) == Map("spam spam" -> 6L) && batch(5L) == Map("x y z" -> 3L))
+    } finally q.stop()
+  }
 }
