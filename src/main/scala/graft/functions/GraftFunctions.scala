@@ -70,6 +70,20 @@ object GraftFunctions {
     },
     "cms_estimate" -> { args =>
       arity("cms_estimate", args, 2); CmsEstimate(args.head, args(1))
+    },
+    "kmv_sketch" -> { args =>
+      arity("kmv_sketch", args, 2)
+      KmvAgg(args.head, intLit(args(1), "k")).toAggregateExpression()
+    },
+    "kmv_union" -> { args =>
+      arity("kmv_union", args, 1); KmvUnionAgg(args.head).toAggregateExpression()
+    },
+    "kmv_estimate" -> { args =>
+      arity("kmv_estimate", args, 1); KmvEstimate(args.head)
+    },
+    "kmv_intersect_estimate" -> { args =>
+      arity("kmv_intersect_estimate", args, 2)
+      KmvIntersectEstimate(args.head, args(1))
     }
   )
 

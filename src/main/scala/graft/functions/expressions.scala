@@ -1036,6 +1036,22 @@ object expressions {
   def repetition_signals(tokens: Column, topN: Int, dupN: Int): Column =
     GraftBridge.column(RepetitionSignals(GraftBridge.expression(tokens), topN, dupN))
 
+  /** Column wrapper for [[KmvAgg]] (an aggregate — use inside `agg`). */
+  def kmv_sketch(item: Column, k: Int): Column =
+    GraftBridge.column(KmvAgg(GraftBridge.expression(item), k).toAggregateExpression())
+
+  /** Column wrapper for [[KmvUnionAgg]] (an aggregate). */
+  def kmv_union(sketch: Column): Column =
+    GraftBridge.column(KmvUnionAgg(GraftBridge.expression(sketch)).toAggregateExpression())
+
+  /** Column wrapper for [[KmvEstimate]]. */
+  def kmv_estimate(sketch: Column): Column =
+    GraftBridge.column(KmvEstimate(GraftBridge.expression(sketch)))
+
+  /** Column wrapper for [[KmvIntersectEstimate]]. */
+  def kmv_intersect_estimate(a: Column, b: Column): Column =
+    GraftBridge.column(KmvIntersectEstimate(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Column wrapper for [[CosineSim]]. */
   /** Column wrapper for [[BloomContainsLong]]. */
   def bloom_contains_long(key: Column, bloom: BloomRef): Column =

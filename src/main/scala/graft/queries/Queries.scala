@@ -2683,6 +2683,42 @@ object Queries {
         table(s, dir, "documents"), "doc_id", "text", tNum = 1, tDen = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** KMV/theta sketch overlap estimates vs exact ([[graft.functions
+    * .KmvSketch]]): per-source 3-gram-set sketches (k = 256),
+    * pairwise intersection estimates checked against q121's exact
+    * intersection — the set-algebra seam HLL lacks, as stored
+    * mergeable state. Rows-only by design (the estimator is
+    * intentionally approximate; DuckDB can't replay XXH64): `pass`
+    * asserts every pair's estimate within the theta-sketch error
+    * envelope, and fails loud on estimator drift. Sharded-union ≡
+    * whole-corpus byte-identity and the exact-below-k property are
+    * spec-pinned in KmvSketchSpec.
+    */
+  def q126KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{expressions => gx}
+    val docSh = table(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(gx.shingles_fast(
+          TextFunctions.tokens(col("text")), 3))).as("sh"))
+    val sk = docSh.groupBy(col("source"))
+      .agg(gx.kmv_sketch(col("sh"), 256).as("sk"))
+    val est = sk.select(col("source").as("group_a"), col("sk").as("sk_a"))
+      .join(broadcast(sk.select(col("source").as("group_b"), col("sk").as("sk_b"))),
+        col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        gx.kmv_intersect_estimate(col("sk_a"), col("sk_b")).as("est_common"))
+    val exact = graft.operators.CorpusOverlap.jaccardMatrix(
+      table(s, dir, "documents"), "source", "text", n = 3)
+    exact.join(est, Seq("group_a", "group_b"))
+      .withColumn("union_size", col("n_a") + col("n_b") - col("n_common"))
+      .withColumn("pass",
+        abs(col("est_common") - col("n_common")) <=
+          lit(0.25) * col("union_size") + lit(5.0))
+      .select(col("group_a"), col("group_b"), col("n_common"),
+        col("est_common"), col("union_size"), col("pass"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2813,5 +2849,6 @@ object Queries {
     "q123_snapshot_diff" -> (q123SnapshotDiff _),
     "q124_k_anonymity"   -> (q124KAnonymity _),
     "q125_setsim_join"   -> (q125SetSimJoin _),
+    "q126_kmv_overlap"   -> (q126KmvOverlap _),
   )
 }

@@ -47,7 +47,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q88_temperature_mix" -> 1, // 1-row weight-denominator scalar
     "q103_retrieval_eval" -> 1, // termStats' 1-row corpus scalars
     "q116_collocations"   -> 1, // 1-row corpus token-total scalar
-    "q121_source_overlap" -> 1) // |sources|² sizes self-join (≤ 20 rows a side)
+    "q121_source_overlap" -> 1, // |sources|² sizes self-join (≤ 20 rows a side)
+    "q126_kmv_overlap"    -> 2) // q121's sizes self-join + the |sources|² sketch pair join
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
