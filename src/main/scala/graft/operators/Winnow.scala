@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,47 @@ object Winnow {
       .select(col("doc_id"), (-col("sel.negpos")).cast("int").as("pos"),
         col("sel.gram").as("gram"), col("sel.rank").as("rank"))
       .distinct()
+  }
+
+  /** Persist a corpus's fingerprints BUCKETED AND SORTED ON rank (the
+    * [[DedupIndex]] stored-state recipe): incremental admission joins
+    * on rank, so checks against the stored corpus read it
+    * exchange-free and bucket-pruned.
+    */
+  def store(fp: DataFrame, name: String, buckets: Int = 32): Unit =
+    fp.select(col("doc_id"), col("pos"), col("gram"), col("rank"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "rank").sortBy("rank")
+      .saveAsTable(s"${name}_winnow")
+
+  /** Append a batch's fingerprints under the same bucket spec (doc_ids
+    * must be fresh — the incremental-loop contract shared by the whole
+    * stored family). O(batch): the stored rows are never rewritten.
+    */
+  def appendToStored(spark: SparkSession, name: String, batchFp: DataFrame,
+                     buckets: Int = 32): Unit =
+    batchFp.select(col("doc_id"), col("pos"), col("gram"), col("rank"))
+      .write.mode("append")
+      .bucketBy(buckets, "rank").sortBy("rank")
+      .saveAsTable(s"${name}_winnow")
+
+  /** Check an incoming batch against the stored corpus: per
+    * (batch doc, stored doc) pair the shared-fingerprint count — the
+    * incremental MOSS admission check. The join is keyed on rank:
+    * the batch side (small) exchanges, the stored side rides its
+    * bucketing (spec-asserted exchange-free).
+    */
+  def checkAgainstStored(spark: SparkSession, name: String, docs: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4, minShared: Long = 1L): DataFrame = {
+    val batchFp = fingerprints(docs, idCol, textCol, k, w)
+      .select(col("rank"), col("doc_id").as("new_id")).distinct()
+    val stored = spark.table(s"${name}_winnow")
+      .select(col("rank"), col("doc_id").as("corpus_id")).distinct()
+    batchFp.join(stored, Seq("rank"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Document pairs sharing at least `minShared` fingerprint GRAMS —

@@ -10,6 +10,8 @@ class WinnowSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("winnow-wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   import spark.implicits._
@@ -89,6 +91,45 @@ class WinnowSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)) && !got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
     val (ns, na, nb, c) = got((1L, 2L))
     assert(ns >= 1 && c == ns.toDouble / math.min(na, nb))
+  }
+
+  test("stored corpus: check finds planted overlap, append ≡ rebuild, stored side exchange-free") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val day1 = Seq((1L, s"one two three $shared"), (2L, "totally different words here today"))
+    val day2 = Seq((10L, s"$shared nine eight"), (11L, "nothing in common at all friend"))
+    val day3 = Seq((20L, s"prefix words then $shared trailing bits"))
+    def fp(docs: Seq[(Long, String)]) =
+      Winnow.fingerprints(docs.toDF("id", "text"), "id", "text", 4, 4)
+    try {
+      Winnow.store(fp(day1), "wst", buckets = 4)
+      val chk2 = Winnow.checkAgainstStored(spark, "wst", day2.toDF("id", "text"), "id", "text")
+      // the stored side of the rank join must ride its bucketing: the
+      // only exchanges in the plan belong to the batch side / final agg
+      val scanShuffled = chk2.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.collectLeaves().exists(_.toString.contains("wst_winnow")) => e
+      }
+      assert(scanShuffled.isEmpty, "stored fingerprints must not ride an exchange")
+      val hits2 = chk2.collect().map(r =>
+        (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"))).toSet
+      assert(hits2.contains((10L, 1L)) && !hits2.exists(_._1 == 11L))
+
+      // accrete day 2; day 3 must match the shared run against BOTH days
+      Winnow.appendToStored(spark, "wst", fp(day2), buckets = 4)
+      val hits3 = Winnow.checkAgainstStored(spark, "wst", day3.toDF("id", "text"),
+          "id", "text")
+        .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"))).toSet
+      assert(hits3.contains((20L, 1L)) && hits3.contains((20L, 10L)))
+
+      // append ≡ rebuild: stored rows after accretion = one-shot store of all docs
+      val stored = spark.table("wst_winnow")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+          r.getAs[String]("rank"))).toSet
+      val rebuilt = fp(day1 ++ day2)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+          r.getAs[String]("rank"))).toSet
+      assert(stored == rebuilt)
+    } finally spark.sql("DROP TABLE IF EXISTS wst_winnow")
   }
 
   test("density: selected fraction is near 2/(w+1) on a long random doc") {
