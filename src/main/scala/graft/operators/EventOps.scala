@@ -213,4 +213,31 @@ object EventOps {
         expr("CAST((n_trans * 1000000) div sum(n_trans) " +
           "OVER (PARTITION BY prev_type) AS BIGINT)"))
   }
+
+  /** Slowly-changing-dimension type 2 from an event stream: per key,
+    * collapse consecutive runs of an unchanged attribute into validity
+    * intervals `[valid_from, valid_to)` under the (ts, tie) total
+    * order — the warehouse dimension-versioning build (Kimball SCD-2)
+    * whose point-in-time lookup is then [[AsofJoin]]. Two windows,
+    * both partitioned on the high-cardinality key: a lag to find
+    * change points (null-safe, so null attributes form runs too) and
+    * a lead over the CHANGE POINTS for each interval's end. The open
+    * current version has `valid_to` null.
+    */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+    val changes = events
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol),
+        lag(col(attrCol), 1).over(w).as("__prev"),
+        lag(lit(1), 1).over(w).as("__has_prev"))
+      .filter(col("__has_prev").isNull || !(col(attrCol) <=> col("__prev")))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -2380,6 +2380,47 @@ object Oracles {
              CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
       FROM anon GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    // q127: SCD-2 replayed — change points under the (ts, event_id)
+    // total order (both sides pre-filter null types, so plain lag
+    // comparison suffices), lead over change points for interval
+    // ends; durations are integer µs sums.
+    "q127_scd2" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        FROM events WHERE event_type IS NOT NULL),
+      f AS (
+        SELECT user_id, event_type, t, event_id,
+               lag(event_type) OVER w AS prev,
+               lag(1) OVER w AS hasprev
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      ch AS (
+        SELECT user_id, event_type, t, event_id FROM f
+        WHERE hasprev IS NULL OR prev IS DISTINCT FROM event_type),
+      iv AS (
+        SELECT user_id, event_type, t AS vf,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS vt
+        FROM ch)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+             CAST(sum(CASE WHEN vt IS NOT NULL THEN vt - vf ELSE 0 END) AS BIGINT)
+               AS closed_micros
+      FROM iv GROUP BY event_type ORDER BY event_type""",
+
+    // q128: schema-on-read JSON extraction replayed with DuckDB's JSON
+    // extension; missing keys and malformed documents null out in both
+    // engines.
+    "q128_json_props" -> """
+      WITH e AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_type IS NOT NULL)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(k) AS BIGINT) AS n_with_k,
+             CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+             min(k) AS min_k, max(k) AS max_k
+      FROM e GROUP BY event_type ORDER BY event_type""",
+
     // q125: q20's exact all-pairs construction verbatim — equality
     // certifies the prefix filter's completeness at the 1/2 threshold
     // and the hashed sorted-merge Jaccard.

@@ -2719,6 +2719,47 @@ object Queries {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** SCD-2 dimension build ([[graft.operators.EventOps.scd2]]): each
+    * user's event-type stream collapsed into validity intervals under
+    * the (ts, event_id) total order, rolled up per type — interval
+    * counts, current-version counts, and exact total interval
+    * duration in microseconds (integer arithmetic off the µs
+    * timestamps). Both windows ride the high-cardinality user key.
+    */
+  def q127Scd2(s: SparkSession, dir: String): DataFrame = {
+    val iv = graft.operators.EventOps.scd2(
+      eventsTable(s, dir).where(col("event_type").isNotNull),
+      "user_id", "event_type", "ts", "event_id")
+    iv.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        sum(when(col("valid_to").isNotNull,
+            unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+          .otherwise(0L)).cast("long").as("closed_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Semi-structured extraction: the events `props` JSON column parsed
+    * with Spark's native `from_json` (schema-on-read, codegen'd — no
+    * UDF) and profiled per event type. The oracle replays with
+    * DuckDB's JSON extension, certifying the parse agrees engine to
+    * engine, including missing/null handling.
+    */
+  def q128JsonProps(s: SparkSession, dir: String): DataFrame = {
+    eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        coalesce(sum(col("k")), lit(0L)).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2850,5 +2891,7 @@ object Queries {
     "q124_k_anonymity"   -> (q124KAnonymity _),
     "q125_setsim_join"   -> (q125SetSimJoin _),
     "q126_kmv_overlap"   -> (q126KmvOverlap _),
+    "q127_scd2"          -> (q127Scd2 _),
+    "q128_json_props"    -> (q128JsonProps _),
   )
 }

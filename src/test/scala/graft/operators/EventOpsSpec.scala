@@ -209,4 +209,48 @@ class EventOpsSpec extends AnyFunSuite {
       .toSet
     assert(got == Set(("x", "y"), ("y", "z")))
   }
+
+  test("scd2: runs collapse to intervals; current version open; ties by event_id") {
+    val rows = Seq(
+      // user 1: A A B A — runs A, B, A
+      (1L, "A", "2024-01-01 00:00:00", 1L),
+      (1L, "A", "2024-01-01 01:00:00", 2L),
+      (1L, "B", "2024-01-01 02:00:00", 3L),
+      (1L, "A", "2024-01-01 03:00:00", 4L),
+      // user 2: single event
+      (2L, "C", "2024-01-01 00:30:00", 5L),
+      // user 3: tied timestamps ordered by event_id: B (id 6) then A (id 7)
+      (3L, "B", "2024-01-01 00:00:00", 6L),
+      (3L, "A", "2024-01-01 00:00:00", 7L))
+      .map { case (u, a, t, id) => (u, a, ts(t), id) }
+      .toDF("user_id", "attr", "ts", "event_id")
+    val got = EventOps.scd2(rows, "user_id", "attr", "ts", "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("attr"),
+        r.getAs[Timestamp]("valid_from"),
+        Option(r.getAs[Timestamp]("valid_to")),
+        r.getAs[Boolean]("is_current")))
+      .toSet
+    assert(got == Set(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00")), false),
+      (1L, "B", ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 03:00:00")), false),
+      (1L, "A", ts("2024-01-01 03:00:00"), None, true),
+      (2L, "C", ts("2024-01-01 00:30:00"), None, true),
+      (3L, "B", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 00:00:00")), false),
+      (3L, "A", ts("2024-01-01 00:00:00"), None, true)))
+  }
+
+  test("scd2: null attribute values form runs (null-safe change detection)") {
+    val rows = Seq(
+      (1L, Option("A"), "2024-01-01 00:00:00", 1L),
+      (1L, None: Option[String], "2024-01-01 01:00:00", 2L),
+      (1L, None: Option[String], "2024-01-01 02:00:00", 3L),
+      (1L, Option("A"), "2024-01-01 03:00:00", 4L))
+      .map { case (u, a, t, id) => (u, a, ts(t), id) }
+      .toDF("user_id", "attr", "ts", "event_id")
+    val got = EventOps.scd2(rows, "user_id", "attr", "ts", "event_id")
+      .collect().map(r => (Option(r.getAs[String]("attr")),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(got == Set((Some("A"), false), (None, false), (Some("A"), true)))
+  }
 }
