@@ -2421,6 +2421,52 @@ object Oracles {
              min(k) AS min_k, max(k) AS max_k
       FROM e GROUP BY event_type ORDER BY event_type""",
 
+    // q129: Welch replayed off the identical integer sufficient
+    // statistics and the identical IEEE shape (+, −, ·, /, sqrt are
+    // correctly rounded — no libm transcendentals anywhere).
+    "q129_ab_welch" -> """
+      WITH b AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      s AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN v END), 0) AS BIGINT) AS s_a,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN v END), 0) AS BIGINT) AS s_b,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN
+                 CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END), 0)
+                 AS DOUBLE) AS ss_a,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN
+                 CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END), 0)
+                 AS DOUBLE) AS ss_b
+        FROM b GROUP BY 1),
+      d AS (
+        SELECT *,
+               CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+               CAST(s_a AS DOUBLE) AS sad, CAST(s_b AS DOUBLE) AS sbd
+        FROM s),
+      e AS (
+        SELECT *,
+               sad / nad AS mean_a, sbd / nbd AS mean_b,
+               (ss_a - sad * sad / nad) / (nad - 1.0) AS va,
+               (ss_b - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+        FROM d),
+      f AS (
+        SELECT *, va / nad AS sea, vb / nbd AS seb FROM e)
+      SELECT event_type, n_a, n_b, s_a, s_b, ss_a, ss_b,
+             mean_a, mean_b,
+             CASE WHEN n_a >= 2 THEN va END AS var_a,
+             CASE WHEN n_b >= 2 THEN vb END AS var_b,
+             CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+               THEN (mean_a - mean_b) / sqrt(sea + seb) END AS t_stat,
+             CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+               THEN ((sea + seb) * (sea + seb)) /
+                    (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0)) END
+               AS df_welch
+      FROM f ORDER BY event_type""",
+
     // q125: q20's exact all-pairs construction verbatim — equality
     // certifies the prefix filter's completeness at the 1/2 threshold
     // and the hashed sorted-merge Jaccard.

@@ -2760,6 +2760,22 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** A/B readout ([[graft.operators.ABTest.welch]]): arms split by
+    * `user_id % 2`, metric = event value in micro-units, per event
+    * type — Welch's t and the Satterthwaite df off one hash-aggregate
+    * pass of integer sufficient statistics; every double derives
+    * through the fixed IEEE shape (q98/q109 convention), so the whole
+    * readout hash-certifies.
+    */
+  def q129AbWelch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ABTest.welch(
+        eventsTable(s, dir)
+          .where(col("event_type").isNotNull && col("value").isNotNull)
+          .withColumn("arm", (col("user_id") % 2).cast("int"))
+          .withColumn("v", graft.operators.Regression.microUnits(col("value"))),
+        "event_type", "arm", "v")
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2893,5 +2909,6 @@ object Queries {
     "q126_kmv_overlap"   -> (q126KmvOverlap _),
     "q127_scd2"          -> (q127Scd2 _),
     "q128_json_props"    -> (q128JsonProps _),
+    "q129_ab_welch"      -> (q129AbWelch _),
   )
 }
