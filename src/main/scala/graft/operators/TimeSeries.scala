@@ -119,4 +119,35 @@ object TimeSeries {
     }
     withSums.withColumn("rolling_n", count(lit(1)).over(w))
   }
+
+  /** One-sided CUSUM change detection (Page 1954) over an integer
+    * series, in CLOSED FORM: the textbook recursion
+    * `S_t = max(0, S_{t−1} + (x_t − target − slack))` equals
+    * `cs_t − min(0, min_{j≤t} cs_j)` for the running sum `cs` of the
+    * deviations — so the sequential filter becomes two stacked window
+    * functions (cumsum + running min) over the SAME (key, order)
+    * spec: one sort, no iteration, no UDF-carried state. All integer
+    * arithmetic; `alarm` fires where S crosses `threshold`. The
+    * upward detector; run it on negated deviations for the downward
+    * side. The monitoring-family completion next to [[Drift]] (batch
+    * distribution distance) and [[Outliers]] (pointwise robust
+    * flags): CUSUM accumulates small sustained shifts either misses.
+    *
+    * Intended inputs are CONTRACTED series (per-key daily rollups —
+    * O(keys × buckets) rows), where a low-cardinality key partition
+    * is a bounded window, not the q74 trap.
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+            targetCol: String, slack: Long, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__d",
+        col(valueCol).cast("long") - col(targetCol).cast("long") - lit(slack))
+      .withColumn("__cs", sum(col("__d")).over(w))
+      .withColumn("cusum",
+        col("__cs") - least(lit(0L), min(col("__cs")).over(w)))
+      .withColumn("alarm", col("cusum") > threshold)
+      .drop("__d", "__cs")
+  }
 }

@@ -2467,6 +2467,42 @@ object Oracles {
                AS df_welch
       FROM f ORDER BY event_type""",
 
+    // q130: the closed-form CUSUM (cumsum − running min, slack 1,
+    // threshold 25) replayed with the identical windows over the same
+    // daily contraction; integer division for the per-type target.
+    "q130_cusum" -> """
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2),
+      tgt AS (
+        SELECT event_type, sum(n_events) // count(*) AS target
+        FROM daily GROUP BY 1),
+      d AS (
+        SELECT daily.*, tgt.target,
+               n_events - tgt.target - 1 AS dev
+        FROM daily JOIN tgt USING (event_type)),
+      c1 AS (
+        SELECT *, sum(dev) OVER w AS cs
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      c2 AS (
+        SELECT *, least(0, min(cs) OVER w) AS floor_cs
+        FROM c1
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (
+        SELECT event_type, day_idx, cs - floor_cs AS cusum FROM c2)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(max(cusum) AS BIGINT) AS max_cusum,
+             CAST(sum(CASE WHEN cusum > 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days,
+             min(CASE WHEN cusum > 25 THEN day_idx END) AS first_alarm_day
+      FROM s GROUP BY event_type ORDER BY event_type""",
+
     // q125: q20's exact all-pairs construction verbatim — equality
     // certifies the prefix filter's completeness at the 1/2 threshold
     // and the hashed sorted-merge Jaccard.

@@ -2776,6 +2776,32 @@ object Queries {
         "event_type", "arm", "v")
       .orderBy(col("event_type"))
 
+  /** CUSUM change monitoring ([[graft.operators.TimeSeries.cusum]]):
+    * daily per-type event counts against each type's integer mean
+    * rate — the closed-form (cumsum − running min) detector rolled to
+    * per-type alarm statistics, all integer arithmetic. The CUSUM
+    * window rides the (types × days) contraction, never event rows.
+    */
+  def q130Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val target = daily.groupBy(col("event_type"))
+      .agg(expr("sum(n_events) div count(1)").as("target"))
+    val series = daily.join(broadcast(target), Seq("event_type"))
+    graft.operators.TimeSeries.cusum(series, "event_type", "day_idx",
+        "n_events", "target", slack = 1L, threshold = 25L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("cusum")).as("max_cusum"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_days"),
+        min(when(col("alarm"), col("day_idx"))).as("first_alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2910,5 +2936,6 @@ object Queries {
     "q127_scd2"          -> (q127Scd2 _),
     "q128_json_props"    -> (q128JsonProps _),
     "q129_ab_welch"      -> (q129AbWelch _),
+    "q130_cusum"         -> (q130Cusum _),
   )
 }

@@ -71,7 +71,10 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // slicedCumsum's offset roll-up: the source-only window runs over
     // the (groups × slices) contraction, never the corpus (the doc
     // rows ride the (source, __slice) high-cardinality window)
-    "q110_compaction_plan")
+    "q110_compaction_plan",
+    // CUSUM's two stacked windows run over the (types × days) daily
+    // contraction (bounded rows), never event rows — the q112 shape
+    "q130_cusum")
 
   private val lowCardCols = Set("lang", "source", "event_type", "week_idx")
 
