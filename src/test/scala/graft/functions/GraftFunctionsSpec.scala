@@ -89,6 +89,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(GraftFunctions.builders.map(_._1).toSet == Set(
       "simhash64", "minhash64", "shingles_fast", "rolling_chunks",
       "hashed_set", "sorted_jaccard", "cosine_sim", "gram_stats",
-      "space_saving_top_k", "group_top_k", "cms_union", "cms_estimate"))
+      "space_saving_top_k", "group_top_k", "cms_union", "cms_estimate",
+      "kmv_sketch", "kmv_union", "kmv_estimate", "kmv_intersect_estimate"))
   }
 }
