@@ -2503,6 +2503,19 @@ object Oracles {
              min(CASE WHEN cusum > 25 THEN day_idx END) AS first_alarm_day
       FROM s GROUP BY event_type ORDER BY event_type""",
 
+    // q131: the NOT EXISTS dominance definition, verbatim — certifies
+    // the two-phase distributed skyline exactly, ties included.
+    "q131_skyline" -> """
+      WITH p AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, p_retailprice
+        FROM part)
+      SELECT p_partkey, p_size, p_retailprice FROM p a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
+          AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
+      ORDER BY p_partkey""",
+
     // q125: q20's exact all-pairs construction verbatim — equality
     // certifies the prefix filter's completeness at the 1/2 threshold
     // and the hashed sorted-merge Jaccard.

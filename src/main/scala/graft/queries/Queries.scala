@@ -2802,6 +2802,20 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Pareto frontier ([[graft.operators.Skyline]]): parts undominated
+    * on (size, retail price), both minimized — the multi-criteria
+    * "best offers" query no single ORDER BY expresses. Two-phase
+    * distributed skyline (per-partition local pass, bounded global
+    * pass); the oracle replays the NOT EXISTS dominance definition,
+    * certifying exactness including first-dimension ties.
+    */
+  def q131Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.skyline(
+        table(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"), col("p_retailprice")),
+        Seq("p_size", "p_retailprice"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2937,5 +2951,6 @@ object Queries {
     "q128_json_props"    -> (q128JsonProps _),
     "q129_ab_welch"      -> (q129AbWelch _),
     "q130_cusum"         -> (q130Cusum _),
+    "q131_skyline"       -> (q131Skyline _),
   )
 }
