@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * ln/exp/erf anywhere — p-values are left to the caller's CDF tables
   * precisely because libm transcendentals are NOT cross-engine
   * reproducible.
+  *
+  * Magnitude rule for cross-engine certification: pick the
+  * fixed-point scale so Σv² stays under 2^53 — then the
+  * decimal→double cast is EXACT everywhere. Above 2^53 Spark's cast
+  * is still correctly rounded, but engines whose decimal/hugeint →
+  * double conversion double-rounds (measured: DuckDB) drift one ulp
+  * (use [[Regression.centiUnits]], not micro, for 2-decimal metrics).
   */
 object ABTest {
 

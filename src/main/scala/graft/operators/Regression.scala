@@ -46,6 +46,17 @@ object Regression {
   def microUnits(c: Column): Column =
     (c.cast("decimal(18,6)") * lit(1000000L)).cast("bigint")
 
+  /** Centi-unit fixed point (×100, exact for 2-decimal money-like
+    * values). Prefer this over [[microUnits]] when downstream squares
+    * the values ([[ABTest]], variances): it keeps Σv² under 2^53 —
+    * exactly representable, so the decimal→double cast is EXACT in
+    * every engine. Above 2^53 Spark's cast is correctly rounded but
+    * e.g. DuckDB's hugeint→double conversion double-rounds, drifting
+    * one ulp (measured on q129 at sf0.1 with micro-units).
+    */
+  def centiUnits(c: Column): Column =
+    (c.cast("decimal(18,2)") * lit(100L)).cast("bigint")
+
   /** Days since 2024-01-01 (the test corpus epoch) as a small exact
     * integer x — bounds n·Σxy within double's deterministic range.
     */

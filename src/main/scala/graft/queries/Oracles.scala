@@ -2423,11 +2423,14 @@ object Oracles {
 
     // q129: Welch replayed off the identical integer sufficient
     // statistics and the identical IEEE shape (+, −, ·, /, sqrt are
-    // correctly rounded — no libm transcendentals anywhere).
+    // correctly rounded — no libm transcendentals anywhere). CENTI
+    // units keep Σv² under 2^53: the decimal→double cast is then
+    // exact in both engines (micro-units measurably drift one ulp —
+    // DuckDB's hugeint→double conversion double-rounds above 2^53).
     "q129_ab_welch" -> """
       WITH b AS (
         SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
-               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
         FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
       s AS (
         SELECT event_type,

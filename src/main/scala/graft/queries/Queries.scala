@@ -2761,18 +2761,20 @@ object Queries {
   }
 
   /** A/B readout ([[graft.operators.ABTest.welch]]): arms split by
-    * `user_id % 2`, metric = event value in micro-units, per event
-    * type — Welch's t and the Satterthwaite df off one hash-aggregate
-    * pass of integer sufficient statistics; every double derives
-    * through the fixed IEEE shape (q98/q109 convention), so the whole
-    * readout hash-certifies.
+    * `user_id % 2`, metric = event value in CENTI-units (not micro —
+    * the squares must stay under 2^53 so the Σv² decimal→double cast
+    * is exact in every engine; see [[graft.operators.Regression
+    * .centiUnits]]), per event type — Welch's t and the Satterthwaite
+    * df off one hash-aggregate pass of integer sufficient statistics;
+    * every double derives through the fixed IEEE shape (q98/q109
+    * convention), so the whole readout hash-certifies.
     */
   def q129AbWelch(s: SparkSession, dir: String): DataFrame =
     graft.operators.ABTest.welch(
         eventsTable(s, dir)
           .where(col("event_type").isNotNull && col("value").isNotNull)
           .withColumn("arm", (col("user_id") % 2).cast("int"))
-          .withColumn("v", graft.operators.Regression.microUnits(col("value"))),
+          .withColumn("v", graft.operators.Regression.centiUnits(col("value"))),
         "event_type", "arm", "v")
       .orderBy(col("event_type"))
 
