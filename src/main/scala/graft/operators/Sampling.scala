@@ -57,4 +57,39 @@ object Sampling {
       .select(col(groupCol), (col("__i") + 1).cast("long").as("sample_rank"),
         col("__t.id").as(idCol), col("__t.key").as("selection_key"))
   }
+  /** Deterministic negative sampling for contrastive training: for
+    * each anchor id, `k` pseudo-random corpus ids ≠ the anchor, drawn
+    * by hash arithmetic — reproducible across runs and engines
+    * (md5-hex → integer → mod N, the q47/q75 no-RNG convention), so
+    * the drawn pairs hash-certify. Requires a DENSE 0..N−1 id column
+    * (what [[Packing]]/corpus layout emit); N is a driver scalar.
+    *
+    * Per anchor, `k · oversample` candidate draws are generated
+    * row-locally (explode of a small sequence), self-collisions
+    * filtered, duplicates collapsed keeping the earliest draw, and
+    * the first `k` surviving draws kept by draw order — a window on
+    * the high-cardinality anchor key. Tiny corpora can yield fewer
+    * than k negatives (documented, not padded).
+    */
+  def negativeSamples(docs: DataFrame, idCol: String, k: Int,
+                      oversample: Int = 2, salt: String = "neg"): DataFrame = {
+    require(k >= 1 && oversample >= 1, "k and oversample must be positive")
+    val n = docs.count()
+    val cand = docs
+      .select(col(idCol).cast("long").as("anchor"))
+      .withColumn("draw_i", explode(sequence(lit(0), lit(k * oversample - 1))))
+      .withColumn("neg_id",
+        conv(substring(md5(concat_ws(":", lit(salt), col("anchor"),
+          col("draw_i")).cast("binary")), 1, 12), 16, 10)
+          .cast("long") % lit(n))
+      .filter(col("neg_id") =!= col("anchor"))
+      .groupBy(col("anchor"), col("neg_id"))
+      .agg(min(col("draw_i")).as("draw_i"))
+    cand
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("anchor")).orderBy(col("draw_i"))))
+      .filter(col("rn") <= k)
+      .select(col("anchor"), col("neg_id"), col("draw_i"))
+  }
 }

@@ -2519,6 +2519,27 @@ object Oracles {
           AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
       ORDER BY p_partkey""",
 
+    // q132: the identical md5 draw arithmetic — hex prefix → integer
+    // → mod N — replayed; dedup keeps the earliest draw, first k
+    // survivors by draw order win.
+    "q132_negative_samples" -> """
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      c AS (
+        SELECT d.doc_id AS anchor, i.i AS draw_i,
+               CAST(('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
+                 || ':' || CAST(i.i AS VARCHAR)), 1, 12)) AS BIGINT)
+                 % (SELECT n FROM nn) AS neg_id
+        FROM documents d, (SELECT unnest(range(8)) AS i) i),
+      f AS (
+        SELECT anchor, neg_id, min(draw_i) AS draw_i
+        FROM c WHERE neg_id <> anchor GROUP BY 1, 2),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY draw_i) AS rn
+        FROM f)
+      SELECT anchor, CAST(neg_id AS BIGINT) AS neg_id,
+             CAST(draw_i AS INT) AS draw_i
+      FROM r WHERE rn <= 4 ORDER BY anchor, draw_i""",
+
     // q125: q20's exact all-pairs construction verbatim — equality
     // certifies the prefix filter's completeness at the 1/2 threshold
     // and the hashed sorted-merge Jaccard.

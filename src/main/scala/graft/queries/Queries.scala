@@ -2818,6 +2818,17 @@ object Queries {
         Seq("p_size", "p_retailprice"))
       .orderBy(col("p_partkey"))
 
+  /** Deterministic negative sampling ([[graft.operators.Sampling
+    * .negativeSamples]]): 4 contrastive negatives per document drawn
+    * by md5 hash arithmetic over the dense doc_id space — no RNG, so
+    * the full (anchor, negative, draw) table hash-certifies against
+    * the oracle's identical arithmetic (the q47/q75 convention).
+    */
+  def q132NegativeSamples(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.negativeSamples(
+        table(s, dir, "documents"), "doc_id", k = 4, oversample = 2)
+      .orderBy(col("anchor"), col("draw_i"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2954,5 +2965,6 @@ object Queries {
     "q129_ab_welch"      -> (q129AbWelch _),
     "q130_cusum"         -> (q130Cusum _),
     "q131_skyline"       -> (q131Skyline _),
+    "q132_negative_samples" -> (q132NegativeSamples _),
   )
 }

@@ -61,4 +61,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids.contains(0L), "the 1e18x heavier item must be sampled")
     assert(!ids.contains(1L) && !ids.contains(2L), "w <= 0 excluded")
   }
+
+  test("negativeSamples: k distinct negatives per anchor, never the anchor, deterministic") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Sampling.negativeSamples(docs, "doc_id", k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("neg_id"), r.getAs[Int]("draw_i")))
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.size == 200 && byAnchor.values.forall(_.length == 4))
+    assert(got.forall { case (a, nid, _) => nid != a && nid >= 0 && nid < 200 })
+    assert(byAnchor.values.forall(v => v.map(_._2).distinct.length == 4),
+      "negatives distinct per anchor")
+    val again = Sampling.negativeSamples(docs, "doc_id", k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("neg_id"), r.getAs[Int]("draw_i")))
+    assert(got.toSet == again.toSet, "rerun-identical")
+    val salted = Sampling.negativeSamples(docs, "doc_id", k = 4, salt = "neg2")
+      .collect().map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("neg_id"))).toSet
+    assert(salted != got.map(t => (t._1, t._2)).toSet, "salt changes the draw")
+  }
 }
