@@ -32,7 +32,13 @@ object Anonymize {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__qi_n"))
-    val joined = df.join(sizes, quasiCols, "left")
+    // null-safe keys: groupBy puts null quasi values in their own group,
+    // so the join back must match them too (a plain equi-join would give
+    // null-QI rows no size and silently exempt them from suppression)
+    val renamed = quasiCols.foldLeft(sizes)((d, c) =>
+      d.withColumnRenamed(c, s"__qi_$c"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _)
+    val joined = df.join(renamed, cond, "left")
     val small = col("__qi_n") < k
     val out = df.columns.map {
       case c if quasiCols.contains(c) =>

@@ -36,6 +36,20 @@ class AnonymizeSpec extends AnyFunSuite {
     assert(released.forall(_._2 >= 2), released.toMap.toString)
   }
 
+  test("null quasi values form a group and are suppressed like any other") {
+    val rows = Seq(
+      (1L, Option("US"), 1.0), (2L, Option("US"), 2.0),
+      (3L, None: Option[String], 3.0),                   // singleton null group
+      (4L, Option("FR"), 4.0))                           // singleton FR
+    val got = Anonymize.kAnonymize(rows.toDF("id", "country", "v"),
+        Seq("country"), k = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("country")), r.getAs[Boolean]("suppressed")))).toMap
+    assert(got(1L) == ((Some("US"), false)) && got(2L) == ((Some("US"), false)))
+    assert(got(3L) == ((Some("*"), true)), "null-QI singleton must be suppressed")
+    assert(got(4L) == ((Some("*"), true)))
+  }
+
   test("profile reports violating groups and worst risk") {
     val got = Anonymize.profile(rows.toDF("id", "country", "seg", "v"),
       Seq("country", "seg"), k = 2).head()
