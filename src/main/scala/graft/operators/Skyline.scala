@@ -95,6 +95,17 @@ object Skyline extends Serializable {
     out
   }
 
+  /** Incremental accretion: the skyline of (old corpus ∪ batch) given
+    * only the OLD SKYLINE — correct because a point of
+    * skyline(A ∪ B) that lies in A is a fortiori undominated in A, so
+    * candidates = old skyline ∪ batch lose nothing. O(batch + old
+    * skyline), never rescans the old corpus (the [[DedupIndex]]
+    * accretion contract); spec-pinned append ≡ from-scratch.
+    */
+  def append(oldSkyline: DataFrame, batch: DataFrame, dims: Seq[String],
+             maxCandidates: Long = 1000000L): DataFrame =
+    skyline(oldSkyline.unionByName(batch), dims, maxCandidates)
+
   private def toD(r: Row, i: Int): Double = r.get(i) match {
     case null => throw new IllegalArgumentException(
       s"skyline dimension at index $i is null — filter or impute upstream")

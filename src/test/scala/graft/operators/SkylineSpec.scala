@@ -51,6 +51,16 @@ class SkylineSpec extends AnyFunSuite {
     assert(got == brute3)
   }
 
+  test("append ≡ from-scratch: accretion off the old skyline loses nothing") {
+    val rng = new scala.util.Random(103)
+    val day1 = (0L until 150L).map(i => (i, rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+    val day2 = (200L until 320L).map(i => (i, rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+    val stored = Skyline.skyline(day1.toDF("id", "x", "y").repartition(3), Seq("x", "y"))
+    val inc = Skyline.append(stored, day2.toDF("id", "x", "y").repartition(3), Seq("x", "y"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(inc == bruteSkyline(day1 ++ day2))
+  }
+
   test("maxCandidates guard fails loud") {
     val pts = (0L until 50L).map(i => (i, i, 49L - i)) // fully anti-correlated
     val err = intercept[IllegalArgumentException] {
