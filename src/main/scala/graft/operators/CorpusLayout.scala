@@ -87,11 +87,26 @@ object CorpusLayout {
     * signed 64-bit.
     */
   def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-                bits: Int): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
-    (0 until bits).map { i =>
-      (shiftright(a.cast("long"), i).bitwiseAND(1L) * lit(1L << (2 * i))) +
-        (shiftright(b.cast("long"), i).bitwiseAND(1L) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
+                bits: Int): org.apache.spark.sql.Column =
+    zOrderKeyN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * key position `i·|dims| + d`, so the 2-dim form is the
+    * `dims = Seq(a, b)` special case (q115's oracle replays exactly
+    * this expansion). Same literal-codegen-terms construction — d·bits
+    * shift/mask/scale terms summed, no UDF; `|dims|·bits ≤ 62` keeps
+    * the key in a signed 64-bit. Values are masked to `bits` bits
+    * (clamp upstream if the domain can exceed the budget).
+    */
+  def zOrderKeyN(dims: Seq[org.apache.spark.sql.Column],
+                 bits: Int): org.apache.spark.sql.Column = {
+    require(dims.nonEmpty, "need at least one dimension")
+    require(bits >= 1 && dims.size * bits <= 62,
+      s"need 1 <= bits and ${dims.size} dims x $bits bits <= 62")
+    val d = dims.size
+    (for (i <- 0 until bits; c <- dims.indices) yield
+      shiftright(dims(c).cast("long"), i).bitwiseAND(1L) *
+        lit(1L << (i * d + c))
+    ).reduce(_ + _)
   }
 }

@@ -140,4 +140,34 @@ class CorpusLayoutSpec extends AnyFunSuite {
     // 259 masked to 8 bits = 3 -> interleaved 0b101 at even positions = 5
     assert(z == 5L)
   }
+
+  test("zOrderKeyN: 2-dim form equals zOrderKey; 3-dim matches the bit-spec reference") {
+    import spark.implicits._
+    def refN(vals: Seq[Long], bits: Int): Long = {
+      var out = 0L
+      for (i <- 0 until bits; c <- vals.indices)
+        out |= (((vals(c) >> i) & 1L) << (i * vals.size + c))
+      out
+    }
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val two = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        CorpusLayout.zOrderKey(col("a"), col("b"), 4).as("z2"),
+        CorpusLayout.zOrderKeyN(Seq(col("a"), col("b")), 4).as("zn"))
+      .collect()
+    assert(two.forall(r => r.getAs[Long]("z2") == r.getAs[Long]("zn")))
+
+    val triples = for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L)
+      yield (a, b, c)
+    val three = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        CorpusLayout.zOrderKeyN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect()
+    assert(three.forall { r =>
+      r.getAs[Long]("z") == refN(
+        Seq(r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c")), 3)
+    })
+    // distinct inputs -> distinct keys within the budget
+    assert(three.map(_.getAs[Long]("z")).distinct.length == triples.size)
+  }
 }
