@@ -42,7 +42,8 @@ object Clusters {
     * map-side: one row per key per map task reaches the reducer).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          hotThreshold: Long = 1L << 20): DataFrame = {
+                          hotThreshold: Long = 1L << 20,
+                          localLimit: Long = 1L << 22): DataFrame = {
     val cols = edges.columns
     var e = edges.select(col(cols(0)).cast("long").as("src"), col(cols(1)).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -60,6 +61,23 @@ object Clusters {
     }
 
     var last = sig(e)
+
+    // Hybrid fast path: the star rounds are LATENCY-bound, not
+    // data-bound — each alternation costs a fixed fleet of shuffles
+    // regardless of edge count, and small graphs (a daily increment's
+    // contracted rep graph in [[appendClusters]], any corpus whose
+    // near-dup pair set is modest) pay ~8 rounds of job overhead to
+    // move kilobytes. When the DEDUPLICATED edge count (already known
+    // from the convergence signature — no extra job) fits the driver
+    // comfortably (default 2^22 edges = 64 MB of longs), run a single
+    // union-find pass over a streamed local iterator instead: one job,
+    // exact same (id, min-id component) contract. Anything larger takes
+    // the distributed rounds — the 100 TB path is unchanged, and the
+    // threshold bounds driver memory explicitly the way the k-means
+    // sample and top-K merge collects elsewhere in this repo do.
+    // `localLimit = 0` forces the iterative path (specs pin both).
+    if (last._2 <= localLimit) return localComponents(e)
+
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -80,6 +98,49 @@ object Clusters {
     e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")))
       .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Driver union-find over a small, already-deduplicated edge frame:
+    * path-compressed find, union by min id (the smaller root becomes
+    * parent, so every root IS its component's minimum — the same
+    * representative contract the star rounds converge to). Edges stream
+    * through `toLocalIterator` partition-by-partition; the result goes
+    * back out via `parallelize`, never a plan-embedded LocalRelation.
+    */
+  private def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    val nodes = new java.util.HashSet[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+      var y = x0
+      while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+      x
+    }
+    val it = e.select(col("u"), col("v")).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val a = r.getLong(0); val b = r.getLong(1)
+      nodes.add(a); nodes.add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new Array[(Long, Long)](nodes.size)
+    val nit = nodes.iterator()
+    var i = 0
+    while (nit.hasNext) {
+      val id = nit.next()
+      out(i) = (id, find(id))
+      i += 1
+    }
+    val slices = math.max(1, out.length / 500000)
+    import spark.implicits._
+    spark.createDataset(spark.sparkContext.parallelize(out.toIndexedSeq, slices))
+      .toDF("id", "component")
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum

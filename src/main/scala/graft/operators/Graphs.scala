@@ -69,6 +69,68 @@ object Graphs {
     ranks
   }
 
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected edge table, via degree-ordered orientation (the
+    * "compact-forward" scheme of Latapy 2008 / Suri-Vassilvitskii
+    * WWW'11): every undirected edge points from its (degree, id)-
+    * smaller endpoint to the larger under that total order. Each
+    * triangle then has exactly ONE apex with two out-edges, so closed
+    * wedges count triangles exactly once — and the apex out-degree is
+    * bounded by O(√m), so the wedge self-join cannot blow up on a hub
+    * (a star center's out-degree is ~0 after orientation; its million
+    * spokes each point AT it, generating no wedges). This is the
+    * standard 100 TB triangle plan: two hash aggregates for degrees,
+    * one keyed self-join on the apex, one equi-join to close wedges —
+    * no node ever sees more than its oriented neighborhood squared.
+    *
+    * Returns ONE row of exact integers: `n_nodes`, `n_edges` (distinct
+    * undirected), `n_wedges` (paths of length 2 = Σ d(d−1)/2),
+    * `n_triangles`, `n_closed_wedges` (= 3·triangles) — the global
+    * clustering coefficient is the exact rational
+    * n_closed_wedges / n_wedges, left un-divided so the row
+    * hash-certifies with no float.
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint() // degrees + orientation + closure all reuse it
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // oriented edge, carrying the head's degree so wedge legs can be
+    // emitted already in orientation order (no re-join for ordering)
+    val o = withDeg.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    // wedges at each apex: pairs of out-neighbors, ordered by the SAME
+    // (degree, id) total order — the closing edge, if present, is
+    // oriented exactly (x → y), so one equi-join settles closure
+    val e1 = o.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+    val e2 = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("x"), col("y"))
+    val tri = wedges.join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = und.agg(count(lit(1)).as("n_edges"))
+    // deg·(deg−1) is even, so a right shift is the exact halve — no
+    // double division anywhere (the 2^53 cast-exactness rule)
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(shiftright(col("deg") * (col("deg") - 1), 1)).as("n_wedges"))
+    nodeStats.crossJoin(base).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), (col("n_triangles") * 3).as("n_closed_wedges"))
+  }
+
   /** Degree profile of a directed edge table: one row per node with
     * exact out/in degrees (distinct-edge semantics, matching
     * [[pageRank]]'s view of the graph). Two hash aggregates and an

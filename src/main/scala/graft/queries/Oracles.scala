@@ -1198,6 +1198,24 @@ object Oracles {
       SELECT lang, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
       FROM r WHERE rank <= 3 ORDER BY lang, rank""",
 
+    // q83: the 10^18:1 weight ratio makes the draw's COMPOSITION
+    // closed-form even though the A-ES keys themselves are engine
+    // floats: every source samples min(5, n) docs of which exactly
+    // min(5, n_heavy) are heavy, and pass is identically true. DuckDB
+    // replays that closed form — hash equality certifies the sampler
+    // honors weight dominance exactly (a wrong key order would surface
+    // as a light doc displacing a heavy one and flip the counts).
+    "q83_weighted_sample" -> """
+      WITH s AS (
+        SELECT source, COUNT(*) AS n,
+               SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS nh
+        FROM documents GROUP BY source)
+      SELECT source, CAST(nh AS BIGINT) AS n_heavy,
+             CAST(LEAST(5, n) AS BIGINT) AS n_sampled,
+             CAST(LEAST(nh, 5) AS BIGINT) AS n_sampled_heavy,
+             TRUE AS pass
+      FROM s ORDER BY source""",
+
     // q75: shard bucket via q41's strpos arithmetic mod 8; shuffle keys
     // are raw md5 hex (lowercase hex sorts identically, q47's rule).
     "q75_shuffle_shards" -> """
@@ -2539,6 +2557,31 @@ object Oracles {
       SELECT anchor, CAST(neg_id AS BIGINT) AS neg_id,
              CAST(draw_i AS INT) AS draw_i
       FROM r WHERE rn <= 4 ORDER BY anchor, draw_i""",
+
+    // q133: the textbook id-ordered triangle definition — each triangle
+    // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
+    // counts under DEGREE ordering instead; equal counts certify the
+    // oriented plan. n_wedges = Σ d(d−1)/2 in integer arithmetic.
+    "q133_triangles" -> """
+      WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+      tri AS (
+        SELECT COUNT(*) AS t
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             CAST(t AS BIGINT) AS n_triangles,
+             CAST(t * 3 AS BIGINT) AS n_closed_wedges
+      FROM tri""",
 
     // q125: q20's exact all-pairs construction verbatim — equality
     // certifies the prefix filter's completeness at the 1/2 threshold

@@ -1666,10 +1666,12 @@ object Queries {
     * ∝ weight, where every doc_id ≡ 0 (mod 7) carries weight 10^9 and
     * the rest 10^-9 — an 10^18:1 ratio, so the draw must consist of
     * heavy docs whenever a source has ≥ 5 of them (all of them when it
-    * has fewer). Rows-only (ln keys are engine-specific) but
-    * self-asserting: `pass` encodes exactly that dominance per source,
-    * and the operator's exact key semantics are spec-certified against
-    * a driver-side A-ES reference.
+    * has fewer). The A-ES keys are engine floats, but the dominance
+    * ratio makes the draw's COMPOSITION closed-form — so the oracle
+    * replays min(5, n)/min(5, n_heavy) in DuckDB and hash equality
+    * certifies the sampler honors the weights exactly; the key
+    * semantics themselves are spec-certified against a driver-side
+    * A-ES reference.
     */
   def q83WeightedSample(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
@@ -2829,6 +2831,23 @@ object Queries {
         table(s, dir, "documents"), "doc_id", k = 4, oversample = 2)
       .orderBy(col("anchor"), col("draw_i"))
 
+  /** Triangle census ([[graft.operators.Graphs.triangleStats]]) of the
+    * part co-purchase graph — parts are adjacent when some order
+    * contains both. The engine counts via degree-ordered orientation
+    * (apex out-degree bounded by O(√m), hub-proof); the oracle replays
+    * the naive id-ordered 3-way self-join — both count each triangle
+    * exactly once, so hash equality certifies the oriented plan against
+    * the textbook definition. All five outputs are exact integers.
+    */
+  def q133Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    graft.operators.Graphs.triangleStats(edges, "a", "b")
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2966,5 +2985,6 @@ object Queries {
     "q130_cusum"         -> (q130Cusum _),
     "q131_skyline"       -> (q131Skyline _),
     "q132_negative_samples" -> (q132NegativeSamples _),
+    "q133_triangles"     -> (q133Triangles _),
   )
 }

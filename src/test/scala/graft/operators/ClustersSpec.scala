@@ -31,9 +31,10 @@ class ClustersSpec extends AnyFunSuite {
     ids.map(i => i -> find(i)).toMap
   }
 
-  private def sparkComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def sparkComponents(edges: Seq[(Long, Long)],
+                              localLimit: Long = 1L << 22): Map[Long, Long] = {
     import spark.implicits._
-    Clusters.connectedComponents(edges.toDF("a", "b"))
+    Clusters.connectedComponents(edges.toDF("a", "b"), localLimit = localLimit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -55,6 +56,10 @@ class ClustersSpec extends AnyFunSuite {
       val expected = unionFind(n, edges)
       val got = sparkComponents(edges)
       assert(got == expected, s"seed=$seed density=$density")
+      // the distributed star rounds and the small-graph driver
+      // union-find must land on the identical assignment
+      val iterative = sparkComponents(edges, localLimit = 0L)
+      assert(iterative == expected, s"iterative seed=$seed density=$density")
     }
   }
 

@@ -70,4 +70,50 @@ class GraphsSpec extends AnyFunSuite {
       .toSet
     assert(got == Set(("a", 2L, 0L), ("b", 0L, 2L), ("c", 1L, 1L)))
   }
+
+  /** Brute-force triangle reference: distinct undirected edges, count
+    * node triples (x<y<z) with all three edges present.
+    */
+  private def refTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val deg = nodes.map(n => n -> und.count(e => e._1 == n || e._2 == n).toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val ns = nodes.toIndexedSeq
+    var tri = 0L
+    for (i <- ns.indices; j <- (i + 1) until ns.size if und((ns(i), ns(j)));
+         k <- (j + 1) until ns.size
+         if und((ns(j), ns(k))) && und((ns(i), ns(k))))
+      tri += 1
+    (nodes.size.toLong, und.size.toLong, wedges, tri)
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val r = Graphs.triangleStats(edges.toDF("a", "b"), "a", "b").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangleStats: structured graphs — K5, star, triangle+tail") {
+    // K5: C(5,3)=10 triangles, 10 edges, 30 wedges
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(runTri(k5) == ((5L, 10L, 30L, 10L, 30L)))
+    // star: hub 0 with 50 spokes — 0 triangles, 1225 wedges at the hub
+    val star = (1L to 50L).map(i => (0L, i))
+    assert(runTri(star) == ((51L, 50L, 50L * 49 / 2, 0L, 0L)))
+    // one triangle with a pendant tail; duplicate + reversed + self edges
+    val t = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L), (2L, 2L))
+    assert(runTri(t) == ((4L, 4L, 5L, 1L, 3L)))
+  }
+
+  test("triangleStats matches the brute-force reference on random graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val (nn, ne, nw, nt) = refTriangles(edges)
+      assert(runTri(edges) == ((nn, ne, nw, nt, 3 * nt)), s"seed=$seed")
+    }
+  }
 }

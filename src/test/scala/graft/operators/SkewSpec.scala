@@ -95,7 +95,10 @@ class SkewSpec extends AnyFunSuite {
     try {
       var cc = Map.empty[Long, Long]
       val protectedCeiling = maxTaskShuffleRead {
-        cc = Clusters.connectedComponents(edges, hotThreshold = 1000)
+        // localLimit = 0 forces the distributed star rounds — this test
+        // measures THAT path's per-task bound, not the small-graph
+        // driver union-find shortcut
+        cc = Clusters.connectedComponents(edges, hotThreshold = 1000, localLimit = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
       // correctness: every star node maps to the hub's min id
