@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-quality readouts in EXACT integer arithmetic — the eval
+  * step after a curation model scores a corpus ([[graft.functions
+  * .Curation.classifierMargin]], [[NgramLM]] perplexity, quality
+  * heuristics): did the score actually separate the classes, and do
+  * two labelers agree beyond chance? Reference analogue: none (the
+  * loader has no model eval); this extends the eval family beside
+  * [[RetrievalEval]] (IR metrics) and [[ABTest]] (two-sample tests).
+  *
+  * Everything here returns integer sufficient statistics, not floats:
+  * AUC and kappa are ratios of exact pair/agreement counts, so
+  * emitting the counts makes the whole computation hash-certifiable
+  * engine-to-engine (the q69/q70/q71 exact-bracket convention) and
+  * lets callers divide once at presentation time.
+  */
+object Classification {
+
+  /** Exact ROC AUC as the Mann-Whitney U statistic over all
+    * (positive, negative) pairs, ties counted half. One row:
+    * `n_pos`, `n_neg`, `u2` = 2·U = Σ_pairs [2·1(s⁺>s⁻) + 1(s⁺=s⁻)]
+    * — all BIGINT, AUC = u2 / (2·n_pos·n_neg).
+    *
+    * Scale shape: one hash aggregate contracts the corpus to its
+    * DISTINCT score values; the cumulative-negative window then rides
+    * that contracted table ([[Quantiles]]' value-distinct cumsum
+    * contract — fine for the discrete/integer-cleared scores this
+    * repo's scorers emit, NOT for a continuous double score whose
+    * distinct count ~ n; integer-clear such scores first, as q51/q74
+    * do). The pair count itself is never materialized — u2 folds it
+    * per distinct value: np_v · (2·cumNegBelow_v + nn_v).
+    */
+  def aucExact(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val pos = col(labelCol).cast("boolean")
+    val counts = df
+      .select(col(scoreCol).as("v"), pos.as("y"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).cast("long").as("n_pos"),
+        sum(col("nn")).cast("long").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+          .cast("long").as("u2"))
+  }
+
+  /** Cohen's kappa sufficient statistics for two categorical labelers
+    * over the same rows. One row of BIGINTs: `n`, `n_agree`, and
+    * `pe_num` = Σ_k rowMarginal_k · colMarginal_k, so
+    * κ = (n·n_agree − pe_num) / (n² − pe_num) exactly — the usual
+    * p_o/p_e form with the n² cleared.
+    *
+    * Two tiny marginal aggregates joined on the category value (a
+    * category one labeler never emits contributes 0 to chance
+    * agreement, which the inner join encodes) — nothing rides a
+    * window, skew-safe at any label distribution.
+    */
+  def kappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    val totals = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+    val rowM = base.groupBy(col("a").as("k")).agg(count(lit(1)).as("ra"))
+    val colM = base.groupBy(col("b").as("k")).agg(count(lit(1)).as("cb"))
+    val pe = rowM.join(colM, Seq("k"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_num"))
+    totals.crossJoin(pe)
+      .select(col("n").cast("long").as("n"),
+        col("n_agree").cast("long").as("n_agree"),
+        col("pe_num").cast("long").as("pe_num"))
+  }
+}

@@ -272,4 +272,37 @@ object Clusters {
       .withColumn("keep", col("cluster") === col("doc_id"))
       .select(col("doc_id"), col("cluster"), col("keep"))
   }
+
+  /** Survivorship by QUALITY instead of id: each duplicate cluster
+    * keeps its best document under (`scoreCol` desc, doc_id asc) — the
+    * policy real curation pipelines want (keep the longest / highest-
+    * quality copy, not the one that happened to crawl first). `score`
+    * must be numeric; ties settle on the smaller id, so the choice is
+    * total and engine-reproducible.
+    *
+    * Scale shape: representative selection is ONE hash aggregate —
+    * `min(struct(-score, doc_id))` combines map-side, so a mega-cluster
+    * (the boilerplate component with millions of members) costs one
+    * partial row per map task, where the tempting
+    * `row_number() OVER (PARTITION BY cluster ORDER BY ...)` would pull
+    * the whole cluster through a single task's sort (the q74 lesson).
+    * Returns `(doc_id, cluster, rep, keep)`; `cluster` stays the
+    * component min-id from [[dedupClusters]] so assignments remain
+    * comparable across survivorship policies.
+    */
+  def survivorshipBy(docs: DataFrame, idCol: String, scoreCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val assigned = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("__score"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+    val reps = assigned.groupBy(col("cluster"))
+      .agg(min(struct((-col("__score")).as("ns"), col("doc_id").as("id"))).as("m"))
+      .select(col("cluster"), col("m.id").as("rep"))
+    assigned.join(reps, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("rep"),
+        (col("doc_id") === col("rep")).as("keep"))
+  }
 }

@@ -131,6 +131,55 @@ object Graphs {
         col("n_triangles"), (col("n_triangles") * 3).as("n_closed_wedges"))
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k,
+    * by iterative peeling (delete all nodes of degree < k; deleting
+    * them lowers neighbors' degrees, so repeat to the fixpoint — the
+    * classic Matula-Beck reduction, distributed). Each round is one
+    * degree aggregate + two anti-joins over the shrinking edge set,
+    * materialized per round under [[Clusters]]' one-round-per-
+    * checkpoint invariant; the surviving edge count (already computed
+    * for the degree aggregate's input) doubles as the convergence
+    * test, so a round costs exactly one job. Peeling depth bounds the
+    * rounds (≤ degeneracy ordering length; tiny for power-law graphs
+    * — the hub survives, the fringe peels in O(1) waves).
+    *
+    * Anti-join sides are NOT broadcast: in early rounds most of the
+    * graph can peel at once, so the removed-node set is unbounded —
+    * both legs shuffle on the node key, skew-safe at any graph shape.
+    *
+    * Returns the surviving node set `(node, core_deg)` with each
+    * node's degree INSIDE the core (≥ k by construction; the spec
+    * pins exactness against a driver-side peel). Empty iff no k-core.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    var deg: DataFrame = null
+    while (it < maxIter && !done) {
+      deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      val bad = deg.filter(col("core_deg") < k).select(col("node"))
+      if (bad.isEmpty) done = true
+      else {
+        e = e
+          .join(bad.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+          .join(bad.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    deg.filter(col("core_deg") >= k)
+  }
+
   /** Degree profile of a directed edge table: one row per node with
     * exact out/in degrees (distinct-edge semantics, matching
     * [[pageRank]]'s view of the graph). Two hash aggregates and an

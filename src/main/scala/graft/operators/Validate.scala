@@ -76,4 +76,55 @@ object Validate {
         col("n_rows").cast("long").as("n_rows"),
         col("n_clean").cast("long").as("n_clean"))
   }
+
+  /** Benford micro-probabilities: ⌊log10(1 + 1/d)·10⁶⌋ for d = 1..9 —
+    * fixed rational CONSTANTS, so no engine evaluates a log and the
+    * whole audit stays integer-exact. */
+  val BenfordMicro: Seq[Long] =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L,
+      51152L, 45757L)
+
+  /** Benford first-significant-digit audit — the fraud/corruption
+    * screen for any naturally-scaled positive measure (amounts, sizes,
+    * populations): per digit d ∈ 1..9, the observed count, the
+    * Benford-expected count in micro-units (n · p_d·10⁶, exact
+    * BIGINT), and the signed deviation `dev_micro` =
+    * n_d·10⁶ − n·p_d·10⁶ — the χ² ingredients left un-squared and
+    * un-divided so every value is an exact integer (squaring would
+    * pass 2^63 at corpus scale; callers square/divide at presentation
+    * size, i.e. over 9 rows).
+    *
+    * First digit via string arithmetic on the integral part (no
+    * float log): non-positive and null values are filtered out (they
+    * have no Benford digit), sub-1 values take their first nonzero
+    * fractional digit. One map + one 9-bucket hash aggregate — the
+    * scan never shuffles more than 9 partial rows per task.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    // first significant digit via string arithmetic on the value
+    // quantized to DECIMAL(38,6) — both engines render that scale in
+    // plain notation ("0.005000", "123.450000"), so stripping zeros
+    // and the point leaves the lead digit with no log10 and no
+    // format-locale hazard. Values that quantize to 0 drop out with
+    // the nonpositive rows (no Benford digit).
+    val digit = substring(
+      regexp_replace(abs(col(valueCol)).cast("decimal(38,6)").cast("string"),
+        "[0.]", ""), 1, 1).cast("int")
+    val counts = df
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)) > 0)
+      .select(digit.as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val expect = df.sparkSession.createDataFrame(
+      BenfordMicro.zipWithIndex.map { case (p, i) => ((i + 1), p) })
+      .toDF("digit", "p_micro")
+    expect
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(counts.agg(sum(col("n_obs")).cast("long").as("__n")))
+      .select(col("digit"), col("n_obs"),
+        (col("__n") * col("p_micro")).as("expected_micro"),
+        (col("n_obs") * lit(1000000L) - col("__n") * col("p_micro"))
+          .as("dev_micro"))
+  }
 }

@@ -2558,6 +2558,134 @@ object Oracles {
              CAST(draw_i AS INT) AS draw_i
       FROM r WHERE rn <= 4 ORDER BY anchor, draw_i""",
 
+    // q134: the identical per-distinct-score Mann-Whitney fold —
+    // u2 = Σ_v np_v·(2·cumNegBelow_v + nn_v), all integer.
+    "q134_auc" -> """
+      WITH c AS (
+        SELECT n_chars AS v,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+               SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+        FROM documents GROUP BY n_chars),
+      w AS (
+        SELECT np, nn,
+               COALESCE(SUM(nn) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        FROM c)
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(nn) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS u2
+      FROM w""",
+
+    // q135: classifier rebuilt with q19's marker SQL; kappa sufficient
+    // statistics via the same marginal product fold.
+    "q135_kappa" -> s"""
+      WITH scored AS (
+        SELECT CASE $langCases ELSE 'und' END AS predicted, lang
+        FROM (SELECT lang, text, $langGreatest AS best FROM documents)),
+      t AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_agree
+        FROM scored),
+      rm AS (SELECT predicted AS k, COUNT(*) AS ra FROM scored GROUP BY 1),
+      cm AS (SELECT lang AS k, COUNT(*) AS cb FROM scored GROUP BY 1),
+      pe AS (SELECT COALESCE(SUM(ra * cb), 0) AS pe_num FROM rm JOIN cm USING (k))
+      SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+             CAST(pe_num AS BIGINT) AS pe_num
+      FROM t, pe""",
+
+    // q136: q36's recursive closure + the (n_chars desc, doc_id asc)
+    // argmax as a window — certifying the struct-min representative
+    // against the textbook ranking definition.
+    "q136_survivorship" -> """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)]) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+      j AS (
+        SELECT c.doc_id, c.cluster, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)),
+      rep AS (
+        SELECT cluster, doc_id AS rep FROM (
+          SELECT cluster, doc_id,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM j) WHERE rn = 1)
+      SELECT j.doc_id, j.cluster, rep.rep AS rep, j.doc_id = rep.rep AS keep
+      FROM j JOIN rep USING (cluster) ORDER BY j.doc_id""",
+
+    // q137: the peeling fixpoint as a recursive single-row LIST
+    // accumulator — each step re-derives removed-so-far ∪ {degree<k
+    // among survivors}; UNION dedup terminates at the fixpoint, the
+    // longest list is the final removed set.
+    "q137_kcore" -> """
+      WITH RECURSIVE ed AS (
+        SELECT u, v FROM (
+          SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        GROUP BY u, v HAVING COUNT(*) >= 2),
+      nbr AS (SELECT u AS node, v AS other FROM ed UNION ALL SELECT v, u FROM ed),
+      peel(removed) AS (
+        SELECT CAST([] AS BIGINT[])
+        UNION
+        SELECT (
+          SELECT COALESCE(LIST(DISTINCT x ORDER BY x), CAST([] AS BIGINT[]))
+          FROM (
+            SELECT node AS x FROM nbr
+            WHERE NOT list_contains(p.removed, node)
+              AND NOT list_contains(p.removed, other)
+            GROUP BY node HAVING COUNT(*) < 3
+            UNION ALL
+            SELECT UNNEST(p.removed) AS x) t)
+        FROM peel p),
+      final AS (SELECT removed FROM peel ORDER BY len(removed) DESC LIMIT 1)
+      SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM nbr, final
+      WHERE NOT list_contains(final.removed, node)
+        AND NOT list_contains(final.removed, other)
+      GROUP BY node ORDER BY node""",
+
+    // q138: same digit-by-string-arithmetic, same fixed micro-prob
+    // constants (Validate.BenfordMicro) — no engine takes a log.
+    "q138_benford" -> {
+      val probs = graft.operators.Validate.BenfordMicro.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p}::BIGINT)" }.mkString(", ")
+      s"""
+      WITH obs AS (
+        SELECT CAST(substr(regexp_replace(
+                 CAST(CAST(abs(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR),
+                 '[0.]', '', 'g'), 1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n_obs
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0
+        GROUP BY 1),
+      obs2 AS (SELECT digit, n_obs FROM obs WHERE digit IS NOT NULL),
+      tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs2),
+      expect(digit, p_micro) AS (VALUES $probs)
+      SELECT e.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(t.n * e.p_micro AS BIGINT) AS expected_micro,
+             CAST(COALESCE(o.n_obs, 0) * 1000000 - t.n * e.p_micro AS BIGINT) AS dev_micro
+      FROM expect e LEFT JOIN obs2 o USING (digit), tot t
+      ORDER BY e.digit"""
+    },
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -2848,6 +2848,83 @@ object Queries {
     graft.operators.Graphs.triangleStats(edges, "a", "b")
   }
 
+  /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
+    * document length separate English from the rest? Mann-Whitney U
+    * with tie correction as exact integer pair counts (u2 = 2·U), the
+    * value-distinct contraction carrying the cumulative window — the
+    * oracle replays the identical per-distinct-score fold, so the
+    * whole pairwise statistic hash-certifies with no float.
+    */
+  def q134Auc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classification.aucExact(
+      table(s, dir, "documents").select((col("lang") === "en").as("y"),
+        col("n_chars")),
+      "y", "n_chars")
+
+  /** Cohen's kappa ([[graft.operators.Classification.kappa]]): chance-
+    * corrected agreement between the n-gram language-ID heuristic and
+    * the stored `lang` label, as exact integer sufficient statistics
+    * (n, n_agree, pe_num — κ = (n·n_agree − pe_num)/(n² − pe_num)).
+    * The oracle rebuilds the classifier with q19's marker SQL and
+    * replays the marginal fold — labeler AND statistic both certified.
+    */
+  def q135Kappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classification.kappa(
+      table(s, dir, "documents")
+        .select(TextFunctions.langId(col("text")).as("predicted"), col("lang")),
+      "predicted", "lang")
+
+  /** Quality survivorship ([[graft.operators.Clusters.survivorshipBy]]):
+    * q36's near-dup clusters re-resolved keeping the LONGEST member
+    * (n_chars desc, doc_id asc) instead of the min id — the policy a
+    * real curation pipeline ships. Representative selection is one
+    * mergeable struct-min aggregate (no per-cluster window sort — the
+    * q74 lesson); the oracle replays closure with a recursive CTE and
+    * the argmax with a window, certifying cluster assignment AND the
+    * tie-broken choice.
+    */
+  def q136Survivorship(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = graft.operators.Dedup
+      .minhashLSH(docs, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Clusters.survivorshipBy(docs, "doc_id", "n_chars", pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  /** k-core decomposition ([[graft.operators.Graphs.kCore]]): the
+    * 3-core of the REPEAT co-purchase graph (parts bought together in
+    * ≥ 2 distinct orders — the thresholding that turns co-occurrence
+    * noise into a merchandising graph). Distributed iterative peeling;
+    * the oracle replays the fixpoint with a recursive single-row list
+    * accumulator in DuckDB, so membership AND in-core degrees
+    * hash-certify exactly.
+    */
+  def q137Kcore(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("ok"), col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    graft.operators.Graphs.kCore(edges, "a", "b", k = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Benford first-digit audit ([[graft.operators.Validate
+    * .benfordProfile]]): does `l_extendedprice` follow the
+    * first-significant-digit law? Per digit: observed count, Benford-
+    * expected count in micro-units against the fixed rational
+    * constants, and the signed deviation — all exact integers (the χ²
+    * ingredients un-squared), digit extraction by string arithmetic
+    * with no log10 on either engine.
+    */
+  def q138Benford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validate.benfordProfile(
+        table(s, dir, "lineitem"), "l_extendedprice")
+      .orderBy(col("digit"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2986,5 +3063,10 @@ object Queries {
     "q131_skyline"       -> (q131Skyline _),
     "q132_negative_samples" -> (q132NegativeSamples _),
     "q133_triangles"     -> (q133Triangles _),
+    "q134_auc"           -> (q134Auc _),
+    "q135_kappa"         -> (q135Kappa _),
+    "q136_survivorship"  -> (q136Survivorship _),
+    "q137_kcore"         -> (q137Kcore _),
+    "q138_benford"       -> (q138Benford _),
   )
 }

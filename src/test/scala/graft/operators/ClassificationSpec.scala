@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassificationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** Brute-force 2·U over all (pos, neg) pairs: 2 per win, 1 per tie. */
+  private def refU2(rows: Seq[(Boolean, Long)]): (Long, Long, Long) = {
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    (pos.size.toLong, neg.size.toLong, u2)
+  }
+
+  private def runAuc(rows: Seq[(Boolean, Long)]): (Long, Long, Long) = {
+    val r = Classification
+      .aucExact(rows.toDF("y", "s"), "y", "s").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("aucExact matches the all-pairs reference, ties included") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      // small score domain forces plenty of ties and tied labels
+      val rows = Seq.fill(300)((rnd.nextBoolean(), rnd.nextInt(12).toLong))
+      assert(runAuc(rows) == refU2(rows), s"seed=$seed")
+    }
+  }
+
+  test("aucExact: perfect separation gives u2 = 2*P*N; reversal gives 0") {
+    val perfect = Seq.tabulate(20)(i => (i >= 10, i.toLong))
+    val (p, n, u2) = runAuc(perfect)
+    assert((p, n, u2) == ((10L, 10L, 200L))) // AUC = 1
+    val reversed = perfect.map { case (y, s) => (!y, s) }
+    assert(runAuc(reversed)._3 == 0L) // AUC = 0
+    // all scores identical: u2 = P*N (AUC = 1/2)
+    val flat = Seq.tabulate(20)(i => (i % 2 == 0, 7L))
+    assert(runAuc(flat)._3 == 100L)
+  }
+
+  /** Direct contingency-table kappa ingredients. */
+  private def refKappa(rows: Seq[(String, String)]): (Long, Long, Long) = {
+    val n = rows.size.toLong
+    val agree = rows.count(r => r._1 == r._2).toLong
+    val ra = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val cb = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val pe = ra.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+    (n, agree, pe)
+  }
+
+  private def runKappa(rows: Seq[(String, String)]): (Long, Long, Long) = {
+    val r = Classification.kappa(rows.toDF("a", "b"), "a", "b").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("kappa matches the contingency reference on random labelings") {
+    val cats = Array("en", "de", "fr", "und")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(400)((cats(rnd.nextInt(4)), cats(rnd.nextInt(3))))
+      assert(runKappa(rows) == refKappa(rows), s"seed=$seed")
+    }
+  }
+
+  test("kappa: disjoint label sets mean zero chance agreement") {
+    val rows = Seq(("x", "p"), ("y", "q"), ("x", "q"))
+    assert(runKappa(rows) == ((3L, 0L, 0L)))
+    // perfect agreement: kappa numerator n*agree - pe > 0
+    val same = Seq(("a", "a"), ("b", "b"), ("a", "a"))
+    val (n, ag, pe) = runKappa(same)
+    assert(n == 3L && ag == 3L && pe == 2L * 2L + 1L * 1L)
+  }
+}

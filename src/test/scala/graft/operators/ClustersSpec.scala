@@ -63,6 +63,30 @@ class ClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("survivorshipBy keeps the best-scored member, ties on smaller id") {
+    import spark.implicits._
+    // clusters {1,2,3} and {10,11}; 4 is a singleton
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (10L, 2L), (11L, 7L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Clusters.survivorshipBy(docs, "doc_id", "score", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // cluster 1: max score 9 tied between 2 and 3 → 2 wins
+    assert(got(1L) == ((1L, 2L, false)))
+    assert(got(2L) == ((1L, 2L, true)))
+    assert(got(3L) == ((1L, 2L, false)))
+    // singleton keeps itself
+    assert(got(4L) == ((4L, 4L, true)))
+    // cluster 10: 11 has the higher score
+    assert(got(10L) == ((10L, 11L, false)))
+    assert(got(11L) == ((10L, 11L, true)))
+    // exactly one survivor per cluster
+    assert(got.values.count(_._3) == 3)
+  }
+
   test("empty pair set: every document is its own kept singleton") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")

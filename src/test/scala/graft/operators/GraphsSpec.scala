@@ -116,4 +116,49 @@ class GraphsSpec extends AnyFunSuite {
       assert(runTri(edges) == ((nn, ne, nw, nt, 3 * nt)), s"seed=$seed")
     }
   }
+
+  /** Driver-side peeling reference: repeatedly delete nodes with
+    * degree < k in the surviving induced subgraph.
+    */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      val bad = deg.filter(_._2 < k).keySet
+      changed = bad.nonEmpty
+      und = und.filterNot(e => bad(e._1) || bad(e._2))
+    }
+    (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore matches the peeling reference on random graphs, k in 2..4") {
+    for (seed <- 1 to 3; k <- 2 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(runKCore(edges, k) == refKCore(edges, k), s"seed=$seed k=$k")
+    }
+  }
+
+  test("kCore: cascading peel — a chain has no 2-core, a cycle is its own") {
+    // chain 0-1-2-3-4: endpoints peel, then everything cascades away
+    val chain = (0L to 3L).map(i => (i, i + 1))
+    assert(runKCore(chain, 2).isEmpty)
+    // cycle of 5 + a pendant: the cycle survives at degree exactly 2
+    val cycle = (0L to 4L).map(i => (i, (i + 1) % 5)) :+ (0L, 9L)
+    assert(runKCore(cycle, 2) == (0L to 4L).map(_ -> 2L).toMap)
+    // K5 is a 4-core; no 5-core exists
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(runKCore(k5, 4) == (0L to 4L).map(_ -> 4L).toMap)
+    assert(runKCore(k5, 5).isEmpty)
+  }
 }

@@ -97,4 +97,25 @@ class ValidateSpec extends AnyFunSuite {
         "the quarantine gate must be stateless")
     } finally q.stop()
   }
+
+  test("benfordProfile: digit extraction, zero digits, exact deviations") {
+    // digits: 123.45→1, 0.005→5, 9000→9, 2→2, 0.91→9; filtered: 0, null, -0.0
+    val vals: Seq[Option[Double]] = Seq(Some(123.45), Some(0.005), Some(9000.0),
+      Some(2.0), Some(0.91), Some(0.0), None, Some(-123.45))
+    val df = vals.toDF("v")
+    val got = Validate.benfordProfile(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == (1 to 9).toSet, "all nine digits present")
+    val n = 6L // -123.45 counts via abs; 0/null drop
+    assert(got(1)._1 == 2L) // 123.45 and -123.45
+    assert(got(2)._1 == 1L)
+    assert(got(5)._1 == 1L)
+    assert(got(9)._1 == 2L)
+    assert(got(3)._1 == 0L)
+    for (d <- 1 to 9) {
+      val (obs, exp, dev) = got(d)
+      assert(exp == n * Validate.BenfordMicro(d - 1), s"digit=$d")
+      assert(dev == obs * 1000000L - exp, s"digit=$d")
+    }
+  }
 }
