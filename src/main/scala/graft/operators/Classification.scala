@@ -75,4 +75,53 @@ object Classification {
         col("n_agree").cast("long").as("n_agree"),
         col("pe_num").cast("long").as("pe_num"))
   }
+
+  /** χ² term-label association — the feature-selection step for a
+    * quality/domain classifier (which tokens predict the label?):
+    * per distinct token, the 2×2 presence contingency (a = docs with
+    * token ∧ label, b = label ∖ token, c = token ∖ label, d =
+    * neither) and the χ² statistic in exact micro-units,
+    *   chi2_micro = (10⁶·n·(ad−bc)²) div ((a+b)(c+d)(a+c)(b+d)),
+    * computed in DECIMAL(38,0) so the (ad−bc)² cross term never
+    * overflows a BIGINT (exact up to corpora of ~10⁶ docs; pre-sample
+    * beyond — χ² needs no more). The quotient is ≤ 10⁶·n, back in
+    * BIGINT range, and engine-exact: DuckDB replays it in HUGEINT.
+    *
+    * Token presence is per-doc DISTINCT (the standard 2×2), so the
+    * explode carries each (doc, token) once; everything after is hash
+    * aggregates on the token key. Tokens present in every document
+    * are dropped (degenerate margin, zero information); degenerate
+    * LABEL margins yield chi2_micro = 0 rather than a divide error.
+    */
+  def chi2Terms(docs: DataFrame, textCol: String, labelCol: String,
+                minDocCount: Long = 2L): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val totals = docs.agg(count(lit(1)).as("n"),
+      sum(when(y, 1L).otherwise(0L)).as("n_pos"))
+    val tok = docs
+      .select(y.as("y"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("n_doc"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    counts.crossJoin(totals)
+      .filter(col("n_doc") >= minDocCount && col("n_doc") < col("n"))
+      .withColumn("b", col("n_pos") - col("a"))
+      .withColumn("c", col("n_doc") - col("a"))
+      .withColumn("d", col("n") - col("n_pos") - col("c"))
+      .withColumn("__den",
+        dec(col("a") + col("b")) * dec(col("c") + col("d")) *
+          dec(col("a") + col("c")) * dec(col("b") + col("d")))
+      .withColumn("__num",
+        dec(lit(1000000L)) * dec(col("n")) *
+          (dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))) *
+          (dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))))
+      .select(col("token"), col("a").cast("long").as("n_both"),
+        col("b").cast("long").as("n_label_only"),
+        col("c").cast("long").as("n_token_only"),
+        col("d").cast("long").as("n_neither"),
+        when(col("__den") > 0, expr("__num div __den")).otherwise(lit(0L))
+          .cast("long").as("chi2_micro"))
+  }
 }

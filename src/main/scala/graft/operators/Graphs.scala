@@ -131,6 +131,94 @@ object Graphs {
         col("n_triangles"), (col("n_triangles") * 3).as("n_closed_wedges"))
   }
 
+  /** Multi-source BFS: exact hop distance from the nearest of a set of
+    * source nodes, over directed distinct edges — reach/influence
+    * radius queries ("everything within h hops of the flagged
+    * accounts"). Classic frontier expansion: round h joins the
+    * CURRENT frontier (nodes first reached at distance h) against the
+    * edge table and anti-joins the visited set — both shuffles are
+    * sized by the frontier and the visited set, never all-pairs, and
+    * rounds stop at `maxDepth` or when the frontier empties (the
+    * frontier count doubles as the convergence probe, one job per
+    * round). Materialization per round via `localCheckpoint` under the
+    * iterative-family invariant.
+    *
+    * Returns `(node, dist)` for every REACHED node (sources at 0);
+    * unreached nodes are absent, as in [[Clusters.connectedComponents]].
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val s0 = sources.select(col(sources.columns.head).cast("long").as("node"))
+      .distinct()
+    var visited = s0.withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier
+        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
+    * arithmetic — [[pageRank]]'s bilateral sibling for directed
+    * link/endorsement graphs. Each round:
+    *   auth'(v) = Σ_{u→v} hub(u),  hub'(u) = Σ_{u→v} auth'(v),
+    * then both vectors renormalize by their MAX (not the L2 norm — an
+    * integer `div` by the max keeps every score an exact integer in
+    * [0, scale] while preserving order, which is what the ranking
+    * consumer needs; the classic float L2 normalization differs only
+    * by a positive constant factor per round... until you need it
+    * hash-certified). A fixed `iters` yields bit-identical scores on
+    * any engine replaying the recurrence — q114's unrolled-oracle
+    * pattern.
+    *
+    * Per round: two keyed shuffles (contribution sums on `dst`, then
+    * `src`) + one max aggregate each — the standard distributed HITS
+    * plan, nothing driver-side but the two scalar maxima.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // overflow contract: maxInDegree·scale² < 2^63 — at the default
+    // scale 10⁶ that allows hubs of ~9·10⁶ in-links; drop scale for
+    // hubbier graphs (order is preserved at any scale)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    if (e.isEmpty) return nodes.select(col("node"), lit(0L).as("hub"),
+      lit(0L).as("auth"))
+    var scores = nodes.select(col("node"), lit(scale).as("hub"),
+      lit(scale).as("auth"))
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("a_raw"))
+      val aMax = authRaw.agg(max(col("a_raw"))).head.getLong(0)
+      val auth = nodes.join(authRaw, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(a_raw, 0L) * ${scale}L div ${aMax}L").as("auth"))
+      val hubRaw = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("h_raw"))
+      val hMax = hubRaw.agg(max(col("h_raw"))).head.getLong(0)
+      scores = nodes.join(hubRaw, Seq("node"), "left")
+        .join(auth, Seq("node"))
+        .select(col("node"),
+          expr(s"coalesce(h_raw, 0L) * ${scale}L div ${hMax}L").as("hub"),
+          col("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k,
     * by iterative peeling (delete all nodes of degree < k; deleting
     * them lowers neighbors' degrees, so repeat to the fixpoint — the

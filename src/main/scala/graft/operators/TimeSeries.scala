@@ -150,4 +150,52 @@ object TimeSeries {
       .withColumn("alarm", col("cusum") > threshold)
       .drop("__d", "__cs")
   }
+
+  /** Exact autocorrelation at lags 1..`maxLag`, per series key, with
+    * the mean CLEARED instead of divided: multiplying the classic
+    *   r_l = Σ_{t≤n−l}(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)²
+    * through by n² (x̄ = S/n) gives
+    *   num_l = Σ (n·x_t − S)(n·x_{t+l} − S),  den = Σ (n·x_t − S)²
+    * — exact BIGINTs whose single IEEE division num/den reproduces r_l
+    * bit-for-bit on any engine. Lag means ROW lag under the
+    * (`orderCol`) total order: pre-fill gaps ([[gapFill]]) when the
+    * index must be calendar-dense.
+    *
+    * One window pass per key carries all `maxLag` leads (the window
+    * rides the per-key series, bounded by series length — days, not
+    * events); the rest is two hash aggregates. Overflow contract:
+    * n²·max|x|²·n must stay under 2^63 — pre-scale hot series to
+    * coarser units (the centi-unit convention) when it can't.
+    */
+  def acf(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val base = df.select(col(keyCol).as("key"), col(orderCol).as("t"),
+      col(valueCol).cast("long").as("x"))
+    val w = Window.partitionBy(col("key")).orderBy(col("t"))
+    val stats = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    // leads materialize in a plain projection FIRST (one WindowExec for
+    // all lags); the generator then explodes ordinary columns — Spark
+    // rejects window expressions inside a generator
+    val withLeads = base.select(
+      col("key") +: col("x") +:
+        (1 to maxLag).map(l => lead(col("x"), l).over(w).as(s"__xl$l")): _*)
+    val exploded = withLeads
+      .withColumn("__l", explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"__xl$l").as("xl"))): _*)))
+      .select(col("key"), col("x"), col("__l.lag").as("lag"), col("__l.xl").as("xl"))
+    val den = base.join(stats, Seq("key"))
+      .groupBy(col("key"))
+      .agg(sum((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")))
+        .cast("long").as("den"))
+    exploded.filter(col("xl").isNotNull)
+      .join(stats, Seq("key"))
+      .groupBy(col("key"), col("lag"))
+      .agg(sum((col("n") * col("x") - col("s")) * (col("n") * col("xl") - col("s")))
+        .cast("long").as("num"),
+        count(lit(1)).as("n_terms"))
+      .join(den, Seq("key"))
+      .select(col("key"), col("lag"), col("num"), col("den"), col("n_terms"))
+  }
 }

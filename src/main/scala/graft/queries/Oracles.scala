@@ -2686,6 +2686,147 @@ object Oracles {
       ORDER BY e.digit"""
     },
 
+    // q139: the same mean-cleared fold — num_l = Σ(n·x−S)(n·x_lead−S),
+    // den = Σ(n·x−S)² — via lead() windows, all integer.
+    "q139_acf" -> """
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+        FROM daily GROUP BY 1),
+      den AS (
+        SELECT d.event_type,
+               CAST(SUM((st.n * d.x - st.s) * (st.n * d.x - st.s)) AS BIGINT) AS den
+        FROM daily d JOIN st USING (event_type) GROUP BY 1),
+      led AS (
+        SELECT d.event_type, l.lag, d.x,
+               lead(d.x, l.lag) OVER (PARTITION BY d.event_type, l.lag
+                 ORDER BY d.day_idx) AS xl
+        FROM daily d, (SELECT UNNEST(range(1, 8)) AS lag) l),
+      num AS (
+        SELECT led.event_type, CAST(led.lag AS INTEGER) AS lag,
+               CAST(SUM((st.n * led.x - st.s) * (st.n * led.xl - st.s)) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM led JOIN st USING (event_type)
+        WHERE led.xl IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT num.event_type, num.lag, num.num, den.den, num.n_terms
+      FROM num JOIN den USING (event_type)
+      ORDER BY event_type, lag""",
+
+    // q140: distinct (basket,item) → pair counts ≥ 3 → both rule
+    // directions joined to item counts — plain integer counting.
+    "q140_assoc_rules" -> """
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi),
+      ic AS (SELECT i, COUNT(*) AS n_i FROM bi GROUP BY i),
+      p AS (
+        SELECT a.i AS x, c.i AS y, COUNT(*) AS n_pair
+        FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      r AS (
+        SELECT x AS ante, y AS cons, n_pair FROM p
+        UNION ALL SELECT y, x, n_pair FROM p)
+      SELECT r.ante, r.cons, CAST(r.n_pair AS BIGINT) AS n_pair,
+             CAST(ia.n_i AS BIGINT) AS n_ante, CAST(ic2.n_i AS BIGINT) AS n_cons,
+             CAST(nb.n_baskets AS BIGINT) AS n_baskets
+      FROM r JOIN ic ia ON ia.i = r.ante JOIN ic ic2 ON ic2.i = r.cons, nb
+      ORDER BY r.ante, r.cons""",
+
+    // q141: identical contingency + HUGEINT cross-multiply //-divide;
+    // top-25 under the (chi2 desc, token) total order.
+    "q141_chi2_terms" -> """
+      WITH t AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos
+        FROM documents),
+      tok AS (
+        SELECT doc_id, lang = 'en' AS y,
+               UNNEST(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+        FROM documents),
+      c AS (
+        SELECT token, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS a,
+               COUNT(*) AS n_doc
+        FROM tok GROUP BY token),
+      k AS (
+        SELECT token, a, t.n_pos - a AS b, n_doc - a AS c,
+               t.n - t.n_pos - (n_doc - a) AS d, t.n AS n
+        FROM c, t WHERE n_doc >= 5 AND n_doc < t.n),
+      s AS (
+        SELECT token, a, b, c, d,
+               CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0 THEN
+                 (1000000::HUGEINT * n * (a::HUGEINT*d - b::HUGEINT*c)
+                   * (a::HUGEINT*d - b::HUGEINT*c))
+                 // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d))
+               ELSE 0 END AS chi2
+        FROM k)
+      SELECT token, CAST(a AS BIGINT) AS n_both,
+             CAST(b AS BIGINT) AS n_label_only,
+             CAST(c AS BIGINT) AS n_token_only,
+             CAST(d AS BIGINT) AS n_neither,
+             CAST(chi2 AS BIGINT) AS chi2_micro
+      FROM s ORDER BY chi2 DESC, token LIMIT 25""",
+
+    // q142: depth-capped recursive min-distance BFS — (node, dist)
+    // pairs dedup via UNION, the cap bounds cycles, MIN settles the
+    // first-reach distance.
+    "q142_bfs" -> """
+      WITH RECURSIVE ed AS (
+        SELECT u, v FROM (
+          SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        GROUP BY u, v HAVING COUNT(*) >= 2),
+      sym AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+      walk(node, dist) AS (
+        SELECT p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_brand = 'Brand#1'
+        UNION
+        SELECT s.dst, w.dist + 1
+        FROM walk w JOIN sym s ON s.src = w.node
+        WHERE w.dist < 4)
+      SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+      FROM walk GROUP BY node ORDER BY node""",
+
+    // q143: both HITS rounds unrolled with the identical BIGINT
+    // max-div normalization — hub0 = auth0 = 10^6 everywhere.
+    "q143_hits" -> """
+      WITH e AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      a1r AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) * 1000000 AS ar
+              FROM e GROUP BY dst),
+      a1m AS (SELECT MAX(ar) AS m FROM a1r),
+      a1 AS (SELECT n.node, COALESCE(ar, 0) * 1000000 // a1m.m AS auth
+             FROM nodes n LEFT JOIN a1r ON a1r.node = n.node, a1m),
+      h1r AS (SELECT e.src AS node, CAST(SUM(a1.auth) AS BIGINT) AS hr
+              FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+      h1m AS (SELECT MAX(hr) AS m FROM h1r),
+      h1 AS (SELECT n.node, COALESCE(hr, 0) * 1000000 // h1m.m AS hub
+             FROM nodes n LEFT JOIN h1r ON h1r.node = n.node, h1m),
+      a2r AS (SELECT e.dst AS node, CAST(SUM(h1.hub) AS BIGINT) AS ar
+              FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+      a2m AS (SELECT MAX(ar) AS m FROM a2r),
+      a2 AS (SELECT n.node, COALESCE(ar, 0) * 1000000 // a2m.m AS auth
+             FROM nodes n LEFT JOIN a2r ON a2r.node = n.node, a2m),
+      h2r AS (SELECT e.src AS node, CAST(SUM(a2.auth) AS BIGINT) AS hr
+              FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+      h2m AS (SELECT MAX(hr) AS m FROM h2r),
+      h2 AS (SELECT n.node, COALESCE(hr, 0) * 1000000 // h2m.m AS hub
+             FROM nodes n LEFT JOIN h2r ON h2r.node = n.node, h2m)
+      SELECT CAST(h2.node AS BIGINT) AS node, CAST(h2.hub AS BIGINT) AS hub,
+             CAST(a2.auth AS BIGINT) AS auth
+      FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY h2.node""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -2925,6 +2925,99 @@ object Queries {
         table(s, dir, "lineitem"), "l_extendedprice")
       .orderBy(col("digit"))
 
+  /** Exact autocorrelation ([[graft.operators.TimeSeries.acf]]): the
+    * per-type daily event series at lags 1..7, mean-cleared to BIGINT
+    * numerator/denominator pairs (r_l = num/den in one IEEE division)
+    * — seasonality detection with zero float accumulation. The window
+    * rides the (types × days) contraction; the oracle replays the
+    * identical lead-and-fold in DuckDB.
+    */
+  def q139Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.TimeSeries.acf(daily, "event_type", "day_idx",
+        "n_events", maxLag = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Pair-level association rules ([[graft.operators.Baskets
+    * .pairRules]]): parts co-purchased in ≥ 3 orders, both rule
+    * directions, with support/confidence/lift left as their exact
+    * integer ingredients (n_pair, n_ante, n_cons, n_baskets). The
+    * frequent-pair filter lands before rule expansion, so the
+    * contraction — not the raw pair volume — sizes the join fan-out.
+    */
+  def q140AssocRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Baskets.pairRules(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 3L)
+      .orderBy(col("ante"), col("cons"))
+
+  /** χ² vocabulary selection ([[graft.operators.Classification
+    * .chi2Terms]]): the 25 tokens most associated with lang = 'en' by
+    * the exact micro-unit χ² (DECIMAL(38,0) cross terms, one integral
+    * divide — DuckDB replays in HUGEINT), under the (χ² desc, token)
+    * total order. orderBy+limit collapses to TakeOrderedAndProject —
+    * no global sort materializes the vocabulary.
+    */
+  def q141Chi2Terms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classification.chi2Terms(
+        table(s, dir, "documents").select(col("text"),
+          (col("lang") === "en").as("y")),
+        "text", "y", minDocCount = 5L)
+      .orderBy(col("chi2_micro").desc, col("token"))
+      .limit(25)
+
+  /** Multi-source BFS ([[graft.operators.Graphs.bfsDistances]]): hop
+    * distance from the nearest Brand#1 part through q137's repeat
+    * co-purchase graph (symmetrized), capped at 4 hops — the
+    * merchandising-reach query. Frontier-bounded rounds engine-side;
+    * the oracle replays min-distance with a depth-capped recursive
+    * CTE, certifying reached set AND distances exactly.
+    */
+  def q142Bfs(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val und = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("ok"), col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val sources = table(s, dir, "part")
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    graft.operators.Graphs.bfsDistances(sym, "src", "dst", sources, maxDepth = 4)
+      .orderBy(col("node"))
+  }
+
+  /** HITS hubs & authorities ([[graft.operators.Graphs.hits]]) on the
+    * q114 nation trade graph, 2 rounds of the exact max-normalized
+    * integer recurrence — which nations broker flow (hubs) vs receive
+    * it (authorities). The oracle unrolls both rounds in SQL with the
+    * identical BIGINT div normalization, so the whole iterative
+    * computation hash-certifies (q114's pattern).
+    */
+  def q143Hits(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.Graphs.hits(edges, "src", "dst", iters = 2)
+      .orderBy(col("node"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3068,5 +3161,10 @@ object Queries {
     "q136_survivorship"  -> (q136Survivorship _),
     "q137_kcore"         -> (q137Kcore _),
     "q138_benford"       -> (q138Benford _),
+    "q139_acf"           -> (q139Acf _),
+    "q140_assoc_rules"   -> (q140AssocRules _),
+    "q141_chi2_terms"    -> (q141Chi2Terms _),
+    "q142_bfs"           -> (q142Bfs _),
+    "q143_hits"          -> (q143Hits _),
   )
 }

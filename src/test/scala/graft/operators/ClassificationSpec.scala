@@ -79,4 +79,44 @@ class ClassificationSpec extends AnyFunSuite {
     val (n, ag, pe) = runKappa(same)
     assert(n == 3L && ag == 3L && pe == 2L * 2L + 1L * 1L)
   }
+
+  /** Direct χ² over the 2×2 presence table, in exact BigInt. */
+  private def refChi2(docs: Seq[(String, Boolean)], minDoc: Long)
+      : Map[String, (Long, Long, Long, Long, Long)] = {
+    val n = BigInt(docs.size)
+    val nPos = BigInt(docs.count(_._2))
+    val toks = docs.zipWithIndex.flatMap { case ((t, y), i) =>
+      t.trim.split("\\s+").distinct.map(w => (w, y)) }
+    toks.groupBy(_._1).flatMap { case (w, occ) =>
+      val nDoc = BigInt(occ.size)
+      if (nDoc < minDoc || nDoc >= n) None
+      else {
+        val a = BigInt(occ.count(_._2))
+        val b = nPos - a; val c = nDoc - a; val d = n - nPos - c
+        val den = (a + b) * (c + d) * (a + c) * (b + d)
+        val chi = if (den > 0)
+          (BigInt(1000000) * n * (a * d - b * c) * (a * d - b * c)) / den
+        else BigInt(0)
+        Some(w -> ((a.toLong, b.toLong, c.toLong, d.toLong, chi.toLong)))
+      }
+    }
+  }
+
+  test("chi2Terms matches the BigInt reference, filters degenerate margins") {
+    val docs = Seq(
+      ("the cat sat", true), ("the dog ran", true), ("the cat ate", true),
+      ("le chat noir", false), ("le chien", false), ("cat le chat", false),
+      ("the the the", true)) // dup tokens collapse to presence
+    val got = Classification
+      .chi2Terms(docs.toDF("text", "y"), "text", "y", minDocCount = 2L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == refChi2(docs, 2L))
+    // 'the' is a perfect positive marker here, 'le' a perfect negative
+    assert(got("the")._5 == got("le")._5)
+    assert(got("the")._5 == 1000000L * 7L) // chi2 = n for perfect association
+    assert(!got.contains("chat") || got("chat")._1 == 0L)
+  }
 }

@@ -149,6 +149,83 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver BFS reference: multi-source min hop distance. */
+  private def refBfs(edges: Seq[(Long, Long)], sources: Seq[Long],
+                     maxDepth: Int): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = sources.distinct.map(_ -> 0L).toMap
+    var frontier = sources.distinct
+    for (d <- 1 to maxDepth if frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .distinct.filterNot(dist.contains)
+      dist ++= frontier.map(_ -> d.toLong)
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)], sources: Seq[Long],
+                     maxDepth: Int): Map[Long, Long] =
+    Graphs.bfsDistances(edges.toDF("src", "dst"), "src", "dst",
+        sources.toDF("node"), maxDepth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsDistances matches the reference; depth cap and unreachable nodes") {
+    // directed chain 0→1→2→3→4→5 plus a back edge and an island 8→9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 0L), (8L, 9L))
+    val got = runBfs(edges, Seq(0L), maxDepth = 3)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // multi-source takes the nearest seed; isolated seeds stay at 0
+    val multi = runBfs(edges, Seq(0L, 4L, 100L), maxDepth = 10)
+    assert(multi == refBfs(edges, Seq(0L, 4L, 100L), 10))
+    assert(multi(5L) == 1L && multi(100L) == 0L && !multi.contains(8L))
+  }
+
+  test("bfsDistances matches the reference on random digraphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val sources = Seq(rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      assert(runBfs(edges, sources, 6) == refBfs(edges, sources, 6), s"seed=$seed")
+    }
+  }
+
+  /** Driver replay of the exact max-normalized HITS recurrence. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).view.mapValues(_.map(x => hub(x._1)).sum).toMap
+      val am = ar.values.max
+      auth = nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / am).toMap
+      val hr = e.groupBy(_._1).view.mapValues(_.map(x => auth(x._2)).sum).toMap
+      val hm = hr.values.max
+      hub = nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / hm).toMap
+    }
+    nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+  }
+
+  test("hits matches the integer reference replay; pure hub/authority split") {
+    for (seed <- 1 to 3; iters <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Graphs.hits(edges.toDF("s", "d"), "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == refHits(edges, iters), s"seed=$seed iters=$iters")
+    }
+    // star: 0 points at 1..4 — 0 is the pure hub, spokes pure authorities
+    val star = (1L to 4L).map(i => (0L, i))
+    val got = Graphs.hits(star.toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((1000000L, 0L)))
+    assert((1L to 4L).forall(i => got(i) == ((0L, 1000000L))))
+  }
+
   test("kCore: cascading peel — a chain has no 2-core, a cycle is its own") {
     // chain 0-1-2-3-4: endpoints peel, then everything cascades away
     val chain = (0L to 3L).map(i => (i, i + 1))

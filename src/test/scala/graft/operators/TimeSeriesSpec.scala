@@ -105,4 +105,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().head.getLong(1)
     assert(touch == 1L)
   }
+
+  /** Driver replay of the mean-cleared ACF fold. */
+  private def refAcf(xs: Seq[Long], maxLag: Int): Map[Int, (Long, Long, Long)] = {
+    val n = xs.size.toLong
+    val s = xs.sum
+    val c = xs.map(x => n * x - s)
+    val den = c.map(v => v * v).sum
+    (1 to maxLag).map { l =>
+      val num = (0 until (xs.size - l)).map(t => c(t) * c(t + l)).sum
+      l -> ((num, den, (xs.size - l).toLong))
+    }.toMap
+  }
+
+  test("acf matches the reference fold; r_1 of a period-2 series is negative") {
+    val series = Map(
+      "a" -> Seq(3L, 9L, 3L, 9L, 3L, 9L, 3L, 9L), // alternating
+      "b" -> Seq(1L, 2L, 3L, 4L, 5L, 6L))          // trending
+    val rows = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, t) => (k, t.toLong, x) } }
+    val got = TimeSeries.acf(rows.toDF("k", "t", "x"), "k", "t", "x", maxLag = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    for ((k, xs) <- series; (l, v) <- refAcf(xs, 3))
+      assert(got((k, l)) == v, s"key=$k lag=$l")
+    // alternating series: lag-1 perfectly anti-correlated, lag-2 perfect
+    val (n1, d1, _) = got(("a", 1))
+    assert(n1 < 0 && d1 > 0)
+    val (n2, _, t2) = got(("a", 2))
+    assert(n2 > 0, "period-2 series must correlate positively at lag 2")
+    assert(t2 == 6L)
+  }
 }
