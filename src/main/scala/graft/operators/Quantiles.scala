@@ -234,4 +234,38 @@ object Quantiles {
             .otherwise(0))).cast("int"))
       .drop("ths")
   }
+
+  /** Exact WEIGHTED quantile per group: the smallest value whose
+    * cumulative integer weight reaches ⌈p·W⌉ (W = group weight total)
+    * — weighted medians for "half the TOKEN mass sits below this
+    * document length" questions, where the unweighted cut answers the
+    * wrong population. Rank arithmetic is integer throughout: the
+    * threshold ⌈p·W⌉ = (num·W + den − 1) div den with p = num/den, so
+    * the whole cut hash-certifies.
+    *
+    * Plan shape: one hash aggregate contracts to (group, DISTINCT
+    * value, weight sum) and the cumulative window rides THAT
+    * contraction partitioned by group — the [[valueThresholds]]
+    * value-distinct contract (discrete/binned values; integer-clear a
+    * continuous measure first). Null values and null/≤0 weights drop.
+    */
+  def weightedCutByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         weightCol: String, pNum: Long, pDen: Long): DataFrame = {
+    require(pNum > 0 && pNum < pDen, s"need 0 < p < 1, got $pNum/$pDen")
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val wt = col(weightCol).cast("long")
+    val perVal = df.where(v.isNotNull && wt.isNotNull && wt > 0)
+      .groupBy(g, v.as("bv")).agg(sum(wt).as("wv"))
+    val totals = perVal.groupBy(g).agg(sum(col("wv")).as("tw"))
+    val w = Window.partitionBy(g).orderBy(col("bv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVal
+      .join(broadcast(totals), groupCol)
+      .withColumn("k", expr(s"(${pNum}L * tw + ${pDen}L - 1L) div ${pDen}L"))
+      .withColumn("cum", sum(col("wv")).over(w))
+      .filter(col("cum") >= col("k") && col("cum") - col("wv") < col("k"))
+      .select(g, col("bv").as("cut"), col("tw").as("total_weight"),
+        col("k").as("target_rank"))
+  }
 }

@@ -69,6 +69,42 @@ object Regression {
     * Groups where x is constant (zero variance ⇒ undefined slope)
     * return null slope/intercept rather than ±Inf.
     */
+  /** Theil-Sen robust trend slope per series key — the median of all
+    * pairwise slopes, immune to the outlier days that drag
+    * [[groupedOls]] (breakdown point 29% vs 0%). Slopes ride the
+    * repo's integer clearing: `slope_micro = (10⁶·Δx) div Δt` (exact
+    * floor, deterministic on any engine), and the per-key median is
+    * [[Quantiles.exactQuantileByGroup]]'s bracketed exact selection —
+    * no per-key window over the full pair set, and group keys of ANY
+    * cardinality skew safely.
+    *
+    * Contract: pairs are per-key quadratic — this is for CONTRACTED
+    * series (daily/hourly rollups, hundreds of points), the same
+    * shape [[graft.operators.TimeSeries.acf]] and [[groupedOls]]
+    * consume, not raw event streams. Returns
+    * `(key, n_pairs, slope_micro)` with the lower median (k =
+    * ⌈n/2⌉-th smallest — a total order, ties included).
+    */
+  def theilSen(df: DataFrame, keyCol: String, tCol: String,
+               xCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"))
+    val slopes = base.select(col("key"), col("t").as("ta"), col("x").as("xa"))
+      .join(base.select(col("key"), col("t").as("tb"), col("x").as("xb")), Seq("key"))
+      .filter(col("ta") < col("tb"))
+      .select(col("key"),
+        expr("(1000000L * (xb - xa)) div (tb - ta)").as("slope_micro"))
+      // the quadratic pair join is consumed four times (bracket stats,
+      // bracket verify, selection, n_pairs) — materialize it once
+      .localCheckpoint()
+    val medians = Quantiles.exactQuantileByGroup(slopes, "key", "slope_micro",
+      p = 0.5)
+    slopes.groupBy(col("key")).agg(count(lit(1)).as("n_pairs"))
+      .join(medians, Seq("key"))
+      .select(col("key"), col("n_pairs"),
+        col("cut").cast("long").as("slope_micro"))
+  }
+
   def groupedOls(df: DataFrame, groupCol: String, xCol: String,
                  yCol: String): DataFrame = {
     val x = col(xCol).cast("bigint")

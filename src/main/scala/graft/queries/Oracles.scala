@@ -2827,6 +2827,58 @@ object Oracles {
              CAST(a2.auth AS BIGINT) AS auth
       FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY h2.node""",
 
+    // q144: pairwise micro-slopes with the same truncating integer
+    // division, lower median at rank ⌈n/2⌉ = (n+1)//2.
+    "q144_theilsen" -> """
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type,
+               (1000000 * (b.x - a.x)) // (b.day_idx - a.day_idx) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day_idx < b.day_idx),
+      n AS (SELECT event_type, COUNT(*) AS n_pairs FROM p GROUP BY 1),
+      r AS (
+        SELECT event_type, s,
+               row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn
+        FROM p),
+      m AS (
+        SELECT r.event_type, r.s
+        FROM r JOIN n USING (event_type)
+        WHERE rn = (n_pairs + 1) // 2)
+      SELECT n.event_type, CAST(n.n_pairs AS BIGINT) AS n_pairs,
+             CAST(m.s AS BIGINT) AS slope_micro
+      FROM n JOIN m USING (event_type) ORDER BY event_type""",
+
+    // q145: distinct-value weight cumsum, threshold ⌈W/2⌉, smallest
+    // value whose cumulative weight reaches it.
+    "q145_weighted_median" -> """
+      WITH v AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+      pv AS (
+        SELECT l_returnflag, price_cents, SUM(w) AS wv
+        FROM v GROUP BY 1, 2),
+      t AS (SELECT l_returnflag, SUM(wv) AS tw FROM pv GROUP BY 1),
+      c AS (
+        SELECT pv.l_returnflag, pv.price_cents, pv.wv, t.tw,
+               (t.tw + 1) // 2 AS k,
+               SUM(pv.wv) OVER (PARTITION BY pv.l_returnflag
+                 ORDER BY pv.price_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM pv JOIN t USING (l_returnflag))
+      SELECT l_returnflag, CAST(price_cents AS BIGINT) AS cut,
+             CAST(tw AS BIGINT) AS total_weight, CAST(k AS BIGINT) AS target_rank
+      FROM c WHERE cum >= k AND cum - wv < k
+      ORDER BY l_returnflag""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

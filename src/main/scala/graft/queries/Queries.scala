@@ -3018,6 +3018,41 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** Theil-Sen robust trend ([[graft.operators.Regression.theilSen]]):
+    * the median pairwise slope of each event type's daily count
+    * series in exact micro-units — q98's OLS slopes re-read with a
+    * 29% breakdown point (one anomalous day can't drag the trend).
+    * The median rides the bracketed exact selection, never a per-key
+    * pair-set sort; the oracle replays slopes and the lower-median
+    * rank directly.
+    */
+  def q144TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.Regression.theilSen(daily, "event_type", "day_idx", "n_events")
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type"))
+  }
+
+  /** Weighted median ([[graft.operators.Quantiles.weightedCutByGroup]]):
+    * per return flag, the price point (in exact cents) below which
+    * half the shipped QUANTITY sits — the mass-weighted complement of
+    * q44's count-weighted cuts. Integer rank arithmetic on integer
+    * weights; the oracle replays the cumulative-weight selection.
+    */
+  def q145WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.weightedCutByGroup(
+        table(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+            col("l_quantity")),
+        "l_returnflag", "price_cents", "l_quantity", pNum = 1L, pDen = 2L)
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3166,5 +3201,7 @@ object Queries {
     "q141_chi2_terms"    -> (q141Chi2Terms _),
     "q142_bfs"           -> (q142Bfs _),
     "q143_hits"          -> (q143Hits _),
+    "q144_theilsen"      -> (q144TheilSen _),
+    "q145_weighted_median" -> (q145WeightedMedian _),
   )
 }

@@ -227,4 +227,39 @@ class PlanAuditSpec extends AnyFunSuite {
       "Left keys \\[\\d+\\]: \\[cell#".r.findFirstIn(p).isDefined,
       "expected the cell equi-join")
   }
+
+  test("q141: global top-k is TakeOrderedAndProject, never a full vocabulary sort") {
+    val p = plan(graft.queries.Queries.q141Chi2Terms(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected orderBy+limit to collapse to TakeOrdered:\n$p")
+    // exactly zero Sort operators: the vocabulary never materializes
+    // in rank order anywhere in the plan
+    assert(!p.contains("Sort ["), s"unexpected full sort in q141:\n$p")
+  }
+
+  test("q134: the AUC window rides the distinct-VALUE contraction, after an aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
+    val df = graft.queries.Queries.q134Auc(spark, sf)
+    val winds = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(winds.size == 1, "exactly one cumulative window")
+    // the window's child must contain the per-distinct-score aggregate:
+    // corpus rows never reach the unpartitioned sort
+    winds.foreach { w =>
+      assert(w.child.collect { case a: LAgg => a }.nonEmpty,
+        "the cumulative window must sit above the distinct-score aggregate")
+    }
+  }
+
+  test("q136: survivorship has no window at all — rep selection is a hash aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // operator-level plan (q136's full query includes minhash pair
+    // generation; the survivorship stage is the piece under audit)
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val df = graft.operators.Clusters.survivorshipBy(docs, "doc_id", "n_chars", pairs)
+    val winds = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(winds.isEmpty,
+      "survivorshipBy must select representatives via struct-min aggregation, not a window")
+  }
 }

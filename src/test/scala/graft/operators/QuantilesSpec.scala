@@ -202,4 +202,46 @@ class QuantilesSpec extends AnyFunSuite {
     // the max value is inside (closed) the last bin for each non-degenerate group
     assert(got.keys.filter(_._1 == "a").map(_._2).max == bins - 1L)
   }
+
+  /** Driver weighted cut: smallest v with cumW ≥ ⌈p·W⌉. */
+  private def refWeightedCut(rows: Seq[(Long, Long)], pNum: Long,
+                             pDen: Long): (Long, Long, Long) = {
+    val w = rows.map(_._2).sum
+    val k = (pNum * w + pDen - 1) / pDen
+    var cum = 0L
+    for ((v, wv) <- rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+           .toSeq.sortBy(_._1)) {
+      cum += wv
+      if (cum >= k) return (v, w, k)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  test("weightedCutByGroup: reference parity, zero-weight drop, heavy value") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val groups = Map(
+      "g1" -> Seq.fill(60)((rnd.nextInt(20).toLong, (rnd.nextInt(9) + 1).toLong)),
+      // one value carries >half the weight: the cut must be exactly it
+      "g2" -> (Seq((5L, 100L)) ++ Seq.fill(30)((rnd.nextInt(20).toLong, 1L))))
+    val rows = groups.toSeq.flatMap { case (g, vs) =>
+      vs.map { case (v, w) => (g, v, w) } } ++
+      Seq(("g1", 999L, 0L)) // zero weight: must not move the cut
+    val got = Quantiles.weightedCutByGroup(
+        rows.toDF("g", "v", "w"), "g", "v", "w", pNum = 1L, pDen = 2L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for ((g, vs) <- groups)
+      assert(got(g) == refWeightedCut(vs, 1L, 2L), s"group=$g")
+    assert(got("g2")._1 == 5L)
+    // p = 9/10 tail cut agrees too
+    val p90 = Quantiles.weightedCutByGroup(
+        rows.toDF("g", "v", "w"), "g", "v", "w", pNum = 9L, pDen = 10L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for ((g, vs) <- groups)
+      assert(p90(g) == refWeightedCut(vs, 9L, 10L), s"p90 group=$g")
+  }
 }

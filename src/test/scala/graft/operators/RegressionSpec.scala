@@ -145,4 +145,32 @@ class RegressionSpec extends AnyFunSuite {
     // the null-y row was dropped entirely: n reflects listwise deletion
     assert(out("a").getAs[Long]("n") == 4L)
   }
+
+  /** Driver Theil-Sen: truncating integer micro-slopes, lower median. */
+  private def refTheilSen(pts: Seq[(Long, Long)]): (Long, Long) = {
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices
+      if pts(i)._1 < pts(j)._1
+    } yield 1000000L * (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+    (slopes.size.toLong, slopes((slopes.size + 1) / 2 - 1))
+  }
+
+  test("theilSen matches the reference; outlier immunity vs OLS") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // y = 3x + noise, with one wild outlier day per series
+    val series = Map(
+      "a" -> ((0L to 20L).map(t => (t, 3 * t + rnd.nextInt(3))) :+ ((21L, 9000L))),
+      "b" -> (0L to 15L).map(t => (t, 100 - 5 * t + rnd.nextInt(2))))
+    val rows = series.toSeq.flatMap { case (k, pts) =>
+      pts.map { case (t, x) => (k, t, x) } }
+    val got = Regression.theilSen(rows.toDF("k", "t", "x"), "k", "t", "x")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((k, pts) <- series)
+      assert(got(k) == refTheilSen(pts.toSeq), s"key=$k")
+    // the outlier leaves the robust slope near 3.0 where OLS drifts
+    val (_, slope) = got("a")
+    assert(slope >= 2900000L && slope <= 3200000L, s"robust slope $slope")
+    assert(got("b")._2 < 0L)
+  }
 }

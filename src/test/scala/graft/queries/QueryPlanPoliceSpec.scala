@@ -48,7 +48,12 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q103_retrieval_eval" -> 1, // termStats' 1-row corpus scalars
     "q116_collocations"   -> 1, // 1-row corpus token-total scalar
     "q121_source_overlap" -> 1, // |sources|² sizes self-join (≤ 20 rows a side)
-    "q126_kmv_overlap"    -> 2) // q121's sizes self-join + the |sources|² sketch pair join
+    "q126_kmv_overlap"    -> 2, // q121's sizes self-join + the |sources|² sketch pair join
+    "q133_triangles"      -> 2, // 1-row node-stats × 1-row edge-count × 1-row triangle-count scalars
+    "q135_kappa"          -> 1, // 1-row totals × 1-row chance-agreement scalar
+    "q138_benford"        -> 1, // 1-row observed-total scalar against the 9-digit table
+    "q140_assoc_rules"    -> 1, // 1-row basket-total scalar
+    "q141_chi2_terms"     -> 1) // 1-row (n, n_pos) corpus scalar
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
@@ -74,9 +79,24 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q110_compaction_plan",
     // CUSUM's two stacked windows run over the (types × days) daily
     // contraction (bounded rows), never event rows — the q112 shape
-    "q130_cusum")
+    "q130_cusum",
+    // weighted cut: the per-flag window rides the distinct-VALUE
+    // contraction (q44's category — cents-binned prices, documented
+    // valueThresholds contract), never lineitem rows
+    "q145_weighted_median")
 
-  private val lowCardCols = Set("lang", "source", "event_type", "week_idx")
+  /** Queries allowed an UNPARTITIONED window: each is a guarded
+    * tiny-table distinct-value contraction (operator scaladoc carries
+    * the bound), never corpus rows through one task's sort.
+    */
+  private val globalWindowAllowance: Set[String] = Set(
+    // Quantiles.valueThresholds' HLL-guarded distinct-value window
+    "q62_quantile_bins", "q86_ccnet_buckets",
+    // aucExact's cumulative-negative fold over DISTINCT score values
+    "q134_auc")
+
+  private val lowCardCols =
+    Set("lang", "source", "event_type", "week_idx", "l_returnflag")
 
   test("every declared query: no unlisted cartesian; no unlisted low-cardinality window; no global window outside q62") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
@@ -94,11 +114,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
             w.partitionSpec.flatMap(_.references.map(_.name)).toSet
         }
         windows.foreach { keys =>
-          // q62/q86 ride Quantiles.valueThresholds' intentionally global
-          // window over the distinct-VALUE contraction (HLL-guarded to
-          // ≤ maxDistinct rows — see the operator scaladoc)
-          if (keys.isEmpty && name != "q62_quantile_bins" && name != "q86_ccnet_buckets")
-            failures += s"$name: GLOBAL window (only the guarded tiny-table window of q62/q86 is allowed)"
+          if (keys.isEmpty && !globalWindowAllowance.contains(name))
+            failures += s"$name: GLOBAL window (only the guarded tiny-table windows of ${globalWindowAllowance.mkString("/")} are allowed)"
           if (keys.nonEmpty && keys.subsetOf(lowCardCols) &&
               !lowCardWindowAllowance.contains(name))
             failures += s"$name: window partitioned by low-cardinality ${keys.mkString("+")}"
