@@ -235,6 +235,31 @@ object Quantiles {
       .drop("ths")
   }
 
+  /** Multi-metric [[bucketAssign]]: one threshold set PER COLUMN, all
+    * computed from the SAME base frame and attached in one pass.
+    * Chaining single-column bucketAssign calls instead would nest each
+    * metric's crossJoin+window inside the next metric's threshold
+    * subtree — the plan re-executes metric 1's assignment once per
+    * later metric (measured: 14 cartesians for a 3-metric RFM where
+    * this shape has 3). Adds `<col>_q` ∈ [1, buckets] per metric.
+    */
+  def bucketAssignMulti(df: DataFrame, valueCols: Seq[String], buckets: Int,
+                        maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one metric column")
+    val withThs = valueCols.foldLeft(df) { (acc, c) =>
+      val th = valueThresholds(df, c, buckets, maxDistinct)
+        .agg(collect_list(struct(col("k"), col("threshold"))).as(s"__ths_$c"))
+        .select(col(s"__ths_$c"))
+      acc.crossJoin(broadcast(th))
+    }
+    valueCols.foldLeft(withThs) { (acc, c) =>
+      acc.withColumn(s"${c}_q",
+        (lit(1) + aggregate(col(s"__ths_$c"), lit(0),
+          (n, t) => n + when(col(c) > t.getField("threshold"), 1)
+            .otherwise(0))).cast("int"))
+    }.drop(valueCols.map(c => s"__ths_$c"): _*)
+  }
+
   /** Exact WEIGHTED quantile per group: the smallest value whose
     * cumulative integer weight reaches ⌈p·W⌉ (W = group weight total)
     * — weighted medians for "half the TOKEN mass sits below this

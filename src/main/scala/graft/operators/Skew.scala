@@ -65,4 +65,51 @@ object Skew {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  /** Key-distribution skew profile — the DIAGNOSTIC for everything
+    * else in this object: before shuffling on a key at 100 TB, measure
+    * how concentrated it is. Per group, over the multiset of per-key
+    * row counts: key count `n_keys`, row total `n_rows`, the heaviest
+    * key (`max_count`, `top_key` — smallest key id among ties, so the
+    * row is deterministic), and the Gini concentration index as the
+    * exact rational `gini_num / gini_den`
+    * (= [2·Σᵢ i·c₍ᵢ₎ − (m+1)·Σc] / [m·Σc] over counts sorted
+    * ascending — 0 for a uniform key, → 1 for one dominant key).
+    *
+    * The rank fold NEVER sorts keys: counts contract to
+    * COUNT-OF-COUNTS (distinct count values per group — tens of rows
+    * even when the group has billions of keys), and a run of `f` tied
+    * keys with count `v` starting after cumulative frequency `s`
+    * contributes `v·(f·s + f·(f+1)/2)` to the rank sum in closed form.
+    * The window rides that contraction partitioned by group; the key
+    * aggregate and the argmax are plain hash aggregates — skew-safe
+    * while measuring skew. Overflow: n_keys·n_rows must stay under
+    * 2^63 (profile partitions/samples beyond).
+    */
+  def keyDistribution(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val g = col(groupCol)
+    val perKey = df.groupBy(g, col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val top = perKey.groupBy(g)
+      .agg(min(struct((-col("c")).as("nc"), col("k").as("k"))).as("m"))
+      .select(g, (-col("m.nc")).as("max_count"),
+        col("m.k").cast("long").as("top_key"))
+    val cofc = perKey.groupBy(g, col("c")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(g).orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = cofc
+      .withColumn("s", coalesce(sum(col("f")).over(w), lit(0L)))
+      .withColumn("rank_mass", // f·(f+1) is even: shiftright is the exact halve
+        col("c") * (col("f") * col("s") +
+          shiftright(col("f") * (col("f") + 1), 1)))
+    ranked.groupBy(g)
+      .agg(sum(col("f")).cast("long").as("n_keys"),
+        sum(col("c") * col("f")).cast("long").as("n_rows"),
+        sum(col("rank_mass")).cast("long").as("__rm"))
+      .join(top, groupCol)
+      .select(g, col("n_keys"), col("n_rows"), col("max_count"), col("top_key"),
+        (lit(2L) * col("__rm") - (col("n_keys") + 1) * col("n_rows"))
+          .as("gini_num"),
+        (col("n_keys") * col("n_rows")).as("gini_den"))
+  }
 }

@@ -2879,6 +2879,69 @@ object Oracles {
       FROM c WHERE cum >= k AND cum - wv < k
       ORDER BY l_returnflag""",
 
+    // q146: textbook Gini via row_number over keys (tiny at oracle SF);
+    // equality certifies the engine's closed-form tie-run fold.
+    "q146_skew_profile" -> """
+      WITH pk AS (
+        SELECT l_returnflag, l_orderkey AS k, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      agg AS (
+        SELECT l_returnflag, COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM pk GROUP BY 1),
+      top AS (
+        SELECT l_returnflag, c AS max_count, k AS top_key FROM (
+          SELECT *, row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY c DESC, k) AS rn FROM pk) WHERE rn = 1),
+      r AS (
+        SELECT l_returnflag, c,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY c, k) AS i
+        FROM pk),
+      rm AS (
+        SELECT l_returnflag, CAST(SUM(i * c) AS BIGINT) AS rmass
+        FROM r GROUP BY 1)
+      SELECT a.l_returnflag, CAST(a.n_keys AS BIGINT) AS n_keys, a.n_rows,
+             CAST(t.max_count AS BIGINT) AS max_count,
+             CAST(t.top_key AS BIGINT) AS top_key,
+             CAST(2 * rm.rmass - (a.n_keys + 1) * a.n_rows AS BIGINT) AS gini_num,
+             CAST(a.n_keys * a.n_rows AS BIGINT) AS gini_den
+      FROM agg a JOIN top t USING (l_returnflag) JOIN rm USING (l_returnflag)
+      ORDER BY a.l_returnflag""",
+
+    // q147: q62's integer threshold rule (cum·5 ≥ k·n, smallest value)
+    // replayed per metric; same horizon/cents arithmetic.
+    "q147_rfm" -> """
+      WITH rfm AS (
+        SELECT o_custkey,
+               CAST(DATE '2025-01-01' - CAST(MAX(o_orderdate) AS DATE) AS BIGINT) AS r_days,
+               CAST(COUNT(*) AS BIGINT) AS f_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        FROM orders GROUP BY 1),
+      rc AS (SELECT r_days AS v, COUNT(*) AS c FROM rfm GROUP BY 1),
+      rcum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum, SUM(c) OVER () AS n FROM rc),
+      rth AS (SELECT k, MIN(v) AS t FROM rcum, range(1, 5) AS g(k)
+              WHERE cum * 5 >= k * n GROUP BY k),
+      fc AS (SELECT f_orders AS v, COUNT(*) AS c FROM rfm GROUP BY 1),
+      fcum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum, SUM(c) OVER () AS n FROM fc),
+      fth AS (SELECT k, MIN(v) AS t FROM fcum, range(1, 5) AS g(k)
+              WHERE cum * 5 >= k * n GROUP BY k),
+      mc AS (SELECT m_cents AS v, COUNT(*) AS c FROM rfm GROUP BY 1),
+      mcum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum, SUM(c) OVER () AS n FROM mc),
+      mth AS (SELECT k, MIN(v) AS t FROM mcum, range(1, 5) AS g(k)
+              WHERE cum * 5 >= k * n GROUP BY k),
+      assigned AS (
+        SELECT m_cents,
+               1 + (SELECT COUNT(*) FROM rth WHERE rfm.r_days > rth.t) AS r_q,
+               1 + (SELECT COUNT(*) FROM fth WHERE rfm.f_orders > fth.t) AS f_q,
+               1 + (SELECT COUNT(*) FROM mth WHERE rfm.m_cents > mth.t) AS m_q
+        FROM rfm)
+      SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+             CAST(m_q AS INT) AS m_q, COUNT(*) AS n_customers,
+             CAST(SUM(m_cents) AS BIGINT) AS segment_cents
+      FROM assigned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -3053,6 +3053,48 @@ object Queries {
         "l_returnflag", "price_cents", "l_quantity", pNum = 1L, pDen = 2L)
       .orderBy(col("l_returnflag"))
 
+  /** Shuffle-key skew profile ([[graft.operators.Skew.keyDistribution]]):
+    * how concentrated is the order-key distribution per return flag —
+    * the diagnostic a 100 TB planner runs BEFORE choosing a shuffle
+    * key. Gini as the exact rational gini_num/gini_den via the
+    * count-of-counts closed-form rank fold (never a key sort);
+    * heaviest key deterministic under (count desc, key asc). The
+    * oracle replays the textbook row_number definition — equality
+    * certifies the closed-form tie-run arithmetic.
+    */
+  def q146SkewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.keyDistribution(
+        table(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey")),
+        "l_returnflag", "l_orderkey")
+      .orderBy(col("l_returnflag"))
+
+  /** RFM segmentation (the classic customer-value cube, composed from
+    * [[graft.operators.Quantiles.bucketAssign]]): per customer —
+    * recency (days from last order to the corpus horizon), frequency
+    * (order count), monetary (exact cents) — each quintiled by the
+    * broadcast-threshold assignment (ties share a bucket: a pure
+    * function of the value, engine-independent), rolled up to segment
+    * counts and exact spend mass. Three threshold sets of 4 rows
+    * each; no ntile, no window over customers.
+    */
+  def q147Rfm(s: SparkSession, dir: String): DataFrame = {
+    val ord = table(s, dir, "orders")
+    val horizon = to_date(lit("2025-01-01"))
+    val rfm = ord.groupBy(col("o_custkey"))
+      .agg(datediff(horizon, max(to_date(col("o_orderdate")))).cast("long").as("r_days"),
+        count(lit(1)).as("f_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+    val withQ = graft.operators.Quantiles.bucketAssignMulti(rfm,
+      Seq("r_days", "f_orders", "m_cents"), buckets = 5)
+      .withColumnRenamed("r_days_q", "r_q")
+      .withColumnRenamed("f_orders_q", "f_q")
+      .withColumnRenamed("m_cents_q", "m_q")
+    withQ.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m_cents")).cast("long").as("segment_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3203,5 +3245,7 @@ object Queries {
     "q143_hits"          -> (q143Hits _),
     "q144_theilsen"      -> (q144TheilSen _),
     "q145_weighted_median" -> (q145WeightedMedian _),
+    "q146_skew_profile"  -> (q146SkewProfile _),
+    "q147_rfm"           -> (q147Rfm _),
   )
 }

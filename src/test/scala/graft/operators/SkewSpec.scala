@@ -226,4 +226,39 @@ class SkewSpec extends AnyFunSuite {
     val p = got.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast hot leg:\n$p")
   }
+
+  /** Direct Gini over the sorted per-key count multiset. */
+  private def refDistribution(rows: Seq[(String, Long)])
+      : Map[String, (Long, Long, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).map { case (g, rs) =>
+      val counts = rs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val m = counts.size.toLong
+      val tot = counts.values.sum
+      val sorted = counts.values.toSeq.sorted
+      val rmass = sorted.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val (topK, maxC) = counts.toSeq.map { case (k, c) => (k, c) }
+        .minBy { case (k, c) => (-c, k) }
+      g -> ((m, tot, maxC, topK, 2 * rmass - (m + 1) * tot, m * tot))
+    }
+
+  test("keyDistribution: Gini closed form ≡ sorted-rank reference; uniform vs hot") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    // g=uniform: every key once → gini 0. g=hot: one key dominates.
+    val rows: Seq[(String, Long)] =
+      (1 to 50).map(i => ("uniform", i.toLong)) ++
+      (Seq.fill(500)(("hot", 7L)) ++ (1 to 20).map(i => ("hot", 100L + i))) ++
+      Seq.fill(300)(("rand", rnd.nextInt(40).toLong))
+    val got = Skew.keyDistribution(rows.toDF("g", "k"), "g", "k")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got == refDistribution(rows))
+    assert(got("uniform")._5 == 0L, "uniform keys have zero Gini numerator")
+    val hot = got("hot")
+    assert(hot._3 == 500L && hot._4 == 7L)
+    // strongly concentrated: gini_num/gini_den close to 1
+    assert(hot._5.toDouble / hot._6 > 0.8)
+  }
 }

@@ -53,7 +53,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q135_kappa"          -> 1, // 1-row totals × 1-row chance-agreement scalar
     "q138_benford"        -> 1, // 1-row observed-total scalar against the 9-digit table
     "q140_assoc_rules"    -> 1, // 1-row basket-total scalar
-    "q141_chi2_terms"     -> 1) // 1-row (n, n_pos) corpus scalar
+    "q141_chi2_terms"     -> 1, // 1-row (n, n_pos) corpus scalar
+    "q147_rfm"            -> 6) // q62's 2-cartesian shape (k-range × thresholds + 1-row list scalar) × 3 metrics
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
@@ -83,7 +84,11 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // weighted cut: the per-flag window rides the distinct-VALUE
     // contraction (q44's category — cents-binned prices, documented
     // valueThresholds contract), never lineitem rows
-    "q145_weighted_median")
+    "q145_weighted_median",
+    // skew profile: the per-flag window rides the COUNT-OF-COUNTS
+    // contraction (distinct per-key count values — tens of rows even
+    // for billions of keys), the operator's whole design point
+    "q146_skew_profile")
 
   /** Queries allowed an UNPARTITIONED window: each is a guarded
     * tiny-table distinct-value contraction (operator scaladoc carries
@@ -93,7 +98,10 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // Quantiles.valueThresholds' HLL-guarded distinct-value window
     "q62_quantile_bins", "q86_ccnet_buckets",
     // aucExact's cumulative-negative fold over DISTINCT score values
-    "q134_auc")
+    "q134_auc",
+    // three valueThresholds windows (one per RFM metric), each the
+    // same HLL-guarded distinct-value contraction as q62's
+    "q147_rfm")
 
   private val lowCardCols =
     Set("lang", "source", "event_type", "week_idx", "l_returnflag")
