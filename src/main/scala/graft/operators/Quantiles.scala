@@ -260,6 +260,38 @@ object Quantiles {
     }.drop(valueCols.map(c => s"__ths_$c"): _*)
   }
 
+  /** Per-group exact percentile rank (mid-rank convention) in
+    * micro-units: each row gets
+    * `pct_micro = (2·countBelow + countEqual) · 10⁶ div (2·n)` within
+    * its group — the CDF-normalize that makes scores COMPARABLE
+    * ACROSS GROUPS before a global cut (per-source classifier
+    * calibration: a 0.7 from a lenient source and a 0.7 from a strict
+    * one are different animals; their percentiles are not). Integer
+    * arithmetic end to end; ties share one rank by construction.
+    *
+    * Plan shape: counts contract to (group, DISTINCT value), the
+    * cumulative window rides that contraction partitioned by group,
+    * and rows join back on (group, value) — corpus rows never enter a
+    * sort ([[valueThresholds]]' contract: discrete/integer-cleared
+    * values).
+    */
+  def percentileRankByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val perVal = df.where(v.isNotNull)
+      .groupBy(g, v.as("__v")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(g).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(g, col("__v"), expr(
+        "(2L * __below + __c) * 1000000L div (2L * __n)").as("pct_micro"))
+    df.join(ranked.withColumnRenamed("__v", valueCol), Seq(groupCol, valueCol))
+  }
+
   /** Exact WEIGHTED quantile per group: the smallest value whose
     * cumulative integer weight reaches ⌈p·W⌉ (W = group weight total)
     * — weighted medians for "half the TOKEN mass sits below this

@@ -2942,6 +2942,67 @@ object Oracles {
              CAST(SUM(m_cents) AS BIGINT) AS segment_cents
       FROM assigned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
+    // q148: all-pairs Levenshtein (q113's definition) + recursive
+    // closure + balance-argmax window — blocking completeness,
+    // clusters, and survivor choice certified in one hash.
+    "q148_golden_record" -> """
+      WITH RECURSIVE p AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+          AND levenshtein(a.c_name, b.c_name) <= 1),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      comp AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      j AS (
+        SELECT comp.doc_id, comp.cluster,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
+        FROM comp JOIN customer c ON c.c_custkey = comp.doc_id),
+      rep AS (
+        SELECT cluster, doc_id AS rep FROM (
+          SELECT cluster, doc_id,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY bal DESC, doc_id) AS rn
+          FROM j) WHERE rn = 1)
+      SELECT j.doc_id, j.cluster, rep.rep AS rep, j.doc_id = rep.rep AS keep
+      FROM j JOIN rep USING (cluster) ORDER BY j.doc_id""",
+
+    // q149: q51's md5 margin arithmetic + the identical mid-rank
+    // percentile fold per source, gate at 0.4 in micro-units.
+    "q149_score_calibration" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id, CAST(SUM(
+          (strpos('0123456789abcdef', substring(md5('clf:' || t), 1, 1)) - 1) * 16 +
+          (strpos('0123456789abcdef', substring(md5('clf:' || t), 2, 1)) - 1)
+          - 128) AS BIGINT) AS margin
+        FROM tok GROUP BY doc_id),
+      d AS (
+        SELECT doc.doc_id, doc.source, doc.n_chars, m.margin
+        FROM documents doc JOIN m USING (doc_id)),
+      pv AS (SELECT source, margin, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      r AS (
+        SELECT source, margin,
+               (2 * COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY margin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c)
+                 * 1000000
+                 // (2 * SUM(c) OVER (PARTITION BY source)) AS pct
+        FROM pv),
+      g AS (
+        SELECT d.source, d.n_chars, r.pct >= 400000 AS keep
+        FROM d JOIN r ON r.source = d.source AND r.margin = d.margin)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM g GROUP BY source ORDER BY source""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -3095,6 +3095,50 @@ object Queries {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** Golden-record entity resolution, end to end: typo-level duplicate
+    * customers ([[graft.operators.EditJoin]] Levenshtein ≤ 1 blocking,
+    * exact-verified) → transitive clusters → the RICHEST record
+    * survives ([[graft.operators.Clusters.survivorshipBy]] on exact
+    * balance cents, ties to the smaller key) — the MDM composition a
+    * warehouse runs before any customer-keyed join. The oracle
+    * replays all-pairs Levenshtein + recursive closure + windowed
+    * argmax, certifying blocking completeness, cluster assignment AND
+    * the survivor choice in one hash.
+    */
+  def q148GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+    val pairs = graft.operators.EditJoin.pairs(cust, "c_custkey", "c_name",
+      maxDist = 1)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Clusters.survivorshipBy(cust, "c_custkey", "bal_cents", pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source score calibration ([[graft.operators.Quantiles
+    * .percentileRankByGroup]]): each document's deterministic
+    * classifier margin converted to its exact within-source mid-rank
+    * percentile — the normalize that makes a global quality cut fair
+    * when sources score on different scales. Gate at the 40th
+    * percentile: per source, kept-count and kept char mass (every
+    * source keeps ~60% by construction — THAT is the point).
+    */
+  def q149ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val scored = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Curation.classifierMargin(col("text")).as("margin"))
+    graft.operators.Quantiles.percentileRankByGroup(scored, "source", "margin")
+      .withColumn("keep", col("pct_micro") >= 400000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L))
+          .cast("long").as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3247,5 +3291,7 @@ object Queries {
     "q145_weighted_median" -> (q145WeightedMedian _),
     "q146_skew_profile"  -> (q146SkewProfile _),
     "q147_rfm"           -> (q147Rfm _),
+    "q148_golden_record" -> (q148GoldenRecord _),
+    "q149_score_calibration" -> (q149ScoreCalibration _),
   )
 }

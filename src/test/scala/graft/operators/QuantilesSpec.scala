@@ -244,4 +244,30 @@ class QuantilesSpec extends AnyFunSuite {
     for ((g, vs) <- groups)
       assert(p90(g) == refWeightedCut(vs, 9L, 10L), s"p90 group=$g")
   }
+
+  test("percentileRankByGroup: mid-rank convention, ties share, groups independent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 7L))
+    val got = Quantiles.percentileRankByGroup(
+        rows.toDF("g", "id", "v"), "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pct_micro")).toMap
+    // group a, n=4: v=10 → (0+1)/8; v=20 ties → (2·1+2)/8 = 1/2; v=30 → (2·3+1)/8
+    assert(got(1L) == 1000000L / 8L)
+    assert(got(2L) == 500000L && got(3L) == 500000L)
+    assert(got(4L) == 7000000L / 8L)
+    // singleton group: mid-rank 1/2 exactly
+    assert(got(5L) == 500000L)
+    // reference parity on random data: mid-rank = (2·below + ties)/(2n)
+    val rnd = new scala.util.Random(3)
+    val rand = (1 to 200).map(i => ("r", i.toLong, rnd.nextInt(15).toLong))
+    val gr = Quantiles.percentileRankByGroup(rand.toDF("g", "id", "v"), "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pct_micro")).toMap
+    val vs = rand.map(_._3)
+    for ((_, id, v) <- rand) {
+      val below = vs.count(_ < v).toLong; val eq = vs.count(_ == v).toLong
+      assert(gr(id) == (2 * below + eq) * 1000000L / (2 * vs.size), s"id=$id")
+    }
+  }
 }

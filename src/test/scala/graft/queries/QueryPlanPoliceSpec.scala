@@ -88,7 +88,11 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // skew profile: the per-flag window rides the COUNT-OF-COUNTS
     // contraction (distinct per-key count values — tens of rows even
     // for billions of keys), the operator's whole design point
-    "q146_skew_profile")
+    "q146_skew_profile",
+    // percentile normalize: both windows (cumulative + group total)
+    // ride the (source, DISTINCT margin) contraction; doc rows join
+    // back on (source, margin), never entering the sort
+    "q149_score_calibration")
 
   /** Queries allowed an UNPARTITIONED window: each is a guarded
     * tiny-table distinct-value contraction (operator scaladoc carries
