@@ -147,11 +147,17 @@ object Graphs {
     * unreached nodes are absent, as in [[Clusters.connectedComponents]].
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
-                   sources: DataFrame, maxDepth: Int = 20): DataFrame = {
+                   sources: DataFrame, maxDepth: Int = 20,
+                   localLimit: Long = 1L << 22): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     val s0 = sources.select(col(sources.columns.head).cast("long").as("node"))
       .distinct()
+    // rounds are LATENCY-bound (a fixed job fleet per hop regardless of
+    // frontier size): small graphs take a single driver BFS instead —
+    // the [[Clusters.connectedComponents]] fast-path contract, specs
+    // pin both paths via localLimit = 0
+    if (e.count() <= localLimit) return localBfs(e, s0, maxDepth)
     var visited = s0.withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = visited
     var depth = 0
@@ -166,6 +172,52 @@ object Graphs {
       visited = visited.union(frontier).localCheckpoint()
     }
     visited
+  }
+
+  /** Driver BFS over a small edge set streamed via `toLocalIterator`
+    * — identical (node, dist) contract to the distributed rounds. */
+  private def localBfs(e: DataFrame, s0: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    val it = e.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Long]())
+        .add(r.getLong(1))
+    }
+    val dist = new java.util.HashMap[Long, Long]()
+    var frontier = new java.util.ArrayList[Long]()
+    val sit = s0.toLocalIterator()
+    while (sit.hasNext) {
+      val n = sit.next().getLong(0)
+      if (!dist.containsKey(n)) { dist.put(n, 0L); frontier.add(n) }
+    }
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = new java.util.ArrayList[Long]()
+      val fit = frontier.iterator()
+      while (fit.hasNext) {
+        val ns = adj.get(fit.next())
+        if (ns != null) {
+          val nit = ns.iterator()
+          while (nit.hasNext) {
+            val d = nit.next()
+            if (!dist.containsKey(d)) { dist.put(d, depth.toLong); next.add(d) }
+          }
+        }
+      }
+      frontier = next
+    }
+    val out = new Array[(Long, Long)](dist.size)
+    val dit = dist.entrySet().iterator()
+    var i = 0
+    while (dit.hasNext) {
+      val kv = dit.next(); out(i) = (kv.getKey, kv.getValue); i += 1
+    }
+    import spark.implicits._
+    spark.createDataset(spark.sparkContext.parallelize(out.toIndexedSeq,
+      math.max(1, out.length / 500000))).toDF("node", "dist")
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
@@ -240,7 +292,7 @@ object Graphs {
     * pins exactness against a driver-side peel). Empty iff no k-core.
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-            maxIter: Int = 50): DataFrame = {
+            maxIter: Int = 50, localLimit: Long = 1L << 22): DataFrame = {
     require(k >= 1, "k must be >= 1")
     var e = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -248,6 +300,11 @@ object Graphs {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
+    // peeling waves are LATENCY-bound like the CC star rounds: a small
+    // graph peels in the driver in one job ([[Clusters
+    // .connectedComponents]] fast-path contract; specs force both
+    // paths via localLimit = 0)
+    if (e.count() <= localLimit) return localKCore(e, k)
     var it = 0
     var done = false
     var deg: DataFrame = null
@@ -266,6 +323,38 @@ object Graphs {
       }
     }
     deg.filter(col("core_deg") >= k)
+  }
+
+  /** Driver peel over a small deduplicated edge set — identical
+    * (node, core_deg) contract to the distributed waves. */
+  private def localKCore(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    val it = e.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      adj.getOrElseUpdate(u, mutable.HashSet.empty) += v
+      adj.getOrElseUpdate(v, mutable.HashSet.empty) += u
+    }
+    val queue = mutable.Queue.empty[Long]
+    adj.foreach { case (n, ns) => if (ns.size < k) queue += n }
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      adj.remove(n).foreach { ns =>
+        ns.foreach { m =>
+          adj.get(m).foreach { ms =>
+            ms -= n
+            if (ms.size == k - 1) queue += m // just dropped below k
+          }
+        }
+      }
+    }
+    val out = adj.iterator.map { case (n, ns) => (n, ns.size.toLong) }.toArray
+    import spark.implicits._
+    spark.createDataset(spark.sparkContext.parallelize(out.toIndexedSeq,
+      math.max(1, out.length / 500000))).toDF("node", "core_deg")
   }
 
   /** Degree profile of a directed edge table: one row per node with

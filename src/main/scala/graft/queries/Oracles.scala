@@ -2599,7 +2599,7 @@ object Oracles {
     "q136_survivorship" -> """
       WITH RECURSIVE tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                     ELSE list_distinct([array_to_string(t[i:i+2], ' ')
@@ -2795,28 +2795,28 @@ object Oracles {
     // q143: both HITS rounds unrolled with the identical BIGINT
     // max-div normalization — hub0 = auth0 = 10^6 everywhere.
     "q143_hits" -> """
-      WITH e AS (
+      WITH e AS MATERIALIZED (
         SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         WHERE c.c_nationkey <> s.s_nationkey),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
       a1r AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) * 1000000 AS ar
               FROM e GROUP BY dst),
       a1m AS (SELECT MAX(ar) AS m FROM a1r),
-      a1 AS (SELECT n.node, COALESCE(ar, 0) * 1000000 // a1m.m AS auth
+      a1 AS MATERIALIZED (SELECT n.node, COALESCE(ar, 0) * 1000000 // a1m.m AS auth
              FROM nodes n LEFT JOIN a1r ON a1r.node = n.node, a1m),
       h1r AS (SELECT e.src AS node, CAST(SUM(a1.auth) AS BIGINT) AS hr
               FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
       h1m AS (SELECT MAX(hr) AS m FROM h1r),
-      h1 AS (SELECT n.node, COALESCE(hr, 0) * 1000000 // h1m.m AS hub
+      h1 AS MATERIALIZED (SELECT n.node, COALESCE(hr, 0) * 1000000 // h1m.m AS hub
              FROM nodes n LEFT JOIN h1r ON h1r.node = n.node, h1m),
       a2r AS (SELECT e.dst AS node, CAST(SUM(h1.hub) AS BIGINT) AS ar
               FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
       a2m AS (SELECT MAX(ar) AS m FROM a2r),
-      a2 AS (SELECT n.node, COALESCE(ar, 0) * 1000000 // a2m.m AS auth
+      a2 AS MATERIALIZED (SELECT n.node, COALESCE(ar, 0) * 1000000 // a2m.m AS auth
              FROM nodes n LEFT JOIN a2r ON a2r.node = n.node, a2m),
       h2r AS (SELECT e.src AS node, CAST(SUM(a2.auth) AS BIGINT) AS hr
               FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
@@ -2946,20 +2946,20 @@ object Oracles {
     // closure + balance-argmax window — blocking completeness,
     // clusters, and survivor choice certified in one hash.
     "q148_golden_record" -> """
-      WITH RECURSIVE p AS (
+      WITH RECURSIVE p AS MATERIALIZED (
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
           AND levenshtein(a.c_name, b.c_name) <= 1),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM p
         UNION SELECT id_b, id_a FROM p),
       reach(id, r) AS (
         SELECT c_custkey, c_custkey FROM customer
         UNION
         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-      comp AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
-      j AS (
+      comp AS MATERIALIZED (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      j AS MATERIALIZED (
         SELECT comp.doc_id, comp.cluster,
                CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
         FROM comp JOIN customer c ON c.c_custkey = comp.doc_id),

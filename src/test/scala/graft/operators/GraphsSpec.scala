@@ -135,17 +135,22 @@ class GraphsSpec extends AnyFunSuite {
       .map { case (n, xs) => n -> xs.size.toLong }
   }
 
-  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
-    Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+                       localLimit: Long = 1L << 22): Map[Long, Long] =
+    Graphs.kCore(edges.toDF("a", "b"), "a", "b", k, localLimit = localLimit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("kCore matches the peeling reference on random graphs, k in 2..4") {
+  test("kCore matches the peeling reference on random graphs, k in 2..4, both paths") {
     for (seed <- 1 to 3; k <- 2 to 4) {
       val rnd = new scala.util.Random(seed)
       val n = 40
       val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
-      assert(runKCore(edges, k) == refKCore(edges, k), s"seed=$seed k=$k")
+      val want = refKCore(edges, k)
+      assert(runKCore(edges, k) == want, s"seed=$seed k=$k (driver path)")
+      // localLimit = 0 forces the distributed peeling waves
+      assert(runKCore(edges, k, localLimit = 0L) == want,
+        s"seed=$seed k=$k (distributed path)")
     }
   }
 
@@ -164,9 +169,9 @@ class GraphsSpec extends AnyFunSuite {
   }
 
   private def runBfs(edges: Seq[(Long, Long)], sources: Seq[Long],
-                     maxDepth: Int): Map[Long, Long] =
+                     maxDepth: Int, localLimit: Long = 1L << 22): Map[Long, Long] =
     Graphs.bfsDistances(edges.toDF("src", "dst"), "src", "dst",
-        sources.toDF("node"), maxDepth)
+        sources.toDF("node"), maxDepth, localLimit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("bfsDistances matches the reference; depth cap and unreachable nodes") {
@@ -181,13 +186,17 @@ class GraphsSpec extends AnyFunSuite {
     assert(multi(5L) == 1L && multi(100L) == 0L && !multi.contains(8L))
   }
 
-  test("bfsDistances matches the reference on random digraphs") {
+  test("bfsDistances matches the reference on random digraphs, both paths") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
       val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
         .filter(e => e._1 != e._2)
       val sources = Seq(rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
-      assert(runBfs(edges, sources, 6) == refBfs(edges, sources, 6), s"seed=$seed")
+      val want = refBfs(edges, sources, 6)
+      assert(runBfs(edges, sources, 6) == want, s"seed=$seed (driver path)")
+      // localLimit = 0 forces the distributed frontier rounds
+      assert(runBfs(edges, sources, 6, localLimit = 0L) == want,
+        s"seed=$seed (distributed path)")
     }
   }
 
