@@ -271,6 +271,41 @@ object Graphs {
     scores
   }
 
+  /** DOULION sampled triangle census (Tsourakakis et al., KDD'09):
+    * keep each undirected edge with probability p = pNum/pDen, count
+    * triangles exactly on the sampled subgraph via [[triangleStats]],
+    * and scale — E[t̂] = t for t̂ = t_sampled·(pDen/pNum)³, with
+    * variance that vanishes as the graph grows (the KDD'09 bound).
+    * This is the 100 TB-scale path beside the exact census: sampling
+    * at p cuts the wedge join's input by p and its output by ~p².
+    *
+    * The coin is DETERMINISTIC — an edge survives iff the integer
+    * drawn from md5("tri:<salt>:u:v")'s 12-hex prefix (the q47/q75/
+    * q132 no-RNG convention, canonical (min, max) orientation) lands
+    * below pNum mod pDen — so reruns, retried tasks, AND an
+    * independent engine replay the SAME subgraph: the sampled counts
+    * hash-certify exactly, and the estimator is the exact integer
+    * `n_triangles_sampled · pDen³ div pNum³`.
+    *
+    * Returns one row: the sampled-subgraph [[triangleStats]] columns
+    * plus `est_triangles`.
+    */
+  def triangleStatsSampled(edges: DataFrame, aCol: String, bCol: String,
+                           pNum: Int, pDen: Int, salt: String = "42"): DataFrame = {
+    require(pNum > 0 && pNum <= pDen, s"need 0 < p <= 1, got $pNum/$pDen")
+    val coin = conv(substring(md5(concat_ws(":", lit("tri"), lit(salt),
+      col("u").cast("string"), col("v").cast("string"))), 1, 12), 16, 10)
+      .cast("long") % pDen.toLong
+    val sampled = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(coin < pNum.toLong)
+    triangleStats(sampled, "u", "v")
+      .withColumn("est_triangles",
+        expr(s"n_triangles * ${pDen.toLong * pDen * pDen}L div ${pNum.toLong * pNum * pNum}L"))
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k,
     * by iterative peeling (delete all nodes of degree < k; deleting
     * them lowers neighbors' degrees, so repeat to the fixpoint — the

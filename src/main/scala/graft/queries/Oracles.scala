@@ -3003,6 +3003,33 @@ object Oracles {
              CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       FROM g GROUP BY source ORDER BY source""",
 
+    // q150: the identical md5 coin selects the identical subgraph;
+    // q133's triangle definition counts it; est = t·8 (p=1/2 cubed).
+    "q150_sampled_triangles" -> """
+      WITH e AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        WHERE CAST(('0x' || substr(md5('tri:42:' || CAST(u AS VARCHAR)
+                || ':' || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) % 2 < 1),
+      deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+      tri AS (
+        SELECT COUNT(*) AS t
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             CAST(t AS BIGINT) AS n_triangles,
+             CAST(t * 3 AS BIGINT) AS n_closed_wedges,
+             CAST(t * 8 AS BIGINT) AS est_triangles
+      FROM tri""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

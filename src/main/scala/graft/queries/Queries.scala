@@ -2848,6 +2848,24 @@ object Queries {
     graft.operators.Graphs.triangleStats(edges, "a", "b")
   }
 
+  /** DOULION sampled triangle census ([[graft.operators.Graphs
+    * .triangleStatsSampled]]): q133's exact count at the 100 TB scale
+    * path — the deterministic md5 coin keeps each co-purchase edge
+    * with p = 1/2, triangles count exactly on the sampled subgraph,
+    * and `est_triangles = t·8` estimates the full census (unbiased;
+    * KDD'09 variance bound). No RNG anywhere, so DuckDB replays the
+    * identical subgraph and every output hash-certifies.
+    */
+  def q150SampledTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    graft.operators.Graphs.triangleStatsSampled(edges, "a", "b",
+      pNum = 1, pDen = 2)
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3293,5 +3311,6 @@ object Queries {
     "q147_rfm"           -> (q147Rfm _),
     "q148_golden_record" -> (q148GoldenRecord _),
     "q149_score_calibration" -> (q149ScoreCalibration _),
+    "q150_sampled_triangles" -> (q150SampledTriangles _),
   )
 }

@@ -117,6 +117,33 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleStatsSampled: p=1 reduces to the exact census; p=1/2 is deterministic and sane") {
+    val rnd = new scala.util.Random(17)
+    val n = 60
+    val edges = Seq.fill(900)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val exact = Graphs.triangleStats(edges.toDF("a", "b"), "a", "b").head()
+    val full = Graphs.triangleStatsSampled(edges.toDF("a", "b"), "a", "b",
+      pNum = 1, pDen = 1).head()
+    // p = 1: identical stats, estimator equals the exact count
+    assert((0 to 4).forall(i => full.getLong(i) == exact.getLong(i)))
+    assert(full.getLong(5) == exact.getLong(3))
+    // p = 1/2: rerun-identical (no RNG), roughly half the edges kept,
+    // estimator within a loose DOULION band of the exact count
+    val s1 = Graphs.triangleStatsSampled(edges.toDF("a", "b"), "a", "b", 1, 2).head()
+    val s2 = Graphs.triangleStatsSampled(edges.toDF("a", "b"), "a", "b", 1, 2).head()
+    assert(s1.toSeq == s2.toSeq, "deterministic coin")
+    val kept = s1.getLong(1).toDouble / exact.getLong(1)
+    assert(kept > 0.35 && kept < 0.65, s"kept fraction $kept")
+    val est = s1.getLong(5).toDouble
+    val t = exact.getLong(3).toDouble
+    assert(est > 0.4 * t && est < 2.5 * t, s"estimate $est vs exact $t")
+    // a different salt flips a different subgraph
+    val s3 = Graphs.triangleStatsSampled(edges.toDF("a", "b"), "a", "b", 1, 2,
+      salt = "other").head()
+    assert(s3.getLong(1) != s1.getLong(1) || s3.getLong(3) != s1.getLong(3))
+  }
+
   /** Driver-side peeling reference: repeatedly delete nodes with
     * degree < k in the surviving induced subgraph.
     */
