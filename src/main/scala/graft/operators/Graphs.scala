@@ -271,6 +271,53 @@ object Graphs {
     scores
   }
 
+  /** Per-NODE triangle counts + local clustering numerators — the
+    * node-level readout of [[triangleStats]] (spam/bot detection,
+    * community cores: a high-degree node with few triangles is a
+    * broadcaster, not a member). Same degree-ordered orientation and
+    * wedge-close join; each closed triangle then credits its three
+    * corners via one explode + hash aggregate, so the plan adds ONE
+    * cheap stage to the census. Returns per node: `deg`,
+    * `n_triangles`, and the exact local-clustering rational
+    * `2·n_triangles / (deg·(deg−1))` as `lcc_num` = 2·t and
+    * `lcc_den` = deg·(deg−1) (un-divided, hash-certifiable; nodes of
+    * degree 1 get lcc_den = 0 — callers treat 0/0 as undefined).
+    */
+  def nodeTriangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = withDeg.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    val e1 = o.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+    val e2 = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val closed = e1.join(e2, Seq("src"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("src"), col("x"), col("y"))
+      .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    val perNode = closed
+      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (lit(2L) * coalesce(col("n_triangles"), lit(0L))).as("lcc_num"),
+        (col("deg") * (col("deg") - 1)).as("lcc_den"))
+  }
+
   /** DOULION sampled triangle census (Tsourakakis et al., KDD'09):
     * keep each undirected edge with probability p = pNum/pDen, count
     * triangles exactly on the sampled subgraph via [[triangleStats]],

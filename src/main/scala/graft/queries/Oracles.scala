@@ -3030,6 +3030,37 @@ object Oracles {
              CAST(t * 8 AS BIGINT) AS est_triangles
       FROM tri""",
 
+    // q151: id-ordered triple join, each triangle credits its three
+    // corners; top-15 under the (triangles desc, node) total order.
+    "q151_node_triangles" -> """
+      WITH ed AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        GROUP BY u, v HAVING COUNT(*) >= 2),
+      deg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed)
+        GROUP BY node),
+      tr AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ed e1
+        JOIN ed e2 ON e2.u = e1.u AND e1.v < e2.v
+        JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v),
+      pn AS (
+        SELECT node, COUNT(*) AS t FROM (
+          SELECT a AS node FROM tr
+          UNION ALL SELECT b FROM tr
+          UNION ALL SELECT c FROM tr)
+        GROUP BY node)
+      SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+             CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+             CAST(2 * COALESCE(pn.t, 0) AS BIGINT) AS lcc_num,
+             CAST(d.deg * (d.deg - 1) AS BIGINT) AS lcc_den
+      FROM deg d LEFT JOIN pn USING (node)
+      ORDER BY n_triangles DESC, node LIMIT 15""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -2866,6 +2866,27 @@ object Queries {
       pNum = 1, pDen = 2)
   }
 
+  /** Per-node triangle membership ([[graft.operators.Graphs
+    * .nodeTriangles]]): the 15 most triangle-embedded parts of the
+    * repeat co-purchase graph with their exact local-clustering
+    * rationals — the node-level census that separates community cores
+    * from mere broadcasters. Global top-k under (triangles desc,
+    * node) collapses to TakeOrdered; the oracle replays the
+    * id-ordered triple join crediting all three corners.
+    */
+  def q151NodeTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("ok"), col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    graft.operators.Graphs.nodeTriangles(edges, "a", "b")
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(15)
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3312,5 +3333,6 @@ object Queries {
     "q148_golden_record" -> (q148GoldenRecord _),
     "q149_score_calibration" -> (q149ScoreCalibration _),
     "q150_sampled_triangles" -> (q150SampledTriangles _),
+    "q151_node_triangles" -> (q151NodeTriangles _),
   )
 }

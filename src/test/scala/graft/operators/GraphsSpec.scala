@@ -117,6 +117,37 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("nodeTriangles: per-corner credits match brute force; totals tie to the census") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted.toIndexedSeq
+      val perNode = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for (i <- nodes.indices; j <- (i + 1) until nodes.size
+           if und((nodes(i), nodes(j)));
+           k <- (j + 1) until nodes.size
+           if und((nodes(j), nodes(k))) && und((nodes(i), nodes(k)))) {
+        perNode(nodes(i)) += 1; perNode(nodes(j)) += 1; perNode(nodes(k)) += 1
+      }
+      val deg = nodes.map(x => x -> und.count(e => e._1 == x || e._2 == x).toLong).toMap
+      val got = Graphs.nodeTriangles(edges.toDF("a", "b"), "a", "b")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val want = nodes.map(x => x ->
+        ((deg(x), perNode(x), 2 * perNode(x), deg(x) * (deg(x) - 1)))).toMap
+      assert(got == want, s"seed=$seed")
+      // corner credits sum to 3× the global census
+      val census = Graphs.triangleStats(edges.toDF("a", "b"), "a", "b").head().getLong(3)
+      assert(got.values.map(_._2).sum == 3 * census)
+    }
+  }
+
   test("triangleStatsSampled: p=1 reduces to the exact census; p=1/2 is deterministic and sane") {
     val rnd = new scala.util.Random(17)
     val n = 60

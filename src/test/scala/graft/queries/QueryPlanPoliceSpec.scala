@@ -54,7 +54,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q138_benford"        -> 1, // 1-row observed-total scalar against the 9-digit table
     "q140_assoc_rules"    -> 1, // 1-row basket-total scalar
     "q141_chi2_terms"     -> 1, // 1-row (n, n_pos) corpus scalar
-    "q147_rfm"            -> 6) // q62's 2-cartesian shape (k-range × thresholds + 1-row list scalar) × 3 metrics
+    "q147_rfm"            -> 6, // q62's 2-cartesian shape (k-range × thresholds + 1-row list scalar) × 3 metrics
+    "q150_sampled_triangles" -> 2) // q133's 1-row census scalars on the sampled subgraph
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
