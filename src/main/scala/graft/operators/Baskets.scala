@@ -56,4 +56,38 @@ object Baskets {
         col("n_cons").cast("long").as("n_cons"),
         col("n_baskets").cast("long").as("n_baskets"))
   }
+
+  /** Item-item collaborative filtering: each item's top-k most similar
+    * neighbors by co-occurrence cosine, sim(i,j) = n_ij/√(n_i·n_j) —
+    * the "customers also bought" readout. The RANKING score is the
+    * exact integer `score_micro12 = (n_ij²·10¹²) div (n_i·n_j)` (the
+    * squared cosine cleared — monotone in sim since all counts are
+    * positive, so the order is THE cosine order, hash-certifiable with
+    * no square root). Cross terms ride DECIMAL(38,0) (n_ij²·10¹²
+    * passes 2^63 early); the quotient ≤ 10¹² returns to BIGINT and is
+    * exact in the aggregate's double key.
+    *
+    * Per-item ranking is the bounded mergeable
+    * [[graft.functions.GroupTopK]] aggregate under the total order
+    * (score desc, neighbor asc) — never `row_number` over a
+    * partitioned window (an everything-co-occurs-with-it staple item
+    * would drag its whole neighbor list through one task's sort).
+    * Item ids must be integral (the aggregate's id slot); hash or
+    * dictionary-encode string SKUs first.
+    */
+  def itemSimilarityTopK(df: DataFrame, basketCol: String, itemCol: String,
+                         k: Int, minPairCount: Long = 2L): DataFrame = {
+    import graft.functions.expressions.group_top_k
+    val scored = pairRules(df, basketCol, itemCol, minPairCount)
+      .withColumn("score_micro12",
+        expr("""CAST(CAST(n_pair AS DECIMAL(38,0)) * n_pair * 1000000000000
+                 div (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"""))
+    scored
+      .groupBy(col("ante").as("item"))
+      .agg(group_top_k(col("score_micro12").cast("double"),
+        col("cons").cast("long"), k).as("top"))
+      .select(col("item"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("item"), (col("i") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor"), col("t.key").cast("long").as("score_micro12"))
+  }
 }

@@ -240,4 +240,43 @@ object EventOps {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Engagement metrics — exact DAU / trailing-window WAU / MAU per
+    * active day, the growth-accounting readout every product
+    * warehouse runs. One (user, day) dedup pass, then each active day
+    * collects the users of its trailing `mauDays` window via a
+    * range-condition join against the (tiny, broadcast) day list and
+    * counts the three windows in ONE aggregate (conditional distinct
+    * counts). Stickiness = dau/mau is the callers' one division.
+    *
+    * Exact-rolling-distinct cost is inherent: each (user, day) row
+    * fans out to ≤ `mauDays` anchor days, so the shuffle is
+    * |user-days|·window — the EXACT path for bounded day ranges. For
+    * unbounded horizons or billion-user days, the mergeable-sketch
+    * family ([[Sketches]] per-day HLL union'd over the window) is the
+    * approximate alternative; this operator is the ground truth it
+    * brackets against.
+    */
+  def engagement(events: DataFrame, userCol: String, tsCol: String,
+                 wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
+    require(wauDays >= 1 && mauDays >= wauDays, "need 1 <= wauDays <= mauDays")
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .where(col("u").isNotNull && col("day").isNotNull)
+      .distinct()
+    val days = ud.select(col("day").as("anchor")).distinct()
+    ud.join(broadcast(days),
+        col("day") > date_sub(col("anchor"), mauDays) && col("day") <= col("anchor"))
+      .groupBy(col("anchor"))
+      .agg(
+        countDistinct(when(col("day") === col("anchor"), col("u"))).as("dau"),
+        countDistinct(when(col("day") > date_sub(col("anchor"), wauDays), col("u")))
+          .as("wau"),
+        countDistinct(col("u")).as("mau"))
+      // day emitted as its ISO string: cross-engine DATE surfacing
+      // differs (date32 objects vs datetime64) and breaks the canon
+      // compare; the string form is identical everywhere
+      .select(col("anchor").cast("string").as("day"),
+        col("dau"), col("wau"), col("mau"))
+  }
 }

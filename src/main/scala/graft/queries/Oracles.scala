@@ -3061,6 +3061,50 @@ object Oracles {
       FROM deg d LEFT JOIN pn USING (node)
       ORDER BY n_triangles DESC, node LIMIT 15""",
 
+    // q152: q140's counts both directions → HUGEINT cleared squared
+    // cosine → row_number under (score desc, neighbor) per item.
+    "q152_item_similarity" -> """
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      ic AS (SELECT i, COUNT(*) AS n_i FROM bi GROUP BY i),
+      p AS (
+        SELECT a.i AS x, c.i AS y, COUNT(*) AS n_pair
+        FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      r AS (
+        SELECT x AS item, y AS neighbor, n_pair FROM p
+        UNION ALL SELECT y, x, n_pair FROM p),
+      s AS (
+        SELECT r.item, r.neighbor,
+               CAST((r.n_pair::HUGEINT * r.n_pair * 1000000000000)
+                 // (ia.n_i::HUGEINT * ib.n_i) AS BIGINT) AS score_micro12
+        FROM r JOIN ic ia ON ia.i = r.item JOIN ic ib ON ib.i = r.neighbor),
+      k AS (
+        SELECT item, neighbor, score_micro12,
+               row_number() OVER (PARTITION BY item
+                 ORDER BY score_micro12 DESC, neighbor) AS rank
+        FROM s)
+      SELECT CAST(item AS BIGINT) AS item, CAST(rank AS BIGINT) AS rank,
+             CAST(neighbor AS BIGINT) AS neighbor, score_micro12
+      FROM k WHERE rank <= 3 ORDER BY item, rank""",
+
+    // q153: (user, day) dedup fans to anchor days within 30; the three
+    // windows are conditional distinct counts — plain integers.
+    "q153_engagement" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      days AS (SELECT DISTINCT day AS anchor FROM ud),
+      j AS (
+        SELECT d.anchor, ud.u, ud.day
+        FROM ud JOIN days d
+          ON ud.day > d.anchor - 30 AND ud.day <= d.anchor)
+      SELECT CAST(anchor AS VARCHAR) AS day,
+             CAST(COUNT(DISTINCT CASE WHEN day = anchor THEN u END) AS BIGINT) AS dau,
+             CAST(COUNT(DISTINCT CASE WHEN day > anchor - 7 THEN u END) AS BIGINT) AS wau,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
+      FROM j GROUP BY anchor ORDER BY anchor""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -2887,6 +2887,32 @@ object Queries {
       .limit(15)
   }
 
+  /** Item-item collaborative filtering ([[graft.operators.Baskets
+    * .itemSimilarityTopK]]): each part's top-3 "customers also
+    * bought" neighbors by co-occurrence cosine, ranked by the exact
+    * integer-cleared squared cosine (n_ij²·10¹² div n_i·n_j) through
+    * the bounded GroupTopK aggregate — no per-item window sort. The
+    * oracle replays counts, HUGEINT score, and the (score desc,
+    * neighbor) ranking.
+    */
+  def q152ItemSimilarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Baskets.itemSimilarityTopK(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        k = 3, minPairCount = 3L)
+      .orderBy(col("item"), col("rank"))
+
+  /** Growth accounting ([[graft.operators.EventOps.engagement]]):
+    * exact DAU / trailing-7-day WAU / trailing-30-day MAU per active
+    * day — plain distinct counts after the (user, day) contraction
+    * fans out to its anchor days, all three windows in one aggregate.
+    * Every value is an exact integer; stickiness is the caller's one
+    * division.
+    */
+  def q153Engagement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.engagement(
+        eventsTable(s, dir), "user_id", "ts", wauDays = 7, mauDays = 30)
+      .orderBy(col("day"))
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3334,5 +3360,7 @@ object Queries {
     "q149_score_calibration" -> (q149ScoreCalibration _),
     "q150_sampled_triangles" -> (q150SampledTriangles _),
     "q151_node_triangles" -> (q151NodeTriangles _),
+    "q152_item_similarity" -> (q152ItemSimilarity _),
+    "q153_engagement"    -> (q153Engagement _),
   )
 }

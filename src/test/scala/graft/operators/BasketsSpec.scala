@@ -58,4 +58,40 @@ class BasketsSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("itemSimilarityTopK: cleared-cosine ranking matches brute force, ties on smaller id") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // numeric item ids: the GroupTopK leg's contract
+      val rows = Seq.fill(400)(
+        (rnd.nextInt(50).toLong, rnd.nextInt(10).toLong))
+      val got = Baskets.itemSimilarityTopK(
+          rows.toDF("basket", "item"), "basket", "item", k = 3, minPairCount = 2L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      // brute-force reference (shares pairRules' reference shape)
+      val bi = rows.distinct
+      val byBasket = bi.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val itemCounts = bi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val pairCounts = byBasket.values.toSeq
+        .flatMap(is => for (x <- is; y <- is if x < y) yield (x, y))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= 2L)
+      val want = pairCounts.toSeq
+        .flatMap { case ((x, y), c) => Seq((x, y, c), (y, x, c)) }
+        .map { case (i, j, c) =>
+          val score = (BigInt(c) * c * BigInt("1000000000000") /
+            (BigInt(itemCounts(i)) * itemCounts(j))).toLong
+          (i, j, score)
+        }
+        .groupBy(_._1)
+        .flatMap { case (i, ns) =>
+          ns.sortBy { case (_, j, s) => (-s, j) }
+            .take(3).zipWithIndex
+            .map { case ((_, j, s), r) => (i, (r + 1).toLong) -> ((j, s)) }
+        }
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }

@@ -253,4 +253,32 @@ class EventOpsSpec extends AnyFunSuite {
         r.getAs[Boolean]("is_current"))).toSet
     assert(got == Set((Some("A"), false), (None, false), (Some("A"), true)))
   }
+
+  test("engagement: DAU/WAU/MAU reference parity on random activity") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(9)
+    val base = java.time.LocalDate.of(2024, 3, 1)
+    val activity = Seq.fill(600)(
+      (rnd.nextInt(25).toLong, base.plusDays(rnd.nextInt(45))))
+    val rows = activity.map { case (u, d) =>
+      (u, Timestamp.valueOf(d.atTime(rnd.nextInt(24), 0))) }
+      .toDF("user_id", "ts")
+    val got = EventOps.engagement(rows, "user_id", "ts", wauDays = 7, mauDays = 30)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ud = activity.distinct
+    val days = ud.map(_._2).distinct
+    assert(got.keySet == days.map(_.toString).toSet, "one row per ACTIVE day")
+    for (d <- days) {
+      val dau = ud.filter(_._2 == d).map(_._1).distinct.size.toLong
+      val wau = ud.filter(x => !x._2.isAfter(d) &&
+        x._2.isAfter(d.minusDays(7))).map(_._1).distinct.size.toLong
+      val mau = ud.filter(x => !x._2.isAfter(d) &&
+        x._2.isAfter(d.minusDays(30))).map(_._1).distinct.size.toLong
+      assert(got(d.toString) == ((dau, wau, mau)), s"day=$d")
+    }
+    // windows nest: dau <= wau <= mau everywhere
+    assert(got.values.forall { case (d, w, m) => d <= w && w <= m })
+  }
 }

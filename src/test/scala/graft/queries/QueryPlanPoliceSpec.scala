@@ -55,7 +55,9 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q140_assoc_rules"    -> 1, // 1-row basket-total scalar
     "q141_chi2_terms"     -> 1, // 1-row (n, n_pos) corpus scalar
     "q147_rfm"            -> 6, // q62's 2-cartesian shape (k-range × thresholds + 1-row list scalar) × 3 metrics
-    "q150_sampled_triangles" -> 2) // q133's 1-row census scalars on the sampled subgraph
+    "q150_sampled_triangles" -> 2, // q133's 1-row census scalars on the sampled subgraph
+    "q152_item_similarity" -> 1, // q140's 1-row basket-total scalar
+    "q153_engagement"     -> 1) // range join against the broadcast DAY list (≤ horizon days rows)
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
