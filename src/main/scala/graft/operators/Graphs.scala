@@ -271,6 +271,47 @@ object Graphs {
     scores
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) made
+    * DETERMINISTIC: every node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label —
+    * so a fixed `rounds` yields one well-defined answer any engine
+    * can replay (classic async LPA is order-dependent; this is the
+    * hash-certifiable variant, at the usual cost of possible label
+    * oscillation on bipartite structures — pick odd/even rounds or
+    * read densities, as LPA users do). Labels start as node ids;
+    * communities are the surviving label groups.
+    *
+    * Per round: one shuffle to attach labels to the symmetric neighbor
+    * view, one (node, label) count aggregate, one min-struct argmax —
+    * all hash aggregates on high-cardinality keys, materialized per
+    * round under the iterative-family checkpoint invariant.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val nbrs = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    var labels = nbrs.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = nbrs
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-NODE triangle counts + local clustering numerators — the
     * node-level readout of [[triangleStats]] (spam/bot detection,
     * community cores: a high-degree node with few triangles is a

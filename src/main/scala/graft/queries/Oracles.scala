@@ -3105,6 +3105,42 @@ object Oracles {
              CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
       FROM j GROUP BY anchor ORDER BY anchor""",
 
+    // q154: three LPA rounds unrolled — per round, neighbor-label
+    // counts then the (count desc, label) argmax via row_number.
+    "q154_communities" -> """
+      WITH ed AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        GROUP BY u, v HAVING COUNT(*) >= 2),
+      nbr AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM ed UNION ALL SELECT v, u FROM ed),
+      l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+      r1 AS (
+        SELECT n.node, l.label, COUNT(*) AS c
+        FROM nbr n JOIN l0 l ON l.node = n.nbr GROUP BY 1, 2),
+      l1 AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label) AS rn FROM r1) WHERE rn = 1),
+      r2 AS (
+        SELECT n.node, l.label, COUNT(*) AS c
+        FROM nbr n JOIN l1 l ON l.node = n.nbr GROUP BY 1, 2),
+      l2 AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label) AS rn FROM r2) WHERE rn = 1),
+      r3 AS (
+        SELECT n.node, l.label, COUNT(*) AS c
+        FROM nbr n JOIN l2 l ON l.node = n.nbr GROUP BY 1, 2),
+      l3 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label) AS rn FROM r3) WHERE rn = 1)
+      SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+      FROM l3 ORDER BY node""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

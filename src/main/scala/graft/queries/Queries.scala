@@ -2913,6 +2913,25 @@ object Queries {
         eventsTable(s, dir), "user_id", "ts", wauDays = 7, mauDays = 30)
       .orderBy(col("day"))
 
+  /** Community detection ([[graft.operators.Graphs.labelPropagation]]):
+    * 3 synchronous min-tie-break LPA rounds over the repeat
+    * co-purchase graph — deterministic by construction, so the full
+    * per-node label assignment hash-certifies against the oracle's
+    * unrolled-round replay (the q114/q143 pattern for iterative
+    * computations).
+    */
+  def q154Communities(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("ok"), col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    graft.operators.Graphs.labelPropagation(edges, "a", "b", rounds = 3)
+      .orderBy(col("node"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3362,5 +3381,6 @@ object Queries {
     "q151_node_triangles" -> (q151NodeTriangles _),
     "q152_item_similarity" -> (q152ItemSimilarity _),
     "q153_engagement"    -> (q153Engagement _),
+    "q154_communities"   -> (q154Communities _),
   )
 }

@@ -117,6 +117,41 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver replay of synchronous min-tie-break LPA. */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = nbrs.map { case (n, ns) =>
+        val counts = ns.map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: reference parity; two cliques joined by a bridge separate") {
+    for (seed <- 1 to 3; rounds <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(130)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Graphs.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refLpa(edges, rounds), s"seed=$seed rounds=$rounds")
+    }
+    // two K4s {0..3} and {10..13} with a single bridge 3-10: after 3
+    // rounds each clique carries its own minimum's label
+    val k4a = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val g = k4a ++ k4b :+ ((3L, 10L))
+    val got = Graphs.labelPropagation(g.toDF("a", "b"), "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 2L).forall(n => got(n) == 0L))
+    assert((11L to 13L).forall(n => got(n) == 10L))
+  }
+
   test("nodeTriangles: per-corner credits match brute force; totals tie to the census") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
