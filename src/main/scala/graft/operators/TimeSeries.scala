@@ -198,4 +198,60 @@ object TimeSeries {
       .join(den, Seq("key"))
       .select(col("key"), col("lag"), col("num"), col("den"), col("n_terms"))
   }
+
+  /** Exact exponentially weighted moving average with a DYADIC
+    * smoothing factor α = 2^−`alphaExp`, truncated at `span` terms and
+    * normalized over the weights actually present (the pandas
+    * `adjust=True` convention). Clearing α(1−α)^i over the common
+    * denominator 2^(α·span) gives INTEGER weights
+    *   w_i = (2^a − 1)^i · 2^(a·(span−1−i)),   i = 0 .. span−1
+    * so the smoothed level is the rational
+    *   ewma_t = Σ x_{t−i}·w_i  /  Σ w_i        (non-null lags only)
+    * emitted as `ewma_num` / `ewma_den` BIGINTs plus the truncating
+    * fixed-point quotient `ewma_c = ewma_num div ewma_den` — every
+    * value hash-certifiable, no float anywhere (the [[acf]] clearing
+    * discipline applied to smoothing).
+    *
+    * One WindowExec partitioned by the HIGH-CARDINALITY series key
+    * carries all `span` lags (single shuffle + per-key sort bounded by
+    * series length); the weighted fold is a plain codegen projection.
+    * Early rows (fewer than `span` predecessors) renormalize over the
+    * lags they have — no warm-up nulls, matching adjust=True.
+    *
+    * Overflow contract: `alphaExp·span ≤ 62` caps every weight under
+    * 2^62; Σw_i · max|x| must stay under 2^63 — feed centi-unit longs
+    * ([[Regression.centiUnits]]), not raw micros. `valueCol` must
+    * already be integral (LongType after cast).
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+           alphaExp: Int, span: Int): DataFrame = {
+    require(alphaExp >= 1, "alphaExp must be >= 1 (alpha = 2^-alphaExp)")
+    require(span >= 1, "span must be >= 1")
+    require(alphaExp.toLong * span <= 62,
+      "alphaExp*span must be <= 62 to keep integer weights in a long")
+    val odd = (1L << alphaExp) - 1
+    def wt(i: Int): Long = {
+      var p = 1L; var j = 0
+      while (j < i) { p *= odd; j += 1 }
+      p << (alphaExp * (span - 1 - i))
+    }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val keep = df.columns.map(col)
+    val lagCols = (0 until span).map { i =>
+      val x = col(valueCol).cast("long")
+      (if (i == 0) x else lag(x, i).over(w)).as(s"__g$i")
+    }
+    val withLags = df.select(keep ++ lagCols: _*)
+    val num = (0 until span).map(i =>
+      when(col(s"__g$i").isNotNull, col(s"__g$i") * lit(wt(i)))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val den = (0 until span).map(i =>
+      when(col(s"__g$i").isNotNull, lit(wt(i)))
+        .otherwise(lit(0L))).reduce(_ + _)
+    withLags
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_den", den)
+      .withColumn("ewma_c", expr("ewma_num div ewma_den"))
+      .drop((0 until span).map(i => s"__g$i"): _*)
+  }
 }

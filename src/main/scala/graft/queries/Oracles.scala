@@ -3141,6 +3141,48 @@ object Oracles {
       SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
       FROM l3 ORDER BY node""",
 
+    // q155: the identical lag chain with the cleared dyadic weights
+    // 2^(7-i) — num/den BIGINTs, // truncates toward zero like Spark
+    // div, so the whole smoothed level hash-certifies.
+    "q155_ewma" -> """
+      WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      g AS (
+        SELECT user_id, day, v,
+               lag(v, 1) OVER w AS g1, lag(v, 2) OVER w AS g2,
+               lag(v, 3) OVER w AS g3, lag(v, 4) OVER w AS g4,
+               lag(v, 5) OVER w AS g5, lag(v, 6) OVER w AS g6,
+               lag(v, 7) OVER w AS g7,
+               row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      e AS (
+        SELECT user_id, day, v,
+          CAST(v * 128
+            + CASE WHEN g1 IS NOT NULL THEN g1 * 64 ELSE 0 END
+            + CASE WHEN g2 IS NOT NULL THEN g2 * 32 ELSE 0 END
+            + CASE WHEN g3 IS NOT NULL THEN g3 * 16 ELSE 0 END
+            + CASE WHEN g4 IS NOT NULL THEN g4 * 8 ELSE 0 END
+            + CASE WHEN g5 IS NOT NULL THEN g5 * 4 ELSE 0 END
+            + CASE WHEN g6 IS NOT NULL THEN g6 * 2 ELSE 0 END
+            + CASE WHEN g7 IS NOT NULL THEN g7 ELSE 0 END AS BIGINT) AS ewma_num,
+          CAST(128
+            + CASE WHEN g1 IS NOT NULL THEN 64 ELSE 0 END
+            + CASE WHEN g2 IS NOT NULL THEN 32 ELSE 0 END
+            + CASE WHEN g3 IS NOT NULL THEN 16 ELSE 0 END
+            + CASE WHEN g4 IS NOT NULL THEN 8 ELSE 0 END
+            + CASE WHEN g5 IS NOT NULL THEN 4 ELSE 0 END
+            + CASE WHEN g6 IS NOT NULL THEN 2 ELSE 0 END
+            + CASE WHEN g7 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ewma_den
+        FROM g WHERE rn = 1)
+      SELECT user_id, CAST(day AS VARCHAR) AS day, v, ewma_num, ewma_den,
+             CAST(ewma_num // ewma_den AS BIGINT) AS ewma_c
+      FROM e ORDER BY ewma_c DESC, user_id LIMIT 20""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

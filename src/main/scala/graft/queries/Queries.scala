@@ -2932,6 +2932,33 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** Smoothed engagement level ([[graft.operators.TimeSeries.ewma]]):
+    * per-user daily spend contracted to centi-unit longs FIRST (the
+    * scale move — the window rides user-day rollups, not raw events),
+    * then the exact dyadic EWMA (α = 1/2, span 8) over each user's
+    * daily series; the latest smoothed level ranks the top-20 users.
+    * `ewma_num`/`ewma_den` BIGINTs plus the truncating `div` make
+    * every row hash-certifiable — DuckDB replays the identical lag
+    * chain and integer weights.
+    */
+  def q155Ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTable(s, dir)
+      .filter(col("value").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(graft.operators.Regression.centiUnits(col("value")))
+        .cast("long").as("v"))
+    val sm = graft.operators.TimeSeries.ewma(
+      daily, "user_id", "day", "v", alphaExp = 1, span = 8)
+    val wLast = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+    sm.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("v"), col("ewma_num"), col("ewma_den"), col("ewma_c"))
+      .orderBy(col("ewma_c").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3382,5 +3409,6 @@ object Queries {
     "q152_item_similarity" -> (q152ItemSimilarity _),
     "q153_engagement"    -> (q153Engagement _),
     "q154_communities"   -> (q154Communities _),
+    "q155_ewma"          -> (q155Ewma _),
   )
 }

@@ -138,4 +138,53 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(n2 > 0, "period-2 series must correlate positively at lag 2")
     assert(t2 == 6L)
   }
+
+  private def ewmaOf(rows: Seq[(String, Long, Long)], aExp: Int, span: Int) =
+    TimeSeries.ewma(rows.toDF("k", "t", "v"), "k", "t", "v", aExp, span)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("t")) ->
+        ((r.getAs[Long]("ewma_num"), r.getAs[Long]("ewma_den"),
+          r.getAs[Long]("ewma_c"))))
+      .toMap
+
+  test("ewma: hand-computed dyadic weights, early rows renormalize") {
+    // alpha = 1/2, span 3 → weights 4, 2, 1 over (x_t, x_{t-1}, x_{t-2})
+    val got = ewmaOf(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 0L)), aExp = 1, span = 3)
+    assert(got(("a", 1L)) == ((40L, 4L, 10L)))             // first row: itself
+    assert(got(("a", 2L)) == ((100L, 6L, 16L)))            // 20*4+10*2 / 6
+    assert(got(("a", 3L)) == ((170L, 7L, 24L)))            // 30*4+20*2+10 / 7
+    // span truncation: the t=1 value has fallen out of the window
+    assert(got(("a", 4L)) == ((80L, 7L, 11L)))             // 0*4+30*2+20 / 7
+  }
+
+  test("ewma: alphaExp=2 weights are (2^a-1)^i cleared; div truncates toward zero") {
+    // alpha = 1/4, span 2 → weights 4, 3 (den 16): adjust-normalized
+    val got = ewmaOf(Seq(("a", 1L, 10L), ("a", 2L, 20L)), aExp = 2, span = 2)
+    assert(got(("a", 2L)) == ((110L, 7L, 15L)))            // (20*4+10*3)/7 = 15.7
+    // negative numerator: Spark div must truncate toward zero (q-parity rule)
+    val neg = ewmaOf(Seq(("b", 1L, -10L), ("b", 2L, -5L)), aExp = 1, span = 2)
+    assert(neg(("b", 2L)) == ((-20L, 3L, -6L)), "-20 div 3 is -6, not -7")
+  }
+
+  test("ewma: keys are independent; single window partitioned by the series key") {
+    val df = Seq(("a", 1L, 5L), ("b", 1L, 100L)).toDF("k", "t", "v")
+    val out = TimeSeries.ewma(df, "k", "t", "v", 1, 4)
+    val got = out.collect().map(r =>
+      r.getAs[String]("k") -> r.getAs[Long]("ewma_c")).toMap
+    assert(got == Map("a" -> 5L, "b" -> 100L))
+    val windowKeys = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    }
+    assert(windowKeys.nonEmpty && windowKeys.forall(_ == Set("k")),
+      s"every window must partition by the key: $windowKeys")
+  }
+
+  test("ewma: overflow guard rejects alphaExp*span > 62") {
+    val df = Seq(("a", 1L, 1L)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(df, "k", "t", "v", alphaExp = 8, span = 8)
+    }
+  }
 }
