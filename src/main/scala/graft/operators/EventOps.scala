@@ -214,6 +214,48 @@ object EventOps {
           "OVER (PARTITION BY prev_type) AS BIGINT)"))
   }
 
+  /** Top session paths (the product-analytics "user flows" view):
+    * sessions from [[sessionize]], each represented by its first
+    * `maxSteps` event types under the `(ts, tieCol)` total order
+    * joined with `>`, rolled up to one row per distinct path with
+    *
+    *  - `n_sessions` — sessions following the path prefix
+    *  - `n_complete` — of those, sessions that END within `maxSteps`
+    *    (so `n_sessions − n_complete` counts truncated journeys)
+    *
+    * Scale design: both windows (session numbering, step ranking)
+    * partition on the high-cardinality user / (user, session) keys;
+    * the per-session path build is a hash aggregate whose
+    * `collect_list` is bounded by `maxSteps` (the `when` filter runs
+    * BEFORE collection — nulls are skipped, never collected); the
+    * final rollup groups by path. No low-cardinality sort anywhere;
+    * counts are exact integers, so the whole view hash-certifies.
+    */
+  def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, tieCol: String, gapMicros: Long,
+                   maxSteps: Int): DataFrame = {
+    require(maxSteps >= 1, "maxSteps must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionize(events, userCol, tsCol, gapMicros, tieCol)
+    val w = Window.partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col("ts_us"), col(tieCol))
+    val perSession = sess
+      .withColumn("step", row_number().over(w))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("step") <= maxSteps,
+              struct(col("step"), col(typeCol).as("t"))))),
+            x => x.getField("t")),
+          ">").as("path"),
+        count(lit(1)).as("n_steps"))
+    perSession.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_steps") <= maxSteps, 1L).otherwise(0L))
+          .cast("long").as("n_complete"))
+  }
+
   /** Slowly-changing-dimension type 2 from an event stream: per key,
     * collapse consecutive runs of an unchanged attribute into validity
     * intervals `[valid_from, valid_to)` under the (ts, tie) total

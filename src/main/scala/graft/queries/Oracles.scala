@@ -3183,6 +3183,38 @@ object Oracles {
              CAST(ewma_num // ewma_den AS BIGINT) AS ewma_c
       FROM e ORDER BY ewma_c DESC, user_id LIMIT 20""",
 
+    // q156: q111's session frame, then ordered string_agg over the
+    // first-5 step prefix (string_agg skips the NULLed tail steps,
+    // mirroring Spark's filtered collect_list).
+    "q156_session_paths" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+      f AS (
+        SELECT user_id, event_id, event_type, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id) > 1800000000 THEN 1 ELSE 0 END AS nf
+        FROM e),
+      sess AS (
+        SELECT user_id, event_id, event_type, t,
+               1 + sum(nf) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM f),
+      r AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                 ORDER BY t, event_id) AS step
+        FROM sess),
+      p AS (
+        SELECT user_id, sid,
+               string_agg(CASE WHEN step <= 5 THEN event_type END,
+                          '>' ORDER BY step) AS path,
+               count(*) AS n_steps
+        FROM r GROUP BY 1, 2)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN n_steps <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_complete
+      FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 25""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

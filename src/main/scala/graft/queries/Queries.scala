@@ -2959,6 +2959,20 @@ object Queries {
       .limit(20)
   }
 
+  /** User-flow analysis ([[graft.operators.EventOps.sessionPaths]]):
+    * the 25 most common session journeys — first 5 event types per
+    * 30-minute-gap session — with exact session and completed-within-
+    * prefix counts. The oracle replays sessionization, step ranking
+    * and the ordered `string_agg` under the identical
+    * (ts_us, event_id) frame.
+    */
+  def q156SessionPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.sessionPaths(
+        eventsTable(s, dir), "user_id", "event_type", "ts", "event_id",
+        gapMicros = 1800000000L, maxSteps = 5)
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(25)
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3410,5 +3424,6 @@ object Queries {
     "q153_engagement"    -> (q153Engagement _),
     "q154_communities"   -> (q154Communities _),
     "q155_ewma"          -> (q155Ewma _),
+    "q156_session_paths" -> (q156SessionPaths _),
   )
 }

@@ -281,4 +281,43 @@ class EventOpsSpec extends AnyFunSuite {
     // windows nest: dau <= wau <= mau everywhere
     assert(got.values.forall { case (d, w, m) => d <= w && w <= m })
   }
+
+  test("sessionPaths: prefix truncation, gap splits, complete counts") {
+    val rows = Seq(
+      // user 1, session 1: a>b>c (complete at maxSteps=2? no — 3 steps)
+      (1L, "a", "2024-01-01 00:00:00", 1L),
+      (1L, "b", "2024-01-01 00:05:00", 2L),
+      (1L, "c", "2024-01-01 00:10:00", 3L),
+      // user 1, session 2 after a >30min gap: a>b exactly
+      (1L, "a", "2024-01-01 02:00:00", 4L),
+      (1L, "b", "2024-01-01 02:01:00", 5L),
+      // user 2, one session: a>b
+      (2L, "a", "2024-01-01 00:00:00", 6L),
+      (2L, "b", "2024-01-01 00:20:00", 7L))
+      .map { case (u, t, time, id) => (u, t, ts(time), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventOps.sessionPaths(rows, "user_id", "event_type", "ts",
+        "event_id", gapMicros = 1800000000L, maxSteps = 2)
+      .collect()
+      .map(r => r.getAs[String]("path") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_complete"))))
+      .toMap
+    // all three sessions share the a>b prefix; only two END within 2 steps
+    assert(got == Map("a>b" -> ((3L, 2L))))
+  }
+
+  test("sessionPaths: tie order resolves by the tie column; single-event path") {
+    val rows = Seq(
+      (1L, "x", "2024-01-01 00:00:00", 2L),
+      (1L, "y", "2024-01-01 00:00:00", 1L), // same ts: y first by event_id
+      (2L, "solo", "2024-01-01 00:00:00", 3L))
+      .map { case (u, t, time, id) => (u, t, ts(time), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventOps.sessionPaths(rows, "user_id", "event_type", "ts",
+        "event_id", gapMicros = 1800000000L, maxSteps = 5)
+      .collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(got == Map("y>x" -> 1L, "solo" -> 1L))
+  }
 }
