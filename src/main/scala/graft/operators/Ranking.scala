@@ -110,4 +110,47 @@ object Ranking {
         (col("__off") + sum(col(valueCol)).over(wIn)).cast("long"))
       .drop("__slice", "__off")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * over N ranked lists — the standard hybrid-retrieval combiner
+    * (lexical ⊕ vector ⊕ recency) that needs only RANKS, never
+    * score calibration:  rrf(d) = Σ_lists 1/(k + rank_list(d)).
+    *
+    * Every input carries `(idCol, rankCol)` with 1-based integer
+    * ranks; a document missing from a list contributes nothing (the
+    * union-of-lists convention). The float-free form clears the sum
+    * over the common denominator Π(k + rank_i):
+    *
+    *   rrf_num = Σ_j Π_{i≠j}(k + rank_i),   rrf_den = Π_i(k + rank_i)
+    *
+    * emitted with `rrf_micro12 = (rrf_num·10¹²) div rrf_den` (the
+    * DECIMAL(38,0) div convention) — hash-certifiable, and monotone
+    * enough for ranking since distinct rationals ≥ 10⁻¹² apart at
+    * realistic (k, depth) stay distinct after scaling.
+    *
+    * Shape: union of the lists (already top-`depth` bounded by the
+    * producers), one groupBy(id) hash aggregate; the per-id fold is a
+    * SQL lambda over the ≤N collected terms. Overflow contract:
+    * Π(k + rank) must stay under 2^63 — with k = 60 and depth ≤ 1000,
+    * that holds through N = 6 lists.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, "rrf k must be >= 1")
+    val terms = rankings.map(r => r.select(col(idCol).as("id"),
+      (col(rankCol).cast("long") + k).as("kr"))).reduce(_ unionAll _)
+    terms.groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        collect_list(col("kr")).as("__krs"))
+      .withColumn("rrf_den",
+        expr("aggregate(__krs, CAST(1 AS BIGINT), (a, x) -> a * x)"))
+      // den div x is exact (x divides den by construction)
+      .withColumn("rrf_num",
+        expr("aggregate(__krs, CAST(0 AS BIGINT), (a, x) -> a + rrf_den div x)"))
+      .withColumn("rrf_micro12",
+        expr("CAST(CAST(rrf_num AS DECIMAL(38,0)) * 1000000000000" +
+          " div rrf_den AS BIGINT)"))
+      .drop("__krs")
+  }
 }

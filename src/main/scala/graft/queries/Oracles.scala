@@ -3215,6 +3215,37 @@ object Oracles {
                AS n_complete
       FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 25""",
 
+    // q157: both retrieval legs replayed as QUALIFY'd row_number cuts
+    // under the identical (score desc, doc_id) total order; with two
+    // lists the cleared RRF collapses to num = Σkr, den = Πkr; the
+    // HUGEINT // replays Spark's DECIMAL(38,0) div.
+    "q157_rank_fusion" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      r1 AS (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY len(list_filter(t, x -> x = 'data')) DESC, doc_id) AS rnk
+        FROM tok QUALIFY rnk <= 100),
+      r2 AS (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY len(list_distinct(t)) DESC, doc_id) AS rnk
+        FROM tok QUALIFY rnk <= 100),
+      u AS (
+        SELECT doc_id, 60 + rnk AS kr FROM r1
+        UNION ALL SELECT doc_id, 60 + rnk FROM r2),
+      f AS (
+        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_lists,
+               CAST(CASE WHEN count(*) = 1 THEN 1
+                         ELSE sum(kr) END AS BIGINT) AS rrf_num,
+               CAST(CASE WHEN count(*) = 1 THEN min(kr)
+                         ELSE min(kr) * max(kr) END AS BIGINT) AS rrf_den
+        FROM u GROUP BY doc_id)
+      SELECT id, n_lists, rrf_num, rrf_den,
+             CAST(CAST(rrf_num AS HUGEINT) * 1000000000000 // rrf_den
+               AS BIGINT) AS rrf_micro12
+      FROM f ORDER BY rrf_micro12 DESC, id LIMIT 50""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -2973,6 +2973,32 @@ object Queries {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(25)
 
+  /** Hybrid-retrieval rank fusion ([[graft.operators.Ranking
+    * .rrfFuse]]): two integer-exact retrieval legs — term-frequency of
+    * "data" (lexical relevance) and distinct-token count (vocabulary
+    * richness) — each cut to its global top-100 by the mergeable
+    * [[graft.functions.GroupTopK]] aggregate (no global window sort;
+    * a single-group aggregate keeps ≤100 rows of state per partial),
+    * then fused by reciprocal-rank with the cleared-rational num/den
+    * so the whole hybrid ranking hash-certifies.
+    */
+  def q157RankFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.group_top_k
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    def leg(score: Column): DataFrame =
+      toks.select(col("doc_id"), score.cast("double").as("sc"))
+        .agg(group_top_k(col("sc"), col("doc_id"), 100).as("top"))
+        .select(posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("e.id").as("doc_id"), (col("i") + 1).cast("long").as("rnk"))
+    val lexical = leg(expr("size(filter(t, x -> x = 'data'))"))
+    val richness = leg(size(array_distinct(col("t"))))
+    graft.operators.Ranking.rrfFuse(Seq(lexical, richness), "doc_id", "rnk",
+        k = 60)
+      .orderBy(col("rrf_micro12").desc, col("id"))
+      .limit(50)
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3425,5 +3451,6 @@ object Queries {
     "q154_communities"   -> (q154Communities _),
     "q155_ewma"          -> (q155Ewma _),
     "q156_session_paths" -> (q156SessionPaths _),
+    "q157_rank_fusion"   -> (q157RankFusion _),
   )
 }

@@ -102,4 +102,31 @@ class RankingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rrfFuse: cleared rationals match the textbook 1/(k+rank) sum") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc", "rnk")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc", "rnk")
+    val got = Ranking.rrfFuse(Seq(a, b), "doc", "rnk", k = 2)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_num"),
+          r.getAs[Long]("rrf_den"), r.getAs[Long]("rrf_micro12"))))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 3L, 333333333333L)))       // 1/(2+1)
+    assert(got(2L) == ((2L, 7L, 12L, 583333333333L)))      // 1/4 + 1/3
+    assert(got(3L) == ((1L, 1L, 4L, 250000000000L)))       // 1/(2+2)
+    // double cross-check: cleared rational == float RRF to 1e-12
+    got.values.foreach { case (_, num, den, m12) =>
+      assert(math.abs(num.toDouble / den - m12 / 1e12) < 1e-12)
+    }
+  }
+
+  test("rrfFuse: three lists — products and the divisibility-exact fold") {
+    val ls = Seq(Seq((7L, 1L)), Seq((7L, 3L)), Seq((7L, 10L)))
+      .map(_.toDF("doc", "rnk"))
+    val r = Ranking.rrfFuse(ls, "doc", "rnk", k = 60).collect().head
+    // krs = 61, 63, 70: den = 61*63*70, num = 63*70 + 61*70 + 61*63
+    assert(r.getAs[Long]("rrf_den") == 61L * 63 * 70)
+    assert(r.getAs[Long]("rrf_num") == 63L * 70 + 61L * 70 + 61L * 63)
+  }
 }
