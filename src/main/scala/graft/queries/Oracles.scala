@@ -3246,6 +3246,26 @@ object Oracles {
                AS BIGINT) AS rrf_micro12
       FROM f ORDER BY rrf_micro12 DESC, id LIMIT 50""",
 
+    // q158: the BETWEEN candidate join (DuckDB IEJoin) + the
+    // (diff, c_id) row_number argmin replays the bucketed min_by.
+    "q158_caliper_match" -> """
+      WITH o AS (
+        SELECT o_orderkey AS id, o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM orders),
+      t AS (SELECT id AS t_id, x AS t_x FROM o WHERE pri = '1-URGENT'),
+      c AS (SELECT id AS c_id, x AS c_x FROM o WHERE pri <> '1-URGENT'),
+      cand AS (
+        SELECT t_id, t_x, c_id, c_x, abs(t_x - c_x) AS diff
+        FROM t JOIN c ON c.c_x BETWEEN t.t_x - 10000 AND t.t_x + 10000),
+      r AS (
+        SELECT t_id, t_x, c_id, c_x, diff,
+               row_number() OVER (PARTITION BY t_id
+                 ORDER BY diff, c_id) AS rn
+        FROM cand)
+      SELECT t_id, t_x, c_id, c_x, diff FROM r WHERE rn = 1
+      ORDER BY t_id""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

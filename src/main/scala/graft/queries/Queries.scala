@@ -2999,6 +2999,25 @@ object Queries {
       .limit(50)
   }
 
+  /** Observational matching ([[graft.operators.Matching
+    * .nearestWithin]]): every urgent order paired with the closest
+    * non-urgent order by centi-unit total price within a $100 caliper
+    * — bucketed candidate join + mergeable `min_by` argmin, never
+    * all-pairs, never a window. The oracle replays the BETWEEN join
+    * and the (diff, control-id) tie-break, so the full matched
+    * pairing hash-certifies.
+    */
+  def q158CaliperMatch(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        graft.operators.Regression.centiUnits(col("o_totalprice")).as("x"))
+    val treated = o.filter(col("o_orderpriority") === "1-URGENT")
+    val control = o.filter(col("o_orderpriority") =!= "1-URGENT")
+    graft.operators.Matching.nearestWithin(treated, control,
+        "o_orderkey", "x", caliper = 10000L)
+      .orderBy(col("t_id"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3452,5 +3471,6 @@ object Queries {
     "q155_ewma"          -> (q155Ewma _),
     "q156_session_paths" -> (q156SessionPaths _),
     "q157_rank_fusion"   -> (q157RankFusion _),
+    "q158_caliper_match" -> (q158CaliperMatch _),
   )
 }
