@@ -3266,6 +3266,33 @@ object Oracles {
       SELECT t_id, t_x, c_id, c_x, diff FROM r WHERE rn = 1
       ORDER BY t_id""",
 
+    // q159: q60's ASOF construction with the q68 freshness gate over
+    // the click/view union; max_by regularizes same-(user, ts) touch
+    // ties exactly like the engine's as-of tie rule.
+    "q159_attribution" -> """
+      WITH l AS (
+        SELECT event_id, user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+        FROM events WHERE event_type = 'purchase'),
+      r AS (
+        SELECT user_id, ts, max_by(event_type, event_id) AS touch
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts),
+      j AS (
+        SELECT l.rev_c, r.touch, l.ts AS lts, r.ts AS rts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+      g AS (
+        SELECT rev_c,
+               CASE WHEN rts IS NOT NULL AND
+                    abs(CAST(floor(epoch(lts)) AS BIGINT) -
+                        CAST(floor(epoch(rts)) AS BIGINT)) <= 86400
+                    THEN touch END AS touch
+        FROM j)
+      SELECT coalesce(touch, 'direct') AS channel,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(rev_c) AS BIGINT) AS revenue_c
+      FROM g GROUP BY 1 ORDER BY 1""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

@@ -3018,6 +3018,33 @@ object Queries {
       .orderBy(col("t_id"))
   }
 
+  /** Last-touch revenue attribution ([[graft.operators.AsofJoin
+    * .backward]] composed into the marketing readout): each purchase
+    * credits the user's most recent click/view within 24 h — the
+    * certified as-of carry does the "last preceding touch" work, a
+    * coalesce buckets unattributed purchases as `direct`, and the
+    * rollup is exact centi-unit revenue per channel. The oracle
+    * replays DuckDB's native ASOF with the q68 freshness gate.
+    */
+  def q159Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        graft.operators.Regression.centiUnits(col("value")).as("rev_c"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type").as("touch"))
+    graft.operators.AsofJoin.backward(purchases, touches,
+        keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("touch"), tieCol = "event_id",
+        tolerance = Some(86400L))
+      .withColumn("channel", coalesce(col("r_touch"), lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("rev_c")).cast("long").as("revenue_c"))
+      .orderBy(col("channel"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3472,5 +3499,6 @@ object Queries {
     "q156_session_paths" -> (q156SessionPaths _),
     "q157_rank_fusion"   -> (q157RankFusion _),
     "q158_caliper_match" -> (q158CaliperMatch _),
+    "q159_attribution"   -> (q159Attribution _),
   )
 }
