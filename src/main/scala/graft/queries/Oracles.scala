@@ -3293,6 +3293,32 @@ object Oracles {
              CAST(sum(rev_c) AS BIGINT) AS revenue_c
       FROM g GROUP BY 1 ORDER BY 1""",
 
+    // q160: the PIT lookup replayed DIRECTLY against the signup stream
+    // — SCD-2 run collapse must be invisible to any point-in-time
+    // probe, so direct-asof equality certifies intervals + lookup.
+    "q160_pit_lookup" -> """
+      WITH su AS (
+        SELECT user_id, ts,
+               max_by(CASE CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) % 3
+                      WHEN 0 THEN 'basic' WHEN 1 THEN 'plus'
+                      ELSE 'pro' END, event_id) AS plan
+        FROM events
+        WHERE event_type = 'signup' AND value IS NOT NULL
+        GROUP BY user_id, ts),
+      l AS (
+        SELECT user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT l.rev_c, su.plan
+        FROM l ASOF LEFT JOIN su
+          ON l.user_id = su.user_id AND l.ts >= su.ts)
+      SELECT coalesce(plan, 'none') AS plan,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(rev_c) AS BIGINT) AS revenue_c
+      FROM j GROUP BY 1 ORDER BY 1""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

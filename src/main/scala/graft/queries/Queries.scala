@@ -3045,6 +3045,41 @@ object Queries {
       .orderBy(col("channel"))
   }
 
+  /** Point-in-time dimension lookup ([[graft.operators.EventOps.scd2]]
+    * → [[graft.operators.AsofJoin.backward]] — the Kimball SCD-2 fact
+    * join): signup events carry a deterministic plan tier, SCD-2
+    * collapses each user's tier history into validity intervals, and
+    * every purchase looks up the tier VALID AT its timestamp via the
+    * as-of carry on interval starts (contiguous intervals make as-of
+    * ≡ containment). Purchases before any signup bucket as `none`.
+    * The oracle replays the lookup directly against the signup stream
+    * — run-collapse invariance is exactly what SCD-2 must preserve.
+    */
+  def q160PitLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+    val signups = ev.filter(col("event_type") === "signup" &&
+        col("value").isNotNull)
+      .withColumn("plan",
+        element_at(array(lit("basic"), lit("plus"), lit("pro")),
+          (pmod(graft.operators.Regression.centiUnits(col("value")), lit(3L))
+            + 1).cast("int")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("plan"))
+    val dim = graft.operators.EventOps.scd2(
+        signups, "user_id", "plan", "ts", "event_id")
+      .select(col("user_id"), col("valid_from").as("ts"), col("plan"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        graft.operators.Regression.centiUnits(col("value")).as("rev_c"))
+    graft.operators.AsofJoin.backward(purchases, dim,
+        keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("plan"), tieCol = "plan")
+      .withColumn("plan", coalesce(col("r_plan"), lit("none")))
+      .groupBy(col("plan"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("rev_c")).cast("long").as("revenue_c"))
+      .orderBy(col("plan"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3500,5 +3535,6 @@ object Queries {
     "q157_rank_fusion"   -> (q157RankFusion _),
     "q158_caliper_match" -> (q158CaliperMatch _),
     "q159_attribution"   -> (q159Attribution _),
+    "q160_pit_lookup"    -> (q160PitLookup _),
   )
 }
