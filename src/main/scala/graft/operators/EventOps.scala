@@ -256,6 +256,35 @@ object EventOps {
           .cast("long").as("n_complete"))
   }
 
+  /** Consecutive-day activity streaks (gaps-and-islands over the
+    * calendar): per user, distinct active days group into runs of
+    * consecutive dates via the classic `day − row_number` anchor (two
+    * days are in the same run iff the difference is constant), then
+    * per-user `longest_streak` / `n_streaks` / `n_active_days`. The
+    * calendar-day sibling of [[sessionize]]'s time-gap islands.
+    *
+    * Scale: the (user, day) distinct contraction first, ONE window
+    * partitioned by the high-cardinality user (per-task input = one
+    * user's active days), then hash aggregates. All integers — exact.
+    */
+  def streaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user"), col(tsCol).cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user")).orderBy(col("day"))
+    days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", expr("date_sub(day, rn)"))
+      .groupBy(col("user"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user"))
+      .agg(max(col("len")).cast("long").as("longest_streak"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        sum(col("len")).cast("long").as("n_active_days"))
+  }
+
   /** Slowly-changing-dimension type 2 from an event stream: per key,
     * collapse consecutive runs of an unchanged attribute into validity
     * intervals `[valid_from, valid_to)` under the (ts, tie) total

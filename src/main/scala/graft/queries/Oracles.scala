@@ -3319,6 +3319,70 @@ object Oracles {
              CAST(sum(rev_c) AS BIGINT) AS revenue_c
       FROM j GROUP BY 1 ORDER BY 1""",
 
+    // q161: q91's step CTEs, per-user depth via LEFT JOIN presence,
+    // then the per-arm rollup with the cleared conversion ratio.
+    "q161_experiment_funnel" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        WHERE event_type IN ('signup','view','click','purchase')),
+      s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND t >= t1
+               AND t <= t1 + 172800000000 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'click' AND t >= t2
+               AND t <= t2 + 172800000000 GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+             WHERE event_type = 'purchase' AND t >= t3
+               AND t <= t3 + 172800000000 GROUP BY 1),
+      sc AS (
+        SELECT s1.user_id, CAST(s1.user_id % 2 AS INT) AS arm,
+               CASE WHEN s4.user_id IS NOT NULL THEN 4
+                    WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS done
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+                LEFT JOIN s4 USING (user_id)),
+      a AS (
+        SELECT arm, count(*) AS n1,
+               sum(CASE WHEN done >= 2 THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN done >= 3 THEN 1 ELSE 0 END) AS n3,
+               sum(CASE WHEN done >= 4 THEN 1 ELSE 0 END) AS n4
+        FROM sc GROUP BY arm)
+      SELECT arm, CAST(step AS BIGINT) AS step, step_type,
+             CAST(n_users AS BIGINT) AS n_users,
+             CAST((n_users * 1000000) // n1 AS BIGINT) AS conv_micro
+      FROM (
+        SELECT arm, n1, 1 AS step, 'signup' AS step_type, n1 AS n_users FROM a
+        UNION ALL SELECT arm, n1, 2, 'view', n2 FROM a
+        UNION ALL SELECT arm, n1, 3, 'click', n3 FROM a
+        UNION ALL SELECT arm, n1, 4, 'purchase', n4 FROM a)
+      ORDER BY arm, step""",
+
+    // q162: the day − row_number island anchor, then two rollups —
+    // dates subtract to integers in both engines.
+    "q162_streaks" -> """
+      WITH d AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      isl AS (
+        SELECT u, day,
+               day - CAST(row_number() OVER (PARTITION BY u ORDER BY day)
+                 AS INT) AS anchor
+        FROM d),
+      runs AS (
+        SELECT u, anchor, count(*) AS len FROM isl GROUP BY 1, 2),
+      per_user AS (
+        SELECT u, max(len) AS longest_streak, count(*) AS n_streaks,
+               sum(len) AS n_active_days
+        FROM runs GROUP BY u)
+      SELECT CAST(longest_streak AS BIGINT) AS longest_streak,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_streaks) AS BIGINT) AS total_streaks,
+             CAST(sum(n_active_days) AS BIGINT) AS total_active_days
+      FROM per_user GROUP BY 1 ORDER BY 1""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

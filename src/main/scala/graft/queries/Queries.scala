@@ -3080,6 +3080,47 @@ object Queries {
       .orderBy(col("plan"))
   }
 
+  /** Experiment funnel readout ([[graft.operators.EventOps
+    * .funnelUsers]] split by assignment arm): q91's windowed funnel
+    * per deterministic arm (`user_id % 2`), with per-step user counts
+    * and the cleared per-arm conversion rate
+    * `(n_step·10⁶) div n_step1` — the A/B view a growth team actually
+    * reads. Exact integers end to end.
+    */
+  def q161ExperimentFunnel(s: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val fu = graft.operators.EventOps.funnelUsers(eventsTable(s, dir),
+      "user_id", "event_type", "ts", steps,
+      maxStepGapMicros = Some(48L * 3600 * 1000000))
+    val aggs = (1 to steps.length).map(k =>
+      sum(when(col("steps_completed") >= k, 1L).otherwise(0L)).as(s"n$k"))
+    fu.withColumn("arm", pmod(col("user_id"), lit(2L)).cast("int"))
+      .groupBy(col("arm"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("arm") +: col("n1") +:
+        Seq(explode(array(steps.indices.map(i =>
+          struct(lit(i + 1).cast("long").as("step"),
+            lit(steps(i)).as("step_type"),
+            col(s"n${i + 1}").cast("long").as("n_users"))): _*)).as("e")): _*)
+      .select(col("arm"), col("e.step").as("step"),
+        col("e.step_type").as("step_type"), col("e.n_users").as("n_users"),
+        expr("CAST((e.n_users * 1000000) div n1 AS BIGINT)").as("conv_micro"))
+      .orderBy(col("arm"), col("step"))
+  }
+
+  /** Activity streaks ([[graft.operators.EventOps.streaks]] — gaps &
+    * islands over the calendar): the distribution of users by their
+    * longest consecutive-day streak, with total streak and active-day
+    * mass per bucket. Fixed-cardinality output, exact integers.
+    */
+  def q162Streaks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.streaks(eventsTable(s, dir), "user_id", "ts")
+      .groupBy(col("longest_streak"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_streaks")).cast("long").as("total_streaks"),
+        sum(col("n_active_days")).cast("long").as("total_active_days"))
+      .orderBy(col("longest_streak"))
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3536,5 +3577,7 @@ object Queries {
     "q158_caliper_match" -> (q158CaliperMatch _),
     "q159_attribution"   -> (q159Attribution _),
     "q160_pit_lookup"    -> (q160PitLookup _),
+    "q161_experiment_funnel" -> (q161ExperimentFunnel _),
+    "q162_streaks"       -> (q162Streaks _),
   )
 }

@@ -306,6 +306,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == Map("a>b" -> ((3L, 2L))))
   }
 
+  test("streaks: islands split on missing days; multiple events per day collapse") {
+    val rows = Seq(
+      // user 1: days 1,2,3 then 5,6 → longest 3, 2 streaks, 5 active
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"),
+      (1L, "2024-01-02 00:30:00"), (1L, "2024-01-03 09:00:00"),
+      (1L, "2024-01-05 12:00:00"), (1L, "2024-01-06 12:00:00"),
+      // user 2: one day
+      (2L, "2024-02-10 08:00:00"))
+      .map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val got = EventOps.streaks(rows, "user_id", "ts")
+      .collect()
+      .map(r => r.getAs[Long]("user") ->
+        ((r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("n_active_days"))))
+      .toMap
+    assert(got == Map(1L -> ((3L, 2L, 5L)), 2L -> ((1L, 1L, 1L))))
+  }
+
   test("sessionPaths: tie order resolves by the tie column; single-event path") {
     val rows = Seq(
       (1L, "x", "2024-01-01 00:00:00", 2L),
