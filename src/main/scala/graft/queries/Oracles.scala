@@ -3383,6 +3383,66 @@ object Oracles {
              CAST(sum(n_active_days) AS BIGINT) AS total_active_days
       FROM per_user GROUP BY 1 ORDER BY 1""",
 
+    // q163: centi-unit rollup, lag for MoM, month totals joined back;
+    // // truncates toward zero on the possibly-negative delta exactly
+    // like Spark div.
+    "q163_mom_growth" -> """
+      WITH rev AS (
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT month, CAST(sum(rev_c) AS BIGINT) AS month_total_c
+        FROM rev GROUP BY 1),
+      l AS (
+        SELECT n_name, month, rev_c,
+               lag(rev_c) OVER (PARTITION BY n_name ORDER BY month) AS prev_c
+        FROM rev)
+      SELECT l.n_name, l.month, l.rev_c, l.prev_c,
+             CAST(((l.rev_c - l.prev_c) * 1000000) // l.prev_c AS BIGINT)
+               AS growth_micro,
+             CAST((l.rev_c * 1000000) // t.month_total_c AS BIGINT)
+               AS share_micro
+      FROM l JOIN tot t USING (month)
+      ORDER BY n_name, month""",
+
+    // q164: integer year·12+month cohort index; cumulative window over
+    // the (cohort, age) contraction; exact per-customer LTV div.
+    "q164_ltv_curve" -> """
+      WITH o AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                 AS ym,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS rev_c
+        FROM orders),
+      coh AS (
+        SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1),
+      sized AS (
+        SELECT cohort_ym, count(DISTINCT o_custkey) AS n_customers
+        FROM coh GROUP BY 1),
+      curve AS (
+        SELECT cohort_ym, ym - cohort_ym AS age,
+               CAST(sum(rev_c) AS BIGINT) AS rev_c
+        FROM o JOIN coh USING (o_custkey)
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT cohort_ym, age, rev_c,
+               CAST(sum(rev_c) OVER (PARTITION BY cohort_ym ORDER BY age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_rev_c
+        FROM curve)
+      SELECT c2.cohort_ym, c2.age,
+             CAST(s.n_customers AS BIGINT) AS n_customers,
+             c2.rev_c, c2.cum_rev_c,
+             CAST(c2.cum_rev_c // s.n_customers AS BIGINT) AS ltv_per_cust_c
+      FROM c2 JOIN sized s USING (cohort_ym)
+      ORDER BY cohort_ym, age""",
+
     // q133: the textbook id-ordered triangle definition — each triangle
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the

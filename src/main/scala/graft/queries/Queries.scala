@@ -3121,6 +3121,71 @@ object Queries {
         sum(col("n_active_days")).cast("long").as("total_active_days"))
       .orderBy(col("longest_streak"))
 
+  /** Month-over-month revenue report: per-nation monthly revenue in
+    * exact centi-units with the cleared MoM growth ratio
+    * `((rev − prev)·10⁶) div prev` (negative-safe — both engines
+    * truncate toward zero) and the cleared market share
+    * `rev·10⁶ div month_total`. The lag window rides the CONTRACTED
+    * (nation × month) table — ~2k rows at any corpus scale — never
+    * order rows; the month totals come back via a broadcast-sized
+    * join, not a second window.
+    */
+  def q163MomGrowth(s: SparkSession, dir: String): DataFrame = {
+    val rev = table(s, dir, "orders")
+      .join(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(graft.operators.Regression.centiUnits(col("o_totalprice")))
+        .cast("long").as("rev_c"))
+    val totals = rev.groupBy(col("month"))
+      .agg(sum(col("rev_c")).cast("long").as("month_total_c"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+    rev.join(broadcast(totals), "month")
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .withColumn("growth_micro",
+        expr("CAST(((rev_c - prev_c) * 1000000) div prev_c AS BIGINT)"))
+      .withColumn("share_micro",
+        expr("CAST((rev_c * 1000000) div month_total_c AS BIGINT)"))
+      .select(col("n_name"), col("month"), col("rev_c"), col("prev_c"),
+        col("growth_micro"), col("share_micro"))
+      .orderBy(col("n_name"), col("month"))
+  }
+
+  /** Cohort lifetime-value curve: customers cohorted by first-order
+    * month (integer year·12+month index), cumulative revenue per
+    * (cohort, months-since-first) with the exact per-customer LTV
+    * `cum_rev_c div n_customers`. The cumulative window rides the
+    * contracted (cohort × age) table; cohort sizing is a distinct
+    * count on the same contraction pass.
+    */
+  def q164LtvCurve(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        graft.operators.Regression.centiUnits(col("o_totalprice")).as("rev_c"))
+    val cohorts = o.groupBy(col("o_custkey"))
+      .agg(min(col("ym")).as("cohort_ym"))
+    val sized = cohorts.groupBy(col("cohort_ym"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    val curve = o.join(cohorts, "o_custkey")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("age"))
+      .agg(sum(col("rev_c")).cast("long").as("rev_c"))
+    val w = Window.partitionBy(col("cohort_ym")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve.join(broadcast(sized), "cohort_ym")
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(w).cast("long"))
+      .withColumn("ltv_per_cust_c",
+        expr("CAST(cum_rev_c div n_customers AS BIGINT)"))
+      .select(col("cohort_ym"), col("age"), col("n_customers"),
+        col("rev_c"), col("cum_rev_c"), col("ltv_per_cust_c"))
+      .orderBy(col("cohort_ym"), col("age"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3579,5 +3644,7 @@ object Queries {
     "q160_pit_lookup"    -> (q160PitLookup _),
     "q161_experiment_funnel" -> (q161ExperimentFunnel _),
     "q162_streaks"       -> (q162Streaks _),
+    "q163_mom_growth"    -> (q163MomGrowth _),
+    "q164_ltv_curve"     -> (q164LtvCurve _),
   )
 }
