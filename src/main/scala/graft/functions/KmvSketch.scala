@@ -161,10 +161,11 @@ case class KmvAgg(
 }
 
 /** `kmv_union(sketch binary) → binary` — re-aggregate stored sketches
-  * into a coarser rollup (k = the max of the inputs' k; differing k
-  * merge soundly because clipping to the larger k only keeps MORE of
-  * the smaller sketch's values — but estimates then carry the
-  * SMALLEST k's error, so keep k uniform in a stored family). */
+  * into a coarser rollup (k = the MIN of the inputs' k: a union is
+  * only a valid KMV sketch at the smallest k seen, since values past
+  * the smaller sketch's k-th minimum are unknown for that input;
+  * estimates carry the smallest k's error, so keep k uniform in a
+  * stored family). */
 case class KmvUnionAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -179,13 +180,14 @@ case class KmvUnionAgg(
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(Int.MaxValue)
 
-  private var mergedK: Int = 0
-
   override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val (k, vs) = Kmv.deserialize(v.asInstanceOf[Array[Byte]])
-      val b = new KmvBuffer(k)
+      // min(buffer.k, k), mirroring merge(): order/partition-independent
+      // (the empty buffer starts at Int.MaxValue, so the first sketch's
+      // k wins there).
+      val b = new KmvBuffer(math.min(buffer.k, k))
       b.addAll(buffer.toArray); b.addAll(vs)
       return b
     }

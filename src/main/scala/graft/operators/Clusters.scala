@@ -294,8 +294,11 @@ object Clusters {
                      pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     val assigned = docs
+      // keep the score's NATIVE numeric type: casting to long would
+      // truncate fractional scores (0.73 vs 0.31 → both 0) and
+      // silently collapse the policy into id-order ties
       .select(col(idCol).cast("long").as("doc_id"),
-        col(scoreCol).cast("long").as("__score"))
+        col(scoreCol).as("__score"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))
     val reps = assigned.groupBy(col("cluster"))

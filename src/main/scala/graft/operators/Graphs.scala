@@ -445,6 +445,16 @@ object Graphs {
         it += 1
       }
     }
+    // maxIter exhaustion leaves `deg` computed BEFORE the last peel:
+    // stale counts, and just-peeled nodes would leak through the >= k
+    // filter. Recompute from the final edge set so the returned set is
+    // always a subgraph with every core_deg true — at worst a valid
+    // PARTIAL peel (a superset of the k-core), never an invalid one.
+    if (!done) {
+      deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    }
     deg.filter(col("core_deg") >= k)
   }
 

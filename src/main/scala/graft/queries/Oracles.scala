@@ -2162,7 +2162,7 @@ object Oracles {
       SELECT o_orderstatus,
              count(*) AS n_orders,
              count(DISTINCT o_orderkey) AS n_keys,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total
       FROM m GROUP BY 1 ORDER BY 1""",
 
     // q118: Gopher repetition signals replayed with string grams and

@@ -2555,7 +2555,7 @@ object Queries {
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         sum(col("o_totalprice").cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("total"))
+          .cast("double").as("total"))
       .orderBy(col("o_orderstatus"))
   }
 

@@ -49,6 +49,25 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(whole, sharded))
   }
 
+  test("mixed-k union clips to the SMALLEST k regardless of input order") {
+    // update() must mirror merge()'s min(buffer.k, k): a union of a
+    // k=32 and a k=128 sketch is only a valid KMV sketch at k=32, and
+    // the result must not depend on which sketch the aggregate sees
+    // first (order/partitioning independence).
+    val small = sketchOf((0 until 5000).map(i => s"m$i"), 32)
+    val big = sketchOf((2500 until 7500).map(i => s"m$i"), 128)
+    def unionOf(pair: Seq[Array[Byte]]): Array[Byte] =
+      spark.createDataset(pair).toDF("sk").coalesce(1)
+        .agg(gx.kmv_union(col("sk")).as("u"))
+        .head().getAs[Array[Byte]]("u")
+    val ab = unionOf(Seq(small, big))
+    val ba = unionOf(Seq(big, small))
+    assert(java.util.Arrays.equals(ab, ba), "union must be order-independent")
+    // serialized form leads with k — must be the min (32)
+    val kOut = java.nio.ByteBuffer.wrap(ab).getInt
+    assert(kOut == 32, s"union k must be min of inputs, got $kOut")
+  }
+
   test("intersection estimate tracks true overlap; exact when both sides exact") {
     // exact side: fewer than k values each
     val a = sketchOf((0 until 40).map(i => s"x$i"), 64)

@@ -87,6 +87,19 @@ class ClustersSpec extends AnyFunSuite {
     assert(got.values.count(_._3) == 3)
   }
 
+  test("survivorshipBy compares fractional scores natively (no long truncation)") {
+    import spark.implicits._
+    // both scores < 1.0: a long cast would truncate each to 0 and the
+    // tie would silently fall back to id order, keeping the WORSE doc
+    val docs = Seq((1L, 0.31), (2L, 0.73)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val got = Clusters.survivorshipBy(docs, "doc_id", "score", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(2L) == ((2L, true)), s"0.73 must beat 0.31: $got")
+    assert(got(1L) == ((2L, false)))
+  }
+
   test("empty pair set: every document is its own kept singleton") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")

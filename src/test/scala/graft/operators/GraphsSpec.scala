@@ -340,4 +340,16 @@ class GraphsSpec extends AnyFunSuite {
     assert(runKCore(k5, 4) == (0L to 4L).map(_ -> 4L).toMap)
     assert(runKCore(k5, 5).isEmpty)
   }
+
+  test("kCore: maxIter exhaustion returns post-peel degrees, never stale ones") {
+    // chain 1-2-3-4-5 at k=2 needs 2 peel waves; cap at 1 (distributed
+    // path). Round 1 peels {1,5}, leaving 2-3, 3-4. Degrees must be
+    // recomputed from THAT edge set (2:1, 3:2, 4:1) — the stale
+    // pre-peel counts would leak 2 and 4 back in with core_deg=2.
+    val chain = (1L to 4L).map(i => (i, i + 1))
+    val got = Graphs.kCore(
+        chain.toDF("a", "b"), "a", "b", k = 2, maxIter = 1, localLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 2L), s"got $got")
+  }
 }

@@ -62,12 +62,24 @@ def main(sf_dir, out_dir):
         mismatch = None
         for c in s.columns:
             sv, dv = s[c], d[c]
-            if str(sv.dtype).startswith("float") or str(dv.dtype).startswith("float"):
+            s_float = str(sv.dtype).startswith("float")
+            d_float = str(dv.dtype).startswith("float")
+            if s_float and d_float:
                 import numpy as np
                 if not np.allclose(sv.astype(float), dv.astype(float), rtol=0, atol=0, equal_nan=True):
                     # exact compare first; report max delta for diagnosis
                     delta = (sv.astype(float) - dv.astype(float)).abs().max()
                     mismatch = f"col {c}: max abs delta {delta}"
+                    break
+            elif s_float != d_float:
+                # dtype divergence (e.g. object-Decimal vs float64): the
+                # driver stringifies values before hashing, so replicate
+                # that — Decimal('1.500000') vs 1.5 must FAIL here too.
+                if not sv.astype(str).equals(dv.astype(str)):
+                    bad = (sv.astype(str) != dv.astype(str))
+                    i = bad.idxmax()
+                    mismatch = (f"col {c} dtype divergence (spark={sv.dtype} "
+                                f"duck={dv.dtype}) row {i}: spark={sv[i]!r} duck={dv[i]!r}")
                     break
             else:
                 if not sv.astype(str).equals(dv.astype(str)):
