@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB stored / small batches): with the stored side
   * saved bucketed on the key ([[upsertStored]] preserves the layout,
   * the [[DedupIndex]]/[[Bm25Index]] convention), the anti-join reads
-  * the stored table without an exchange and only the batch shuffles;
-  * the rewrite cost is bounded by touched buckets on engines with
-  * bucket-level replace (whole-table rewrite here — Spark's managed-
-  * table granularity — but the PLAN stays exchange-free on the big
-  * side, which is what survives a 100× scale-up).
+  * the stored table without an exchange and only the batch shuffles.
+  * [[upsertStored]]'s managed-table write-back rewrites the WHOLE
+  * table per merge (Spark's managed-table granularity) — fine for a
+  * dimension, a wall at 100 TB. [[upsertBuckets]] is the scale path:
+  * the table lives as a parquet directory PARTITIONED by a stable
+  * key-hash bucket, a merge reads only the batch's touched buckets
+  * (partition-pruned scan) and swaps only those bucket directories in
+  * via the [[graft.ledger.Ledger]] compaction-rename discipline —
+  * untouched buckets' files are never opened, never rewritten
+  * (spec-pinned byte-identical), so merge cost is
+  * O(touched_buckets · bucket_size), independent of table size.
   */
 object StoredMerge {
 
@@ -90,5 +96,72 @@ object StoredMerge {
     spark.sql(s"DROP TABLE $table")
     // rename preserves the bucket spec — one write, no second rewrite
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Stable key→bucket assignment for the partitioned-directory layout:
+    * pmod(xxhash64(keys), n) — deterministic across sessions, so a
+    * batch's buckets always land where the stored rows already live. */
+  private def bucketOf(keyCols: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
+
+  /** Materialize `df` as a bucket-partitioned parquet directory:
+    * `path/__bucket=0 … __bucket=n-1`. This is the layout
+    * [[upsertBuckets]] merges into at touched-bucket granularity. */
+  def writeBuckets(df: DataFrame, path: String, keyCols: Seq[String],
+                   nBuckets: Int): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.withColumn("__bucket", bucketOf(keyCols, nBuckets))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+  }
+
+  /** Read a [[writeBuckets]] table back (the `__bucket` partition
+    * column rides along — drop it for user-facing results). */
+  def readBuckets(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Batch-wins merge into a [[writeBuckets]] directory, rewriting
+    * ONLY the buckets the batch touches.
+    *
+    * 1. bucket the batch; the touched-bucket id list is ≤ nBuckets
+    *    (bounded control-plane collect).
+    * 2. read the stored side FILTERED to touched buckets — partition
+    *    pruning means untouched buckets' files are never opened.
+    * 3. batch-wins combine (updates ∪ stored-touched ⟕̸ batch keys),
+    *    written to a sibling tmp directory partitioned the same way.
+    * 4. per touched bucket, swap the live directory for the tmp one
+    *    with the Ledger compaction-rename discipline (live → .old,
+    *    tmp → live, delete .old) — crash mid-swap leaves each bucket
+    *    either fully old or fully new, never mixed.
+    *
+    * Untouched bucket directories are untouched on disk (spec pins
+    * their files byte-identical), so merge cost scales with the
+    * BATCH's key spread, not the table: 100 TB stored at 4096 buckets
+    * ≈ 25 GB per touched bucket of rewrite, zero for the rest.
+    */
+  def upsertBuckets(spark: SparkSession, path: String, updates: DataFrame,
+                    keyCols: Seq[String], nBuckets: Int): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val upd = updates.withColumn("__bucket", bucketOf(keyCols, nBuckets))
+    val touched = upd.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val stored = readBuckets(spark, path)
+      .filter(col("__bucket").isin(touched: _*))
+    val keys = upd.select(keyCols.map(col): _*).distinct()
+    val merged = upd.unionByName(stored.join(keys, keyCols, "left_anti"))
+    val tmp = path.stripSuffix("/") + ".merge_tmp"
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
+      val next = new org.apache.hadoop.fs.Path(s"$tmp/__bucket=$b")
+      val old = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b.old")
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"rename aside failed for bucket $b")
+      require(fs.rename(next, live), s"rename in failed for bucket $b")
+      fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

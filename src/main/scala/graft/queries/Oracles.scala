@@ -3487,5 +3487,31 @@ object Oracles {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
       ORDER BY id_a, id_b""",
+
+    // q165: version-wins MERGE replayed as a row_number pick over
+    // stored ∪ updates ordered by (version, src) desc — the stale
+    // update (version below the stored row's) must lose, ties go to
+    // the batch (src 1 > 0). Decimal pre-sums, final cast to double.
+    "q165_upsert_latest" -> """
+      WITH stored AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               o_orderkey % 7 AS version, 0 AS src
+        FROM orders),
+      upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+               o_orderkey % 5 AS version, 1 AS src
+        FROM orders WHERE o_orderkey % 3 = 0),
+      merged AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                 ORDER BY version DESC, src DESC) AS rn
+        FROM (SELECT * FROM stored UNION ALL SELECT * FROM upd))
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             CAST(sum(src) AS BIGINT) AS n_from_updates,
+             CAST(sum(version) AS BIGINT) AS version_sum,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS DOUBLE) AS total
+      FROM merged WHERE rn = 1
+      GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -469,6 +469,11 @@ object Queries {
         max(col("height")).cast("long").as("max_height"),
         countDistinct(col("channels")).as("distinct_channels"),
         countDistinct(col("feat_checksum")).as("distinct_checksums"))
+      // self-asserting: every synthesized medium must decode (the
+      // generators are deterministic, so a single failed decode or
+      // atom parse is a regression, not noise)
+      .withColumn("pass", col("n_decoded") === col("n_media") &&
+        col("min_width") > lit(0L))
       .orderBy(col("modality"))
   }
 
@@ -519,6 +524,12 @@ object Queries {
         approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      // self-asserting: the estimate must sit inside 3× the requested
+      // rsd (0.05) of the exact leg already in the row — an estimator
+      // regression flips rows while honest sketch noise never does
+      .withColumn("pass",
+        abs(col("approx_parts") - col("exact_parts"))
+          <= lit(3 * 0.05) * col("exact_parts"))
       .orderBy(col("l_returnflag"))
 
   /** Mergeable-sketch rollup ([[graft.operators.Sketches]]): one HLL
@@ -607,6 +618,14 @@ object Queries {
         coalesce(max(col("shared_chunks")), lit(0)).as("max_shared"),
         coalesce(sum(when(col("shared_chunks") >= 2, 1).otherwise(0)), lit(0)).as("n_multi_chunk"))
       .withColumn("op", lit("rolling_chunk_cdc"))
+      // self-asserting op-invariants: multi-chunk pairs are a subset of
+      // all pairs; any pair shares ≥ minSharedChunks (1); a multi-chunk
+      // pair forces max_shared ≥ 2; the corpus's injected overlaps mean
+      // a healthy chunker always finds at least one pair
+      .withColumn("pass",
+        col("n_pairs") >= col("n_multi_chunk") &&
+        col("n_pairs") > lit(0L) && col("max_shared") >= lit(1L) &&
+        (col("n_multi_chunk") === lit(0L) || col("max_shared") >= lit(2L)))
 
   /** IVF ANN (k-means coarse quantizer) recall@5 vs brute force. */
   def q33IvfRecall(s: SparkSession, dir: String): DataFrame = {
@@ -3186,6 +3205,37 @@ object Queries {
       .orderBy(col("cohort_ym"), col("age"))
   }
 
+  /** Version-wins upsert ([[graft.operators.StoredMerge.upsertLatest]]
+    * — the out-of-order MERGE path): stored rows carry version
+    * `key % 7`, the update batch (every key divisible by 3, price
+    * bumped) carries version `key % 5`, so the batch genuinely wins
+    * some keys, LOSES the stale ones (update version < stored), and
+    * ties land on the src marker (update side = 1 > 0 wins). Profiled
+    * per status with the batch-win count surfaced, so a regression in
+    * any of the three outcomes moves `n_from_updates`. One
+    * map-side-partial max(struct) aggregate on the key — no window.
+    */
+  def q165UpsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val ord = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val stored = ord
+      .withColumn("version", (col("o_orderkey") % 7).cast("long"))
+      .withColumn("src", lit(0L))
+    val updates = ord.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .withColumn("version", (col("o_orderkey") % 5).cast("long"))
+      .withColumn("src", lit(1L))
+    graft.operators.StoredMerge.upsertLatest(
+        stored, updates, Seq("o_orderkey"), "version", "src")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("src")).cast("long").as("n_from_updates"),
+        sum(col("version")).cast("long").as("version_sum"),
+        sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3646,5 +3696,6 @@ object Queries {
     "q162_streaks"       -> (q162Streaks _),
     "q163_mom_growth"    -> (q163MomGrowth _),
     "q164_ltv_curve"     -> (q164LtvCurve _),
+    "q165_upsert_latest" -> (q165UpsertLatest _),
   )
 }

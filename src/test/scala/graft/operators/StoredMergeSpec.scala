@@ -48,6 +48,72 @@ class StoredMergeSpec extends AnyFunSuite {
     StoredMerge.requireUniqueKeys(dup.limit(1), Seq("k")) // unique: fine
   }
 
+  test("upsertBuckets: only touched bucket dirs rewrite; the rest are byte-identical") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bktmerge").toString + "/t"
+    val base = spark.range(0, 1000)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"),
+        lit(1L).as("ver"))
+    StoredMerge.writeBuckets(base, dir, Seq("k"), nBuckets = 8)
+
+    def snapshot(): Map[String, String] = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.toString -> md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = snapshot()
+
+    // a narrow batch: 3 updated keys + 2 inserts → a few touched buckets
+    val updates = Seq((5L, "V5", 2L), (17L, "V17", 2L), (500L, "V500", 2L),
+      (2000L, "new", 2L), (2001L, "new", 2L)).toDF("k", "v", "ver")
+    val touched = updates
+      .select(pmod(xxhash64(col("k")), lit(8L)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.size < 8, s"test needs untouched buckets, got $touched")
+    StoredMerge.upsertBuckets(spark, dir, updates, Seq("k"), nBuckets = 8)
+
+    // content: exactly the batch-wins merge
+    val got = StoredMerge.readBuckets(spark, dir).drop("__bucket")
+    assert(rows(got) == rows(StoredMerge.upsert(base, updates, Seq("k"))))
+
+    // untouched buckets: same files, byte-identical; touched: rewritten
+    val after = snapshot()
+    def bucketOfPath(p: String): Long =
+      "__bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    val beforeUntouched = before.filter(e => !touched(bucketOfPath(e._1)))
+    val afterUntouched = after.filter(e => !touched(bucketOfPath(e._1)))
+    assert(beforeUntouched == afterUntouched,
+      "untouched bucket files must not be rewritten")
+    assert(before.keySet.filter(p => touched(bucketOfPath(p)))
+      .forall(p => !after.contains(p)),
+      "touched bucket files must have been swapped out")
+
+    // second merge accretes (replace one of the inserts)
+    StoredMerge.upsertBuckets(spark,
+      dir, Seq((2000L, "NEW", 3L)).toDF("k", "v", "ver"), Seq("k"), nBuckets = 8)
+    val twice = rows(StoredMerge.readBuckets(spark, dir).drop("__bucket"))
+    assert(twice.contains((2000L, "NEW", 3L)) && twice.size == 1002)
+  }
+
+  test("upsertBuckets: the stored scan prunes to touched buckets only") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bktprune").toString + "/t"
+    val base = spark.range(0, 200)
+      .select(col("id").as("k"), lit("x").as("v"), lit(1L).as("ver"))
+    StoredMerge.writeBuckets(base, dir, Seq("k"), nBuckets = 8)
+    // the pruning the merge relies on: a touched-bucket filter must cut
+    // the partition count at the scan, not post-read
+    val one = StoredMerge.readBuckets(spark, dir).filter(col("__bucket").isin(3L))
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__bucket"),
+      s"expected partition pruning in scan:\n$scan")
+  }
+
   test("upsertStored: two successive merges accrete correctly and keep the bucket layout") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
