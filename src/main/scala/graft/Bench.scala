@@ -19,6 +19,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=q113_edit_pairs,q114_pagerank re-checks a
+    // family without a full ~9-minute sweep (regression triage; the
+    // committed artifact should still come from an unfiltered run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,9 +46,19 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (1 to runs).map(_ => timeOnce(name, fn)).min
-    }
+    // machine-load calibration: the 1-minute load average BEFORE and
+    // AFTER the sweep, so a capture polluted by external load bursts is
+    // self-identifying in the artifact (r7's 14s-vs-3s outliers)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> (1 to runs).map(_ => timeOnce(name, fn)).min
+      }
+    val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -53,7 +68,7 @@ object Bench {
     // truncate the total and keep only the per-query map (JSON object
     // key order is semantically irrelevant to any parser)
     val line =
-      f"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}"""
+      f"""{"queries":$qs,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"runs":$runs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}"""
     println(line)
     // first-class artifact: the driver's tail capture (2000 chars) can
     // truncate the head of the one-line contract once the query count

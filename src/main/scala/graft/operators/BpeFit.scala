@@ -99,6 +99,19 @@ object BpeFit {
       .agg(sum(col("c")).cast("long").as("count"))
   }
 
+  /** A fit round's top-k merge candidates under the selection's total
+    * order (count desc, left, right), minCount-filtered — the exact
+    * leg an external engine can replay for the FIRST round (single-
+    * char symbols ⇒ pure SQL over the raw text), pinning the counting
+    * semantics and the argmax the whole fit builds on (q54's oracle).
+    * Global top-k is TakeOrderedAndProject — never a global sort.
+    */
+  def roundCandidates(words: Dataset[SymWord], k: Int,
+                      minCount: Long = 2L): DataFrame =
+    pairCounts(words).filter(col("count") >= minCount)
+      .orderBy(col("count").desc, col("left"), col("right"))
+      .limit(k)
+
   /** Greedy batch selection with EXACT sequential parity (driver-side,
     * over the round's top-K candidates sorted by (count desc, left,
     * right)):

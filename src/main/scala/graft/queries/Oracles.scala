@@ -1141,6 +1141,54 @@ object Oracles {
              TRUE AS in_bracket
       FROM c GROUP BY doc_id ORDER BY doc_id""",
 
+    // q54: the BPE fit's first-round bracket — single-char adjacent
+    // pair counts with the engine's non-overlapping rule (boundary
+    // pairs always count; a same-char run of length L yields
+    // floor(L/2) pairs), top-8 under (count desc, left, right), and
+    // the fit's first merge pinned to that list's head.
+    "q54_bpe_fit" -> """
+      WITH w AS (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS word
+          FROM documents) GROUP BY word),
+      pos AS (
+        SELECT word, c, i,
+               substr(word, CAST(i AS INT), 1) AS ch,
+               substr(word, CAST(i AS INT) + 1, 1) AS nx
+        FROM w, unnest(range(1, len(word) + 1)) AS t(i)),
+      diffpairs AS (
+        SELECT ch AS l, nx AS r, CAST(sum(c) AS BIGINT) AS cnt
+        FROM pos WHERE CAST(i AS INT) < len(word) AND nx <> ch
+        GROUP BY 1, 2),
+      runs AS (
+        SELECT word, c, ch, run_id, count(*) AS run_len FROM (
+          SELECT word, c, i, ch,
+                 sum(CASE WHEN ch = lag_ch THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY word ORDER BY i) AS run_id
+          FROM (SELECT word, c, i, ch,
+                       lag(ch) OVER (PARTITION BY word ORDER BY i) AS lag_ch
+                FROM pos))
+        GROUP BY word, c, ch, run_id),
+      samepairs AS (
+        SELECT ch AS l, ch AS r,
+               CAST(sum((run_len // 2) * c) AS BIGINT) AS cnt
+        FROM runs WHERE run_len >= 2 GROUP BY 1, 2),
+      pairs AS (
+        SELECT l, r, CAST(sum(cnt) AS BIGINT) AS count
+        FROM (SELECT * FROM diffpairs UNION ALL SELECT * FROM samepairs)
+        GROUP BY 1, 2 HAVING sum(cnt) >= 2),
+      topk AS (
+        SELECT l, r, count FROM pairs
+        ORDER BY count DESC, l, r LIMIT 8),
+      first AS (
+        SELECT l AS first_left, r AS first_right, count AS first_count
+        FROM pairs ORDER BY count DESC, l, r LIMIT 1)
+      SELECT t.l AS left, t.r AS right, t.count,
+             CAST(8 AS BIGINT) AS n_merges,
+             f.first_left, f.first_right, f.first_count
+      FROM topk t CROSS JOIN first f
+      ORDER BY t.count DESC, t.l, t.r""",
+
     // q79: the BPE round-trip identity — per-doc word count, symbol
     // char mass, and round-trip successes recomputed straight off the
     // raw text with q25's tokenizer; n_roundtrip = n_words pins the

@@ -1052,9 +1052,26 @@ object Queries {
     * The corpus is touched once (word-count shuffle); every iteration
     * runs over the vocab table only.
     */
-  def q54BpeFit(s: SparkSession, dir: String): DataFrame =
-    graft.operators.BpeFit.fitTable(s, table(s, dir, "documents"), "text",
-      numMerges = 8, minCount = 2)
+  def q54BpeFit(s: SparkSession, dir: String): DataFrame = {
+    // bracket oracle for the BPE fit's FOUNDATION: the first round's
+    // top-8 pair candidates under the selection's total order are pure
+    // SQL over the raw text (single-char symbols, non-overlapping
+    // counting = floor(run/2) same-char pairs + every boundary pair),
+    // and the ACTUAL fit's first merge must be that list's head — so
+    // the counting semantics, the argmax, and the fit's entry point
+    // all hash-certify. Ranks 2..8 of the fit stay covered by q79's
+    // round-trip oracle and the batch-parity specs.
+    val words = graft.operators.BpeFit.wordCounts(
+      table(s, dir, "documents"), "text")
+    val merges = graft.operators.BpeFit.fit(words, numMerges = 8, minCount = 2)
+    val first = merges.head
+    graft.operators.BpeFit.roundCandidates(words, k = 8, minCount = 2)
+      .withColumn("n_merges", lit(merges.length.toLong))
+      .withColumn("first_left", lit(first.left))
+      .withColumn("first_right", lit(first.right))
+      .withColumn("first_count", lit(first.count))
+      .orderBy(col("count").desc, col("left"), col("right"))
+  }
 
   /** Product-quantization ANN ([[graft.operators.PqIndex]]) recall@5 vs
     * brute force: 16-byte codes (16× compression over the 64-dim float
