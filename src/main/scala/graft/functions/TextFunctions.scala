@@ -35,6 +35,42 @@ object TextFunctions {
   def punctCount(c: Column): Column =
     (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("int")
 
+  /** Sentence count: terminator runs ([.!?]+), min 1 for non-empty
+    * text (a fragment with no terminator is one sentence) — the
+    * standard readability denominator, engine-exact via regexp.
+    */
+  def sentenceCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L)).otherwise(
+      greatest(lit(1L),
+        size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long")))
+
+  /** Syllable proxy: vowel-group runs ([aeiouy]+) in lowercased text —
+    * the classic Flesch heuristic (each maximal vowel cluster ≈ one
+    * syllable). Exact integers, replayable in any regexp engine.
+    */
+  def syllableCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0))).cast("long")
+
+  /** Flesch reading ease in exact milli-units — every division a
+    * truncating integer div, so the score replays in any engine (the
+    * float formula 206.835 − 1.015·w/s − 84.6·syll/w scaled by 1000
+    * with each ratio pre-cleared to milli). Takes the NAMES of
+    * materialized BIGINT columns (the repo's `expr("a div b")`
+    * convention — Spark has no Column-level div):
+    *   wps_milli = (1000·words) div sentences
+    *   spw_milli = (1000·syllables) div words
+    *   flesch_milli = 206835 − (1015·wps_milli) div 1000
+    *                         − (84600·spw_milli) div 1000
+    * Zero words/sentences yield null (no text, no score).
+    */
+  def fleschMilli(wordsCol: String, sentencesCol: String,
+                  syllablesCol: String): Column =
+    when(col(wordsCol) === 0 || col(sentencesCol) === 0,
+      lit(null).cast("long")).otherwise(
+      lit(206835L)
+        - expr(s"(1015 * ((1000 * $wordsCol) div $sentencesCol)) div 1000")
+        - expr(s"(84600 * ((1000 * $syllablesCol) div $wordsCol)) div 1000"))
+
   /** Integer quality heuristics (length, stopword presence, punct load) —
     * all-int arithmetic so engine comparisons are exact.
     */

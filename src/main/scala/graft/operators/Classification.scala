@@ -76,6 +76,71 @@ object Classification {
         col("pe_num").cast("long").as("pe_num"))
   }
 
+  /** Fleiss' κ — chance-corrected agreement for n raters × k
+    * categories (Fleiss 1971), the multi-rater generalization of
+    * [[kappa]] that labeling pipelines need once more than two
+    * models/annotators vote per item. Input is the long form: one row
+    * per (item, assigned category) rating, EXACTLY n ratings per item
+    * (guarded loud — mixed rater counts are a data bug, not a
+    * convention).
+    *
+    * Exact integer sufficient statistics with denominators cleared
+    * (let N = items, n = raters, n_ij the per-(item, category) vote
+    * counts, A = Σ n_ij², c_j = Σ_i n_ij, S = Σ c_j²):
+    *
+    *   κ = [N·n·(A − N·n) − S·(n−1)] / [(n−1)·((N·n)² − S)]
+    *
+    * — BIGINT-exact numerator and denominator plus the single IEEE
+    * quotient, the [[kappa]]/[[aucExact]] convention. (N·n)² bounds
+    * the magnitudes: exact up to ~3·10⁹ total ratings, loudly
+    * guarded — sample beyond, agreement needs no more.
+    *
+    * Scale shape: one hash aggregate on (item, category), one on
+    * item (the guard + N), one on category (the margins) — all
+    * map-side-partial, nothing rides a window; the scalars compose
+    * via 1-row cross joins.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+                  catCol: String): DataFrame = {
+    val nij = ratings
+      .groupBy(col(itemCol).as("i"), col(catCol).as("j"))
+      .agg(count(lit(1)).as("m"))
+    val perItem = nij.groupBy(col("i")).agg(sum(col("m")).as("n_r"))
+    val itemStats = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("n_r")).as("__n_min"), max(col("n_r")).as("__n_max"))
+    val aRow = nij.agg(sum(col("m") * col("m")).as("a_sum"))
+    val catRow = nij.groupBy(col("j")).agg(sum(col("m")).as("c"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("c") * col("c")).as("s_sum"))
+    itemStats.crossJoin(aRow).crossJoin(catRow)
+      .withColumn("__guard",
+        when(col("__n_min") =!= col("__n_max"),
+          raise_error(concat(lit("fleissKappa: rater count varies across items: "),
+            col("__n_min").cast("string"), lit(" vs "),
+            col("__n_max").cast("string"))).cast("long"))
+        .when(col("n_items") * col("__n_max") > lit(3000000000L),
+          raise_error(lit("fleissKappa: > 3e9 ratings overflows the cleared integers; sample first")).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("n_raters", col("__n_max"))
+      .withColumn("nn", (col("n_items") * col("n_raters")).cast("long"))
+      .withColumn("kappa_num",
+        (col("nn") * (col("a_sum") - col("nn")) -
+          col("s_sum") * (col("n_raters") - 1) + col("__guard")).cast("long"))
+      .withColumn("kappa_den",
+        ((col("n_raters") - 1) * (col("nn") * col("nn") - col("s_sum")))
+          .cast("long"))
+      .withColumn("kappa",
+        when(col("kappa_den") === 0, lit(null).cast("double"))
+          .otherwise(col("kappa_num").cast("double") / col("kappa_den").cast("double")))
+      .select(col("n_items").cast("long").as("n_items"),
+        col("n_raters").cast("long").as("n_raters"),
+        col("n_categories").cast("long").as("n_categories"),
+        col("a_sum").cast("long").as("a_sum"),
+        col("s_sum").cast("long").as("s_sum"),
+        col("kappa_num"), col("kappa_den"), col("kappa"))
+  }
+
   /** χ² term-label association — the feature-selection step for a
     * quality/domain classifier (which tokens predict the label?):
     * per distinct token, the 2×2 presence contingency (a = docs with

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column-level table profiling — the "analyze this table" pass every
+  * warehouse and data-quality tool runs before anything else (the
+  * reference profiles batches operationally via `describeBatch` /
+  * "Viewing Previous Batches" in `README.md`; this is that health
+  * check generalized to per-column statistics, the Deequ/Great-
+  * Expectations analyzer shape).
+  *
+  * Two shapes, one contract (`(column, n, n_null, n_distinct, min_s,
+  * max_s)`, values canonicalized to strings so heterogeneous columns
+  * stack into one result):
+  *
+  *  - [[summarize]] — EXACT. One single-row aggregate per column,
+  *    unioned. k columns ⇒ k jobs, but each scans ONE column of a
+  *    columnar table (parquet `ReadSchema` prunes to it), and each
+  *    per-column distinct is a two-level hash aggregate (partial
+  *    distinct per partition, then merge) — never a row-multiplying
+  *    Expand, which is what a multi-column `countDistinct` in a
+  *    single aggregate would cost (the q29 lesson: one Expand per
+  *    distinct column ⇒ k× the scan in shuffled rows).
+  *  - [[summarizeApprox]] — ONE pass for all columns: HLL
+  *    `approx_count_distinct` per column are ordinary mergeable
+  *    aggregates (no Expand), so the whole profile costs a single
+  *    column-complete scan + one partial-combining aggregate. The
+  *    100 TB default; rsd defaults to HLL's 0.05 and the spec pins
+  *    the estimates inside 3·rsd of [[summarize]]'s exact counts.
+  *
+  * Caller canonicalization contract: values are rendered with Spark's
+  * string cast. Integers, strings, and dates render identically across
+  * engines; floating-point columns should be pre-scaled to integer
+  * units (e.g. [[Regression.centiUnits]]) by the caller if the profile
+  * must hash-certify cross-engine.
+  */
+object Profile {
+
+  private val schemaCols =
+    Seq("column", "n", "n_null", "n_distinct", "min_s", "max_s")
+
+  /** Exact per-column profile: one row per requested column. */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n"),
+          // coalesce: an EMPTY table profiles as zeros, not nulls
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .withColumn("column", lit(c))
+        .select(schemaCols.map(col): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** One-pass approximate profile: exact n / n_null / min / max, HLL
+    * distinct estimates (`rsd` relative standard error). Self-asserts
+    * nothing by itself — compose with [[summarize]] on a sample or pin
+    * with the 3·rsd envelope in tests.
+    */
+  def summarizeApprox(df: DataFrame, cols: Seq[String],
+                      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // pivot the single wide row into the per-column contract: the
+    // result is k rows from a 1-row input — pure projection, no job
+    // per column
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"))
+    }
+    one.select(explode(array(perCol: _*)).as("r"))
+      .select(schemaCols.map(c => col(s"r.$c").as(c)): _*)
+  }
+}

@@ -3561,5 +3561,116 @@ object Oracles {
                AS DECIMAL(18,6)) AS DOUBLE) AS total
       FROM merged WHERE rn = 1
       GROUP BY 1 ORDER BY 1""",
+
+    // q166: per-column profile replayed as one SELECT per column —
+    // exact distinct counts, min/max canonicalized to strings.
+    "q166_table_profile" -> """
+      SELECT 'o_custkey' AS "column", count(*) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS min_s,
+             CAST(max(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*),
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(*),
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderkey) AS BIGINT),
+             CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      ORDER BY "column"""",
+
+    // q167: md5-derived 60-bit row signatures (first 15 hex chars
+    // parsed as an integer — byte-identical across engines; fields
+    // join on the chr(1) separator with nulls as ''), summed per
+    // key-range bucket in HUGEINT and reduced mod 2^61.
+    "q167_bucket_checksum" -> """
+      WITH sig AS (
+        SELECT l_orderkey % 16 AS bucket,
+               CAST(concat('0x', substr(md5(concat_ws(chr(1),
+                 coalesce(CAST(l_orderkey AS VARCHAR), ''),
+                 coalesce(CAST(l_linenumber AS VARCHAR), ''),
+                 coalesce(l_returnflag, ''),
+                 coalesce(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), '')
+               )), 1, 15)) AS BIGINT) AS s
+        FROM lineitem)
+      SELECT bucket, count(*) AS n_rows,
+             CAST(sum(s) % 2305843009213693952 AS BIGINT) AS checksum
+      FROM sig GROUP BY bucket ORDER BY bucket""",
+
+    // q168: Fleiss' kappa replayed from the same three deterministic
+    // raters — cleared-integer sufficient statistics in HUGEINT, the
+    // single IEEE division last.
+    "q168_fleiss_kappa" -> """
+      WITH ratings AS (
+        SELECT doc_id AS i, n_chars % 3 AS j FROM documents
+        UNION ALL
+        SELECT doc_id, (n_chars // 7) % 3 FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id % 3 FROM documents),
+      nij AS (SELECT i, j, count(*) AS m FROM ratings GROUP BY 1, 2),
+      scal AS (
+        SELECT (SELECT count(DISTINCT i) FROM nij) AS n_items,
+               3 AS n_raters,
+               (SELECT count(DISTINCT j) FROM nij) AS n_categories,
+               (SELECT sum(m * m) FROM nij) AS a_sum,
+               (SELECT sum(c * c) FROM
+                  (SELECT j, sum(m) AS c FROM nij GROUP BY j)) AS s_sum)
+      SELECT CAST(n_items AS BIGINT) AS n_items,
+             CAST(n_raters AS BIGINT) AS n_raters,
+             CAST(n_categories AS BIGINT) AS n_categories,
+             CAST(a_sum AS BIGINT) AS a_sum,
+             CAST(s_sum AS BIGINT) AS s_sum,
+             CAST(n_items * n_raters * (a_sum - n_items * n_raters)
+                  - s_sum * (n_raters - 1) AS BIGINT) AS kappa_num,
+             CAST((n_raters - 1) * (n_items * n_raters * n_items * n_raters
+                  - s_sum) AS BIGINT) AS kappa_den,
+             CAST(n_items * n_raters * (a_sum - n_items * n_raters)
+                  - s_sum * (n_raters - 1) AS DOUBLE)
+               / CAST((n_raters - 1) * (n_items * n_raters * n_items * n_raters
+                  - s_sum) AS DOUBLE) AS kappa
+      FROM scal""",
+
+    // q169: readability signals — whitespace words, terminator-run
+    // sentences (min 1 for non-empty text), vowel-group syllables,
+    // and the Flesch score in milli-units with truncating divisions.
+    "q169_readability" -> """
+      WITH d AS (
+        SELECT lang,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+               CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    END AS BIGINT) AS se,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+        FROM documents),
+      g AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS words,
+               CAST(sum(se) AS BIGINT) AS sentences,
+               CAST(sum(sy) AS BIGINT) AS syllables
+        FROM d GROUP BY lang)
+      SELECT lang, n_docs, words, sentences, syllables,
+             CASE WHEN words = 0 OR sentences = 0 THEN NULL
+                  ELSE 206835 - (1015 * ((1000 * words) // sentences)) // 1000
+                             - (84600 * ((1000 * syllables) // words)) // 1000
+             END AS flesch_milli
+      FROM g ORDER BY lang""",
   )
 }

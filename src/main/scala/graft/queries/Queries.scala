@@ -3253,6 +3253,77 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Exact per-column table profile ([[graft.operators.Profile
+    * .summarize]]): the analyze-before-anything pass — count, null
+    * count, exact distinct count, min/max (canonical strings) for five
+    * orders columns. Each column is its own column-pruned single-row
+    * aggregate (never a row-multiplying Expand — the q29 lesson);
+    * [[graft.operators.Profile.summarizeApprox]] is the one-pass
+    * 100 TB variant, spec-pinned inside the HLL envelope.
+    */
+  def q166TableProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.summarize(table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))
+      .orderBy(col("column"))
+
+  /** Per-bucket content checksums ([[graft.operators.Fingerprint
+    * .checksumBy]]): lineitem fingerprinted into 16 key-range buckets —
+    * md5-derived 60-bit row signatures summed per bucket, the
+    * order-independent mergeable equality test that scopes incremental
+    * sync and audits [[graft.operators.StoredMerge.upsertBuckets]]'
+    * untouched-bucket guarantee. Fully engine-replayable (md5 hex is
+    * byte-identical; floats pre-scaled to centi-units).
+    */
+  def q167BucketChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Fingerprint.checksumBy(
+        table(s, dir, "lineitem"),
+        col("l_orderkey") % 16,
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          graft.operators.Regression.centiUnits(col("l_extendedprice"))))
+      .orderBy(col("bucket"))
+
+  /** Fleiss' κ ([[graft.operators.Classification.fleissKappa]]):
+    * three deterministic "raters" (n_chars mod 3, n_chars div 7 mod 3,
+    * doc_id mod 3) each assign every document to one of three
+    * categories; the multi-rater chance-corrected agreement comes out
+    * as exact cleared integers + one IEEE division, replayed verbatim
+    * by the oracle.
+    */
+  def q168FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("n_chars") % 3).as("r1"),
+        expr("(n_chars div 7) % 3").as("r2"),
+        (col("doc_id") % 3).as("r3"))
+    val ratings = d.select(col("doc_id").as("item"),
+      explode(array(col("r1"), col("r2"), col("r3"))).as("cat"))
+    graft.operators.Classification.fleissKappa(ratings, "item", "cat")
+  }
+
+  /** Readability signals ([[TextFunctions.sentenceCount]] /
+    * [[TextFunctions.syllableCount]] / [[TextFunctions.fleschMilli]]):
+    * per-language word/sentence/syllable totals and the Flesch reading
+    * ease of the language's pooled text in exact milli-units — every
+    * ratio a truncating integer div, so the classic readability score
+    * hash-certifies cross-engine. Pure scan-adjacent map work + one
+    * hash aggregate.
+    */
+  def q169Readability(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"),
+        TextFunctions.sentenceCount(col("text")).as("se"),
+        TextFunctions.syllableCount(col("text")).as("sy"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("words"),
+        sum(col("se")).as("sentences"),
+        sum(col("sy")).as("syllables"))
+      .withColumn("flesch_milli",
+        TextFunctions.fleschMilli("words", "sentences", "syllables"))
+      .orderBy(col("lang"))
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3714,5 +3785,9 @@ object Queries {
     "q163_mom_growth"    -> (q163MomGrowth _),
     "q164_ltv_curve"     -> (q164LtvCurve _),
     "q165_upsert_latest" -> (q165UpsertLatest _),
+    "q166_table_profile" -> (q166TableProfile _),
+    "q167_bucket_checksum" -> (q167BucketChecksum _),
+    "q168_fleiss_kappa"  -> (q168FleissKappa _),
+    "q169_readability"   -> (q169Readability _),
   )
 }

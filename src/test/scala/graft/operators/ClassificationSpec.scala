@@ -102,6 +102,51 @@ class ClassificationSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver Fleiss reference: long-form ratings → (num, den, kappa). */
+  private def refFleiss(ratings: Seq[(Long, Long)]): (Long, Long, Double) = {
+    val byItem = ratings.groupBy(_._1)
+    val n = byItem.values.head.size.toLong
+    val nItems = byItem.size.toLong
+    val a = byItem.values.map(rs =>
+      rs.groupBy(_._2).values.map(g => g.size.toLong * g.size).sum).sum
+    val s = ratings.groupBy(_._2).values
+      .map(g => g.size.toLong * g.size).sum
+    val nn = nItems * n
+    val num = nn * (a - nn) - s * (n - 1)
+    val den = (n - 1) * (nn * nn - s)
+    (num, den, num.toDouble / den)
+  }
+
+  test("fleissKappa matches the driver reference; perfect agreement gives 1") {
+    // Fleiss-style panel: 6 items × 4 raters × 3 categories
+    val votes = Seq[(Long, Seq[Long])](
+      (1L, Seq(0, 0, 0, 0)), (2L, Seq(0, 0, 1, 2)), (3L, Seq(1, 1, 1, 2)),
+      (4L, Seq(2, 2, 2, 2)), (5L, Seq(0, 1, 1, 1)), (6L, Seq(0, 0, 2, 2)))
+    val long = votes.flatMap { case (i, cs) => cs.map(c => (i, c)) }
+    val got = Classification
+      .fleissKappa(long.toDF("item", "cat"), "item", "cat").collect().head
+    val (num, den, k) = refFleiss(long)
+    assert(got.getLong(0) == 6L && got.getLong(1) == 4L && got.getLong(2) == 3L)
+    assert(got.getLong(5) == num && got.getLong(6) == den)
+    assert(got.getDouble(7) == k)
+
+    // unanimity: kappa exactly 1
+    val perfect = (1L to 5L).flatMap(i => Seq.fill(3)((i, i % 2)))
+    val one = Classification
+      .fleissKappa(perfect.toDF("item", "cat"), "item", "cat").collect().head
+    assert(one.getLong(5) == one.getLong(6) && one.getDouble(7) == 1.0)
+  }
+
+  test("fleissKappa fails loud on ragged rater counts") {
+    val ragged = Seq((1L, 0L), (1L, 1L), (2L, 0L)) // item 1: 2 raters, item 2: 1
+    val e = intercept[Exception] {
+      Classification.fleissKappa(ragged.toDF("item", "cat"), "item", "cat")
+        .collect()
+    }
+    assert(e.getMessage.contains("rater count varies") ||
+      e.getCause != null && e.getCause.getMessage.contains("rater count varies"))
+  }
+
   test("chi2Terms matches the BigInt reference, filters degenerate margins") {
     val docs = Seq(
       ("the cat sat", true), ("the dog ran", true), ("the cat ate", true),

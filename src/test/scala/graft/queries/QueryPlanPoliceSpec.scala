@@ -57,7 +57,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q147_rfm"            -> 6, // q62's 2-cartesian shape (k-range × thresholds + 1-row list scalar) × 3 metrics
     "q150_sampled_triangles" -> 2, // q133's 1-row census scalars on the sampled subgraph
     "q152_item_similarity" -> 1, // q140's 1-row basket-total scalar
-    "q153_engagement"     -> 1) // range join against the broadcast DAY list (≤ horizon days rows)
+    "q153_engagement"     -> 1, // range join against the broadcast DAY list (≤ horizon days rows)
+    "q168_fleiss_kappa"   -> 2) // 1-row item-stats × 1-row pair-mass × 1-row category-margin scalars
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
