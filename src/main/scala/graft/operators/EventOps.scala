@@ -350,4 +350,77 @@ object EventOps {
       .select(col("anchor").cast("string").as("day"),
         col("dau"), col("wau"), col("mau"))
   }
+
+  /** Multi-touch attribution — the fractional-credit generalization of
+    * the as-of last-touch policy (q159): every touchpoint inside a
+    * conversion's lookback window earns a share of the conversion's
+    * revenue. Policies:
+    *
+    *  - `"linear"`: each of the n touches gets `rev_micro div n`.
+    *  - `"u40"`: position-based 40/20/40 (the "U-shaped" industry
+    *    standard) — first touch 40%, last touch 40%, the middle n−2
+    *    split the remaining 20%; n = 1 takes all, n = 2 split 50/50.
+    *
+    * Credits are EXACT integers in micro-revenue units (truncating
+    * div; the ≤ n-micro rounding remainder per conversion is the
+    * documented cost of engine-replayable integer credit).
+    *
+    * Scale shape: the touch↔conversion match is
+    * [[RangeJoin.pointInInterval]] on (user, time-bucket) — a plain
+    * shuffled equi-join, never a nested loop; per-conversion counts
+    * and first/last selection are ONE hash aggregate on the
+    * conversion id (max/min over (ts, touch-id) structs — no window,
+    * skew-immune) joined back by id. Returns one row per credited
+    * (conversion, touch) with `credit_micro`; roll up by channel
+    * downstream.
+    */
+  def multiTouchAttribution(conversions: DataFrame, touches: DataFrame,
+                            userCol: String, tsCol: String,
+                            convIdCol: String, revCol: String,
+                            touchIdCol: String, channelCol: String,
+                            lookbackSec: Long, policy: String = "linear",
+                            bucketWidth: Long = 3600L): DataFrame = {
+    require(Seq("linear", "u40").contains(policy), s"unknown policy $policy")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val conv = conversions.select(
+      col(userCol).as("u"), col(convIdCol).as("conv_id"),
+      col(tsCol).cast("long").as("conv_ts"), col(revCol).as("rev"))
+      .withColumn("w_start",
+        greatest(lit(0L), col("conv_ts") - lit(lookbackSec)))
+      .withColumn("w_end", col("conv_ts") - 1L) // strictly before conversion
+    val tch = touches.select(
+      col(userCol).as("u"), col(touchIdCol).as("touch_id"),
+      col(tsCol).cast("long").as("touch_ts"), col(channelCol).as("channel"))
+    val matched = RangeJoin.pointInInterval(
+        tch, conv, keys = Seq("u"), ptCol = "touch_ts",
+        startCol = "w_start", endCol = "w_end", bucketWidth = bucketWidth)
+      .select(col("u"), col("i_conv_id").as("conv_id"), col("i_rev").as("rev"),
+        col("touch_id"), col("touch_ts"), col("channel"))
+    val perConv = matched.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("touch_ts"), col("touch_id"))).as("__first"),
+        max(struct(col("touch_ts"), col("touch_id"))).as("__last"))
+      .select(col("conv_id"), col("n_touches"),
+        col("__first.touch_id").as("first_id"),
+        col("__last.touch_id").as("last_id"))
+    val credited = matched.join(perConv, "conv_id")
+      .withColumn("rev_micro", col("rev").cast("long") * lit(1000000L))
+      .withColumn("pos",
+        when(col("touch_id") === col("first_id"), lit("first"))
+          .when(col("touch_id") === col("last_id"), lit("last"))
+          .otherwise(lit("middle")))
+    val credit = policy match {
+      case "linear" => expr("rev_micro div n_touches")
+      case "u40" =>
+        when(col("n_touches") === 1, col("rev_micro"))
+          .when(col("n_touches") === 2, expr("rev_micro div 2"))
+          .when(col("pos") === "first" || col("pos") === "last",
+            expr("(rev_micro * 2) div 5"))
+          .otherwise(expr("(rev_micro div 5) div (n_touches - 2)"))
+    }
+    credited
+      .withColumn("credit_micro", credit)
+      .select(col("conv_id"), col("touch_id"), col("channel"), col("pos"),
+        col("n_touches"), col("credit_micro"))
+  }
 }

@@ -254,4 +254,44 @@ object TimeSeries {
       .withColumn("ewma_c", expr("ewma_num div ewma_den"))
       .drop((0 until span).map(i => s"__g$i"): _*)
   }
+
+  /** Time-weighted average (TWAP) over IRREGULAR samples: each sample
+    * holds its value until the next one, so the average weights
+    * values by their holding interval — the metric a row-count mean
+    * gets wrong exactly when sampling is uneven (bursty telemetry,
+    * trade ticks, config changes).
+    *
+    * Per key: samples ordered by (`tsCol`, tie on value for a total
+    * order), each weighted by `next_ts − ts`; the LAST sample holds
+    * until `horizonEnd` (exclusive; must be ≥ every ts). Samples
+    * before the horizon start are the caller's filter. Exact integers:
+    *   twap_micro = (Σ v·dt · 10⁶) div (Σ dt)
+    * (values pre-scaled to integer units by the caller).
+    *
+    * Scale shape: one lead() window partitioned by the
+    * high-cardinality key + one hash aggregate — the [[ewma]]
+    * discipline; nothing global.
+    */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           horizonEnd: Long): DataFrame = {
+    df.select(col(keyCol), col(tsCol).cast("long").as("__ts"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__ts").isNotNull && col("__v").isNotNull)
+      .withColumn("__next",
+        coalesce(lead(col("__ts"), 1).over(
+          Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__v"))),
+          lit(horizonEnd)))
+      .withColumn("__dt",
+        when(col("__next") - col("__ts") < 0,
+          raise_error(lit("twap: horizonEnd precedes a sample timestamp")).cast("long"))
+          .otherwise(col("__next") - col("__ts")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("__dt")).as("held_sec"),
+        sum(col("__v") * col("__dt")).as("vt_sum"))
+      // ×10⁶ in DECIMAL(38,0): vt_sum is already ~value·horizon and the
+      // micro scale-up overflows BIGINT long before the data is big
+      .withColumn("twap_micro",
+        expr("CAST((CAST(vt_sum AS DECIMAL(38,0)) * 1000000) div held_sec AS BIGINT)"))
+  }
 }

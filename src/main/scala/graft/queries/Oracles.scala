@@ -3672,5 +3672,65 @@ object Oracles {
                              - (84600 * ((1000 * syllables) // words)) // 1000
              END AS flesch_milli
       FROM g ORDER BY lang""",
+
+    // q170: sample-and-hold TWAP — lead() to the next sample (ties on
+    // value for a total order), the last holds to the 2024-01-31
+    // horizon; HUGEINT replays the DECIMAL(38,0) micro quotient.
+    "q170_twap" -> """
+      WITH d AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+        WHERE user_id < 500 AND ts IS NOT NULL AND value IS NOT NULL),
+      g AS (
+        SELECT user_id, sec, v,
+               coalesce(lead(sec) OVER (PARTITION BY user_id ORDER BY sec, v),
+                        1706659200) AS nxt
+        FROM d)
+      SELECT user_id, count(*) AS n_samples,
+             CAST(sum(nxt - sec) AS BIGINT) AS held_sec,
+             CAST(sum(v * (nxt - sec)) AS BIGINT) AS vt_sum,
+             CAST((sum(v * (nxt - sec)) * 1000000) // sum(nxt - sec) AS BIGINT)
+               AS twap_micro
+      FROM g GROUP BY user_id ORDER BY user_id""",
+
+    // q171: linear multi-touch attribution — the 24h window join
+    // replayed non-equi (exact at oracle scale), first/last by
+    // (touch_ts, touch_id) row_number, equal split via truncating //.
+    "q171_multi_touch" -> """
+      WITH conv AS (
+        SELECT event_id AS conv_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS conv_ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      tch AS (
+        SELECT event_id AS touch_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS touch_ts,
+               event_type AS channel
+        FROM events WHERE event_type IN ('click', 'view')),
+      matched AS (
+        SELECT c.conv_id, c.rev_c, t.touch_id, t.touch_ts, t.channel
+        FROM conv c JOIN tch t
+          ON c.user_id = t.user_id
+         AND t.touch_ts >= greatest(0, c.conv_ts - 86400)
+         AND t.touch_ts <= c.conv_ts - 1),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY touch_ts, touch_id) AS rn_first,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY touch_ts DESC, touch_id DESC) AS rn_last,
+               count(*) OVER (PARTITION BY conv_id) AS n_touches
+        FROM matched),
+      credited AS (
+        SELECT channel,
+               CASE WHEN rn_first = 1 THEN 'first'
+                    WHEN rn_last = 1 THEN 'last'
+                    ELSE 'middle' END AS pos,
+               (rev_c * 1000000) // n_touches AS credit_micro
+        FROM ranked)
+      SELECT channel, pos, count(*) AS n_touches,
+             CAST(sum(credit_micro) AS BIGINT) AS credit_micro_sum
+      FROM credited GROUP BY 1, 2 ORDER BY channel, pos""",
   )
 }

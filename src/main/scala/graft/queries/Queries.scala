@@ -3324,6 +3324,51 @@ object Queries {
         TextFunctions.fleschMilli("words", "sentences", "syllables"))
       .orderBy(col("lang"))
 
+  /** Time-weighted average ([[graft.operators.TimeSeries.twap]]): each
+    * user's value signal averaged by HOLDING TIME (sample-and-hold to
+    * the next sample; the last holds to the 2024-01-31 horizon) — the
+    * statistic a row-count mean gets wrong under bursty sampling.
+    * Exact integers: centi-unit values, epoch-second intervals,
+    * micro-unit quotient via one DECIMAL div. The only window rides
+    * the high-cardinality user key; user_id < 500 bounds the verify
+    * dump, pushed to the scan.
+    */
+  def q170Twap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.twap(
+        eventsTable(s, dir)
+          .filter(col("user_id") < 500)
+          .select(col("user_id"), col("ts").cast("long").as("sec"),
+            graft.operators.Regression.centiUnits(col("value")).as("v_c")),
+        "user_id", "sec", "v_c", horizonEnd = 1706659200L)
+      .orderBy(col("user_id"))
+
+  /** Multi-touch attribution ([[graft.operators.EventOps
+    * .multiTouchAttribution]], linear policy): every click/view in the
+    * 24h before a purchase splits the purchase's revenue equally —
+    * the fractional-credit complement of q159's last-touch as-of.
+    * Touch↔conversion matching is the bucketized range join (equi-join
+    * on (user, hour bucket), never a nested loop); credits are exact
+    * micro-unit integers, rolled up per (channel, position).
+    */
+  def q171MultiTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        graft.operators.Regression.centiUnits(col("value")).as("rev_c"))
+      .where(col("rev_c").isNotNull)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type").as("channel"))
+    graft.operators.EventOps.multiTouchAttribution(
+        purchases, touches, userCol = "user_id", tsCol = "ts",
+        convIdCol = "event_id", revCol = "rev_c", touchIdCol = "event_id",
+        channelCol = "channel", lookbackSec = 86400L, policy = "linear")
+      .groupBy(col("channel"), col("pos"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).cast("long").as("credit_micro_sum"))
+      .orderBy(col("channel"), col("pos"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3789,5 +3834,7 @@ object Queries {
     "q167_bucket_checksum" -> (q167BucketChecksum _),
     "q168_fleiss_kappa"  -> (q168FleissKappa _),
     "q169_readability"   -> (q169Readability _),
+    "q170_twap"          -> (q170Twap _),
+    "q171_multi_touch"   -> (q171MultiTouch _),
   )
 }

@@ -338,4 +338,46 @@ class EventOpsSpec extends AnyFunSuite {
       .toMap
     assert(got == Map("y>x" -> 1L, "solo" -> 1L))
   }
+
+  test("multiTouchAttribution linear: equal split inside the lookback, outside excluded") {
+    // conversion at t=1000 rev 300, lookback 100: touches at 920, 950,
+    // 980 credit 100e6 each; 1000 (same second) and 880 excluded
+    val conv = Seq((1L, 10L, 1000L, 300L)).toDF("cid", "u", "t", "rev")
+    val tch = Seq(
+      (101L, 10L, 920L, "click"), (102L, 10L, 950L, "view"),
+      (103L, 10L, 980L, "click"), (104L, 10L, 1000L, "view"),
+      (105L, 10L, 880L, "click"), (106L, 99L, 950L, "view"))
+      .toDF("tid", "u", "t", "ch")
+    val got = EventOps.multiTouchAttribution(conv, tch, "u", "t", "cid",
+        "rev", "tid", "ch", lookbackSec = 100L, policy = "linear",
+        bucketWidth = 60L)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getString(3), r.getLong(5)))).toMap
+    assert(got.keySet == Set(101L, 102L, 103L))
+    assert(got(101L) == (("first", 100000000L)))
+    assert(got(102L) == (("middle", 100000000L)))
+    assert(got(103L) == (("last", 100000000L)))
+  }
+
+  test("multiTouchAttribution u40: 40/20/40 positions, n=1 and n=2 degenerate") {
+    val conv = Seq((1L, 1L, 1000L, 100L), (2L, 2L, 1000L, 100L),
+      (3L, 3L, 1000L, 100L)).toDF("cid", "u", "t", "rev")
+    val tch = Seq(
+      // u1: four touches -> 40/10/10/40
+      (11L, 1L, 910L, "a"), (12L, 1L, 920L, "b"),
+      (13L, 1L, 930L, "c"), (14L, 1L, 940L, "d"),
+      // u2: single touch -> 100%
+      (21L, 2L, 950L, "a"),
+      // u3: two touches -> 50/50
+      (31L, 3L, 930L, "a"), (32L, 3L, 960L, "b"))
+      .toDF("tid", "u", "t", "ch")
+    val got = EventOps.multiTouchAttribution(conv, tch, "u", "t", "cid",
+        "rev", "tid", "ch", lookbackSec = 100L, policy = "u40",
+        bucketWidth = 60L)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(got(11L) == 40000000L && got(14L) == 40000000L)
+    assert(got(12L) == 10000000L && got(13L) == 10000000L)
+    assert(got(21L) == 100000000L)
+    assert(got(31L) == 50000000L && got(32L) == 50000000L)
+  }
 }

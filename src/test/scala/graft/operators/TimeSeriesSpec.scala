@@ -187,4 +187,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.ewma(df, "k", "t", "v", alphaExp = 8, span = 8)
     }
   }
+
+  test("twap: holding-time weights, horizon tail, ties deterministic") {
+    val rows = Seq(
+      // key a: v=10 held [0,10), v=40 held [10,20), horizon 20
+      ("a", 0L, 10L), ("a", 10L, 40L),
+      // key b: one sample holds the whole [5, 20) span
+      ("b", 5L, 7L),
+      // key c: duplicate timestamp — (ts, v) order makes dt=0 for the
+      // smaller value, so only the larger holds
+      ("c", 0L, 3L), ("c", 0L, 9L))
+    val got = TimeSeries.twap(rows.toDF("k", "t", "v"), "k", "t", "v",
+        horizonEnd = 20L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((2L, 20L, 10L * 10 + 40L * 10, 25000000L)))
+    assert(got("b") == ((1L, 15L, 7L * 15, 7000000L)))
+    assert(got("c") == ((2L, 20L, 9L * 20, 9000000L)))
+  }
+
+  test("twap: horizon before a sample fails loud") {
+    val e = intercept[Exception] {
+      TimeSeries.twap(Seq(("a", 30L, 1L)).toDF("k", "t", "v"),
+        "k", "t", "v", horizonEnd = 20L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("horizonEnd precedes")))
+  }
 }
