@@ -3732,5 +3732,33 @@ object Oracles {
       SELECT channel, pos, count(*) AS n_touches,
              CAST(sum(credit_micro) AS BIGINT) AS credit_micro_sum
       FROM credited GROUP BY 1, 2 ORDER BY channel, pos""",
+
+    // q172: the NAIVE full-outer diff over the same mutation — the
+    // bucket-scoped summary must equal it exactly (dense four types).
+    "q172_diff_by_buckets" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS s,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+        FROM orders),
+      nxt AS (
+        SELECT k, s,
+               CASE WHEN k % 13 = 0 THEN p + 100000 ELSE p END AS p
+        FROM base WHERE k % 97 <> 0
+        UNION ALL
+        SELECT k + 10000000, s, p FROM base WHERE k % 101 = 0),
+      d AS (
+        SELECT CASE WHEN b.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    WHEN b.s IS DISTINCT FROM n.s
+                      OR b.p IS DISTINCT FROM n.p THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM base b FULL OUTER JOIN nxt n ON b.k = n.k),
+      counts AS (
+        SELECT change_type, count(*) AS n FROM d GROUP BY 1)
+      SELECT t.change_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_keys
+      FROM (VALUES ('added'), ('changed'), ('removed'), ('unchanged'))
+        AS t(change_type)
+      LEFT JOIN counts c USING (change_type)
+      ORDER BY change_type""",
   )
 }

@@ -3369,6 +3369,33 @@ object Queries {
       .orderBy(col("channel"), col("pos"))
   }
 
+  /** Checksum-scoped snapshot diff ([[graft.operators.SnapshotDiff
+    * .summaryByBuckets]]): orders vs a deterministically mutated copy
+    * (removals %97, price bumps %13, insertions %101 re-keyed +10M) —
+    * the 100 TB sync shape where agreeing buckets are PROVEN identical
+    * by their [[graft.operators.Fingerprint]] checksums and never join;
+    * only disagreeing buckets' rows pay the full-outer diff. The oracle
+    * replays the NAIVE full diff — equality certifies the scoping lost
+    * nothing.
+    */
+  def q172DiffByBuckets(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        graft.operators.Regression.centiUnits(col("o_totalprice")).as("price_c"))
+    val next = base
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("price_c",
+        when(col("o_orderkey") % 13 === 0, col("price_c") + 100000L)
+          .otherwise(col("price_c")))
+      .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("price_c")))
+    graft.operators.SnapshotDiff.summaryByBuckets(
+        base, next, Seq("o_orderkey"), Seq("o_orderstatus", "price_c"),
+        nBuckets = 64)
+      .orderBy(col("change_type"))
+  }
+
   /** Exact ROC AUC ([[graft.operators.Classification.aucExact]]): does
     * document length separate English from the rest? Mann-Whitney U
     * with tie correction as exact integer pair counts (u2 = 2·U), the
@@ -3836,5 +3863,6 @@ object Queries {
     "q169_readability"   -> (q169Readability _),
     "q170_twap"          -> (q170Twap _),
     "q171_multi_touch"   -> (q171MultiTouch _),
+    "q172_diff_by_buckets" -> (q172DiffByBuckets _),
   )
 }

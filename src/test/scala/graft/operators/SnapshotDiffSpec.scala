@@ -47,4 +47,31 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(got == Map((1L, "x") -> "unchanged", (1L, "y") -> "removed",
       (1L, "z") -> "added"))
   }
+
+  test("summaryByBuckets equals the naive summary, dense in all four types") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    // mutate: drop %131, change %17, add 2000..2009
+    val next = prev.filter(col("k") % 131 =!= 0)
+      .withColumn("v", when(col("k") % 17 === 0, col("v") + 100).otherwise(col("v")))
+      .unionByName(spark.range(2000, 2010)
+        .select(col("id").as("k"), lit(0L).as("v")))
+    def toMapRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = toMapRows(SnapshotDiff.summary(prev, next, Seq("k"), Seq("v")))
+    val scoped = toMapRows(
+      SnapshotDiff.summaryByBuckets(prev, next, Seq("k"), Seq("v"), nBuckets = 16))
+    // the naive summary is sparse; densify for the compare
+    val dense = Seq("added", "removed", "changed", "unchanged")
+      .map(t => t -> naive.getOrElse(t, 0L)).toMap
+    assert(scoped == dense, s"scoped $scoped vs naive $dense")
+
+    // identical states: every bucket agrees, NOTHING joins — all
+    // unchanged comes from the checksum reconstitution alone
+    val same = toMapRows(
+      SnapshotDiff.summaryByBuckets(prev, prev, Seq("k"), Seq("v"), nBuckets = 16))
+    assert(same == Map("added" -> 0L, "removed" -> 0L, "changed" -> 0L,
+      "unchanged" -> 2000L))
+  }
 }

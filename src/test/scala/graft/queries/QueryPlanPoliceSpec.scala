@@ -58,7 +58,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q150_sampled_triangles" -> 2, // q133's 1-row census scalars on the sampled subgraph
     "q152_item_similarity" -> 1, // q140's 1-row basket-total scalar
     "q153_engagement"     -> 1, // range join against the broadcast DAY list (≤ horizon days rows)
-    "q168_fleiss_kappa"   -> 2) // 1-row item-stats × 1-row pair-mass × 1-row category-margin scalars
+    "q168_fleiss_kappa"   -> 2, // 1-row item-stats × 1-row pair-mass × 1-row category-margin scalars
+    "q172_diff_by_buckets" -> 1) // 1-row total-keys × 1-row hot-keys scalar (cold-unchanged reconstitution)
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
