@@ -458,6 +458,95 @@ object Graphs {
     deg.filter(col("core_deg") >= k)
   }
 
+  /** k-truss: the maximal subgraph whose every edge closes at least
+    * k−2 triangles WITHIN the subgraph (Cohen 2008) — the edge-level
+    * sharpening of [[kCore]] (a k-truss is always inside the
+    * (k−1)-core, but demands cohesion per EDGE, so it isolates
+    * genuinely dense communities where the core keeps hub-threaded
+    * fluff). Peeling fixpoint, like the core: each round recounts
+    * per-edge triangle support over the SURVIVING edges and drops
+    * edges below k−2; deletion can only lower neighbors' support, so
+    * the fixpoint is order-independent and exact.
+    *
+    * Per round the support count is the [[triangleStats]] oriented
+    * enumeration (degree-ordered apexes, O(√m) wedge fan-out,
+    * hub-proof): each closed wedge (apex, x, y) charges its THREE
+    * undirected edges, one groupBy sums the charges. Rounds
+    * materialize via localCheckpoint ([[Clusters]]' one-round
+    * invariant); the surviving-edge count doubles as the convergence
+    * test. Peeling depth ≤ the truss number of the graph — small for
+    * the power-law graphs that matter.
+    *
+    * Returns the surviving undirected edges `(u, v, support)` with
+    * support counted INSIDE the truss (≥ k−2 by construction, ALWAYS
+    * recomputed from the final edge set — the kCore maxIter lesson
+    * baked in from the start).
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             maxIter: Int = 50): DataFrame = {
+    require(k >= 3, "k must be >= 3 (k = 2 is just the edge set)")
+    var e = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val need = (k - 2).toLong
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val supp = edgeSupport(e)
+      val bad = e.join(supp, Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) < need)
+        .select(col("u"), col("v"))
+      if (bad.isEmpty) done = true
+      else {
+        e = e.join(bad, Seq("u", "v"), "left_anti").localCheckpoint()
+        it += 1
+      }
+    }
+    // always emit the FINAL edge set's support — after a clean
+    // fixpoint this is the converged count (≥ k−2); on maxIter
+    // exhaustion it is still a true count over a valid partial peel
+    val fin = edgeSupport(e)
+    val out = e.join(fin, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+    if (done) out.filter(col("support") >= need) else out
+  }
+
+  /** Per-edge triangle support over an undirected deduplicated
+    * (u < v) edge table: the oriented wedge-closure enumeration with
+    * each triangle charging its three edges. Edges in no triangle are
+    * absent (count 0 downstream via left join). */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = withDeg.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    val e1 = o.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+    val e2 = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val tri = e1.join(e2, Seq("src"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("a"), col("x"), col("y"))
+    // each triangle charges its three undirected edges
+    val charges = tri.select(least(col("a"), col("x")).as("u"),
+        greatest(col("a"), col("x")).as("v"))
+      .union(tri.select(least(col("a"), col("y")).as("u"),
+        greatest(col("a"), col("y")).as("v")))
+      .union(tri.select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v")))
+    charges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+  }
+
   /** Driver peel over a small deduplicated edge set — identical
     * (node, core_deg) contract to the distributed waves. */
   private def localKCore(e: DataFrame, k: Int): DataFrame = {

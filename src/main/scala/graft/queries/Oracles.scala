@@ -3760,5 +3760,47 @@ object Oracles {
         AS t(change_type)
       LEFT JOIN counts c USING (change_type)
       ORDER BY change_type""",
+
+    // q173: the truss fixpoint replayed with q137's recursive
+    // removed-list accumulator over EDGE ids (u·10^7+v); per-edge
+    // support = common surviving neighbors, counted via the doubled
+    // adjacency. k = 3 → peel support < 1.
+    "q173_ktruss" -> """
+      WITH RECURSIVE ed AS (
+        SELECT u, v, u * 10000000 + v AS eid FROM (
+          SELECT u, v FROM (
+            SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+          GROUP BY u, v HAVING COUNT(*) >= 2)),
+      nbr AS (SELECT u AS a, v AS b, eid FROM ed
+              UNION ALL SELECT v, u, eid FROM ed),
+      peel(removed) AS (
+        SELECT CAST([] AS BIGINT[])
+        UNION
+        SELECT (
+          SELECT COALESCE(LIST(DISTINCT x ORDER BY x), CAST([] AS BIGINT[]))
+          FROM (
+            SELECT s.eid AS x
+            FROM ed s
+            WHERE NOT list_contains(p.removed, s.eid)
+              AND (SELECT COUNT(*)
+                   FROM nbr n1 JOIN nbr n2 ON n1.b = n2.b
+                   WHERE n1.a = s.u AND n2.a = s.v
+                     AND NOT list_contains(p.removed, n1.eid)
+                     AND NOT list_contains(p.removed, n2.eid)) < 1
+            UNION ALL
+            SELECT UNNEST(p.removed) AS x) t)
+        FROM peel p),
+      final AS (SELECT removed FROM peel ORDER BY len(removed) DESC LIMIT 1)
+      SELECT CAST(s.u AS BIGINT) AS u, CAST(s.v AS BIGINT) AS v,
+             CAST((SELECT COUNT(*)
+                   FROM nbr n1 JOIN nbr n2 ON n1.b = n2.b
+                   WHERE n1.a = s.u AND n2.a = s.v
+                     AND NOT list_contains(f.removed, n1.eid)
+                     AND NOT list_contains(f.removed, n2.eid)) AS BIGINT) AS support
+      FROM ed s, final f
+      WHERE NOT list_contains(f.removed, s.eid)
+      ORDER BY u, v""",
   )
 }

@@ -3460,6 +3460,28 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** k-truss ([[graft.operators.Graphs.kTruss]]): the 3-truss of
+    * q137's reduced co-purchase graph — every surviving edge must
+    * close ≥ 1 triangle INSIDE the truss, the edge-level cohesion cut
+    * that drops hub-threaded fluff the k-core keeps (the 4-truss of
+    * this graph is empty at test scale; k = 3 keeps the fixpoint
+    * non-trivial). Oriented-wedge support counts per peel round
+    * (hub-proof O(√m) fan-out); the oracle replays the fixpoint with
+    * q137's recursive removed-list accumulator over EDGES, so
+    * membership AND in-truss supports hash-certify exactly.
+    */
+  def q173Ktruss(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("ok"), col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    graft.operators.Graphs.kTruss(edges, "a", "b", k = 3)
+      .orderBy(col("u"), col("v"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -3864,5 +3886,6 @@ object Queries {
     "q170_twap"          -> (q170Twap _),
     "q171_multi_touch"   -> (q171MultiTouch _),
     "q172_diff_by_buckets" -> (q172DiffByBuckets _),
+    "q173_ktruss"        -> (q173Ktruss _),
   )
 }

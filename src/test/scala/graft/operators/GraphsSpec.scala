@@ -352,4 +352,54 @@ class GraphsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(3L -> 2L), s"got $got")
   }
+
+  /** Driver truss reference: iterative brute-force support peel. */
+  private def refKTruss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.toSeq.map { case (u, v) =>
+        (u, v) -> (adj(u) & adj(v)).size.toLong
+      }.toMap
+    }
+    var changed = true
+    while (changed) {
+      val sup = support(und)
+      val bad = und.filter(e => sup(e) < k - 2)
+      changed = bad.nonEmpty
+      und = und -- bad
+    }
+    support(und)
+  }
+
+  private def runKTruss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] =
+    Graphs.kTruss(edges.toDF("a", "b"), "a", "b", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("kTruss matches the peeling reference on random graphs, k in 3..4") {
+    for (seed <- 1 to 3; k <- 3 to 4) {
+      val rnd = new scala.util.Random(seed * 11)
+      val n = 30
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(runKTruss(edges, k) == refKTruss(edges, k), s"seed=$seed k=$k")
+    }
+  }
+
+  test("kTruss: K4 with a pendant triangle — the cohesion cut kCore misses") {
+    // K4 on {1,2,3,4} plus triangle {4,5,6}: every edge of K4 closes 2
+    // triangles; the pendant triangle's edges close only 1 → a 4-truss
+    // keeps exactly K4, even though all six nodes sit in the 2-core
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val got = runKTruss(edges, 4)
+    assert(got.keySet == k4.toSet, s"got ${got.keySet}")
+    assert(got.values.forall(_ == 2L))
+    // k=3 keeps everything (every edge closes >= 1 triangle)
+    assert(runKTruss(edges, 3).keySet == edges.toSet)
+    // a 5-truss needs every edge in 3 triangles: only K5 qualifies
+    assert(runKTruss(edges, 5).isEmpty)
+  }
 }
