@@ -3802,5 +3802,25 @@ object Oracles {
       FROM ed s, final f
       WHERE NOT list_contains(f.removed, s.eid)
       ORDER BY u, v""",
+
+    // q174: the unigram seed stage — every substring of length 2..8
+    // of every distinct word, weighted by word frequency, top-10
+    // under (count desc, piece).
+    "q174_unigram_candidates" -> """
+      WITH w AS (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS word
+          FROM documents) GROUP BY word),
+      sub AS (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, c
+        FROM w,
+             unnest(range(1, len(word) + 1)) AS t(i),
+             unnest(range(2, 9)) AS s(l)
+        WHERE CAST(i AS INT) + CAST(l AS INT) - 1 <= len(word)),
+      counts AS (
+        SELECT piece, CAST(sum(c) AS BIGINT) AS count
+        FROM sub GROUP BY piece HAVING sum(c) >= 2)
+      SELECT piece, count FROM counts
+      ORDER BY count DESC, piece LIMIT 10""",
   )
 }

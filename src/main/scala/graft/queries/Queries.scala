@@ -3482,6 +3482,42 @@ object Queries {
       .orderBy(col("u"), col("v"))
   }
 
+  /** Unigram-LM tokenizer candidate bracket ([[graft.operators
+    * .UnigramLM.candidateCounts]]) — the q54 convention applied to the
+    * SECOND tokenizer family: the seed stage's top-10 multi-char
+    * substring counts (weighted by word frequency, ≥ 2, total order
+    * (count desc, piece)) are pure SQL over the raw text, so the
+    * foundation the EM fit selects from hash-certifies; the fit's EM
+    * itself is pinned by UnigramLMSpec's enumeration parity and q175's
+    * round-trip self-assert.
+    */
+  def q174UnigramCandidates(s: SparkSession, dir: String): DataFrame = {
+    val wf = graft.operators.UnigramLM.wordFreq(
+      table(s, dir, "documents"), "text")
+    graft.operators.UnigramLM.candidateCounts(wf, maxLen = 8)
+      .filter(length(col("piece")) >= 2 && col("count") >= 2)
+      .orderBy(col("count").desc, col("piece"))
+      .limit(10)
+  }
+
+  /** Unigram-LM encode round-trip ([[graft.operators.UnigramLM
+    * .fit]]/[[graft.operators.UnigramLM.encodeStats]]): fit 64
+    * multi-char pieces with 2 EM rounds (quantized E-step —
+    * bit-reproducible under any partitioning), Viterbi-encode the
+    * corpus via the distinct-word dictionary, and self-assert the
+    * per-doc round-trip identity (piece concatenation = word, every
+    * word). Rows-only by design (EM is not SQL-expressible); `pass`
+    * flips on any segmentation regression.
+    */
+  def q175UnigramRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val vocab = graft.operators.UnigramLM.fit(
+      graft.operators.UnigramLM.wordFreq(docs, "text"),
+      maxLen = 8, vocabMulti = 64, emRounds = 2)
+    graft.operators.UnigramLM.encodeStats(docs, "doc_id", "text", vocab)
+      .orderBy(col("doc_id"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -3887,5 +3923,7 @@ object Queries {
     "q171_multi_touch"   -> (q171MultiTouch _),
     "q172_diff_by_buckets" -> (q172DiffByBuckets _),
     "q173_ktruss"        -> (q173Ktruss _),
+    "q174_unigram_candidates" -> (q174UnigramCandidates _),
+    "q175_unigram_roundtrip"  -> (q175UnigramRoundtrip _),
   )
 }
