@@ -64,4 +64,56 @@ object Matching {
       .select(col("t_id"), col("t_x"), col("m.c_id").as("c_id"),
         col("m.c_x").as("c_x"), col("m.diff").as("diff"))
   }
+
+  /** One field comparison for [[fellegiSunter]]: the boolean agreement
+    * column plus the integer MILLI log-likelihood-ratio weights the
+    * caller derived from the field's m/u probabilities
+    * (agree ≈ 1000·log₂(m/u) > 0, disagree ≈ 1000·log₂((1−m)/(1−u))
+    * < 0). Integer weights keep the whole score engine-exact; deriving
+    * them from m/u is a driver-side constant fold, not data work.
+    */
+  final case class FsField(agreeCol: org.apache.spark.sql.Column,
+                           agreeWeightMilli: Long,
+                           disagreeWeightMilli: Long)
+
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969 —
+    * the probabilistic model behind every serious ER system): each
+    * candidate pair's match score is the SUM of per-field
+    * log-likelihood-ratio weights, agreement earning the positive
+    * m/u weight and disagreement the negative one; pairs at or above
+    * `upperMilli` link, below `lowerMilli` reject, between the two
+    * land in the clerical-review band. The rule-based golden-record
+    * path ([[graft.operators.Clusters]] survivorship) consumes the
+    * `link` pairs; the review band is the human queue.
+    *
+    * Input is a CANDIDATE PAIR frame (from any blocking scheme —
+    * [[nearestWithin]]'s buckets, [[graft.operators.Dedup]] keys,
+    * [[graft.operators.EditJoin]]): this operator never generates
+    * pairs, so its cost is one codegen'd projection over the
+    * candidates — no shuffle, no window, nothing global. Scores are
+    * exact integer milli-units; the decision is a total function of
+    * the agreement vector, so the whole classification
+    * hash-certifies.
+    */
+  def fellegiSunter(pairs: DataFrame, idACol: String, idBCol: String,
+                    fields: Seq[FsField], lowerMilli: Long,
+                    upperMilli: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one field comparison")
+    require(lowerMilli <= upperMilli, "need lowerMilli <= upperMilli")
+    val score = fields.map { f =>
+      when(f.agreeCol, lit(f.agreeWeightMilli))
+        .otherwise(lit(f.disagreeWeightMilli))
+    }.reduce(_ + _)
+    val nAgree = fields.map(f => when(f.agreeCol, 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .withColumn("score_milli", score.cast("long"))
+      .withColumn("n_agree", nAgree.cast("long"))
+      .withColumn("decision",
+        when(col("score_milli") >= upperMilli, lit("link"))
+          .when(col("score_milli") < lowerMilli, lit("reject"))
+          .otherwise(lit("review")))
+      .select(col(idACol), col(idBCol), col("n_agree"),
+        col("score_milli"), col("decision"))
+  }
 }

@@ -185,7 +185,19 @@ object UnigramLM {
   def fit(wordFreq: DataFrame, maxLen: Int = 8, vocabMulti: Int = 256,
           emRounds: Int = 2, seedFactor: Int = 3,
           minCount: Long = 2L): Vocab = {
+    val (counts, ml) = fitCounts(wordFreq, maxLen, vocabMulti, emRounds,
+      seedFactor, minCount)
+    fromCounts(counts, ml)
+  }
+
+  /** [[fit]]'s integer basis: the final kept micro-count table — what
+    * [[store]] persists, so a reloaded vocab is BIT-identical to the
+    * fit (probabilities re-derive from the same longs). */
+  def fitCounts(wordFreq: DataFrame, maxLen: Int = 8, vocabMulti: Int = 256,
+                emRounds: Int = 2, seedFactor: Int = 3,
+                minCount: Long = 2L): (Map[String, Long], Int) = {
     var vocab = seedVocab(wordFreq, maxLen, vocabMulti * seedFactor, minCount)
+    var counts = Map.empty[String, Long]
     val wf = wordFreq.localCheckpoint()
     for (r <- 1 to emRounds) {
       val e = emRound(wf, vocab)
@@ -196,9 +208,31 @@ object UnigramLM {
       val multis = e.filter(_._1.length >= 2).toSeq
         .sortBy { case (p, cnt) => (-cnt, p) }.take(keepMulti)
       // singles never prune: they are the coverage floor
-      vocab = fromCounts(singles ++ multis, maxLen)
+      counts = singles ++ multis
+      vocab = fromCounts(counts, maxLen)
     }
-    vocab
+    (counts, maxLen)
+  }
+
+  /** Persist a fitted tokenizer under the stored-model convention
+    * (NgramLM / BpeDict / Drift): `<name>_pieces` holds the integer
+    * micro-count basis, `<name>_meta` the maxLen — reload re-derives
+    * the identical probabilities from the identical longs. */
+  def store(spark: SparkSession, counts: Map[String, Long], maxLen: Int,
+            name: String): Unit = {
+    import spark.implicits._
+    counts.toSeq.toDF("piece", "e_micro")
+      .write.mode("overwrite").saveAsTable(s"${name}_pieces")
+    Seq(maxLen).toDF("max_len").write.mode("overwrite")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  def load(spark: SparkSession, name: String): Vocab = {
+    import spark.implicits._
+    val counts = spark.table(s"${name}_pieces")
+      .as[(String, Long)].collect().toMap
+    val maxLen = spark.table(s"${name}_meta").head().getInt(0)
+    fromCounts(counts, maxLen)
   }
 
   /** Viterbi segmentation: maximize Σ log p(piece); ties break on

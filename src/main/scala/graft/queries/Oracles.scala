@@ -3822,5 +3822,44 @@ object Oracles {
         FROM sub GROUP BY piece HAVING sum(c) >= 2)
       SELECT piece, count FROM counts
       ORDER BY count DESC, piece LIMIT 10""",
+
+    // q176: Fellegi–Sunter band classification replayed field by
+    // field — same perturbations, same integer milli weights, same
+    // thresholds.
+    "q176_record_linkage" -> """
+      WITH c AS (
+        SELECT *, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        FROM customer),
+      a AS (
+        SELECT c_custkey AS id_a, c_nationkey AS nk, c_mktsegment AS seg,
+               c_name AS name_a, bal_c AS bal_a
+        FROM c),
+      b AS (
+        SELECT c_custkey AS id_b, c_nationkey AS nk, c_mktsegment AS seg,
+               CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name_b,
+               bal_c + CASE WHEN c_custkey % 3 = 0 THEN 100
+                            WHEN c_custkey % 7 = 0 THEN 100000
+                            ELSE 0 END AS bal_b
+        FROM c),
+      scored AS (
+        SELECT id_a, id_b,
+               (CASE WHEN name_a = name_b THEN 4000 ELSE -1500 END
+                + CASE WHEN bal_a = bal_b THEN 3000 ELSE -1200 END
+                + CASE WHEN CAST(bal_a AS HUGEINT) // 100000
+                          = CAST(bal_b AS HUGEINT) // 100000
+                       THEN 2000 ELSE -1000 END) AS score_milli
+        FROM a JOIN b USING (nk, seg)),
+      banded AS (
+        SELECT *,
+               CASE WHEN score_milli >= 5000 THEN 'link'
+                    WHEN score_milli < 0 THEN 'reject'
+                    ELSE 'review' END AS decision
+        FROM scored)
+      SELECT decision, count(*) AS n_pairs,
+             CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             CAST(sum(score_milli) AS BIGINT) AS score_sum,
+             CAST(min(score_milli) AS BIGINT) AS score_min,
+             CAST(max(score_milli) AS BIGINT) AS score_max
+      FROM banded GROUP BY 1 ORDER BY decision""",
   )
 }

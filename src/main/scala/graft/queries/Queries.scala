@@ -3518,6 +3518,48 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fellegi–Sunter record linkage ([[graft.operators.Matching
+    * .fellegiSunter]]): customers against a deterministically
+    * perturbed registry copy (name upper-cased %5, balance bumped a
+    * cent %3 or a thousand currency units %7), blocked on (nation,
+    * segment), scored with integer milli log-likelihood weights over
+    * three field comparisons (exact name, exact centi-balance,
+    * 1000-unit balance band) and split into link / review / reject
+    * bands. Rolled up per decision with the true-pair count (same
+    * key), so both the scoring arithmetic AND the band boundaries
+    * hash-certify.
+    */
+  def q176RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Matching.FsField
+    val cust = table(s, dir, "customer")
+      .withColumn("bal_c", graft.operators.Regression.centiUnits(col("c_acctbal")))
+    val a = cust.select(col("c_custkey").as("id_a"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_name").as("name_a"), col("bal_c").as("bal_a"))
+    val b = cust.select(col("c_custkey").as("id_b"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      when(col("c_custkey") % 5 === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("name_b"),
+      (col("bal_c") + when(col("c_custkey") % 3 === 0, lit(100L))
+        .when(col("c_custkey") % 7 === 0, lit(100000L))
+        .otherwise(lit(0L))).as("bal_b"))
+    val pairs = a.join(b, Seq("nk", "seg"))
+    graft.operators.Matching.fellegiSunter(pairs, "id_a", "id_b",
+        Seq(
+          FsField(col("name_a") === col("name_b"), 4000L, -1500L),
+          FsField(col("bal_a") === col("bal_b"), 3000L, -1200L),
+          FsField(expr("bal_a div 100000") === expr("bal_b div 100000"),
+            2000L, -1000L)),
+        lowerMilli = 0L, upperMilli = 5000L)
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L)).as("n_true"),
+        sum(col("score_milli")).as("score_sum"),
+        min(col("score_milli")).as("score_min"),
+        max(col("score_milli")).as("score_max"))
+      .orderBy(col("decision"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -3925,5 +3967,6 @@ object Queries {
     "q173_ktruss"        -> (q173Ktruss _),
     "q174_unigram_candidates" -> (q174UnigramCandidates _),
     "q175_unigram_roundtrip"  -> (q175UnigramRoundtrip _),
+    "q176_record_linkage" -> (q176RecordLinkage _),
   )
 }

@@ -67,4 +67,39 @@ class MatchingSpec extends AnyFunSuite {
       case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
     }.isEmpty, "candidate join must be the bucketed equi-join")
   }
+
+  test("fellegiSunter: weights sum per agreement vector, bands split on thresholds") {
+    import org.apache.spark.sql.functions._
+    import Matching.FsField
+    val pairs = Seq(
+      (1L, 1L, true, true),    // 3000 + 2000 = 5000 -> link (>= upper)
+      (2L, 2L, true, false),   // 3000 - 800 = 2200 -> review
+      (3L, 3L, false, true),   // -1000 + 2000 = 1000 -> review
+      (4L, 9L, false, false))  // -1800 -> reject
+      .toDF("id_a", "id_b", "f1", "f2")
+    val got = Matching.fellegiSunter(pairs, "id_a", "id_b",
+        Seq(FsField(col("f1"), 3000L, -1000L), FsField(col("f2"), 2000L, -800L)),
+        lowerMilli = 0L, upperMilli = 5000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 5000L, "link")))
+    assert(got(2L) == ((1L, 2200L, "review")))
+    assert(got(3L) == ((1L, 1000L, "review")))
+    assert(got(4L) == ((0L, -1800L, "reject")))
+  }
+
+  test("fellegiSunter: scoring is a pure projection, no shuffle over the candidates") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import Matching.FsField
+    val pairs = spark.range(100).select(col("id").as("id_a"),
+      col("id").as("id_b"), (col("id") % 2 === 0).as("f1"))
+    val scored = Matching.fellegiSunter(pairs, "id_a", "id_b",
+      Seq(FsField(col("f1"), 1000L, -500L)), 0L, 800L)
+    scored.collect()
+    val shuffles = scored.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "scoring must add no exchange")
+  }
 }

@@ -88,4 +88,25 @@ class UnigramLMSpec extends AnyFunSuite {
     assert(got.values.forall(_._4), "round-trip must hold for every doc")
     assert(got.values.forall(v => v._2 >= v._1), "pieces >= words")
   }
+
+  test("store/load: reloaded vocab is bit-identical to the fit") {
+    val name = s"uni${System.nanoTime()}"
+    try {
+      val docs = (1 to 40).map(i => (i.toLong, "store and reload the stored model"))
+        .toDF("doc_id", "text")
+      val wf = UnigramLM.wordFreq(docs, "text")
+      val (counts, ml) = UnigramLM.fitCounts(wf, maxLen = 6, vocabMulti = 30,
+        emRounds = 2)
+      UnigramLM.store(spark, counts, ml, name)
+      val loaded = UnigramLM.load(spark, name)
+      val direct = UnigramLM.fit(wf, maxLen = 6, vocabMulti = 30, emRounds = 2)
+      assert(loaded.pieces == direct.pieces, "probabilities must re-derive bit-identically")
+      assert(loaded.maxLen == direct.maxLen)
+      // and the encode through the reloaded model matches
+      val a = UnigramLM.encodeStats(docs, "doc_id", "text", loaded).collect().toSeq.map(_.toString).sorted
+      val b = UnigramLM.encodeStats(docs, "doc_id", "text", direct).collect().toSeq.map(_.toString).sorted
+      assert(a == b)
+    } finally Seq("_pieces", "_meta").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $name$sfx"))
+  }
 }
