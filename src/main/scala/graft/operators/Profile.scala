@@ -86,4 +86,34 @@ object Profile {
     one.select(explode(array(perCol: _*)).as("r"))
       .select(schemaCols.map(c => col(s"r.$c").as(c)): _*)
   }
+
+  /** Functional-dependency discovery over ordered column pairs — the
+    * profiling question "does A determine B?" (key detection,
+    * denormalization audit, join-key validation): `A → B` holds iff
+    * every distinct A value pairs with exactly one B value, i.e.
+    * |distinct(A, B)| = |distinct(A)|. Violations are counted
+    * exactly (`n_violations` = Σ_A (distinct B per A − 1)), so "almost
+    * an FD" is visible, not just the boolean.
+    *
+    * Scale shape, per pair: one hash aggregate contracts to distinct
+    * (A, B) — the corpus's row count never matters again — then one
+    * count per A. Nulls participate as ordinary values (the standard
+    * FD-profiling convention; filter first for the SQL-semantics
+    * variant). k columns ⇒ k·(k−1) independent pair jobs over
+    * column-pruned scans, embarrassingly parallel.
+    */
+  def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    pairs.map { case (a, b) =>
+      val ab = df.select(col(a).as("__a"), col(b).as("__b")).distinct()
+      ab.groupBy(col("__a")).agg(count(lit(1)).as("nb"))
+        .agg(count(lit(1)).as("n_distinct_det"),
+          coalesce(sum(col("nb") - 1L), lit(0L)).as("n_violations"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_distinct_det"),
+          col("n_violations"),
+          (col("n_violations") === 0L).as("fd_holds"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -112,4 +112,50 @@ object Skew {
           .as("gini_num"),
         (col("n_keys") * col("n_rows")).as("gini_den"))
   }
+
+  /** Pre-join cardinality forecast — the sanity check BEFORE shuffling
+    * two 100 TB tables on a key: the exact output row count and fan-out
+    * profile of `a ⋈ b on key`, computed from the two per-key COUNT
+    * tables (each one hash aggregate + a contraction-sized join) —
+    * never the join itself. One row:
+    *
+    *   - `n_out` = Σ_k cₐ(k)·c_b(k) — the exact inner-join size —
+    *     in DECIMAL(38,0) cast to BIGINT under a loud guard (a 2^63
+    *     forecast IS the "do not run this join" answer);
+    *   - `n_matched_keys`, `max_fanout` (the heaviest key's product,
+    *     with the smallest key id among ties surfaced as `top_key`),
+    *   - `n_left_only` / `n_right_only` — keys that would null-extend
+    *     an outer join.
+    *
+    * A forecast ≫ max(|a|,|b|) says "many-to-many blow-up: rethink the
+    * key or pre-aggregate"; max_fanout bounds the single hottest
+    * task's share (the salting decision input for [[saltedJoin]]).
+    */
+  def joinForecast(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val ca = a.where(col(key).isNotNull)
+      .groupBy(col(key).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.where(col(key).isNotNull)
+      .groupBy(col(key).as("k")).agg(count(lit(1)).as("cb"))
+    val joined = ca.join(cb, Seq("k"), "full_outer")
+    val matched = joined.filter(col("ca").isNotNull && col("cb").isNotNull)
+      .withColumn("prod", col("ca") * col("cb"))
+    val topAgg = matched.agg(
+      count(lit(1)).as("n_matched_keys"),
+      sum(col("prod").cast("decimal(38,0)")).as("__n_out"),
+      min(struct((-col("prod")).as("np"), col("k").cast("long").as("k"))).as("m"))
+    val sides = joined.agg(
+      coalesce(sum(when(col("cb").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_left_only"),
+      coalesce(sum(when(col("ca").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_right_only"))
+    topAgg.crossJoin(sides)
+      .withColumn("n_out",
+        when(col("__n_out") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("joinForecast: output exceeds 2^63 rows — do not run this join")).cast("long"))
+          .otherwise(coalesce(col("__n_out").cast("long"), lit(0L))))
+      .select(col("n_out"), col("n_matched_keys").cast("long").as("n_matched_keys"),
+        coalesce((-col("m.np")).cast("long"), lit(0L)).as("max_fanout"),
+        col("m.k").as("top_key"),
+        col("n_left_only"), col("n_right_only"))
+  }
 }

@@ -3861,5 +3861,58 @@ object Oracles {
              CAST(min(score_milli) AS BIGINT) AS score_min,
              CAST(max(score_milli) AS BIGINT) AS score_max
       FROM banded GROUP BY 1 ORDER BY decision""",
+
+    // q177: FD check per ordered pair — |distinct(A,B)| vs
+    // |distinct A| with exact violation counts.
+    "q177_functional_deps" -> """
+      WITH pair AS (
+        SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+               CAST(o_orderkey AS VARCHAR) AS a, CAST(o_custkey AS VARCHAR) AS b
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', 'o_orderpriority',
+               CAST(o_orderkey AS VARCHAR), o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_custkey', 'o_orderkey',
+               CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_custkey', 'o_orderpriority',
+               CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', 'o_orderkey',
+               o_orderpriority, CAST(o_orderkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', 'o_custkey',
+               o_orderpriority, CAST(o_custkey AS VARCHAR) FROM orders),
+      ab AS (
+        SELECT DISTINCT determinant, dependent, a, b FROM pair),
+      perA AS (
+        SELECT determinant, dependent, a, count(*) AS nb
+        FROM ab GROUP BY 1, 2, 3)
+      SELECT determinant, dependent,
+             count(*) AS n_distinct_det,
+             CAST(sum(nb - 1) AS BIGINT) AS n_violations,
+             sum(nb - 1) = 0 AS fd_holds
+      FROM perA GROUP BY 1, 2
+      ORDER BY determinant, dependent""",
+
+    // q178: join size forecast from the two per-key count tables —
+    // n_out = sum of count products, the heaviest key's product, and
+    // the outer-join null-extension counts.
+    "q178_join_forecast" -> """
+      WITH ca AS (
+        SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+      cb AS (
+        SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+      j AS (SELECT * FROM ca FULL OUTER JOIN cb USING (k)),
+      m AS (SELECT k, ca * cb AS prod FROM j
+            WHERE ca IS NOT NULL AND cb IS NOT NULL)
+      SELECT
+        CAST((SELECT coalesce(sum(prod), 0) FROM m) AS BIGINT) AS n_out,
+        CAST((SELECT count(*) FROM m) AS BIGINT) AS n_matched_keys,
+        CAST((SELECT coalesce(max(prod), 0) FROM m) AS BIGINT) AS max_fanout,
+        CAST((SELECT k FROM m ORDER BY prod DESC, k LIMIT 1) AS BIGINT) AS top_key,
+        CAST((SELECT count(*) FROM j WHERE cb IS NULL) AS BIGINT) AS n_left_only,
+        CAST((SELECT count(*) FROM j WHERE ca IS NULL) AS BIGINT) AS n_right_only""",
   )
 }

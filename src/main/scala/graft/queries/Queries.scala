@@ -3560,6 +3560,32 @@ object Queries {
       .orderBy(col("decision"))
   }
 
+  /** Functional-dependency discovery ([[graft.operators.Profile
+    * .functionalDeps]]): every ordered pair of three orders columns —
+    * `o_orderkey → *` must hold (it is the key), the reverse
+    * directions must fail with exact violation counts. Each pair is
+    * one distinct-(A,B) contraction + one count — the row count of
+    * the table never matters after the first aggregate.
+    */
+  def q177FunctionalDeps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.functionalDeps(table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderpriority"))
+      .orderBy(col("determinant"), col("dependent"))
+
+  /** Pre-join cardinality forecast ([[graft.operators.Skew
+    * .joinForecast]]): the exact output size and fan-out profile of
+    * orders ⋈ lineitem on the order key, computed from the two
+    * per-key count tables without running the join — the 100 TB
+    * sanity check before a shuffle. n_out must equal |lineitem| (every
+    * line item matches exactly one order), left-only keys are orders
+    * with no line items.
+    */
+  def q178JoinForecast(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.joinForecast(
+      table(s, dir, "orders").select(col("o_orderkey").as("jk")),
+      table(s, dir, "lineitem").select(col("l_orderkey").as("jk")),
+      "jk")
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -3968,5 +3994,7 @@ object Queries {
     "q174_unigram_candidates" -> (q174UnigramCandidates _),
     "q175_unigram_roundtrip"  -> (q175UnigramRoundtrip _),
     "q176_record_linkage" -> (q176RecordLinkage _),
+    "q177_functional_deps" -> (q177FunctionalDeps _),
+    "q178_join_forecast" -> (q178JoinForecast _),
   )
 }

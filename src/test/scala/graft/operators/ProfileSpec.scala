@@ -72,4 +72,34 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.getLong(1) == 0L && got.getLong(2) == 0L && got.getLong(3) == 0L)
     assert(got.isNullAt(4) && got.isNullAt(5))
   }
+
+  test("functionalDeps: key columns determine everything; violations exact") {
+    import org.apache.spark.sql.functions._
+    val t = Seq(
+      (1L, "x", 10L), (2L, "x", 20L), (3L, "y", 20L), (4L, "y", 21L))
+      .toDF("id", "g", "v")
+    val got = Profile.functionalDeps(t, Seq("id", "g", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size == 6)
+    assert(got(("id", "g")) == ((4L, 0L, true)))
+    assert(got(("id", "v")) == ((4L, 0L, true)))
+    // g = x maps to {10, 20}, g = y maps to {20, 21}: 2 violations
+    assert(got(("g", "v")) == ((2L, 2L, false)))
+    assert(got(("g", "id")) == ((2L, 2L, false)))
+    // v = 20 maps to two ids/gs; 10 and 21 are clean
+    assert(got(("v", "id")) == ((3L, 1L, false)))
+    assert(got(("v", "g")) == ((3L, 1L, false)))
+  }
+
+  test("functionalDeps: nulls are ordinary values") {
+    import org.apache.spark.sql.functions._
+    val t = Seq((Some(1L), "a"), (None, "b"), (None, "b"))
+      .toDF("k", "s")
+    val got = Profile.functionalDeps(t, Seq("k", "s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getBoolean(4)).toMap
+    // null -> b consistently: FD holds in the profiling convention
+    assert(got(("k", "s")))
+  }
 }

@@ -261,4 +261,28 @@ class SkewSpec extends AnyFunSuite {
     // strongly concentrated: gini_num/gini_den close to 1
     assert(hot._5.toDouble / hot._6 > 0.8)
   }
+
+  test("joinForecast: exact inner size, fanout argmax, outer-side counts") {
+    import org.apache.spark.sql.functions._
+    // a: key 1 x2, key 2 x3, key 3 x1; b: key 2 x4, key 3 x1, key 9 x5
+    val a = Seq(1L, 1L, 2L, 2L, 2L, 3L).toDF("jk")
+    val b = Seq(2L, 2L, 2L, 2L, 3L, 9L, 9L, 9L, 9L, 9L).toDF("jk")
+    val r = Skew.joinForecast(a, b, "jk").collect().head
+    // n_out = 3*4 + 1*1 = 13; verify against the actual join
+    assert(r.getLong(0) == 13L)
+    assert(r.getLong(0) == a.join(b, "jk").count())
+    assert(r.getLong(1) == 2L)              // matched keys {2, 3}
+    assert(r.getLong(2) == 12L && r.getLong(3) == 2L) // heaviest key
+    assert(r.getLong(4) == 1L)              // key 1 left-only
+    assert(r.getLong(5) == 1L)              // key 9 right-only
+  }
+
+  test("joinForecast: disjoint keys forecast zero; null keys excluded") {
+    import org.apache.spark.sql.functions._
+    val a = Seq[java.lang.Long](1L, null).toDF("jk")
+    val b = Seq[java.lang.Long](2L, null, null).toDF("jk")
+    val r = Skew.joinForecast(a, b, "jk").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L)
+  }
 }

@@ -59,7 +59,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q152_item_similarity" -> 1, // q140's 1-row basket-total scalar
     "q153_engagement"     -> 1, // range join against the broadcast DAY list (≤ horizon days rows)
     "q168_fleiss_kappa"   -> 2, // 1-row item-stats × 1-row pair-mass × 1-row category-margin scalars
-    "q172_diff_by_buckets" -> 1) // 1-row total-keys × 1-row hot-keys scalar (cold-unchanged reconstitution)
+    "q172_diff_by_buckets" -> 1, // 1-row total-keys × 1-row hot-keys scalar (cold-unchanged reconstitution)
+    "q178_join_forecast"  -> 1) // 1-row matched-keys stats × 1-row outer-side counts
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
