@@ -3914,5 +3914,20 @@ object Oracles {
         CAST((SELECT k FROM m ORDER BY prod DESC, k LIMIT 1) AS BIGINT) AS top_key,
         CAST((SELECT count(*) FROM j WHERE cb IS NULL) AS BIGINT) AS n_left_only,
         CAST((SELECT count(*) FROM j WHERE ca IS NULL) AS BIGINT) AS n_right_only""",
+
+    // q179: the IVM identity replayed as a RECOMPUTE over the mutated
+    // base — maintain(view(T), delta) must equal view(T +/- delta).
+    "q179_ivm_delta" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+        FROM orders),
+      mutated AS (
+        SELECT o_orderstatus, rev_c FROM base WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderstatus, rev_c + 100000 FROM base WHERE o_orderkey % 101 = 0)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(rev_c) AS BIGINT) AS rev_c
+      FROM mutated GROUP BY 1 ORDER BY 1""",
   )
 }

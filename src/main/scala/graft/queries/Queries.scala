@@ -3586,6 +3586,30 @@ object Queries {
       table(s, dir, "lineitem").select(col("l_orderkey").as("jk")),
       "jk")
 
+  /** Incremental view maintenance ([[graft.operators.Ivm]]): a stored
+    * per-status (count, revenue) view brought current by ONE signed
+    * delta batch — deletes of every %97 key as −1 retractions, inserts
+    * of price-bumped %101 copies as +1 — touching only the delta's
+    * groups, never the base. The oracle RECOMPUTES the view from the
+    * mutated base directly, so the abelian-group maintenance identity
+    * `maintain(view(T), Δ) = view(T ⊎ Δ)` hash-certifies cross-engine.
+    */
+  def q179IvmDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        graft.operators.Regression.centiUnits(col("o_totalprice")).as("rev_c"))
+    val view0 = graft.operators.Ivm.view(base, Seq("o_orderstatus"),
+      Seq("rev_c" -> "rev_c"))
+    val deletes = base.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderstatus"), lit(-1L).as("sign"), col("rev_c"))
+    val inserts = base.filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderstatus"), lit(1L).as("sign"),
+        (col("rev_c") + 100000L).as("rev_c"))
+    graft.operators.Ivm.applyDelta(view0, deletes.unionByName(inserts),
+        Seq("o_orderstatus"), "sign", Seq("rev_c" -> "rev_c"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -3996,5 +4020,6 @@ object Queries {
     "q176_record_linkage" -> (q176RecordLinkage _),
     "q177_functional_deps" -> (q177FunctionalDeps _),
     "q178_join_forecast" -> (q178JoinForecast _),
+    "q179_ivm_delta"     -> (q179IvmDelta _),
   )
 }

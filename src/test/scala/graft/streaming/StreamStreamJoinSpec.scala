@@ -87,4 +87,46 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       assert(progress.eventTime.containsKey("watermark"))
     } finally q.stop()
   }
+
+  test("left-outer: a touchless conversion null-extends once the watermark passes its window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val convIn = MemoryStream[Conv]
+    val tchIn = MemoryStream[Touch]
+    val conv = convIn.toDF()
+      .withWatermark("ts", "10 seconds")
+      .select(col("cid"), col("u").as("cu"), col("ts").as("cts"))
+    val tch = tchIn.toDF()
+      .withWatermark("ts", "10 seconds")
+      .select(col("tid"), col("u").as("tu"), col("ts").as("tts"), col("ch"))
+    val joined = conv.join(tch,
+      col("tu") === col("cu") &&
+        col("tts") >= col("cts") - expr("INTERVAL 60 SECONDS") &&
+        col("tts") < col("cts"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjlo")
+      .outputMode("append").start()
+    try {
+      // conversion 1 has a touch; conversion 2 has NONE — it must
+      // still come out, null-extended, but only after the watermark
+      // proves no matching touch can arrive anymore
+      convIn.addData(Conv(1, 10, t(1000)), Conv(2, 20, t(1000)))
+      tchIn.addData(Touch(101, 10, t(990), "click"))
+      q.processAllAvailable()
+      // push the watermark far past conversion 2's window on BOTH
+      // sides, then run the extra batch that evicts + emits
+      convIn.addData(Conv(9, 99, t(5000)))
+      tchIn.addData(Touch(999, 99, t(5000), "view"))
+      q.processAllAvailable()
+      convIn.addData(Conv(10, 99, t(6000)))
+      q.processAllAvailable()
+      val got = spark.table("ssjlo").collect()
+        .map(r => (r.getAs[Long]("cid"),
+          Option(r.getAs[Any]("tid")).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(got.contains((1L, Some(101L))), s"matched pair missing: $got")
+      assert(got.contains((2L, None)),
+        s"touchless conversion must null-extend after the watermark: $got")
+    } finally q.stop()
+  }
 }
