@@ -63,4 +63,35 @@ object Anonymize {
         min(col("n")).as("min_group_size"))
       .withColumn("max_reident_risk",
         lit(1.0) / col("min_group_size"))
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006): k-anonymity
+    * bounds GROUP size but a group whose sensitive attribute is
+    * uniform still leaks it ("homogeneity attack" — all 40-year-olds
+    * in zip 021* have the same diagnosis). Distinct l-diversity
+    * requires every quasi-identifier group to carry ≥ l DISTINCT
+    * sensitive values. Per group: size `n`, `n_sensitive` (exact
+    * distinct), the most frequent sensitive value's count `max_freq`
+    * (the disclosure odds numerator — max_freq/n is the adversary's
+    * best guess), and `diverse` = n_sensitive ≥ l.
+    *
+    * Scale shape: one (quasi × sensitive) pre-aggregate feeding one
+    * quasi-level aggregate — distinct counting WITHOUT count_distinct's
+    * expand, and the same two-level contraction handles the max_freq
+    * readout for free. Both shuffles ride composite keys; no window.
+    * Null sensitive values count as one distinct value (a group of
+    * all-null sensitives is NOT diverse — nulls leak too).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 1, "l must be >= 1")
+    val qi = quasiCols.map(col)
+    df.groupBy(qi :+ col(sensitiveCol).as("__sv"): _*)
+      .agg(count(lit(1)).as("__sn"))
+      .groupBy(qi: _*)
+      .agg(sum(col("__sn")).cast("long").as("n"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("__sn")).as("max_freq"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

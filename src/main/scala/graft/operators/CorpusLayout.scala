@@ -109,4 +109,68 @@ object CorpusLayout {
         lit(1L << (i * d + c))
     ).reduce(_ + _)
   }
+
+  /** Zone-map (min/max data-skipping) statistics per storage bucket:
+    * the per-file footer stats every parquet reader keeps, surfaced as
+    * a table — `(bucket, n_rows, min_v, max_v)`. One hash aggregate
+    * over the (bucket, value) projection; `bucketCol` is whatever
+    * models the file/rowgroup assignment (a partition expression, a
+    * [[planCompaction]] bin, a [[zOrderKey]] range).
+    */
+  def zonemapProfile(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
+                     valueCol: org.apache.spark.sql.Column): DataFrame =
+    df.select(bucketCol.as("bucket"), valueCol.cast("long").as("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+
+  /** Data-skipping WHAT-IF: for each closed predicate range [lo, hi],
+    * exactly how much would this layout's zone maps prune? Per range:
+    *   buckets_total / buckets_touched  (a bucket is touched iff its
+    *       [min, max] envelope overlaps the range — the pruning rule
+    *       every zone-map reader applies),
+    *   rows_total / rows_scanned (rows inside touched buckets — what
+    *       the engine READS) / rows_matched (what it KEEPS).
+    * rows_scanned/rows_matched is the layout's read amplification for
+    * that predicate; a sorted layout gives ≈1, a random layout makes
+    * every bucket touched — THE argument for [[zOrderKey]]/sort-on-
+    * write, measured instead of asserted.
+    *
+    * One pass: the per-bucket aggregate computes the zone map AND one
+    * conditional count per range (ranges are literals — k codegen'd
+    * sums, no row multiplication); a 1-row fold per range then sums
+    * the touched buckets. Nulls in `valueCol` are counted in
+    * `rows_total` but match no range and never widen an envelope (a
+    * null-only bucket's envelope is empty — untouchable, exactly like
+    * parquet's null-aware footer stats).
+    */
+  def pruneEstimate(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
+                    valueCol: org.apache.spark.sql.Column,
+                    ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one predicate range")
+    ranges.foreach { case (lo, hi) =>
+      require(lo <= hi, s"range [$lo, $hi] is empty") }
+    val matchCounts = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      sum(when(col("__v").between(lo, hi), 1L).otherwise(0L)).as(s"__m$i")
+    }
+    val baseAggs = Seq(
+      min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+    val zm = df.select(bucketCol.as("bucket"), valueCol.cast("long").as("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), baseAggs ++ matchCounts: _*)
+    ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val touched = col("max_v").isNotNull &&
+        col("max_v") >= lo && col("min_v") <= hi
+      zm.agg(
+          count(lit(1)).as("buckets_total"),
+          sum(when(touched, 1L).otherwise(0L)).as("buckets_touched"),
+          sum(col("n_rows")).cast("long").as("rows_total"),
+          sum(when(touched, col("n_rows")).otherwise(0L)).cast("long")
+            .as("rows_scanned"),
+          sum(col(s"__m$i")).cast("long").as("rows_matched"))
+        .select(lit(lo).as("lo"), lit(hi).as("hi"),
+          col("buckets_total"), col("buckets_touched"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -593,4 +593,115 @@ object Graphs {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Weighted single/multi-source shortest paths over directed edges
+    * with NON-NEGATIVE integer weights — [[bfsDistances]]' weighted
+    * sibling (cost-of-reach queries: cheapest routing hops, weakest-
+    * link trade distance, latency radius). Distributed Bellman-Ford
+    * frontier relaxation: round r joins the CURRENT frontier (nodes
+    * whose tentative distance improved last round) against the edge
+    * table, takes the per-target MIN candidate, and keeps only strict
+    * improvements over the settled table — both shuffles are sized by
+    * the frontier fan-out, never all-pairs, and with non-negative
+    * weights every improvement is monotone so the fixpoint is the
+    * exact shortest-path metric. Rounds stop when no distance improves
+    * (the improvement count doubles as the convergence probe) or at
+    * `maxRounds`; convergence needs at most (longest shortest path's
+    * hop count) rounds, so `maxRounds` exhaustion with a non-empty
+    * frontier means the returned distances are still true UPPER bounds
+    * but may not be final — callers size `maxRounds` ≥ the graph's hop
+    * diameter, as with [[bfsDistances]]' depth cap.
+    *
+    * Negative weights are rejected loudly (a codegen'd `raise_error`
+    * guard on the scan — Bellman-Ford would still converge but the
+    * Dijkstra fast path and the monotone-frontier argument would not).
+    * Parallel edges keep the MIN weight; self-loops are dropped.
+    *
+    * Rounds are LATENCY-bound like the BFS frontier waves, so a small
+    * edge set takes a driver Dijkstra instead ([[Clusters
+    * .connectedComponents]] fast-path contract; specs force both paths
+    * via `localLimit = 0`).
+    *
+    * Returns `(node, dist)` for every REACHED node (sources at 0,
+    * nearest source wins); unreached nodes are absent.
+    */
+  def ssspDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, sources: DataFrame, maxRounds: Int = 30,
+                    localLimit: Long = 1L << 22): DataFrame = {
+    val guarded = when(col(wCol).cast("long") < 0L,
+        raise_error(lit("ssspDistances: negative edge weight")).cast("long"))
+      .otherwise(col(wCol).cast("long"))
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), guarded.as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    val s0 = sources.select(col(sources.columns.head).cast("long").as("node"))
+      .distinct()
+    if (e.count() <= localLimit) return localSssp(e, s0, maxRounds)
+    var best = s0.withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = best
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val cand = frontier
+        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      frontier = cand
+        .join(best, Seq("node"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint()
+      best = best.join(frontier.select(col("node")), Seq("node"), "left_anti")
+        .union(frontier)
+        .localCheckpoint()
+    }
+    best
+  }
+
+  /** Driver Dijkstra over a small (src, dst, w) edge set streamed via
+    * `toLocalIterator` — identical (node, dist) contract to the
+    * distributed relaxation rounds (`maxRounds` is ignored: Dijkstra
+    * settles exactly, which the rounds reach whenever they converge).
+    */
+  private def localSssp(e: DataFrame, s0: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Long, java.util.ArrayList[(Long, Long)]]()
+    val it = e.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[(Long, Long)]())
+        .add((r.getLong(1), r.getLong(2)))
+    }
+    val dist = new java.util.HashMap[Long, Long]()
+    val pq = new java.util.PriorityQueue[(Long, Long)](
+      (a: (Long, Long), b: (Long, Long)) => java.lang.Long.compare(a._1, b._1))
+    val sit = s0.toLocalIterator()
+    while (sit.hasNext) pq.add((0L, sit.next().getLong(0)))
+    while (!pq.isEmpty) {
+      val (d, n) = pq.poll()
+      if (!dist.containsKey(n)) {
+        dist.put(n, d)
+        val ns = adj.get(n)
+        if (ns != null) {
+          val nit = ns.iterator()
+          while (nit.hasNext) {
+            val (m, w) = nit.next()
+            if (!dist.containsKey(m)) pq.add((d + w, m))
+          }
+        }
+      }
+    }
+    val out = new Array[(Long, Long)](dist.size)
+    val dit = dist.entrySet().iterator()
+    var i = 0
+    while (dit.hasNext) {
+      val kv = dit.next(); out(i) = (kv.getKey, kv.getValue); i += 1
+    }
+    import spark.implicits._
+    spark.createDataset(spark.sparkContext.parallelize(out.toIndexedSeq,
+      math.max(1, out.length / 500000))).toDF("node", "dist")
+  }
 }

@@ -116,4 +116,43 @@ object Profile {
           (col("n_violations") === 0L).as("fd_holds"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Concentration/purity profile per column, EXACT-integer: how
+    * skewed is the value distribution? Per column:
+    *   n, n_distinct, top_freq (the mode's count), and the Gini-
+    *   impurity rational  gini = (n² − Σc²)/n²  shipped un-divided as
+    *   `gini_num` = n²−Σc², `gini_den` = n²
+    * — 0 for a constant column, → (1 − 1/k) for k uniform values.
+    * The label-balance / partition-key health check (a join or
+    * groupBy key with gini ≈ 0 is a ONE-TASK shuffle; a near-constant
+    * "language" column means the corpus isn't the mix you think), with
+    * zero logs/floats so it hash-certifies — the entropy question
+    * answered in Gini form (Breiman's CART impurity), which is
+    * rational where Shannon entropy is not.
+    *
+    * Scale shape, per column: one value-counts hash aggregate (the
+    * column-pruned scan) contracting to distinct values, then a 1-row
+    * fold — Σc² of longs can overflow BIGINT only past n ≈ 3·10⁹ rows
+    * in ONE value, so the fold runs in DECIMAL(38,0) and emits
+    * BIGINTs (loud overflow, not silent wrap). k columns ⇒ k
+    * independent jobs, like [[summarize]].
+    */
+  def purityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      df.select(col(c).as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).cast("long").as("n"),
+          count(lit(1)).as("n_distinct"),
+          coalesce(max(col("__c")), lit(0L)).as("top_freq"),
+          coalesce(sum(col("__c").cast("decimal(38,0)") * col("__c")),
+            lit(0L).cast("decimal(38,0)")).as("__ss"))
+        .select(lit(c).as("column"), col("n"), col("n_distinct"),
+          col("top_freq"),
+          (col("n").cast("decimal(38,0)") * col("n") - col("__ss"))
+            .cast("bigint").as("gini_num"),
+          (col("n").cast("decimal(38,0)") * col("n"))
+            .cast("bigint").as("gini_den"))
+    }.reduce(_.unionByName(_))
+  }
 }

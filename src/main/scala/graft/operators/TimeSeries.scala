@@ -294,4 +294,105 @@ object TimeSeries {
       .withColumn("twap_micro",
         expr("CAST((CAST(vt_sum AS DECIMAL(38,0)) * 1000000) div held_sec AS BIGINT)"))
   }
+
+  /** Seasonal-naive forecast backtest with MASE ingredients, exact:
+    * per key, "forecast" bucket t with the value one SEASON back
+    * (x_{t−s}) and score it against the actual — the no-model baseline
+    * every real forecaster must beat (Hyndman & Koehler 2006: MASE
+    * scales a model's error by THIS error, so shipping the exact
+    * ingredients lets any model be scored later without re-reading the
+    * history). Per key:
+    *   n_eval      rows with a t−s predecessor (the scorable window),
+    *   sae_seasonal Σ|x_t − x_{t−s}|  (seasonal-naive absolute error),
+    *   sae_naive    Σ|x_t − x_{t−1}| over the SAME scorable rows (the
+    *                MASE denominator, in-window convention),
+    * all BIGINT — mase = sae_seasonal/sae_naive is the caller's one
+    * float division at the edge. Requires an integer-bucketed DENSE
+    * series (run [[gapFill]] first if sparse: a lag over a gappy
+    * series silently compares across holes).
+    *
+    * Scale shape: two lags on ONE window partitioned by the
+    * high-cardinality series key + one hash aggregate — the [[ewma]]
+    * discipline; nothing global.
+    */
+  def seasonalNaiveEval(df: DataFrame, keyCol: String, orderCol: String,
+                        valueCol: String, season: Int): DataFrame = {
+    require(season >= 2, "season must be >= 2 (season 1 IS the naive lag)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val x = col(valueCol).cast("long")
+    df.select(col(keyCol), x.as("__x"),
+        lag(x, season).over(w).as("__xs"),
+        lag(x, 1).over(w).as("__x1"))
+      .filter(col("__xs").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("__x") - col("__xs"))).as("sae_seasonal"),
+        sum(abs(col("__x") - col("__x1"))).as("sae_naive"))
+  }
+
+  /** Holt linear (double-exponential) smoothing in deterministic
+    * integer FIXED-POINT — the trend-aware upgrade of [[ewma]] for
+    * series that drift (a plain EWMA lags a trending series forever).
+    * Dyadic factors α = 2^−`alphaExp`, β = 2^−`betaExp`; the classic
+    * recurrence with every division a truncating integer `div`:
+    *   lvl_t = (x_t·2^0 + (2^a−1)·(lvl_{t−1} + tr_{t−1})) div 2^a
+    *   tr_t  = ((lvl_t − lvl_{t−1}) + (2^b−1)·tr_{t−1}) div 2^b
+    * seeded lvl_1 = x_1, tr_1 = 0. Truncation toward zero matches
+    * every engine's integer division on the SAME inputs, so the whole
+    * trajectory is bit-reproducible and hash-certifiable — the
+    * [[graft.operators.Graphs.pageRank]] fixed-point convention
+    * applied to smoothing (feed centi/micro-unit longs for precision).
+    *
+    * The recurrence is inherently sequential per key, so each key's
+    * series rides ONE hash-aggregated `sort_array(collect_list(...))`
+    * + a native higher-order `aggregate` fold — no window, no UDF, no
+    * shuffle beyond the one groupBy on the high-cardinality key.
+    * Per-task memory is one key's series (the [[ewma]] boundedness
+    * contract: series length is bounded by the time range).
+    *
+    * Emits one row per input point: (key, ord, x, lvl, tr, err) where
+    * `err` = x_t − (lvl_{t−1} + tr_{t−1}) is the one-step-ahead
+    * forecast residual (0 for the seed row) — the anomaly-detection
+    * readout. h-step forecasts are lvl_T + h·tr_T at the edge.
+    */
+  def holtSmooth(df: DataFrame, keyCol: String, orderCol: String,
+                 valueCol: String, alphaExp: Int, betaExp: Int): DataFrame = {
+    require(alphaExp >= 1 && alphaExp <= 30, "alphaExp in 1..30")
+    require(betaExp >= 1 && betaExp <= 30, "betaExp in 1..30")
+    val a = 1L << alphaExp
+    val b = 1L << betaExp
+    val packed = df
+      .select(col(keyCol),
+        struct(col(orderCol).cast("long").as("o"),
+          col(valueCol).cast("long").as("x")).as("__p"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__pts"))
+    // fold state: (lvl, tr, out rows so far); seed from the first point
+    packed.select(col(keyCol), expr(
+      s"""
+       aggregate(
+         slice(__pts, 2, size(__pts) - 1),
+         named_struct(
+           'lvl', __pts[0].x, 'tr', CAST(0 AS BIGINT),
+           'rows', array(named_struct(
+             'o', __pts[0].o, 'x', __pts[0].x,
+             'lvl', __pts[0].x, 'tr', CAST(0 AS BIGINT),
+             'err', CAST(0 AS BIGINT)))),
+         (acc, p) -> named_struct(
+           'lvl', (p.x + ${a - 1} * (acc.lvl + acc.tr)) div $a,
+           'tr', ((((p.x + ${a - 1} * (acc.lvl + acc.tr)) div $a) - acc.lvl)
+                   + ${b - 1} * acc.tr) div $b,
+           'rows', array_append(acc.rows, named_struct(
+             'o', p.o, 'x', p.x,
+             'lvl', (p.x + ${a - 1} * (acc.lvl + acc.tr)) div $a,
+             'tr', ((((p.x + ${a - 1} * (acc.lvl + acc.tr)) div $a) - acc.lvl)
+                     + ${b - 1} * acc.tr) div $b,
+             'err', p.x - (acc.lvl + acc.tr)))),
+         acc -> acc.rows) AS __out
+      """))
+      .select(col(keyCol), explode(col("__out")).as("__r"))
+      .select(col(keyCol), col("__r.o").as(orderCol), col("__r.x").as("x"),
+        col("__r.lvl").as("lvl"), col("__r.tr").as("tr"),
+        col("__r.err").as("err"))
+  }
 }

@@ -3929,5 +3929,204 @@ object Oracles {
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(rev_c) AS BIGINT) AS rev_c
       FROM mutated GROUP BY 1 ORDER BY 1""",
+
+    // q180: hop-4-capped weighted path recursion — the relaxation
+    // converges in <= 3 rounds at every SF (measured), so the cap has
+    // one full round of margin; UNION dedups (node, dist, hops) and
+    // MIN settles the metric.
+    "q180_sssp" -> """
+      WITH RECURSIVE tg AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               1000000 // count(*) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+      walk(node, dist, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION
+        SELECT tg.dst, w.dist + tg.w, w.hops + 1
+        FROM walk w JOIN tg ON tg.src = w.node
+        WHERE w.hops < 4)
+      SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+      FROM walk GROUP BY node ORDER BY node""",
+
+    // q181: relational division as the count-matching HAVING — the
+    // divisor is the 3 smallest Brand#2 part keys (size-stable across
+    // SFs), a supplier qualifies iff it covers all of them.
+    "q181_division" -> """
+      WITH div AS MATERIALIZED (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'
+        ORDER BY p_partkey LIMIT 3),
+      m AS (
+        SELECT l_suppkey, count(DISTINCT l_partkey) AS c
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM div)
+        GROUP BY 1)
+      SELECT CAST(m.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+             CAST((SELECT count(*) FROM div) AS BIGINT) AS n_required
+      FROM m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+      WHERE m.c = (SELECT count(*) FROM div)
+      ORDER BY s_suppkey""",
+
+    // q182: l-diversity over (event_type, day-of-week) with user_id
+    // sensitive — the two-level contraction replayed as a nested
+    // aggregate; diverse iff >= 50 distinct users.
+    "q182_l_diversity" -> """
+      WITH sv AS (
+        SELECT event_type,
+               CAST((datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) % 7
+                 AS BIGINT) AS dow,
+               user_id, count(*) AS sn
+        FROM events GROUP BY 1, 2, 3)
+      SELECT event_type, dow,
+             CAST(sum(sn) AS BIGINT) AS n,
+             count(*) AS n_sensitive,
+             CAST(max(sn) AS BIGINT) AS max_freq,
+             count(*) >= 50 AS diverse
+      FROM sv GROUP BY 1, 2 ORDER BY event_type, dow""",
+
+    // q183: the Holt fixed-point recurrence replayed as a per-key
+    // recursive CTE with the IDENTICAL truncating integer division
+    // (alpha = 1/4, beta = 1/8: lvl' = (x + 3(lvl+tr)) // 4,
+    // tr' = ((lvl' - lvl) + 7 tr) // 8, seed lvl=x_1, tr=0).
+    "q183_holt" -> """
+      WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      num AS MATERIALIZED (
+        SELECT event_type, day_idx, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day_idx) AS rn
+        FROM daily),
+      rec(event_type, rn, lvl, tr) AS (
+        SELECT event_type, rn, x, CAST(0 AS BIGINT) FROM num WHERE rn = 1
+        UNION ALL
+        SELECT n.event_type, n.rn,
+               (n.x + 3 * (r.lvl + r.tr)) // 4,
+               (((n.x + 3 * (r.lvl + r.tr)) // 4) - r.lvl + 7 * r.tr) // 8
+        FROM rec r JOIN num n
+          ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+      SELECT n.event_type, n.day_idx, n.x, r.lvl, r.tr,
+             CASE WHEN n.rn = 1 THEN CAST(0 AS BIGINT)
+                  ELSE n.x - (p.lvl + p.tr) END AS err
+      FROM num n
+      JOIN rec r ON r.event_type = n.event_type AND r.rn = n.rn
+      LEFT JOIN rec p ON p.event_type = n.event_type AND p.rn = n.rn - 1
+      ORDER BY 1, 2""",
+
+    // q184: seasonal-naive MASE ingredients — row-lag semantics on
+    // both engines (lag 7 = forecast, lag 1 = naive denominator, both
+    // summed over the rows where the season lag exists).
+    "q184_seasonal_naive" -> """
+      WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, x,
+               lag(x, 7) OVER (PARTITION BY event_type ORDER BY day_idx) AS xs,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY day_idx) AS x1
+        FROM daily)
+      SELECT event_type, count(*) AS n_eval,
+             CAST(sum(abs(x - xs)) AS BIGINT) AS sae_seasonal,
+             CAST(sum(abs(x - x1)) AS BIGINT) AS sae_naive
+      FROM lagged WHERE xs IS NOT NULL
+      GROUP BY 1 ORDER BY event_type""",
+
+    // q185: per-column gini-impurity ingredients — value counts per
+    // column, then n^2 - sum(c^2) over HUGEINT cast back to BIGINT.
+    "q185_purity" -> """
+      WITH s AS (SELECT o_orderstatus AS v FROM orders),
+      sc AS (SELECT count(*) AS c FROM s GROUP BY v),
+      sa AS (SELECT 'o_orderstatus' AS "column",
+                    CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
+                    CAST(max(c) AS BIGINT) AS top_freq,
+                    CAST(sum(c) * sum(c) - sum(c * c) AS BIGINT) AS gini_num,
+                    CAST(sum(c) * sum(c) AS BIGINT) AS gini_den FROM sc),
+      p AS (SELECT o_orderpriority AS v FROM orders),
+      pc AS (SELECT count(*) AS c FROM p GROUP BY v),
+      pa AS (SELECT 'o_orderpriority',
+                    CAST(sum(c) AS BIGINT), count(*),
+                    CAST(max(c) AS BIGINT),
+                    CAST(sum(c) * sum(c) - sum(c * c) AS BIGINT),
+                    CAST(sum(c) * sum(c) AS BIGINT) FROM pc),
+      k AS (SELECT o_custkey AS v FROM orders),
+      kc AS (SELECT count(*) AS c FROM k GROUP BY v),
+      ka AS (SELECT 'o_custkey',
+                    CAST(sum(c) AS BIGINT), count(*),
+                    CAST(max(c) AS BIGINT),
+                    CAST(sum(c) * sum(c) - sum(c * c) AS BIGINT),
+                    CAST(sum(c) * sum(c) AS BIGINT) FROM kc)
+      SELECT * FROM sa UNION ALL SELECT * FROM pa UNION ALL SELECT * FROM ka
+      ORDER BY "column"""",
+
+    // q186: zone-map pruning what-if — per (layout, range): a bucket
+    // is touched iff its [min, max] envelope overlaps the range;
+    // rows_scanned sums touched buckets, rows_matched is the exact
+    // predicate count.
+    "q186_zonemap" -> """
+      WITH li AS MATERIALIZED (
+        SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                 AS ship_day,
+               l_orderkey
+        FROM lineitem),
+      zs AS MATERIALIZED (
+        SELECT ship_day // 30 AS bucket, count(*) AS n_rows,
+               min(ship_day) AS min_v, max(ship_day) AS max_v,
+               sum(CASE WHEN ship_day BETWEEN 1500 AND 1599 THEN 1 ELSE 0 END) AS m0,
+               sum(CASE WHEN ship_day BETWEEN 2000 AND 2199 THEN 1 ELSE 0 END) AS m1,
+               sum(CASE WHEN ship_day BETWEEN 3000 AND 3099 THEN 1 ELSE 0 END) AS m2
+        FROM li GROUP BY 1),
+      zr AS MATERIALIZED (
+        SELECT l_orderkey // 1000 AS bucket, count(*) AS n_rows,
+               min(ship_day) AS min_v, max(ship_day) AS max_v,
+               sum(CASE WHEN ship_day BETWEEN 1500 AND 1599 THEN 1 ELSE 0 END) AS m0,
+               sum(CASE WHEN ship_day BETWEEN 2000 AND 2199 THEN 1 ELSE 0 END) AS m1,
+               sum(CASE WHEN ship_day BETWEEN 3000 AND 3099 THEN 1 ELSE 0 END) AS m2
+        FROM li GROUP BY 1),
+      u AS (
+        SELECT 'time_sorted' AS layout, CAST(1500 AS BIGINT) AS lo,
+               CAST(1599 AS BIGINT) AS hi, count(*) AS buckets_total,
+               CAST(sum(CASE WHEN max_v >= 1500 AND min_v <= 1599 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+               CAST(sum(n_rows) AS BIGINT) AS rows_total,
+               CAST(sum(CASE WHEN max_v >= 1500 AND min_v <= 1599 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(sum(m0) AS BIGINT) AS rows_matched FROM zs
+        UNION ALL
+        SELECT 'time_sorted', 2000, 2199, count(*),
+               CAST(sum(CASE WHEN max_v >= 2000 AND min_v <= 2199 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT),
+               CAST(sum(CASE WHEN max_v >= 2000 AND min_v <= 2199 THEN n_rows ELSE 0 END) AS BIGINT),
+               CAST(sum(m1) AS BIGINT) FROM zs
+        UNION ALL
+        SELECT 'time_sorted', 3000, 3099, count(*),
+               CAST(sum(CASE WHEN max_v >= 3000 AND min_v <= 3099 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT),
+               CAST(sum(CASE WHEN max_v >= 3000 AND min_v <= 3099 THEN n_rows ELSE 0 END) AS BIGINT),
+               CAST(sum(m2) AS BIGINT) FROM zs
+        UNION ALL
+        SELECT 'orderkey', 1500, 1599, count(*),
+               CAST(sum(CASE WHEN max_v >= 1500 AND min_v <= 1599 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT),
+               CAST(sum(CASE WHEN max_v >= 1500 AND min_v <= 1599 THEN n_rows ELSE 0 END) AS BIGINT),
+               CAST(sum(m0) AS BIGINT) FROM zr
+        UNION ALL
+        SELECT 'orderkey', 2000, 2199, count(*),
+               CAST(sum(CASE WHEN max_v >= 2000 AND min_v <= 2199 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT),
+               CAST(sum(CASE WHEN max_v >= 2000 AND min_v <= 2199 THEN n_rows ELSE 0 END) AS BIGINT),
+               CAST(sum(m1) AS BIGINT) FROM zr
+        UNION ALL
+        SELECT 'orderkey', 3000, 3099, count(*),
+               CAST(sum(CASE WHEN max_v >= 3000 AND min_v <= 3099 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT),
+               CAST(sum(CASE WHEN max_v >= 3000 AND min_v <= 3099 THEN n_rows ELSE 0 END) AS BIGINT),
+               CAST(sum(m2) AS BIGINT) FROM zr)
+      SELECT * FROM u ORDER BY layout, lo""",
   )
 }

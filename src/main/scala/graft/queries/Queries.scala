@@ -3610,6 +3610,144 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Weighted shortest paths ([[graft.operators.Graphs
+    * .ssspDistances]]): cheapest trade distance from nation 0 over the
+    * customer-nation → supplier-nation graph, edge weight
+    * `1000000 div n_trades` (stronger trade link = shorter hop) — the
+    * weighted sibling of q142's BFS. The relaxation converges in ≤ 3
+    * rounds at every SF (the graph is dense); the oracle replays a
+    * hop-4-capped path recursion, one full round past measured
+    * convergence.
+    */
+  def q180Sssp(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(expr("1000000L div count(1)").as("w"))
+    import s.implicits._
+    graft.operators.Graphs.ssspDistances(edges, "src", "dst", "w",
+        Seq(0L).toDF("node"))
+      .orderBy(col("node"))
+  }
+
+  /** Relational division ([[graft.operators.Relational.divide]]):
+    * suppliers who supply ALL three of Brand#2's smallest part keys —
+    * the "for every" quantifier (Codd's ÷), shipped as the count-
+    * matching plan (broadcast divisor semi-join + distinct + one hash
+    * aggregate), not the double-NOT-EXISTS correlated form.
+    */
+  def q181Division(s: SparkSession, dir: String): DataFrame = {
+    val divisor = table(s, dir, "part").filter(col("p_brand") === "Brand#2")
+      .orderBy(col("p_partkey")).limit(3).select(col("p_partkey"))
+    val pairs = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"))
+    graft.operators.Relational.divide(pairs, "l_suppkey", "l_partkey", divisor)
+      .join(table(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_required"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** l-diversity audit ([[graft.operators.Anonymize.lDiversity]]):
+    * would releasing events grouped by (event_type, day-of-week) leak
+    * user identities? Sensitive attribute = user_id, l = 50: every
+    * group must mix ≥ 50 distinct users; max_freq/n is the adversary's
+    * best-guess odds. The homogeneity-attack complement to q124's
+    * k-anonymity (group SIZE is not privacy — uniform groups leak).
+    */
+  def q182LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+      .withColumn("dow",
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) % 7)
+          .cast("long"))
+    graft.operators.Anonymize.lDiversity(ev, Seq("event_type", "dow"),
+        "user_id", l = 50)
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Holt double-exponential smoothing ([[graft.operators.TimeSeries
+    * .holtSmooth]]): per-type daily event counts smoothed with
+    * α = 1/4, β = 1/8 in deterministic integer fixed-point — level,
+    * trend, and the one-step-ahead residual per day (the anomaly
+    * readout a trend-blind EWMA can't give). The oracle replays the
+    * recurrence as a per-key recursive CTE with the identical
+    * truncating integer division.
+    */
+  def q183Holt(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.TimeSeries.holtSmooth(daily, "event_type", "day_idx",
+        "n_events", alphaExp = 2, betaExp = 3)
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  /** Seasonal-naive backtest ([[graft.operators.TimeSeries
+    * .seasonalNaiveEval]]): forecast each type's daily event count
+    * with the value one week back and score it against the actual —
+    * exact MASE ingredients (n_eval, Σ|err_seasonal|, Σ|err_naive|) as
+    * BIGINTs; the no-model baseline any real forecaster must beat.
+    */
+  def q184SeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.TimeSeries.seasonalNaiveEval(daily, "event_type",
+        "day_idx", "n_events", season = 7)
+      .orderBy(col("event_type"))
+  }
+
+  /** Column concentration profile ([[graft.operators.Profile
+    * .purityProfile]]): exact Gini-impurity ingredients for three
+    * orders columns — the partition-key health check (o_orderstatus's
+    * gini near 0 would mean a one-task shuffle) with zero floats:
+    * gini = gini_num/gini_den = (n² − Σc²)/n².
+    */
+  def q185Purity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.purityProfile(table(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .orderBy(col("column"))
+
+  /** Zone-map pruning what-if ([[graft.operators.CorpusLayout
+    * .pruneEstimate]]): for three ship-date windows, how many storage
+    * buckets would min/max data skipping prune under (a) a time-sorted
+    * layout (30-day bins — tight envelopes, reads ≈ matches) vs (b) an
+    * order-key layout (time-uncorrelated — every bucket touched, full
+    * read amplification)? The measured argument for sort-on-write,
+    * exact per layout × predicate.
+    */
+  def q186Zonemap(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .withColumn("ship_day",
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+          .cast("long"))
+    val ranges = Seq((1500L, 1599L), (2000L, 2199L), (3000L, 3099L))
+    val sorted = graft.operators.CorpusLayout.pruneEstimate(
+      li, expr("ship_day div 30"), col("ship_day"), ranges)
+      .withColumn("layout", lit("time_sorted"))
+    val random = graft.operators.CorpusLayout.pruneEstimate(
+      li, expr("l_orderkey div 1000"), col("ship_day"), ranges)
+      .withColumn("layout", lit("orderkey"))
+    sorted.unionByName(random)
+      .select(col("layout"), col("lo"), col("hi"), col("buckets_total"),
+        col("buckets_touched"), col("rows_total"), col("rows_scanned"),
+        col("rows_matched"))
+      .orderBy(col("layout"), col("lo"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4021,5 +4159,12 @@ object Queries {
     "q177_functional_deps" -> (q177FunctionalDeps _),
     "q178_join_forecast" -> (q178JoinForecast _),
     "q179_ivm_delta"     -> (q179IvmDelta _),
+    "q180_sssp"          -> (q180Sssp _),
+    "q181_division"      -> (q181Division _),
+    "q182_l_diversity"   -> (q182LDiversity _),
+    "q183_holt"          -> (q183Holt _),
+    "q184_seasonal_naive" -> (q184SeasonalNaive _),
+    "q185_purity"        -> (q185Purity _),
+    "q186_zonemap"       -> (q186Zonemap _),
   )
 }

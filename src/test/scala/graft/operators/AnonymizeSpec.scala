@@ -50,6 +50,28 @@ class AnonymizeSpec extends AnyFunSuite {
     assert(got(4L) == ((Some("*"), true)))
   }
 
+  test("lDiversity: group size alone is not privacy") {
+    // (US,A) is large (k-anonymous at k=3) but sensitively UNIFORM —
+    // the homogeneity attack l-diversity exists to catch
+    val data = Seq(
+      ("US", "A", "flu"), ("US", "A", "flu"), ("US", "A", "flu"),
+      ("US", "B", "flu"), ("US", "B", "cold"),
+      ("DE", "A", "flu"), ("DE", "A", "cold"), ("DE", "A", "cold"),
+      ("FR", "C", null.asInstanceOf[String]))
+    val got = Anonymize.lDiversity(data.toDF("country", "seg", "dx"),
+        Seq("country", "seg"), "dx", l = 2)
+      .collect()
+      .map(r => (r.getAs[String]("country"), r.getAs[String]("seg")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_sensitive"),
+          r.getAs[Long]("max_freq"), r.getAs[Boolean]("diverse"))))
+      .toMap
+    assert(got(("US", "A")) == ((3L, 1L, 3L, false)), "uniform group fails")
+    assert(got(("US", "B")) == ((2L, 2L, 1L, true)))
+    assert(got(("DE", "A")) == ((3L, 2L, 2L, true)))
+    // an all-null sensitive group counts one distinct value: NOT diverse
+    assert(got(("FR", "C")) == ((1L, 1L, 1L, false)))
+  }
+
   test("profile reports violating groups and worst risk") {
     val got = Anonymize.profile(rows.toDF("id", "country", "seg", "v"),
       Seq("country", "seg"), k = 2).head()

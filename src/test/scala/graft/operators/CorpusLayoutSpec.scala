@@ -170,4 +170,33 @@ class CorpusLayoutSpec extends AnyFunSuite {
     // distinct inputs -> distinct keys within the budget
     assert(three.map(_.getAs[Long]("z")).distinct.length == triples.size)
   }
+
+  test("pruneEstimate: sorted layout prunes, shuffled layout reads everything") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // 100 values 0..99; sorted layout = 10 tight buckets of 10, shuffled
+    // layout = value mod 10 (every bucket's envelope spans ~the domain)
+    val df = (0L until 100L).toDF("v")
+    val sorted = CorpusLayout.pruneEstimate(df, expr("v div 10"), col("v"),
+      Seq((0L, 9L), (35L, 44L), (200L, 300L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(sorted((0L, 9L)) == ((10L, 1L, 100L, 10L, 10L)))
+    assert(sorted((35L, 44L)) == ((10L, 2L, 100L, 20L, 10L)),
+      "straddling range touches both neighbor buckets")
+    assert(sorted((200L, 300L)) == ((10L, 0L, 100L, 0L, 0L)),
+      "out-of-domain predicate touches nothing")
+    val shuffled = CorpusLayout.pruneEstimate(df, expr("v % 10"), col("v"),
+      Seq((35L, 44L))).head()
+    assert(shuffled.getLong(3) == 10L && shuffled.getLong(5) == 100L,
+      "mod layout: every bucket touched, full scan for 10 matches")
+    // zone maps are null-aware: a null-only bucket is never touched
+    val withNulls = Seq((0L, Some(5L)), (1L, None), (1L, None))
+      .toDF("b", "v")
+    val np = CorpusLayout.pruneEstimate(withNulls, col("b"), col("v"),
+      Seq((0L, 10L))).head()
+    assert(np.getLong(3) == 1L && np.getLong(4) == 3L &&
+      np.getLong(5) == 1L && np.getLong(6) == 1L)
+  }
 }

@@ -402,4 +402,66 @@ class GraphsSpec extends AnyFunSuite {
     // a 5-truss needs every edge in 3 triangles: only K5 qualifies
     assert(runKTruss(edges, 5).isEmpty)
   }
+
+  /** Driver Bellman-Ford replay (edge-list relaxation to fixpoint) —
+    * deliberately a DIFFERENT algorithm from both the operator's
+    * distributed frontier rounds and its Dijkstra fast path. */
+  private def refSssp(edges: Seq[(Long, Long, Long)],
+                      sources: Seq[Long]): Map[Long, Long] = {
+    val e = edges.filter(x => x._1 != x._2)
+      .groupBy(x => (x._1, x._2)).map { case ((s, d), es) => (s, d, es.map(_._3).min) }
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    sources.foreach(dist(_) = 0L)
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((s, d, w) <- e; ds <- dist.get(s))
+        if (dist.get(d).forall(_ > ds + w)) { dist(d) = ds + w; changed = true }
+    }
+    dist.toMap
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+                      maxRounds: Int = 30,
+                      localLimit: Long = 1L << 22): Map[Long, Long] =
+    Graphs.ssspDistances(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        sources.toDF("node"), maxRounds, localLimit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ssspDistances: weighted shortcuts beat fewer hops; multi-source; islands") {
+    // 0→1→2→3 each weight 1, plus a direct 0→3 edge of weight 5 (loses)
+    // and a 0→4→3 detour of total weight 2 (wins); island 8→9
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 5L),
+      (0L, 4L, 1L), (4L, 3L, 1L), (8L, 9L, 7L))
+    val got = runSssp(edges, Seq(0L))
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // multi-source: nearest seed wins; unreached island absent
+    val multi = runSssp(edges, Seq(0L, 8L))
+    assert(multi(9L) == 7L && multi(3L) == 2L && !multi.contains(5L))
+    // zero-weight edges are legal (ties settle to the same metric)
+    assert(runSssp(Seq((0L, 1L, 0L), (1L, 2L, 3L)), Seq(0L)) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 3L))
+  }
+
+  test("ssspDistances matches Bellman-Ford on random weighted digraphs, both paths") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7)
+      val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        rnd.nextInt(10).toLong))
+        .filter(e => e._1 != e._2)
+      val sources = Seq(rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      val want = refSssp(edges, sources)
+      assert(runSssp(edges, sources) == want, s"seed=$seed (driver path)")
+      // localLimit = 0 forces the distributed relaxation rounds
+      assert(runSssp(edges, sources, localLimit = 0L) == want,
+        s"seed=$seed (distributed path)")
+    }
+  }
+
+  test("ssspDistances rejects negative weights loudly") {
+    val ex = intercept[Exception] {
+      runSssp(Seq((0L, 1L, -1L)), Seq(0L), localLimit = 0L)
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -102,4 +102,30 @@ class ProfileSpec extends AnyFunSuite {
     // null -> b consistently: FD holds in the profiling convention
     assert(got(("k", "s")))
   }
+
+  test("purityProfile: exact gini ingredients, constant and uniform extremes") {
+    import spark.implicits._
+    val df = Seq(
+      ("c", "x", 1L), ("c", "y", 2L), ("c", "x", 3L), ("c", "y", 4L))
+      .toDF("const", "uni", "id")
+    val got = Profile.purityProfile(df, Seq("const", "uni", "id"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // constant column: gini = 0/16
+    assert(got("const") == ((4L, 1L, 4L, 0L, 16L)))
+    // two uniform values: gini = (16-8)/16 = 1/2
+    assert(got("uni") == ((4L, 2L, 2L, 8L, 16L)))
+    // unique key: gini = (16-4)/16 = 3/4 (the 1 - 1/k ceiling)
+    assert(got("id") == ((4L, 4L, 1L, 12L, 16L)))
+    // skewed column: counts 3,1 -> sumsq 10 -> gini_num 6
+    val sk = Profile.purityProfile(
+      Seq("a", "a", "a", "b").toDF("v"), Seq("v")).head()
+    assert((sk.getLong(3), sk.getLong(4), sk.getLong(5)) == ((3L, 6L, 16L)))
+    // empty table: all-zero row, no nulls
+    val emp = Profile.purityProfile(
+      Seq.empty[String].toDF("v"), Seq("v")).head()
+    assert((emp.getLong(1), emp.getLong(2), emp.getLong(4), emp.getLong(5))
+      == ((0L, 0L, 0L, 0L)))
+  }
 }

@@ -216,4 +216,62 @@ class TimeSeriesSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("horizonEnd precedes")))
   }
+
+  test("seasonalNaiveEval: exact SAE ingredients over the scorable window") {
+    // perfectly seasonal series (period 3): seasonal error 0, naive > 0
+    val seasonal = (0 until 9).map(t => ("s", t.toLong, Seq(10L, 50L, 30L)(t % 3)))
+    // trending series: seasonal error is 3*season, naive error is 3/step
+    val trend = (0 until 8).map(t => ("t", t.toLong, 100L + 3L * t))
+    val got = TimeSeries.seasonalNaiveEval(
+        (seasonal ++ trend).toDF("k", "o", "x"), "k", "o", "x", season = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // naive per scorable row t=3..8: |10-30|,|50-10|,|30-50|,... = 20,40,20,20,40,20
+    assert(got("s") == ((6L, 0L, 160L)))
+    assert(got("t") == ((5L, 5L * 9L, 5L * 3L)))
+    // a key shorter than the season produces no scorable rows
+    assert(!got.contains("x"))
+  }
+
+  /** Driver replay of the exact fixed-point Holt recurrence. */
+  private def refHolt(xs: Seq[Long], aExp: Int, bExp: Int): Seq[(Long, Long, Long)] = {
+    val a = 1L << aExp; val b = 1L << bExp
+    var lvl = xs.head; var tr = 0L
+    (lvl, tr, 0L) +: xs.tail.map { x =>
+      val err = x - (lvl + tr)
+      val nl = (x + (a - 1) * (lvl + tr)) / a
+      val nt = ((nl - lvl) + (b - 1) * tr) / b
+      lvl = nl; tr = nt
+      (lvl, tr, err)
+    }
+  }
+
+  test("holtSmooth matches the driver fixed-point replay; tracks trends EWMA lags") {
+    val rnd = new scala.util.Random(11)
+    // a noisy up-trend and a level shift, in centi-units, plus negatives
+    val up = (0 until 40).map(t => 1000L + 50L * t + rnd.nextInt(21) - 10)
+    val shift = (0 until 30).map(t => if (t < 15) -500L else 2000L)
+    val rows = up.zipWithIndex.map { case (x, t) => ("up", t.toLong, x) } ++
+      shift.zipWithIndex.map { case (x, t) => ("sh", t.toLong, x) }
+    val got = TimeSeries.holtSmooth(rows.toDF("k", "o", "x"), "k", "o", "x",
+        alphaExp = 2, betaExp = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    for ((series, name) <- Seq((up, "up"), (shift, "sh"))) {
+      val want = refHolt(series, 2, 3)
+      for (t <- series.indices)
+        assert(got((name, t.toLong)) == want(t), s"$name t=$t")
+    }
+    // on the clean trend the learned slope approaches the true 50/step
+    val lastTr = got(("up", 39L))._2
+    assert(lastTr > 30L && lastTr < 70L, s"learned trend $lastTr")
+    // single-point series: just the seed row
+    val single = TimeSeries.holtSmooth(Seq(("one", 0L, 7L)).toDF("k", "o", "x"),
+      "k", "o", "x", 2, 3).collect()
+    assert(single.length == 1 &&
+      single.head.getLong(3) == 7L && single.head.getLong(4) == 0L)
+  }
 }

@@ -87,6 +87,9 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // CUSUM's two stacked windows run over the (types × days) daily
     // contraction (bounded rows), never event rows — the q112 shape
     "q130_cusum",
+    // seasonal-naive lag-7/lag-1 windows ride the same (types × days)
+    // daily contraction as q130 — never event rows
+    "q184_seasonal_naive",
     // weighted cut: the per-flag window rides the distinct-VALUE
     // contraction (q44's category — cents-binned prices, documented
     // valueThresholds contract), never lineitem rows
