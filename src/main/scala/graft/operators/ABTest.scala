@@ -70,4 +70,153 @@ object ABTest {
       .withColumn("df_welch", when(ok,
         (se2 * se2) / (seA * seA / (naD - 1.0) + seB * seB / (nbD - 1.0))))
   }
+
+  /** Randomization test with EXACT integer p-value ingredients — the
+    * finite-sample significance readout [[welch]] deliberately leaves
+    * out (p-values via t CDFs need libm transcendentals, which are not
+    * cross-engine reproducible; a randomization null needs only
+    * arithmetic). The classic Fisher-style test (Fisher 1935; Edgington
+    * randomization form): re-draw each unit's arm under the null `b`
+    * times with the DETERMINISTIC md5 coin (the q47/q132 no-RNG
+    * convention — task retries AND an independent engine replay the
+    * same draws), recompute the mean difference, and count replicates
+    * at least as extreme as observed. The mean difference stays a
+    * RATIONAL — T = (S₁·n₀ − S₀·n₁) / (n₁·n₀) — and extremeness is the
+    * cross-multiplied integer comparison |num_r|·den_obs ≥
+    * |num_obs|·den_r in DECIMAL(38,0), so the whole test is
+    * bit-exact: p = p_num/p_den with the add-one correction
+    * p_num = #exceed + 1, p_den = b + 1 (Davison & Hinkley).
+    *
+    * Degenerate replicates (all units drawn into one arm — den_r = 0,
+    * T undefined) count as exceedances: conservative, and vanishingly
+    * rare for n ≫ 30.
+    *
+    * Scale shape: one row per (unit × replicate) EXISTS ONLY inside
+    * the map stage (explode feeding a map-side partial aggregate) —
+    * the shuffle carries b partial rows per partition, the reduce
+    * contracts to b rows, then one 1-row fold against the broadcast
+    * observed scalar (police-whitelisted 1-row crossJoin). Units are
+    * never collected; b bounds every post-shuffle cardinality.
+    *
+    * `armCol` must be 0/1; `valueCol` fixed-point BIGINT (centi-units
+    * keep the DECIMAL(38,0) cross-products exact far past any real
+    * experiment size). Returns ONE row: n, n_treat, num_obs, den_obs,
+    * n_exceed, n_reps, p_num, p_den.
+    */
+  def permutationTest(df: DataFrame, idCol: String, armCol: String,
+                      valueCol: String, b: Int = 199,
+                      salt: String = "42"): DataFrame = {
+    require(b >= 1, "need at least one replicate")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+      col(armCol).cast("int").as("__arm"), col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull && (col("__arm") === 0 || col("__arm") === 1))
+    val obs = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+      coalesce(sum(col("__v")), lit(0L)).cast("long").as("s_tot"),
+      coalesce(sum(when(col("__arm") === 1, col("__v"))), lit(0L))
+        .cast("long").as("s_treat"))
+    val coin = conv(substring(md5(concat_ws(":", lit("perm"), lit(salt),
+      col("__id"), col("__r").cast("string"))), 1, 12), 16, 10)
+      .cast("long") % 2
+    val reps = base
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .select(col("__r"), col("__v"), (coin === 1).as("__t"))
+      .groupBy(col("__r"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n1_r"),
+        coalesce(sum(when(col("__t"), col("__v"))), lit(0L))
+          .cast("long").as("s1_r"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val scored = reps.crossJoin(broadcast(obs))
+      .withColumn("n0_r", col("n") - col("n1_r"))
+      .withColumn("num_r",
+        dec(col("s1_r")) * (col("n") - col("n1_r"))
+          - dec(col("s_tot") - col("s1_r")) * col("n1_r"))
+      .withColumn("den_r", dec(col("n1_r")) * (col("n") - col("n1_r")))
+      .withColumn("num_obs",
+        dec(col("s_treat")) * (col("n") - col("n_treat"))
+          - dec(col("s_tot") - col("s_treat")) * col("n_treat"))
+      .withColumn("den_obs", dec(col("n_treat")) * (col("n") - col("n_treat")))
+      .withColumn("exceed",
+        col("den_r") === 0 ||
+          abs(col("num_r")) * col("den_obs") >= abs(col("num_obs")) * col("den_r"))
+    scored.agg(
+        min(col("n")).as("n"), min(col("n_treat")).as("n_treat"),
+        min(col("num_obs")).cast("long").as("num_obs"),
+        min(col("den_obs")).cast("long").as("den_obs"),
+        sum(when(col("exceed"), 1L).otherwise(0L)).as("n_exceed"),
+        count(lit(1)).as("n_reps"))
+      .withColumn("p_num", col("n_exceed") + 1L)
+      .withColumn("p_den", col("n_reps") + 1L)
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * shrink an experiment metric's variance with a PRE-experiment
+    * covariate X — adjusted metric Y' = Y − θ·(X − mean(X)) with
+    * θ = cov(X,Y)/var(X) POOLED across arms (the covariate predates
+    * assignment, so adjusting by it cannot bias the treatment effect,
+    * only remove pre-existing user-level spread). The readout a mature
+    * experimentation platform runs on every metric; variance shrinks
+    * by the factor 1 − ρ²(X, Y).
+    *
+    * Exactness: the [[welch]] contract — fixed-point BIGINT inputs,
+    * sufficient statistics (n, Σx, Σy exact longs; Σxy, Σx², Σy² in
+    * DECIMAL(38,0) → double) off ONE map-side-partial hash aggregate,
+    * then a FIXED IEEE expression shape for θ, the adjusted means, and
+    * ρ² — cross-engine hash-certifiable under the same magnitude rule
+    * (centi-units keep Σxy under 2^53).
+    *
+    * Output per group: n_a, n_b, theta, mean_y_a, mean_y_b, diff_raw,
+    * adj_a, adj_b, diff_adj, rho2 — theta/adjustments null when
+    * var(X) = 0 (constant covariate: nothing to remove; diff_adj
+    * falls back to the caller reading diff_raw), rho2 additionally
+    * null when var(Y) = 0.
+    */
+  def cuped(df: DataFrame, groupCol: String, armCol: String,
+            yCol: String, xCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val y = col(yCol); val x = col(xCol)
+    val isB = col(armCol) === 1
+    val agg = df
+      .where(y.isNotNull && x.isNotNull && (col(armCol) === 0 || isB))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(!isB, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(x), lit(0L)).cast("long").as("sx"),
+        coalesce(sum(y), lit(0L)).cast("long").as("sy"),
+        coalesce(sum(when(!isB, x)), lit(0L)).cast("long").as("sx_a"),
+        coalesce(sum(when(isB, x)), lit(0L)).cast("long").as("sx_b"),
+        coalesce(sum(when(!isB, y)), lit(0L)).cast("long").as("sy_a"),
+        coalesce(sum(when(isB, y)), lit(0L)).cast("long").as("sy_b"),
+        coalesce(sum(dec(x) * dec(y)), lit(0L)).cast("double").as("sxy"),
+        coalesce(sum(dec(x) * dec(x)), lit(0L)).cast("double").as("sxx"),
+        coalesce(sum(dec(y) * dec(y)), lit(0L)).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val covNum = nD * col("sxy") - sxD * syD
+    val varXNum = nD * col("sxx") - sxD * sxD
+    val varYNum = nD * col("syy") - syD * syD
+    val theta = covNum / varXNum
+    val meanX = sxD / nD
+    val meanYA = col("sy_a").cast("double") / col("n_a").cast("double")
+    val meanYB = col("sy_b").cast("double") / col("n_b").cast("double")
+    val meanXA = col("sx_a").cast("double") / col("n_a").cast("double")
+    val meanXB = col("sx_b").cast("double") / col("n_b").cast("double")
+    val okX = col("n_a") >= 1 && col("n_b") >= 1 && varXNum > 0.0
+    val adjA = meanYA - theta * (meanXA - meanX)
+    val adjB = meanYB - theta * (meanXB - meanX)
+    agg
+      .withColumn("theta", when(okX, theta))
+      .withColumn("mean_y_a", meanYA).withColumn("mean_y_b", meanYB)
+      .withColumn("diff_raw", meanYB - meanYA)
+      .withColumn("adj_a", when(okX, adjA))
+      .withColumn("adj_b", when(okX, adjB))
+      .withColumn("diff_adj", when(okX, adjB - adjA))
+      .withColumn("rho2", when(okX && varYNum > 0.0,
+        (covNum * covNum) / (varXNum * varYNum)))
+      .drop("sxy", "sxx", "syy", "sx", "sy", "sx_a", "sx_b", "sy_a", "sy_b")
+  }
 }

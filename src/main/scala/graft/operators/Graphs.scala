@@ -594,6 +594,54 @@ object Graphs {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Degree assortativity ingredients (Newman 2002), EXACT-integer:
+    * do high-degree nodes attach to high-degree nodes (r > 0, social
+    * graphs) or to low-degree ones (r < 0, the internet/star shapes)?
+    * Newman's r is the Pearson correlation of the degrees at the two
+    * ends of an undirected edge, symmetrized over both orientations;
+    * over the 2m directed stubs with end degrees (j, k):
+    *   r = (2m·Σjk − (Σj)²/1) … cleared over the common denominator:
+    *   r_num = 4m·Σ_e(du·dv) − (Σ_e(du+dv))²
+    *   r_den = 2m·Σ_e(du²+dv²) − (Σ_e(du+dv))²
+    * (sums over UNDIRECTED edges e — the orientation symmetry folds
+    * into the constants). Shipped un-divided as exact BIGINTs
+    * (DECIMAL(38,0) internally — loud overflow, not wrap), plus the
+    * raw ingredient sums; r = r_num/r_den is one IEEE division at the
+    * edge. r_den = 0 (all degrees equal) means r is undefined —
+    * callers treat 0/0 as "perfectly regular graph".
+    *
+    * Scale shape: the [[triangleStats]] prologue — distinct undirected
+    * edges, one degree aggregate, two hash joins to decorate ends —
+    * then ONE 1-row fold. No window, no orientation explosion (the
+    * both-directions sum is algebra, not a union).
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("m"),
+        coalesce(sum(col("du") + col("dv")), lit(0L)).cast("long").as("sum_deg"),
+        coalesce(sum(dec(col("du")) * col("dv")), dec(lit(0L))).as("__sp"),
+        coalesce(sum(dec(col("du")) * col("du") + dec(col("dv")) * col("dv")),
+          dec(lit(0L))).as("__ss"))
+      .select(col("m"), col("sum_deg"),
+        col("__sp").cast("long").as("sum_prod"),
+        col("__ss").cast("long").as("sum_sq"),
+        (lit(4) * dec(col("m")) * col("__sp")
+          - dec(col("sum_deg")) * col("sum_deg")).cast("long").as("r_num"),
+        (lit(2) * dec(col("m")) * col("__ss")
+          - dec(col("sum_deg")) * col("sum_deg")).cast("long").as("r_den"))
+  }
+
   /** Weighted single/multi-source shortest paths over directed edges
     * with NON-NEGATIVE integer weights — [[bfsDistances]]' weighted
     * sibling (cost-of-reach queries: cheapest routing hops, weakest-

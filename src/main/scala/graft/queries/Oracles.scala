@@ -4128,5 +4128,143 @@ object Oracles {
                CAST(sum(CASE WHEN max_v >= 3000 AND min_v <= 3099 THEN n_rows ELSE 0 END) AS BIGINT),
                CAST(sum(m2) AS BIGINT) FROM zr)
       SELECT * FROM u ORDER BY layout, lo""",
+
+    // q187: the randomization test replayed draw-for-draw — identical
+    // md5 coins (q132's hex-prefix trick), identical HUGEINT
+    // cross-multiplied extremeness comparison.
+    "q187_permutation_test" -> """
+      WITH units AS MATERIALIZED (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      obs AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+               sum(v) AS s_tot,
+               coalesce(sum(CASE WHEN arm = 1 THEN v END), 0) AS s_treat
+        FROM units),
+      reps AS (
+        SELECT r.r,
+               sum(CASE WHEN CAST(('0x' || substr(md5('perm:42:'
+                 || CAST(u.user_id AS VARCHAR) || ':'
+                 || CAST(r.r AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE 0 END) AS n1_r,
+               coalesce(sum(CASE WHEN CAST(('0x' || substr(md5('perm:42:'
+                 || CAST(u.user_id AS VARCHAR) || ':'
+                 || CAST(r.r AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 1
+                 THEN u.v END), 0) AS s1_r
+        FROM units u, (SELECT unnest(range(199)) AS r) r
+        GROUP BY 1),
+      scored AS (
+        SELECT o.n, o.n_treat,
+               CAST(s1_r AS HUGEINT) * (o.n - n1_r)
+                 - CAST(o.s_tot - s1_r AS HUGEINT) * n1_r AS num_r,
+               CAST(n1_r AS HUGEINT) * (o.n - n1_r) AS den_r,
+               CAST(o.s_treat AS HUGEINT) * (o.n - o.n_treat)
+                 - CAST(o.s_tot - o.s_treat AS HUGEINT) * o.n_treat AS num_obs,
+               CAST(o.n_treat AS HUGEINT) * (o.n - o.n_treat) AS den_obs
+        FROM reps, obs o),
+      f AS (
+        SELECT CAST(min(n) AS BIGINT) AS n,
+               CAST(min(n_treat) AS BIGINT) AS n_treat,
+               CAST(min(num_obs) AS BIGINT) AS num_obs,
+               CAST(min(den_obs) AS BIGINT) AS den_obs,
+               CAST(sum(CASE WHEN den_r = 0
+                 OR abs(num_r) * den_obs >= abs(num_obs) * den_r
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+               count(*) AS n_reps
+        FROM scored)
+      SELECT n, n_treat, num_obs, den_obs, n_exceed, n_reps,
+             n_exceed + 1 AS p_num, n_reps + 1 AS p_den
+      FROM f""",
+
+    // q188: Newman assortativity ingredients over the deduplicated
+    // undirected trade edges — degrees, per-edge products, and the
+    // cleared rational, all exact integers.
+    "q188_assortativity" -> """
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                        greatest(c.c_nationkey, s.s_nationkey) AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+      x AS (
+        SELECT du.deg AS du, dv.deg AS dv
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      agg AS (
+        SELECT count(*) AS m, sum(du + dv) AS sum_deg,
+               sum(CAST(du AS HUGEINT) * dv) AS sp,
+               sum(CAST(du AS HUGEINT) * du + CAST(dv AS HUGEINT) * dv) AS ss
+        FROM x)
+      SELECT CAST(m AS BIGINT) AS m, CAST(sum_deg AS BIGINT) AS sum_deg,
+             CAST(sp AS BIGINT) AS sum_prod, CAST(ss AS BIGINT) AS sum_sq,
+             CAST(4 * m * sp - CAST(sum_deg AS HUGEINT) * sum_deg AS BIGINT)
+               AS r_num,
+             CAST(2 * m * ss - CAST(sum_deg AS HUGEINT) * sum_deg AS BIGINT)
+               AS r_den
+      FROM agg""",
+
+    // q189: CUPED through the identical IEEE shape — exact sufficient
+    // statistics (longs + DECIMAL(38,0)->double cross sums), then
+    // theta/adjusted means/rho2 with q129's double discipline.
+    "q189_cuped" -> """
+      WITH u AS MATERIALIZED (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+               CAST(coalesce(sum(CASE WHEN datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) >= 15
+                 THEN CAST(value AS DECIMAL(18,6)) END), 0) * 100 AS BIGINT) AS y,
+               CAST(coalesce(sum(CASE WHEN datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) < 15
+                 THEN CAST(value AS DECIMAL(18,6)) END), 0) * 100 AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type, user_id),
+      s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN x END), 0) AS BIGINT) AS sx_a,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN x END), 0) AS BIGINT) AS sx_b,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN y END), 0) AS BIGINT) AS sy_a,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN y END), 0) AS BIGINT) AS sy_b,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM u GROUP BY 1),
+      d AS (
+        SELECT *, CAST(n AS DOUBLE) AS nD,
+               CAST(sx AS DOUBLE) AS sxD, CAST(sy AS DOUBLE) AS syD
+        FROM s),
+      e AS (
+        SELECT *,
+               nD * sxy - sxD * syD AS covNum,
+               nD * sxx - sxD * sxD AS varXNum,
+               nD * syy - syD * syD AS varYNum,
+               sxD / nD AS meanX,
+               CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y_a,
+               CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_y_b,
+               CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_x_a,
+               CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_x_b
+        FROM d),
+      f AS (
+        SELECT *, covNum / varXNum AS th,
+               n_a >= 1 AND n_b >= 1 AND varXNum > 0.0 AS okx
+        FROM e)
+      SELECT event_type, n, n_a, n_b,
+             CASE WHEN okx THEN th END AS theta,
+             mean_y_a, mean_y_b,
+             mean_y_b - mean_y_a AS diff_raw,
+             CASE WHEN okx THEN mean_y_a - th * (mean_x_a - meanX) END AS adj_a,
+             CASE WHEN okx THEN mean_y_b - th * (mean_x_b - meanX) END AS adj_b,
+             CASE WHEN okx THEN (mean_y_b - th * (mean_x_b - meanX))
+                  - (mean_y_a - th * (mean_x_a - meanX)) END AS diff_adj,
+             CASE WHEN okx AND varYNum > 0.0
+                  THEN (covNum * covNum) / (varXNum * varYNum) END AS rho2
+      FROM f ORDER BY event_type""",
   )
 }

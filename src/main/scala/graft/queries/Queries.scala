@@ -3748,6 +3748,70 @@ object Queries {
       .orderBy(col("layout"), col("lo"))
   }
 
+  /** Exact-integer randomization test ([[graft.operators.ABTest
+    * .permutationTest]]): does the user_id%2 "assignment" move
+    * per-user total event value? 199 deterministic md5 re-draws of the
+    * arms, the mean-difference rational compared by integer
+    * cross-multiplication — a finite-sample p-value with NO
+    * transcendentals anywhere (p = p_num/p_den with the add-one
+    * correction), so the whole test hash-certifies cross-engine.
+    */
+  def q187PermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val units = eventsTable(s, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(Dec)).as("__sv"))
+      .select(col("user_id"),
+        (col("user_id") % 2).cast("int").as("arm"),
+        (col("__sv") * 100).cast("long").as("v_c"))
+    graft.operators.ABTest.permutationTest(units, "user_id", "arm", "v_c",
+      b = 199, salt = "42")
+  }
+
+  /** Degree assortativity ([[graft.operators.Graphs
+    * .degreeAssortativity]]): does the nation trade graph wire
+    * high-degree to high-degree? Newman's r over the undirected
+    * customer-nation ↔ supplier-nation edges, shipped as the exact
+    * cleared rational r_num/r_den plus its integer ingredient sums.
+    */
+  def q188Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    graft.operators.Graphs.degreeAssortativity(edges, "src", "dst")
+  }
+
+  /** CUPED variance reduction ([[graft.operators.ABTest.cuped]]): per
+    * event_type, shrink the post-period per-user value metric with the
+    * pre-period covariate (days 0–14 vs 15–29, centi-units) under the
+    * user_id%2 assignment — θ, adjusted arm means, and ρ² through the
+    * fixed IEEE shape (the q129 Welch discipline), exact sufficient
+    * statistics underneath.
+    */
+  def q189Cuped(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+    val units = eventsTable(s, dir)
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        coalesce(sum(when(day >= 15, col("value").cast(Dec))), lit(0).cast(Dec))
+          .as("__y"),
+        coalesce(sum(when(day < 15, col("value").cast(Dec))), lit(0).cast(Dec))
+          .as("__x"))
+      .select(col("event_type"),
+        (col("user_id") % 2).cast("int").as("arm"),
+        (col("__y") * 100).cast("long").as("y_c"),
+        (col("__x") * 100).cast("long").as("x_c"))
+    graft.operators.ABTest.cuped(units, "event_type", "arm", "y_c", "x_c")
+      .orderBy(col("event_type"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4166,5 +4230,8 @@ object Queries {
     "q184_seasonal_naive" -> (q184SeasonalNaive _),
     "q185_purity"        -> (q185Purity _),
     "q186_zonemap"       -> (q186Zonemap _),
+    "q187_permutation_test" -> (q187PermutationTest _),
+    "q188_assortativity" -> (q188Assortativity _),
+    "q189_cuped"         -> (q189Cuped _),
   )
 }

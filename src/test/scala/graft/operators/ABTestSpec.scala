@@ -68,4 +68,96 @@ class ABTestSpec extends AnyFunSuite {
         Option(r.getAs[java.lang.Double]("t_stat"))).toMap
     assert(got("one").isEmpty && got("zv").isEmpty)
   }
+
+  /** The identical md5 coin, driver-side. */
+  private def coin(salt: String, id: String, r: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"perm:$salt:$id:$r".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    (java.lang.Long.parseLong(hex, 16) % 2).toInt
+  }
+
+  test("permutationTest matches a driver replay; signal vs no-signal p-values") {
+    val rng = new scala.util.Random(13)
+    // strong treatment effect: arm 1 shifted by +300
+    val units = (0 until 120).map { i =>
+      val arm = i % 2
+      (i.toLong, arm, (500 + rng.nextInt(200) + (if (arm == 1) 300 else 0)).toLong)
+    }
+    val b = 99
+    val row = ABTest.permutationTest(units.toDF("id", "arm", "v"),
+      "id", "arm", "v", b = b, salt = "t1").head()
+    // driver replay: same coins, same cross-multiplied comparison
+    val n = units.size
+    val s = units.map(_._3).sum
+    val n1 = units.count(_._2 == 1)
+    val s1 = units.filter(_._2 == 1).map(_._3).sum
+    val numObs = BigInt(s1) * (n - n1) - BigInt(s - s1) * n1
+    val denObs = BigInt(n1) * (n - n1)
+    val exceed = (0 until b).count { r =>
+      val drawn = units.filter(u => coin("t1", u._1.toString, r) == 1)
+      val n1r = drawn.size; val s1r = drawn.map(_._3).sum
+      val numR = BigInt(s1r) * (n - n1r) - BigInt(s - s1r) * n1r
+      val denR = BigInt(n1r) * (n - n1r)
+      denR == 0 || numR.abs * denObs >= numObs.abs * denR
+    }
+    assert(row.getAs[Long]("n") == n && row.getAs[Long]("n_treat") == n1)
+    assert(row.getAs[Long]("num_obs") == numObs.toLong)
+    assert(row.getAs[Long]("n_exceed") == exceed.toLong)
+    assert(row.getAs[Long]("p_den") == (b + 1).toLong)
+    // a +300 shift on noise of sd ~60: no replicate should beat it
+    assert(row.getAs[Long]("p_num") == 1L)
+    // no-signal data: p should be large (the null is true)
+    val nullUnits = (0 until 120).map { i =>
+      (i.toLong, i % 2, (500 + rng.nextInt(200)).toLong) }
+    val p = ABTest.permutationTest(nullUnits.toDF("id", "arm", "v"),
+      "id", "arm", "v", b = b, salt = "t1").head()
+    assert(p.getAs[Long]("p_num") > 5L,
+      s"null data got p_num ${p.getAs[Long]("p_num")}")
+  }
+
+  /** Straight-line IEEE replay of the CUPED expression shape. */
+  private def refCuped(rows: Seq[(Int, Long, Long)]) = {
+    val n = rows.size.toDouble
+    val sx = rows.map(_._3).sum.toDouble
+    val sy = rows.map(_._2).sum.toDouble
+    val sxy = rows.map(r => BigDecimal(r._3) * BigDecimal(r._2)).sum.toDouble
+    val sxx = rows.map(r => BigDecimal(r._3) * BigDecimal(r._3)).sum.toDouble
+    val a = rows.filter(_._1 == 0); val b = rows.filter(_._1 == 1)
+    val covNum = n * sxy - sx * sy
+    val varXNum = n * sxx - sx * sx
+    val theta = covNum / varXNum
+    val meanX = sx / n
+    val adjA = a.map(_._2).sum.toDouble / a.size -
+      theta * (a.map(_._3).sum.toDouble / a.size - meanX)
+    val adjB = b.map(_._2).sum.toDouble / b.size -
+      theta * (b.map(_._3).sum.toDouble / b.size - meanX)
+    (theta, adjB - adjA)
+  }
+
+  test("cuped: removes covariate-explained spread, bit-identical to replay") {
+    val rng = new scala.util.Random(29)
+    // y = x + noise + effect·arm: the covariate explains most spread
+    val rows = (0 until 200).map { i =>
+      val arm = i % 2
+      val x = (1000 + rng.nextInt(2000)).toLong
+      val y = x + rng.nextInt(100) + (if (arm == 1) 50 else 0)
+      ("m", arm, y, x)
+    }
+    val got = ABTest.cuped(rows.toDF("g", "arm", "y", "x"),
+      "g", "arm", "y", "x").head()
+    val (theta, diffAdj) = refCuped(rows.map(r => (r._2, r._3, r._4)))
+    assert(got.getAs[Double]("theta") == theta)
+    assert(got.getAs[Double]("diff_adj") == diffAdj)
+    // the adjustment must tighten the estimate toward the true +50
+    assert(math.abs(got.getAs[Double]("diff_adj") - 50.0) <
+      math.abs(got.getAs[Double]("diff_raw") - 50.0) + 20.0)
+    // rho2 near 1: x explains almost everything
+    assert(got.getAs[Double]("rho2") > 0.9)
+    // constant covariate: theta/adjustments null, raw diff still flows
+    val const = ABTest.cuped(rows.map(r => (r._1, r._2, r._3, 7L))
+      .toDF("g", "arm", "y", "x"), "g", "arm", "y", "x").head()
+    assert(Option(const.getAs[java.lang.Double]("theta")).isEmpty)
+    assert(!const.isNullAt(const.fieldIndex("diff_raw")))
+  }
 }

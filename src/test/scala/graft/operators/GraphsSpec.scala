@@ -403,6 +403,48 @@ class GraphsSpec extends AnyFunSuite {
     assert(runKTruss(edges, 5).isEmpty)
   }
 
+  private def runAssort(edges: Seq[(Long, Long)]) = {
+    val r = Graphs.degreeAssortativity(edges.toDF("a", "b"), "a", "b").head()
+    (r.getAs[Long]("m"), r.getAs[Long]("sum_deg"), r.getAs[Long]("sum_prod"),
+      r.getAs[Long]("sum_sq"), r.getAs[Long]("r_num"), r.getAs[Long]("r_den"))
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative, regular undefined") {
+    // star K1,3: r = -1 exactly
+    val star = runAssort(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star == ((3L, 12L, 9L, 30L, -36L, 36L)))
+    // triangle (2-regular): zero variance -> 0/0, undefined
+    val tri = runAssort(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(tri._5 == 0L && tri._6 == 0L)
+    // path 1-2-3: also r = -1 (ends attach to the middle)
+    val path = runAssort(Seq((1L, 2L), (2L, 3L)))
+    assert(path._5 == -path._6 && path._6 > 0)
+    // direction/duplicates/self-loops collapse before counting
+    val messy = runAssort(Seq((1L, 0L), (0L, 1L), (0L, 2L), (2L, 0L),
+      (0L, 3L), (1L, 1L)))
+    assert(messy == star)
+  }
+
+  test("degreeAssortativity matches the stub-list Pearson replay on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 13)
+      val edges = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      val deg = (und.map(_._1) ++ und.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // stubs: both orientations of every undirected edge
+      val stubs = und.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+      val m2 = stubs.size.toLong
+      val sjk = stubs.map(s => s._1 * s._2).sum
+      val sj = stubs.map(_._1).sum
+      val sjj = stubs.map(s => s._1 * s._1).sum
+      val got = runAssort(edges)
+      assert(got._5 == m2 * sjk - sj * sj, s"seed=$seed num")
+      assert(got._6 == m2 * sjj - sj * sj, s"seed=$seed den")
+    }
+  }
+
   /** Driver Bellman-Ford replay (edge-list relaxation to fixpoint) —
     * deliberately a DIFFERENT algorithm from both the operator's
     * distributed frontier rounds and its Dijkstra fast path. */
