@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,18 +145,35 @@ object Quantiles {
       df: DataFrame, groupCol: String, valueCol: String,
       p: Double, accuracy: Int, delta: Double): DataFrame = {
     require(p > 0.0 && p < 1.0, s"quantile p must be in (0,1), got $p")
+    exactRankByGroupImpl(df, groupCol, valueCol,
+      n => greatest(lit(1L), least(n, ceil(lit(p) * n).cast("long"))),
+      p - delta, p + delta, accuracy)
+  }
+
+  /** The GK-bracketed two-pass selection generalized to an ARBITRARY
+    * per-group target rank k(n) (1-based): the sketch bracket sits at
+    * the [pLo, pHi] approximate quantiles and is VERIFIED by an exact
+    * count pass (fallback to [min, max] when the target rank escapes
+    * it), then the distinct-value cumsum selects the k-th order
+    * statistic exactly. Callers must pick [pLo, pHi] so the bracket
+    * usually contains rank k — correctness never depends on it, only
+    * the pass-2 input size does.
+    */
+  private[graft] def exactRankByGroupImpl(
+      df: DataFrame, groupCol: String, valueCol: String,
+      kOf: Column => Column, pLo: Double, pHi: Double,
+      accuracy: Int): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
     val base = df.select(g, v).where(v.isNotNull)
-    val loP = math.min(1.0, math.max(0.0, p - delta))
-    val hiP = math.min(1.0, math.max(0.0, p + delta))
+    val loP = math.min(1.0, math.max(0.0, pLo))
+    val hiP = math.min(1.0, math.max(0.0, pHi))
     val stats = base.groupBy(g).agg(
         count(lit(1)).as("n"),
         percentile_approx(v, lit(loP), lit(accuracy)).as("lo0"),
         percentile_approx(v, lit(hiP), lit(accuracy)).as("hi0"),
         min(v).as("vmin"), max(v).as("vmax"))
-      .withColumn("k", greatest(lit(1L), least(col("n"),
-        ceil(lit(p) * col("n")).cast("long"))))
+      .withColumn("k", greatest(lit(1L), least(col("n"), kOf(col("n")))))
     // exact bracket verification: one count pass against the sketch
     // bounds (stats is group-cardinality-sized — broadcast)
     val counts = base
@@ -184,6 +201,74 @@ object Quantiles {
       .filter(col("c_below") + col("cum") >= col("k") &&
         col("c_below") + col("cum") - col("c") < col("k"))
       .select(g, col("bv").as("cut"))
+  }
+
+  /** Exact per-group trimmed mean — drop the lowest and highest
+    * k = ⌊n·trim⌋ rows (trim = trimNum/trimDen per tail) and average
+    * the rest: the robust location estimate between the mean (trim 0)
+    * and the [[exactMedianByGroup]] (trim → 1/2), standard for
+    * latency/quality metrics where a handful of wild rows swamp the
+    * mean but the median wastes too much data.
+    *
+    * EXACT at any skew with NO per-group sort: the two cut values
+    * (the (k+1)-th and (n−k)-th order statistics) come from the
+    * GK-bracketed selection ([[exactRankByGroupImpl]] — pass-2 input
+    * is O(n/accuracy) rows per group), then ONE stats pass against the
+    * broadcast cuts finishes with tie-exact arithmetic:
+    *   trimmed_sum = Σv − [Σ_{v<lo} v + lo·(k − #{v<lo})]
+    *               − [Σ_{v>hi} v + hi·(k − #{v>hi})]
+    * (rows equal to a cut are interchangeable — equal values
+    * contribute equal sums, so tie order cannot matter). Sums ride
+    * DECIMAL(38,0); `valueCol` must be integral (fixed-point longs).
+    *
+    * Returns per group: n, k_trim, cut lo/hi, n_kept, trimmed_sum
+    * (BIGINT), and the truncating micro-quotient trimmed_mean_micro =
+    * trimmed_sum·10⁶ div n_kept. Requires trim < 1/2 (n_kept ≥ 1
+    * for every n ≥ 1 follows).
+    */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         trimNum: Int, trimDen: Int,
+                         accuracy: Int = 10000): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2L * trimNum < trimDen,
+      s"need 0 <= trim < 1/2, got $trimNum/$trimDen")
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val p = trimNum.toDouble / trimDen
+    val delta = 2.0 / accuracy
+    // kOf receives the per-group count column, literally named "n" in
+    // the selection's stats frame — SQL `div` for the exact floor
+    val kTrimSql = s"((n * ${trimNum}L) div ${trimDen}L)"
+    val loCut = exactRankByGroupImpl(df, groupCol, valueCol,
+        _ => expr(s"$kTrimSql + 1L"), p - delta, p + delta, accuracy)
+      .withColumnRenamed("cut", "cut_lo")
+    val hiCut = exactRankByGroupImpl(df, groupCol, valueCol,
+        _ => expr(s"n - $kTrimSql"), (1.0 - p) - delta, (1.0 - p) + delta, accuracy)
+      .withColumnRenamed("cut", "cut_hi")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(g, v.cast("long").as("__v")).where(col("__v").isNotNull)
+    base
+      .join(broadcast(loCut.join(hiCut, groupCol)), groupCol)
+      .groupBy(g, col("cut_lo"), col("cut_hi"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("__v"))).as("__s"),
+        sum(when(col("__v") < col("cut_lo"), 1L).otherwise(0L)).as("__c_lt"),
+        coalesce(sum(when(col("__v") < col("cut_lo"), dec(col("__v")))),
+          dec(lit(0L))).as("__s_lt"),
+        sum(when(col("__v") > col("cut_hi"), 1L).otherwise(0L)).as("__c_gt"),
+        coalesce(sum(when(col("__v") > col("cut_hi"), dec(col("__v")))),
+          dec(lit(0L))).as("__s_gt"))
+      .withColumn("k_trim", expr(s"(n * ${trimNum}L) div ${trimDen}L"))
+      .withColumn("n_kept", col("n") - lit(2L) * col("k_trim"))
+      .withColumn("trimmed_sum",
+        (col("__s")
+          - (col("__s_lt") + dec(col("cut_lo")) * (col("k_trim") - col("__c_lt")))
+          - (col("__s_gt") + dec(col("cut_hi")) * (col("k_trim") - col("__c_gt"))))
+          .cast("long"))
+      .withColumn("trimmed_mean_micro",
+        expr("CAST((CAST(trimmed_sum AS DECIMAL(38,0)) * 1000000) div n_kept AS BIGINT)"))
+      .select(g, col("n"), col("k_trim"), col("cut_lo"), col("cut_hi"),
+        col("n_kept"), col("trimmed_sum"), col("trimmed_mean_micro"))
   }
 
   /** Per-group equi-WIDTH histogram (the profiling complement of the

@@ -4266,5 +4266,35 @@ object Oracles {
              CASE WHEN okx AND varYNum > 0.0
                   THEN (covNum * covNum) / (varXNum * varYNum) END AS rho2
       FROM f ORDER BY event_type""",
+
+    // q190: trimmed mean replayed by literal sort-and-slice — value-
+    // rank cuts are tie-invariant, so row_number order inside a tie
+    // cannot change any emitted number.
+    "q190_trimmed_mean" -> """
+      WITH v AS (
+        SELECT l_suppkey AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM lineitem),
+      r AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM v),
+      k AS (SELECT *, (n * 1) // 10 AS kt FROM r),
+      a AS (
+        SELECT g,
+               CAST(min(n) AS BIGINT) AS n,
+               CAST(min(kt) AS BIGINT) AS k_trim,
+               CAST(min(CASE WHEN rn = kt + 1 THEN v END) AS BIGINT) AS cut_lo,
+               CAST(min(CASE WHEN rn = n - kt THEN v END) AS BIGINT) AS cut_hi,
+               CAST(min(n) - 2 * min(kt) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn > kt AND rn <= n - kt THEN v END)
+                 AS BIGINT) AS trimmed_sum
+        FROM k GROUP BY g)
+      SELECT CAST(g AS BIGINT) AS l_suppkey, n, k_trim, cut_lo, cut_hi,
+             n_kept, trimmed_sum,
+             CAST((CAST(trimmed_sum AS HUGEINT) * 1000000) // n_kept AS BIGINT)
+               AS trimmed_mean_micro
+      FROM a ORDER BY l_suppkey""",
   )
 }

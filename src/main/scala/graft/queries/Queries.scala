@@ -3812,6 +3812,21 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Exact trimmed mean ([[graft.operators.Quantiles
+    * .trimmedMeanByGroup]]): per supplier, the 10%-per-tail trimmed
+    * mean of line-item price in centi-units — robust location without
+    * a per-group sort (GK-bracketed cut selection + one tie-exact
+    * stats pass); the oracle replays with a literal sort-and-slice.
+    */
+  def q190TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(Dec) * 100).cast("long").as("price_c"))
+    graft.operators.Quantiles.trimmedMeanByGroup(li, "l_suppkey", "price_c",
+        trimNum = 1, trimDen = 10)
+      .orderBy(col("l_suppkey"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4233,5 +4248,6 @@ object Queries {
     "q187_permutation_test" -> (q187PermutationTest _),
     "q188_assortativity" -> (q188Assortativity _),
     "q189_cuped"         -> (q189Cuped _),
+    "q190_trimmed_mean"  -> (q190TrimmedMean _),
   )
 }

@@ -68,4 +68,55 @@ object StreamingSmoothing {
           out.iterator
         })
   }
+
+  final case class HoltOut(key: String, order: Long, x: Long, lvl: Long,
+                           tr: Long, err: Long, accepted: Boolean)
+  /** Keyed Holt state: current level/trend, whether the seed row has
+    * been consumed, and the order high-water. O(1) per key — unlike
+    * [[EwmaState]] there is no window to keep; the recurrence IS the
+    * state.
+    */
+  final case class HoltState(lvl: Long, tr: Long, started: Boolean,
+                             lastOrder: Long)
+
+  /** Streaming Holt linear smoothing — the stateful dual of
+    * [[graft.operators.TimeSeries.holtSmooth]]: identical integer
+    * fixed-point recurrence (dyadic α = 2^−a, β = 2^−b, truncating JVM
+    * `/` ≡ Spark `div`), so the parity spec asserts byte-equality per
+    * (key, order) against the batch fold. Seed row: lvl = x, tr = 0,
+    * err = 0. Same ordering contract as [[smooth]]: out-of-order
+    * points are dropped loudly (`accepted = false`), in-batch points
+    * sort by order first.
+    */
+  def holt(spark: SparkSession, points: Dataset[Point],
+           alphaExp: Int, betaExp: Int): Dataset[HoltOut] = {
+    require(alphaExp >= 1 && alphaExp <= 30, "alphaExp in 1..30")
+    require(betaExp >= 1 && betaExp <= 30, "betaExp in 1..30")
+    import spark.implicits._
+    val a = 1L << alphaExp
+    val b = 1L << betaExp
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Point], state: GroupState[HoltState]) => {
+          var st = state.getOption.getOrElse(
+            HoltState(0L, 0L, started = false, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.order).map { p =>
+            if (st.started && p.order <= st.lastOrder)
+              HoltOut(key, p.order, p.value, -1L, -1L, -1L, accepted = false)
+            else if (!st.started) {
+              st = HoltState(p.value, 0L, started = true, p.order)
+              HoltOut(key, p.order, p.value, p.value, 0L, 0L, accepted = true)
+            } else {
+              val err = p.value - (st.lvl + st.tr)
+              val nl = (p.value + (a - 1) * (st.lvl + st.tr)) / a
+              val nt = ((nl - st.lvl) + (b - 1) * st.tr) / b
+              st = HoltState(nl, nt, started = true, p.order)
+              HoltOut(key, p.order, p.value, nl, nt, err, accepted = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

@@ -270,4 +270,52 @@ class QuantilesSpec extends AnyFunSuite {
       assert(gr(id) == (2 * below + eq) * 1000000L / (2 * vs.size), s"id=$id")
     }
   }
+
+  /** Sort-based reference: drop k = floor(n*trim) rows per tail, sum the rest. */
+  private def refTrimmed(vs: Seq[Long], num: Int, den: Int): (Long, Long, Long) = {
+    val sorted = vs.sorted
+    val k = (vs.size.toLong * num) / den
+    val kept = sorted.slice(k.toInt, vs.size - k.toInt)
+    (k, kept.size.toLong, kept.sum)
+  }
+
+  test("trimmedMeanByGroup: sort-based parity on skew, ties at the cuts, tiny n") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    // heavy-tied group, a wild-outlier group, and tiny groups n=1..3
+    val tied = Seq.fill(200)(Seq(10L, 10L, 10L, 20L, 90L)(rng.nextInt(5)))
+    val wild = Seq.fill(150)(rng.nextInt(100).toLong) ++ Seq(1000000L, -999999L)
+    val rows = tied.map(("t", _)) ++ wild.map(("w", _)) ++
+      Seq(("n1", 7L), ("n2", 3L), ("n2", 9L), ("n3", 1L), ("n3", 5L), ("n3", 9L))
+    val got = Quantiles.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v",
+        trimNum = 1, trimDen = 10)
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("k_trim"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("trimmed_sum"), r.getAs[Long]("trimmed_mean_micro"))))
+      .toMap
+    for ((g, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2))) {
+      val (k, nk, s) = refTrimmed(vs, 1, 10)
+      assert(got(g) == ((k, nk, s, s * 1000000L / nk)), s"group $g")
+    }
+    // trimming tames the outliers: trimmed mean of 'w' is near the bulk
+    assert(math.abs(got("w")._4) < 100L * 1000000L)
+    // trim = 0 degenerates to the exact mean
+    val zero = Quantiles.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v", 0, 2)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("trimmed_sum")).toMap
+    for ((g, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2)))
+      assert(zero(g) == vs.sum, s"group $g trim0")
+  }
+
+  test("trimmedMeanByGroup: quarter trim approaches the median on asymmetric data") {
+    import spark.implicits._
+    val vs = Seq(1L, 1L, 2L, 3L, 4L, 5L, 6L, 100L)
+    val got = Quantiles.trimmedMeanByGroup(vs.map(("g", _)).toDF("g", "v"),
+      "g", "v", 1, 4).head()
+    // k = 2: kept (2,3,4,5) -> sum 14, mean 3.5
+    assert(got.getAs[Long]("k_trim") == 2L)
+    assert(got.getAs[Long]("trimmed_sum") == 14L)
+    assert(got.getAs[Long]("trimmed_mean_micro") == 3500000L)
+    assert(got.getAs[Long]("cut_lo") == 2L && got.getAs[Long]("cut_hi") == 5L)
+  }
 }
