@@ -69,6 +69,59 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random surfer
+    * teleports back to a SOURCE SET instead of everywhere) — "rank the
+    * graph from THESE nodes' point of view": related-entity expansion,
+    * trust propagation from a seed allowlist, topic-conditioned
+    * importance. Same exact fixed-point integer recurrence as
+    * [[pageRank]], with the teleport mass restricted to the sources:
+    *   r'(v) = [v ∈ S]·baseMicro + (dampNum · Σ_{u→v} r(u) div deg(u)) div dampDen,
+    * r₀ = scale on S, 0 elsewhere — so mass decays with graph distance
+    * from S and a fixed `iters` is bit-identical on any engine (the
+    * q114 hash-certification convention; the oracle unrolls rounds).
+    *
+    * Plan shape per round = [[pageRank]]'s exactly (two keyed shuffles
+    * + localCheckpoint); the source flag rides the node table as one
+    * broadcast-joined boolean. Returns (`node`, `rank_micro`) for
+    * every node, sources included (0-mass nodes stay 0 until reached).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           sources: DataFrame, iters: Int,
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
+      "need iters >= 1 and 0 < dampNum < dampDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val s0 = sources
+      .select(col(sources.columns.head).as("node")).distinct()
+      .withColumn("is_src", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(s0), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_src"), lit(false)).as("is_src"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint()
+    val baseMicro = (scale * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("rank_micro",
+      when(col("is_src"), lit(scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contribs = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank_micro")), "src")
+        .select(col("dst"), expr("rank_micro div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("is_src"),
+          (when(col("is_src"), lit(baseMicro)).otherwise(lit(0L)) +
+            expr(s"(${dampNum}L * coalesce(in_mass, 0L)) div ${dampDen}L"))
+            .cast("long").as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank_micro"))
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * undirected edge table, via degree-ordered orientation (the
     * "compact-forward" scheme of Latapy 2008 / Suri-Vassilvitskii

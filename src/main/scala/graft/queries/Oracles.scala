@@ -4296,5 +4296,54 @@ object Oracles {
              CAST((CAST(trimmed_sum AS HUGEINT) * 1000000) // n_kept AS BIGINT)
                AS trimmed_mean_micro
       FROM a ORDER BY l_suppkey""",
+
+    "q191_ppr" -> """
+      WITH e AS (
+        SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+      seeds AS (
+        SELECT n.n_name AS node FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (
+        SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END
+                 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+      m1 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r0 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r1 AS (
+        SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+                 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN m1 m ON n.node = m.dst
+                     LEFT JOIN seeds s ON n.node = s.node),
+      m2 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r1 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r2 AS (
+        SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+                 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN m2 m ON n.node = m.dst
+                     LEFT JOIN seeds s ON n.node = s.node),
+      m3 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r2 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r3 AS (
+        SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+                 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN m3 m ON n.node = m.dst
+                     LEFT JOIN seeds s ON n.node = s.node)
+      SELECT node, r AS rank_micro FROM r3 ORDER BY node""",
   )
 }

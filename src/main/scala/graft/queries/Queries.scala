@@ -3827,6 +3827,39 @@ object Queries {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Personalized PageRank ([[graft.operators.Graphs
+    * .personalizedPageRank]]): rank q114's nation co-purchase graph
+    * from the ASIA nations' point of view — same exact integer
+    * fixed-point recurrence, 3 rounds, but the teleport mass is
+    * confined to the seed set, so importance decays with trade
+    * distance from ASIA and disconnected clusters score exactly 0.
+    * The oracle unrolls the rounds (q114's convention); HUGEINT `//`
+    * replays `div` bit-exactly.
+    */
+  def q191Ppr(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = table(s, dir, "nation")
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("ck"), col("n_name").as("src"))),
+        cust("c_nationkey") === col("ck"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sk"), col("n_name").as("dst"))),
+        supp("s_nationkey") === col("sk"))
+      .select(col("src"), col("dst"))
+    val seeds = nat
+      .join(broadcast(table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("node"))
+    graft.operators.Graphs.personalizedPageRank(edges, "src", "dst", seeds, iters = 3)
+      .orderBy(col("node"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4249,5 +4282,6 @@ object Queries {
     "q188_assortativity" -> (q188Assortativity _),
     "q189_cuped"         -> (q189Cuped _),
     "q190_trimmed_mean"  -> (q190TrimmedMean _),
+    "q191_ppr"           -> (q191Ppr _),
   )
 }

@@ -26,6 +26,27 @@ object EventAnalytics {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Native `session_window` sessionization — the built-in dual of the
+    * custom-state [[sessionize]]: Spark merges overlapping
+    * [ts, ts+gap) windows per key under the watermark, so a session's
+    * `end` is lastSeen + gap (the builtin's convention; [[sessionize]]
+    * reports lastSeen itself). Emits in append mode once the watermark
+    * passes a session's end — state is watermark-bounded, no custom
+    * timer code. Prefer this form when the per-session readout is a
+    * plain aggregate; drop to [[sessionize]] when the state logic
+    * outgrows an aggregation (mid-session emission, custom payloads).
+    */
+  def sessionWindowCounts(events: DataFrame,
+                          gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Int, total: Double)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
                               n_events: Int, total_value: Double)

@@ -403,6 +403,64 @@ class GraphsSpec extends AnyFunSuite {
     assert(runKTruss(edges, 5).isEmpty)
   }
 
+  /** Driver replay of the personalized fixed-point recurrence. */
+  private def refPpr(edges: Seq[(String, String)], sources: Set[String],
+                     iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+                     scale: Long = 1000000L): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = scale * (dampDen - dampNum) / dampDen
+    var r = nodes.map(n => n -> (if (sources(n)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val mass = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => r(x._1) / deg(x._1)).sum
+      }
+      r = nodes.map(n => n -> ((if (sources(n)) base else 0L) +
+        dampNum * mass.getOrElse(n, 0L) / dampDen)).toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(String, String)], sources: Seq[String],
+                     iters: Int): Map[String, Long] =
+    Graphs.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        sources.toDF("node"), iters)
+      .collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_micro"))
+      .toMap
+
+  test("personalizedPageRank: mass decays from the seeds; unreached nodes stay 0") {
+    // two chains from a seed, plus a disconnected pair
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("x", "y"))
+    val got = runPpr(edges, Seq("s"), iters = 3)
+    assert(got == refPpr(edges, Set("s"), 3))
+    assert(got("x") == 0L && got("y") == 0L, "teleport never visits non-seeds")
+    // monotone decay with distance from the seed holds AT THE FIXED
+    // POINT (at small iters the initial pulse is still traveling down
+    // the chain and briefly piles up on the far nodes)
+    val settled = runPpr(edges, Seq("s"), iters = 20)
+    assert(settled == refPpr(edges, Set("s"), 20))
+    assert(settled("s") > settled("a") && settled("a") > settled("b") &&
+      settled("b") > settled("c"))
+    // global pageRank by contrast gives x/y their base mass
+    val global = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(global("x") > 0L)
+  }
+
+  test("personalizedPageRank matches the replay on random graphs, multi-seed") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 17)
+      val names = (0 until 20).map(i => s"n$i")
+      val edges = Seq.fill(60)((names(rnd.nextInt(20)), names(rnd.nextInt(20))))
+        .filter(e => e._1 != e._2)
+      val sources = Seq(names(rnd.nextInt(20)), names(rnd.nextInt(20))).distinct
+      assert(runPpr(edges, sources, 3) == refPpr(edges, sources.toSet, 3),
+        s"seed=$seed")
+    }
+  }
+
   private def runAssort(edges: Seq[(Long, Long)]) = {
     val r = Graphs.degreeAssortativity(edges.toDF("a", "b"), "a", "b").head()
     (r.getAs[Long]("m"), r.getAs[Long]("sum_deg"), r.getAs[Long]("sum_prod"),

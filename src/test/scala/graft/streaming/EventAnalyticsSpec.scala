@@ -135,4 +135,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(!streamFlags(1L) && !streamFlags(3L) && !streamFlags(5L))
     } finally { q.stop(); profile.unpersist(blocking = false) }
   }
+
+  test("native session_window sessions = driver gap-merge reference; append under watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // 10-minute gap, 1-minute watermark: sessions flush quickly
+    val q = sessionWindowCounts(input.toDF(), gap = "10 minutes",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("swc")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions (0..5, then 30..31); user 2: one session,
+      // split mid-session across micro-batches (merge must span batches)
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(0), 2, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts(8), 2, "view", 7.0),
+        Event(5, ts(30), 1, "click", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past every session end, then flush
+      input.addData(Event(99, ts(600), 9, "tick", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100, ts(700), 9, "tick", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("swc").collect()
+        .filter(_.getAs[Long]("user_id") != 9L)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime,
+          r.getAs[java.sql.Timestamp]("session_end").getTime,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+        .toSet
+      // builtin convention: end = last event + gap
+      val gapMs = 10 * 60000L
+      val want = Set(
+        (1L, ts(0).getTime, ts(5).getTime + gapMs, 2L, 3.0),
+        (1L, ts(30).getTime, ts(30).getTime + gapMs, 1L, 3.0),
+        (2L, ts(0).getTime, ts(8).getTime + gapMs, 2L, 12.0))
+      assert(got == want)
+    } finally q.stop()
+  }
 }
