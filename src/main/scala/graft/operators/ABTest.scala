@@ -219,4 +219,71 @@ object ABTest {
         (covNum * covNum) / (varXNum * varYNum)))
       .drop("sxy", "sxx", "syy", "sx", "sy", "sx_a", "sx_b", "sy_a", "sy_b")
   }
+
+  /** Mann–Whitney U / Wilcoxon rank-sum readout (Mann & Whitney 1947)
+    * — the NONPARAMETRIC two-sample comparison: does arm B
+    * stochastically dominate arm A? Complements [[welch]] (means) the
+    * way [[Outliers]] complements plain aggregates: rank-based, so a
+    * heavy tail or a few whales can't swamp the readout, and
+    * U/(n_a·n_b) IS the probability a random B draw beats a random A
+    * draw (the AUC of arm-vs-value — same statistic as
+    * [[Classification]]'s aucExact, here as an experiment readout).
+    *
+    * Exactness: midranks carry a half, so every certified output is
+    * the DOUBLED integer — r_b_x2 = 2·Σ(ranks of B), u_b_x2 = 2·U_B —
+    * making ties exact with zero floats. Per distinct value v with
+    * count c (c1 in arm B) the doubled midrank is 2·below + c + 1, so
+    * r_b_x2 = Σ c1·(2·below + c + 1); u_b_x2 = r_b_x2 − n_b·(n_b+1);
+    * u_a_x2 = 2·n_a·n_b − u_b_x2 (the U-duality doubles as a
+    * self-check). `tie_term` = Σ(c³−c) is the variance correction's
+    * exact ingredient; the z-score's sqrt is left to the caller (the
+    * [[welch]] no-transcendentals rule). Sums ride DECIMAL(38,0) and
+    * land as BIGINT — exact to ~2·10⁹ rows per group (2n² < 2⁶³).
+    *
+    * Plan shape: one hash aggregate contracts to (group, DISTINCT
+    * value); the cumulative-below window rides THAT contraction
+    * partitioned by group ([[Quantiles.percentileRankByGroup]]'s
+    * contract — rows never enter a sort); one more hash aggregate
+    * folds to a row per group. `armCol` must be 0/1; `valueCol`
+    * integer fixed-point ([[Regression.microUnits]] upstream).
+    * Output: `group, n_a, n_b, r_b_x2, u_b_x2, u_a_x2, tie_term,
+    * auc_micro` with auc_micro = u_b_x2·10⁶ div (2·n_a·n_b), null
+    * when either arm is empty.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, armCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val isB = col(armCol) === 1
+    val perVal = df
+      .where(v.isNotNull && (col(armCol) === 0 || isB))
+      .groupBy(g, v.as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(isB, 1L).otherwise(0L)).as("__c1"))
+    // distinct-value contraction window (percentileRankByGroup's
+    // shape): the sort runs over (group, distinct value) rows only
+    val wBelow = Window.partitionBy(g).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal.withColumn("__below",
+      coalesce(sum(col("__c")).over(wBelow), lit(0L)))
+    ranked.groupBy(g)
+      .agg(
+        sum(col("__c") - col("__c1")).as("n_a"),
+        sum(col("__c1")).as("n_b"),
+        sum(dec(col("__c1")) * (lit(2L) * col("__below") + col("__c") + 1L))
+          .cast("long").as("r_b_x2"),
+        sum(dec(col("__c")) * col("__c") * col("__c") - col("__c"))
+          .cast("long").as("tie_term"))
+      .withColumn("u_b_x2",
+        (dec(col("r_b_x2")) - dec(col("n_b")) * (col("n_b") + 1L))
+          .cast("long"))
+      .withColumn("u_a_x2",
+        (dec(lit(2L)) * col("n_a") * col("n_b") - col("u_b_x2"))
+          .cast("long"))
+      .withColumn("auc_micro", when(col("n_a") > 0 && col("n_b") > 0,
+        expr("CAST(CAST(u_b_x2 AS DECIMAL(38,0)) * 1000000 " +
+          "div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")))
+  }
 }

@@ -155,4 +155,55 @@ object Profile {
             .cast("bigint").as("gini_den"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Inclusion-dependency discovery — the FOREIGN-KEY-candidate
+    * profile (Casanova et al. 1988 INDs; the Bauckmann/SPIDER family
+    * distributed): for each candidate pair "LHS column ⊆ RHS column",
+    * how much of the LHS's distinct value set actually appears on the
+    * RHS? `contained` pairs are referential-integrity candidates;
+    * near-1 containment flags dirty FKs worth quarantining
+    * ([[Validate]]'s referential leg, discovered instead of asserted).
+    *
+    * Exactness: all counts are exact distinct-set cardinalities; keys
+    * compare via Spark's canonical STRING cast ([[summarize]]'s
+    * contract — injective for the integer/date/string keys FKs are
+    * made of, so containment is faithful; don't feed raw floats).
+    *
+    * Scale shape: every pair's two sides union into ONE (pair, key)
+    * hash aggregate — map-side partial, high-cardinality keys,
+    * skew-immune — then contract to a row per pair; no per-pair jobs,
+    * no scalar crossJoins, and each side's scan prunes to the one
+    * profiled column. Output per pair: `(pair, n_lhs, n_rhs,
+    * n_missing, contained, containment_micro)` where n_missing counts
+    * DISTINCT LHS values absent from the RHS and containment_micro =
+    * (n_lhs − n_missing)·10⁶ div n_lhs (null LHS values are ignored:
+    * SQL FKs don't constrain nulls).
+    */
+  def inclusionProfile(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    val legs = pairs.map { case (label, ldf, lc, rdf, rc) =>
+      val l = ldf.select(col(lc).cast("string").as("k"))
+        .where(col("k").isNotNull)
+        .select(lit(label).as("pair"), col("k"),
+          lit(1).as("side_l"), lit(0).as("side_r"))
+      val r = rdf.select(col(rc).cast("string").as("k"))
+        .where(col("k").isNotNull)
+        .select(lit(label).as("pair"), col("k"),
+          lit(0).as("side_l"), lit(1).as("side_r"))
+      l.union(r)
+    }.reduce(_ union _)
+    legs
+      .groupBy(col("pair"), col("k"))
+      .agg(max(col("side_l")).as("in_l"), max(col("side_r")).as("in_r"))
+      .groupBy(col("pair"))
+      .agg(
+        sum(col("in_l")).as("n_lhs"),
+        sum(col("in_r")).as("n_rhs"),
+        sum(when(col("in_l") === 1 && col("in_r") === 0, 1L).otherwise(0L))
+          .as("n_missing"))
+      .withColumn("contained", col("n_missing") === 0)
+      .withColumn("containment_micro",
+        expr("(n_lhs - n_missing) * 1000000L div n_lhs"))
+  }
 }

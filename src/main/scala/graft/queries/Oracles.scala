@@ -4345,5 +4345,103 @@ object Oracles {
         FROM nodes n LEFT JOIN m3 m ON n.node = m.dst
                      LEFT JOIN seeds s ON n.node = s.node)
       SELECT node, r AS rank_micro FROM r3 ORDER BY node""",
+
+    "q192_mann_whitney" -> """
+      WITH base AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+               CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      pv AS (
+        SELECT event_type, v, count(*) AS c,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        FROM base GROUP BY 1, 2),
+      rk AS (
+        SELECT event_type, c, c1,
+               coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+        FROM pv),
+      ag AS (
+        SELECT event_type,
+               CAST(sum(c - c1) AS BIGINT) AS n_a,
+               CAST(sum(c1) AS BIGINT) AS n_b,
+               CAST(sum(CAST(c1 AS HUGEINT) * (2 * below + c + 1))
+                 AS BIGINT) AS r_b_x2,
+               CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS BIGINT) AS tie_term
+        FROM rk GROUP BY 1)
+      SELECT event_type, n_a, n_b, r_b_x2,
+             CAST(r_b_x2 - n_b * (n_b + 1) AS BIGINT) AS u_b_x2,
+             CAST(2 * n_a * n_b - (r_b_x2 - n_b * (n_b + 1)) AS BIGINT)
+               AS u_a_x2,
+             tie_term,
+             CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+               (CAST(r_b_x2 - n_b * (n_b + 1) AS HUGEINT) * 1000000)
+                 // (2 * CAST(n_a AS HUGEINT) * n_b) END AS BIGINT)
+               AS auc_micro
+      FROM ag ORDER BY event_type""",
+
+    "q193_inclusion_deps" -> """
+      WITH legs AS (
+        SELECT 'lineitem.l_orderkey<orders.o_orderkey' AS pair,
+               CAST(l_orderkey AS VARCHAR) AS k, 1 AS sl, 0 AS sr
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+        UNION ALL
+        SELECT 'lineitem.l_orderkey<orders.o_orderkey',
+               CAST(o_orderkey AS VARCHAR), 0, 1
+        FROM orders WHERE o_orderkey IS NOT NULL
+        UNION ALL
+        SELECT 'orders.o_custkey<customer.c_custkey',
+               CAST(o_custkey AS VARCHAR), 1, 0
+        FROM orders WHERE o_custkey IS NOT NULL
+        UNION ALL
+        SELECT 'orders.o_custkey<customer.c_custkey',
+               CAST(c_custkey AS VARCHAR), 0, 1
+        FROM customer WHERE c_custkey IS NOT NULL
+        UNION ALL
+        SELECT 'lineitem.l_suppkey<supplier.s_suppkey',
+               CAST(l_suppkey AS VARCHAR), 1, 0
+        FROM lineitem WHERE l_suppkey IS NOT NULL
+        UNION ALL
+        SELECT 'lineitem.l_suppkey<supplier.s_suppkey',
+               CAST(s_suppkey AS VARCHAR), 0, 1
+        FROM supplier WHERE s_suppkey IS NOT NULL
+        UNION ALL
+        SELECT 'supplier.s_nationkey<nation.n_nationkey',
+               CAST(s_nationkey AS VARCHAR), 1, 0
+        FROM supplier WHERE s_nationkey IS NOT NULL
+        UNION ALL
+        SELECT 'supplier.s_nationkey<nation.n_nationkey',
+               CAST(n_nationkey AS VARCHAR), 0, 1
+        FROM nation WHERE n_nationkey IS NOT NULL
+        UNION ALL
+        SELECT 'nation.n_nationkey<supplier.s_nationkey',
+               CAST(n_nationkey AS VARCHAR), 1, 0
+        FROM nation WHERE n_nationkey IS NOT NULL
+        UNION ALL
+        SELECT 'nation.n_nationkey<supplier.s_nationkey',
+               CAST(s_nationkey AS VARCHAR), 0, 1
+        FROM supplier WHERE s_nationkey IS NOT NULL
+        UNION ALL
+        SELECT 'events.user_id<customer.c_custkey',
+               CAST(user_id AS VARCHAR), 1, 0
+        FROM events WHERE user_id IS NOT NULL
+        UNION ALL
+        SELECT 'events.user_id<customer.c_custkey',
+               CAST(c_custkey AS VARCHAR), 0, 1
+        FROM customer WHERE c_custkey IS NOT NULL),
+      pk AS (
+        SELECT pair, k, max(sl) AS in_l, max(sr) AS in_r
+        FROM legs GROUP BY 1, 2)
+      SELECT pair,
+             CAST(sum(in_l) AS BIGINT) AS n_lhs,
+             CAST(sum(in_r) AS BIGINT) AS n_rhs,
+             CAST(sum(CASE WHEN in_l = 1 AND in_r = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_missing,
+             sum(CASE WHEN in_l = 1 AND in_r = 0 THEN 1 ELSE 0 END) = 0
+               AS contained,
+             CAST((sum(in_l) - sum(CASE WHEN in_l = 1 AND in_r = 0
+                 THEN 1 ELSE 0 END)) * 1000000 // sum(in_l) AS BIGINT)
+               AS containment_micro
+      FROM pk GROUP BY pair ORDER BY pair""",
   )
 }

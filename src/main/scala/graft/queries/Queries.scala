@@ -3860,6 +3860,51 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** Mann–Whitney rank-sum readout ([[graft.operators.ABTest
+    * .mannWhitney]]): per event type, does the odd-user arm
+    * stochastically dominate the even-user arm on event value? The
+    * nonparametric companion to q100's Welch t — rank-based, so
+    * whales can't swamp it, and auc_micro IS P(B beats A) in
+    * micro-units. Every certified column is a DOUBLED exact rank
+    * integer (midranks carry a half); the oracle replays the
+    * identical distinct-value midrank contraction.
+    */
+  def q192MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val units = eventsTable(s, dir)
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        (col("user_id") % 2).cast("int").as("arm"),
+        (col("value").cast(Dec) * 100).cast("long").as("value_c"))
+    graft.operators.ABTest.mannWhitney(units, "event_type", "arm", "value_c")
+      .orderBy(col("event_type"))
+  }
+
+  /** Inclusion-dependency discovery ([[graft.operators.Profile
+    * .inclusionProfile]]): which candidate "LHS column ⊆ RHS column"
+    * pairs actually HOLD — the foreign-key profile a loader would run
+    * before trusting joins. Probes the real TPC-H FK edges (orderkey,
+    * custkey, suppkey, nationkey) plus a reverse edge and the
+    * events→customer link, so both contained and broken pairs flow;
+    * every count is an exact distinct-set cardinality.
+    */
+  def q193InclusionDeps(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = table(s, dir, n)
+    graft.operators.Profile.inclusionProfile(Seq(
+      ("lineitem.l_orderkey<orders.o_orderkey",
+        t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      ("orders.o_custkey<customer.c_custkey",
+        t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      ("lineitem.l_suppkey<supplier.s_suppkey",
+        t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+      ("supplier.s_nationkey<nation.n_nationkey",
+        t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+      ("nation.n_nationkey<supplier.s_nationkey",
+        t("nation"), "n_nationkey", t("supplier"), "s_nationkey"),
+      ("events.user_id<customer.c_custkey",
+        eventsTable(s, dir), "user_id", t("customer"), "c_custkey")))
+      .orderBy(col("pair"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4283,5 +4328,7 @@ object Queries {
     "q189_cuped"         -> (q189Cuped _),
     "q190_trimmed_mean"  -> (q190TrimmedMean _),
     "q191_ppr"           -> (q191Ppr _),
+    "q192_mann_whitney"  -> (q192MannWhitney _),
+    "q193_inclusion_deps" -> (q193InclusionDeps _),
   )
 }

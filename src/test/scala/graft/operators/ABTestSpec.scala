@@ -160,4 +160,47 @@ class ABTestSpec extends AnyFunSuite {
     assert(Option(const.getAs[java.lang.Double]("theta")).isEmpty)
     assert(!const.isNullAt(const.fieldIndex("diff_raw")))
   }
+  /** Pairwise brute force: 2*U_B = 2*#(b>a) + #(b==a); tie_term from
+    * pooled value counts.
+    */
+  private def refMw(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Long) = {
+    val uB2 = (for (x <- a; y <- b) yield
+      (if (y > x) 2L else if (y == x) 1L else 0L)).sum
+    val rB2 = uB2 + b.size.toLong * (b.size + 1)
+    val tie = (a ++ b).groupBy(identity).values
+      .map(g => g.size.toLong * g.size * g.size - g.size).sum
+    val auc = uB2 * 1000000L / (2L * a.size * b.size)
+    (rB2, uB2, tie, auc)
+  }
+
+  test("mannWhitney: doubled-rank integers match the pairwise brute force, ties included") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed * 31)
+      // coarse values force heavy ties
+      val a = Seq.fill(40)(rng.nextInt(8).toLong)
+      val b = Seq.fill(55)(rng.nextInt(8).toLong + 1)
+      val rows = a.map(("m", 0, _)) ++ b.map(("m", 1, _))
+      val got = ABTest.mannWhitney(rows.toDF("g", "arm", "v"),
+        "g", "arm", "v").head()
+      val (rB2, uB2, tie, auc) = refMw(a, b)
+      assert(got.getAs[Long]("n_a") == a.size && got.getAs[Long]("n_b") == b.size)
+      assert(got.getAs[Long]("r_b_x2") == rB2, s"seed=$seed r")
+      assert(got.getAs[Long]("u_b_x2") == uB2, s"seed=$seed uB")
+      assert(got.getAs[Long]("u_a_x2") == 2L * a.size * b.size - uB2)
+      assert(got.getAs[Long]("tie_term") == tie)
+      assert(got.getAs[Long]("auc_micro") == auc)
+    }
+  }
+
+  test("mannWhitney: clean dominance gives AUC 1; identical arms give AUC 1/2") {
+    val dom = ABTest.mannWhitney(
+      (Seq.fill(10)(("m", 0, 1L)) ++ Seq.fill(10)(("m", 1, 100L)))
+        .toDF("g", "arm", "v"), "g", "arm", "v").head()
+    assert(dom.getAs[Long]("auc_micro") == 1000000L)
+    val same = ABTest.mannWhitney(
+      ((1 to 9).map(i => ("m", 0, i.toLong)) ++ (1 to 9)
+        .map(i => ("m", 1, i.toLong))).toDF("g", "arm", "v"),
+      "g", "arm", "v").head()
+    assert(same.getAs[Long]("auc_micro") == 500000L)
+  }
 }

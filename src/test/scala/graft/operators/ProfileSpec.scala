@@ -128,4 +128,27 @@ class ProfileSpec extends AnyFunSuite {
     assert((emp.getLong(1), emp.getLong(2), emp.getLong(4), emp.getLong(5))
       == ((0L, 0L, 0L, 0L)))
   }
+  test("inclusionProfile: contained, broken, and duplicate-heavy pairs all count exactly") {
+    val orders = Seq(10L, 10L, 11L, 12L).toDF("fk")            // distinct {10,11,12}
+    val parents = Seq(10L, 11L, 12L, 13L).toDF("pk")           // superset
+    val broken = Seq(10L, 99L, 98L, 10L).toDF("fk")            // {10,99,98}: 2 of 3 missing
+    val out = Profile.inclusionProfile(Seq(
+        ("ok", orders, "fk", parents, "pk"),
+        ("rev", parents, "pk", orders, "fk"),                  // 13 missing on reverse
+        ("bad", broken, "fk", parents, "pk")))
+      .collect().map(r => r.getAs[String]("pair") ->
+        ((r.getAs[Long]("n_lhs"), r.getAs[Long]("n_rhs"),
+          r.getAs[Long]("n_missing"), r.getAs[Boolean]("contained"),
+          r.getAs[Long]("containment_micro")))).toMap
+    assert(out("ok") == ((3L, 4L, 0L, true, 1000000L)))
+    assert(out("rev") == ((4L, 3L, 1L, false, 750000L)))
+    assert(out("bad") == ((3L, 4L, 2L, false, 333333L)))
+  }
+
+  test("inclusionProfile: null LHS values are ignored (FKs do not constrain nulls)") {
+    val withNulls = Seq(Some(1L), None, Some(2L), None).toDF("fk")
+    val pk = Seq(1L, 2L).toDF("pk")
+    val r = Profile.inclusionProfile(Seq(("p", withNulls, "fk", pk, "pk"))).head()
+    assert(r.getAs[Long]("n_lhs") == 2L && r.getAs[Boolean]("contained"))
+  }
 }

@@ -102,7 +102,11 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // percentile normalize: both windows (cumulative + group total)
     // ride the (source, DISTINCT margin) contraction; doc rows join
     // back on (source, margin), never entering the sort
-    "q149_score_calibration")
+    "q149_score_calibration",
+    // Mann–Whitney midranks: the cumulative-below window rides the
+    // (event_type, DISTINCT centi-value) contraction — event rows hash-
+    // aggregate first and never enter the sort (percentileRank's shape)
+    "q192_mann_whitney")
 
   /** Queries allowed an UNPARTITIONED window: each is a guarded
     * tiny-table distinct-value contraction (operator scaladoc carries
