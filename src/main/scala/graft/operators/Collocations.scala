@@ -66,4 +66,46 @@ object Collocations {
       .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * rank words by [[Graphs.pageRank]] over the adjacent-token
+    * co-occurrence graph — a word matters when it co-occurs with
+    * words that matter, which beats raw frequency for keywording
+    * (stopword-adjacent hubs dilute, topic terms reinforce). The
+    * corpus-level counterpart of [[pmiTopK]]: PMI finds PAIRS,
+    * TextRank finds the central WORDS.
+    *
+    * Construction: directional adjacent pairs with support ≥
+    * `minPair` (noise floor — rare typo bigrams would add millions of
+    * degree-1 nodes), self-pairs dropped, then symmetrized (both
+    * directions; TextRank's graph is undirected) and deduplicated
+    * inside pageRank. A fixed `iters` of the exact integer recurrence
+    * makes the whole ranking hash-certifiable (the q114 convention —
+    * the oracle unrolls rounds over the same pair CTE).
+    *
+    * Scale shape: pair counting is [[pmiTopK]]'s map-side-partial
+    * hash aggregate; the graph that iterates is the CONTRACTED
+    * frequent-pair vocabulary graph (≪ corpus; bounded by vocab²/
+    * support), and the final top-k is TakeOrderedAndProject. Output:
+    * `(word, rank_micro)`, ties broken by word.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, iters: Int = 3,
+                       minPair: Long = 5L, k: Int = 30): DataFrame = {
+    val pairs = docs.select(toks(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .where(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+    Graphs.pageRank(edges, "src", "dst", iters)
+      .select(col("node").as("word"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word"))
+      .limit(k)
+  }
 }

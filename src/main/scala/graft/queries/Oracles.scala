@@ -4443,5 +4443,45 @@ object Oracles {
                  THEN 1 ELSE 0 END)) * 1000000 // sum(in_l) AS BIGINT)
                AS containment_micro
       FROM pk GROUP BY pair ORDER BY pair""",
+
+    "q194_textrank" -> """
+      WITH tok AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      grams AS (
+        SELECT unnest([array_to_string(t[i:i+1], ' ')
+                       for i in range(1, len(t))]) AS g
+        FROM tok WHERE len(t) >= 2),
+      pc AS (
+        SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+               count(*) AS n_pair
+        FROM grams WHERE split_part(g, ' ', 1) <> split_part(g, ' ', 2)
+        GROUP BY 1, 2 HAVING count(*) >= 5),
+      e AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT w1 AS src, w2 AS dst FROM pc
+          UNION ALL SELECT w2, w1 FROM pc)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      m1 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r0 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r1 AS (SELECT n.node,
+               CAST(150000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN m1 m ON n.node = m.dst),
+      m2 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r1 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r2 AS (SELECT n.node,
+               CAST(150000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN m2 m ON n.node = m.dst),
+      m3 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS mass
+             FROM e JOIN r2 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src GROUP BY 1),
+      r3 AS (SELECT n.node,
+               CAST(150000 + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
+      SELECT node AS word, r AS rank_micro FROM r3
+      ORDER BY rank_micro DESC, word LIMIT 30""",
   )
 }

@@ -3905,6 +3905,17 @@ object Queries {
       .orderBy(col("pair"))
   }
 
+  /** TextRank keywords ([[graft.operators.Collocations
+    * .textRankKeywords]]): the corpus' 30 most central words by
+    * PageRank over the frequent adjacent-token co-occurrence graph —
+    * q116's pair machinery feeding q114's exact integer recurrence,
+    * so the whole keyword ranking hash-certifies (the oracle rebuilds
+    * the symmetric pair graph and unrolls the 3 rounds).
+    */
+  def q194TextrankKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.textRankKeywords(
+      table(s, dir, "documents"), "text", iters = 3, minPair = 5L, k = 30)
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4330,5 +4341,6 @@ object Queries {
     "q191_ppr"           -> (q191Ppr _),
     "q192_mann_whitney"  -> (q192MannWhitney _),
     "q193_inclusion_deps" -> (q193InclusionDeps _),
+    "q194_textrank"      -> (q194TextrankKeywords _),
   )
 }

@@ -52,4 +52,53 @@ class CollocationsSpec extends AnyFunSuite {
     // N counts the solo tokens too: 5 + 10 = 15 -> 5*15e6 div 25
     assert(got.head._6 == 3000000L)
   }
+  /** Driver replay: frequent directional pairs -> symmetric distinct
+    * edges -> the exact integer PageRank recurrence.
+    */
+  private def refTextRank(texts: Seq[String], iters: Int,
+                          minPair: Long): Map[String, Long] = {
+    // NOTE: .collect on the groupBy Map with Tuple2 results would
+    // REBUILD a Map keyed by w1 and silently drop pairs — use keys
+    val pairs = texts.map(_.trim.split("\\s+").toSeq).filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail)).filter(p => p._1 != p._2)
+      .groupBy(identity).filter { case (_, g) => g.size >= minPair }
+      .keys.toSeq
+    val e = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val mass = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => r(x._1) / deg(x._1)).sum
+      }
+      r = nodes.map(n => n -> (150000L + 85L * mass.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("textRankKeywords: matches the driver replay; the hub word outranks spokes") {
+    // "core" is adjacent to every spoke; spokes only touch core
+    val texts = Seq.fill(3)(Seq(
+      "core alpha core beta core gamma",
+      "delta core epsilon core zeta core")).flatten
+    val got = Collocations.textRankKeywords(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text", iters = 3, minPair = 2L, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val want = refTextRank(texts, 3, 2L)
+    assert(got.toMap == want.toSeq.sortBy { case (w, r) => (-r, w) }
+      .take(10).toMap)
+    assert(got.head._1 == "core", "the co-occurrence hub must rank first")
+    // descending with word tiebreak
+    assert(got.sameElements(got.sortBy { case (w, r) => (-r, w) }))
+  }
+
+  test("textRankKeywords: rare pairs below minPair never enter the graph") {
+    val texts = Seq("a b", "a b", "a b", "weird outlier")
+    val got = Collocations.textRankKeywords(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text", iters = 2, minPair = 2L, k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b"))
+  }
 }
