@@ -273,6 +273,64 @@ object Graphs {
       math.max(1, out.length / 500000))).toDF("node", "dist")
   }
 
+  /** Labeled multi-source BFS: exact hop distance from EACH landmark
+    * separately — [[bfsDistances]] answers "how far from the NEAREST
+    * flagged node"; this keeps the per-landmark distances apart, the
+    * state a landmark-based closeness estimate needs (Potamias et al.
+    * CIKM 2009: k well-spread landmarks approximate closeness
+    * centrality at k·|V| state instead of the all-pairs |V|²).
+    *
+    * Frontier expansion keyed by (landmark, node): per hop one join
+    * of the frontier against the edge table (shuffle keyed on the
+    * node — landmark multiplicity rides inside each node's rows) and
+    * one anti-join against the visited set. State and every shuffle
+    * are bounded by k·|V|; rounds stop at `maxDepth` or frontier
+    * exhaustion. Returns `(landmark, node, dist)` for every REACHED
+    * pair (landmark, landmark, 0) included.
+    */
+  def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        landmarks: DataFrame, maxDepth: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("node"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val s0 = landmarks
+      .select(col(landmarks.columns.head).cast("long").as("lm")).distinct()
+      .select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
+    var visited = s0.localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier
+        .join(e, Seq("node"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"),
+          "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited
+  }
+
+  /** Harmonic closeness FROM a landmark set (the [[landmarkDistances]]
+    * readout): per node, `n_reached` landmarks and
+    * `harmonic_micro = Σ_landmarks 10⁶ div d(lm, node)` over d ≥ 1 —
+    * the harmonic form handles unreachable pairs by simply
+    * contributing 0 (Boldi & Vigna 2014's argument for harmonic over
+    * classic closeness), so the score is total on any graph. Exact
+    * integers end to end; one hash aggregate over the (landmark,
+    * node) distance table. Landmarks themselves score their distance
+    * to OTHER landmarks (the self 0-distance row is excluded).
+    */
+  def harmonicFromLandmarks(edges: DataFrame, srcCol: String, dstCol: String,
+                            landmarks: DataFrame,
+                            maxDepth: Int = 10): DataFrame =
+    landmarkDistances(edges, srcCol, dstCol, landmarks, maxDepth)
+      .where(col("dist") >= 1)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div dist")).as("harmonic_micro"))
+
   /** HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
     * arithmetic — [[pageRank]]'s bilateral sibling for directed
     * link/endorsement graphs. Each round:

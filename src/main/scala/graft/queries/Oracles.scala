@@ -4483,5 +4483,28 @@ object Oracles {
              FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
       SELECT node AS word, r AS rank_micro FROM r3
       ORDER BY rank_micro DESC, word LIMIT 30""",
+
+    "q195_harmonic" -> """
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      seeds AS (
+        SELECT n.n_nationkey AS lm FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'),
+      bfs AS (
+        SELECT lm, lm AS node, 0 AS dist FROM seeds
+        UNION
+        SELECT b.lm, e.dst AS node, b.dist + 1
+        FROM bfs b JOIN e ON b.node = e.src WHERE b.dist < 10),
+      d AS (SELECT lm, node, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+      SELECT CAST(d.node AS BIGINT) AS node, n.n_name,
+             CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+      FROM d JOIN nation n ON d.node = n.n_nationkey
+      WHERE dist >= 1 GROUP BY 1, 2 ORDER BY 1""",
   )
 }

@@ -3916,6 +3916,39 @@ object Queries {
     graft.operators.Collocations.textRankKeywords(
       table(s, dir, "documents"), "text", iters = 3, minPair = 5L, k = 30)
 
+  /** Harmonic closeness from landmarks ([[graft.operators.Graphs
+    * .harmonicFromLandmarks]]): per nation in the trade graph (buyer
+    * nation → supplier nation), how close is it to the ASIA landmark
+    * set — n_reached landmarks and Σ 10⁶ div hop-distance, exact
+    * integers off the labeled multi-source BFS. The oracle replays
+    * the per-landmark BFS with a recursive CTE (min hop per
+    * (landmark, node), the q142/q173 fixpoint convention).
+    */
+  def q195Harmonic(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = table(s, dir, "nation")
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    val seeds = nat
+      .join(broadcast(table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    graft.operators.Graphs.harmonicFromLandmarks(edges, "src", "dst", seeds,
+        maxDepth = 10)
+      .join(broadcast(nat.select(col("n_nationkey").cast("long").as("node"),
+        col("n_name"))), "node")
+      .select(col("node"), col("n_name"), col("n_reached"),
+        col("harmonic_micro"))
+      .orderBy(col("node"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4342,5 +4375,6 @@ object Queries {
     "q192_mann_whitney"  -> (q192MannWhitney _),
     "q193_inclusion_deps" -> (q193InclusionDeps _),
     "q194_textrank"      -> (q194TextrankKeywords _),
+    "q195_harmonic"      -> (q195Harmonic _),
   )
 }

@@ -564,4 +564,56 @@ class GraphsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+  /** Per-landmark driver BFS replay. */
+  private def refLandmarks(edges: Seq[(Long, Long)], lms: Seq[Long],
+                           maxDepth: Int): Map[(Long, Long), Long] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2)
+    }
+    lms.distinct.flatMap { lm =>
+      var dist = Map(lm -> 0L)
+      var frontier = Seq(lm)
+      var d = 0L
+      while (d < maxDepth && frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(dist.contains)
+        next.foreach(n => dist += n -> d)
+        frontier = next
+      }
+      dist.map { case (n, dd) => (lm, n) -> dd }
+    }.toMap
+  }
+
+  test("landmarkDistances: per-landmark hops match the driver replay; harmonic readout folds them") {
+    // diamond + tail + island: 1->2->4, 1->3->4, 4->5; 9->10 unreachable
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (9L, 10L))
+    val lms = Seq(1L, 3L)
+    val got = Graphs.landmarkDistances(edges.toDF("a", "b"), "a", "b",
+        lms.toDF("lm"), maxDepth = 10)
+      .collect().map(r => (r.getAs[Long]("lm"), r.getAs[Long]("node")) ->
+        r.getAs[Long]("dist")).toMap
+    assert(got == refLandmarks(edges, lms, 10))
+    // landmark 1 sees 4 at dist 2 even though landmark 3 sees it at 1
+    assert(got((1L, 4L)) == 2L && got((3L, 4L)) == 1L)
+    val h = Graphs.harmonicFromLandmarks(edges.toDF("a", "b"), "a", "b",
+        lms.toDF("lm"), maxDepth = 10)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_micro")))).toMap
+    // node 4: dists {2, 1} -> 500000 + 1000000; node 5: {3, 2}
+    assert(h(4L) == ((2L, 1500000L)))
+    assert(h(5L) == ((2L, 833333L)))
+    // landmark 3 is 1->3 reachable at dist 1; its own 0 row excluded
+    assert(h(3L) == ((1L, 1000000L)))
+    // island never appears
+    assert(!h.contains(9L) && !h.contains(10L))
+  }
+
+  test("landmarkDistances: maxDepth truncates the frontier") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graphs.landmarkDistances(chain.toDF("a", "b"), "a", "b",
+        Seq(1L).toDF("lm"), maxDepth = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }
