@@ -4506,5 +4506,55 @@ object Oracles {
              CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
       FROM d JOIN nation n ON d.node = n.n_nationkey
       WHERE dist >= 1 GROUP BY 1, 2 ORDER BY 1""",
+
+    "q196_conformal" -> """
+      WITH u AS MATERIALIZED (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS split,
+               CAST(coalesce(sum(CASE WHEN datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) >= 15
+                 THEN CAST(value AS DECIMAL(18,6)) END), 0) * 100 AS BIGINT) AS y,
+               CAST(coalesce(sum(CASE WHEN datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) < 15
+                 THEN CAST(value AS DECIMAL(18,6)) END), 0) * 100 AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type, user_id),
+      f AS (
+        SELECT event_type, count(*) AS n_train,
+               CAST(count(*) AS DOUBLE) AS nD,
+               CAST(sum(x) AS DOUBLE) AS sxD, CAST(sum(y) AS DOUBLE) AS syD,
+               CAST(sum(x * x) AS DOUBLE) AS sxxD,
+               CAST(sum(x * y) AS DOUBLE) AS sxyD
+        FROM u WHERE split = 0 GROUP BY 1),
+      c AS (
+        SELECT event_type, n_train, nD, sxD, syD,
+               (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD) AS slope
+        FROM f WHERE (nD * sxxD - sxD * sxD) <> 0),
+      c2 AS (
+        SELECT event_type, n_train, slope,
+               (syD - slope * sxD) / nD AS intercept
+        FROM c),
+      r AS (
+        SELECT u.event_type,
+               CAST(floor(abs(CAST(u.y AS DOUBLE)
+                 - (c2.intercept + c2.slope * CAST(u.x AS DOUBLE))) * 10000)
+                 AS BIGINT) AS resid_q
+        FROM u JOIN c2 ON u.event_type = c2.event_type WHERE u.split = 1),
+      g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+               LEAST(CAST(count(*) AS BIGINT),
+                 ((count(*) + 1) * 9 + 9) // 10) AS k_rank
+        FROM r GROUP BY 1),
+      rk AS (
+        SELECT event_type, resid_q,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY resid_q) AS rn
+        FROM r)
+      SELECT g.event_type, c2.n_train, g.n_cal, c2.slope, c2.intercept,
+             CAST(g.k_rank AS BIGINT) AS k_rank,
+             rk.resid_q AS half_width_q
+      FROM g
+      JOIN c2 ON g.event_type = c2.event_type
+      JOIN rk ON rk.event_type = g.event_type AND rk.rn = g.k_rank
+      ORDER BY g.event_type""",
   )
 }

@@ -3949,6 +3949,34 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** Split-conformal intervals ([[graft.operators.Conformal
+    * .splitConformalOls]]): per event type, predict a user's
+    * late-month total from their early-month total (q189's unit
+    * build), fit on even users, calibrate on odd users, and report
+    * the distribution-free 90% half-width — the ⌈0.9·(n_cal+1)⌉-th
+    * absolute residual, quantized to exact tenth-milli integers. The
+    * oracle refits the OLS in the same IEEE shape and selects the
+    * same order statistic by row_number.
+    */
+  def q196Conformal(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+    val units = eventsTable(s, dir)
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        coalesce(sum(when(day >= 15, col("value").cast(Dec))), lit(0).cast(Dec))
+          .as("__y"),
+        coalesce(sum(when(day < 15, col("value").cast(Dec))), lit(0).cast(Dec))
+          .as("__x"))
+      .select(col("event_type"),
+        (col("user_id") % 2).cast("int").as("split"),
+        (col("__y") * 100).cast("long").as("y_c"),
+        (col("__x") * 100).cast("long").as("x_c"))
+    graft.operators.Conformal.splitConformalOls(units, "event_type", "split",
+        "x_c", "y_c", alphaNum = 1L, alphaDen = 10L)
+      .orderBy(col("event_type"))
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4376,5 +4404,6 @@ object Queries {
     "q193_inclusion_deps" -> (q193InclusionDeps _),
     "q194_textrank"      -> (q194TextrankKeywords _),
     "q195_harmonic"      -> (q195Harmonic _),
+    "q196_conformal"     -> (q196Conformal _),
   )
 }

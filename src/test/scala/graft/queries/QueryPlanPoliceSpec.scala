@@ -106,7 +106,10 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // Mann–Whitney midranks: the cumulative-below window rides the
     // (event_type, DISTINCT centi-value) contraction — event rows hash-
     // aggregate first and never enter the sort (percentileRank's shape)
-    "q192_mann_whitney")
+    "q192_mann_whitney",
+    // conformal residual cut: exactRankByGroup's guarded distinct-value
+    // cumsum over BRACKET rows (q97/q101's decomposed form)
+    "q196_conformal")
 
   /** Queries allowed an UNPARTITIONED window: each is a guarded
     * tiny-table distinct-value contraction (operator scaladoc carries
