@@ -286,4 +286,59 @@ object ABTest {
         expr("CAST(CAST(u_b_x2 AS DECIMAL(38,0)) * 1000000 " +
           "div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")))
   }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (Mantel & Haenszel
+    * 1959) — the BINARY-outcome experiment readout that controls for
+    * a confounding stratum (the Simpson's-paradox killer: pooled 2×2
+    * tables lie when arm mix differs across strata; CMH compares each
+    * stratum's table to its own hypergeometric expectation and folds).
+    * Per stratum k with n rows, n1 in arm 1, m1 positive outcomes and
+    * a = arm-1 positives: E[a] = n1·m1/n, Var[a] =
+    * n1·n0·m1·m0/(n²(n−1)); the statistic is (Σa − ΣE)²/ΣVar.
+    *
+    * Exactness: each stratum's E and Var are rationals — they
+    * QUANTIZE to exact micro-unit integers via `div` (the pageRank
+    * floor convention: < 1 µunit loss per stratum, bit-identical on
+    * any engine), so the folded sums are certifiable BIGINTs and the
+    * final chi2 derives in one fixed IEEE shape from them. Magnitude
+    * rule: n⁴·10⁶ must fit DECIMAL(38,0) — per-stratum n up to
+    * ~3·10⁷ (strata are subgroups; shard larger ones upstream).
+    *
+    * One map-side-partial hash aggregate per stratum, one 1-row fold
+    * — no window, no collect. Strata with n < 2 contribute their `a`
+    * and E but zero variance (the degenerate-table convention).
+    * Output one row: `k_strata, sum_a, sum_exp_micro, sum_var_micro,
+    * num_micro, chi2` (chi2 null when ΣVar = 0).
+    */
+  def cmh(df: DataFrame, stratumCol: String, armCol: String,
+          outcomeCol: String): DataFrame = {
+    val isB = col(armCol) === 1
+    val isPos = col(outcomeCol) === 1
+    val per = df
+      .where((col(armCol) === 0 || isB) &&
+        (col(outcomeCol) === 0 || isPos))
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(isB, 1L).otherwise(0L)).as("n1"),
+        sum(when(isPos, 1L).otherwise(0L)).as("m1"),
+        sum(when(isB && isPos, 1L).otherwise(0L)).as("a"))
+      .withColumn("exp_micro", expr(
+        "CAST((CAST(n1 AS DECIMAL(38,0)) * m1 * 1000000) " +
+          "div CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("var_micro", when(col("n") >= 2, expr(
+        "CAST((CAST(n1 AS DECIMAL(38,0)) * (n - n1) * m1 * (n - m1) " +
+          "* 1000000) div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) " +
+          "AS BIGINT)")).otherwise(lit(0L)))
+    val folded = per.agg(
+      count(lit(1)).as("k_strata"),
+      sum(col("a")).as("sum_a"),
+      sum(col("exp_micro")).as("sum_exp_micro"),
+      sum(col("var_micro")).as("sum_var_micro"))
+    folded
+      .withColumn("num_micro", col("sum_a") * 1000000L - col("sum_exp_micro"))
+      .withColumn("chi2", when(col("sum_var_micro") > 0,
+        (col("num_micro").cast("double") * col("num_micro").cast("double"))
+          / (lit(1000000.0) * col("sum_var_micro").cast("double"))))
+  }
 }

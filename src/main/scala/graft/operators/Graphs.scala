@@ -273,6 +273,66 @@ object Graphs {
       math.max(1, out.length / 500000))).toDF("node", "dist")
   }
 
+  /** Modularity of a node partition (Newman & Girvan 2004) in EXACT
+    * cleared-rational form — the standard "is this community
+    * assignment better than chance" score: Q = Σ_c (e_c/m −
+    * (d_c/2m)²) over communities c, with e_c = intra-community
+    * edges, d_c = total degree inside c, m = |E| undirected distinct
+    * edges. Clearing by 4m² makes every per-community contribution an
+    * exact integer: contrib_num = 4·m·e_c − d_c², and
+    * Q = Σ contrib_num / (4m²) — rank communities, compare
+    * assignments (LPA rounds, region priors, ER clusters) with zero
+    * float drift.
+    *
+    * Scale shape: canonicalize-distinct the edge set once, one degree
+    * aggregate, two broadcast-joins of the (node, community)
+    * assignment onto edge endpoints (assignment rows ≤ nodes — NOT
+    * broadcast: joined on the node key, skew-safe), then one hash
+    * aggregate per community. The 1-row m scalar rides a broadcast
+    * crossJoin (police-whitelisted class). Nodes absent from the
+    * assignment form singleton communities of their own id (the LPA
+    * initialization convention).
+    *
+    * Returns one row per community: `(community, n_nodes, e_in,
+    * d_tot, m, contrib_num)` — Σ contrib_num / (4m²) is the
+    * modularity; magnitudes stay in BIGINT for d_c, m < ~1.5·10⁹.
+    */
+  def modularityScore(edges: DataFrame, aCol: String, bCol: String,
+                      assignment: DataFrame): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val asg = assignment.select(
+      col(assignment.columns.head).cast("long").as("node"),
+      col(assignment.columns(1)).cast("long").as("community"))
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+      .join(asg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("community"), col("node")).as("community"))
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val labeled = und
+      .join(nodes.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(nodes.select(col("node").as("v"), col("community").as("cv")), "v")
+    val eIn = labeled.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    val dTot = nodes.join(deg, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    dTot.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .crossJoin(broadcast(m)) // 1-row edge-count scalar
+      .withColumn("contrib_num",
+        expr("4L * m * e_in - d_tot * d_tot"))
+  }
+
   /** Labeled multi-source BFS: exact hop distance from EACH landmark
     * separately — [[bfsDistances]] answers "how far from the NEAREST
     * flagged node"; this keeps the per-landmark distances apart, the

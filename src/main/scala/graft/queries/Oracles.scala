@@ -4556,5 +4556,83 @@ object Oracles {
       JOIN c2 ON g.event_type = c2.event_type
       JOIN rk ON rk.event_type = g.event_type AND rk.rn = g.k_rank
       ORDER BY g.event_type""",
+
+    "q197_modularity" -> """
+      WITH e0 AS (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                        greatest(c.c_nationkey, s.s_nationkey) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      asg AS (SELECT n_nationkey AS node, n_regionkey AS community
+              FROM nation),
+      nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+      na AS (
+        SELECT n.node, coalesce(a.community, n.node) AS community
+        FROM nodes n LEFT JOIN asg a ON n.node = a.node),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY 1),
+      mm AS (SELECT count(*) AS m FROM e0),
+      ein AS (
+        SELECT nu.community, count(*) AS e_in
+        FROM e0 JOIN na nu ON e0.u = nu.node
+                JOIN na nv ON e0.v = nv.node
+        WHERE nu.community = nv.community GROUP BY 1),
+      dt AS (
+        SELECT na.community, count(*) AS n_nodes, sum(deg.deg) AS d_tot
+        FROM na JOIN deg ON na.node = deg.node GROUP BY 1)
+      SELECT CAST(dt.community AS BIGINT) AS community,
+             CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+             CAST(d_tot AS BIGINT) AS d_tot,
+             CAST(mm.m AS BIGINT) AS m,
+             CAST(4 * mm.m * coalesce(e_in, 0) - d_tot * d_tot AS BIGINT)
+               AS contrib_num
+      FROM dt LEFT JOIN ein ON dt.community = ein.community
+      CROSS JOIN mm ORDER BY 1""",
+
+    "q198_cmh" -> """
+      WITH u AS (
+        SELECT (datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 % 7) AS stratum,
+               CAST(user_id % 2 AS INT) AS arm,
+               CASE WHEN CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+                 >= 10000 THEN 1 ELSE 0 END AS converted
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      per AS (
+        SELECT stratum, count(*) AS n,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN converted = 1 THEN 1 ELSE 0 END) AS m1,
+               sum(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END)
+                 AS a
+        FROM u GROUP BY 1),
+      q AS (
+        SELECT stratum, n, a,
+               CAST((CAST(n1 AS HUGEINT) * m1 * 1000000) // n AS BIGINT)
+                 AS exp_micro,
+               CASE WHEN n >= 2 THEN
+                 CAST((CAST(n1 AS HUGEINT) * (n - n1) * m1 * (n - m1)
+                   * 1000000) // (CAST(n AS HUGEINT) * n * (n - 1))
+                   AS BIGINT)
+               ELSE 0 END AS var_micro
+        FROM per),
+      f AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_strata,
+               CAST(sum(a) AS BIGINT) AS sum_a,
+               CAST(sum(exp_micro) AS BIGINT) AS sum_exp_micro,
+               CAST(sum(var_micro) AS BIGINT) AS sum_var_micro
+        FROM q)
+      SELECT k_strata, sum_a, sum_exp_micro, sum_var_micro,
+             CAST(sum_a * 1000000 - sum_exp_micro AS BIGINT) AS num_micro,
+             CASE WHEN sum_var_micro > 0 THEN
+               (CAST(sum_a * 1000000 - sum_exp_micro AS DOUBLE)
+                 * CAST(sum_a * 1000000 - sum_exp_micro AS DOUBLE))
+                 / (1000000.0 * CAST(sum_var_micro AS DOUBLE))
+             END AS chi2
+      FROM f""",
   )
 }

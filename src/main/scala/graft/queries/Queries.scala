@@ -3977,6 +3977,51 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Modularity of the region partition ([[graft.operators.Graphs
+    * .modularityScore]]): score how community-like TPC-H's regions
+    * are on the nation trade graph — per region the exact cleared
+    * contribution 4·m·e_in − d_tot² (Σ / 4m² = Newman-Girvan Q), so
+    * "regions trade within themselves" is a certified integer claim,
+    * not a float impression. The oracle replays the same degree /
+    * intra-edge folds.
+    */
+  def q197Modularity(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .select(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+    val asg = table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    graft.operators.Graphs.modularityScore(edges, "a", "b", asg)
+      .orderBy(col("community"))
+  }
+
+  /** Cochran–Mantel–Haenszel stratified test ([[graft.operators
+    * .ABTest.cmh]]): does the odd-user arm convert (event value ≥
+    * 100) more often than the even-user arm, CONTROLLING for the
+    * day-of-week stratum — the binary-outcome companion to q100/q192
+    * that a pooled 2×2 gets wrong whenever arm mix shifts across
+    * strata (Simpson's paradox).
+    * Every folded sum is an exact micro-unit integer; chi2 derives in
+    * one IEEE shape the oracle replays.
+    */
+  def q198Cmh(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+    val units = eventsTable(s, dir)
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .select(
+        (day.cast("long") % 7).as("stratum"),
+        (col("user_id") % 2).cast("int").as("arm"),
+        when((col("value").cast(Dec) * 100).cast("long") >= 10000L, 1)
+          .otherwise(0).as("converted"))
+    graft.operators.ABTest.cmh(units, "stratum", "arm", "converted")
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4405,5 +4450,7 @@ object Queries {
     "q194_textrank"      -> (q194TextrankKeywords _),
     "q195_harmonic"      -> (q195Harmonic _),
     "q196_conformal"     -> (q196Conformal _),
+    "q197_modularity"    -> (q197Modularity _),
+    "q198_cmh"           -> (q198Cmh _),
   )
 }

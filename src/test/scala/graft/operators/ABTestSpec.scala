@@ -203,4 +203,67 @@ class ABTestSpec extends AnyFunSuite {
       "g", "arm", "v").head()
     assert(same.getAs[Long]("auc_micro") == 500000L)
   }
+  /** Straight-line CMH replay: per-stratum quantized E/Var, folded. */
+  private def refCmh(rows: Seq[(Int, Int, Int)]): (Long, Long, Long, Long, Long) = {
+    val strata = rows.groupBy(_._1).values.toSeq
+    var (sa, se, sv) = (0L, 0L, 0L)
+    strata.foreach { s =>
+      val n = s.size.toLong
+      val n1 = s.count(_._2 == 1).toLong
+      val m1 = s.count(_._3 == 1).toLong
+      val a = s.count(r => r._2 == 1 && r._3 == 1).toLong
+      sa += a
+      se += (BigInt(n1) * m1 * 1000000 / n).toLong
+      if (n >= 2)
+        sv += (BigInt(n1) * (n - n1) * m1 * (n - m1) * 1000000 /
+          (BigInt(n) * n * (n - 1))).toLong
+    }
+    (strata.size.toLong, sa, se, sv, sa * 1000000L - se)
+  }
+
+  test("cmh: folded micro-integers match the replay; chi2 derives from them") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 300).map { _ =>
+      val st = rng.nextInt(5)
+      val arm = rng.nextInt(2)
+      // outcome biased by arm AND stratum (a real confounder)
+      val p = 0.2 + 0.1 * arm + 0.08 * st
+      (st, arm, if (rng.nextDouble() < p) 1 else 0)
+    }
+    val got = ABTest.cmh(rows.toDF("stratum", "arm", "outcome"),
+      "stratum", "arm", "outcome").head()
+    val (k, sa, se, sv, num) = refCmh(rows)
+    assert(got.getAs[Long]("k_strata") == k)
+    assert(got.getAs[Long]("sum_a") == sa)
+    assert(got.getAs[Long]("sum_exp_micro") == se)
+    assert(got.getAs[Long]("sum_var_micro") == sv)
+    assert(got.getAs[Long]("num_micro") == num)
+    val chi2 = (num.toDouble * num.toDouble) / (1000000.0 * sv.toDouble)
+    assert(got.getAs[Double]("chi2") == chi2)
+  }
+
+  test("cmh: stratification undoes a Simpson composition; tiny strata add zero variance") {
+    // two strata where WITHIN each the arms convert identically, but
+    // arm 1 concentrates in the high-rate stratum: pooled 2x2 would
+    // see a big arm effect; CMH's per-stratum expectation predicts
+    // each a_k exactly -> num_micro = 0
+    val lo = Seq.fill(40)((0, 0, 0)) ++ Seq.fill(10)((0, 1, 0)) ++
+      Seq.fill(40)((0, 0, 1)).take(8) ++ Seq.fill(2)((0, 1, 1))
+    // stratum 0: arm0 48 rows 8 pos (1/6), arm1 12 rows 2 pos (1/6)
+    val hi = Seq.fill(10)((1, 0, 0)) ++ Seq.fill(40)((1, 1, 0)) ++
+      Seq.fill(5)((1, 0, 1)) ++ Seq.fill(20)((1, 1, 1))
+    // stratum 1: arm0 15 rows 5 pos (1/3), arm1 60 rows 20 pos (1/3)
+    val single = Seq((2, 1, 1)) // n = 1: counts toward a/E, zero Var
+    val rows = lo ++ hi ++ single
+    val got = ABTest.cmh(rows.toDF("stratum", "arm", "outcome"),
+      "stratum", "arm", "outcome").head()
+    val (k, sa, se, sv, num) = refCmh(rows)
+    assert((got.getAs[Long]("k_strata"), got.getAs[Long]("sum_a"),
+      got.getAs[Long]("sum_exp_micro"), got.getAs[Long]("sum_var_micro"),
+      got.getAs[Long]("num_micro")) == ((k, sa, se, sv, num)))
+    // equal within-stratum rates: |num| stays under the quantization
+    // noise of k strata (each div loses < 1 micro-unit)
+    assert(math.abs(got.getAs[Long]("num_micro")) <= 3L * 1000000L / 1000L,
+      s"num_micro=${got.getAs[Long]("num_micro")}")
+  }
 }

@@ -616,4 +616,55 @@ class GraphsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+  /** Driver modularity replay over the canonical undirected edge set. */
+  private def refModularity(edges: Seq[(Long, Long)],
+                            asg: Map[Long, Long]): Map[Long, (Long, Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val m = und.size.toLong
+    val nodes = (und.map(_._1) ++ und.map(_._2)).distinct
+    val comm = nodes.map(n => n -> asg.getOrElse(n, n)).toMap
+    val deg = nodes.map(n =>
+      n -> und.count(e => e._1 == n || e._2 == n).toLong).toMap
+    comm.values.toSeq.distinct.map { c =>
+      val members = nodes.filter(comm(_) == c)
+      val eIn = und.count(e => comm(e._1) == c && comm(e._2) == c).toLong
+      val dTot = members.map(deg).sum
+      c -> ((members.size.toLong, eIn, dTot, 4L * m * eIn - dTot * dTot))
+    }.toMap
+  }
+
+  test("modularityScore: two cliques + bridge — clique partition scores above chance, replay-exact") {
+    val k4a = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val edges = k4a ++ k4b :+ ((3L, 10L))
+    val asg = ((0L to 3L).map(_ -> 100L) ++ (10L to 13L).map(_ -> 200L)).toMap
+    val got = Graphs.modularityScore(edges.toDF("a", "b"), "a", "b",
+        asg.toSeq.toDF("node", "community"))
+      .collect().map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("d_tot"), r.getAs[Long]("contrib_num"))))
+      .toMap
+    assert(got == refModularity(edges, asg))
+    // Q = sum(contrib) / (4 m^2) must be positive for the clique split
+    assert(got.values.map(_._4).sum > 0L)
+    // and the all-in-one-community partition scores exactly 0
+    val one = Graphs.modularityScore(edges.toDF("a", "b"), "a", "b",
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> 1L)
+          .toDF("node", "community"))
+      .collect().map(_.getAs[Long]("contrib_num")).sum
+    assert(one == 0L)
+  }
+
+  test("modularityScore: unassigned nodes become singleton communities") {
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val got = Graphs.modularityScore(edges.toDF("a", "b"), "a", "b",
+        Seq((1L, 7L)).toDF("node", "community"))
+      .collect().map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("d_tot"), r.getAs[Long]("contrib_num"))))
+      .toMap
+    assert(got == refModularity(edges, Map(1L -> 7L)))
+    assert(got.keySet == Set(7L, 2L, 3L))
+  }
 }

@@ -61,7 +61,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q168_fleiss_kappa"   -> 2, // 1-row item-stats × 1-row pair-mass × 1-row category-margin scalars
     "q172_diff_by_buckets" -> 1, // 1-row total-keys × 1-row hot-keys scalar (cold-unchanged reconstitution)
     "q178_join_forecast"  -> 1, // 1-row matched-keys stats × 1-row outer-side counts
-    "q187_permutation_test" -> 1) // 1-row observed-stats scalar against the b replicate rows
+    "q187_permutation_test" -> 1, // 1-row observed-stats scalar against the b replicate rows
+    "q197_modularity"     -> 1) // 1-row edge-count scalar onto the per-community rows
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
