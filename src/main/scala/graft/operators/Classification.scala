@@ -189,4 +189,51 @@ object Classification {
         when(col("__den") > 0, expr("__num div __den")).otherwise(lit(0L))
           .cast("long").as("chi2_micro"))
   }
+
+  /** Decile gains / lift table — the campaign-targeting readout
+    * ("mail the top 2 deciles") that complements [[aucExact]]'s
+    * single number with WHERE the separation lives: bucket rows into
+    * score quantiles ([[Quantiles.bucketAssign]]'s threshold
+    * machinery), then accumulate positives from the TOP bucket down.
+    * Per bucket (descending score): n, n_pos, cum_n, cum_pos,
+    * `gain_micro` = cum_pos·10⁶ div total_pos (share of all positives
+    * captured so far) and `lift_micro` = cum_pos·n_total·10⁶ div
+    * (total_pos·cum_n) (how many× better than random targeting); a
+    * perfect model's first buckets approach lift = buckets·10⁶.
+    *
+    * Exactness: bucket cuts are exact quantile thresholds; every
+    * output is integer `div` arithmetic off one per-bucket hash
+    * aggregate — hash-certifiable. Scale shape: threshold set is
+    * B−1 broadcast rows ([[Quantiles.valueThresholds]]' guarded
+    * global window + k-range cross, the q62 police class); the
+    * cumulative fold rides the B-row bucket contraction. Scores must
+    * be integer fixed-point; labels 0/1.
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+                 buckets: Int = 10): DataFrame = {
+    val lab = col(labelCol).cast("int")
+    val base = df.where(col(scoreCol).isNotNull && (lab === 0 || lab === 1))
+    val perBucket = Quantiles.bucketAssign(base, scoreCol, buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lab === 1, 1L).otherwise(0L)).as("n_pos"))
+    // B-row contraction: the cumulative-from-the-top window is bounded
+    // by the bucket count, never data rows
+    val wTop = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perBucket
+      .withColumn("cum_n", sum(col("n")).over(wTop))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wTop))
+      .withColumn("__nt", sum(col("n")).over(wAll))
+      .withColumn("__pt", sum(col("n_pos")).over(wAll))
+      .withColumn("gain_micro",
+        when(col("__pt") > 0, expr("cum_pos * 1000000L div __pt")))
+      .withColumn("lift_micro",
+        when(col("__pt") > 0, expr(
+          "CAST(CAST(cum_pos AS DECIMAL(38,0)) * __nt * 1000000 " +
+            "div (CAST(__pt AS DECIMAL(38,0)) * cum_n) AS BIGINT)")))
+      .drop("__nt", "__pt")
+  }
 }

@@ -4634,5 +4634,83 @@ object Oracles {
                  / (1000000.0 * CAST(sum_var_micro AS DOUBLE))
              END AS chi2
       FROM f""",
+
+    "q199_kaplan_meier" -> """
+      WITH RECURSIVE subj AS (
+        SELECT event_type,
+               CAST(max(dd) - min(dd) AS BIGINT) AS dur,
+               CASE WHEN max(dd) < 25 THEN 1 ELSE 0 END AS ev
+        FROM (SELECT event_type, user_id,
+                datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd
+              FROM events WHERE event_type IS NOT NULL)
+        GROUP BY event_type, user_id),
+      per AS (
+        SELECT event_type, dur AS t,
+               CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM subj GROUP BY 1, 2),
+      ord AS (
+        SELECT event_type, t, d, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn,
+               CAST(sum(d + c) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_total
+        FROM per),
+      km AS (
+        SELECT event_type, rn, t, d, c,
+               n_total AS n_risk,
+               (CAST(1000000 AS BIGINT) * (n_total - d)) // n_total
+                 AS s_micro
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.event_type, o.rn, o.t, o.d, o.c,
+               k.n_risk - k.d - k.c AS n_risk,
+               (k.s_micro * (k.n_risk - k.d - k.c - o.d))
+                 // (k.n_risk - k.d - k.c) AS s_micro
+        FROM km k JOIN ord o
+          ON o.event_type = k.event_type AND o.rn = k.rn + 1)
+      SELECT event_type, t, n_risk, d AS d_events, c AS c_censored, s_micro
+      FROM km ORDER BY event_type, t""",
+
+    "q200_gains" -> """
+      WITH base AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars IS NOT NULL),
+      counts AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+      cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+        FROM counts),
+      th AS (
+        SELECT k, min(v) AS threshold
+        FROM cum, range(1, 10) AS r(k)
+        WHERE cum * 10 >= k * n
+        GROUP BY k),
+      assigned AS (
+        SELECT b.v, b.y,
+               1 + (SELECT count(*) FROM th WHERE b.v > th.threshold)
+                 AS bucket
+        FROM base b),
+      pb AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM assigned GROUP BY 1),
+      g AS (
+        SELECT bucket, n, n_pos,
+               CAST(sum(n) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_n,
+               CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_pos,
+               CAST(sum(n) OVER () AS BIGINT) AS nt,
+               CAST(sum(n_pos) OVER () AS BIGINT) AS pt
+        FROM pb)
+      SELECT CAST(bucket AS INT) AS bucket, n, n_pos, cum_n, cum_pos,
+             CAST(cum_pos * 1000000 // pt AS BIGINT) AS gain_micro,
+             CAST((CAST(cum_pos AS HUGEINT) * nt * 1000000)
+               // (CAST(pt AS HUGEINT) * cum_n) AS BIGINT) AS lift_micro
+      FROM g ORDER BY bucket DESC""",
   )
 }

@@ -4022,6 +4022,43 @@ object Queries {
     graft.operators.ABTest.cmh(units, "stratum", "arm", "converted")
   }
 
+  /** Kaplan–Meier churn curves ([[graft.operators.Survival
+    * .kaplanMeier]]): per event type, the product-limit survival of
+    * user activity spans — duration = last-minus-first active day,
+    * censored (not churned) when the user was still active on day 25
+    * or later. Every step's n_risk/d/c and the micro-quantized
+    * survival are exact integers; the oracle replays the recursion
+    * with a recursive CTE (q173's fixpoint convention).
+    */
+  def q199KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val subj = eventsTable(s, dir)
+      .where(col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(day).as("d0"), max(day).as("d1"))
+      .select(col("event_type"), (col("d1") - col("d0")).as("dur"),
+        when(col("d1") < 25, 1).otherwise(0).as("churned"))
+    graft.operators.Survival.kaplanMeier(subj, "event_type", "dur", "churned")
+      .orderBy(col("event_type"), col("t"))
+  }
+
+  /** Decile gains table ([[graft.operators.Classification
+    * .gainsTable]]): treat document length as a score for "is this
+    * English" and read how the positives concentrate across score
+    * deciles — cum share captured and lift vs random, all exact
+    * integer `div` quotients off q62's threshold machinery. The
+    * oracle replays thresholds, assignment, and the top-down fold.
+    */
+  def q200Gains(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("n_chars"),
+        when(col("lang") === "en", 1).otherwise(0).as("is_en"))
+    graft.operators.Classification.gainsTable(docs, "n_chars", "is_en",
+        buckets = 10)
+      .orderBy(col("bucket").desc)
+  }
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4452,5 +4489,7 @@ object Queries {
     "q196_conformal"     -> (q196Conformal _),
     "q197_modularity"    -> (q197Modularity _),
     "q198_cmh"           -> (q198Cmh _),
+    "q199_kaplan_meier"  -> (q199KaplanMeier _),
+    "q200_gains"         -> (q200Gains _),
   )
 }

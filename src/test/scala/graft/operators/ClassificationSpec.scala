@@ -164,4 +164,32 @@ class ClassificationSpec extends AnyFunSuite {
     assert(got("the")._5 == 1000000L * 7L) // chi2 = n for perfect association
     assert(!got.contains("chat") || got("chat")._1 == 0L)
   }
+  test("gainsTable: perfect separation -> top bucket lift = buckets; gains reach 1") {
+    // scores 1..100, positives exactly the top 10 scores
+    val rows = (1 to 100).map(i => (i.toLong, if (i > 90) 1 else 0))
+    val got = Classification.gainsTable(rows.toDF("score", "label"),
+        "score", "label", buckets = 10)
+      .orderBy(org.apache.spark.sql.functions.col("bucket").desc)
+      .collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("cum_n"),
+        r.getAs[Long]("cum_pos"), r.getAs[Long]("gain_micro"),
+        r.getAs[Long]("lift_micro")))
+    assert(got.length == 10)
+    // top decile holds ALL positives: gain 100%, lift 10x
+    assert(got.head == ((10, 10L, 10L, 10L, 10L, 1000000L, 10000000L)))
+    // every later bucket keeps gain at 100% and lift decays as 1/share
+    assert(got.forall(_._6 <= 1000000L))
+    assert(got.last._4 == 100L && got.last._5 == 10L &&
+      got.last._6 == 1000000L && got.last._7 == 1000000L)
+  }
+
+  test("gainsTable: uninformative score -> every bucket lift ~ 1") {
+    // label alternates independent of score: each decile half positive
+    val rows = (1 to 200).map(i => (i.toLong, i % 2))
+    val got = Classification.gainsTable(rows.toDF("score", "label"),
+        "score", "label", buckets = 10)
+      .collect().map(r => r.getAs[Long]("lift_micro"))
+    assert(got.forall(l => l >= 950000L && l <= 1050000L))
+  }
 }

@@ -62,7 +62,8 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q172_diff_by_buckets" -> 1, // 1-row total-keys × 1-row hot-keys scalar (cold-unchanged reconstitution)
     "q178_join_forecast"  -> 1, // 1-row matched-keys stats × 1-row outer-side counts
     "q187_permutation_test" -> 1, // 1-row observed-stats scalar against the b replicate rows
-    "q197_modularity"     -> 1) // 1-row edge-count scalar onto the per-community rows
+    "q197_modularity"     -> 1, // 1-row edge-count scalar onto the per-community rows
+    "q200_gains"          -> 2) // q62's shape: threshold k-range cross + 1-row threshold-list scalar
 
   /** Queries allowed a window partitioned by a low-cardinality key
     * (lang/source) — each with the reason it is not the q74 trap.
@@ -123,7 +124,10 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q134_auc",
     // three valueThresholds windows (one per RFM metric), each the
     // same HLL-guarded distinct-value contraction as q62's
-    "q147_rfm")
+    "q147_rfm",
+    // gains: q62's guarded threshold window + the cumulative fold over
+    // the B-row bucket contraction
+    "q200_gains")
 
   private val lowCardCols =
     Set("lang", "source", "event_type", "week_idx", "l_returnflag")
