@@ -341,4 +341,125 @@ object ABTest {
         (col("num_micro").cast("double") * col("num_micro").cast("double"))
           / (lit(1000000.0) * col("sum_var_micro").cast("double"))))
   }
+
+  /** [[permutationTest]] PER GROUP — one exact randomization p-value
+    * for every metric group in a single plan (the multiple-testing
+    * input [[bhAdjust]] consumes). Identical statistic and coin
+    * construction, with the group riding both aggregation keys and
+    * the md5 coin (a unit appearing in two groups draws independent
+    * permutations). The observed-stats side joins back ON THE GROUP
+    * KEY (group-cardinality broadcast), so the grouped form needs no
+    * crossJoin at all. Output: one row per group with
+    * [[permutationTest]]'s columns.
+    */
+  def permutationTestByGroup(df: DataFrame, groupCol: String, idCol: String,
+                             armCol: String, valueCol: String, b: Int = 199,
+                             salt: String = "42"): DataFrame = {
+    require(b >= 1, "need at least one replicate")
+    val base = df.select(col(groupCol).as("__g"),
+      col(idCol).cast("string").as("__id"),
+      col(armCol).cast("int").as("__arm"), col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull && (col("__arm") === 0 || col("__arm") === 1))
+    val obs = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+      coalesce(sum(col("__v")), lit(0L)).cast("long").as("s_tot"),
+      coalesce(sum(when(col("__arm") === 1, col("__v"))), lit(0L))
+        .cast("long").as("s_treat"))
+    val coin = conv(substring(md5(concat_ws(":", lit("perm"), lit(salt),
+      col("__g").cast("string"), col("__id"), col("__r").cast("string"))),
+      1, 12), 16, 10).cast("long") % 2
+    val reps = base
+      .select(col("__g"), col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .select(col("__g"), col("__r"), col("__v"), (coin === 1).as("__t"))
+      .groupBy(col("__g"), col("__r"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n1_r"),
+        coalesce(sum(when(col("__t"), col("__v"))), lit(0L))
+          .cast("long").as("s1_r"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val scored = reps.join(broadcast(obs), Seq("__g"))
+      .withColumn("num_r",
+        dec(col("s1_r")) * (col("n") - col("n1_r"))
+          - dec(col("s_tot") - col("s1_r")) * col("n1_r"))
+      .withColumn("den_r", dec(col("n1_r")) * (col("n") - col("n1_r")))
+      .withColumn("num_obs",
+        dec(col("s_treat")) * (col("n") - col("n_treat"))
+          - dec(col("s_tot") - col("s_treat")) * col("n_treat"))
+      .withColumn("den_obs", dec(col("n_treat")) * (col("n") - col("n_treat")))
+      .withColumn("exceed",
+        col("den_r") === 0 ||
+          abs(col("num_r")) * col("den_obs") >= abs(col("num_obs")) * col("den_r"))
+    scored.groupBy(col("__g"))
+      .agg(
+        min(col("n")).as("n"), min(col("n_treat")).as("n_treat"),
+        min(col("num_obs")).cast("long").as("num_obs"),
+        min(col("den_obs")).cast("long").as("den_obs"),
+        sum(when(col("exceed"), 1L).otherwise(0L)).as("n_exceed"),
+        count(lit(1)).as("n_reps"))
+      .withColumn("p_num", col("n_exceed") + 1L)
+      .withColumn("p_den", col("n_reps") + 1L)
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+    * 1995) over a table of EXACT rational p-values — "we ran one test
+    * per metric; which rejections survive multiple-testing control at
+    * level α?" Sort the m p-values ascending, find the largest rank i
+    * with p_(i) ≤ i·α/m, reject ranks 1..i. Every comparison is the
+    * cross-multiplied integer p_num·m·αDen ≤ i·αNum·p_den — no float
+    * p-values anywhere, so the decision set hash-certifies.
+    *
+    * CONTRACT: all tests must share ONE p_den (true by construction
+    * for the randomization family — p_den = b+1); heterogeneous
+    * denominators would break the p_num sort, so the operator RAISES
+    * on them rather than misorder. Scale shape: the test table is a
+    * tiny contraction (one row per metric group); it folds INSIDE one
+    * row via sort_array + two codegen'd array lambdas ([[Survival
+    * .kaplanMeier]]'s pattern — no window, no cartesian), then
+    * re-explodes. Output per test: `key, p_num, p_den, rank, m,
+    * rejected` (step-up: rejected iff SOME rank ≥ own satisfies the
+    * threshold).
+    */
+  def bhAdjust(tests: DataFrame, keyCol: String, pNumCol: String,
+               pDenCol: String, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"need 0 < alpha < 1, got $alphaNum/$alphaDen")
+    val packed = tests
+      .select(col(keyCol).cast("string").as("key"),
+        col(pNumCol).cast("long").as("p_num"),
+        col(pDenCol).cast("long").as("p_den"))
+      .agg(count(lit(1)).as("m"),
+        countDistinct(col("p_den")).as("__ndens"),
+        min(col("p_den")).as("__den"),
+        sort_array(collect_list(struct(col("p_num"), col("key")))).as("ts"))
+      // loud guard: mixed denominators would sort wrong — fail, never
+      // misorder
+      .withColumn("__guard", when(col("__ndens") <= 1, lit(1)).otherwise(
+        raise_error(lit("bhAdjust: tests carry mixed p_den values — " +
+          "rerun with a shared replicate count"))))
+    val out = packed
+      // rank-indexed threshold flags (0-based i → rank i+1)
+      .withColumn("flags", expr(
+        s"""transform(ts, (t, i) ->
+              struct(t.p_num AS p_num, t.key AS key, CAST(i + 1 AS BIGINT)
+                AS rank,
+                t.p_num * m * ${alphaDen}L <= (i + 1) * ${alphaNum}L * __den
+                  AS ok))"""))
+      // step-up: suffix-OR of ok, via a reverse fold
+      .withColumn("rows", expr(
+        """reverse(aggregate(
+             reverse(flags),
+             struct(false AS anyok,
+               CAST(array() AS ARRAY<STRUCT<p_num: BIGINT, key: STRING,
+                 rank: BIGINT, rejected: BOOLEAN>>) AS acc),
+             (st, x) -> struct(st.anyok OR x.ok AS anyok,
+               array_append(st.acc, struct(x.p_num AS p_num, x.key AS key,
+                 x.rank AS rank, st.anyok OR x.ok AS rejected)) AS acc),
+             st -> st.acc))"""))
+    out.select(col("m"), col("__den").as("p_den"), explode(col("rows")).as("r"))
+      .select(col("r.key").as("key"), col("r.p_num").as("p_num"),
+        col("p_den"), col("r.rank").as("rank"), col("m"),
+        col("r.rejected").as("rejected"))
+  }
 }

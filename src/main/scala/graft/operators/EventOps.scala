@@ -214,6 +214,60 @@ object EventOps {
           "OVER (PARTITION BY prev_type) AS BIGINT)"))
   }
 
+  /** Markov absorption probability: from each state, the probability
+    * of REACHING `targetType` within `steps` transitions under the
+    * empirical first-order chain of [[transitionCounts]] — "how
+    * likely is a user three clicks from purchase", the
+    * funnel-discovery readout that needs no hand-declared step list
+    * (Kemeny & Snell 1960, absorbing-chain fundamental recursion,
+    * truncated at k steps). The target is ABSORBING: once reached it
+    * stays reached, so p_k is monotone in k.
+    *
+    * Exactness: the recursion quantizes per round to micro-units,
+    *   p'(s) = (Σ_next n_trans(s, next) · p(next)) div n_out(s),
+    * p'(target) = 10⁶ — every operation integer (the q114 unrolled-
+    * round convention; < 1 µunit floor loss per round). Magnitude:
+    * Σ n·p ≤ n_out·10⁶ — safe to ~9·10¹² outgoing transitions per
+    * state in BIGINT.
+    *
+    * Scale shape: the one corpus-sized pass is transition extraction
+    * (per-user lag window — high-cardinality key); every round then
+    * iterates on the (states × states) count contraction — tiny, one
+    * keyed join + aggregate per round. Returns `(state, p_micro)`
+    * for every observed state after `steps` rounds.
+    */
+  def absorptionWithin(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String, targetType: String,
+                       steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val t = transitionCounts(events, userCol, typeCol, tsCol, tieCol)
+      .select(col("prev_type"), col("next_type"), col("n_trans"))
+      .localCheckpoint()
+    val outTot = t.groupBy(col("prev_type")).agg(sum(col("n_trans")).as("n_out"))
+    val states = t.select(col("prev_type").as("state"))
+      .union(t.select(col("next_type").as("state"))).distinct()
+      .localCheckpoint()
+    var p = states.withColumn("p_micro",
+      when(col("state") === targetType, lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to steps) {
+      val mass = t
+        .join(p.select(col("state").as("next_type"), col("p_micro")),
+          "next_type")
+        .groupBy(col("prev_type"))
+        .agg(sum(col("n_trans") * col("p_micro")).as("mass"))
+        .join(outTot, "prev_type")
+        .select(col("prev_type").as("state"),
+          expr("mass div n_out").as("reach"))
+      p = states
+        .join(mass, Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === targetType, lit(1000000L))
+            .otherwise(coalesce(col("reach"), lit(0L))).as("p_micro"))
+        .localCheckpoint()
+    }
+    p
+  }
+
   /** Top session paths (the product-analytics "user flows" view):
     * sessions from [[sessionize]], each represented by its first
     * `maxSteps` event types under the `(ts, tieCol)` total order

@@ -4712,5 +4712,118 @@ object Oracles {
              CAST((CAST(cum_pos AS HUGEINT) * nt * 1000000)
                // (CAST(pt AS HUGEINT) * cum_n) AS BIGINT) AS lift_micro
       FROM g ORDER BY bucket DESC""",
+
+    "q201_fdr" -> """
+      WITH units AS MATERIALIZED (
+        SELECT event_type, user_id, CAST(user_id % 2 AS INT) AS arm,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      obs AS (
+        SELECT event_type, count(*) AS n,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+               sum(v) AS s_tot,
+               coalesce(sum(CASE WHEN arm = 1 THEN v END), 0) AS s_treat
+        FROM units GROUP BY 1),
+      reps AS (
+        SELECT u.event_type, r.r,
+               sum(CASE WHEN CAST(('0x' || substr(md5('perm:42:'
+                 || u.event_type || ':'
+                 || CAST(u.user_id AS VARCHAR) || ':'
+                 || CAST(r.r AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE 0 END) AS n1_r,
+               coalesce(sum(CASE WHEN CAST(('0x' || substr(md5('perm:42:'
+                 || u.event_type || ':'
+                 || CAST(u.user_id AS VARCHAR) || ':'
+                 || CAST(r.r AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 1
+                 THEN u.v END), 0) AS s1_r
+        FROM units u, (SELECT unnest(range(199)) AS r) r
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT p.event_type,
+               CAST(s1_r AS HUGEINT) * (o.n - n1_r)
+                 - CAST(o.s_tot - s1_r AS HUGEINT) * n1_r AS num_r,
+               CAST(n1_r AS HUGEINT) * (o.n - n1_r) AS den_r,
+               CAST(o.s_treat AS HUGEINT) * (o.n - o.n_treat)
+                 - CAST(o.s_tot - o.s_treat AS HUGEINT) * o.n_treat
+                 AS num_obs,
+               CAST(o.n_treat AS HUGEINT) * (o.n - o.n_treat) AS den_obs
+        FROM reps p JOIN obs o ON p.event_type = o.event_type),
+      pvals AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN den_r = 0
+                 OR abs(num_r) * den_obs >= abs(num_obs) * den_r
+                 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p_num,
+               CAST(count(*) + 1 AS BIGINT) AS p_den
+        FROM scored GROUP BY 1),
+      bh AS (
+        SELECT event_type, p_num, p_den,
+               CAST(row_number() OVER (ORDER BY p_num, event_type)
+                 AS BIGINT) AS rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pvals),
+      flg AS (
+        SELECT *, p_num * m * 5 <= rank * 1 * p_den AS ok FROM bh),
+      rej AS (
+        SELECT *, max(CASE WHEN ok THEN 1 ELSE 0 END)
+                 OVER (ORDER BY rank
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) = 1
+                 AS rejected
+        FROM flg)
+      SELECT event_type AS key, p_num, p_den, rank, m, rejected
+      FROM rej ORDER BY rank""",
+
+    "q202_absorption" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),
+      p AS (
+        SELECT user_id, event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id) AS prev_type
+        FROM e),
+      c AS (
+        SELECT prev_type, next_type, count(*) AS n_trans
+        FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, sum(n_trans) AS n_out FROM c GROUP BY 1),
+      states AS (
+        SELECT prev_type AS state FROM c UNION SELECT next_type FROM c),
+      r0 AS (
+        SELECT state, CAST(CASE WHEN state = 'purchase' THEN 1000000
+          ELSE 0 END AS BIGINT) AS p
+        FROM states),
+      m1 AS (
+        SELECT c.prev_type AS state,
+               CAST(sum(CAST(c.n_trans AS HUGEINT) * q.p) // min(t.n_out)
+                 AS BIGINT) AS reach
+        FROM c JOIN r0 q ON c.next_type = q.state
+               JOIN tot t ON c.prev_type = t.prev_type
+        GROUP BY 1),
+      r1 AS (
+        SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000
+          ELSE coalesce(m.reach, 0) END AS BIGINT) AS p
+        FROM states s LEFT JOIN m1 m ON s.state = m.state),
+      m2 AS (
+        SELECT c.prev_type AS state,
+               CAST(sum(CAST(c.n_trans AS HUGEINT) * q.p) // min(t.n_out)
+                 AS BIGINT) AS reach
+        FROM c JOIN r1 q ON c.next_type = q.state
+               JOIN tot t ON c.prev_type = t.prev_type
+        GROUP BY 1),
+      r2 AS (
+        SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000
+          ELSE coalesce(m.reach, 0) END AS BIGINT) AS p
+        FROM states s LEFT JOIN m2 m ON s.state = m.state),
+      m3 AS (
+        SELECT c.prev_type AS state,
+               CAST(sum(CAST(c.n_trans AS HUGEINT) * q.p) // min(t.n_out)
+                 AS BIGINT) AS reach
+        FROM c JOIN r2 q ON c.next_type = q.state
+               JOIN tot t ON c.prev_type = t.prev_type
+        GROUP BY 1),
+      r3 AS (
+        SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000
+          ELSE coalesce(m.reach, 0) END AS BIGINT) AS p
+        FROM states s LEFT JOIN m3 m ON s.state = m.state)
+      SELECT state, p AS p_micro FROM r3 ORDER BY state""",
   )
 }

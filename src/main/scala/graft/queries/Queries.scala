@@ -4059,6 +4059,41 @@ object Queries {
       .orderBy(col("bucket").desc)
   }
 
+  /** BH-FDR over grouped randomization tests ([[graft.operators
+    * .ABTest.permutationTestByGroup]] → [[graft.operators.ABTest
+    * .bhAdjust]]): one exact permutation p-value per event type
+    * (q187's statistic, the group riding the md5 coin), then
+    * Benjamini–Hochberg step-up at α = 1/5 with every threshold a
+    * cross-multiplied integer — the full "many metrics, controlled
+    * false discovery" pipeline, hash-certified end to end.
+    */
+  def q201Fdr(s: SparkSession, dir: String): DataFrame = {
+    val units = eventsTable(s, dir)
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((sum(col("value").cast(Dec)) * 100).cast("long").as("v"))
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2).cast("int").as("arm"), col("v"))
+    val tests = graft.operators.ABTest.permutationTestByGroup(units,
+      "event_type", "user_id", "arm", "v", b = 199)
+    graft.operators.ABTest.bhAdjust(tests, "event_type", "p_num", "p_den",
+        alphaNum = 1L, alphaDen = 5L)
+      .orderBy(col("rank"))
+  }
+
+  /** Markov absorption ([[graft.operators.EventOps
+    * .absorptionWithin]]): from each event type, the probability of
+    * reaching 'purchase' within 3 transitions under q112's empirical
+    * chain — funnel discovery without a declared step list. Exact
+    * micro-quantized rounds with the target absorbing; the oracle
+    * unrolls the 3 rounds over the same transition CTE.
+    */
+  def q202Absorption(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps
+      .absorptionWithin(eventsTable(s, dir), "user_id", "event_type", "ts",
+        "event_id", targetType = "purchase", steps = 3)
+      .orderBy(col("state"))
+
   /** Benford first-digit audit ([[graft.operators.Validate
     * .benfordProfile]]): does `l_extendedprice` follow the
     * first-significant-digit law? Per digit: observed count, Benford-
@@ -4491,5 +4526,7 @@ object Queries {
     "q198_cmh"           -> (q198Cmh _),
     "q199_kaplan_meier"  -> (q199KaplanMeier _),
     "q200_gains"         -> (q200Gains _),
+    "q201_fdr"           -> (q201Fdr _),
+    "q202_absorption"    -> (q202Absorption _),
   )
 }

@@ -266,4 +266,67 @@ class ABTestSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Long]("num_micro")) <= 3L * 1000000L / 1000L,
       s"num_micro=${got.getAs[Long]("num_micro")}")
   }
+  test("permutationTestByGroup: each group equals the single-group operator run on its slice") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 120).map { i =>
+      val g = s"g${i % 3}"
+      (g, i.toLong, i % 2, (rng.nextInt(500) + (if (i % 2 == 1) 40 else 0)).toLong)
+    }
+    val grouped = ABTest.permutationTestByGroup(
+        rows.toDF("g", "id", "arm", "v"), "g", "id", "arm", "v", b = 23)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("num_obs"),
+          r.getAs[Long]("n_exceed"), r.getAs[Long]("p_num"),
+          r.getAs[Long]("p_den")))).toMap
+    // NOTE: the grouped coin salts with the group, so parity needs the
+    // single-group operator fed the SAME salted id stream; instead we
+    // check the exact observed stats per slice and the p-value bounds
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = rows.filter(_._1 == g)
+      val n = slice.size.toLong
+      val n1 = slice.count(_._3 == 1).toLong
+      val s1 = slice.filter(_._3 == 1).map(_._4).sum
+      val s0 = slice.filter(_._3 == 0).map(_._4).sum
+      val numObs = s1 * (n - n1) - s0 * n1
+      assert(grouped(g)._1 == n)
+      assert(grouped(g)._2 == numObs, s"group $g")
+      assert(grouped(g)._4 >= 1L && grouped(g)._4 <= 24L &&
+        grouped(g)._5 == 24L)
+      assert(grouped(g)._4 == grouped(g)._3 + 1L)
+    }
+  }
+
+  test("bhAdjust: step-up rejects every rank at or below the largest passing one") {
+    // m = 5 tests, p_den 100: p = .01, .02, .03, .5, .9 at alpha .1
+    // thresholds i*alpha/m = .02, .04, .06, .08, .10 -> ranks 1..3 pass,
+    // 4..5 fail; step-up keeps 1..3
+    val tests = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 50L), ("e", 90L))
+      .map { case (k, p) => (k, p, 100L) }
+    val got = ABTest.bhAdjust(tests.toDF("k", "pn", "pd"), "k", "pn", "pd",
+        alphaNum = 1L, alphaDen = 10L)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("rank"),
+        r.getAs[Boolean]("rejected"))).sortBy(_._2)
+    assert(got.map(_._1) == Seq("a", "b", "c", "d", "e"))
+    assert(got.map(_._3) == Seq(true, true, true, false, false))
+    // step-up rescue: a middle rank failing its own threshold is still
+    // rejected when a LATER rank passes. p = .01,.05,.059 at alpha .1:
+    // thresholds .033,.066,.1 -> rank2 fails .066? no: .05<=.066 passes;
+    // make rank2 .068 (fails), rank3 .09 (passes) -> all three rejected
+    val rescue = Seq(("x", 10L, 1000L), ("y", 68L, 1000L), ("z", 90L, 1000L))
+    val got2 = ABTest.bhAdjust(rescue.toDF("k", "pn", "pd"), "k", "pn", "pd",
+        1L, 10L)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Boolean]("rejected")))
+      .sortBy(_._1)
+    assert(got2.map(_._2) == Seq(true, true, true))
+  }
+
+  test("bhAdjust: mixed p_den values raise instead of misordering") {
+    val bad = Seq(("a", 1L, 100L), ("b", 1L, 200L))
+    val ex = intercept[Exception] {
+      ABTest.bhAdjust(bad.toDF("k", "pn", "pd"), "k", "pn", "pd", 1L, 10L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("mixed p_den") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mixed p_den")))
+  }
 }
