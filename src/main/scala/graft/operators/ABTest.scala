@@ -434,10 +434,11 @@ object ABTest {
         min(col("p_den")).as("__den"),
         sort_array(collect_list(struct(col("p_num"), col("key")))).as("ts"))
       // loud guard: mixed denominators would sort wrong — fail, never
-      // misorder
-      .withColumn("__guard", when(col("__ndens") <= 1, lit(1)).otherwise(
+      // misorder. The guard gates `m` itself (m flows into every output
+      // row and the threshold expr), so Catalyst cannot prune it away.
+      .withColumn("m", when(col("__ndens") <= 1, col("m")).otherwise(
         raise_error(lit("bhAdjust: tests carry mixed p_den values — " +
-          "rerun with a shared replicate count"))))
+          "rerun with a shared replicate count")).cast("long")))
     val out = packed
       // rank-indexed threshold flags (0-based i → rank i+1)
       .withColumn("flags", expr(

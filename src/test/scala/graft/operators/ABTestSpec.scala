@@ -306,8 +306,8 @@ class ABTestSpec extends AnyFunSuite {
         alphaNum = 1L, alphaDen = 10L)
       .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("rank"),
         r.getAs[Boolean]("rejected"))).sortBy(_._2)
-    assert(got.map(_._1) == Seq("a", "b", "c", "d", "e"))
-    assert(got.map(_._3) == Seq(true, true, true, false, false))
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(got.map(_._3).toSeq == Seq(true, true, true, false, false))
     // step-up rescue: a middle rank failing its own threshold is still
     // rejected when a LATER rank passes. p = .01,.05,.059 at alpha .1:
     // thresholds .033,.066,.1 -> rank2 fails .066? no: .05<=.066 passes;
@@ -317,7 +317,7 @@ class ABTestSpec extends AnyFunSuite {
         1L, 10L)
       .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Boolean]("rejected")))
       .sortBy(_._1)
-    assert(got2.map(_._2) == Seq(true, true, true))
+    assert(got2.map(_._2).toSeq == Seq(true, true, true))
   }
 
   test("bhAdjust: mixed p_den values raise instead of misordering") {
