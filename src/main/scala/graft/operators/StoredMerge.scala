@@ -122,16 +122,32 @@ object StoredMerge {
   /** Batch-wins merge into a [[writeBuckets]] directory, rewriting
     * ONLY the buckets the batch touches.
     *
-    * 1. bucket the batch; the touched-bucket id list is ≤ nBuckets
+    * 1. repair any interrupted prior merge ([[recoverMerge]]) so a
+    *    crash can never leave the table unreadable across restarts.
+    * 2. bucket the batch; the touched-bucket id list is ≤ nBuckets
     *    (bounded control-plane collect).
-    * 2. read the stored side FILTERED to touched buckets — partition
+    * 3. read the stored side FILTERED to touched buckets — partition
     *    pruning means untouched buckets' files are never opened.
-    * 3. batch-wins combine (updates ∪ stored-touched ⟕̸ batch keys),
+    * 4. batch-wins combine (updates ∪ stored-touched ⟕̸ batch keys),
     *    written to a sibling tmp directory partitioned the same way.
-    * 4. per touched bucket, swap the live directory for the tmp one
-    *    with the Ledger compaction-rename discipline (live → .old,
-    *    tmp → live, delete .old) — crash mid-swap leaves each bucket
-    *    either fully old or fully new, never mixed.
+    * 5. per touched bucket, swap the live directory for the tmp one
+    *    with the Ledger compaction-rename discipline: rename live
+    *    aside to `<path>.old_tmp/__bucket=N` (OUTSIDE the live tree —
+    *    an aside INSIDE it would be an unparseable partition value and
+    *    brick partition discovery), rename tmp in, delete the aside.
+    *    A complete copy of every bucket exists on disk between every
+    *    pair of steps, and asides never pollute the live directory, so
+    *    a crash at ANY point leaves each bucket either fully old or
+    *    fully new — and [[recoverMerge]] at next entry rolls the
+    *    interrupted bucket back (or clears a completed swap's aside).
+    *    Renames that return false abort loudly (the Ledger
+    *    `renameOrAbort` discipline) — a silent false followed by the
+    *    aside delete would destroy the only complete copy.
+    *
+    * Crash convergence: a re-run of the SAME batch after recovery is
+    * idempotent (batch-wins), so "retry the merge" is always the
+    * correct caller response to a crash — some buckets may already
+    * hold the new state, the rest catch up.
     *
     * Untouched bucket directories are untouched on disk (spec pins
     * their files byte-identical), so merge cost scales with the
@@ -139,8 +155,18 @@ object StoredMerge {
     * ≈ 25 GB per touched bucket of rewrite, zero for the rest.
     */
   def upsertBuckets(spark: SparkSession, path: String, updates: DataFrame,
-                    keyCols: Seq[String], nBuckets: Int): Unit = {
+                    keyCols: Seq[String], nBuckets: Int): Unit =
+    upsertBucketsImpl(spark, path, updates, keyCols, nBuckets)
+
+  /** `crashAfterStep` is a test seam (the Ledger `compactOne` recipe):
+    * throw after step N (1=tmp written, 2=first live renamed aside,
+    * 3=first tmp renamed in) to exercise [[recoverMerge]].
+    */
+  private[operators] def upsertBucketsImpl(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String], nBuckets: Int,
+      crashAfterStep: Int = Int.MaxValue): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
+    recoverMerge(spark, path)
     val upd = updates.withColumn("__bucket", bucketOf(keyCols, nBuckets))
     val touched = upd.select(col("__bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -150,18 +176,62 @@ object StoredMerge {
     val keys = upd.select(keyCols.map(col): _*).distinct()
     val merged = upd.unionByName(stored.join(keys, keyCols, "left_anti"))
     val tmp = path.stripSuffix("/") + ".merge_tmp"
+    val asideRoot = path.stripSuffix("/") + ".old_tmp"
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    if (crashAfterStep <= 1)
+      throw new IllegalStateException("simulated crash after step 1")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach { b =>
+    fs.mkdirs(new org.apache.hadoop.fs.Path(asideRoot))
+    touched.zipWithIndex.foreach { case (b, i) =>
       val live = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
       val next = new org.apache.hadoop.fs.Path(s"$tmp/__bucket=$b")
-      val old = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b.old")
+      val aside = new org.apache.hadoop.fs.Path(s"$asideRoot/__bucket=$b")
       if (fs.exists(live))
-        require(fs.rename(live, old), s"rename aside failed for bucket $b")
-      require(fs.rename(next, live), s"rename in failed for bucket $b")
-      fs.delete(old, true)
+        renameOrAbort(fs, live, aside)
+      if (crashAfterStep <= 2 && i == 0)
+        throw new IllegalStateException("simulated crash after step 2")
+      renameOrAbort(fs, next, live)
+      if (crashAfterStep <= 3 && i == 0)
+        throw new IllegalStateException("simulated crash after step 3")
+      fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(asideRoot), true)
+  }
+
+  private def renameOrAbort(f: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(
+        s"bucket swap aborted: rename $src -> $dst returned false")
+
+  /** Finish an interrupted [[upsertBuckets]] swap — called on entry to
+    * every merge, and safe to call any time (no-op on a clean table).
+    * For each stray aside `<path>.old_tmp/__bucket=N`:
+    *  - live bucket present → that bucket's swap completed; drop the
+    *    aside;
+    *  - live bucket missing → the crash hit between the two renames;
+    *    ROLL BACK (rename the aside home) — the bucket returns to its
+    *    pre-merge state, complete, and the caller's retry re-merges it.
+    * Then drop the stale `.merge_tmp` (garbage once asides are
+    * resolved; rolling back never needs it, and a retry rewrites it).
+    */
+  def recoverMerge(spark: SparkSession, path: String): Unit = {
+    val asideRoot = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + ".old_tmp")
+    val fs = asideRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(asideRoot)) {
+      fs.listStatus(asideRoot).foreach { st =>
+        val name = st.getPath.getName
+        val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+        if (fs.exists(live)) fs.delete(st.getPath, true)
+        else renameOrAbort(fs, st.getPath, live)
+      }
+      fs.delete(asideRoot, true)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".merge_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 }

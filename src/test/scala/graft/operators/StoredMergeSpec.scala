@@ -3,6 +3,28 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Hadoop signals most rename failures by RETURNING FALSE, not throwing
+  * (the LedgerCrashSpec recipe). This local filesystem makes the two
+  * bucket-swap renames do exactly that, selected by path shape so the
+  * parquet write-commit renames INSIDE `.merge_tmp` are untouched.
+  */
+class FlakyMergeRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flakym"
+  override def getUri: java.net.URI = java.net.URI.create("flakym:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val aside = dst.toString.contains(".old_tmp/")
+    val in = src.toString.contains(".merge_tmp/") &&
+      !dst.toString.contains(".merge_tmp")
+    FlakyMergeRenameFileSystem.mode match {
+      case "fail-aside" if aside => false
+      case "fail-in" if in => false
+      case _ => super.rename(src, dst)
+    }
+  }
+}
+object FlakyMergeRenameFileSystem { @volatile var mode: String = "off" }
+
 class StoredMergeSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -112,6 +134,103 @@ class StoredMergeSpec extends AnyFunSuite {
     val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("PartitionFilters") && scan.contains("__bucket"),
       s"expected partition pruning in scan:\n$scan")
+  }
+
+  // ---- crash-atomicity of the bucket swap ------------------------------
+  // Each test stages a table + a batch touching ≥ 2 buckets, crashes the
+  // swap at one of its three steps, and asserts the three-part contract:
+  // (1) the live tree is READABLE immediately (no aside debris inside it —
+  // the pre-fix bug parked `__bucket=N.old` in the live tree, an
+  // unparseable partition value that bricked discovery); (2) recoverMerge
+  // leaves every bucket fully old or fully new; (3) retrying the same
+  // batch converges to the exact merged state with zero debris.
+
+  private def crashFixture(tag: String) = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-crash-$tag")
+      .toString + "/t"
+    val base = spark.range(0, 400)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"),
+        lit(1L).as("ver"))
+    StoredMerge.writeBuckets(base, dir, Seq("k"), nBuckets = 4)
+    // keys spread over several buckets so the swap loop has >1 iteration
+    val updates = Seq((1L, "U1", 2L), (2L, "U2", 2L), (3L, "U3", 2L),
+      (7L, "U7", 2L), (900L, "ins", 2L)).toDF("k", "v", "ver")
+    (dir, base, updates)
+  }
+
+  private def noDebris(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".old_tmp")), "stray aside root")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".merge_tmp")), "stray merge tmp")
+    import scala.jdk.CollectionConverters._
+    val stray = java.nio.file.Files.list(p).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".old")).toSeq
+    assert(stray.isEmpty, s"aside debris inside the live tree: $stray")
+  }
+
+  for (step <- 1 to 3)
+    test(s"upsertBuckets crash after step $step: readable now, retry converges") {
+      val (dir, base, updates) = crashFixture(s"s$step")
+      intercept[IllegalStateException] {
+        StoredMerge.upsertBucketsImpl(spark, dir, updates, Seq("k"),
+          nBuckets = 4, crashAfterStep = step)
+      }
+      // (1) live tree readable mid-crash — partition discovery must not
+      // trip over swap state (asides live OUTSIDE the tree now)
+      val mid = StoredMerge.readBuckets(spark, dir).drop("__bucket")
+      mid.collect() // no unreadable-table repro
+      // (2) explicit repair: every bucket complete (old or new), table
+      // row-for-row consistent with a per-bucket old/new choice
+      StoredMerge.recoverMerge(spark, dir)
+      val oldRows = rows(base.toDF("k", "v", "ver"))
+      val newRows = rows(StoredMerge.upsert(base, updates, Seq("k")))
+      val recovered = rows(StoredMerge.readBuckets(spark, dir).drop("__bucket"))
+      assert(recovered.forall(r => oldRows(r) || newRows(r)))
+      assert(oldRows.intersect(newRows).subsetOf(recovered),
+        "rows common to both states must survive any per-bucket choice")
+      // (3) retry of the SAME batch (entry recovery runs implicitly)
+      StoredMerge.upsertBuckets(spark, dir, updates, Seq("k"), nBuckets = 4)
+      assert(rows(StoredMerge.readBuckets(spark, dir).drop("__bucket")) == newRows)
+      noDebris(dir)
+    }
+
+  test("upsertBuckets: rename returning FALSE aborts before any delete") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flakym.impl", classOf[FlakyMergeRenameFileSystem].getName)
+    FlakyMergeRenameFileSystem.mode = "off"
+    val dir = "flakym:" + java.nio.file.Files
+      .createTempDirectory("graft-flakymerge").toString + "/t"
+    val base = spark.range(0, 200)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"),
+        lit(1L).as("ver"))
+    StoredMerge.writeBuckets(base, dir, Seq("k"), nBuckets = 4)
+    val updates = Seq((1L, "U1", 2L), (2L, "U2", 2L)).toDF("k", "v", "ver")
+    try {
+      // aside rename fails silently → abort with the live table untouched
+      FlakyMergeRenameFileSystem.mode = "fail-aside"
+      val ex = intercept[java.io.IOException] {
+        StoredMerge.upsertBuckets(spark, dir, updates, Seq("k"), nBuckets = 4)
+      }
+      assert(ex.getMessage.contains("rename"))
+      FlakyMergeRenameFileSystem.mode = "off"
+      assert(rows(StoredMerge.readBuckets(spark, dir).drop("__bucket")) ==
+        rows(base.toDF("k", "v", "ver")))
+
+      // rename-IN fails after the live bucket moved aside: abort loudly,
+      // and the next merge's entry recovery self-heals before retrying
+      FlakyMergeRenameFileSystem.mode = "fail-in"
+      intercept[java.io.IOException] {
+        StoredMerge.upsertBuckets(spark, dir, updates, Seq("k"), nBuckets = 4)
+      }
+      FlakyMergeRenameFileSystem.mode = "off"
+      StoredMerge.upsertBuckets(spark, dir, updates, Seq("k"), nBuckets = 4)
+      assert(rows(StoredMerge.readBuckets(spark, dir).drop("__bucket")) ==
+        rows(StoredMerge.upsert(base, updates, Seq("k"))))
+    } finally FlakyMergeRenameFileSystem.mode = "off"
   }
 
   test("upsertStored: two successive merges accrete correctly and keep the bucket layout") {
