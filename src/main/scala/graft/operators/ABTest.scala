@@ -411,9 +411,11 @@ object ABTest {
     * p-values anywhere, so the decision set hash-certifies.
     *
     * CONTRACT: all tests must share ONE p_den (true by construction
-    * for the randomization family — p_den = b+1); heterogeneous
-    * denominators would break the p_num sort, so the operator RAISES
-    * on them rather than misorder. Scale shape: the test table is a
+    * for the randomization family — p_den = b+1) and carry NON-NULL
+    * p_num/p_den; heterogeneous denominators would break the p_num
+    * sort and null p-values would silently bypass the distinct count
+    * (countDistinct ignores nulls) and null out the decision flags,
+    * so the operator RAISES on both rather than misorder. Scale shape: the test table is a
     * tiny contraction (one row per metric group); it folds INSIDE one
     * row via sort_array + two codegen'd array lambdas ([[Survival
     * .kaplanMeier]]'s pattern — no window, no cartesian), then
@@ -431,14 +433,24 @@ object ABTest {
         col(pDenCol).cast("long").as("p_den"))
       .agg(count(lit(1)).as("m"),
         countDistinct(col("p_den")).as("__ndens"),
+        sum(when(col("p_num").isNull || col("p_den").isNull, 1L)
+          .otherwise(0L)).as("__nbad"),
         min(col("p_den")).as("__den"),
         sort_array(collect_list(struct(col("p_num"), col("key")))).as("ts"))
-      // loud guard: mixed denominators would sort wrong — fail, never
-      // misorder. The guard gates `m` itself (m flows into every output
-      // row and the threshold expr), so Catalyst cannot prune it away.
-      .withColumn("m", when(col("__ndens") <= 1, col("m")).otherwise(
-        raise_error(lit("bhAdjust: tests carry mixed p_den values — " +
-          "rerun with a shared replicate count")).cast("long")))
+      // loud guards: mixed denominators would sort wrong, and NULL
+      // p_num/p_den rows would slip past countDistinct (it ignores
+      // nulls) and poison the flags — fail, never misorder or null out.
+      // The guards gate `m` itself (m flows into every output row and
+      // the threshold expr), so Catalyst cannot prune them away.
+      .withColumn("m",
+        when(col("__nbad") > 0,
+          raise_error(lit("bhAdjust: tests carry null p_num/p_den " +
+            "values — every test needs an exact rational p-value"))
+            .cast("long"))
+        .when(col("__ndens") <= 1, col("m"))
+        .otherwise(
+          raise_error(lit("bhAdjust: tests carry mixed p_den values — " +
+            "rerun with a shared replicate count")).cast("long")))
     val out = packed
       // rank-indexed threshold flags (0-based i → rank i+1)
       .withColumn("flags", expr(

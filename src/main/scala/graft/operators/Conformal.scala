@@ -43,6 +43,13 @@ object Conformal {
     * (floor(|resid|·10⁴)); groups whose train split is degenerate
     * (den = 0 → null slope) are dropped, as are groups with an empty
     * calibration split.
+    *
+    * MINIMUM CALIBRATION SIZE: the finite-sample guarantee needs
+    * ⌈(1−α)(n_cal+1)⌉ ≤ n_cal, i.e. n_cal ≥ ⌈1/α⌉ − 1 (9 at α = 0.1,
+    * 19 at α = 0.05). Below that no order statistic covers at 1−α —
+    * the honest interval is infinite — so `half_width_q` is NULL
+    * (never the clamped max residual, which would silently under-
+    * cover) while `k_rank` still reports the required rank.
     */
   def splitConformalOls(df: DataFrame, groupCol: String, splitCol: String,
                         xCol: String, yCol: String,
@@ -74,12 +81,17 @@ object Conformal {
       accuracy = accuracy)
     val nCal = resid.groupBy(col(groupCol)).agg(count(lit(1)).as("n_cal"))
     fit.join(nCal, Seq(groupCol)).join(cut, Seq(groupCol))
+      // the UNCLAMPED conformal rank: when it exceeds n_cal the honest
+      // 1−α interval is infinite — clamping to the max residual would
+      // silently drop the coverage guarantee, so half_width_q goes NULL
+      // instead (k_rank still reports the required rank, so callers see
+      // by how much the calibration split fell short)
       .withColumn("k_rank",
-        least(col("n_cal"),
-          floor(((col("n_cal") + lit(1L)) * lit(aD - aN) + lit(aD - 1L))
-            .cast("double") / lit(aD.toDouble)).cast("long")))
+        floor(((col("n_cal") + lit(1L)) * lit(aD - aN) + lit(aD - 1L))
+          .cast("double") / lit(aD.toDouble)).cast("long"))
       .select(col(groupCol), col("n_train"), col("n_cal"),
         col("slope"), col("intercept"), col("k_rank"),
-        col("cut").cast("long").as("half_width_q"))
+        when(col("k_rank") <= col("n_cal"), col("cut").cast("long"))
+          .as("half_width_q"))
   }
 }

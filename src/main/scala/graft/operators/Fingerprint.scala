@@ -38,13 +38,17 @@ object Fingerprint {
     * picks (and canonicalizes) the columns — integers/strings/dates
     * render identically across engines; pre-scale floats
     * ([[Regression.centiUnits]]). Fields join on the \u0001 separator
-    * with nulls rendered as the empty string, so `("a", null)` ≠
-    * `("", "a")` ≠ `("a",)` — no concatenation collisions across
-    * field boundaries (engines replay via `concat_ws(chr(1), ...)`).
+    * with NULL rendered as the \u0000 sentinel (NUL — distinct from the
+    * empty string, so a NULL↔'' edit changes the signature), hence
+    * `("a", null)` ≠ `("a", "")` ≠ `("", "a")` ≠ `("a",)` — no
+    * concatenation collisions across field boundaries (engines replay
+    * via `concat_ws(chr(1), coalesce(c, chr(0)), ...)`; values are
+    * assumed free of the two control chars, the usual concat_ws
+    * contract).
     */
   def rowSignature(cols: Seq[Column]): Column =
     conv(substring(md5(concat_ws("\u0001",
-      cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 15),
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)), 1, 15),
       16, 10).cast("long")
 
   /** Per-bucket content checksum: `(bucket, n_rows, checksum)`.

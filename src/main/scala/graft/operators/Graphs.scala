@@ -329,8 +329,13 @@ object Graphs {
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
       .crossJoin(broadcast(m)) // 1-row edge-count scalar
+      // DECIMAL(38,0) like the sibling degreeAssortativity — raw BIGINT
+      // would wrap silently near the documented bound (4·m·e_in at
+      // ~10^9 edges exceeds 2^63); decimal keeps the product exact and
+      // the final cast fails loudly instead of wrapping
       .withColumn("contrib_num",
-        expr("4L * m * e_in - d_tot * d_tot"))
+        (lit(4) * col("m").cast("decimal(38,0)") * col("e_in")
+          - col("d_tot").cast("decimal(38,0)") * col("d_tot")).cast("long"))
   }
 
   /** Labeled multi-source BFS: exact hop distance from EACH landmark

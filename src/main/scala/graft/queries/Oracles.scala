@@ -3599,16 +3599,17 @@ object Oracles {
 
     // q167: md5-derived 60-bit row signatures (first 15 hex chars
     // parsed as an integer — byte-identical across engines; fields
-    // join on the chr(1) separator with nulls as ''), summed per
-    // key-range bucket in HUGEINT and reduced mod 2^61.
+    // join on the chr(1) separator with NULL as the chr(0) sentinel,
+    // distinct from ''), summed per key-range bucket in HUGEINT and
+    // reduced mod 2^61.
     "q167_bucket_checksum" -> """
       WITH sig AS (
         SELECT l_orderkey % 16 AS bucket,
                CAST(concat('0x', substr(md5(concat_ws(chr(1),
-                 coalesce(CAST(l_orderkey AS VARCHAR), ''),
-                 coalesce(CAST(l_linenumber AS VARCHAR), ''),
-                 coalesce(l_returnflag, ''),
-                 coalesce(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), '')
+                 coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+                 coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+                 coalesce(l_returnflag, chr(0)),
+                 coalesce(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), chr(0))
                )), 1, 15)) AS BIGINT) AS s
         FROM lineitem)
       SELECT bucket, count(*) AS n_rows,
@@ -4540,9 +4541,12 @@ object Oracles {
                  AS BIGINT) AS resid_q
         FROM u JOIN c2 ON u.event_type = c2.event_type WHERE u.split = 1),
       g AS (
+        -- UNCLAMPED conformal rank: when it exceeds n_cal the LEFT JOIN
+        -- below finds no order statistic and half_width_q is honestly
+        -- NULL (the coverage guarantee is unattainable below
+        -- n_cal = ceil(1/alpha) - 1)
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
-               LEAST(CAST(count(*) AS BIGINT),
-                 ((count(*) + 1) * 9 + 9) // 10) AS k_rank
+               ((count(*) + 1) * 9 + 9) // 10 AS k_rank
         FROM r GROUP BY 1),
       rk AS (
         SELECT event_type, resid_q,
@@ -4554,7 +4558,7 @@ object Oracles {
              rk.resid_q AS half_width_q
       FROM g
       JOIN c2 ON g.event_type = c2.event_type
-      JOIN rk ON rk.event_type = g.event_type AND rk.rn = g.k_rank
+      LEFT JOIN rk ON rk.event_type = g.event_type AND rk.rn = g.k_rank
       ORDER BY g.event_type""",
 
     "q197_modularity" -> """

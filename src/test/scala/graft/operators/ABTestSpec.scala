@@ -329,4 +329,26 @@ class ABTestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("mixed p_den") ||
       Option(ex.getCause).exists(_.getMessage.contains("mixed p_den")))
   }
+
+  test("bhAdjust: NULL p_num/p_den values raise instead of nulling the flags") {
+    // countDistinct ignores nulls, so a mixed null/non-null p_den used
+    // to sail past the mixed-denominator guard (__ndens = 1) and emit
+    // null ok/rejected flags — the guard must fire on nulls too
+    def msg(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    val nullDen = Seq(("a", 1L, java.lang.Long.valueOf(100L)),
+      ("b", 2L, null.asInstanceOf[java.lang.Long]))
+    val ex1 = intercept[Exception] {
+      ABTest.bhAdjust(nullDen.toDF("k", "pn", "pd"), "k", "pn", "pd", 1L, 10L)
+        .collect()
+    }
+    assert(msg(ex1).contains("null p_num/p_den"))
+    val nullNum = Seq(("a", java.lang.Long.valueOf(1L), 100L),
+      ("b", null.asInstanceOf[java.lang.Long], 100L))
+    val ex2 = intercept[Exception] {
+      ABTest.bhAdjust(nullNum.toDF("k", "pn", "pd"), "k", "pn", "pd", 1L, 10L)
+        .collect()
+    }
+    assert(msg(ex2).contains("null p_num/p_den"))
+  }
 }

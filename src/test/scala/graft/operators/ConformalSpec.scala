@@ -30,8 +30,7 @@ class ConformalSpec extends AnyFunSuite {
       math.floor(math.abs(y.toDouble - (intercept + slope * x.toDouble))
         * 10000.0).toLong
     }.sorted
-    val k = math.min(cal.size.toLong,
-      ((cal.size + 1) * (aD - aN) + aD - 1) / aD)
+    val k = ((cal.size + 1) * (aD - aN) + aD - 1) / aD // unclamped
     (tr.size.toLong, cal.size.toLong, slope, intercept, k,
       resid((k - 1).toInt))
   }
@@ -78,5 +77,29 @@ class ConformalSpec extends AnyFunSuite {
       rows.map { case (s, x, y) => ("m", s, x, y) }.toDF("g", "split", "x", "y"),
       "g", "split", "x", "y", 1L, 10L)
     assert(out.isEmpty)
+  }
+
+  test("splitConformalOls: calibration below ceil(1/alpha)-1 yields NULL width, not a clamp") {
+    // 5 calibration rows at alpha = 1/10: required rank ceil(0.9*6) = 6
+    // > 5 — no order statistic covers at 90%, the honest interval is
+    // infinite. The old clamp reported the max residual as if it
+    // guaranteed coverage.
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 20).map(i => (0, i.toLong, 3 * i + rng.nextInt(5).toLong)) ++
+      (1 to 5).map(i => (1, i.toLong, 3 * i + rng.nextInt(5).toLong))
+    val r = Conformal.splitConformalOls(
+      rows.map { case (s, x, y) => ("m", s, x, y) }.toDF("g", "split", "x", "y"),
+      "g", "split", "x", "y", 1L, 10L).head()
+    assert(r.getAs[Long]("n_cal") == 5L)
+    assert(r.getAs[Long]("k_rank") == 6L, "rank reports the UNCLAMPED requirement")
+    assert(r.isNullAt(r.fieldIndex("half_width_q")),
+      "coverage unattainable -> half_width_q must be NULL")
+    // boundary: the same 5 calibration rows DO support alpha = 1/4
+    // (rank ceil(0.75*6) = 5 = n_cal) — width present at the exact minimum
+    val r2 = Conformal.splitConformalOls(
+      rows.map { case (s, x, y) => ("m", s, x, y) }.toDF("g", "split", "x", "y"),
+      "g", "split", "x", "y", 1L, 4L).head()
+    assert(r2.getAs[Long]("k_rank") == 5L)
+    assert(!r2.isNullAt(r2.fieldIndex("half_width_q")))
   }
 }

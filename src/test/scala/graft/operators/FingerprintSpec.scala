@@ -53,14 +53,16 @@ class FingerprintSpec extends AnyFunSuite {
     // across columns, or a null, must change the signature
     val aNull = sig("a", null)
     assert(aNull != sig("", "a"), "(a,null) must differ from ('',a)")
+    assert(aNull != sig("a", ""), "(a,null) must differ from (a,'') — NULL has its own sentinel")
     assert(aNull != sig("a", "b"))
     assert(sig("ab", "c") != sig("a", "bc"), "boundary shift must change the signature")
     // deterministic: same row, same signature, and it matches the
-    // md5('a' + SEP) parse any engine computes
+    // md5('a' + SEP + NUL) parse any engine computes (NULL renders as
+    // the chr(0) sentinel, never the empty string)
     assert(aNull == sig("a", null))
     val expected = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
-        .digest("a\u0001".getBytes("UTF-8"))
+        .digest("a\u0001\u0000".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 15), 16)
     assert(aNull == expected, "signature must be the md5-hex 15-char parse")
   }
@@ -84,5 +86,28 @@ class FingerprintSpec extends AnyFunSuite {
       if (touched(b)) assert(before(b) != after(b), s"touched bucket $b must change")
       else assert(before(b) == after(b), s"untouched bucket $b must keep its checksum")
     }
+  }
+
+  test("a NULL<->'' single edit changes the checksum and the scoped diff sees it") {
+    // the q172 invariant: summaryByBuckets must equal the full diff on
+    // EVERY single-row edit — including the one the old ''-for-NULL
+    // rendering hid (checksum unchanged => bucket never went hot =>
+    // 'unchanged' while diff() said 'changed')
+    val prev = base.withColumn("v",
+      when(col("k") === 321L, lit(null).cast("string")).otherwise(col("v")))
+    val next = base.withColumn("v",
+      when(col("k") === 321L, lit("")).otherwise(col("v")))
+    val a = Fingerprint.checksumBy(prev, col("k") % 8, Seq(col("k"), col("v")))
+    val b = Fingerprint.checksumBy(next, col("k") % 8, Seq(col("k"), col("v")))
+    assert(Fingerprint.diffChecksums(a, b).collect().map(_.getLong(0)).toSet
+      == Set(321L % 8), "the NULL->'' bucket must go hot")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scoped = counts(SnapshotDiff.summaryByBuckets(
+      prev, next, Seq("k"), Seq("v"), nBuckets = 8))
+    val full = counts(SnapshotDiff.summary(prev, next, Seq("k"), Seq("v")))
+    assert(scoped("changed") == 1L && scoped("unchanged") == 999L)
+    assert(scoped.filter(_._2 != 0L) == full.filter(_._2 != 0L),
+      "scoped summary must equal the full diff")
   }
 }
