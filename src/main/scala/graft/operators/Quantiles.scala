@@ -168,12 +168,17 @@ object Quantiles {
     val base = df.select(g, v).where(v.isNotNull)
     val loP = math.min(1.0, math.max(0.0, pLo))
     val hiP = math.min(1.0, math.max(0.0, pHi))
+    // localCheckpoint: the stats frame feeds BOTH the count pass's
+    // broadcast and the bound join — without it Spark recomputes the
+    // whole GK sketch pass per occurrence (no common-subtree reuse).
+    // The frame is group-cardinality-sized, so materializing is free.
     val stats = base.groupBy(g).agg(
         count(lit(1)).as("n"),
         percentile_approx(v, lit(loP), lit(accuracy)).as("lo0"),
         percentile_approx(v, lit(hiP), lit(accuracy)).as("hi0"),
         min(v).as("vmin"), max(v).as("vmax"))
       .withColumn("k", greatest(lit(1L), least(col("n"), kOf(col("n")))))
+      .localCheckpoint()
     // exact bracket verification: one count pass against the sketch
     // bounds (stats is group-cardinality-sized — broadcast)
     val counts = base
@@ -210,16 +215,31 @@ object Quantiles {
     * latency/quality metrics where a handful of wild rows swamp the
     * mean but the median wastes too much data.
     *
-    * EXACT at any skew with NO per-group sort: the two cut values
-    * (the (k+1)-th and (n−k)-th order statistics) come from the
-    * GK-bracketed selection ([[exactRankByGroupImpl]] — pass-2 input
-    * is O(n/accuracy) rows per group), then ONE stats pass against the
-    * broadcast cuts finishes with tie-exact arithmetic:
+    * EXACT at any skew with NO per-group sort, in TWO data passes
+    * total: pass 1 is one hash aggregate (n, Σv, and a single GK
+    * sketch evaluated at both trim brackets' probes); pass 2 collapses
+    * every out-of-bracket row onto an order-preserving SENTINEL value
+    * (below → blo1−1, between the brackets → bhi1+1, above → dropped
+    * and reconstituted from Σv), so one distinct-value cumsum carries
+    * exact global ranks AND exact prefix value sums — the separate
+    * count-verification pass and the final stats pass of a naive
+    * bracketed pipeline fold into it. The window's input stays
+    * O(n/accuracy) rows per group. Both cut values (the (k+1)-th and
+    * (n−k)-th order statistics) read off the two crossing rows, and
+    * the tie-exact algebra finishes arithmetically:
     *   trimmed_sum = Σv − [Σ_{v<lo} v + lo·(k − #{v<lo})]
     *               − [Σ_{v>hi} v + hi·(k − #{v>hi})]
     * (rows equal to a cut are interchangeable — equal values
     * contribute equal sums, so tie order cannot matter). Sums ride
-    * DECIMAL(38,0); `valueCol` must be integral (fixed-point longs).
+    * DECIMAL(38,0); `valueCol` must be integral (fixed-point longs,
+    * Long.MinValue/MaxValue excluded — the sentinel arithmetic needs
+    * one spare value on each side, only ever materialized when the
+    * adjacent out-of-bracket region is nonempty).
+    *
+    * Exactness does NOT ride on the sketch: GK's deterministic rank
+    * bound guarantees each target rank lands inside its bracket, and
+    * if that were ever violated the crossing would land on a sentinel
+    * row and the operator RAISES — loud failure, never a wrong cut.
     *
     * Returns per group: n, k_trim, cut lo/hi, n_kept, trimmed_sum
     * (BIGINT), and the truncating micro-quotient trimmed_mean_micro =
@@ -232,38 +252,91 @@ object Quantiles {
     require(trimNum >= 0 && trimDen > 0 && 2L * trimNum < trimDen,
       s"need 0 <= trim < 1/2, got $trimNum/$trimDen")
     val g = col(groupCol)
-    val v = col(valueCol)
     val p = trimNum.toDouble / trimDen
     val delta = 2.0 / accuracy
-    // kOf receives the per-group count column, literally named "n" in
-    // the selection's stats frame — SQL `div` for the exact floor
-    val kTrimSql = s"((n * ${trimNum}L) div ${trimDen}L)"
-    val loCut = exactRankByGroupImpl(df, groupCol, valueCol,
-        _ => expr(s"$kTrimSql + 1L"), p - delta, p + delta, accuracy)
-      .withColumnRenamed("cut", "cut_lo")
-    val hiCut = exactRankByGroupImpl(df, groupCol, valueCol,
-        _ => expr(s"n - $kTrimSql"), (1.0 - p) - delta, (1.0 - p) + delta, accuracy)
-      .withColumnRenamed("cut", "cut_hi")
+    def clamp(x: Double) = math.min(1.0, math.max(0.0, x))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val base = df.select(g, v.cast("long").as("__v")).where(col("__v").isNotNull)
-    base
-      .join(broadcast(loCut.join(hiCut, groupCol)), groupCol)
-      .groupBy(g, col("cut_lo"), col("cut_hi"))
-      .agg(
+    val base = df.select(g, col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val v = col("__v")
+    // pass 1: per group n, Σv, and ONE GK sketch evaluated at both
+    // brackets' four probes. GK's deterministic rank bound (error ≤
+    // n/accuracy at probes p ± 2/accuracy) guarantees each target rank
+    // lands inside its bracket; the crossing guard below still turns a
+    // violated bound into a loud error, never a silent wrong cut.
+    val probes = array(lit(clamp(p - delta)), lit(clamp(p + delta)),
+      lit(clamp(1.0 - p - delta)), lit(clamp(1.0 - p + delta)))
+    val stats = base.groupBy(g).agg(
         count(lit(1)).as("n"),
-        sum(dec(col("__v"))).as("__s"),
-        sum(when(col("__v") < col("cut_lo"), 1L).otherwise(0L)).as("__c_lt"),
-        coalesce(sum(when(col("__v") < col("cut_lo"), dec(col("__v")))),
-          dec(lit(0L))).as("__s_lt"),
-        sum(when(col("__v") > col("cut_hi"), 1L).otherwise(0L)).as("__c_gt"),
-        coalesce(sum(when(col("__v") > col("cut_hi"), dec(col("__v")))),
-          dec(lit(0L))).as("__s_gt"))
+        sum(dec(v)).as("__s"),
+        percentile_approx(v, probes, lit(accuracy)).as("q4"))
       .withColumn("k_trim", expr(s"(n * ${trimNum}L) div ${trimDen}L"))
+      .withColumn("k1", col("k_trim") + lit(1L))
+      .withColumn("k2", col("n") - col("k_trim"))
+      .select(g, col("n"), col("__s"), col("k_trim"), col("k1"), col("k2"),
+        col("q4").getItem(0).as("blo1"), col("q4").getItem(1).as("bhi1"),
+        col("q4").getItem(2).as("blo2"), col("q4").getItem(3).as("bhi2"))
+      // group-cardinality-sized and consumed twice — checkpoint so the
+      // sketch pass runs once
+      .localCheckpoint()
+    // pass 2: collapse out-of-bracket rows onto ORDER-PRESERVING
+    // sentinel values (below bracket1 → blo1−1; between the brackets →
+    // bhi1+1, which sits strictly between them whenever that region is
+    // nonempty; above bracket2 → dropped, reconstituted from Σv), so
+    // ONE distinct-value cumsum carries exact global ranks AND exact
+    // prefix value sums at every bracket value — the count pass, the
+    // bracket pass, and the final stats pass of the naive pipeline all
+    // fold into this single scan. Sentinel rows aggregate the real v
+    // sums (never the sentinel value), so prefix sums stay exact.
+    val classified = base.join(broadcast(stats), groupCol)
+      .withColumn("__in", (v >= col("blo1") && v <= col("bhi1")) ||
+        (v >= col("blo2") && v <= col("bhi2")))
+      .filter(col("__in") || v <= col("bhi2"))
+      .withColumn("__bv",
+        when(col("__in"), v)
+          .when(v < col("blo1"), col("blo1") - lit(1L))
+          .otherwise(col("bhi1") + lit(1L)))
+    val perVal = classified
+      .groupBy(g, col("n"), col("__s"), col("k_trim"), col("k1"), col("k2"),
+        col("__bv"))
+      .agg(count(lit(1)).as("c"), sum(dec(v)).as("sv"),
+        max(col("__in")).as("real"))
+    // the window's per-task input is bracket rows + ≤ 2 sentinel rows
+    // per group (the scaladoc bound) — both running sums share one sort
+    val w = Window.partitionBy(g).orderBy(col("__bv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perVal
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cumv", sum(col("sv")).over(w))
+    def crossing(k: Column): Column =
+      col("cum") >= k && col("cum") - col("c") < k
+    val cross1 = crossing(col("k1"))
+    val cross2 = crossing(col("k2"))
+    def guarded(okCol: String, cutCol: String): Column =
+      when(col(okCol), col(cutCol)).otherwise(raise_error(
+        lit("trimmedMeanByGroup: target rank escaped the GK bracket — " +
+          "raise accuracy")).cast("long"))
+    cum.groupBy(g, col("n"), col("__s"), col("k_trim"))
+      .agg(
+        min(when(cross1, col("__bv"))).as("__lo"),
+        max(when(cross1, col("real"))).as("__r1"),
+        min(when(cross1, col("cum") - col("c"))).as("__n_lt"),
+        min(when(cross1, col("cumv") - col("sv"))).as("__s_lt"),
+        min(when(cross2, col("__bv"))).as("__hi"),
+        max(when(cross2, col("real"))).as("__r2"),
+        min(when(cross2, col("cum"))).as("__n_le"),
+        min(when(cross2, col("cumv"))).as("__s_le"))
+      // a crossing on a sentinel row (or no crossing at all — __r null)
+      // would mean the GK bound failed: fail loudly, never emit a
+      // sentinel value as a cut
+      .withColumn("cut_lo", guarded("__r1", "__lo"))
+      .withColumn("cut_hi", guarded("__r2", "__hi"))
       .withColumn("n_kept", col("n") - lit(2L) * col("k_trim"))
       .withColumn("trimmed_sum",
         (col("__s")
-          - (col("__s_lt") + dec(col("cut_lo")) * (col("k_trim") - col("__c_lt")))
-          - (col("__s_gt") + dec(col("cut_hi")) * (col("k_trim") - col("__c_gt"))))
+          - (col("__s_lt") + dec(col("cut_lo")) * (col("k_trim") - col("__n_lt")))
+          - ((col("__s") - col("__s_le"))
+            + dec(col("cut_hi")) * (col("k_trim") - (col("n") - col("__n_le")))))
           .cast("long"))
       .withColumn("trimmed_mean_micro",
         expr("CAST((CAST(trimmed_sum AS DECIMAL(38,0)) * 1000000) div n_kept AS BIGINT)"))

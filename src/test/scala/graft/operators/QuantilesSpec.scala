@@ -318,4 +318,5 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.getAs[Long]("trimmed_mean_micro") == 3500000L)
     assert(got.getAs[Long]("cut_lo") == 2L && got.getAs[Long]("cut_hi") == 5L)
   }
+
 }
