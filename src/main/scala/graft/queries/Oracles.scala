@@ -4777,6 +4777,72 @@ object Oracles {
       SELECT event_type AS key, p_num, p_den, rank, m, rejected
       FROM rej ORDER BY rank""",
 
+    // q203: q201's randomization + BH replay with a KNOWN planted
+    // lift (+50,000 centi-units on the treated arm of even-length
+    // event types) injected before testing — certifies the rejected
+    // column carries both decisions under ground truth.
+    "q203_fdr_planted" -> """
+      WITH units AS MATERIALIZED (
+        SELECT event_type, user_id, CAST(user_id % 2 AS INT) AS arm,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT)
+                 + CASE WHEN user_id % 2 = 1 AND length(event_type) % 2 = 0
+                        THEN 5000000 ELSE 0 END AS v
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      obs AS (
+        SELECT event_type, count(*) AS n,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+               sum(v) AS s_tot,
+               coalesce(sum(CASE WHEN arm = 1 THEN v END), 0) AS s_treat
+        FROM units GROUP BY 1),
+      reps AS (
+        SELECT u.event_type, r.r,
+               sum(CASE WHEN CAST(('0x' || substr(md5('perm:42:'
+                 || u.event_type || ':'
+                 || CAST(u.user_id AS VARCHAR) || ':'
+                 || CAST(r.r AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE 0 END) AS n1_r,
+               coalesce(sum(CASE WHEN CAST(('0x' || substr(md5('perm:42:'
+                 || u.event_type || ':'
+                 || CAST(u.user_id AS VARCHAR) || ':'
+                 || CAST(r.r AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 1
+                 THEN u.v END), 0) AS s1_r
+        FROM units u, (SELECT unnest(range(199)) AS r) r
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT p.event_type,
+               CAST(s1_r AS HUGEINT) * (o.n - n1_r)
+                 - CAST(o.s_tot - s1_r AS HUGEINT) * n1_r AS num_r,
+               CAST(n1_r AS HUGEINT) * (o.n - n1_r) AS den_r,
+               CAST(o.s_treat AS HUGEINT) * (o.n - o.n_treat)
+                 - CAST(o.s_tot - o.s_treat AS HUGEINT) * o.n_treat
+                 AS num_obs,
+               CAST(o.n_treat AS HUGEINT) * (o.n - o.n_treat) AS den_obs
+        FROM reps p JOIN obs o ON p.event_type = o.event_type),
+      pvals AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN den_r = 0
+                 OR abs(num_r) * den_obs >= abs(num_obs) * den_r
+                 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p_num,
+               CAST(count(*) + 1 AS BIGINT) AS p_den
+        FROM scored GROUP BY 1),
+      bh AS (
+        SELECT event_type, p_num, p_den,
+               CAST(row_number() OVER (ORDER BY p_num, event_type)
+                 AS BIGINT) AS rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pvals),
+      flg AS (
+        SELECT *, p_num * m * 5 <= rank * 1 * p_den AS ok FROM bh),
+      rej AS (
+        SELECT *, max(CASE WHEN ok THEN 1 ELSE 0 END)
+                 OVER (ORDER BY rank
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) = 1
+                 AS rejected
+        FROM flg)
+      SELECT event_type AS key, p_num, p_den, rank, m, rejected
+      FROM rej ORDER BY rank""",
+
     "q202_absorption" -> """
       WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),

@@ -4081,6 +4081,33 @@ object Queries {
       .orderBy(col("rank"))
   }
 
+  /** Planted-effect BH-FDR certification ([[graft.operators.ABTest
+    * .bhAdjust]] under a KNOWN ground truth): q201's randomization
+    * pipeline, but the treated arm of every even-length event type
+    * gets a +50,000 centi-unit lift injected BEFORE testing — the
+    * planted metrics must come out `rejected = true` and the
+    * untouched ones survive, so the decision column certifiably
+    * carries BOTH values (q201's organic p-values exercise only the
+    * no-discovery side). Same shared p_den = b+1 by construction;
+    * thresholds stay cross-multiplied integers end to end.
+    */
+  def q203FdrPlanted(s: SparkSession, dir: String): DataFrame = {
+    val units = eventsTable(s, dir)
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((sum(col("value").cast(Dec)) * 100).cast("long").as("v0"))
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2).cast("int").as("arm"),
+        (col("v0") + when(col("user_id") % 2 === 1 &&
+          length(col("event_type")) % 2 === 0, lit(5000000L))
+          .otherwise(lit(0L))).as("v"))
+    val tests = graft.operators.ABTest.permutationTestByGroup(units,
+      "event_type", "user_id", "arm", "v", b = 199)
+    graft.operators.ABTest.bhAdjust(tests, "event_type", "p_num", "p_den",
+        alphaNum = 1L, alphaDen = 5L)
+      .orderBy(col("rank"))
+  }
+
   /** Markov absorption ([[graft.operators.EventOps
     * .absorptionWithin]]): from each event type, the probability of
     * reaching 'purchase' within 3 transitions under q112's empirical
@@ -4528,5 +4555,6 @@ object Queries {
     "q200_gains"         -> (q200Gains _),
     "q201_fdr"           -> (q201Fdr _),
     "q202_absorption"    -> (q202Absorption _),
+    "q203_fdr_planted"   -> (q203FdrPlanted _),
   )
 }

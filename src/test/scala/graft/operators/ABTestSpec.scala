@@ -330,6 +330,43 @@ class ABTestSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("mixed p_den")))
   }
 
+  test("q203 planted-effect FDR: rejected carries both decisions under ground truth") {
+    // the declared-query surface at sf0.001: even-length event types
+    // carry the planted lift and MUST be rejected; odd-length ones
+    // must survive (their organic p-values sit far above the BH line)
+    val out = graft.queries.Queries
+      .q203FdrPlanted(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Boolean]("rejected"))
+      .toMap
+    val (planted, organic) = out.keySet.partition(_.length % 2 == 0)
+    assert(planted.nonEmpty && organic.nonEmpty, s"need both classes: $out")
+    assert(planted.forall(out(_)), s"every planted metric must reject: $out")
+    assert(organic.exists(!out(_)), s"some organic metric must survive: $out")
+  }
+
+  test("heterogeneous p_den through the real pipeline (per-group b) raises") {
+    // the declared pipeline's own operators: two permutation-test
+    // slices run with DIFFERENT replicate counts (b = 99 vs 199) give
+    // p_den 100 vs 200 — feeding their union to bhAdjust must trip
+    // the mixed-denominator guard, not misorder the p_num sort
+    val rng = new scala.util.Random(17)
+    val units = (1 to 60).map(i =>
+      ("ma", i.toLong, (i % 2), rng.nextInt(1000).toLong)) ++
+      (1 to 60).map(i => ("mb", i.toLong, (i % 2), rng.nextInt(1000).toLong))
+    val df = units.toDF("metric", "uid", "arm", "v")
+    val t1 = ABTest.permutationTestByGroup(
+      df.filter(org.apache.spark.sql.functions.col("metric") === "ma"), "metric", "uid", "arm", "v", b = 99)
+    val t2 = ABTest.permutationTestByGroup(
+      df.filter(org.apache.spark.sql.functions.col("metric") === "mb"), "metric", "uid", "arm", "v", b = 199)
+    val ex = intercept[Exception] {
+      ABTest.bhAdjust(t1.unionByName(t2), "metric", "p_num", "p_den", 1L, 5L)
+        .collect()
+    }
+    assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .contains("mixed p_den"))
+  }
+
   test("bhAdjust: NULL p_num/p_den values raise instead of nulling the flags") {
     // countDistinct ignores nulls, so a mixed null/non-null p_den used
     // to sail past the mixed-denominator guard (__ndens = 1) and emit
