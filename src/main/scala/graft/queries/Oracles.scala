@@ -152,11 +152,151 @@ object Oracles {
         FROM verdict v JOIN bucket k ON v.doc_id = k.doc_id
         ORDER BY v.doc_id"""
 
+
+  /** q204: the WHOLE composed pretraining pipeline replayed as one
+    * DuckDB query — q50's normalize fragment, q40's scrub patterns
+    * (interpolated from the same Curation constants), the exact-dup
+    * window, q136's exact-Jaccard near-dup + recursive-closure
+    * survivorship (so LSH completeness is certified INSIDE the
+    * composition), q37's 13-gram contamination, q51's classifier
+    * margin, q41's split arithmetic, and q80's packing closed form.
+    */
+  private val pretrainPipelineSql: String = {
+    import graft.functions.Curation.{EmailRe, Ipv4Re, GovIdRe}
+    s"""WITH RECURSIVE bodied AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % 97 = 0 THEN
+                   'standard boilerplate notice duplicated verbatim across ' ||
+                   'mirrors retained canonical record nine ten eleven twelve thirteen'
+                 ELSE text END AS text
+          FROM documents),
+        base AS (
+          SELECT doc_id, n_chars,
+                 trim(regexp_replace(regexp_replace(
+                   chr(7) || '  ' ||
+                   regexp_replace(text, ' the ',
+                     ' ' || chr(9) || 'the' || chr(10) || '  ', 'g') ||
+                   ' u@x.io 1.2.3.4 111-22-3333 ' || chr(127),
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                   '[ \\t\\n\\r]+', ' ', 'g')) AS norm
+          FROM bodied),
+        clean AS MATERIALIZED (
+          SELECT doc_id, n_chars,
+                 regexp_replace(regexp_replace(regexp_replace(norm,
+                   '$EmailRe', '<EMAIL>', 'g'),
+                   '$GovIdRe', '<ID>', 'g'),
+                   '$Ipv4Re', '<IP>', 'g') AS clean
+          FROM base),
+        tokc AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(trim(clean), '\\s+') AS t
+          FROM clean),
+        ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tokc),
+        dup AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY clean) AS keep_id
+          FROM clean),
+        winners AS MATERIALIZED (
+          SELECT c.doc_id, c.n_chars, c.clean
+          FROM clean c JOIN dup d USING (doc_id) WHERE d.doc_id = d.keep_id),
+        wt AS (
+          SELECT doc_id, regexp_split_to_array(trim(clean), '\\s+') AS t
+          FROM winners),
+        sh AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                          for i in range(1, len(t) - 1)]) END AS s
+          FROM wt),
+        prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM winners
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        ndrep AS (
+          SELECT cluster, doc_id AS rep FROM (
+            SELECT c.cluster, c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster
+                     ORDER BY w.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN winners w USING (doc_id)) WHERE rn = 1),
+        nd AS (
+          SELECT c.doc_id, c.doc_id = r.rep AS nd_keep
+          FROM comp c JOIN ndrep r USING (cluster)),
+        g13 AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct([array_to_string(t[i:i+12], ' ')
+                                          for i in range(1, len(t) - 11)]) END AS g
+          FROM tokc),
+        bg AS (
+          SELECT doc_id AS bench_id, unnest(g) AS gram
+          FROM g13 WHERE doc_id % 50 = 0),
+        candg AS (
+          SELECT d.doc_id, unnest(d.g) AS gram
+          FROM g13 d JOIN nd USING (doc_id)
+          WHERE nd.nd_keep AND d.doc_id % 50 <> 0),
+        contam AS (
+          SELECT DISTINCT c.doc_id
+          FROM candg c JOIN bg b USING (gram) WHERE c.doc_id <> b.bench_id),
+        qw AS (
+          SELECT doc_id,
+                 SUM((strpos('0123456789abcdef',
+                        substring(md5('clf:' || t), 1, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef',
+                        substring(md5('clf:' || t), 2, 1)) - 1) - 128) AS margin
+          FROM (SELECT doc_id, unnest(t) AS t FROM tokc)
+          GROUP BY doc_id),
+        spl AS (
+          SELECT doc_id,
+                 CASE WHEN b < 230 THEN 'train'
+                      WHEN b < 243 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                       (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16 +
+                       (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b
+                FROM (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+                      FROM clean))),
+        labeled AS (
+          SELECT c.doc_id, n.n_tok,
+                 CASE WHEN d.doc_id <> d.keep_id THEN 'drop:exact_dup'
+                      WHEN NOT nd.nd_keep THEN 'drop:near_dup'
+                      WHEN c.doc_id % 50 = 0 THEN 'drop:benchmark'
+                      WHEN ct.doc_id IS NOT NULL THEN 'drop:contaminated'
+                      WHEN q.margin < 0 THEN 'drop:quality'
+                      ELSE s.split END AS bucket
+          FROM clean c
+          JOIN dup d USING (doc_id)
+          JOIN ntok n USING (doc_id)
+          LEFT JOIN nd USING (doc_id)
+          LEFT JOIN contam ct USING (doc_id)
+          JOIN qw q USING (doc_id)
+          JOIN spl s USING (doc_id)),
+        stats AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM labeled GROUP BY 1),
+        keptt AS (
+          SELECT bucket, CAST(sum(n_tok) AS BIGINT) AS tot
+          FROM labeled WHERE bucket NOT LIKE 'drop:%' GROUP BY 1)
+        SELECT st.bucket, st.n_docs, st.n_tokens,
+               coalesce(CAST(ceil(k.tot / 256.0) AS BIGINT), 0) AS n_seqs,
+               coalesce(k.tot, 0) AS packed_tokens,
+               coalesce(k.tot // 256, 0) AS n_full
+        FROM stats st LEFT JOIN keptt k USING (bucket)
+        ORDER BY st.bucket"""
+  }
+
   val all: Map[String, String] = Map(
     "q19_lang_id" -> langIdSql,
     "q39_quality_filter" -> qualityFilterSql,
     "q40_pii_redaction" -> piiRedactionSql,
     "q49_curation_pipeline" -> curationPipelineSql,
+    "q204_pretrain_pipeline" -> pretrainPipelineSql,
 
     // q46: gram strings rebuilt with the same tokenization; DuckDB
     // counts/joins STRINGS where Spark rides xxhash64 — equality

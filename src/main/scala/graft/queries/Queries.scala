@@ -4108,6 +4108,95 @@ object Queries {
       .orderBy(col("rank"))
   }
 
+  /** The COMPOSED pretraining pipeline — every curation leg chained in
+    * ONE declared plan, the shape a real 100 TB data-prep job ships:
+    *
+    *   normalize → PII scrub → exact dedup → MinHash near-dup
+    *   survivorship (keep longest) → benchmark holdout → 13-gram
+    *   contamination filter → classifier quality gate → split assign
+    *   → sequence packing
+    *
+    * Each leg is hash-certified alone (q50/q40/q16/q136/q37/q51/q41/
+    * q67); the composition is where re-scans, lost persist-release,
+    * and window creep hide, so the WHOLE chain replays in DuckDB and
+    * certifies as one unit. Deterministic damage (q50's control chars
+    * + a compact PII trailer) is planted up front so the normalize and
+    * scrub legs provably do work; the cleaned corpus is materialized
+    * ONCE (localCheckpoint — the "write the cleaned corpus, then run
+    * the legs off it" lakehouse shape) so no leg re-runs the regex
+    * chain or the dedup window. Near-dup banding widens to 16 bands ×
+    * 2 rows (recall ≥ 1−(1−j²)¹⁶ ≈ 99.98% at the planted-trailer
+    * jaccard floor of 0.64) and the exact-Jaccard oracle certifies the
+    * pair set is COMPLETE, not just precise. Output: per final bucket
+    * (train/val/test + one `drop:<stage>` row per filter) the doc and
+    * token counts and the packed-sequence manifest summary.
+    */
+  def q204PretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Curation
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+    // the corpus carries no byte-identical documents, so the exact-dup
+    // leg gets deterministic fodder: every 97th doc becomes the same
+    // fixed boilerplate body (the q50/q40 planted-damage convention)
+    val body = when(col("doc_id") % 97 === 0,
+      lit("standard boilerplate notice duplicated verbatim across mirrors " +
+        "retained canonical record nine ten eleven twelve thirteen"))
+      .otherwise(col("text"))
+    val raw = concat(lit("\u0007  "),
+      regexp_replace(body, " the ", " \tthe\n  "),
+      lit(" u@x.io 1.2.3.4 111-22-3333 \u007f"))
+    val cleaned = docs
+      .withColumn("clean", Curation.redactPii(Curation.normalizeText(raw)))
+      .withColumn("n_tok", TextFunctions.tokenCount(col("clean")).cast("long"))
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("clean").cast("binary")))))
+      .localCheckpoint()
+    val winners = cleaned.filter(col("doc_id") === col("keep_id"))
+    val pairs = graft.operators.Dedup.minhashLSH(
+        winners, "doc_id", "clean", k = 32, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val surv = graft.operators.Clusters
+      .survivorshipBy(winners, "doc_id", "n_chars", pairs)
+      .select(col("doc_id"), col("keep").as("nd_keep"))
+    val bench = cleaned.filter(col("doc_id") % 50 === 0)
+    val candidates = winners
+      .join(surv, Seq("doc_id"))
+      .filter(col("nd_keep") && col("doc_id") % 50 =!= 0)
+    val contam = graft.operators.Contamination
+      .contaminated(candidates, "doc_id", "clean", bench, "doc_id", "clean",
+        n = 13)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val labeled = cleaned
+      .join(surv, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("margin", Curation.classifierMargin(col("clean")))
+      .withColumn("bucket",
+        when(col("doc_id") =!= col("keep_id"), lit("drop:exact_dup"))
+          .when(!col("nd_keep"), lit("drop:near_dup"))
+          .when(col("doc_id") % 50 === 0, lit("drop:benchmark"))
+          .when(col("contam"), lit("drop:contaminated"))
+          .when(col("margin") < 0, lit("drop:quality"))
+          .otherwise(Curation.splitAssign(col("doc_id"))))
+    val stats = labeled.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+    val kept = labeled.filter(!col("bucket").startsWith("drop:"))
+      .select(col("bucket"), col("doc_id"), col("n_tok"))
+    val packed = graft.operators.Packing.packManifest(kept,
+        groupCols = Seq("bucket"), orderCol = "doc_id",
+        tokenCol = "n_tok", budget = 256)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("packed_tokens"),
+        sum(when(col("n_tokens") === 256, 1L).otherwise(0L)).as("n_full"))
+    stats.join(packed, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("packed_tokens"), lit(0L)).as("packed_tokens"),
+        coalesce(col("n_full"), lit(0L)).as("n_full"))
+      .orderBy(col("bucket"))
+  }
+
   /** Markov absorption ([[graft.operators.EventOps
     * .absorptionWithin]]): from each event type, the probability of
     * reaching 'purchase' within 3 transitions under q112's empirical
@@ -4556,5 +4645,6 @@ object Queries {
     "q201_fdr"           -> (q201Fdr _),
     "q202_absorption"    -> (q202Absorption _),
     "q203_fdr_planted"   -> (q203FdrPlanted _),
+    "q204_pretrain_pipeline" -> (q204PretrainPipeline _),
   )
 }
