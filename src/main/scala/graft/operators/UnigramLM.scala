@@ -166,15 +166,32 @@ object UnigramLM {
 
   /** One EM round: distributed E-step over the word table (vocab
     * broadcast via closure), M-step = the long micro-count sums
-    * renormalized. */
-  def emRound(wordFreq: DataFrame, vocab: Vocab): Map[String, Long] = {
+    * renormalized.
+    *
+    * The collect is vocabulary+alphabet-bounded by construction today
+    * — the lattice only credits pieces already in `vocab` plus the
+    * unknown-single-char fallback, so the aggregated table has
+    * ≤ |vocab| + |alphabet| rows regardless of corpus size.
+    * `maxPieces` pins that invariant loudly (the [[Skyline]] guard
+    * convention): a future lattice change that started emitting
+    * arbitrary substrings would fail here with a count, never
+    * silently grow the driver collect toward corpus scale.
+    */
+  def emRound(wordFreq: DataFrame, vocab: Vocab,
+              maxPieces: Long = 2000000L): Map[String, Long] = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
-    wordFreq.as[(String, Long)]
+    val agg = wordFreq.as[(String, Long)]
       .flatMap { case (w, c) => expectedCounts(w, c, vocab) }
       .toDF("piece", "e_micro")
       .groupBy(col("piece")).agg(sum(col("e_micro")).as("e"))
-      .as[(String, Long)].collect().toMap
+      .localCheckpoint()
+    val n = agg.count()
+    require(n <= maxPieces,
+      s"emRound produced $n distinct pieces (> maxPieces=$maxPieces) — " +
+        "the E-step must stay vocab+alphabet-bounded before it may " +
+        "collect to the driver")
+    agg.as[(String, Long)].collect().toMap
   }
 
   /** Fit: seed → (EM → prune) rounds → final EM-weighted vocab with

@@ -109,4 +109,20 @@ class UnigramLMSpec extends AnyFunSuite {
     } finally Seq("_pieces", "_meta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $name$sfx"))
   }
+
+  test("emRound: the driver collect is loudly size-guarded, never corpus-sized") {
+    val docs = (1 to 50).map(i => (i.toLong, "guarded collect stays vocab bounded"))
+      .toDF("doc_id", "text")
+    val wf = UnigramLM.wordFreq(docs, "text")
+    val vocab = UnigramLM.seedVocab(wf, maxLen = 6, topMulti = 50)
+    // the real bound: |vocab| + |alphabet| pieces, far under the cap
+    val e = UnigramLM.emRound(wf, vocab)
+    assert(e.nonEmpty && e.size <= vocab.pieces.size + 64)
+    // a cap below the true piece count must fail LOUDLY with the count,
+    // not silently collect — the guard a future lattice change trips
+    val ex = intercept[IllegalArgumentException] {
+      UnigramLM.emRound(wf, vocab, maxPieces = 3L)
+    }
+    assert(ex.getMessage.contains("maxPieces"))
+  }
 }

@@ -1,17 +1,33 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness compare.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [--heavy]
 
 For each query dumped by `graft.Verify` (<out>/<name>/ parquet dir) with an
 entry in <out>/oracle_sql.json: run the oracle SQL in DuckDB over views of
 <sfDir>/*.parquet, then compare to the Spark result — columns sorted by
 name, rows sorted by all columns, values hashed. Exit 1 on any mismatch.
+
+Heavy oracles (the all-pairs DuckDB replays in HEAVY below — ~50 min
+combined at sf0.1, fine at sf0.01) are SKIPPED by default when <sfDir>
+is larger than sf0.01, so the day-to-day loop is "sf0.01 full + sf0.1
+light". Pass --heavy to force them everywhere — do that once before
+each end-of-round snapshot.
 """
 import sys, json, glob, os
 import duckdb, pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Oracles whose DuckDB replay is all-pairs (exact edit/Jaccard over every
+# document pair): cheap at sf0.01 (500 docs), ~50 min combined at sf0.1.
+HEAVY = {"q113_edit_pairs", "q125_setsim_join", "q136_survivorship",
+         "q148_golden_record", "q204_pretrain_pipeline"}
+
+def is_light_sf(sf_dir):
+    """True when the SF dir is above the always-full tier (sf0.001/sf0.01)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base not in ("sf0.001", "sf0.01")
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -24,16 +40,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, heavy=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failures, checked, rows_only = [], 0, 0
+    failures, checked, rows_only, skipped = [], 0, 0, 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
+        if name in HEAVY and is_light_sf(sf_dir) and not heavy:
+            skipped += 1
+            print(f"  HEAVY-SKIP {name}: all-pairs replay reserved for "
+                  "--heavy (pre-snapshot) at this SF")
+            continue
         spark_df = pd.concat(
             [pd.read_parquet(f) for f in sorted(glob.glob(f"{qdir}/*.parquet"))],
             ignore_index=True)
@@ -91,10 +112,12 @@ def main(sf_dir, out_dir):
             failures.append((name, mismatch))
         else:
             print(f"  OK         {name}: {len(s)} rows")
-    print(f"\n{checked} oracle-checked, {rows_only} rows-only, {len(failures)} failures")
+    print(f"\n{checked} oracle-checked, {rows_only} rows-only, "
+          f"{skipped} heavy-skipped, {len(failures)} failures")
     for n, why in failures:
         print(f"  FAIL {n}: {why}")
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(args[0], args[1], heavy="--heavy" in sys.argv)
