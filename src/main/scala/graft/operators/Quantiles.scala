@@ -168,17 +168,22 @@ object Quantiles {
     val base = df.select(g, v).where(v.isNotNull)
     val loP = math.min(1.0, math.max(0.0, pLo))
     val hiP = math.min(1.0, math.max(0.0, pHi))
-    // localCheckpoint: the stats frame feeds BOTH the count pass's
+    // LAZY persist: the stats frame feeds BOTH the count pass's
     // broadcast and the bound join — without it Spark recomputes the
     // whole GK sketch pass per occurrence (no common-subtree reuse).
-    // The frame is group-cardinality-sized, so materializing is free.
+    // persist (not localCheckpoint) because an EAGER materialization
+    // adds a blocking job per call, which at small scale costs more
+    // than the duplicated sketch pass it saves (r10 lesson: the
+    // quantile family regressed 3-6× under an eager checkpoint); the
+    // lazy cache fills inside the first consumer's job instead. The
+    // frame is group-cardinality-sized, so the cache entry is tiny.
     val stats = base.groupBy(g).agg(
         count(lit(1)).as("n"),
         percentile_approx(v, lit(loP), lit(accuracy)).as("lo0"),
         percentile_approx(v, lit(hiP), lit(accuracy)).as("hi0"),
         min(v).as("vmin"), max(v).as("vmax"))
       .withColumn("k", greatest(lit(1L), least(col("n"), kOf(col("n")))))
-      .localCheckpoint()
+      .persist()
     // exact bracket verification: one count pass against the sketch
     // bounds (stats is group-cardinality-sized — broadcast)
     val counts = base
@@ -276,9 +281,8 @@ object Quantiles {
       .select(g, col("n"), col("__s"), col("k_trim"), col("k1"), col("k2"),
         col("q4").getItem(0).as("blo1"), col("q4").getItem(1).as("bhi1"),
         col("q4").getItem(2).as("blo2"), col("q4").getItem(3).as("bhi2"))
-      // group-cardinality-sized and consumed twice — checkpoint so the
-      // sketch pass runs once
-      .localCheckpoint()
+      // single consumer (the broadcast into pass 2) — no caching
+      // needed; an eager checkpoint here would only add a job barrier
     // pass 2: collapse out-of-bracket rows onto ORDER-PRESERVING
     // sentinel values (below bracket1 → blo1−1; between the brackets →
     // bhi1+1, which sits strictly between them whenever that region is
