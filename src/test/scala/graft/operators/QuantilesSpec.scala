@@ -287,6 +287,22 @@ class QuantilesSpec extends AnyFunSuite {
     val wild = Seq.fill(150)(rng.nextInt(100).toLong) ++ Seq(1000000L, -999999L)
     val rows = tied.map(("t", _)) ++ wild.map(("w", _)) ++
       Seq(("n1", 7L), ("n2", 3L), ("n2", 9L), ("n3", 1L), ("n3", 5L), ("n3", 9L))
+    // several trims: deep cuts pull the two sentinel brackets together
+    // (2/5 leaves 1/5 of rows between them) — the collapse regions and
+    // crossing algebra must stay exact everywhere
+    for ((tn, td) <- Seq((1, 10), (1, 4), (2, 5), (1, 3))) {
+      val gotT = Quantiles.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v",
+          trimNum = tn, trimDen = td)
+        .collect()
+        .map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("k_trim"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("trimmed_sum"))))
+        .toMap
+      for ((g, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2))) {
+        val (k, nk, s) = refTrimmed(vs, tn, td)
+        assert(gotT(g) == ((k, nk, s)), s"group $g trim $tn/$td")
+      }
+    }
     val got = Quantiles.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v",
         trimNum = 1, trimDen = 10)
       .collect()
