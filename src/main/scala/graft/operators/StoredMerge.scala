@@ -149,6 +149,13 @@ object StoredMerge {
     * correct caller response to a crash — some buckets may already
     * hold the new state, the rest catch up.
     *
+    * SINGLE WRITER by contract (the [[graft.ledger.Ledger]] rule):
+    * one merge at a time per table path. Concurrent merges would race
+    * on the shared tmp/aside directories and one's entry recovery
+    * could roll back the other's in-flight swap — serialize merges
+    * upstream (the streaming pipeline already does; ops runs against
+    * a quiesced table).
+    *
     * Untouched bucket directories are untouched on disk (spec pins
     * their files byte-identical), so merge cost scales with the
     * BATCH's key spread, not the table: 100 TB stored at 4096 buckets
