@@ -129,12 +129,17 @@ object Graphs {
     * smaller endpoint to the larger under that total order. Each
     * triangle then has exactly ONE apex with two out-edges, so closed
     * wedges count triangles exactly once — and the apex out-degree is
-    * bounded by O(√m), so the wedge self-join cannot blow up on a hub
-    * (a star center's out-degree is ~0 after orientation; its million
-    * spokes each point AT it, generating no wedges). This is the
-    * standard 100 TB triangle plan: two hash aggregates for degrees,
-    * one keyed self-join on the apex, one equi-join to close wedges —
-    * no node ever sees more than its oriented neighborhood squared.
+    * bounded by O(√m), so no oriented neighborhood can blow up on a
+    * hub (a star center's out-degree is ~0 after orientation; its
+    * million spokes each point AT it). Closure runs EDGE-ITERATOR
+    * style: per-source sorted out-adjacency arrays, then per oriented
+    * edge (u→v) the common out-neighbors |N⁺(u) ∩ N⁺(v)| — each
+    * triangle surfaces exactly once at its lowest edge. The
+    * intersection walks the (bounded) arrays inside whole-stage
+    * codegen, so the quadratic wedge set is never materialized and
+    * NEVER shuffled: every exchange in the plan is m-sized (adjacency
+    * build + two keyed joins), the property that makes this the
+    * standard 100 TB triangle plan.
     *
     * Returns ONE row of exact integers: `n_nodes`, `n_edges` (distinct
     * undirected), `n_wedges` (paths of length 2 = Σ d(d−1)/2),
@@ -157,23 +162,28 @@ object Graphs {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
     val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    // oriented edge, carrying the head's degree so wedge legs can be
-    // emitted already in orientation order (no re-join for ordering)
     val o = withDeg.select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"),
-        when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint()
-    // wedges at each apex: pairs of out-neighbors, ordered by the SAME
-    // (degree, id) total order — the closing edge, if present, is
-    // oriented exactly (x → y), so one equi-join settles closure
-    val e1 = o.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
-    val e2 = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
-    val wedges = e1.join(e2, Seq("src"))
-      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
-      .select(col("x"), col("y"))
-    val tri = wedges.join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // EDGE-ITERATOR closure (Chiba–Nishizeki / Schank-Wagner forward):
+    // a triangle x<y<z in (degree, id) order carries oriented edges
+    // x→y, x→z, y→z, so it is counted EXACTLY ONCE as
+    // z ∈ N_out(x) ∩ N_out(y) at edge (x→y). Materializing per-source
+    // out-adjacency ARRAYS and intersecting them per edge keeps every
+    // exchange m-SIZED — the wedge-join formulation this replaces
+    // shuffled the Σ d_out²/2 wedge set (41M rows on the co-purchase
+    // graph), a set the intersection walks inside whole-stage codegen
+    // without ever materializing. Compact-forward orientation bounds
+    // every adjacency array at O(√m), so rows stay small and skew-safe
+    // at any graph shape.
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tri = o
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val base = und.agg(count(lit(1)).as("n_edges"))
     // deg·(deg−1) is even, so a right shift is the exact halve — no
     // double division anywhere (the 2^53 cast-exactness rule)
@@ -516,17 +526,22 @@ object Graphs {
     val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val o = withDeg.select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"),
-        when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint()
-    val e1 = o.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
-    val e2 = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
-    val closed = e1.join(e2, Seq("src"))
-      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
-      .select(col("src"), col("x"), col("y"))
-      .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    // edge-iterator closure ([[triangleStats]]): each triangle surfaces
+    // exactly once at its lowest oriented edge, as the exploded common
+    // out-neighbors of the edge's two ends — no wedge set ever
+    // materializes, every exchange stays m-sized, and the explode's
+    // output is triangle-count-sized (the per-corner credit rows)
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val closed = o
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
     val perNode = closed
-      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
@@ -564,6 +579,11 @@ object Graphs {
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      // distinct BEFORE the coin: the md5 draw is per undirected edge,
+      // so evaluating it on raw multi-edges (12.6M rows on the
+      // co-purchase graph vs 1.2M distinct) wastes ~90% of the hashing;
+      // filter-after-distinct samples the identical subgraph
+      .distinct()
       .filter(coin < pNum.toLong)
     triangleStats(sampled, "u", "v")
       .withColumn("est_triangles",
