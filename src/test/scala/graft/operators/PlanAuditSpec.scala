@@ -151,6 +151,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q74: no full-corpus window sort on the lang key — the median cut is bracketed") {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin, Window => LWindow}
+    // another suite may have run the SHIPPED q74 in this session and
+    // left its (langs-sized) gate cache registered — a cache hit would
+    // swap the whole plan for an InMemoryRelation and hide the windows
+    // this test inspects
+    spark.catalog.clearCache()
     // the PRE-materialization gate plan (the shipped q74 executes this
     // then releases its cache behind an InMemoryRelation)
     val (scored, df) = graft.queries.Queries.q74GatePlan(spark, sf)
@@ -181,6 +186,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q86: the only window rides the distinct-VALUE contraction, scored corpus cached once") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
+    // order-robustness: drop any cache a prior suite's q86 run left
+    // (see the q74 test above)
+    spark.catalog.clearCache()
     // the PRE-materialization bucket plan (the shipped q86 executes
     // this then releases its cache behind an InMemoryRelation)
     val (scored, df) = graft.queries.Queries.q86BucketPlan(spark, sf)
