@@ -177,8 +177,13 @@ object Graphs {
     // without ever materializing. Compact-forward orientation bounds
     // every adjacency array at O(√m), so rows stay small and skew-safe
     // at any graph shape.
+    // lazy persist: the adjacency table feeds BOTH end-joins and Spark
+    // does not reuse common subtrees — without it the aggregate runs
+    // twice (the quantile-stats lesson: persist, never an eager
+    // checkpoint, so no extra job barrier)
     val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist()
     val tri = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
@@ -533,8 +538,10 @@ object Graphs {
     // out-neighbors of the edge's two ends — no wedge set ever
     // materializes, every exchange stays m-sized, and the explode's
     // output is triangle-count-sized (the per-corner credit rows)
+    // lazy persist — consumed by both end-joins, see [[triangleStats]]
     val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist()
     val closed = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
