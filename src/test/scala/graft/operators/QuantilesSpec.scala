@@ -286,6 +286,7 @@ class QuantilesSpec extends AnyFunSuite {
     val tied = Seq.fill(200)(Seq(10L, 10L, 10L, 20L, 90L)(rng.nextInt(5)))
     val wild = Seq.fill(150)(rng.nextInt(100).toLong) ++ Seq(1000000L, -999999L)
     val rows = tied.map(("t", _)) ++ wild.map(("w", _)) ++
+      Seq.fill(30)(("eq", 7L)) ++ // ALL-equal group: both cuts on one row
       Seq(("n1", 7L), ("n2", 3L), ("n2", 9L), ("n3", 1L), ("n3", 5L), ("n3", 9L))
     // several trims: deep cuts pull the two sentinel brackets together
     // (2/5 leaves 1/5 of rows between them) — the collapse regions and
