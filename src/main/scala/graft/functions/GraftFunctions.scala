@@ -20,6 +20,21 @@ import org.apache.spark.sql.types.IntegerType
   */
 object GraftFunctions {
 
+  /** Cast an exact DECIMAL column to BIGINT with a LOUD overflow guard.
+    * Default (non-ANSI) Spark returns NULL on a decimal→long overflow,
+    * which a downstream sum would silently absorb; this raises instead.
+    * For values that may legitimately exceed 2⁶³ keep the column as
+    * DECIMAL(38,0) (the degreeAssortativity convention) — this guard is
+    * for outputs whose contract is BIGINT.
+    */
+  def guardedLongCast(c: org.apache.spark.sql.Column, msg: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val dec = c.cast("decimal(38,0)")
+    when(dec.isNull, lit(null).cast("long")) // NULL propagates, never raises
+      .when(dec >= lit(Long.MinValue) && dec <= lit(Long.MaxValue), dec.cast("long"))
+      .otherwise(raise_error(lit(msg)).cast("long"))
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(

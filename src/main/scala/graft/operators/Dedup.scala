@@ -117,12 +117,14 @@ object Dedup {
     * small by construction), then drop the big intermediate caches. Without
     * the eager step the unpersist would evict the caches before the lazy
     * plan ever ran; without the unpersist the signature table's cached
-    * partitions leak across a long session. The returned frame holds only
-    * the pairs.
+    * partitions leak across a long session. The eager step is a
+    * `localCheckpoint`, NOT a persist: checkpoint blocks live outside the
+    * SQL cache manager and are reclaimed when the frame is dereferenced,
+    * so the operator leaves the cache manager EMPTY — no release hook for
+    * callers to remember (the r10-flagged lifecycle gap).
     */
   private def releaseAfter(cached: Seq[DataFrame], result: DataFrame): DataFrame = {
-    val out = result.persist()
-    out.count()
+    val out = result.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
     out
   }

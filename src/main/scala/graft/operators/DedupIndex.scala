@@ -197,8 +197,10 @@ object DedupIndex {
       .withColumn("jaccard", sorted_jaccard(col("h_n"), col("h_c")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
-      .persist()
-    out.count()
+      // eager localCheckpoint, not persist+count: the pair output is
+      // small by construction and checkpoint blocks stay OUT of the
+      // SQL cache manager (the Dedup.releaseAfter discipline)
+      .localCheckpoint()
     newSigs.unpersist(blocking = false)
     out
   }

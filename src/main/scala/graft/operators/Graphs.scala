@@ -180,7 +180,11 @@ object Graphs {
     // lazy persist: the adjacency table feeds BOTH end-joins and Spark
     // does not reuse common subtrees — without it the aggregate runs
     // twice (the quantile-stats lesson: persist, never an eager
-    // checkpoint, so no extra job barrier)
+    // checkpoint, so no extra job barrier). RELEASED below: the census
+    // result is ONE row, so it is materialized eagerly (localCheckpoint
+    // — RDD blocks, never a cache-manager entry) and the m-sized
+    // adjacency cache is dropped before returning; a long-lived
+    // session never accumulates per-call adjacency entries.
     val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .persist()
@@ -194,9 +198,12 @@ object Graphs {
     // double division anywhere (the 2^53 cast-exactness rule)
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(shiftright(col("deg") * (col("deg") - 1), 1)).as("n_wedges"))
-    nodeStats.crossJoin(base).crossJoin(tri)
+    val out = nodeStats.crossJoin(base).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"), (col("n_triangles") * 3).as("n_closed_wedges"))
+      .localCheckpoint()
+    adj.unpersist(blocking = false)
+    out
   }
 
   /** Multi-source BFS: exact hop distance from the nearest of a set of
@@ -346,11 +353,15 @@ object Graphs {
       .crossJoin(broadcast(m)) // 1-row edge-count scalar
       // DECIMAL(38,0) like the sibling degreeAssortativity — raw BIGINT
       // would wrap silently near the documented bound (4·m·e_in at
-      // ~10^9 edges exceeds 2^63); decimal keeps the product exact and
-      // the final cast fails loudly instead of wrapping
-      .withColumn("contrib_num",
-        (lit(4) * col("m").cast("decimal(38,0)") * col("e_in")
-          - col("d_tot").cast("decimal(38,0)") * col("d_tot")).cast("long"))
+      // ~10^9 edges exceeds 2^63). Under default (non-ANSI) Spark a
+      // decimal→long overflow returns NULL silently, so the cast is
+      // gated by an EXPLICIT range guard that raises — loud failure,
+      // never a silently-dropped community (the trimmedMeanByGroup
+      // guard convention).
+      .withColumn("contrib_num", graft.functions.GraftFunctions.guardedLongCast(
+        lit(4) * col("m").cast("decimal(38,0)") * col("e_in")
+          - col("d_tot").cast("decimal(38,0)") * col("d_tot"),
+        "modularityByCommunity: contrib_num exceeds BIGINT — keep DECIMAL(38,0)"))
   }
 
   /** Labeled multi-source BFS: exact hop distance from EACH landmark
@@ -538,7 +549,8 @@ object Graphs {
     // out-neighbors of the edge's two ends — no wedge set ever
     // materializes, every exchange stays m-sized, and the explode's
     // output is triangle-count-sized (the per-corner credit rows)
-    // lazy persist — consumed by both end-joins, see [[triangleStats]]
+    // lazy persist — consumed by both end-joins, see [[triangleStats]];
+    // released below after the node-sized readout materializes
     val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .persist()
@@ -550,11 +562,17 @@ object Graphs {
     val perNode = closed
       .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    // eager materialization of the NODE-sized readout (n ≪ m rows),
+    // then release the m-sized adjacency cache — the triangleStats
+    // release discipline
+    val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         (lit(2L) * coalesce(col("n_triangles"), lit(0L))).as("lcc_num"),
         (col("deg") * (col("deg") - 1)).as("lcc_den"))
+      .localCheckpoint()
+    adj.unpersist(blocking = false)
+    out
   }
 
   /** DOULION sampled triangle census (Tsourakakis et al., KDD'09):

@@ -212,6 +212,24 @@ object IvfIndex {
   def searchStored(spark: SparkSession, table: String, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int = 5,
                    nprobe: Int = 4): DataFrame = {
+    val (probed, out) = searchStoredPlan(spark, table, queries, idCol, vecCol,
+      k, nprobe)
+    // eager localCheckpoint: k·|queries| rows, and nothing is left
+    // registered in the cache manager (Dedup.releaseAfter discipline)
+    val res = out.localCheckpoint()
+    probed.unpersist(blocking = false)
+    res
+  }
+
+  /** [[searchStored]]'s lazy plan, pre-materialization — (persisted
+    * probe table, top-k result). Split out so specs can inspect the
+    * bucket-pruned scan (the shipped wrapper reads back the
+    * checkpointed LogicalRDD); callers of THIS form own the probe
+    * cache release.
+    */
+  private[graft] def searchStoredPlan(spark: SparkSession, table: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): (DataFrame, DataFrame) = {
     val centroidMatrix = loadCentroids(spark, table)
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -228,9 +246,6 @@ object IvfIndex {
     val out = candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
-      .persist()
-    out.count()
-    probed.unpersist(blocking = false)
-    out
+    (probed, out)
   }
 }

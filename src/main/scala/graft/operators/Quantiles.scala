@@ -168,30 +168,31 @@ object Quantiles {
     val base = df.select(g, v).where(v.isNotNull)
     val loP = math.min(1.0, math.max(0.0, pLo))
     val hiP = math.min(1.0, math.max(0.0, pHi))
-    // LAZY persist: the stats frame feeds BOTH the count pass's
-    // broadcast and the bound join — without it Spark recomputes the
-    // whole GK sketch pass per occurrence (no common-subtree reuse).
-    // persist (not localCheckpoint) because an EAGER materialization
-    // adds a blocking job per call, which at small scale costs more
-    // than the duplicated sketch pass it saves (r10 lesson: the
-    // quantile family regressed 3-6× under an eager checkpoint); the
-    // lazy cache fills inside the first consumer's job instead. The
-    // frame is group-cardinality-sized, so the cache entry is tiny.
+    // SINGLE-CONSUMER stats: the sketch frame is broadcast into the
+    // count pass and its columns RIDE THROUGH that aggregation as
+    // grouping keys (they are functionally dependent on the group key
+    // — the trimmedMeanByGroup carry-through), so the GK pass runs
+    // exactly once with NO cache entry. The previous shape joined
+    // stats twice and papered over the recompute with a lazy persist
+    // that nothing ever released — the r10-flagged leak.
     val stats = base.groupBy(g).agg(
         count(lit(1)).as("n"),
         percentile_approx(v, lit(loP), lit(accuracy)).as("lo0"),
         percentile_approx(v, lit(hiP), lit(accuracy)).as("hi0"),
         min(v).as("vmin"), max(v).as("vmax"))
       .withColumn("k", greatest(lit(1L), least(col("n"), kOf(col("n")))))
-      .persist()
     // exact bracket verification: one count pass against the sketch
-    // bounds (stats is group-cardinality-sized — broadcast)
+    // bounds (stats is group-cardinality-sized — broadcast); the
+    // carried stats columns make this frame self-sufficient for the
+    // bound selection below
     val counts = base
-      .join(broadcast(stats.select(g, col("lo0"), col("hi0"))), groupCol)
-      .groupBy(g).agg(
+      .join(broadcast(stats), groupCol)
+      .groupBy(g, col("n"), col("lo0"), col("hi0"), col("vmin"),
+        col("vmax"), col("k"))
+      .agg(
         sum(when(v < col("lo0"), 1L).otherwise(0L)).as("c_lo"),
         sum(when(v <= col("hi0"), 1L).otherwise(0L)).as("c_hi"))
-    val br = stats.join(counts, groupCol)
+    val br = counts
       .withColumn("ok", col("c_lo") < col("k") && col("k") <= col("c_hi"))
       .select(g,
         when(col("ok"), col("lo0")).otherwise(col("vmin")).as("blo"),
@@ -239,7 +240,9 @@ object Quantiles {
     * DECIMAL(38,0); `valueCol` must be integral (fixed-point longs,
     * Long.MinValue/MaxValue excluded — the sentinel arithmetic needs
     * one spare value on each side, only ever materialized when the
-    * adjacent out-of-bracket region is nonempty).
+    * adjacent out-of-bracket region is nonempty). The exclusion is
+    * ENFORCED: a row at either extreme raises at scan time rather
+    * than risking a silent sentinel collision.
     *
     * Exactness does NOT ride on the sketch: GK's deterministic rank
     * bound guarantees each target rank lands inside its bracket, and
@@ -274,7 +277,21 @@ object Quantiles {
     val stats = base.groupBy(g).agg(
         count(lit(1)).as("n"),
         sum(dec(v)).as("__s"),
-        percentile_approx(v, probes, lit(accuracy)).as("q4"))
+        percentile_approx(v, probes, lit(accuracy)).as("q4"),
+        min(v).as("__vlo"), max(v).as("__vhi"))
+      // LOUD boundary guard at the call contract: the sentinel
+      // arithmetic needs one spare value on each side of the domain,
+      // so Long.MinValue/MaxValue are excluded (scaladoc) — enforced
+      // here by gating n itself (the bhAdjust __nbad convention), on
+      // GROUP rows (free) rather than a per-row scan branch (which
+      // would tax the corpus pass). A silent sentinel collision at the
+      // extremes would corrupt the rank arithmetic with no symptom.
+      .withColumn("n", when(
+        col("__vlo") === lit(Long.MinValue) || col("__vhi") === lit(Long.MaxValue),
+        raise_error(lit("trimmedMeanByGroup: valueCol at Long.MinValue/" +
+          "MaxValue — the sentinel arithmetic needs one spare value each " +
+          "side; rescale the fixed-point encoding")).cast("long"))
+        .otherwise(col("n")))
       .withColumn("k_trim", expr(s"(n * ${trimNum}L) div ${trimDen}L"))
       .withColumn("k1", col("k_trim") + lit(1L))
       .withColumn("k2", col("n") - col("k_trim"))

@@ -137,8 +137,9 @@ object SemDedup {
       .withColumn("cosine", Similarity.cosine(col("cvec"), col("nvec")))
       .filter(col("cosine") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("cosine"))
-      .persist()
-    out.count()
+      // eager localCheckpoint: pair-sized output, cache manager stays
+      // empty (the Dedup.releaseAfter discipline)
+      .localCheckpoint()
     probed.unpersist(blocking = false)
     out
   }

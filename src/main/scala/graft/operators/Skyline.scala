@@ -89,8 +89,9 @@ object Skyline extends Serializable {
         "(anti-correlated dimensions?) — raise the guard deliberately")
     val out = spark.createDataFrame(
       candidates.coalesce(1).rdd.mapPartitions(localSkyline), schema)
-      .persist()
-    out.count()
+      // eager localCheckpoint: skyline-sized output, cache manager
+      // stays empty (the Dedup.releaseAfter discipline)
+      .localCheckpoint()
     candidates.unpersist(blocking = false)
     out
   }

@@ -114,10 +114,47 @@ object StoredMerge {
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
   }
 
+  /** True while bucket-swap aside directories exist — i.e. an
+    * [[upsertBuckets]] swap is mid-flight or died mid-swap. The
+    * `.merge_tmp` staging dir deliberately does NOT count: it exists
+    * for the whole (long) batch materialization, during which the live
+    * tree is untouched and safely readable; the aside window is the
+    * short per-bucket rename loop, the only time a live bucket can be
+    * transiently ABSENT.
+    */
+  def pendingSwap(spark: SparkSession, path: String): Boolean = {
+    val asideRoot = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + ".old_tmp")
+    val fs = asideRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an EMPTY aside root is safe: it means the crash/abort hit before
+    // any live bucket moved (mkdirs precedes the first rename), so the
+    // live tree is complete — only actual aside ENTRIES mark buckets
+    // that may be absent from the live tree
+    fs.exists(asideRoot) && fs.listStatus(asideRoot).nonEmpty
+  }
+
   /** Read a [[writeBuckets]] table back (the `__bucket` partition
-    * column rides along — drop it for user-facing results). */
-  def readBuckets(spark: SparkSession, path: String): DataFrame =
+    * column rides along — drop it for user-facing results).
+    *
+    * READER VISIBILITY (r11 contract): a read never silently returns a
+    * half-swapped table. Between [[upsertBuckets]]'s two renames a
+    * live bucket is transiently absent — a reader opening then would
+    * silently MISS that bucket's rows — so opening while
+    * [[pendingSwap]] holds raises instead; run [[recoverMerge]] (after
+    * a crash) or retry after the swap window (healthy merge — the
+    * window is the rename loop only). A frame opened BEFORE the swap
+    * pins the pre-swap file listing: it reads the old bucket, or fails
+    * loudly on the renamed-away files (`ignoreMissingFiles` stays
+    * false) — old data or a loud error, never a silent mix.
+    */
+  def readBuckets(spark: SparkSession, path: String): DataFrame = {
+    if (pendingSwap(spark, path))
+      throw new IllegalStateException(
+        s"stored table $path has an unfinished bucket swap (in-flight " +
+          "merge or crash) — recoverMerge before reading, or retry " +
+          "after the swap completes")
     spark.read.parquet(path)
+  }
 
   /** Batch-wins merge into a [[writeBuckets]] directory, rewriting
     * ONLY the buckets the batch touches.

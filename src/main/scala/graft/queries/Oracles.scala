@@ -1333,6 +1333,134 @@ object Oracles {
     // char mass, and round-trip successes recomputed straight off the
     // raw text with q25's tokenizer; n_roundtrip = n_words pins the
     // identity.
+    // q57: the q54 recipe at the ENCODE — the fit's first merge is
+    // re-derived in SQL (identical CTEs), per-word greedy non-
+    // overlapping occurrence counts replay mergePair's left-to-right
+    // rule (floor(run/2) same-char, substring count otherwise), and
+    // per-doc depth-1 token counts are chars minus merges. Full-depth
+    // invariants are pinned as literal TRUE booleans.
+    "q57_bpe_encode" -> """
+      WITH w AS (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS word
+          FROM documents) GROUP BY word),
+      pos AS (
+        SELECT word, c, i,
+               substr(word, CAST(i AS INT), 1) AS ch,
+               substr(word, CAST(i AS INT) + 1, 1) AS nx
+        FROM w, unnest(range(1, len(word) + 1)) AS t(i)),
+      diffpairs AS (
+        SELECT ch AS l, nx AS r, CAST(sum(c) AS BIGINT) AS cnt
+        FROM pos WHERE CAST(i AS INT) < len(word) AND nx <> ch
+        GROUP BY 1, 2),
+      runs AS (
+        SELECT word, c, ch, run_id, count(*) AS run_len FROM (
+          SELECT word, c, i, ch,
+                 sum(CASE WHEN ch = lag_ch THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY word ORDER BY i) AS run_id
+          FROM (SELECT word, c, i, ch,
+                       lag(ch) OVER (PARTITION BY word ORDER BY i) AS lag_ch
+                FROM pos))
+        GROUP BY word, c, ch, run_id),
+      samepairs AS (
+        SELECT ch AS l, ch AS r,
+               CAST(sum((run_len // 2) * c) AS BIGINT) AS cnt
+        FROM runs WHERE run_len >= 2 GROUP BY 1, 2),
+      pairs AS (
+        SELECT l, r, CAST(sum(cnt) AS BIGINT) AS count
+        FROM (SELECT * FROM diffpairs UNION ALL SELECT * FROM samepairs)
+        GROUP BY 1, 2 HAVING sum(cnt) >= 2),
+      first AS (SELECT l, r FROM pairs ORDER BY count DESC, l, r LIMIT 1),
+      mcsame AS (
+        SELECT r.word, CAST(sum(r.run_len // 2) AS BIGINT) AS cnt
+        FROM runs r, first f
+        WHERE f.l = f.r AND r.ch = f.l AND r.run_len >= 2
+        GROUP BY r.word),
+      mcdiff AS (
+        SELECT w.word,
+               CAST((len(w.word) - len(replace(w.word, f.l || f.r, ''))) // 2 AS BIGINT) AS cnt
+        FROM w, first f WHERE f.l <> f.r),
+      mc AS (SELECT word, cnt FROM mcsame
+             UNION ALL SELECT word, cnt FROM mcdiff WHERE cnt > 0),
+      docw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS word
+        FROM documents)
+      SELECT d.doc_id,
+             count(*) AS n_words,
+             CAST(sum(len(d.word)) - sum(coalesce(mc.cnt, 0)) AS BIGINT) AS n_tokens_r1,
+             TRUE AS roundtrip_ok,
+             TRUE AS tokens_in_bracket
+      FROM docw d LEFT JOIN mc ON d.word = mc.word
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id""",
+
+    // q67: q57's depth-1 counts summed per source and pushed through
+    // q80's packing closed form (n_seqs = ceil, n_full = floor, token
+    // conservation); full-depth pack invariants pinned as TRUE.
+    "q67_tokenize_pack" -> """
+      WITH w AS (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS word
+          FROM documents) GROUP BY word),
+      pos AS (
+        SELECT word, c, i,
+               substr(word, CAST(i AS INT), 1) AS ch,
+               substr(word, CAST(i AS INT) + 1, 1) AS nx
+        FROM w, unnest(range(1, len(word) + 1)) AS t(i)),
+      diffpairs AS (
+        SELECT ch AS l, nx AS r, CAST(sum(c) AS BIGINT) AS cnt
+        FROM pos WHERE CAST(i AS INT) < len(word) AND nx <> ch
+        GROUP BY 1, 2),
+      runs AS (
+        SELECT word, c, ch, run_id, count(*) AS run_len FROM (
+          SELECT word, c, i, ch,
+                 sum(CASE WHEN ch = lag_ch THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY word ORDER BY i) AS run_id
+          FROM (SELECT word, c, i, ch,
+                       lag(ch) OVER (PARTITION BY word ORDER BY i) AS lag_ch
+                FROM pos))
+        GROUP BY word, c, ch, run_id),
+      samepairs AS (
+        SELECT ch AS l, ch AS r,
+               CAST(sum((run_len // 2) * c) AS BIGINT) AS cnt
+        FROM runs WHERE run_len >= 2 GROUP BY 1, 2),
+      pairs AS (
+        SELECT l, r, CAST(sum(cnt) AS BIGINT) AS count
+        FROM (SELECT * FROM diffpairs UNION ALL SELECT * FROM samepairs)
+        GROUP BY 1, 2 HAVING sum(cnt) >= 2),
+      first AS (SELECT l, r FROM pairs ORDER BY count DESC, l, r LIMIT 1),
+      mcsame AS (
+        SELECT r.word, CAST(sum(r.run_len // 2) AS BIGINT) AS cnt
+        FROM runs r, first f
+        WHERE f.l = f.r AND r.ch = f.l AND r.run_len >= 2
+        GROUP BY r.word),
+      mcdiff AS (
+        SELECT w.word,
+               CAST((len(w.word) - len(replace(w.word, f.l || f.r, ''))) // 2 AS BIGINT) AS cnt
+        FROM w, first f WHERE f.l <> f.r),
+      mc AS (SELECT word, cnt FROM mcsame
+             UNION ALL SELECT word, cnt FROM mcdiff WHERE cnt > 0),
+      docw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS word
+        FROM documents),
+      r1 AS (
+        SELECT d.doc_id,
+               CAST(sum(len(d.word)) - sum(coalesce(mc.cnt, 0)) AS BIGINT) AS n_tok
+        FROM docw d LEFT JOIN mc ON d.word = mc.word
+        GROUP BY d.doc_id),
+      src AS (
+        SELECT doc.source, CAST(sum(r1.n_tok) AS BIGINT) AS s
+        FROM r1 JOIN documents doc ON r1.doc_id = doc.doc_id
+        GROUP BY doc.source)
+      SELECT source,
+             CAST((s + 255) // 256 AS BIGINT) AS n_seqs,
+             s AS packed_tokens,
+             CAST(s // 256 AS BIGINT) AS n_full,
+             s AS doc_tokens,
+             TRUE AS full_pack_conserved,
+             TRUE AS full_all_but_last_full
+      FROM src ORDER BY source""",
+
     "q79_bpe_roundtrip" -> """
       WITH w AS (
         SELECT doc_id,

@@ -667,4 +667,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(got == refModularity(edges, Map(1L -> 7L)))
     assert(got.keySet == Set(7L, 2L, 3L))
   }
+
+  test("triangle census releases its adjacency cache (r10 leak): cache manager empty after each call") {
+    spark.catalog.clearCache()
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val census = Graphs.triangleStats(edges.toDF("a", "b"), "a", "b")
+    assert(cm.isEmpty, "triangleStats must unpersist its adjacency table")
+    assert(census.head().getLong(3) == 2L) // still correct after the release
+    val nodes = Graphs.nodeTriangles(edges.toDF("a", "b"), "a", "b")
+    assert(cm.isEmpty, "nodeTriangles must unpersist its adjacency table")
+    assert(nodes.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .apply(3L) == 2L)
+  }
+
+  test("guardedLongCast: in-range casts exactly, overflow raises, NULL propagates") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", "123"), ("b", Long.MaxValue.toString),
+        ("c", Long.MinValue.toString), ("d", null.asInstanceOf[String]))
+      .toDF("k", "s")
+      .select(col("k"), graft.functions.GraftFunctions.guardedLongCast(
+        col("s").cast("decimal(38,0)"), "overflow!").as("v"))
+    val got = df.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map("a" -> Some(123L), "b" -> Some(Long.MaxValue),
+      "c" -> Some(Long.MinValue), "d" -> None))
+    val over = Seq("9223372036854775808").toDF("s") // 2^63: one past MaxValue
+      .select(graft.functions.GraftFunctions.guardedLongCast(
+        col("s").cast("decimal(38,0)"), "modularity overflow guard").as("v"))
+    val e = intercept[Exception] { over.collect() }
+    assert(e.getMessage != null && e.getMessage.contains("overflow guard"))
+  }
 }

@@ -594,8 +594,13 @@ class OperatorsSpec extends AnyFunSuite {
       assert(stored.select("query_id", "rank", "corpus_id").collect().toSet == live)
       // the stored path must BUCKET-PRUNE: the scan reads a strict
       // subset of the 16 buckets (5 queries x 4 probes <= 16, and the
-      // plan records the selection)
-      val plan = stored.queryExecution.executedPlan.toString
+      // plan records the selection). The shipped wrapper materializes
+      // and releases (its plan reads back the checkpointed LogicalRDD),
+      // so the prune is asserted on the LAZY plan form.
+      val (probedPlan, lazyOut) = IvfIndex.searchStoredPlan(spark,
+        "ivf_spec_idx", queries, "vec_id", "embedding", 5, 4)
+      val plan = lazyOut.queryExecution.executedPlan.toString
+      probedPlan.unpersist(blocking = false)
       val sel = "SelectedBucketsCount".r.findFirstIn(plan)
       assert(sel.isDefined, s"bucketed scan expected in:\n$plan")
       val counts = "SelectedBucketsCount: (\\d+) out of (\\d+)".r

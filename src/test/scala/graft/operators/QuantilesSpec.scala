@@ -336,4 +336,41 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.getAs[Long]("cut_lo") == 2L && got.getAs[Long]("cut_hi") == 5L)
   }
 
+  test("trimmedMeanByGroup: Long.MinValue/MaxValue rows RAISE at the call boundary") {
+    import spark.implicits._
+    for (bad <- Seq(Long.MinValue, Long.MaxValue)) {
+      val rows = Seq(("g", 1L), ("g", 2L), ("g", bad), ("g", 4L))
+      val e = intercept[Exception] {
+        Quantiles.trimmedMeanByGroup(rows.toDF("g", "v"), "g", "v", 1, 4)
+          .collect()
+      }
+      assert(e.getMessage != null &&
+        e.getMessage.contains("sentinel arithmetic needs one spare value"),
+        s"expected the boundary guard for $bad, got: ${e.getMessage}")
+    }
+    // the guard is exact — values inside the boundary pass. (Values
+    // within double-rounding distance of 2⁶³ would still fail LOUDLY:
+    // percentile_approx interpolates in double, so a bracket probe can
+    // round onto the excluded extreme and collide with a sentinel; the
+    // GK crossing guard catches that. Fixed-point longs — the
+    // documented domain — sit far below 2⁵³ where doubles are exact.)
+    val ok = Quantiles.trimmedMeanByGroup(
+      Seq(("g", -(1L << 53)), ("g", 0L), ("g", 1L << 53))
+        .toDF("g", "v"), "g", "v", 0, 2).head()
+    assert(ok.getAs[Long]("n_kept") == 3L)
+  }
+
+  test("exactQuantileByGroup leaves the cache manager empty (release discipline)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i * 37 % 101).toLong)).toDF("g", "v")
+    val cut = Quantiles.exactQuantileByGroup(df, "g", "v", 0.5)
+    cut.collect()
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    assert(cm.isEmpty,
+      "exactRankByGroupImpl must not register cache entries (stats rides " +
+        "through the count pass as carried grouping keys)")
+  }
+
 }

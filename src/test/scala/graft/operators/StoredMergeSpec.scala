@@ -178,10 +178,23 @@ class StoredMergeSpec extends AnyFunSuite {
         StoredMerge.upsertBucketsImpl(spark, dir, updates, Seq("k"),
           nBuckets = 4, crashAfterStep = step)
       }
-      // (1) live tree readable mid-crash — partition discovery must not
-      // trip over swap state (asides live OUTSIDE the tree now)
-      val mid = StoredMerge.readBuckets(spark, dir).drop("__bucket")
-      mid.collect() // no unreadable-table repro
+      // (1) READER VISIBILITY mid-crash (r11 contract): before any
+      // rename (step 1) the live tree is untouched — a reader sees the
+      // OLD table exactly; once asides exist (steps 2/3, when a live
+      // bucket can be transiently absent) the open FAILS LOUDLY
+      // instead of silently missing a bucket's rows.
+      if (step == 1) {
+        assert(!StoredMerge.pendingSwap(spark, dir))
+        val mid = rows(StoredMerge.readBuckets(spark, dir).drop("__bucket"))
+        assert(mid == rows(base.toDF("k", "v", "ver")),
+          "pre-swap crash: reader must see the old table bit-exactly")
+      } else {
+        assert(StoredMerge.pendingSwap(spark, dir))
+        val e = intercept[IllegalStateException] {
+          StoredMerge.readBuckets(spark, dir)
+        }
+        assert(e.getMessage.contains("unfinished bucket swap"))
+      }
       // (2) explicit repair: every bucket complete (old or new), table
       // row-for-row consistent with a per-bucket old/new choice
       StoredMerge.recoverMerge(spark, dir)
@@ -196,6 +209,32 @@ class StoredMergeSpec extends AnyFunSuite {
       assert(rows(StoredMerge.readBuckets(spark, dir).drop("__bucket")) == newRows)
       noDebris(dir)
     }
+
+  test("a frame opened BEFORE a swap fails loudly when its files rename away — never silent missing rows") {
+    val dir = java.nio.file.Files.createTempDirectory("smv").toString + "/t"
+    import spark.implicits._
+    StoredMerge.writeBuckets(
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), (6L, "d", 1L))
+        .toDF("k", "v", "ver"), dir, Seq("k"), nBuckets = 4)
+    val preOpened = StoredMerge.readBuckets(spark, dir) // pins the file listing
+    // simulate the swap window: one live bucket renamed aside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("__bucket="))
+    assert(buckets.nonEmpty)
+    val victim = buckets.head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".old_tmp"))
+    assert(fs.rename(victim,
+      new org.apache.hadoop.fs.Path(dir + ".old_tmp/" + victim.getName)))
+    // the pre-opened frame must not silently return a partial table
+    intercept[Exception] { preOpened.collect() }
+    // and a NEW open refuses while the swap is pending
+    intercept[IllegalStateException] { StoredMerge.readBuckets(spark, dir) }
+    // recovery rolls the bucket home; reads heal
+    StoredMerge.recoverMerge(spark, dir)
+    assert(StoredMerge.readBuckets(spark, dir).count() == 4L)
+  }
 
   test("upsertBuckets: rename returning FALSE aborts before any delete") {
     import org.apache.spark.sql.functions._

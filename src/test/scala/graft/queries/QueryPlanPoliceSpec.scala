@@ -134,9 +134,23 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
 
   test("every declared query: no unlisted cartesian; no unlisted low-cardinality window; no global window outside q62") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
+    // cache-release discipline (r10 finding): operators materialize
+    // their small result and unpersist internals before returning, so
+    // CONSTRUCTING a query must leave the SQL cache manager EMPTY —
+    // a persist() anyone forgets to release fails here by query name.
+    // (persist() registers at call time, i.e. during fn(), so this
+    // catches lazy leaks without executing the returned plan.)
+    val cacheManager =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sharedState.cacheManager
+    spark.catalog.clearCache() // isolate from prior suites in the shared session
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sf).queryExecution.sparkPlan
+        if (!cacheManager.isEmpty) {
+          failures += s"$name: leaked cache entries (operator persist() without release)"
+          spark.catalog.clearCache()
+        }
         val cartesians = p.collect {
           case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
           case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
