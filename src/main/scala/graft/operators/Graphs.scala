@@ -148,13 +148,37 @@ object Graphs {
     * n_closed_wedges / n_wedges, left un-divided so the row
     * hash-certifies with no float.
     */
-  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  /** The census prologue every triangle operator shares: distinct
+    * undirected edges (checkpointed — degrees, orientation and the
+    * edge count all reuse it), per-node degrees, the oriented edge
+    * table, and the compact-forward oriented adjacency — per-source
+    * SORTED out-neighbor arrays under (degree, id) orientation, each
+    * bounded O(√m).
+    *
+    * `materializeEdges`: the LIVE census consumes the oriented edge
+    * table three times (adjacency build + both end-joins), so it
+    * checkpoints; [[AdjacencyIndex.save]] consumes it once (the
+    * adjacency build — stored readouts rebuild edges by exploding the
+    * stored adjacency) and skips the materialization job. The
+    * explode-instead-of-join form was ALSO measured for the live
+    * census and REJECTED (~20% slower at sf0.1 — the kTruss lesson:
+    * measure per call-site, never assume).
+    *
+    * `adj` comes back LAZILY PERSISTED (it feeds both end-joins;
+    * Spark does not reuse common subtrees) — the CALLER owns the
+    * release: materialize the small readout, then `adj.unpersist()`
+    * (the Dedup.releaseAfter discipline, enforced suite-wide by
+    * QueryPlanPoliceSpec's empty-cache sweep).
+    */
+  private[graft] def orientedAdjacency(edges: DataFrame, aCol: String,
+      bCol: String, materializeEdges: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val und = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint() // degrees + orientation + closure all reuse it
+      .localCheckpoint() // degrees + orientation + edge count all reuse it
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -162,10 +186,17 @@ object Graphs {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
     val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val o = withDeg.select(
+    val o0 = withDeg.select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+    val o = if (materializeEdges) o0.localCheckpoint() else o0
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist()
+    (und, deg, o, adj)
+  }
+
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     // EDGE-ITERATOR closure (Chiba–Nishizeki / Schank-Wagner forward):
     // a triangle x<y<z in (degree, id) order carries oriented edges
     // x→y, x→z, y→z, so it is counted EXACTLY ONCE as
@@ -177,17 +208,7 @@ object Graphs {
     // without ever materializing. Compact-forward orientation bounds
     // every adjacency array at O(√m), so rows stay small and skew-safe
     // at any graph shape.
-    // lazy persist: the adjacency table feeds BOTH end-joins and Spark
-    // does not reuse common subtrees — without it the aggregate runs
-    // twice (the quantile-stats lesson: persist, never an eager
-    // checkpoint, so no extra job barrier). RELEASED below: the census
-    // result is ONE row, so it is materialized eagerly (localCheckpoint
-    // — RDD blocks, never a cache-manager entry) and the m-sized
-    // adjacency cache is dropped before returning; a long-lived
-    // session never accumulates per-call adjacency entries.
-    val adj = o.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .persist()
+    val (und, deg, o, adj) = orientedAdjacency(edges, aCol, bCol)
     val tri = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
@@ -198,6 +219,9 @@ object Graphs {
     // double division anywhere (the 2^53 cast-exactness rule)
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(shiftright(col("deg") * (col("deg") - 1), 1)).as("n_wedges"))
+    // the census readout is ONE row: materialize it eagerly
+    // (localCheckpoint — RDD blocks, never a cache-manager entry) and
+    // release the m-sized adjacency cache before returning
     val out = nodeStats.crossJoin(base).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"), (col("n_triangles") * 3).as("n_closed_wedges"))
@@ -527,33 +551,13 @@ object Graphs {
     * degree 1 get lcc_den = 0 — callers treat 0/0 as undefined).
     */
   def nodeTriangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = edges
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val withDeg = und
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val o = withDeg.select(
-        when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
-    // edge-iterator closure ([[triangleStats]]): each triangle surfaces
-    // exactly once at its lowest oriented edge, as the exploded common
-    // out-neighbors of the edge's two ends — no wedge set ever
-    // materializes, every exchange stays m-sized, and the explode's
-    // output is triangle-count-sized (the per-corner credit rows)
-    // lazy persist — consumed by both end-joins, see [[triangleStats]];
-    // released below after the node-sized readout materializes
-    val adj = o.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .persist()
+    // edge-iterator closure over the shared [[orientedAdjacency]]
+    // prologue: each triangle surfaces exactly once at its lowest
+    // oriented edge, as the exploded common out-neighbors of the
+    // edge's two ends — no wedge set ever materializes, every exchange
+    // stays m-sized, and the explode's output is triangle-count-sized
+    // (the per-corner credit rows)
+    val (_, deg, o, adj) = orientedAdjacency(edges, aCol, bCol)
     val closed = o
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))

@@ -3763,6 +3763,42 @@ object Oracles {
     // x<y<z closes edges (x,y),(x,z),(y,z) exactly once. The engine
     // counts under DEGREE ordering instead; equal counts certify the
     // oriented plan. n_wedges = Σ d(d−1)/2 in integer arithmetic.
+    // q205: q151's per-node triple-join replay on the UNfiltered
+    // co-purchase graph (q133's edge set), cross-joined with q133's
+    // census scalars — one hash certifies the stored-adjacency build
+    // and both stored readouts.
+    "q205_stored_census" -> """
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+      tr AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      pn AS (
+        SELECT node, COUNT(*) AS t FROM (
+          SELECT a AS node FROM tr
+          UNION ALL SELECT b FROM tr
+          UNION ALL SELECT c FROM tr)
+        GROUP BY node),
+      census AS (
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS total_triangles)
+      SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+             CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+             CAST(2 * COALESCE(pn.t, 0) AS BIGINT) AS lcc_num,
+             CAST(d.deg * (d.deg - 1) AS BIGINT) AS lcc_den,
+             c.n_edges, c.n_wedges, c.total_triangles
+      FROM deg d LEFT JOIN pn USING (node) CROSS JOIN census c
+      ORDER BY n_triangles DESC, node LIMIT 15""",
+
     "q133_triangles" -> """
       WITH e AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stored census must be a pure re-serving of the live one: same
+  * rows bit-for-bit from both readouts, the stored adjacency reaching
+  * its end-join through the bucketing (no stored-side exchange), and
+  * nothing left in the cache manager after the build.
+  */
+class AdjacencyIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def edgesDf = {
+    val rnd = new scala.util.Random(41)
+    (Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L)) ++
+      Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)))
+      .filter(e => e._1 != e._2).toDF("a", "b")
+  }
+
+  test("stored readouts match the live census bit-for-bit; build leaves the cache empty") {
+    spark.catalog.clearCache()
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    val edges = edgesDf
+    val liveCensus = Graphs.triangleStats(edges, "a", "b").collect().toSeq
+    val liveNodes = Graphs.nodeTriangles(edges, "a", "b").collect().toSet
+    try {
+      AdjacencyIndex.save(spark, edges, "a", "b", "adjix_spec", buckets = 4)
+      assert(cm.isEmpty, "save must release the build's adjacency cache")
+      val storedCensus = AdjacencyIndex.triangleStatsStored(spark, "adjix_spec")
+        .collect().toSeq
+      assert(storedCensus == liveCensus)
+      val storedNodes = AdjacencyIndex.nodeTrianglesStored(spark, "adjix_spec")
+        .collect().toSet
+      assert(storedNodes == liveNodes)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS adjix_spec_adj")
+      spark.sql("DROP TABLE IF EXISTS adjix_spec_deg")
+      spark.sql("DROP TABLE IF EXISTS adjix_spec_meta")
+    }
+  }
+
+  test("stored end-join rides the src bucketing: no shuffle between the adjacency scan and the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      AdjacencyIndex.save(spark, edgesDf, "a", "b", "adjix_plan", buckets = 4)
+      // force the sort-merge path a 100 TB adjacency would take
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stored = AdjacencyIndex.triangleStatsStored(spark, "adjix_plan")
+      stored.collect()
+      val plan = stored.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the JOIN's bucketed side (the non-exploded adjacency scan) must
+      // reach it with no exchange; the exploded-ends side shuffles. The
+      // exploded side's leaves also scan _adj, so the assertion is on
+      // shuffles whose subtree is a BARE adjacency scan (no Generate).
+      def bareAdjScan(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains("adjix_plan_adj")) &&
+          !p.toString.contains("Generate")
+      val shufflesOverStored = plan.collect {
+        case s: ShuffleExchangeExec if bareAdjScan(s) => s
+      }
+      assert(plan.toString.contains("adjix_plan_adj"), "stored scan present")
+      assert(shufflesOverStored.isEmpty,
+        s"bucketed adjacency must not exchange before its end-join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS adjix_plan_adj")
+      spark.sql("DROP TABLE IF EXISTS adjix_plan_deg")
+      spark.sql("DROP TABLE IF EXISTS adjix_plan_meta")
+    }
+  }
+}

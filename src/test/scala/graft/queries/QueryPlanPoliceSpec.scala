@@ -63,6 +63,7 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q178_join_forecast"  -> 1, // 1-row matched-keys stats × 1-row outer-side counts
     "q187_permutation_test" -> 1, // 1-row observed-stats scalar against the b replicate rows
     "q197_modularity"     -> 1, // 1-row edge-count scalar onto the per-community rows
+    "q205_stored_census"  -> 2, // 1-row stored-meta × triangle-count scalars + the census scalar onto the top-15 rows
     "q200_gains"          -> 2) // q62's shape: threshold k-range cross + 1-row threshold-list scalar
 
   /** Queries allowed a window partitioned by a low-cardinality key
