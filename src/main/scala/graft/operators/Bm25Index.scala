@@ -128,6 +128,11 @@ object Bm25Index {
     Seq((stored.nDocs + b.nDocs, stored.sumDl + b.sumDl))
       .toDF("n_docs", "sum_dl")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    // mixed-session correctness (the DedupIndex.appendCorpus rule): the
+    // postings append runs through the BATCH frame's session, which may
+    // be a foreachBatch clone — refresh so the caller's session drops
+    // its stale pre-append file listing
+    spark.catalog.refreshTable(s"${name}_postings")
     load(spark, name)
   }
 

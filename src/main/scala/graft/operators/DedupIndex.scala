@@ -131,10 +131,16 @@ object DedupIndex {
     val bk = buckets(sigs, k, bands).persist()
     bk.write.mode("append").saveAsTable(s"${table}_buckets")
     // merge the batch's Bloom into the stored one (same build params ⇒
-    // compatible bit arrays) — an O(filter bytes) driver op, no rebuild
+    // compatible bit arrays) — an O(filter bytes) driver op, no rebuild.
+    // EMPTY-batch guard: stat.bloomFilter over zero rows yields a NULL
+    // buffer that BloomFilter.readFrom NPEs on — an all-dropped
+    // micro-batch (steady-state replays) must be a no-op append, not a
+    // crash (found by the composed-ingest parity spec's first batch).
     readBloom(spark, table).foreach { case (ref, items, fpp) =>
-      val merged = ref.filter.mergeInPlace(bk.stat.bloomFilter("band_hash", items, fpp))
-      writeBloom(spark, table, merged, items, fpp)
+      if (!bk.isEmpty) {
+        val merged = ref.filter.mergeInPlace(bk.stat.bloomFilter("band_hash", items, fpp))
+        writeBloom(spark, table, merged, items, fpp)
+      }
     }
     bk.unpersist(blocking = false)
     sigs.select(col("doc_id"), col("hset"))
@@ -142,6 +148,15 @@ object DedupIndex {
       .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${table}_sets")
     sigs.unpersist(blocking = false)
+    // MIXED-SESSION CORRECTNESS: the appends above run through the
+    // INPUT frame's session — under foreachBatch that is the
+    // micro-batch CLONE, and a write invalidates only the writing
+    // session's relation cache. Without an explicit refresh the
+    // caller's `spark` serves the stale pre-append file listing
+    // indefinitely (found by the composed-ingest parity spec: admitted
+    // docs were on disk but invisible to the next probe).
+    Seq(s"${table}_buckets", s"${table}_sets")
+      .foreach(spark.catalog.refreshTable)
   }
 
   /** A batch's LSH buckets under the corpus's signature scheme — the
@@ -173,6 +188,25 @@ object DedupIndex {
   def dedupAgainstStored(spark: SparkSession, table: String, newDocs: DataFrame,
                          idCol: String, textCol: String, threshold: Double = 0.5,
                          k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val (newSigs, lazyOut) = dedupAgainstStoredPlan(spark, table, newDocs,
+      idCol, textCol, threshold, k, bands, shingleN)
+    // eager localCheckpoint, not persist+count: the pair output is
+    // small by construction and checkpoint blocks stay OUT of the
+    // SQL cache manager (the Dedup.releaseAfter discipline)
+    val out = lazyOut.localCheckpoint()
+    newSigs.unpersist(blocking = false)
+    out
+  }
+
+  /** [[dedupAgainstStored]]'s lazy plan, pre-materialization —
+    * (persisted new-batch signatures, verified dup pairs). Split out so
+    * specs can inspect the stored-side join shape (the shipped wrapper
+    * reads back the checkpointed LogicalRDD); callers of THIS form own
+    * the signature cache release.
+    */
+  private[graft] def dedupAgainstStoredPlan(spark: SparkSession, table: String,
+      newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int, bands: Int, shingleN: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
     val newSigs = signatures(newDocs, idCol, textCol, k, shingleN).persist()
     val newBuckets = bloomPrune(spark, table,
@@ -197,12 +231,7 @@ object DedupIndex {
       .withColumn("jaccard", sorted_jaccard(col("h_n"), col("h_c")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
-      // eager localCheckpoint, not persist+count: the pair output is
-      // small by construction and checkpoint blocks stay OUT of the
-      // SQL cache manager (the Dedup.releaseAfter discipline)
-      .localCheckpoint()
-    newSigs.unpersist(blocking = false)
-    out
+    (newSigs, out)
   }
 
   /** The admission filter: the new batch minus documents that duplicate

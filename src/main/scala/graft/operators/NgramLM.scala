@@ -236,6 +236,14 @@ object NgramLM {
     val pre = merged.prefixes.localCheckpoint()
     val voc = vocabOut.map(_.localCheckpoint())
     store(Model(big, pre, vocabSize, voc, stored.order), name, buckets)
+    // mixed-session correctness (the DedupIndex.appendCorpus rule):
+    // the rewrites may run through the batch frame's session (a
+    // foreachBatch clone) — refresh so the CALLER's session drops any
+    // stale file listing before the reload below
+    Seq(s"${name}_bigrams", s"${name}_prefixes", s"${name}_meta")
+      .foreach(spark.catalog.refreshTable)
+    if (spark.catalog.tableExists(s"${name}_vocab"))
+      spark.catalog.refreshTable(s"${name}_vocab")
     load(spark, name)
   }
 

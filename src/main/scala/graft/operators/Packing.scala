@@ -88,9 +88,42 @@ object Packing {
     * training job reads to materialize packed examples.
     */
   def packManifest(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                   tokenCol: String, budget: Int, slices: Int = 1): DataFrame = {
+                   tokenCol: String, budget: Int, slices: Int = 1): DataFrame =
+    manifestOf(withOffsets(df, groupCols, orderCol, tokenCol, budget, slices),
+      groupCols, orderCol, budget)
+
+  /** [[packManifest]] CONTINUED from per-group base token offsets — the
+    * incremental-ingest form: a micro-batch packs where the previous
+    * one stopped, so concatenated increments tile the one-shot batch
+    * manifest exactly (per-(group, seq_id) token sums are equal once
+    * partial rows at batch boundaries are summed — spec-asserted).
+    * `baseOffsets` is (groupCols…, base_tok), group-sized (broadcast);
+    * groups absent from it start at 0. Pair with a stored offsets
+    * table merged via [[StoredMerge.upsertBuckets]] so the offset
+    * state survives restarts crash-atomically.
+    */
+  def packManifestFrom(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                       tokenCol: String, budget: Int,
+                       baseOffsets: DataFrame): DataFrame = {
+    val withBase = withOffsets(df, groupCols, orderCol, tokenCol, budget)
+      .join(broadcast(baseOffsets
+        .select((groupCols.map(col) :+ col("base_tok").cast("long")): _*)),
+        groupCols, "left")
+      .withColumn("__b", coalesce(col("base_tok"), lit(0L)))
+      .withColumn("cum_tokens", col("cum_tokens") + col("__b"))
+      .withColumn("start_tok", col("start_tok") + col("__b"))
+      .withColumn("first_seq", floor(col("start_tok") / budget))
+      .withColumn("last_seq", floor((col("cum_tokens") - 1) / budget))
+      .drop("base_tok", "__b")
+    manifestOf(withBase, groupCols, orderCol, budget)
+  }
+
+  /** The shared manifest roll-up over an offsets frame (see
+    * [[withOffsets]] for the column contract). */
+  private def manifestOf(withOff: DataFrame, groupCols: Seq[String],
+                         orderCol: String, budget: Int): DataFrame = {
     val gcols = groupCols.map(col)
-    withOffsets(df, groupCols, orderCol, tokenCol, budget, slices)
+    withOff
       .select(gcols :+ col(orderCol).as("doc_key") :+ col("start_tok") :+
         col("cum_tokens") :+
         explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"): _*)

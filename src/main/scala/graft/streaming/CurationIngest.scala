@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.Curation
+import graft.functions.TextFunctions
+import graft.operators.{DedupIndex, NgramLM, Packing, StoredMerge}
+
+/** The STREAMING dual of the composed pretraining pipeline (batch
+  * q204): normalize → PII scrub → stored-index near-dup admission
+  * ([[DedupIndex.admitAgainstStored]]'s math — exact dups are the
+  * jaccard=1 case, so one stage covers both) → stored-LM quality gate
+  * → split assign → offset-continued sequence packing, wired through
+  * ONE Structured Streaming job on [[graft.Pipeline]]'s ingest
+  * discipline (foreachBatch — the same shape its loader uses: the
+  * streaming plan carries only control flow; each micro-batch runs
+  * the full batch operators, so the 100 TB plan properties — bucketed
+  * stored sides, bloom-pruned probes, broadcast-sized batch sides —
+  * are identical to the certified batch legs).
+  *
+  * STATE lives in stored tables, not the state store, so it is shared
+  * with batch jobs and survives restarts:
+  *  - the [[DedupIndex]] corpus (buckets + sets + bloom): each batch's
+  *    ADMITTED docs append, so later batches dedup against earlier
+  *    admissions;
+  *  - the [[NgramLM]] stored model (read-only here — quality drift
+  *    retrains offline);
+  *  - per-split pack offsets, merged crash-atomically via
+  *    [[StoredMerge.upsertBuckets]] with a batch-id high-water mark
+  *    for replay idempotence (foreachBatch replays after a crash; a
+  *    replayed commit must not advance offsets twice).
+  *
+  * PARITY CONTRACT (spec-proven): processing a day's corpus in ANY
+  * micro-batch split, arrivals in doc_id order, yields bit-identical
+  * admissions, bucket totals, and per-(bucket, seq) packed token sums
+  * to ONE batch run of [[curateBatch]] over the same corpus and
+  * day-0 state — micro-batching is invisible in the output. Boundary
+  * (documented, q204 owns it): near-dup pairs WITHIN one day resolve
+  * against the stored corpus only — intra-day survivorship (keep
+  * longest) is the batch q204 job's semantic, not an admission
+  * stream's, which cannot know the future.
+  */
+object CurationIngest {
+
+  final case class Config(
+      dedupTable: String,
+      lmTable: String,
+      offsetsPath: String,
+      scoreCut: Double,
+      budget: Int = 256,
+      threshold: Double = 0.5,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      offsetBuckets: Int = 4)
+
+  /** Seed the stored pack-offset table: every split bucket at token 0,
+    * batch high-water mark −1 (nothing committed). */
+  def initOffsets(spark: SparkSession, cfg: Config): Unit = {
+    import spark.implicits._
+    StoredMerge.writeBuckets(
+      Seq("train", "val", "test").map(b => (b, 0L, -1L))
+        .toDF("bucket", "base_tok", "last_batch"),
+      cfg.offsetsPath, Seq("bucket"), cfg.offsetBuckets)
+  }
+
+  private def offsets(spark: SparkSession, cfg: Config): DataFrame =
+    StoredMerge.readBuckets(spark, cfg.offsetsPath).drop("__bucket")
+
+  /** ONE batch of the composed chain, PURE READ (state unchanged) —
+    * the function the streaming job runs per micro-batch, and the
+    * batch replay the parity spec compares against. Input: (doc_id,
+    * text). Returns (labeled, manifestIncrement):
+    *  - labeled: doc_id, clean, n_tok, score, bucket ∈
+    *    {drop:stored_dup, drop:quality, train, val, test};
+    *  - manifestIncrement: per-(bucket, seq_id) pack rows CONTINUING
+    *    from the stored offsets.
+    */
+  def curateBatch(spark: SparkSession, docs: DataFrame,
+                  cfg: Config): (DataFrame, DataFrame) = {
+    val model = NgramLM.load(spark, cfg.lmTable)
+    val cleaned = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Curation.redactPii(Curation.normalizeText(col("text"))).as("clean"))
+      .withColumn("n_tok", TextFunctions.tokenCount(col("clean")).cast("long"))
+    val dupIds = DedupIndex.dedupAgainstStored(spark, cfg.dedupTable, cleaned,
+        "doc_id", "clean", cfg.threshold, cfg.k, cfg.bands, cfg.shingleN)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    // empty-after-scrub docs have no grams and no score row: they gate
+    // out as drop:quality (coalesce to below any positive cut)
+    val scores = NgramLM.likelihoodMass(cleaned, "doc_id", "clean", model)
+      .select(col("doc_id"), col("score"))
+    val labeled = cleaned
+      .join(dupIds, Seq("doc_id"), "left")
+      .join(scores, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .withColumn("bucket",
+        when(col("__dup"), lit("drop:stored_dup"))
+          .when(col("score") < cfg.scoreCut, lit("drop:quality"))
+          .otherwise(Curation.splitAssign(col("doc_id"))))
+      .select(col("doc_id"), col("clean"), col("n_tok"), col("score"),
+        col("bucket"))
+    val admitted = labeled.filter(!col("bucket").startsWith("drop:"))
+    val manifest = Packing.packManifestFrom(
+      admitted.select(col("bucket"), col("doc_id"), col("n_tok")),
+      groupCols = Seq("bucket"), orderCol = "doc_id", tokenCol = "n_tok",
+      budget = cfg.budget,
+      baseOffsets = offsets(spark, cfg).select(col("bucket"), col("base_tok")))
+    (labeled, manifest)
+  }
+
+  /** Apply a processed batch's state updates — admitted docs append to
+    * the dedup corpus; pack offsets advance under the batch-id
+    * high-water mark (a foreachBatch REPLAY of an already-committed
+    * batch is a no-op, covering the corpus append too). Single writer
+    * per table path (the [[StoredMerge]] contract — the Pipeline's
+    * one-query-per-checkpoint discipline provides it).
+    */
+  def commitBatch(spark: SparkSession, labeled: DataFrame, batchId: Long,
+                  cfg: Config): Unit = {
+    import spark.implicits._
+    val off = offsets(spark, cfg)
+    val committed = off.agg(max(col("last_batch"))).head.getLong(0)
+    if (committed >= batchId) return // replayed batch: already applied
+    val admitted = labeled.filter(!col("bucket").startsWith("drop:"))
+    DedupIndex.appendCorpus(spark, admitted.select(col("doc_id"), col("clean")),
+      "doc_id", "clean", cfg.dedupTable, cfg.k, cfg.bands, cfg.shingleN)
+    val sums = admitted.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).cast("long").as("__add"))
+    val updated = off.join(sums, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("base_tok") + coalesce(col("__add"), lit(0L))).as("base_tok"),
+        lit(batchId).as("last_batch"))
+    StoredMerge.upsertBuckets(spark, cfg.offsetsPath, updated,
+      Seq("bucket"), cfg.offsetBuckets)
+  }
+
+  /** The ONE streaming job: micro-batches of (doc_id, text) through
+    * [[curateBatch]], labeled rows and manifest increments appended as
+    * batch-id-partitioned parquet (replay overwrites its own partition
+    * — idempotent), then [[commitBatch]]. */
+  def start(spark: SparkSession, docs: DataFrame, cfg: Config,
+            labeledDir: String, manifestDir: String, checkpointDir: String,
+            trigger: String = "5 seconds"): StreamingQuery = {
+    // a crash between upsertBuckets' renames leaves the offsets table
+    // refusing reads (StoredMerge's r11 reader contract) — repair on
+    // entry, exactly like the merge path itself does
+    StoredMerge.recoverMerge(spark, cfg.offsetsPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(trigger))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (labeled, manifest) = curateBatch(spark, batch, cfg)
+        // one materialization serves the two sinks and the commit
+        val l = labeled.localCheckpoint()
+        l.write.mode("overwrite").parquet(s"$labeledDir/batch_id=$batchId")
+        manifest.write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
+        commitBatch(spark, l, batchId, cfg)
+        ()
+      }
+      .start()
+  }
+}

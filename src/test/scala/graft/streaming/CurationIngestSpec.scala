@@ -1,0 +1,221 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed-ingest seam the solo streaming specs leave untested:
+  * normalize → scrub → stored-index dedup admission → stored-LM gate →
+  * split → offset-continued packing as ONE streaming job, proven
+  * BIT-EQUAL to a single batch run of the same chain over the same
+  * corpus and day-0 state — micro-batching must be invisible in the
+  * admitted set, the bucket totals, and the packed token layout.
+  */
+class CurationIngestSpec extends AnyFunSuite {
+  import graft.operators.{DedupIndex, NgramLM, StoredMerge}
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---- day-0 corpus: the stored state both runs start from ----------
+  private val vocabSentences = Seq(
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "a steady stream of fresh water flows past the old stone mill",
+    "the miller grinds golden wheat into fine flour every single morning",
+    "fresh bread from the village oven smells of warm golden wheat",
+    "the lazy dog sleeps beside the warm oven while the fox watches",
+    "every morning the village wakes to the steady sound of the mill",
+    "stone walls keep the flour dry through the long wet winter months",
+    "the river rises in spring and turns the great wheel of the mill")
+  // each sentence stored twice: seen-bigram counts reach c2 = 2, so an
+  // in-domain score (≈ 3/(2+V)) separates ~3x from the add-one floor
+  // (1/V) — two copies are what give the LM gate a usable margin on a
+  // corpus this small
+  private def day0: DataFrame =
+    (vocabSentences ++ vocabSentences).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  /** Day-1 arrivals in doc_id order: exact replays (PII-salted), a
+    * near-dup trailer variant, out-of-domain junk, and novel
+    * recombinations of the day-0 vocabulary (distinct enough to clear
+    * the jaccard threshold vs every stored doc).
+    */
+  private val day1: Seq[(Long, String)] = {
+    val replays = Seq(
+      100L -> (vocabSentences(0) + " contact alice@example.com"),
+      101L -> (vocabSentences(3) + " reach bob@corp.org"))
+    val nearDup = Seq(
+      102L -> (vocabSentences(1) + " flows past the old stone mill again"))
+    val junk = Seq(
+      103L -> "zxqv blorp wug snarf glip norb quux zelch vrump klaatu barada nikto",
+      104L -> "qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp aaaa ssss")
+    // novel in-domain docs: a 13-word base from two day-0 sentences
+    // (64 distinct bases) + TWO per-doc tokens inserted at doc-varying
+    // positions. The insertions disrupt ~6 of ~12 base shingles, so any
+    // two same-base docs sit near jaccard ~0.25 and every doc sits well
+    // under 0.5 vs every stored sentence — no intra-day near-dup pair
+    // exists (the documented parity boundary), while ~85% of bigrams
+    // stay in-domain so the LM gate clears them.
+    val novel = (110L until 280L).map { i =>
+      val base = (vocabSentences((i % 8).toInt).split(" ") ++
+        vocabSentences(((i / 8) % 8).toInt).split(" ")).take(13)
+      val p1 = ((i * 5) % 11 + 1).toInt
+      val p2 = ((i * 7) % 13 + 1).toInt
+      i -> base.patch(p1, Seq(s"zq${i}a"), 0).patch(p2 + 1, Seq(s"zq${i}b"), 0)
+        .mkString(" ")
+    }
+    replays ++ nearDup ++ junk ++ novel
+  }
+
+  private def freshState(tag: String): CurationIngest.Config = {
+    // nanoTime-fresh table names: overwrite cannot replace orphan
+    // warehouse dirs from a previous session (the DedupIndexSpec rule)
+    val t0 = System.nanoTime()
+    val dedup = s"ci_${tag}_${t0}_dedup"
+    val lm = s"ci_${tag}_${t0}_lm"
+    val cleaned0 = day0.select(col("doc_id"),
+      graft.functions.Curation.redactPii(
+        graft.functions.Curation.normalizeText(col("text"))).as("clean"))
+    DedupIndex.saveCorpus(spark, cleaned0, "doc_id", "clean", dedup)
+    NgramLM.store(NgramLM.fit(cleaned0, "doc_id", "clean"), lm)
+    val cfg = CurationIngest.Config(
+      dedupTable = dedup, lmTable = lm,
+      offsetsPath = java.nio.file.Files
+        .createTempDirectory(s"ci_${tag}_off").toString + "/offsets",
+      scoreCut = scoreCutFor(lm), budget = 32)
+    CurationIngest.initOffsets(spark, cfg)
+    cfg
+  }
+
+  /** The gate cut, derived once from the stored model on neutral text
+    * (junk scores near the add-one floor; in-domain scores far above). */
+  private def scoreCutFor(lm: String): Double = {
+    val model = NgramLM.load(spark, lm)
+    val probe = Seq(
+      (1L, "the quick brown fox sleeps beside the old stone mill"),
+      (2L, "zxqv blorp wug snarf glip norb quux zelch vrump"))
+      .toDF("doc_id", "text")
+    val s = NgramLM.likelihoodMass(probe, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(s(1L) > 2 * s(2L), s"cut must separate: $s")
+    (s(1L) + s(2L)) / 2
+  }
+
+  private def rowsOf(df: DataFrame): Set[(Long, Long, String)] =
+    df.select(col("doc_id"), col("n_tok"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  private def manifestRollup(df: DataFrame): Map[(String, Long), (Long, Long, Long, Long)] =
+    df.groupBy(col("bucket"), col("seq_id"))
+      .agg(sum(col("n_docs")).as("nd"), sum(col("n_tokens")).as("nt"),
+        min(col("first_doc")).as("fd"), max(col("last_doc")).as("ld"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("streaming (3 micro-batches) bit-equals the one-shot batch chain; every stage fires; offsets converge") {
+    val streamCfg = freshState("s")
+    val batchCfg = freshState("b")
+
+    // ---- batch replay: ONE curateBatch over the whole day ----------
+    val (bLabeled, bManifest) =
+      CurationIngest.curateBatch(spark, day1.toDF("doc_id", "text"), batchCfg)
+    val bRows = rowsOf(bLabeled)
+    val bRoll = manifestRollup(bManifest)
+
+    // ---- the ONE streaming job, three doc_id-ordered micro-batches --
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val tmp = java.nio.file.Files.createTempDirectory("ci_out").toString
+    val q = graft.Pipeline.startCurationIngest(spark,
+      input.toDF().toDF("doc_id", "text"), streamCfg,
+      s"$tmp/labeled", s"$tmp/manifest", s"$tmp/ckpt",
+      triggerInterval = "1 seconds")
+    try {
+      val (b1, rest) = day1.splitAt(4)
+      val (b2, b3) = rest.splitAt(30)
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val sLabeled = spark.read.parquet(s"$tmp/labeled")
+    val sManifest = spark.read.parquet(s"$tmp/manifest")
+
+    // ---- bit-parity ------------------------------------------------
+    assert(rowsOf(sLabeled) == bRows,
+      "admitted set + bucket labels must be identical under any micro-batch split")
+    assert(manifestRollup(sManifest) == bRoll,
+      "per-(bucket, seq) packed layout must tile the one-shot manifest exactly")
+
+    // ---- stage coverage: every bucket provably fires ----------------
+    val buckets = bRows.map(_._3)
+    assert(Set("drop:stored_dup", "drop:quality", "train", "val", "test")
+      .subsetOf(buckets), s"stages missing: $buckets")
+    assert(bRows.count(_._3 == "drop:stored_dup") >= 3) // 2 exact + 1 near
+    assert(bRows.count(_._3 == "drop:quality") >= 2)
+
+    // ---- stored state converges to the replay's closed form ---------
+    val admittedSums = bLabeled.filter(!col("bucket").startsWith("drop:"))
+      .groupBy(col("bucket")).agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val off = StoredMerge.readBuckets(spark, streamCfg.offsetsPath)
+      .select(col("bucket"), col("base_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(off == Map("train" -> admittedSums.getOrElse("train", 0L),
+      "val" -> admittedSums.getOrElse("val", 0L),
+      "test" -> admittedSums.getOrElse("test", 0L)))
+
+    // ---- replayed commit is a no-op (foreachBatch crash-replay) -----
+    CurationIngest.commitBatch(spark,
+      sLabeled.filter(!col("bucket").startsWith("drop:")), batchId = 0L,
+      streamCfg)
+    val off2 = StoredMerge.readBuckets(spark, streamCfg.offsetsPath)
+      .select(col("bucket"), col("base_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(off2 == off, "a committed batch id must not advance offsets twice")
+
+    // ---- cross-batch state: batch-2/3 replays of batch-1 ADMITS are
+    // suppressed by the appended corpus (prove with one more arrival) --
+    val admittedId = bRows.filter(r => r._3 == "train").head._1
+    val replayText = day1.toMap.apply(admittedId)
+    val (relabeled, _) = CurationIngest.curateBatch(spark,
+      Seq((900L, replayText)).toDF("doc_id", "text"), streamCfg)
+    assert(rowsOf(relabeled).head._3 == "drop:stored_dup",
+      "an earlier ADMITTED doc must suppress its later replay via the appended corpus")
+  }
+
+  test("zero-exchange stored side: the dedup probe's _sets scan reaches its join through the bucketing") {
+    val cfg = freshState("p")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cleaned = day1.toDF("doc_id", "text").select(col("doc_id"),
+        graft.functions.Curation.redactPii(
+          graft.functions.Curation.normalizeText(col("text"))).as("clean"))
+      val (sigs, lazyOut) = DedupIndex.dedupAgainstStoredPlan(spark,
+        cfg.dedupTable, cleaned, "doc_id", "clean", cfg.threshold,
+        cfg.k, cfg.bands, cfg.shingleN)
+      lazyOut.collect()
+      val plan = lazyOut.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      sigs.unpersist(blocking = false)
+      def scansSets(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains(s"${cfg.dedupTable}_sets"))
+      val shuffledSets = plan.collect {
+        case s: ShuffleExchangeExec if scansSets(s) => s
+      }
+      assert(plan.toString.contains(s"${cfg.dedupTable}_sets"),
+        s"stored sets scan expected in:\n$plan")
+      assert(shuffledSets.isEmpty,
+        s"stored sets must ride their doc_id bucketing into the fetch join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
