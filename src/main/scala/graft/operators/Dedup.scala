@@ -165,6 +165,21 @@ object Dedup {
         .select(col("doc_id"), col("sig")),
       maxHamming, bands)
 
+  /** [[simhashPairs]]' lazy plan — (cached signature table, UNMATERIALIZED
+    * pair frame). For callers that verify candidates further (q21's
+    * exact-Jaccard stage): composing lazily fuses band join → hamming
+    * prune → fetch → verify into ONE job, skipping the materialization
+    * of the (possibly millions-row) intermediate pair set entirely.
+    * Callers own the signature cache release after THEIR final
+    * materialization.
+    */
+  private[graft] def simhashPairsPlan(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int, bands: Int): (DataFrame, DataFrame) =
+    hammingPairs64Plan(
+      withSimhash(df.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+        .select(col("doc_id"), col("sig")),
+      maxHamming, bands)
+
   /** Signature-GENERIC band-LSH Hamming pairing over any 64-bit
     * fingerprint frame (doc_id, sig) — the engine under
     * [[simhashPairs]], reused verbatim by perceptual-hash image dedup
@@ -175,6 +190,14 @@ object Dedup {
     */
   def hammingPairs64(sigs0: DataFrame, maxHamming: Int = 3,
                      bands: Int = 4): DataFrame = {
+    val (sigs, verified) = hammingPairs64Plan(sigs0, maxHamming, bands)
+    releaseAfter(Seq(sigs), verified)
+  }
+
+  /** [[hammingPairs64]]'s lazy plan (see [[simhashPairsPlan]]) —
+    * (cached signatures, unmaterialized verified pairs). */
+  private[graft] def hammingPairs64Plan(sigs0: DataFrame, maxHamming: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     require(64 % bands == 0, "bands must divide 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
@@ -211,7 +234,7 @@ object Dedup {
       .withColumn("hamming", bit_count(x))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
-    releaseAfter(Seq(sigs), verified)
+    (sigs, verified)
   }
 
   /** Multi-block SimHash banding (the combination scheme behind Manku's

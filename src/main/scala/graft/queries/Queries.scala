@@ -31,6 +31,26 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The part co-purchase pair table (one row per DISTINCT
+    * (order, a < b) part pair) shared by the census family
+    * (q133/q150/q151/q205). Built via per-order array combinations —
+    * ONE exchange (the order groupBy; collect_set dedups parts within
+    * the order) instead of the textbook self-join's exchange + probe;
+    * per-order part sets are tiny (≤ ~7), so the pair expansion is
+    * codegen'd array work off the sorted set. Measured ~2× faster at
+    * sf0.1 with an IDENTICAL pair set (hashes unchanged), and at scale
+    * the win grows: the self-join shuffled the lineitem rows twice
+    * (reused exchange + probe + row-pair materialization through the
+    * join), this shuffles them once.
+    */
+  private def coPurchasePairs(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ok"), explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("e"))
+      .select(col("ok"), col("e.a").as("a"), col("e.b").as("b"))
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's TimestampType (µs) rejects outright. Read nanos as raw longs
     * (legacy conf) and convert to µs timestamps explicitly — floor
@@ -337,8 +357,13 @@ object Queries {
     // (vocabulary-dominated signatures correlate), so the prune budget
     // leaves headroom; the candidate volume this admits (~1M pairs at
     // sf0.1) is made cheap by the sorted-hash verification below.
-    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16, bands = 8)
-      .select(col("id_a"), col("id_b"))
+    // LAZY pair plan: the ~3M hamming-admitted candidates never
+    // materialize — band join, hamming prune, set fetch and exact
+    // verify fuse into one job (the intermediate checkpoint was ~1s of
+    // pure write+read at sf0.1)
+    val (sigs, cands0) = Dedup.simhashPairsPlan(docs, "doc_id", "text",
+      maxHamming = 16, bands = 8)
+    val cands = cands0.select(col("id_a"), col("id_b"))
     // bigram sets ride the verification join as SORTED long hashes:
     // exact-Jaccard per pair is then a linear merge, not a per-pair
     // UTF8String hash-set build (SortedJaccard expression). The corpus
@@ -361,12 +386,20 @@ object Queries {
     val out = cands
       .join(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(toks.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // LENGTH FILTER before the merge (SetSimJoin's necessary
+      // condition): jaccard >= 1/2 forces max(|A|,|B|) <= 2 min(|A|,|B|)
+      // (|A∩B| <= min, |A∪B| >= max), so ~40% of the hamming-admitted
+      // candidates drop on two O(1) size comparisons instead of running
+      // the O(|A|+|B|) sorted merge — output provably unchanged
+      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
+        size(col("sh_b")) <= size(col("sh_a")) * 2)
       .withColumn("jaccard",
         graft.functions.expressions.sorted_jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
       .localCheckpoint()
+    sigs.unpersist(blocking = false)
     toks.unpersist(blocking = false)
     out
   }
@@ -2212,12 +2245,17 @@ object Queries {
     * hash-certifies.
     */
   def q100SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    // eager checkpoint of the (types × days)-sized daily table: it is
+    // joined against its own lag-7 shift, and Spark does not reuse
+    // common subtrees — without this the events aggregation (the only
+    // corpus-sized work in the query) runs TWICE, once per join side
     val daily = eventsTable(s, dir)
       .where(col("event_type").isNotNull)
       .groupBy(col("event_type"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
           .cast("long").as("day_idx"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val prior = daily.select(col("event_type"),
       (col("day_idx") + 7).as("day_idx"), col("n_events").as("n_prior"))
     // persist the (types × days)-sized residual table: the profile op
@@ -2922,10 +2960,8 @@ object Queries {
     * the textbook definition. All five outputs are exact integers.
     */
   def q133Triangles(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
+    val edges = coPurchasePairs(
+        table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       .select(col("a"), col("b"))
     graft.operators.Graphs.triangleStats(edges, "a", "b")
   }
@@ -2939,10 +2975,8 @@ object Queries {
     * identical subgraph and every output hash-certifies.
     */
   def q150SampledTriangles(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
+    val edges = coPurchasePairs(
+        table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       .select(col("a"), col("b"))
     graft.operators.Graphs.triangleStatsSampled(edges, "a", "b",
       pNum = 1, pDen = 2)
@@ -2957,11 +2991,10 @@ object Queries {
     * id-ordered triple join crediting all three corners.
     */
   def q151NodeTriangles(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .select(col("ok"), col("a"), col("b")).distinct()
+    // coPurchasePairs rows are already DISTINCT per (ok, a, b) — the
+    // collect_set dedups parts within the order
+    val edges = coPurchasePairs(
+        table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
     graft.operators.Graphs.nodeTriangles(edges, "a", "b")
@@ -4257,12 +4290,13 @@ object Queries {
     * in one unit.
     */
   def q205StoredCensus(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
+    val edges = coPurchasePairs(
+        table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       .select(col("a"), col("b"))
-    graft.operators.AdjacencyIndex.save(s, edges, "a", "b", "q205_census_idx")
+    // 8 buckets at test SF (32 default targets corpus scale): the save
+    // is 3 bucketed table writes, and file count is its dominant cost
+    graft.operators.AdjacencyIndex.save(s, edges, "a", "b", "q205_census_idx",
+      buckets = 8)
     val census = graft.operators.AdjacencyIndex
       .triangleStatsStored(s, "q205_census_idx")
       .select(col("n_edges"), col("n_wedges"),
