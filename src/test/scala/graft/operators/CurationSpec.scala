@@ -208,6 +208,42 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packManifestFrom: increments under ANY batch split tile the one-shot manifest, incl. exact-boundary offsets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val budget = 50
+    val docs = (for (g <- Seq("a", "b"); i <- 0 until 30)
+      yield (g, i.toLong, 1 + rnd.nextInt(30))) ++
+      // force an EXACT budget-boundary handoff for group c: batch 1
+      // ends at precisely 2*budget tokens, so batch 2 must open a new
+      // sequence, not continue a partial one
+      Seq(("c", 0L, 60), ("c", 1L, 40), ("c", 2L, 7), ("c", 3L, 50))
+    val oneShot = Packing.packManifest(docs.toDF("source", "doc_id", "n_tokens"),
+        Seq("source"), "doc_id", "n_tokens", budget)
+      .groupBy($"source", $"seq_id")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("t"),
+        org.apache.spark.sql.functions.sum($"n_docs").as("d"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    for (cut <- Seq(1, 17, 31, 62)) { // incl. a batch of 1 and a near-total batch
+      val (b1, b2) = docs.sortBy(d => (d._1, d._2)).splitAt(cut)
+      def run(batch: Seq[(String, Long, Int)], base: Map[String, Long]) =
+        Packing.packManifestFrom(batch.toDF("source", "doc_id", "n_tokens"),
+          Seq("source"), "doc_id", "n_tokens", budget,
+          base.toSeq.toDF("source", "base_tok"))
+      val base1 = Map.empty[String, Long] // absent groups start at 0
+      val m1 = run(b1, base1).collect()
+      val base2 = b1.groupBy(_._1).view.mapValues(_.map(_._3.toLong).sum).toMap
+      val m2 = run(b2, base2).collect()
+      val tiled = (m1 ++ m2)
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id")) ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"))))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).sum, vs.map(_._2._2).sum)).toMap
+      assert(tiled == oneShot, s"cut=$cut must tile the one-shot manifest")
+    }
+  }
+
   test("epochExpand: fixed-point copies match a JVM md5 oracle, incl. downsampling") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
