@@ -41,8 +41,16 @@ object AdjacencyIndex {
     * semantics require the reset to be unconditional. */
   private def resetTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(wh, table)
+    // resolve the orphan directory through the CATALOG, not by hand-
+    // joining warehouse.dir + name: the metastore lowercases directory
+    // names and a non-default current database nests them under
+    // <db>.db/ — a hand-built path misses both and the
+    // LOCATION_ALREADY_EXISTS failure this reset exists to prevent
+    // resurfaces (r11 ADVICE)
+    val sessionState =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
+    val p = new org.apache.hadoop.fs.Path(sessionState.catalog.defaultTablePath(
+      sessionState.sqlParser.parseTableIdentifier(table)))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }
@@ -99,6 +107,54 @@ object AdjacencyIndex {
     spark.table(s"${name}_meta").crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"), (col("n_triangles") * 3).as("n_closed_wedges"))
+  }
+
+  /** [[Graphs.triangleStatsSampled]] (DOULION) from the stored tables —
+    * the sampled census served WITHOUT rebuilding the prologue. The
+    * deterministic per-undirected-edge coin (md5 over the canonical
+    * (min, max) endpoints — byte-identical to the live operator's) is
+    * applied INSIDE the stored adjacency arrays via a codegen'd
+    * higher-order `filter`, so the sampled subgraph is exactly the one
+    * the live DOULION draws and every output column matches it exactly
+    * at any p (spec-pinned; triangle counts are orientation-independent,
+    * so keeping the FULL graph's stored orientation instead of
+    * re-orienting by sampled degrees changes nothing). Stats columns
+    * describe the SAMPLED subgraph; `est_triangles` scales by
+    * (pDen/pNum)³ in exact integer arithmetic. The end-join keeps the
+    * stored-census shape: the non-exploded side rides the src
+    * bucketing, only exploded ends shuffle.
+    */
+  def sampledTriangleStatsStored(spark: SparkSession, name: String,
+                                 pNum: Int, pDen: Int,
+                                 salt: String = "42"): DataFrame = {
+    require(pNum > 0 && pNum <= pDen, s"need 0 < p <= 1, got $pNum/$pDen")
+    def coin(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws(":", lit("tri"), lit(salt),
+        least(a, b).cast("string"), greatest(a, b).cast("string"))), 1, 12), 16, 10)
+        .cast("long") % pDen.toLong
+    val adjS = spark.table(s"${name}_adj").select(col("src"),
+      filter(col("nbrs"), n => coin(col("src"), n) < pNum.toLong).as("nbrs"))
+    // sampled-subgraph degrees: every sampled oriented edge contributes
+    // both ends (oriented edges ↔ undirected edges bijectively), so the
+    // arithmetic matches the live census's degree table exactly
+    val deg = adjS.select(col("src"), explode(col("nbrs")).as("dst"))
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(shiftright(col("deg") * (col("deg") - 1), 1)), lit(0L))
+        .as("n_wedges"))
+    val nE = adjS.agg(coalesce(sum(size(col("nbrs"))), lit(0L)).as("n_edges"))
+    val tri = adjS
+      .select(col("src"), col("nbrs").as("nu"), explode(col("nbrs")).as("dst"))
+      .join(adjS.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    nodeStats.crossJoin(broadcast(nE)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), (col("n_triangles") * 3).as("n_closed_wedges"))
+      .withColumn("est_triangles",
+        expr(s"n_triangles * ${pDen.toLong * pDen * pDen}L div " +
+          s"${pNum.toLong * pNum * pNum}L"))
   }
 
   /** [[Graphs.nodeTriangles]] from the stored tables — identical

@@ -74,8 +74,12 @@ object DedupIndex {
   }
 
   /** Persist a corpus's LSH state: `<table>_buckets` (band, band_hash,
-    * doc_id) and `<table>_sets` (doc_id, hset) bucketed by doc_id so the
-    * verification fetch join needs no exchange on the stored side.
+    * doc_id, batch_id) and `<table>_sets` (doc_id, hset, batch_id)
+    * bucketed by doc_id so the verification fetch join needs no
+    * exchange on the stored side. `batch_id` is the ingest provenance
+    * stamp the snapshot-by-watermark probe filters on (see
+    * [[dedupAgainstStored]]); the base corpus is stamped −1, i.e.
+    * "committed before any batch".
     */
   def saveCorpus(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                  table: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
@@ -84,11 +88,12 @@ object DedupIndex {
     require(k % bands == 0, "bands must divide k")
     val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
     val bk = buckets(sigs, k, bands).persist()
-    bk.write.mode("overwrite").saveAsTable(s"${table}_buckets")
+    bk.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").saveAsTable(s"${table}_buckets")
     writeBloom(spark, table,
       bk.stat.bloomFilter("band_hash", bloomItems, bloomFpp), bloomItems, bloomFpp)
     bk.unpersist(blocking = false)
-    sigs.select(col("doc_id"), col("hset"))
+    sigs.select(col("doc_id"), col("hset"), lit(-1L).as("batch_id"))
       .write.mode("overwrite")
       .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${table}_sets")
@@ -122,16 +127,51 @@ object DedupIndex {
     * both with no rebuild. Bucket rows append plainly; set rows append
     * through the same doc_id bucketBy spec, so the fetch join keeps
     * riding the bucketing over old and new rows alike.
+    *
+    * `batchId` stamps the appended rows for the snapshot-by-watermark
+    * probe ([[dedupAgainstStored]]'s `committedBatch`) AND makes the
+    * append REPLAY-CONVERGENT: with `batchId >= 0`, a table that
+    * already carries that batch's rows (a crash replay after a partial
+    * commit) skips its append instead of duplicating it — per table,
+    * so a crash between the buckets and sets writes completes exactly
+    * the missing half on retry. The Bloom merge is a set union and
+    * re-merges idempotently. `batchId = -1` (default) preserves the
+    * plain batch-less append.
     */
   def appendCorpus(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                    table: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                   setBuckets: Int = 32): Unit = {
+                   setBuckets: Int = 32, batchId: Long = -1L): Unit =
+    appendCorpusImpl(spark, df, idCol, textCol, table, k, bands, shingleN,
+      setBuckets, batchId)
+
+  /** `crashAfterStep` is the test seam (the [[StoredMerge
+    * .upsertBucketsImpl]] recipe): throw after step N (1 = buckets
+    * appended, 2 = Bloom merged, 3 = sets appended) so the
+    * crash-at-every-step replay spec can exercise each window.
+    */
+  private[graft] def appendCorpusImpl(spark: SparkSession, df: DataFrame,
+      idCol: String, textCol: String, table: String, k: Int, bands: Int,
+      shingleN: Int, setBuckets: Int, batchId: Long,
+      crashAfterStep: Int = Int.MaxValue): Unit = {
     require(k % bands == 0, "bands must divide k")
+    // replay safety: the presence checks below must see what is ON DISK,
+    // not a pre-crash relation-cache listing (same rule as the exit
+    // refresh — stale listings would double-append)
+    if (batchId >= 0L)
+      Seq(s"${table}_buckets", s"${table}_sets").foreach(spark.catalog.refreshTable)
+    def alreadyAppended(t: String): Boolean =
+      batchId >= 0L &&
+        !spark.table(t).filter(col("batch_id") === batchId).limit(1).isEmpty
     val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
     val bk = buckets(sigs, k, bands).persist()
-    bk.write.mode("append").saveAsTable(s"${table}_buckets")
+    if (!alreadyAppended(s"${table}_buckets"))
+      bk.withColumn("batch_id", lit(batchId))
+        .write.mode("append").saveAsTable(s"${table}_buckets")
+    if (crashAfterStep <= 1)
+      throw new IllegalStateException("simulated crash after corpus buckets append")
     // merge the batch's Bloom into the stored one (same build params ⇒
-    // compatible bit arrays) — an O(filter bytes) driver op, no rebuild.
+    // compatible bit arrays) — an O(filter bytes) driver op, no rebuild,
+    // and idempotent under replay (re-ORing the same bits is a no-op).
     // EMPTY-batch guard: stat.bloomFilter over zero rows yields a NULL
     // buffer that BloomFilter.readFrom NPEs on — an all-dropped
     // micro-batch (steady-state replays) must be a no-op append, not a
@@ -142,11 +182,16 @@ object DedupIndex {
         writeBloom(spark, table, merged, items, fpp)
       }
     }
+    if (crashAfterStep <= 2)
+      throw new IllegalStateException("simulated crash after corpus bloom merge")
     bk.unpersist(blocking = false)
-    sigs.select(col("doc_id"), col("hset"))
-      .write.mode("append")
-      .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${table}_sets")
+    if (!alreadyAppended(s"${table}_sets"))
+      sigs.select(col("doc_id"), col("hset"), lit(batchId).as("batch_id"))
+        .write.mode("append")
+        .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${table}_sets")
+    if (crashAfterStep <= 3)
+      throw new IllegalStateException("simulated crash after corpus sets append")
     sigs.unpersist(blocking = false)
     // MIXED-SESSION CORRECTNESS: the appends above run through the
     // INPUT frame's session — under foreachBatch that is the
@@ -184,12 +229,27 @@ object DedupIndex {
     * scanned, never shuffled: the batch's buckets broadcast into the
     * candidate join, and the set fetch rides the stored table's
     * doc_id bucketing.
+    *
+    * ID-COLLISION CONTRACT: a batch doc sharing its id with a corpus
+    * doc is NEVER reported as its own duplicate (`new_id =!= corpus_id`
+    * is filtered at the candidate stage) — re-submitting a known id is
+    * a replay, not a self-dup; its matches against OTHER corpus docs
+    * still report.
+    *
+    * `committedBatch` is the snapshot-by-watermark bound: only corpus
+    * rows stamped `batch_id <= committedBatch` are probed (a pushed
+    * scan predicate — bucketing intact), so a foreachBatch replay that
+    * runs against a HALF-COMMITTED corpus (its own crashed append
+    * already on disk, the offsets high-water not yet advanced) sees
+    * exactly the pre-batch corpus and reproduces the original labels
+    * bit-for-bit. Default `Long.MaxValue` probes everything.
     */
   def dedupAgainstStored(spark: SparkSession, table: String, newDocs: DataFrame,
                          idCol: String, textCol: String, threshold: Double = 0.5,
-                         k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+                         k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                         committedBatch: Long = Long.MaxValue): DataFrame = {
     val (newSigs, lazyOut) = dedupAgainstStoredPlan(spark, table, newDocs,
-      idCol, textCol, threshold, k, bands, shingleN)
+      idCol, textCol, threshold, k, bands, shingleN, committedBatch)
     // eager localCheckpoint, not persist+count: the pair output is
     // small by construction and checkpoint blocks stay OUT of the
     // SQL cache manager (the Dedup.releaseAfter discipline)
@@ -206,21 +266,32 @@ object DedupIndex {
     */
   private[graft] def dedupAgainstStoredPlan(spark: SparkSession, table: String,
       newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
-      k: Int, bands: Int, shingleN: Int): (DataFrame, DataFrame) = {
+      k: Int, bands: Int, shingleN: Int,
+      committedBatch: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
+    // the watermark snapshot: a pushed batch_id predicate on both
+    // stored scans — partition/bucket layout untouched, uncommitted
+    // (crash-orphaned) rows invisible
+    def snapshot(t: String): DataFrame = {
+      val full = spark.table(t)
+      if (committedBatch == Long.MaxValue) full
+      else full.filter(col("batch_id") <= committedBatch)
+    }
     val newSigs = signatures(newDocs, idCol, textCol, k, shingleN).persist()
     val newBuckets = bloomPrune(spark, table,
       buckets(newSigs, k, bands).withColumnRenamed("doc_id", "new_id"))
 
-    val candidates = spark.table(s"${table}_buckets")
+    val candidates = snapshot(s"${table}_buckets")
       .join(broadcast(newBuckets), Seq("band", "band_hash"))
       .select(col("new_id"), col("doc_id").as("corpus_id"))
+      // the id-collision contract: a doc is never its own duplicate
+      .filter(col("new_id") =!= col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
 
     // fetch ONLY matched corpus docs' sets; candidate ids are small by
     // construction, so the semi-prune is map-side and the equi-join
     // uses the stored bucketing instead of an exchange
-    val corpusSets = spark.table(s"${table}_sets")
+    val corpusSets = snapshot(s"${table}_sets")
       .join(broadcast(candidates.select(col("corpus_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
     val out = candidates
@@ -239,9 +310,10 @@ object DedupIndex {
     */
   def admitAgainstStored(spark: SparkSession, table: String, newDocs: DataFrame,
                          idCol: String, textCol: String, threshold: Double = 0.5,
-                         k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+                         k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                         committedBatch: Long = Long.MaxValue): DataFrame = {
     val dups = dedupAgainstStored(spark, table, newDocs, idCol, textCol,
-      threshold, k, bands, shingleN)
+      threshold, k, bands, shingleN, committedBatch)
     newDocs.join(dups.select(col("new_id")).distinct(),
       newDocs(idCol).cast("long") === col("new_id"), "left_anti")
   }

@@ -28,6 +28,16 @@ object Packing {
   /** Per-document packing coordinates: running token offsets and the
     * [first_seq, last_seq] range of `budget`-token sequences the doc
     * overlaps. Purely integer arithmetic.
+    *
+    * ZERO-TOKEN DOCS (reachable via [[graft.streaming.CurationIngest]]
+    * when `scoreCut <= 0` admits empty-after-scrub docs): the doc
+    * overlaps NO sequence, so its range is genuinely EMPTY —
+    * `first_seq > last_seq` whenever `start_tok` sits exactly on a
+    * budget boundary. Consumers must treat the range as half-open-empty
+    * in that case, NOT feed it to Spark's `sequence(first, last)`,
+    * which generates a DESCENDING range for first > last (phantom
+    * incidences). [[packManifest]]/[[packManifestFrom]] filter them out
+    * before the explode.
     */
   def withOffsets(df: DataFrame, groupCols: Seq[String], orderCol: String,
                   tokenCol: String, budget: Int, slices: Int = 1): DataFrame = {
@@ -124,6 +134,12 @@ object Packing {
                          orderCol: String, budget: Int): DataFrame = {
     val gcols = groupCols.map(col)
     withOff
+      // zero-token docs overlap no sequence: their [first_seq, last_seq]
+      // range is empty (first > last at exact budget boundaries, where
+      // sequence() would generate a DESCENDING phantom range; equal-seq
+      // elsewhere, where the row would land with 0 tokens and inflate
+      // n_docs) — drop them before the explode
+      .filter(col("cum_tokens") > col("start_tok"))
       .select(gcols :+ col(orderCol).as("doc_key") :+ col("start_tok") :+
         col("cum_tokens") :+
         explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"): _*)

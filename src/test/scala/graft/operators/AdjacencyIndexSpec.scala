@@ -50,6 +50,61 @@ class AdjacencyIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("stored DOULION readout equals the live sampled census: exact at p=1, identical subgraph at p=1/2") {
+    val edges = edgesDf
+    try {
+      AdjacencyIndex.save(spark, edges, "a", "b", "adjix_dlx", buckets = 4)
+      // p = 1: the sampled census IS the exact census — bit-equal rows
+      val live1 = Graphs.triangleStatsSampled(edges, "a", "b", 1, 1).collect().toSeq
+      val stored1 = AdjacencyIndex
+        .sampledTriangleStatsStored(spark, "adjix_dlx", 1, 1).collect().toSeq
+      assert(stored1 == live1, s"p=1 stored=$stored1 live=$live1")
+      assert(stored1.head.getLong(3) == stored1.head.getLong(5),
+        "p=1 estimate is the exact count")
+      // p = 1/2: the deterministic coin draws the SAME subgraph on both
+      // paths (full-graph orientation vs sampled re-orientation is
+      // invisible to triangle counts), so every column matches exactly
+      val live2 = Graphs.triangleStatsSampled(edges, "a", "b", 1, 2).collect().toSeq
+      val stored2 = AdjacencyIndex
+        .sampledTriangleStatsStored(spark, "adjix_dlx", 1, 2).collect().toSeq
+      assert(stored2 == live2, s"p=1/2 stored=$stored2 live=$live2")
+      assert(stored2.head.getLong(1) < stored1.head.getLong(1),
+        "p=1/2 must actually drop edges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS adjix_dlx_adj")
+      spark.sql("DROP TABLE IF EXISTS adjix_dlx_deg")
+      spark.sql("DROP TABLE IF EXISTS adjix_dlx_meta")
+    }
+  }
+
+  test("sampled stored end-join rides the src bucketing: no exchange under the non-exploded adjacency side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      AdjacencyIndex.save(spark, edgesDf, "a", "b", "adjix_dlp", buckets = 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stored = AdjacencyIndex.sampledTriangleStatsStored(spark, "adjix_dlp", 1, 2)
+      stored.collect()
+      val plan = stored.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def bareAdjScan(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains("adjix_dlp_adj")) &&
+          !p.toString.contains("Generate")
+      val shufflesOverStored = plan.collect {
+        case s: ShuffleExchangeExec if bareAdjScan(s) => s
+      }
+      assert(plan.toString.contains("adjix_dlp_adj"), "stored scan present")
+      assert(shufflesOverStored.isEmpty,
+        s"the sampled adjacency filter must not break the bucketing:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS adjix_dlp_adj")
+      spark.sql("DROP TABLE IF EXISTS adjix_dlp_deg")
+      spark.sql("DROP TABLE IF EXISTS adjix_dlp_meta")
+    }
+  }
+
   test("stored end-join rides the src bucketing: no shuffle between the adjacency scan and the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -244,6 +244,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packManifest: zero-token docs yield NO manifest incidence — no phantom rows at exact budget boundaries") {
+    import spark.implicits._
+    val budget = 50
+    // group z: 50 tokens (exact boundary), then a ZERO-token doc AT the
+    // boundary (first_seq=1 > last_seq=0 — Spark's sequence() would
+    // generate a DESCENDING phantom range), then a zero-token doc
+    // mid-sequence, then a real doc
+    val docs = Seq(("z", 0L, 50), ("z", 1L, 0), ("z", 2L, 7), ("z", 3L, 0),
+      ("z", 4L, 43)).toDF("source", "doc_id", "n_tokens")
+    val got = Packing.packManifest(docs, Seq("source"), "doc_id", "n_tokens", budget)
+      .select($"seq_id", $"n_docs", $"first_doc", $"last_doc", $"n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 1L, 0L, 0L, 50L), (1L, 2L, 2L, 4L, 50L)),
+      s"zero-token docs must not appear in any sequence: $got")
+    // and the offsets-continued form at the same boundary
+    val gotFrom = Packing.packManifestFrom(
+        Seq(("z", 10L, 0), ("z", 11L, 5)).toDF("source", "doc_id", "n_tokens"),
+        Seq("source"), "doc_id", "n_tokens", budget,
+        Seq(("z", 100L)).toDF("source", "base_tok"))
+      .select($"seq_id", $"n_docs", $"n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotFrom == Seq((2L, 1L, 5L)),
+      s"a zero-token doc arriving exactly on a continued boundary must vanish: $gotFrom")
+  }
+
   test("epochExpand: fixed-point copies match a JVM md5 oracle, incl. downsampling") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))

@@ -149,6 +149,96 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("id collisions: a re-submitted known id is never reported as its own duplicate") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      val base = Seq(
+        (1L, "the quiet harbor town wakes before dawn to gull cries"),
+        (2L, "industrial turbine maintenance follows a strict quarterly schedule"))
+        .toDF("doc_id", "text")
+      DedupIndex.saveCorpus(spark, base, "doc_id", "text", tbl)
+      // same id, same text: a replay, not a self-dup — zero pairs
+      val replay = Seq((1L, "the quiet harbor town wakes before dawn to gull cries"))
+        .toDF("doc_id", "text")
+      assert(DedupIndex.dedupAgainstStored(spark, tbl, replay, "doc_id", "text")
+        .count() == 0, "a doc must never be its own duplicate")
+      // same text under a NEW id still reports against the corpus doc
+      val fresh = Seq((5L, "the quiet harbor town wakes before dawn to gull cries"))
+        .toDF("doc_id", "text")
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, fresh, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((5L, 1L)), s"other-id matches still report: $hits")
+      // a replayed id ALSO still matches other corpus docs it duplicates
+      val crossDup = Seq((2L, "the quiet harbor town wakes before dawn to gull cries"))
+        .toDF("doc_id", "text")
+      val cross = DedupIndex.dedupAgainstStored(spark, tbl, crossDup, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cross == Set((2L, 1L)), s"only the self-pair is excluded: $cross")
+    }
+  }
+
+  test("snapshot-by-watermark: uncommitted batch rows are invisible to the probe") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      val base = Seq((1L, "wind farms along the ridge line hum through autumn storms"))
+        .toDF("doc_id", "text")
+      DedupIndex.saveCorpus(spark, base, "doc_id", "text", tbl) // stamped batch_id = -1
+      val batch = Seq((10L, "the canal barge carries malted barley to the city brewery"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendCorpus(spark, batch, "doc_id", "text", tbl, batchId = 0L)
+      // a probe of the same TEXT under a new id, watermarked BEFORE the
+      // append's batch, must see only the base corpus → no hit
+      val resend = Seq((20L, "the canal barge carries malted barley to the city brewery"))
+        .toDF("doc_id", "text")
+      assert(DedupIndex.dedupAgainstStored(spark, tbl, resend, "doc_id", "text",
+        committedBatch = -1L).count() == 0,
+        "rows above the watermark must be invisible")
+      // once the watermark covers the batch, the hit appears
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, resend, "doc_id", "text",
+        committedBatch = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((20L, 10L)), s"committed rows probe normally: $hits")
+    }
+  }
+
+  test("batch-stamped append is replay-convergent: no duplicate corpus rows, half-appends complete") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      val base = Seq((1L, "meltwater channels braid across the outwash plain each june"))
+        .toDF("doc_id", "text")
+      DedupIndex.saveCorpus(spark, base, "doc_id", "text", tbl)
+      val batch = Seq((10L, "night markets sell grilled squid beside the ferry terminal"))
+        .toDF("doc_id", "text")
+      def counts = (spark.table(s"${tbl}_buckets").count(),
+        spark.table(s"${tbl}_sets").count())
+      DedupIndex.appendCorpus(spark, batch, "doc_id", "text", tbl, batchId = 3L)
+      val after = counts
+      // full replay: a no-op
+      DedupIndex.appendCorpus(spark, batch, "doc_id", "text", tbl, batchId = 3L)
+      assert(counts == after, "replaying a completed append must not duplicate rows")
+      // half-crashed append (buckets landed, sets did not) completes on replay
+      val b2 = Seq((11L, "volcanic ash layers date the settlement's three rebuildings"))
+        .toDF("doc_id", "text")
+      intercept[IllegalStateException] {
+        DedupIndex.appendCorpusImpl(spark, b2, "doc_id", "text", tbl,
+          k = 32, bands = 8, shingleN = 3, setBuckets = 32, batchId = 4L,
+          crashAfterStep = 1)
+      }
+      spark.catalog.clearCache() // the simulated crash skips the internal release
+      assert(spark.table(s"${tbl}_sets").filter(col("batch_id") === 4L).isEmpty,
+        "crash after step 1: sets not yet appended")
+      DedupIndex.appendCorpus(spark, b2, "doc_id", "text", tbl, batchId = 4L)
+      assert(spark.table(s"${tbl}_buckets").filter(col("batch_id") === 4L).count() ==
+        spark.table(s"${tbl}_buckets").filter(col("batch_id") === 3L).count(),
+        "replay must not double the half-appended buckets")
+      assert(spark.table(s"${tbl}_sets").filter(col("batch_id") === 4L).count() == 1L,
+        "replay completes the missing sets append")
+    }
+  }
+
   test("the stored sets table joins through its bucketing — no shuffle on the stored side") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -190,6 +190,108 @@ class CurationIngestSpec extends AnyFunSuite {
       "an earlier ADMITTED doc must suppress its later replay via the appended corpus")
   }
 
+  private def offMap(cfg: CurationIngest.Config): Map[String, (Long, Long)] =
+    StoredMerge.readBuckets(spark, cfg.offsetsPath)
+      .select(col("bucket"), col("base_tok"), col("last_batch"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  /** Corpus-table CONTENT (ids with provenance) plus raw row counts —
+    * set equality + count equality pins multiset equality, so a
+    * replay that double-appended would fail the count leg. */
+  private def corpusShape(cfg: CurationIngest.Config)
+      : (Set[(Int, Long, Long, Long)], Long, Set[(Long, Long)], Long) = {
+    val bk = spark.table(s"${cfg.dedupTable}_buckets")
+      .select(col("band"), col("band_hash"), col("doc_id"), col("batch_id")).collect()
+    val st = spark.table(s"${cfg.dedupTable}_sets")
+      .select(col("doc_id"), col("batch_id")).collect()
+    (bk.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet,
+      bk.length.toLong,
+      st.map(r => (r.getLong(0), r.getLong(1))).toSet, st.length.toLong)
+  }
+
+  test("crash at EVERY commit step: the foreachBatch replay reproduces bit-identical sinks, offsets, and corpus") {
+    val docs = day1.take(44)
+    val (b0, b1) = docs.splitAt(4)
+
+    // reference: the uninterrupted two-batch run of the REAL
+    // foreachBatch body
+    val refCfg = freshState("crr")
+    val refOut = java.nio.file.Files.createTempDirectory("ci_crash_ref").toString
+    for ((b, id) <- Seq(b0 -> 0L, b1 -> 1L))
+      CurationIngest.processBatch(spark, b.toDF("doc_id", "text"), id, refCfg,
+        s"$refOut/labeled", s"$refOut/manifest")
+    val refRows = rowsOf(spark.read.parquet(s"$refOut/labeled"))
+    val refRoll = manifestRollup(spark.read.parquet(s"$refOut/manifest"))
+    val refOff = offMap(refCfg)
+    val refCorpus = corpusShape(refCfg)
+    assert(b1.map(_._1).toSet.intersect(
+      refRows.filter(_._3 == "train").map(_._1)).nonEmpty,
+      "batch 1 must admit docs or the crash windows are vacuous")
+
+    // steps: 1 = corpus buckets appended, 2 = bloom merged,
+    // 3 = corpus sets appended, 4 = offsets advanced (commit complete,
+    // streaming commit-log write still pending — the r11 ADVICE window)
+    for (step <- 1 to 4) {
+      val cfg = freshState(s"cr$step")
+      val out = java.nio.file.Files.createTempDirectory(s"ci_crash_$step").toString
+      CurationIngest.processBatch(spark, b0.toDF("doc_id", "text"), 0L, cfg,
+        s"$out/labeled", s"$out/manifest")
+      // batch 1, first attempt: sinks written (processBatch order), then
+      // the commit dies after `step`
+      val (labeled, manifest) = CurationIngest.curateBatch(
+        spark, b1.toDF("doc_id", "text"), cfg)
+      val l = labeled.localCheckpoint()
+      l.write.mode("overwrite").parquet(s"$out/labeled/batch_id=1")
+      manifest.write.mode("overwrite").parquet(s"$out/manifest/batch_id=1")
+      intercept[IllegalStateException] {
+        CurationIngest.commitBatchImpl(spark, l, 1L, cfg, crashAfterStep = step)
+      }
+      spark.catalog.clearCache() // a simulated crash skips the operator's own release
+      // REPLAY: exactly what foreachBatch re-runs after restart
+      CurationIngest.processBatch(spark, b1.toDF("doc_id", "text"), 1L, cfg,
+        s"$out/labeled", s"$out/manifest")
+      assert(rowsOf(spark.read.parquet(s"$out/labeled")) == refRows,
+        s"step $step: labels must replay bit-identically (no self-match relabeling)")
+      assert(manifestRollup(spark.read.parquet(s"$out/manifest")) == refRoll,
+        s"step $step: packed manifest must replay bit-identically")
+      assert(offMap(cfg) == refOff,
+        s"step $step: offsets must advance exactly once")
+      assert(corpusShape(cfg) == refCorpus,
+        s"step $step: corpus must converge with no duplicate appends")
+    }
+  }
+
+  test("restart from checkpoint mid-corpus: the resumed query's final output bit-equals the one-shot batch chain") {
+    val cfg = freshState("rs")
+    val batchCfg = freshState("rsb")
+    val (bLabeled, bManifest) =
+      CurationIngest.curateBatch(spark, day1.toDF("doc_id", "text"), batchCfg)
+    val bRows = rowsOf(bLabeled)
+    val bRoll = manifestRollup(bManifest)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val tmp = java.nio.file.Files.createTempDirectory("ci_restart").toString
+    val (h1, h2) = day1.splitAt(40)
+    def startQuery() = graft.Pipeline.startCurationIngest(spark,
+      input.toDF().toDF("doc_id", "text"), cfg,
+      s"$tmp/labeled", s"$tmp/manifest", s"$tmp/ckpt",
+      triggerInterval = "1 seconds")
+    // first query: half the corpus, clean stop
+    val q1 = startQuery()
+    try { input.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    // second query, SAME checkpoint: resumes at the next batch id and
+    // drains the rest
+    input.addData(h2)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(rowsOf(spark.read.parquet(s"$tmp/labeled")) == bRows,
+      "restart must not relabel, drop, or re-admit anything")
+    assert(manifestRollup(spark.read.parquet(s"$tmp/manifest")) == bRoll,
+      "packed layout must tile the one-shot manifest across the restart")
+  }
+
   test("zero-exchange stored side: the dedup probe's _sets scan reaches its join through the bucketing") {
     val cfg = freshState("p")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
