@@ -115,9 +115,10 @@ object Pipeline {
   def startCurationIngest(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
       cfg: graft.streaming.CurationIngest.Config,
       labeledDir: String, manifestDir: String, checkpointDir: String,
-      triggerInterval: String = "5 seconds"): StreamingQuery =
+      triggerInterval: String = "5 seconds",
+      availableNow: Boolean = false): StreamingQuery =
     graft.streaming.CurationIngest.start(spark, docs, cfg,
-      labeledDir, manifestDir, checkpointDir, triggerInterval)
+      labeledDir, manifestDir, checkpointDir, triggerInterval, availableNow)
 
   private def writeManifest(dir: String, batchId: String, json: String): String = {
     val p = java.nio.file.Paths.get(dir, s"$batchId.json")

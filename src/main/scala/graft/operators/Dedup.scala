@@ -122,6 +122,22 @@ object Dedup {
     * SQL cache manager and are reclaimed when the frame is dereferenced,
     * so the operator leaves the cache manager EMPTY — no release hook for
     * callers to remember (the r10-flagged lifecycle gap).
+    *
+    * FAULT-TOLERANCE TRADE-OFF (documented constraint, r11 ADVICE):
+    * localCheckpoint blocks are UNREPLICATED and NON-RECOMPUTABLE — on a
+    * real cluster a lost executor (or dynamic-allocation scale-down,
+    * which Spark's own docs warn is incompatible) fails the job where a
+    * persist would recompute. That is acceptable here BY CONSTRUCTION:
+    * the checkpointed frame is the operator's small FINAL result, read
+    * immediately by the caller — the window between materialization and
+    * consumption is one job boundary, and the retry unit on loss is
+    * "re-run the operator", the same unit a driver failure already
+    * implies. For long-LIVED materializations at cluster scale prefer
+    * reliable `checkpoint()` (or persist(MEMORY_AND_DISK_2) with this
+    * release discipline) — do NOT blanket-convert operator results back
+    * to persist: cache-manager entries dedupe by canonical plan across
+    * runs, which is exactly the bench-dishonesty (and cross-query swap)
+    * trap r11 removed.
     */
   private def releaseAfter(cached: Seq[DataFrame], result: DataFrame): DataFrame = {
     val out = result.localCheckpoint()

@@ -101,6 +101,31 @@ object OpsCli {
         val ct = ks.encrypt(value)
         if (ks.decrypt(ct) == value) { println(ct); 0 }
         else { System.err.println("encryption completed but could not be validated"); 1 }
+      case ("curationIngest", docsDir :: dedupTable :: lmTable :: offsetsPath ::
+          scoreCut :: labeledDir :: manifestDir :: checkpointDir :: tail) =>
+        // the engine's flagship composed job, CLI-reachable like every
+        // other capability (the reference ships each of its jobs as a
+        // standalone script). `--once` drains what the docs directory
+        // currently holds and exits (Trigger.AvailableNow); without it
+        // the job runs continuously on the default trigger.
+        import graft.streaming.CurationIngest
+        val once = tail.contains("--once")
+        val cfg = CurationIngest.Config(dedupTable, lmTable, offsetsPath,
+          scoreCut.toDouble)
+        // first run on a fresh offsets path: seed the stored state
+        val offRoot = new org.apache.hadoop.fs.Path(offsetsPath)
+        val fs = offRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(offRoot)) CurationIngest.initOffsets(spark, cfg)
+        val schema = spark.read.parquet(docsDir).schema
+        val docs = spark.readStream.schema(schema).parquet(docsDir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val q = graft.Pipeline.startCurationIngest(spark, docs, cfg,
+          labeledDir, manifestDir, checkpointDir, availableNow = once)
+        q.awaitTermination()
+        println(s"curation ingest ${if (once) "drained" else "stopped"}: " +
+          s"labeled=$labeledDir manifest=$manifestDir")
+        0
       case _ =>
         System.err.println(usage)
         2
@@ -120,5 +145,7 @@ object OpsCli {
       |                 --reprocessPrefix <watchRoot> <prefix> [regex]
       |  resetCurrentBatch <configDir> <prefix>
       |  encryptValue   <keyPath> <value>
+      |  curationIngest <docsDir> <dedupTable> <lmTable> <offsetsPath>
+      |                 <scoreCut> <labeledDir> <manifestDir> <checkpointDir> [--once]
       |""".stripMargin
 }

@@ -688,6 +688,18 @@ object Oracles {
         FROM corpus GROUP BY 1)
       SELECT dup_count, count(*) AS n_groups, CAST(sum(keep_id) AS BIGINT) AS keep_id_sum
       FROM groups GROUP BY 1 ORDER BY dup_count""",
+
+    // q29: the exact distinct leg replays directly; in_bracket (the
+    // HLL++ estimate within 3x its requested rsd of the exact count)
+    // is pinned TRUE — the q78 bracket recipe, so estimator drift
+    // flips the hash while the engine-specific estimate stays out of
+    // the compare.
+    "q29_approx_distinct" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             count(*) AS n_rows,
+             TRUE AS in_bracket
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
@@ -2718,6 +2730,31 @@ object Oracles {
     // total order (both sides pre-filter null types, so plain lag
     // comparison suffices), lead over change points for interval
     // ends; durations are integer µs sums.
+    // q126: q121's exact gram-keyed intersection replayed for the
+    // exact legs; in_bracket (the KMV estimate within its theta-sketch
+    // error envelope of the exact intersection) pinned TRUE — the
+    // q81/q78 bracket recipe for the XXH64-specific estimator.
+    "q126_kmv_overlap" -> """
+      WITH tok AS (
+        SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      g AS (
+        SELECT DISTINCT source, unnest(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END
+        ) AS gram FROM tok),
+      sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+      inter AS (
+        SELECT a.source AS ga, b.source AS gb, count(*) AS n_common
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT a.source AS group_a, b.source AS group_b,
+             CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+             CAST(a.n + b.n - coalesce(i.n_common, 0) AS BIGINT) AS union_size,
+             TRUE AS in_bracket
+      FROM sz a JOIN sz b ON a.source < b.source
+      LEFT JOIN inter i ON i.ga = a.source AND i.gb = b.source
+      ORDER BY group_a, group_b""",
+
     "q127_scd2" -> """
       WITH e AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS t

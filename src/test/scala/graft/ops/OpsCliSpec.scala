@@ -102,6 +102,44 @@ class OpsCliSpec extends AnyFunSuite {
       List(configDir, "bucket/other")) == 1)
   }
 
+  test("CLI curationIngest --once: drains a docs directory through the composed chain and exits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    val t0 = System.nanoTime()
+    val dedup = s"clici_${t0}_dedup"
+    val lm = s"clici_${t0}_lm"
+    try {
+      val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      graft.operators.DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", dedup)
+      graft.operators.NgramLM.store(
+        graft.operators.NgramLM.fit(corpus, "doc_id", "text"), lm)
+      val root = Files.createTempDirectory("graft-clici").toString
+      Seq((1L, "the quick brown fox jumps over the lazy dog"), // stored dup
+          (2L, "a completely different sentence about river mills and flour"))
+        .toDF("doc_id", "text").write.parquet(s"$root/docs")
+      val ledgerDir = Files.createTempDirectory("graft-clici-ledger").toString
+      val ops = new Ops(spark, new Ledger(spark, ledgerDir))
+      val code = OpsCli.run(spark, ops, "curationIngest",
+        List(s"$root/docs", dedup, lm, s"$root/offsets", "0.0",
+          s"$root/labeled", s"$root/manifest", s"$root/ckpt", "--once"))
+      assert(code == 0)
+      val buckets = spark.read.parquet(s"$root/labeled")
+        .select(col("doc_id"), col("bucket")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(buckets(1L) == "drop:stored_dup", s"stored dup must drop: $buckets")
+      assert(!buckets(2L).startsWith("drop:"), s"fresh doc must admit: $buckets")
+      // the CLI seeded the offsets table itself and the drain committed
+      val last = graft.operators.StoredMerge.readBuckets(spark, s"$root/offsets")
+        .agg(max(col("last_batch"))).head.getLong(0)
+      assert(last >= 0L, "offsets high-water must advance past the drained batch")
+    } finally {
+      Seq(s"${dedup}_buckets", s"${dedup}_sets", s"${dedup}_bloom",
+        s"${lm}_bigrams", s"${lm}_prefixes", s"${lm}_vocab", s"${lm}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("CLI encryptValue: round-trips through the keystore (encrypt + decrypt-verify)") {
     val ledgerDir = Files.createTempDirectory("graft-ev-ledger").toString
     val ops = new Ops(spark, new Ledger(spark, ledgerDir))
