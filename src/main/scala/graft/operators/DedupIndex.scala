@@ -112,14 +112,40 @@ object DedupIndex {
 
   /** Stored Bloom + its build parameters, if the corpus has one (older
     * stored corpora predate the Bloom — everything degrades gracefully
-    * to the un-pruned path).
+    * to the un-pruned path). A CORRUPT bloom table (a crash mid-
+    * overwrite can leave the metastore entry pointing at missing
+    * files) also degrades to None instead of wedging every probe and
+    * commit on a pure optimization: the exact-Jaccard verify stage
+    * never depended on the filter, so results are unchanged — only the
+    * prune is lost. Repair with [[rebuildBloom]].
     */
   private def readBloom(spark: SparkSession, table: String): Option[(BloomRef, Long, Double)] =
     if (!spark.catalog.tableExists(s"${table}_bloom")) None
-    else spark.table(s"${table}_bloom").collect().headOption.map { r =>
-      (new BloomRef(r.getAs[Array[Byte]]("bloom")),
-        r.getAs[Long]("items"), r.getAs[Double]("fpp"))
-    }
+    else
+      try spark.table(s"${table}_bloom").collect().headOption.map { r =>
+        (new BloomRef(r.getAs[Array[Byte]]("bloom")),
+          r.getAs[Long]("items"), r.getAs[Double]("fpp"))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft: stored bloom ${table}_bloom unreadable (${e.getClass.getSimpleName}) — " +
+              "probes degrade to un-pruned until rebuildBloom runs")
+          None
+      }
+
+  /** Rebuild a corpus's bucket-hash Bloom from the stored bucket table
+    * — the repair for a bloom lost to a crash mid-overwrite (probes
+    * degrade gracefully meanwhile, they just stop pruning). One linear
+    * scan of `<table>_buckets`; call with the same (items, fpp) the
+    * corpus was built with so future appends keep merging compatibly.
+    */
+  def rebuildBloom(spark: SparkSession, table: String,
+                   bloomItems: Long = 1L << 22, bloomFpp: Double = 0.01): Unit = {
+    val bk = spark.table(s"${table}_buckets")
+    writeBloom(spark, table,
+      bk.stat.bloomFilter("band_hash", bloomItems, bloomFpp), bloomItems, bloomFpp)
+    spark.catalog.refreshTable(s"${table}_bloom")
+  }
 
   /** Append an (admitted) batch's LSH state to the stored tables — the
     * other half of the incremental loop: admit today's batch against the

@@ -149,6 +149,39 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupt bloom table degrades to the un-pruned path (results unchanged); rebuildBloom restores pruning") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+      // corrupt the bloom table IN PLACE: replace its data files with a
+      // non-parquet garbage file (what a crash mid-overwrite can leave)
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED ${tbl}_bloom")
+        .filter(col("col_name") === "Location").head().getString(1)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "part-00000-garbage.snappy.parquet"))
+      out.write("definitely not parquet".getBytes); out.close()
+      spark.catalog.refreshTable(s"${tbl}_bloom")
+      // probes degrade to un-pruned: identical results, bloomPrune = identity
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, newBatch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.map(_._1) == Set(900001L, 900002L),
+        "a corrupt bloom must not change dedup results")
+      val bk = DedupIndex.batchBuckets(newBatch, "doc_id", "text")
+      assert(DedupIndex.bloomPrune(spark, tbl, bk).count() == bk.count(),
+        "corrupt bloom: prune degrades to identity, not a crash")
+      // repair: one linear scan of the stored buckets
+      DedupIndex.rebuildBloom(spark, tbl)
+      val clean = Seq((960001L, "utterly fresh musings on tidal bore surfing conditions"))
+        .toDF("doc_id", "text")
+      assert(DedupIndex.bloomPrune(spark, tbl,
+        DedupIndex.batchBuckets(clean, "doc_id", "text")).count() == 0,
+        "rebuilt bloom prunes a clean batch to zero buckets again")
+    }
+  }
+
   test("id collisions: a re-submitted known id is never reported as its own duplicate") {
     import spark.implicits._
     val tbl = freshTable("dix")
