@@ -84,16 +84,39 @@ object StoredMerge {
     * the next merge's anti-join again reads the stored side
     * exchange-free. Writes via a temp table + rename-by-rewrite
     * (Spark managed tables can't self-overwrite mid-read).
+    *
+    * CRASH DISCIPLINE (the [[upsertBuckets]]/[[recoverMerge]] rule,
+    * applied to the managed-table path): a crash between the DROP and
+    * the RENAME leaves the table name dangling with the FULLY MERGED
+    * result sitting in `<table>__merge_tmp` — entry repair completes
+    * that swap before merging, and since the merge is batch-wins
+    * (idempotent), "retry the merge" is always the correct caller
+    * response, exactly as for the bucketed path. A crash before the
+    * DROP leaves the live table untouched (the stale tmp is
+    * overwritten on retry).
     */
   def upsertStored(spark: SparkSession, table: String, updates: DataFrame,
-                   keyCols: Seq[String], buckets: Int = 32): Unit = {
-    val merged = upsert(spark.table(table), updates, keyCols)
+                   keyCols: Seq[String], buckets: Int = 32): Unit =
+    upsertStoredImpl(spark, table, updates, keyCols, buckets)
+
+  /** `crashAfterStep` test seam: 1 = tmp written, 2 = live table
+    * dropped (the dangling-name window the entry repair exists for). */
+  private[operators] def upsertStoredImpl(spark: SparkSession, table: String,
+      updates: DataFrame, keyCols: Seq[String], buckets: Int,
+      crashAfterStep: Int = Int.MaxValue): Unit = {
     val tmp = s"${table}__merge_tmp"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table") // finish interrupted swap
+    val merged = upsert(spark.table(table), updates, keyCols)
     merged.write.mode("overwrite")
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(tmp)
+    if (crashAfterStep <= 1)
+      throw new IllegalStateException("simulated crash after tmp write")
     spark.sql(s"DROP TABLE $table")
+    if (crashAfterStep <= 2)
+      throw new IllegalStateException("simulated crash after live drop")
     // rename preserves the bucket spec — one write, no second rewrite
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }

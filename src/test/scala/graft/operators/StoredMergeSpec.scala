@@ -272,6 +272,33 @@ class StoredMergeSpec extends AnyFunSuite {
     } finally FlakyMergeRenameFileSystem.mode = "off"
   }
 
+  test("upsertStored: a crash at either swap step converges on retry (entry repair for the dangling-name window)") {
+    for (step <- 1 to 2) {
+      val tbl = s"mergecr${step}_${System.nanoTime()}"
+      try {
+        Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+          .write.bucketBy(4, "k").sortBy("k").saveAsTable(tbl)
+        val updates = Seq((2L, "B", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
+        intercept[IllegalStateException] {
+          StoredMerge.upsertStoredImpl(spark, tbl, updates, Seq("k"),
+            buckets = 4, crashAfterStep = step)
+        }
+        if (step == 2) // the dangling window: name dropped, result in tmp
+          assert(!spark.catalog.tableExists(tbl) &&
+            spark.catalog.tableExists(s"${tbl}__merge_tmp"))
+        // retry the SAME merge (batch-wins ⇒ idempotent) — entry repair
+        // completes the interrupted swap first
+        StoredMerge.upsertStored(spark, tbl, updates, Seq("k"), buckets = 4)
+        assert(rows(spark.table(tbl)) ==
+          Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 2L)), s"step $step")
+        assert(!spark.catalog.tableExists(s"${tbl}__merge_tmp"), s"step $step: no stale tmp")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl}__merge_tmp")
+      }
+    }
+  }
+
   test("upsertStored: two successive merges accrete correctly and keep the bucket layout") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
