@@ -217,10 +217,41 @@ object NgramLM {
     * the count, so `append ≡ refit` holds INCLUDING the smoothing
     * denominator V even when batches overlap. A store written without
     * a vocab table falls back to the documented per-batch over-count.
+    *
+    * CRASH DISCIPLINE (r12 — the last stored index without one; a
+    * plain in-place rewrite here could crash between the bigram and
+    * prefix overwrites, leaving a SILENTLY mixed model, and prefixes
+    * cannot be re-derived from the hashed bigram table): the rewrite
+    * stages every table beside the live one, writes a commit-marker
+    * table, then swaps stage → live and drops the marker. Entry repair
+    * ([[recoverStored]], run automatically here) classifies any crash
+    * unambiguously: marker present → the staged model is complete,
+    * roll FORWARD; marker absent → the append never committed, drop
+    * stray stages and let the caller retry. `batchTag` makes the retry
+    * itself safe: the tag rides the meta table, and an append whose
+    * tag the stored model already carries is a no-op (the
+    * [[graft.streaming.CurationIngest]] replay rule) — without a tag,
+    * re-running a COMMITTED append double-counts, exactly like
+    * re-COPYing a file without the loader's ledger.
     */
   def appendToStored(spark: org.apache.spark.sql.SparkSession, name: String,
                      batch: DataFrame, idCol: String, textCol: String,
-                     buckets: Int = 32): Model = {
+                     buckets: Int = 32,
+                     batchTag: Option[String] = None): Model =
+    appendToStoredImpl(spark, name, batch, idCol, textCol, buckets, batchTag)
+
+  /** `crashAfterStep` test seam (the [[StoredMerge]] recipe): 1 =
+    * stages written (pre-marker → retry re-appends), 2 = marker
+    * written (pre-swap → roll forward), 3 = mid-swap after the first
+    * live drop (→ roll forward).
+    */
+  private[graft] def appendToStoredImpl(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, idCol: String, textCol: String,
+      buckets: Int, batchTag: Option[String],
+      crashAfterStep: Int = Int.MaxValue): Model = {
+    recoverStored(spark, name)
+    if (batchTag.isDefined && batchTag == storedTag(spark, name))
+      return load(spark, name) // replayed append: already committed
     val stored = load(spark, name)
     val batchModel = fit(batch, idCol, textCol, stored.order)
     val merged = merge(stored, batchModel)
@@ -231,21 +262,85 @@ object NgramLM {
         (stored.vocabSize + newToks.count(), Some(sv.union(newToks)))
       case _ => (merged.vocabSize, None)
     }
-    // materialize BEFORE overwriting the tables being read
-    val big = merged.bigrams.localCheckpoint()
-    val pre = merged.prefixes.localCheckpoint()
-    val voc = vocabOut.map(_.localCheckpoint())
-    store(Model(big, pre, vocabSize, voc, stored.order), name, buckets)
+    // stage the whole next model BESIDE the live tables (live model
+    // untouched and readable throughout the batch-sized rewrite)
+    merged.bigrams.write.mode("overwrite")
+      .bucketBy(buckets, "gram_hash").sortBy("gram_hash")
+      .saveAsTable(s"${name}__stage_bigrams")
+    merged.prefixes.write.mode("overwrite")
+      .bucketBy(buckets, "prefix_hash").sortBy("prefix_hash")
+      .saveAsTable(s"${name}__stage_prefixes")
+    vocabOut.foreach(_.write.mode("overwrite")
+      .bucketBy(buckets, "w").sortBy("w")
+      .saveAsTable(s"${name}__stage_vocab"))
+    import spark.implicits._
+    Seq((vocabSize, stored.order, batchTag.orNull))
+      .toDF("vocab_size", "gram_order", "batch_tag")
+      .write.mode("overwrite").saveAsTable(s"${name}__stage_meta")
+    if (crashAfterStep <= 1)
+      throw new IllegalStateException("simulated crash after stage writes")
+    // the commit point: marker present = staged model complete, the
+    // only consistent continuation is forward
+    Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(s"${name}__commit")
+    if (crashAfterStep <= 2)
+      throw new IllegalStateException("simulated crash after commit marker")
+    completeSwap(spark, name, crashMidSwap = crashAfterStep <= 3)
     // mixed-session correctness (the DedupIndex.appendCorpus rule):
-    // the rewrites may run through the batch frame's session (a
+    // the stage writes may run through the batch frame's session (a
     // foreachBatch clone) — refresh so the CALLER's session drops any
     // stale file listing before the reload below
-    Seq(s"${name}_bigrams", s"${name}_prefixes", s"${name}_meta")
+    (Seq(s"${name}_bigrams", s"${name}_prefixes", s"${name}_meta") ++
+      (if (spark.catalog.tableExists(s"${name}_vocab")) Seq(s"${name}_vocab") else Nil))
       .foreach(spark.catalog.refreshTable)
-    if (spark.catalog.tableExists(s"${name}_vocab"))
-      spark.catalog.refreshTable(s"${name}_vocab")
     load(spark, name)
   }
+
+  private val storeParts = Seq("bigrams", "prefixes", "vocab", "meta")
+
+  /** The stored model's last committed batch tag, if any (meta written
+    * by [[store]] or by pre-tag versions has no column → None). */
+  private def storedTag(spark: org.apache.spark.sql.SparkSession,
+                        name: String): Option[String] = {
+    val row = spark.table(s"${name}_meta").head()
+    if (row.schema.fieldNames.contains("batch_tag"))
+      Option(row.getAs[String]("batch_tag"))
+    else None
+  }
+
+  /** Swap every staged table in (drop live, rename stage), then drop
+    * the commit marker. Idempotent under crashes at any point: a part
+    * whose stage is gone has already swapped; a part whose live is
+    * missing mid-pair just renames in.
+    */
+  private def completeSwap(spark: org.apache.spark.sql.SparkSession,
+                           name: String, crashMidSwap: Boolean = false): Unit = {
+    var first = true
+    storeParts.foreach { t =>
+      val stage = s"${name}__stage_$t"
+      if (spark.catalog.tableExists(stage)) {
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t")
+        if (crashMidSwap && first)
+          throw new IllegalStateException("simulated crash mid-swap")
+        first = false
+        spark.sql(s"ALTER TABLE $stage RENAME TO ${name}_$t")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${name}__commit")
+  }
+
+  /** Entry repair for an interrupted [[appendToStored]] — safe to call
+    * any time (no-op on a clean store): commit marker present → the
+    * staged model is complete, finish the swap (the append LANDS; a
+    * tagged retry then no-ops); marker absent → the append never
+    * committed, drop stray stage tables (the live model was never
+    * touched; retry the append).
+    */
+  def recoverStored(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    if (spark.catalog.tableExists(s"${name}__commit"))
+      completeSwap(spark, name)
+    else
+      storeParts.foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}__stage_$t"))
 
   /** Per-doc bigram perplexity, 2^(avg −log2 p(w2|w1)) with add-one
     * smoothing — the number the CCNet filter thresholds on. Uses

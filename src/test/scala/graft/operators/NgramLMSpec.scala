@@ -166,6 +166,46 @@ class NgramLMSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
+  test("appendToStored crash discipline: every crash step replays to the exact refit model; tags make retries no-ops") {
+    val docs = corpus.toDF("doc_id", "text")
+    val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")
+    val whole = NgramLM.fit(docs.union(day2), "doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (wantBig, wantPre) = (m(whole.bigrams), m(whole.prefixes))
+    // steps: 1 = stages written pre-marker (roll BACK, retry re-appends),
+    // 2 = marker written pre-swap (roll FORWARD, retry no-ops),
+    // 3 = mid-swap after the first live drop (roll FORWARD)
+    for (step <- 1 to 3) {
+      val tbl = s"lmcr${step}_${System.nanoTime()}"
+      try {
+        NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), tbl, buckets = 4)
+        intercept[IllegalStateException] {
+          NgramLM.appendToStoredImpl(spark, tbl, day2, "doc_id", "text",
+            buckets = 4, batchTag = Some("day2"), crashAfterStep = step)
+        }
+        // the RETRY — recoverStored runs on entry and classifies the
+        // crash by the commit marker; the tag prevents double-counting
+        val after = NgramLM.appendToStored(spark, tbl, day2, "doc_id", "text",
+          buckets = 4, batchTag = Some("day2"))
+        assert(m(after.bigrams) == wantBig, s"step $step: bigrams")
+        assert(m(after.prefixes) == wantPre, s"step $step: prefixes")
+        assert(after.vocabSize == whole.vocabSize, s"step $step: vocab size")
+        // a SECOND tagged retry of the committed append: pure no-op
+        val again = NgramLM.appendToStored(spark, tbl, day2, "doc_id", "text",
+          buckets = 4, batchTag = Some("day2"))
+        assert(m(again.bigrams) == wantBig, s"step $step: replayed tag must not double-count")
+        // no stage or marker residue survives
+        Seq("__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+          "__stage_meta", "__commit").foreach(s =>
+          assert(!spark.catalog.tableExists(s"$tbl$s"), s"step $step: residue $s"))
+      } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta",
+        "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+        "__stage_meta", "__commit").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    }
+  }
+
   test("streaming: likelihoodMass scores arrivals against a static model, matches batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
