@@ -22,7 +22,12 @@ object StreamingPacking {
 
   final case class Doc(group: String, doc_id: Long, n_tokens: Int)
   /** Assignment: the sequence range [first_seq, last_seq] the doc spans
-    * and its starting token offset inside the group's stream. */
+    * and its starting token offset inside the group's stream.
+    * Zero-token docs follow [[graft.operators.Packing.withOffsets]]'s
+    * contract exactly: they span NO sequence, so the range is EMPTY —
+    * `first_seq > last_seq` when the offset sits on a budget boundary,
+    * an equal-seq zero-width row elsewhere. Manifest consumers drop
+    * empty/zero-width rows (the batch roll-up does). */
   final case class Packed(group: String, doc_id: Long, start_tok: Long,
                           first_seq: Long, last_seq: Long)
   final case class PackState(offset: Long)
@@ -37,8 +42,12 @@ object StreamingPacking {
           val out = rows.toSeq.sortBy(_.doc_id).map { d =>
             val start = off
             off += d.n_tokens
+            // floorDiv, not /: truncation would mis-floor off-1 = -1
+            // (a zero-token first doc), and the batch packer's floor()
+            // arithmetic is the parity contract — bit-equal coordinates
+            // for EVERY input, zero-token boundary docs included
             Packed(group, d.doc_id, start,
-              start / budget, (off - 1).max(start) / budget)
+              Math.floorDiv(start, budget), Math.floorDiv(off - 1, budget))
           }
           state.update(PackState(off))
           out.iterator

@@ -33,8 +33,18 @@ class StreamingPackingSpec extends AnyFunSuite {
     import spark.implicits._
     val budget = 50
     val rnd = new scala.util.Random(23)
-    val docs = for (g <- Seq("a", "b"); i <- 0 until 30)
-      yield Doc(g, i.toLong, 1 + rnd.nextInt(30))
+    val docs = (for (g <- Seq("a", "b"); i <- 0 until 30)
+      yield Doc(g, i.toLong, 1 + rnd.nextInt(30))) ++
+      // zero-token edges (the withOffsets EMPTY-range contract, incl.
+      // floorDiv at off = 0): group w opens with a zero-token doc
+      // (first=0, last=-1 — truncating division would say 0); group z
+      // carries a boundary offset ACROSS the micro-batch split and its
+      // batch-2 head is a zero-token doc sitting exactly on it
+      Seq(Doc("w", 10L, 0), Doc("w", 11L, 5),
+        Doc("z", 10L, 50),                  // h1: fills seq 0 exactly
+        Doc("z", 20L, 0),                   // h2 head: empty range at the boundary
+        Doc("z", 21L, 7), Doc("z", 22L, 0), // mid-seq zero-width row
+        Doc("z", 23L, 43))
 
     val input = MemoryStream[Doc]
     val q = StreamingPacking.assign(spark, input.toDS(), budget)
