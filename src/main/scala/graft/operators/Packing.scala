@@ -29,8 +29,10 @@ object Packing {
     * [first_seq, last_seq] range of `budget`-token sequences the doc
     * overlaps. Purely integer arithmetic.
     *
-    * ZERO-TOKEN DOCS (reachable via [[graft.streaming.CurationIngest]]
-    * when `scoreCut <= 0` admits empty-after-scrub docs): the doc
+    * ZERO-TOKEN DOCS (reachable whenever the caller's token counter
+    * can yield 0 — e.g. [[graft.functions.TextFunctions.bpeishTokenCount]]
+    * on symbol-free text; whitespace-split counts bottom out at 1 by
+    * the cross-engine `split("")=[""]` convention): the doc
     * overlaps NO sequence, so its range is genuinely EMPTY —
     * `first_seq > last_seq` whenever `start_tok` sits exactly on a
     * budget boundary. Consumers must treat the range as half-open-empty
