@@ -194,8 +194,21 @@ object Shingles {
   * of its joined tokens. Output array<long> enables partial-overlap
   * detection: two documents sharing any chunk share a fingerprint —
   * catches copy-paste segments that whole-document hashing misses.
+  *
+  * `neutral = true` switches the per-token hash from XXH64 to the
+  * first 52 bits of md5 (both engines compute md5 byte-identically)
+  * and the boundary accumulator from the polynomial roll to a plain
+  * window SUM — a boundary rule a SQL oracle can replay exactly
+  * (`sum(hv) OVER (ROWS 7 PRECEDING) % modulus = 0`), which is what
+  * lets the chunk-dedup query be hash-certified against DuckDB
+  * rebuilding the chunks as STRINGS. Same CDC semantics (boundary
+  * depends only on the window's content); the chunk fingerprint stays
+  * the engine-side 64-bit fold, so the certification also proves the
+  * hashed join path collides on nothing. Default (XXH64 roll) remains
+  * the scale path — no md5 per token.
   */
-case class RollingChunks(child: Expression, window: Int, modulus: Int)
+case class RollingChunks(child: Expression, window: Int, modulus: Int,
+                         neutral: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -207,10 +220,10 @@ case class RollingChunks(child: Expression, window: Int, modulus: Int)
   override def prettyName: String = "rolling_chunks"
 
   protected override def nullSafeEval(input: Any): Any =
-    RollingChunks.compute(input.asInstanceOf[ArrayData], window, modulus)
+    RollingChunks.compute(input.asInstanceOf[ArrayData], window, modulus, neutral)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RollingChunks.compute($c, $window, $modulus)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingChunks.compute($c, $window, $modulus, $neutral)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingChunks =
     copy(child = newChild)
@@ -219,13 +232,29 @@ case class RollingChunks(child: Expression, window: Int, modulus: Int)
 object RollingChunks {
   private val Base = 1099511628211L // FNV prime as polynomial base
 
-  def compute(arr: ArrayData, window: Int, modulus: Int): ArrayData = {
+  /** First 52 bits of md5 (13 hex chars) — the engine-neutral token
+    * hash: DuckDB replays it as `('0x'||substr(md5(t),1,13))::BIGINT`.
+    * 52 bits keep an 8-token window sum far inside a signed 64-bit
+    * range on both engines.
+    */
+  private def md5Prefix52(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    // first 7 bytes big-endian = 56 bits; drop the trailing nibble
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def compute(arr: ArrayData, window: Int, modulus: Int,
+              neutral: Boolean = false): ArrayData = {
     val n = arr.numElements()
     val tokenHashes = new Array[Long](n)
     var i = 0
     while (i < n) {
       tokenHashes(i) =
         if (arr.isNullAt(i)) 0L
+        else if (neutral) md5Prefix52(arr.getUTF8String(i))
         else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
       i += 1
     }
@@ -239,8 +268,15 @@ object RollingChunks {
     var chunkStart = 0
     i = 0
     while (i < n) {
-      rolling = rolling * Base + tokenHashes(i)
-      if (i >= window) rolling -= tokenHashes(i - window) * basePow * Base
+      // neutral mode: plain window sum (SQL-replayable, overflow-free
+      // at 52-bit hashes); default: Rabin-Karp polynomial roll
+      if (neutral) {
+        rolling += tokenHashes(i)
+        if (i >= window) rolling -= tokenHashes(i - window)
+      } else {
+        rolling = rolling * Base + tokenHashes(i)
+        if (i >= window) rolling -= tokenHashes(i - window) * basePow * Base
+      }
       // boundary depends ONLY on the window content (never on chunkStart):
       // a min-chunk-length gate would make boundaries position-dependent
       // and desynchronize chunking between documents sharing a segment.
@@ -988,9 +1024,12 @@ object expressions {
   def minhash64(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHash64(GraftBridge.expression(shingles), k))
 
-  /** Column wrapper for [[RollingChunks]]. */
-  def rolling_chunks(tokens: Column, window: Int = 8, modulus: Int = 16): Column =
-    GraftBridge.column(RollingChunks(GraftBridge.expression(tokens), window, modulus))
+  /** Column wrapper for [[RollingChunks]]. `neutral = true` selects
+    * the md5-prefix boundary rule a SQL oracle can replay (see the
+    * expression's scaladoc); default is the XXH64 scale path. */
+  def rolling_chunks(tokens: Column, window: Int = 8, modulus: Int = 16,
+                     neutral: Boolean = false): Column =
+    GraftBridge.column(RollingChunks(GraftBridge.expression(tokens), window, modulus, neutral))
 
   /** Column wrapper for [[Shingles]]. */
   def shingles_fast(tokens: Column, n: Int): Column =

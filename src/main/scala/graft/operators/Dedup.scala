@@ -320,13 +320,17 @@ object Dedup {
     * documents sharing ANY chunk fingerprint are candidate partial
     * duplicates (copy-paste segments invisible to whole-doc hashing).
     * Shuffle key is the chunk fingerprint (8 bytes), never text.
+    * `neutralBoundary` selects the md5-prefix boundary rule a SQL
+    * oracle replays exactly (see [[graft.functions.RollingChunks]]) —
+    * the certified q32 path; default is the XXH64 scale path.
     */
   def chunkDupPairs(df: DataFrame, idCol: String, textCol: String,
                     window: Int = 8, modulus: Int = 16,
-                    minSharedChunks: Int = 1): DataFrame = {
+                    minSharedChunks: Int = 1,
+                    neutralBoundary: Boolean = false): DataFrame = {
     val chunks = df.select(col(idCol).as("doc_id"),
         explode(graft.functions.expressions.rolling_chunks(
-          tokens(col(textCol)), window, modulus)).as("chunk_fp"))
+          tokens(col(textCol)), window, modulus, neutralBoundary)).as("chunk_fp"))
     val l = chunks.select(col("chunk_fp"), col("doc_id").as("id_a"))
     val r = chunks.select(col("chunk_fp"), col("doc_id").as("id_b"))
     l.join(r, Seq("chunk_fp"))

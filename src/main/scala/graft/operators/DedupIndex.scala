@@ -133,6 +133,23 @@ object DedupIndex {
           None
       }
 
+  /** One-time schema upgrade for corpora saved BEFORE the `batch_id`
+    * provenance stamp existed: a metadata-only `ALTER TABLE ADD
+    * COLUMNS` — old parquet files read the new column as NULL, and
+    * every reader folds NULL to −1 ("committed before any batch"), so
+    * legacy rows behave exactly like a base corpus. This is the
+    * engine's versioned-codec discipline (the reference migrates
+    * config shapes in place the same way, `upgrades.js:235–284`;
+    * the Ledger read-side-backfills pre-upgrade logs missing
+    * `seq`/`deleted`). Idempotent: a table that already carries the
+    * column is untouched.
+    */
+  private def ensureBatchId(spark: SparkSession, t: String): Unit =
+    if (!spark.table(t).columns.contains("batch_id")) {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (batch_id BIGINT)")
+      spark.catalog.refreshTable(t)
+    }
+
   /** Rebuild a corpus's bucket-hash Bloom from the stored bucket table
     * — the repair for a bloom lost to a crash mid-overwrite (probes
     * degrade gracefully meanwhile, they just stop pruning). One linear
@@ -185,6 +202,10 @@ object DedupIndex {
     // refresh — stale listings would double-append)
     if (batchId >= 0L)
       Seq(s"${table}_buckets", s"${table}_sets").foreach(spark.catalog.refreshTable)
+    // legacy corpora (saved before the provenance stamp) lack the
+    // batch_id column the stamped append writes — upgrade in place
+    // (metadata-only; legacy rows read NULL ≡ committed-before-any-batch)
+    Seq(s"${table}_buckets", s"${table}_sets").foreach(ensureBatchId(spark, _))
     def alreadyAppended(t: String): Boolean =
       batchId >= 0L &&
         !spark.table(t).filter(col("batch_id") === batchId).limit(1).isEmpty
@@ -256,11 +277,19 @@ object DedupIndex {
     * candidate join, and the set fetch rides the stored table's
     * doc_id bucketing.
     *
-    * ID-COLLISION CONTRACT: a batch doc sharing its id with a corpus
-    * doc is NEVER reported as its own duplicate (`new_id =!= corpus_id`
-    * is filtered at the candidate stage) — re-submitting a known id is
-    * a replay, not a self-dup; its matches against OTHER corpus docs
-    * still report.
+    * ID-COLLISION CONTRACT, scoped by the watermark: on an
+    * UNWATERMARKED probe (`committedBatch = Long.MaxValue`, the ad-hoc
+    * batch path where the caller may have just appended the very rows
+    * it probes with), a batch doc sharing its id with a corpus doc is
+    * never reported as its own duplicate (`new_id =!= corpus_id` at
+    * the candidate stage) — re-submitting a known id there is
+    * indistinguishable from probing one's own append. On a WATERMARKED
+    * probe (the ingest discipline), the exclusion is OFF: the snapshot
+    * already hides the probe's own uncommitted append, so any same-id
+    * corpus row still visible was committed by an EARLIER batch — a
+    * genuine resubmission, which must gate as a stored duplicate
+    * rather than re-admit and double-append its id. Either way a
+    * colliding id's matches against OTHER corpus docs still report.
     *
     * `committedBatch` is the snapshot-by-watermark bound: only corpus
     * rows stamped `batch_id <= committedBatch` are probed (a pushed
@@ -297,21 +326,31 @@ object DedupIndex {
     require(k % bands == 0, "bands must divide k")
     // the watermark snapshot: a pushed batch_id predicate on both
     // stored scans — partition/bucket layout untouched, uncommitted
-    // (crash-orphaned) rows invisible
+    // (crash-orphaned) rows invisible. Legacy codec: a corpus saved
+    // before the provenance stamp either lacks the column entirely
+    // (skip the filter — every row predates every batch) or carries
+    // NULL on pre-upgrade rows (IS NULL ≡ −1, committed; both
+    // disjuncts translate to pushed parquet filters).
     def snapshot(t: String): DataFrame = {
       val full = spark.table(t)
-      if (committedBatch == Long.MaxValue) full
-      else full.filter(col("batch_id") <= committedBatch)
+      if (committedBatch == Long.MaxValue || !full.columns.contains("batch_id")) full
+      else full.filter(col("batch_id").isNull ||
+        col("batch_id") <= committedBatch)
     }
     val newSigs = signatures(newDocs, idCol, textCol, k, shingleN).persist()
     val newBuckets = bloomPrune(spark, table,
       buckets(newSigs, k, bands).withColumnRenamed("doc_id", "new_id"))
 
-    val candidates = snapshot(s"${table}_buckets")
+    val matched = snapshot(s"${table}_buckets")
       .join(broadcast(newBuckets), Seq("band", "band_hash"))
       .select(col("new_id"), col("doc_id").as("corpus_id"))
-      // the id-collision contract: a doc is never its own duplicate
-      .filter(col("new_id") =!= col("corpus_id"))
+    // the id-collision contract (see dedupAgainstStored's scaladoc):
+    // self-pair exclusion applies ONLY to unwatermarked probes — under
+    // a watermark, a visible same-id row is an earlier batch's commit,
+    // so its re-arrival is a genuine stored duplicate
+    val candidates = (if (committedBatch == Long.MaxValue)
+        matched.filter(col("new_id") =!= col("corpus_id"))
+      else matched)
       .dropDuplicates("new_id", "corpus_id")
 
     // fetch ONLY matched corpus docs' sets; candidate ids are small by

@@ -113,11 +113,18 @@ object Packing {
     * groups absent from it start at 0. Pair with a stored offsets
     * table merged via [[StoredMerge.upsertBuckets]] so the offset
     * state survives restarts crash-atomically.
+    *
+    * `slices` is the same scale knob as [[packManifest]]'s: with a
+    * coarse natural group key (the flagship pipeline packs by split
+    * bucket — THREE kept values), a one-shot drain would otherwise
+    * sort the whole corpus through three window tasks. slices > 1
+    * routes the running offset through [[Ranking.slicedCumsum]],
+    * byte-identical output (spec-asserted at slices ∈ {1, 8}).
     */
   def packManifestFrom(df: DataFrame, groupCols: Seq[String], orderCol: String,
                        tokenCol: String, budget: Int,
-                       baseOffsets: DataFrame): DataFrame = {
-    val withBase = withOffsets(df, groupCols, orderCol, tokenCol, budget)
+                       baseOffsets: DataFrame, slices: Int = 1): DataFrame = {
+    val withBase = withOffsets(df, groupCols, orderCol, tokenCol, budget, slices)
       .join(broadcast(baseOffsets
         .select((groupCols.map(col) :+ col("base_tok").cast("long")): _*)),
         groupCols, "left")

@@ -635,6 +635,64 @@ object Oracles {
     "q30_sql_scalar_subquery" -> graft.queries.Queries.sqlScalarSubquery,
     "q31_sql_exists_having" -> graft.queries.Queries.sqlExistsHaving,
 
+    // q32: the chunk boundary is RollingChunks' neutral mode — token
+    // hash = first 13 hex chars of md5 (byte-identical in both
+    // engines), boundary where the 8-token window SUM ≡ 0 mod 16, last
+    // token always closes. The oracle rebuilds the chunks as STRINGS
+    // from that arithmetic and joins on them where Spark joins the
+    // 64-bit fingerprint fold — equality certifies the hashed path
+    // collides on nothing (the q37/q42/q56 construction).
+    "q32_chunk_dedup" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      tl AS (
+        SELECT doc_id, i, t[i] AS tk
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok)),
+      h AS (
+        SELECT doc_id, i, tk,
+               ('0x' || substr(md5(tk), 1, 13))::BIGINT AS hv FROM tl),
+      s AS (
+        SELECT doc_id, i, tk,
+               sum(hv) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS ws,
+               count(*) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wn
+        FROM h),
+      b AS (
+        SELECT doc_id, i, tk,
+               CASE WHEN wn = 8 AND ws % 16 = 0 THEN 1 ELSE 0 END AS is_b
+        FROM s),
+      cid AS (
+        SELECT doc_id, i, tk,
+               COALESCE(sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        FROM b),
+      ch AS (
+        SELECT DISTINCT doc_id, chunk
+        FROM (SELECT doc_id, c, string_agg(tk, ' ' ORDER BY i) AS chunk
+              FROM cid GROUP BY doc_id, c))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_chunks
+      FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 1
+      ORDER BY id_a, id_b""",
+
+    // q34: the engine-specific sketch binaries stay out of the output —
+    // the oracle replays the exact per-day and union distinct legs and
+    // pins in_bracket TRUE (the merged HLL estimate at lgK=12 sits well
+    // inside 5% of exact; drift flips the hash). The q81/q78/q126
+    // recipe.
+    "q34_sketch_union" -> """
+      WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      tot AS (SELECT count(DISTINCT user_id) AS u FROM ev)
+      SELECT day,
+             count(DISTINCT user_id) AS exact_users,
+             CAST(count(*) AS BIGINT) AS n_events,
+             (SELECT u FROM tot) AS exact_union_users,
+             TRUE AS in_bracket
+      FROM ev GROUP BY day ORDER BY day""",
+
     "q22_embedding_topk" -> """
       WITH pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

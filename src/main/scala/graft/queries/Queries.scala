@@ -571,24 +571,34 @@ object Queries {
   /** Mergeable-sketch rollup ([[graft.operators.Sketches]]): one HLL
     * sketch of the distinct users per event-day shard, then the
     * corpus-wide distinct estimate from UNIONING the shard sketches —
-    * never rescanning the rows that built them. Rows-only (sketch
-    * binaries are engine-specific), but self-asserting: `pass` checks
-    * the merged estimate against the exact count within the sketch's
-    * error envelope, so an estimator or merge regression flips rows.
+    * never rescanning the rows that built them. ORACLE-CHECKED (r12
+    * judge-prescribed conversion from rows-only) via the q81/q78/q126
+    * recipe: the engine-specific sketch binaries stay out of the
+    * output; what ships is the per-shard exact distinct leg, the
+    * union exact distinct leg (a different contraction than q70's
+    * per-flag leg), and `in_bracket` — the merged estimate within the
+    * sketch's error envelope — which the oracle pins TRUE, so an
+    * estimator or merge regression flips the hash.
     */
   def q34SketchUnion(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsTable(s, dir)
       .withColumn("day", to_date(col("ts")))
     val daily = graft.operators.Sketches.sketchBy(ev, Seq("day"), "user_id")
     val merged = graft.operators.Sketches.unionEstimate(daily, Seq.empty)
-    val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"),
-      count(lit(1)).as("n_events"))
-    merged.crossJoin(exact)
-      .withColumn("rel_err",
-        abs(col("distinct_estimate") - col("exact_users")) / col("exact_users"))
-      .withColumn("pass", col("rel_err") <= 0.05)
-      .select(col("distinct_estimate").cast("long").as("distinct_estimate"),
-        col("exact_users"), col("n_events"), col("pass"))
+    val exactDaily = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+    val exactUnion = ev.agg(countDistinct(col("user_id")).as("exact_union_users"))
+    // two 1-row scalar crossJoins (police-whitelisted): merged estimate
+    // vs exact union, then the bracket verdict onto the per-day rows
+    val bracket = merged.crossJoin(exactUnion)
+      .select(col("exact_union_users"),
+        (abs(col("distinct_estimate") - col("exact_union_users")) <=
+          lit(0.05) * col("exact_union_users")).as("in_bracket"))
+    exactDaily.crossJoin(broadcast(bracket))
+      .select(col("day"), col("exact_users"), col("n_events"),
+        col("exact_union_users"), col("in_bracket"))
+      .orderBy(col("day"))
   }
 
   /** Heavy hitters per language through the custom SpaceSaving
@@ -646,22 +656,22 @@ object Queries {
     s.sql(sqlExistsHaving)
   }
 
-  /** Rolling-hash content-defined chunk dedup: partial-overlap pairs. */
+  /** Rolling-hash content-defined chunk dedup: partial-overlap pairs,
+    * ORACLE-CHECKED (r12 judge-prescribed conversion from rows-only)
+    * via the q37/q42/q56 string-replay recipe: the boundary rule is
+    * [[graft.functions.RollingChunks]]'s `neutral` mode (md5-prefix
+    * window sum — both engines compute md5 byte-identically), Spark
+    * groups and joins on the 64-bit chunk-fingerprint fold, and the
+    * DuckDB oracle rebuilds the chunks as STRINGS from the same
+    * boundary arithmetic — hash equality certifies the chunk
+    * assignment loop, the fingerprint join path (collides on nothing),
+    * and the pair roll-up end to end.
+    */
   def q32ChunkDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.chunkDupPairs(table(s, dir, "documents"), "doc_id", "text",
-      window = 8, modulus = 16, minSharedChunks = 1)
-      .agg(count(lit(1)).as("n_pairs"),
-        coalesce(max(col("shared_chunks")), lit(0)).as("max_shared"),
-        coalesce(sum(when(col("shared_chunks") >= 2, 1).otherwise(0)), lit(0)).as("n_multi_chunk"))
-      .withColumn("op", lit("rolling_chunk_cdc"))
-      // self-asserting op-invariants: multi-chunk pairs are a subset of
-      // all pairs; any pair shares ≥ minSharedChunks (1); a multi-chunk
-      // pair forces max_shared ≥ 2; the corpus's injected overlaps mean
-      // a healthy chunker always finds at least one pair
-      .withColumn("pass",
-        col("n_pairs") >= col("n_multi_chunk") &&
-        col("n_pairs") > lit(0L) && col("max_shared") >= lit(1L) &&
-        (col("n_multi_chunk") === lit(0L) || col("max_shared") >= lit(2L)))
+      window = 8, modulus = 16, minSharedChunks = 1, neutralBoundary = true)
+      .select(col("id_a"), col("id_b"), col("shared_chunks"))
+      .orderBy(col("id_a"), col("id_b"))
 
   /** IVF ANN (k-means coarse quantizer) recall@5 vs brute force. */
   def q33IvfRecall(s: SparkSession, dir: String): DataFrame = {
@@ -4267,9 +4277,13 @@ object Queries {
         sum(col("n_tok")).cast("long").as("n_tokens"))
     val kept = labeled.filter(!col("bucket").startsWith("drop:"))
       .select(col("bucket"), col("doc_id"), col("n_tok"))
+    // slices = 8: the pack group key has only 3 kept values, so the
+    // single-window form would sort the whole admitted corpus through
+    // three tasks at scale; slicedCumsum is row-identical (spec'd), so
+    // the certified hash is unchanged.
     val packed = graft.operators.Packing.packManifest(kept,
         groupCols = Seq("bucket"), orderCol = "doc_id",
-        tokenCol = "n_tok", budget = 256)
+        tokenCol = "n_tok", budget = 256, slices = 8)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_seqs"),
         sum(col("n_tokens")).cast("long").as("packed_tokens"),

@@ -51,7 +51,14 @@ object CurationIngest {
       budget: Int = 256,
       threshold: Double = 0.5,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      offsetBuckets: Int = 4)
+      offsetBuckets: Int = 4,
+      // pack-window slice count (Packing.packManifestFrom's scale
+      // knob): the pack group key is the split bucket — THREE kept
+      // values — so a one-shot drain (Trigger.AvailableNow) would
+      // otherwise funnel the whole admitted corpus through three
+      // window tasks. slices > 1 decomposes the running offset via
+      // Ranking.slicedCumsum with byte-identical output.
+      packSlices: Int = 1)
 
   /** Seed the stored pack-offset table: every split bucket at token 0,
     * batch high-water mark −1 (nothing committed). */
@@ -121,7 +128,8 @@ object CurationIngest {
       admitted.select(col("bucket"), col("doc_id"), col("n_tok")),
       groupCols = Seq("bucket"), orderCol = "doc_id", tokenCol = "n_tok",
       budget = cfg.budget,
-      baseOffsets = offsets(spark, cfg).select(col("bucket"), col("base_tok")))
+      baseOffsets = offsets(spark, cfg).select(col("bucket"), col("base_tok")),
+      slices = cfg.packSlices)
     (labeled, manifest)
   }
 

@@ -211,6 +211,93 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked probes treat a same-id resubmission as a stored duplicate (exclusion is unwatermarked-only)") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      val base = Seq(
+        (1L, "the quiet harbor town wakes before dawn to gull cries"))
+        .toDF("doc_id", "text")
+      DedupIndex.saveCorpus(spark, base, "doc_id", "text", tbl) // batch_id = -1
+      val resubmit = Seq((1L, "the quiet harbor town wakes before dawn to gull cries"))
+        .toDF("doc_id", "text")
+      // unwatermarked: the ad-hoc replay contract — no self-pair
+      assert(DedupIndex.dedupAgainstStored(spark, tbl, resubmit, "doc_id", "text")
+        .count() == 0)
+      // watermarked (the ingest discipline): the corpus row was
+      // committed by an earlier batch, so the resubmission is a GENUINE
+      // stored duplicate — admitting it would double-append the id
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, resubmit, "doc_id", "text",
+          committedBatch = 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((1L, 1L)),
+        s"a same-id doc visible through the watermark must report: $hits")
+      // and the admission filter drops it instead of re-admitting
+      assert(DedupIndex.admitAgainstStored(spark, tbl, resubmit, "doc_id", "text",
+        committedBatch = 7L).count() == 0)
+    }
+  }
+
+  test("legacy corpus (no batch_id column): probes, watermarks, bloom, and append all work; append upgrades in place") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      val base = Seq(
+        (1L, "the lighthouse keeper logs every passing freighter at dusk"),
+        (2L, "terraced vineyards climb the south slope above the lake"))
+        .toDF("doc_id", "text")
+      DedupIndex.saveCorpus(spark, base, "doc_id", "text", tbl)
+      // recreate the r11 on-disk shape: strip the provenance stamp
+      // (localCheckpoint first — overwriting a table being read)
+      val bk = spark.table(s"${tbl}_buckets").drop("batch_id").localCheckpoint()
+      bk.write.mode("overwrite").saveAsTable(s"${tbl}_buckets")
+      val st = spark.table(s"${tbl}_sets").drop("batch_id").localCheckpoint()
+      st.write.mode("overwrite")
+        .bucketBy(32, "doc_id").sortBy("doc_id").saveAsTable(s"${tbl}_sets")
+      assert(!spark.table(s"${tbl}_buckets").columns.contains("batch_id"))
+
+      // a WATERMARKED probe must not throw on the missing column — the
+      // whole legacy corpus predates every batch, so it all probes
+      // (this is the resuming-stream-after-upgrade path)
+      val probe = Seq((20L, "the lighthouse keeper logs every passing freighter at dusk"))
+        .toDF("doc_id", "text")
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, probe, "doc_id", "text",
+          committedBatch = -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((20L, 1L)), s"legacy rows are committed rows: $hits")
+
+      // a stamped append UPGRADES the schema in place (metadata-only);
+      // legacy rows read NULL ≡ committed-before-any-batch
+      val batch = Seq((10L, "container cranes unload midnight freight under sodium light"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendCorpus(spark, batch, "doc_id", "text", tbl, batchId = 0L)
+      assert(spark.table(s"${tbl}_buckets").columns.contains("batch_id"))
+      assert(spark.table(s"${tbl}_sets")
+        .filter(col("batch_id").isNull).count() == 2L,
+        "legacy set rows must survive the upgrade as NULL-stamped")
+
+      // watermark semantics across the mix: at -1 the legacy rows probe
+      // but batch-0 rows are invisible; at 0 both probe
+      val resend = Seq((21L, "container cranes unload midnight freight under sodium light"))
+        .toDF("doc_id", "text")
+      assert(DedupIndex.dedupAgainstStored(spark, tbl, resend, "doc_id", "text",
+        committedBatch = -1L).count() == 0,
+        "post-upgrade batch rows must stay above the legacy watermark")
+      val hits0 = DedupIndex.dedupAgainstStored(spark, tbl, resend, "doc_id", "text",
+          committedBatch = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits0 == Set((21L, 10L)))
+
+      // the bloom path (built at save time, merged at append) still
+      // prunes correctly over the upgraded corpus
+      val clean = Seq((30L, "zxqv blorp wug snarf glip norb quux zelch vrump"))
+        .toDF("doc_id", "text")
+      val pruned = DedupIndex.bloomPrune(spark, tbl,
+        DedupIndex.batchBuckets(clean, "doc_id", "text"))
+      assert(pruned.count() == 0, "a clean batch must prune to zero buckets")
+    }
+  }
+
   test("snapshot-by-watermark: uncommitted batch rows are invisible to the probe") {
     import spark.implicits._
     val tbl = freshTable("dix")

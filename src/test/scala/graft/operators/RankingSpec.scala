@@ -82,6 +82,23 @@ class RankingSpec extends AnyFunSuite {
     assert(rows(8) == rows(1))
   }
 
+  test("packManifestFrom(slices > 1) is row-identical to the single-window form, incl. nonzero base offsets") {
+    val rnd = new scala.util.Random(41)
+    // a 3-value group key (the flagship pipeline's bucket shape) with
+    // per-group base offsets, one landing EXACTLY on a budget boundary
+    val docs = Seq.tabulate(1500)(i =>
+      (Seq("train", "val", "test")(i % 3), i.toLong, 1 + rnd.nextInt(40)))
+      .toDF("bucket", "doc_id", "n_toks")
+    val base = Seq(("train", 999L), ("val", 256L), ("test", 0L))
+      .toDF("bucket", "base_tok")
+    def rows(slices: Int) =
+      Packing.packManifestFrom(docs, Seq("bucket"), "doc_id", "n_toks",
+          budget = 128, baseOffsets = base, slices = slices)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows(8) == rows(1))
+  }
+
   test("plan: the only corpus-sized window partitions by (group, bucket), not group alone") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
     val df = spark.range(10000)

@@ -32,7 +32,7 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     "q33_ivf_recall"      -> 3, // exact leg + probe legs, same bound
     "q55_pq_recall"       -> 5, // exact + PQ probe + rerank legs, same bound
     "q45_semantic_dedup"  -> 1, // documented exactDupPairs verify baseline
-    "q34_sketch_union"    -> 1, // 1-row merged-sketch scalar
+    "q34_sketch_union"    -> 2, // 1-row merged-sketch × exact-union scalar + the bracket verdict onto the per-day rows
     "q53_source_mix"      -> 1, // 1-row recipe scalar
     "q62_quantile_bins"   -> 2, // threshold set × bucket ids (B-1 rows) + scalar
     "q73_bm25_stats"      -> 1, // 1-row corpus scalars
@@ -74,8 +74,11 @@ class QueryPlanPoliceSpec extends AnyFunSuite {
     // the judge-accepted contract (profiling, not the shipped gate)
     "q44_length_quantiles", "q59_quantile_sketch", "q69_exact_quantiles",
     // packing: the per-source concatenation ORDER is the operator's
-    // semantic contract (manifest determinism); sub-sharding sources
-    // is the documented scale lever
+    // semantic contract (manifest determinism); the scale levers are
+    // sub-sharding sources AND the slices knob — plumbed through BOTH
+    // packManifest and packManifestFrom (row-identical, spec'd), and
+    // used by q204's pack leg (slices = 8) and CurationIngest's
+    // packSlices config
     "q43_seq_packing", "q67_tokenize_pack", "q80_pack_invariants",
     // decomposed forms, pinned in depth by PlanAuditSpec: the lang-only
     // window rides a tiny contraction (q74 bracket / q47 bucket offsets)

@@ -122,7 +122,10 @@ class CurationIngestSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
 
   test("streaming (3 micro-batches) bit-equals the one-shot batch chain; every stage fires; offsets converge") {
-    val streamCfg = freshState("s")
+    // packSlices = 2 on the streaming side ONLY: parity vs the
+    // slices=1 batch replay proves the sliced pack window is invisible
+    // in the offsets-continued output too (the 100× --once drain path)
+    val streamCfg = freshState("s").copy(packSlices = 2)
     val batchCfg = freshState("b")
 
     // ---- batch replay: ONE curateBatch over the whole day ----------
