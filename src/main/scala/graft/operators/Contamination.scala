@@ -71,6 +71,48 @@ object Contamination {
       .agg(countDistinct(col("gram")).as("matched_grams"),
         countDistinct(col("bench_id")).as("bench_docs"))
 
+  /** Persist a benchmark suite's gram fingerprints as a stored table —
+    * the build half of the stored-gram decontamination check: hash the
+    * eval sets ONCE, then every ingest batch (or batch job) probes the
+    * stored grams without re-tokenizing the benchmarks. One row per
+    * distinct (bench_id, gram); `gram_n` records the shingle length so
+    * probes replay the exact same gramming ([[contaminatedAgainstStored]]
+    * reads it back — a probe hashed at a different n would silently
+    * match nothing). Benchmarks are small by construction, so the
+    * table broadcasts at probe time; no bucketing needed.
+    */
+  def storeBenchGrams(spark: org.apache.spark.sql.SparkSession,
+                      bench: DataFrame, idCol: String, textCol: String,
+                      table: String, n: Int = 13): Unit =
+    bench.select(col(idCol).cast("long").as("bench_id"),
+        explode(hashed_set(shingles_fast(tokens(col(textCol)), n))).as("gram"),
+        lit(n).as("gram_n"))
+      .distinct()
+      .write.mode("overwrite").saveAsTable(table)
+
+  /** The probe half: flag documents sharing any gram with the STORED
+    * benchmark grams — row-identical to [[contaminated]] over the
+    * bench the table was built from (spec-pinned), including the
+    * same-id exemption (a doc sharing its id with a bench doc is the
+    * holdout itself, not contamination — ids share a namespace by the
+    * q204 holdout convention). The stored side broadcasts; the corpus
+    * streams through one scan, map-side join, and the common case
+    * (clean doc) emits nothing before the final doc-id fold.
+    */
+  def contaminatedAgainstStored(spark: org.apache.spark.sql.SparkSession,
+                                table: String, docs: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
+    val stored = spark.table(table)
+    val n = stored.select(max(col("gram_n"))).head().getInt(0)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(hashed_set(shingles_fast(tokens(col(textCol)), n))).as("gram"))
+      .join(broadcast(stored.select(col("bench_id"), col("gram"))), Seq("gram"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("matched_grams"),
+        countDistinct(col("bench_id")).as("bench_docs"))
+  }
+
   /** The filter a pipeline applies: `docs` minus contaminated ones. */
   def decontaminated(docs: DataFrame, idCol: String, textCol: String,
                      bench: DataFrame, benchIdCol: String, benchTextCol: String,

@@ -228,11 +228,14 @@ object NgramLM {
     * unambiguously: marker present → the staged model is complete,
     * roll FORWARD; marker absent → the append never committed, drop
     * stray stages and let the caller retry. `batchTag` makes the retry
-    * itself safe: the tag rides the meta table, and an append whose
-    * tag the stored model already carries is a no-op (the
-    * [[graft.streaming.CurationIngest]] replay rule) — without a tag,
-    * re-running a COMMITTED append double-counts, exactly like
-    * re-COPYing a file without the loader's ledger.
+    * itself safe: every committed tag persists in a tiny `<name>_tags`
+    * table (staged and swapped WITH the counts, so the two can never
+    * disagree), and an append whose tag is ALREADY COMMITTED — the
+    * last one or any older one (out-of-order recovery, multi-writer
+    * misuse) — is a no-op (the [[graft.streaming.CurationIngest]]
+    * replay rule). Without a tag, re-running a COMMITTED append
+    * double-counts, exactly like re-COPYing a file without the
+    * loader's ledger.
     */
   def appendToStored(spark: org.apache.spark.sql.SparkSession, name: String,
                      batch: DataFrame, idCol: String, textCol: String,
@@ -250,7 +253,7 @@ object NgramLM {
       buckets: Int, batchTag: Option[String],
       crashAfterStep: Int = Int.MaxValue): Model = {
     recoverStored(spark, name)
-    if (batchTag.isDefined && batchTag == storedTag(spark, name))
+    if (batchTag.exists(committedTags(spark, name).contains))
       return load(spark, name) // replayed append: already committed
     val stored = load(spark, name)
     val batchModel = fit(batch, idCol, textCol, stored.order)
@@ -277,6 +280,14 @@ object NgramLM {
     Seq((vocabSize, stored.order, batchTag.orNull))
       .toDF("vocab_size", "gram_order", "batch_tag")
       .write.mode("overwrite").saveAsTable(s"${name}__stage_meta")
+    // the committed-tag SET rides the same staged swap as the counts,
+    // so it can never record a tag whose counts didn't land (or vice
+    // versa): stage = live tags ∪ this tag. An append without a tag
+    // stages nothing — the live tag table survives the swap untouched.
+    batchTag.foreach { tag =>
+      (committedTags(spark, name) + tag).toSeq.toDF("tag")
+        .write.mode("overwrite").saveAsTable(s"${name}__stage_tags")
+    }
     if (crashAfterStep <= 1)
       throw new IllegalStateException("simulated crash after stage writes")
     // the commit point: marker present = staged model complete, the
@@ -295,16 +306,29 @@ object NgramLM {
     load(spark, name)
   }
 
-  private val storeParts = Seq("bigrams", "prefixes", "vocab", "meta")
+  private val storeParts = Seq("bigrams", "prefixes", "vocab", "meta", "tags")
 
-  /** The stored model's last committed batch tag, if any (meta written
-    * by [[store]] or by pre-tag versions has no column → None). */
-  private def storedTag(spark: org.apache.spark.sql.SparkSession,
-                        name: String): Option[String] = {
+  /** EVERY committed batch tag — the tiny `<name>_tags` table (one row
+    * per committed tagged append), so a replay of ANY committed tag
+    * no-ops, not just the immediately-preceding one (out-of-order
+    * recovery, multi-writer misuse). Legacy codec: a store from before
+    * the tags table carries at most the LATEST tag in its meta row —
+    * fold it in, so upgrading mid-stream keeps the last pre-upgrade
+    * append replay-safe. Tag cardinality = committed appends: one row
+    * per micro-batch, driver-side by construction.
+    */
+  private def committedTags(spark: org.apache.spark.sql.SparkSession,
+                            name: String): Set[String] = {
+    val tagged =
+      if (spark.catalog.tableExists(s"${name}_tags"))
+        spark.table(s"${name}_tags").collect().map(_.getString(0)).toSet
+      else Set.empty[String]
     val row = spark.table(s"${name}_meta").head()
-    if (row.schema.fieldNames.contains("batch_tag"))
-      Option(row.getAs[String]("batch_tag"))
-    else None
+    val legacy =
+      if (row.schema.fieldNames.contains("batch_tag"))
+        Option(row.getAs[String]("batch_tag"))
+      else None
+    tagged ++ legacy
   }
 
   /** Swap every staged table in (drop live, rename stage), then drop

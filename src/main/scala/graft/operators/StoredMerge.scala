@@ -209,12 +209,14 @@ object StoredMerge {
     * correct caller response to a crash — some buckets may already
     * hold the new state, the rest catch up.
     *
-    * SINGLE WRITER by contract (the [[graft.ledger.Ledger]] rule):
-    * one merge at a time per table path. Concurrent merges would race
-    * on the shared tmp/aside directories and one's entry recovery
-    * could roll back the other's in-flight swap — serialize merges
-    * upstream (the streaming pipeline already does; ops runs against
-    * a quiesced table).
+    * SINGLE WRITER, lease-ENFORCED (r13 — previously contract-only):
+    * concurrent merges would race on the shared tmp/aside directories
+    * and one's entry recovery could roll back the other's in-flight
+    * swap, so every merge runs under [[WriterLease]] on the table path
+    * — a second writer fails LOUDLY before touching anything, and a
+    * crashed writer's lock expires instead of wedging the table. Same-
+    * owner holds are re-entrant (a pipeline commit wrapping its offsets
+    * merge shares one lease); distinct jobs pass distinct owners.
     *
     * Untouched bucket directories are untouched on disk (spec pins
     * their files byte-identical), so merge cost scales with the
@@ -222,8 +224,9 @@ object StoredMerge {
     * ≈ 25 GB per touched bucket of rewrite, zero for the rest.
     */
   def upsertBuckets(spark: SparkSession, path: String, updates: DataFrame,
-                    keyCols: Seq[String], nBuckets: Int): Unit =
-    upsertBucketsImpl(spark, path, updates, keyCols, nBuckets)
+                    keyCols: Seq[String], nBuckets: Int,
+                    owner: String = WriterLease.jvmOwner): Unit =
+    upsertBucketsImpl(spark, path, updates, keyCols, nBuckets, owner)
 
   /** `crashAfterStep` is a test seam (the Ledger `compactOne` recipe):
     * throw after step N (1=tmp written, 2=first live renamed aside,
@@ -231,8 +234,17 @@ object StoredMerge {
     */
   private[operators] def upsertBucketsImpl(spark: SparkSession, path: String,
       updates: DataFrame, keyCols: Seq[String], nBuckets: Int,
+      owner: String = WriterLease.jvmOwner,
       crashAfterStep: Int = Int.MaxValue): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
+    WriterLease.withLease(spark, path, owner) {
+      mergeUnderLease(spark, path, updates, keyCols, nBuckets, crashAfterStep)
+    }
+  }
+
+  private def mergeUnderLease(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String], nBuckets: Int,
+      crashAfterStep: Int): Unit = {
     recoverMerge(spark, path)
     val upd = updates.withColumn("__bucket", bucketOf(keyCols, nBuckets))
     val touched = upd.select(col("__bucket")).distinct()

@@ -24,6 +24,11 @@ import org.apache.spark.sql.SparkSession
   *                  --reprocessPrefix <watchRoot> <prefix> [regex]
   *   resetCurrentBatch <configDir> <prefix>
   *   encryptValue   <keyPath> <value>
+  *
+  * plus the engine-extension arms: `curationIngest` (the flagship
+  * composed job) and the crash-repair family — `rebuildBloom`,
+  * `recoverLm`, `recoverMerge`, `pendingSwap` — following the
+  * reference's every-repair-is-a-script convention.
   */
 object OpsCli {
 
@@ -116,8 +121,31 @@ object OpsCli {
         val offRoot = new org.apache.hadoop.fs.Path(offsetsPath)
         val fs = offRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(offRoot)) CurationIngest.initOffsets(spark, cfg)
-        val schema = spark.read.parquet(docsDir).schema
-        val docs = spark.readStream.schema(schema).parquet(docsDir)
+        // stream-source schema: `--schema <ddl>` pins it explicitly —
+        // the right call for CONTINUOUS mode, whose docs directory may
+        // be empty (or absent) at launch and fill later; without the
+        // flag, probe the existing files and fail with a clear message
+        // + exit code instead of a raw AnalysisException mid-startup
+        val explicit = tail.sliding(2).collectFirst {
+          case "--schema" :: ddl :: Nil =>
+            org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        }
+        val probed = explicit match {
+          case s @ Some(_) => s
+          case None =>
+            try Some(spark.read.parquet(docsDir).schema)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                System.err.println(
+                  s"cannot infer the stream schema from $docsDir (" +
+                    s"${e.getSimpleMessage.trim}): the directory is empty or " +
+                    "absent — pass --schema \"doc_id BIGINT, text STRING\" to " +
+                    "start the stream before data arrives")
+                None
+            }
+        }
+        if (probed.isEmpty) 2 else {
+        val docs = spark.readStream.schema(probed.get).parquet(docsDir)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))
         val q = graft.Pipeline.startCurationIngest(spark, docs, cfg,
@@ -126,6 +154,43 @@ object OpsCli {
         println(s"curation ingest ${if (once) "drained" else "stopped"}: " +
           s"labeled=$labeledDir manifest=$manifestDir")
         0
+        }
+      // ---- crash-repair family: the engine's stored-state analogue of
+      // the reference's standalone repair scripts (unlockBatch.js,
+      // resetCurrentBatch.js) — each repair the r12 crash disciplines
+      // introduced is ops-reachable here, not only from library code.
+      case ("rebuildBloom", table :: tail) =>
+        // repair a dedup corpus's bucket bloom lost to a crash
+        // mid-overwrite (probes degrade to un-pruned meanwhile); pass
+        // the corpus's original (items, fpp) so future appends merge
+        // compatibly
+        graft.operators.DedupIndex.rebuildBloom(spark, table,
+          tail.headOption.map(_.toLong).getOrElse(1L << 22),
+          tail.lift(1).map(_.toDouble).getOrElse(0.01))
+        println(s"bloom rebuilt for $table from ${table}_buckets")
+        0
+      case ("recoverLm", name :: Nil) =>
+        // classify + finish an interrupted NgramLM.appendToStored:
+        // commit marker present → roll the staged model forward;
+        // absent → drop stray stages (live model untouched)
+        graft.operators.NgramLM.recoverStored(spark, name)
+        println(s"stored LM $name recovered (staged append rolled " +
+          "forward or stray stages dropped)")
+        0
+      case ("recoverMerge", path :: Nil) =>
+        // finish an interrupted StoredMerge.upsertBuckets bucket swap:
+        // completed buckets keep the new state, interrupted ones roll
+        // back whole — the table reads again either way
+        graft.operators.StoredMerge.recoverMerge(spark, path)
+        println(s"bucket-merge state at $path recovered")
+        0
+      case ("pendingSwap", path :: Nil) =>
+        // status readout: exit 0 = clean (reads allowed), 1 = a bucket
+        // swap is mid-flight or died mid-swap (run recoverMerge after a
+        // crash; during a live merge just wait out the rename window)
+        val pending = graft.operators.StoredMerge.pendingSwap(spark, path)
+        println(s"pendingSwap $path: $pending")
+        if (pending) 1 else 0
       case _ =>
         System.err.println(usage)
         2
@@ -146,6 +211,11 @@ object OpsCli {
       |  resetCurrentBatch <configDir> <prefix>
       |  encryptValue   <keyPath> <value>
       |  curationIngest <docsDir> <dedupTable> <lmTable> <offsetsPath>
-      |                 <scoreCut> <labeledDir> <manifestDir> <checkpointDir> [--once]
+      |                 <scoreCut> <labeledDir> <manifestDir> <checkpointDir>
+      |                 [--once] [--schema <ddl>]
+      |  rebuildBloom   <dedupTable> [items] [fpp]
+      |  recoverLm      <lmName>
+      |  recoverMerge   <bucketTablePath>
+      |  pendingSwap    <bucketTablePath>
       |""".stripMargin
 }

@@ -8,7 +8,10 @@ import graft.functions.TextFunctions
 import graft.operators.{DedupIndex, NgramLM, Packing, StoredMerge}
 
 /** The STREAMING dual of the composed pretraining pipeline (batch
-  * q204): normalize → PII scrub → stored-index near-dup admission
+  * q204): normalize → PII scrub → (optional) stored-gram benchmark
+  * decontamination ([[Config.benchTable]], the q37 rule against a
+  * [[graft.operators.Contamination.storeBenchGrams]] table) →
+  * stored-index near-dup admission
   * ([[DedupIndex.admitAgainstStored]]'s math — exact dups are the
   * jaccard=1 case, so one stage covers both) → stored-LM quality gate
   * → split assign → offset-continued sequence packing, wired through
@@ -52,13 +55,26 @@ object CurationIngest {
       threshold: Double = 0.5,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
       offsetBuckets: Int = 4,
+      // optional decontamination stage between the scrub and the dedup
+      // probe: a stored benchmark-gram table built ONCE by
+      // Contamination.storeBenchGrams — contaminated docs label
+      // drop:contaminated and never reach the dedup probe or the
+      // corpus append (the 13-gram eval-overlap rule, certified in
+      // batch form as q37)
+      benchTable: Option[String] = None,
       // pack-window slice count (Packing.packManifestFrom's scale
       // knob): the pack group key is the split bucket — THREE kept
       // values — so a one-shot drain (Trigger.AvailableNow) would
       // otherwise funnel the whole admitted corpus through three
       // window tasks. slices > 1 decomposes the running offset via
       // Ranking.slicedCumsum with byte-identical output.
-      packSlices: Int = 1)
+      packSlices: Int = 1,
+      // one writer identity PER JOB (a fresh id per Config): the
+      // WriterLease every commit holds on offsetsPath, so a second job
+      // pointed at the same stored state fails loudly instead of
+      // silently interleaving commits (the engine analogue of the
+      // reference's per-prefix CAS flush lock, index.js:724-731)
+      writerId: String = java.util.UUID.randomUUID().toString)
 
   /** Seed the stored pack-offset table: every split bucket at token 0,
     * batch high-water mark −1 (nothing committed). */
@@ -96,6 +112,19 @@ object CurationIngest {
       .select(col("doc_id").cast("long").as("doc_id"),
         Curation.redactPii(Curation.normalizeText(col("text"))).as("clean"))
       .withColumn("n_tok", TextFunctions.tokenCount(col("clean")).cast("long"))
+    // DECONTAMINATION (optional, between scrub and dedup): flag docs
+    // sharing any stored benchmark gram; they drop before the probe,
+    // so the dedup join never pays for docs that cannot be admitted
+    val flagged = cfg.benchTable match {
+      case Some(t) =>
+        val contamIds = graft.operators.Contamination
+          .contaminatedAgainstStored(spark, t, cleaned, "doc_id", "clean")
+          .select(col("doc_id"), lit(true).as("__contam"))
+        cleaned.join(contamIds, Seq("doc_id"), "left")
+          .withColumn("__contam", coalesce(col("__contam"), lit(false)))
+      case None => cleaned.withColumn("__contam", lit(false))
+    }
+    val probeDocs = flagged.filter(!col("__contam"))
     // SNAPSHOT-BY-WATERMARK (the r11 judge's crash-replay hole): probe
     // only corpus rows from batches the offsets high-water has
     // committed. A replay after a crash mid-commit (its own corpus
@@ -104,7 +133,7 @@ object CurationIngest {
     // this, every admitted doc self-matched at jaccard 1 and was
     // silently relabeled drop:stored_dup.
     val committed = committedBatch(spark, cfg)
-    val dupIds = DedupIndex.dedupAgainstStored(spark, cfg.dedupTable, cleaned,
+    val dupIds = DedupIndex.dedupAgainstStored(spark, cfg.dedupTable, probeDocs,
         "doc_id", "clean", cfg.threshold, cfg.k, cfg.bands, cfg.shingleN,
         committedBatch = committed)
       .select(col("new_id").as("doc_id")).distinct()
@@ -113,12 +142,13 @@ object CurationIngest {
     // out as drop:quality (coalesce to below any positive cut)
     val scores = NgramLM.likelihoodMass(cleaned, "doc_id", "clean", model)
       .select(col("doc_id"), col("score"))
-    val labeled = cleaned
+    val labeled = flagged
       .join(dupIds, Seq("doc_id"), "left")
       .join(scores, Seq("doc_id"), "left")
       .withColumn("score", coalesce(col("score"), lit(0.0)))
       .withColumn("bucket",
-        when(col("__dup"), lit("drop:stored_dup"))
+        when(col("__contam"), lit("drop:contaminated"))
+          .when(col("__dup"), lit("drop:stored_dup"))
           .when(col("score") < cfg.scoreCut, lit("drop:quality"))
           .otherwise(Curation.splitAssign(col("doc_id"))))
       .select(col("doc_id"), col("clean"), col("n_tok"), col("score"),
@@ -143,8 +173,10 @@ object CurationIngest {
     * missing steps — per-table presence checks skip what landed, the
     * Bloom merge re-ORs idempotently, and the offsets upsert is the
     * crash-atomic [[StoredMerge.upsertBuckets]]. Single writer per
-    * table path (the [[StoredMerge]] contract — the Pipeline's
-    * one-query-per-checkpoint discipline provides it).
+    * table path, lease-ENFORCED (r13): the whole commit holds a
+    * [[graft.operators.WriterLease]] on the offsets path keyed by
+    * [[Config.writerId]], so a second job pointed at the same stored
+    * state fails loudly instead of silently interleaving.
     */
   def commitBatch(spark: SparkSession, labeled: DataFrame, batchId: Long,
                   cfg: Config): Unit =
@@ -159,25 +191,33 @@ object CurationIngest {
     * a crash at every step.
     */
   private[graft] def commitBatchImpl(spark: SparkSession, labeled: DataFrame,
-      batchId: Long, cfg: Config, crashAfterStep: Int = Int.MaxValue): Unit = {
-    val off = offsets(spark, cfg)
-    val committed = off.agg(max(col("last_batch"))).head.getLong(0)
-    if (committed >= batchId) return // replayed batch: already applied
-    val admitted = labeled.filter(!col("bucket").startsWith("drop:"))
-    DedupIndex.appendCorpusImpl(spark, admitted.select(col("doc_id"), col("clean")),
-      "doc_id", "clean", cfg.dedupTable, cfg.k, cfg.bands, cfg.shingleN,
-      setBuckets = 32, batchId = batchId, crashAfterStep = crashAfterStep)
-    val sums = admitted.groupBy(col("bucket"))
-      .agg(sum(col("n_tok")).cast("long").as("__add"))
-    val updated = off.join(sums, Seq("bucket"), "left")
-      .select(col("bucket"),
-        (col("base_tok") + coalesce(col("__add"), lit(0L))).as("base_tok"),
-        lit(batchId).as("last_batch"))
-    StoredMerge.upsertBuckets(spark, cfg.offsetsPath, updated,
-      Seq("bucket"), cfg.offsetBuckets)
-    if (crashAfterStep <= 4)
-      throw new IllegalStateException("simulated crash after offsets upsert")
-  }
+      batchId: Long, cfg: Config, crashAfterStep: Int = Int.MaxValue): Unit =
+    // the WHOLE multi-table commit runs under ONE writer lease on the
+    // offsets path (the commit point every path converges on): a second
+    // job sharing the stored state fails loudly here before touching
+    // the corpus, and the nested offsets upsert re-enters the same
+    // lease rather than deadlocking. A crashed holder's lock expires;
+    // the replay machinery below makes the successor's retry correct.
+    graft.operators.WriterLease.withLease(spark, cfg.offsetsPath, cfg.writerId) {
+      val off = offsets(spark, cfg)
+      val committed = off.agg(max(col("last_batch"))).head.getLong(0)
+      if (committed < batchId) { // else: replayed batch, already applied
+        val admitted = labeled.filter(!col("bucket").startsWith("drop:"))
+        DedupIndex.appendCorpusImpl(spark, admitted.select(col("doc_id"), col("clean")),
+          "doc_id", "clean", cfg.dedupTable, cfg.k, cfg.bands, cfg.shingleN,
+          setBuckets = 32, batchId = batchId, crashAfterStep = crashAfterStep)
+        val sums = admitted.groupBy(col("bucket"))
+          .agg(sum(col("n_tok")).cast("long").as("__add"))
+        val updated = off.join(sums, Seq("bucket"), "left")
+          .select(col("bucket"),
+            (col("base_tok") + coalesce(col("__add"), lit(0L))).as("base_tok"),
+            lit(batchId).as("last_batch"))
+        StoredMerge.upsertBuckets(spark, cfg.offsetsPath, updated,
+          Seq("bucket"), cfg.offsetBuckets, owner = cfg.writerId)
+        if (crashAfterStep <= 4)
+          throw new IllegalStateException("simulated crash after offsets upsert")
+      }
+    }
 
   /** One foreachBatch body — public so the crash-replay spec and the
     * ops CLI drive exactly what the streaming job runs. Replay
@@ -218,8 +258,13 @@ object CurationIngest {
             availableNow: Boolean = false): StreamingQuery = {
     // a crash between upsertBuckets' renames leaves the offsets table
     // refusing reads (StoredMerge's r11 reader contract) — repair on
-    // entry, exactly like the merge path itself does
-    StoredMerge.recoverMerge(spark, cfg.offsetsPath)
+    // entry, exactly like the merge path itself does. Under the writer
+    // lease: repairing while ANOTHER live job is mid-swap would roll
+    // back ITS in-flight buckets — the exact corruption the lease
+    // exists to refuse loudly.
+    graft.operators.WriterLease.withLease(spark, cfg.offsetsPath, cfg.writerId) {
+      StoredMerge.recoverMerge(spark, cfg.offsetsPath)
+    }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow()

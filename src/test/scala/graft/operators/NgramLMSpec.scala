@@ -197,13 +197,48 @@ class NgramLMSpec extends AnyFunSuite {
         assert(m(again.bigrams) == wantBig, s"step $step: replayed tag must not double-count")
         // no stage or marker residue survives
         Seq("__stage_bigrams", "__stage_prefixes", "__stage_vocab",
-          "__stage_meta", "__commit").foreach(s =>
+          "__stage_meta", "__stage_tags", "__commit").foreach(s =>
           assert(!spark.catalog.tableExists(s"$tbl$s"), s"step $step: residue $s"))
-      } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta",
+      } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
         "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
-        "__stage_meta", "__commit").foreach(s =>
+        "__stage_meta", "__stage_tags", "__commit").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
     }
+  }
+
+  test("committed-tag SET: a replay of ANY older committed tag no-ops, and a legacy meta-only tag still guards") {
+    val docs = corpus.toDF("doc_id", "text")
+    val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")
+    val day3 = Seq((9L, "entirely novel words here")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = m(NgramLM.fit(docs.union(day2).union(day3), "doc_id", "text").bigrams)
+    val tbl = s"lmtags_${System.nanoTime()}"
+    try {
+      NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), tbl, buckets = 4)
+      NgramLM.appendToStored(spark, tbl, day2, "doc_id", "text",
+        buckets = 4, batchTag = Some("day2"))
+      NgramLM.appendToStored(spark, tbl, day3, "doc_id", "text",
+        buckets = 4, batchTag = Some("day3"))
+      assert(m(NgramLM.load(spark, tbl).bigrams) == want)
+      // the r12 hole: replaying the OLDER committed tag after a newer
+      // one landed silently double-counted every gram (only the latest
+      // tag was kept); the committed-tag table makes it a no-op
+      val replayOld = NgramLM.appendToStored(spark, tbl, day2, "doc_id", "text",
+        buckets = 4, batchTag = Some("day2"))
+      assert(m(replayOld.bigrams) == want,
+        "an out-of-order replay of an older committed tag must no-op")
+      // legacy codec: a store whose last tag lives only in the meta row
+      // (pre-tags-table shape) still refuses that tag's replay
+      spark.sql(s"DROP TABLE ${tbl}_tags")
+      val replayLegacy = NgramLM.appendToStored(spark, tbl, day3, "doc_id", "text",
+        buckets = 4, batchTag = Some("day3"))
+      assert(m(replayLegacy.bigrams) == want,
+        "the meta row's latest tag must still guard a pre-upgrade store")
+    } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+      "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+      "__stage_meta", "__stage_tags", "__commit").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
   test("streaming: likelihoodMass scores arrivals against a static model, matches batch") {

@@ -542,6 +542,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(shortHits == Set(5L), "verbatim short copy flagged, near-miss not")
   }
 
+  test("stored bench grams: contaminatedAgainstStored is row-identical to the live check, at the stored table's own n") {
+    val benchText = "every benchmark question has exactly this one canonical " +
+      "phrasing that must never leak into the training corpus at all"
+    val leaked13 = benchText.split(" ").slice(4, 17).mkString(" ")
+    val docs = Seq(
+      (1L, s"some training document that quotes $leaked13 inside a longer body of words"),
+      (2L, "a perfectly clean training document with entirely original content throughout " +
+        "its whole considerable and unremarkable length of many plain tokens"),
+      // id collision with the bench doc: the holdout exemption applies
+      // through the stored path exactly as through the live one
+      (100L, benchText)).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val tbl = s"benchgrams_${System.nanoTime()}"
+    try {
+      // store at a NON-default n: the probe must read n back from the
+      // table, not assume 13 — a mismatched gramming matches nothing
+      Contamination.storeBenchGrams(spark, bench, "doc_id", "text", tbl, n = 7)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val live = rows(Contamination.contaminated(
+        docs, "doc_id", "text", bench, "doc_id", "text", n = 7))
+      val stored = rows(Contamination.contaminatedAgainstStored(
+        spark, tbl, docs, "doc_id", "text"))
+      assert(stored == live, s"stored-gram probe must equal the live check: $stored vs $live")
+      assert(stored.map(_._1) == Set(1L),
+        "the quoting doc flags; the id-colliding holdout is exempt either way")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("fuzzy contamination: perturbed near-copies flagged with exact distance, tie-break, threshold and unicode semantics") {
     val benchText = "the canonical benchmark answer text that must not leak"
     val docs = Seq(

@@ -140,6 +140,111 @@ class OpsCliSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI crash-repair arms: pendingSwap status + recoverMerge roll an interrupted bucket swap back") {
+    import spark.implicits._
+    val ops = new Ops(spark, new Ledger(spark,
+      Files.createTempDirectory("graft-rm-ledger").toString))
+    val dir = Files.createTempDirectory("graft-rm").toString + "/t"
+    graft.operators.StoredMerge.writeBuckets(
+      Seq((1L, "v1"), (2L, "v2")).toDF("k", "v"), dir, Seq("k"), nBuckets = 4)
+    // fabricate the crash window recoverMerge exists for: a live bucket
+    // renamed aside, its replacement never renamed in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.startsWith("__bucket=")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir.old_tmp"))
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$dir.old_tmp/${live.getName}")))
+    assert(OpsCli.run(spark, ops, "pendingSwap", List(dir)) == 1,
+      "a mid-swap table must read as pending")
+    assert(OpsCli.run(spark, ops, "recoverMerge", List(dir)) == 0)
+    assert(OpsCli.run(spark, ops, "pendingSwap", List(dir)) == 0,
+      "recovery must clear the pending state")
+    val rows = graft.operators.StoredMerge.readBuckets(spark, dir)
+      .drop("__bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "v1", 2L -> "v2"),
+      "the rolled-back bucket must return whole")
+  }
+
+  test("CLI crash-repair arms: rebuildBloom restores a lost bloom; recoverLm finishes an interrupted LM append") {
+    import spark.implicits._
+    val ops = new Ops(spark, new Ledger(spark,
+      Files.createTempDirectory("graft-rb-ledger").toString))
+    val t0 = System.nanoTime()
+    val dedup = s"clirb_${t0}_dedup"
+    val lm = s"clirb_${t0}_lm"
+    try {
+      val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      graft.operators.DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", dedup)
+      spark.sql(s"DROP TABLE ${dedup}_bloom") // the crash casualty
+      assert(OpsCli.run(spark, ops, "rebuildBloom", List(dedup)) == 0)
+      val pruned = graft.operators.DedupIndex.bloomPrune(spark, dedup,
+        graft.operators.DedupIndex.batchBuckets(
+          Seq((9L, "zxqv blorp wug snarf glip norb quux zelch vrump"))
+            .toDF("doc_id", "text"), "doc_id", "text"))
+      assert(pruned.count() == 0, "the rebuilt bloom must prune a clean batch")
+
+      graft.operators.NgramLM.store(
+        graft.operators.NgramLM.fit(corpus, "doc_id", "text"), lm, buckets = 4)
+      // die after the commit marker: the staged model is complete and
+      // recoverLm must roll it FORWARD
+      intercept[IllegalStateException] {
+        graft.operators.NgramLM.appendToStoredImpl(spark, lm,
+          Seq((1L, "a new dog barks")).toDF("doc_id", "text"), "doc_id", "text",
+          buckets = 4, batchTag = Some("b1"), crashAfterStep = 2)
+      }
+      assert(OpsCli.run(spark, ops, "recoverLm", List(lm)) == 0)
+      assert(!spark.catalog.tableExists(s"${lm}__commit"),
+        "recovery must consume the commit marker")
+      val model = graft.operators.NgramLM.load(spark, lm)
+      assert(model.vocabSize > 9L, "the staged append must have landed")
+    } finally Seq(s"${dedup}_buckets", s"${dedup}_sets", s"${dedup}_bloom",
+      s"${lm}_bigrams", s"${lm}_prefixes", s"${lm}_vocab", s"${lm}_meta",
+      s"${lm}_tags", s"${lm}__stage_bigrams", s"${lm}__stage_prefixes",
+      s"${lm}__stage_vocab", s"${lm}__stage_meta", s"${lm}__stage_tags",
+      s"${lm}__commit")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("CLI curationIngest: an empty docs directory without --schema fails with a clear message and exit 2; --schema starts") {
+    import spark.implicits._
+    val ops = new Ops(spark, new Ledger(spark,
+      Files.createTempDirectory("graft-sch-ledger").toString))
+    val t0 = System.nanoTime()
+    val dedup = s"clisch_${t0}_dedup"
+    val lm = s"clisch_${t0}_lm"
+    try {
+      val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      graft.operators.DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", dedup)
+      graft.operators.NgramLM.store(
+        graft.operators.NgramLM.fit(corpus, "doc_id", "text"), lm)
+      val root = Files.createTempDirectory("graft-clisch").toString
+      // no docs written: the pre-r13 path threw a raw AnalysisException
+      val err = new java.io.ByteArrayOutputStream()
+      val realErr = System.err
+      val code = try {
+        System.setErr(new java.io.PrintStream(err))
+        OpsCli.run(spark, ops, "curationIngest",
+          List(s"$root/docs", dedup, lm, s"$root/offsets", "0.0",
+            s"$root/labeled", s"$root/manifest", s"$root/ckpt", "--once"))
+      } finally System.setErr(realErr)
+      assert(code == 2, "schema probe failure must exit 2, not throw")
+      assert(err.toString.contains("--schema"),
+        s"the error must point at the --schema escape hatch: $err")
+      // with --schema the stream starts (and drains zero batches)
+      Files.createDirectories(Paths.get(s"$root/docs"))
+      val code2 = OpsCli.run(spark, ops, "curationIngest",
+        List(s"$root/docs", dedup, lm, s"$root/offsets", "0.0",
+          s"$root/labeled", s"$root/manifest", s"$root/ckpt", "--once",
+          "--schema", "doc_id BIGINT, text STRING"))
+      assert(code2 == 0, "an explicit schema must start the stream on an empty dir")
+    } finally Seq(s"${dedup}_buckets", s"${dedup}_sets", s"${dedup}_bloom",
+      s"${lm}_bigrams", s"${lm}_prefixes", s"${lm}_vocab", s"${lm}_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("CLI encryptValue: round-trips through the keystore (encrypt + decrypt-verify)") {
     val ledgerDir = Files.createTempDirectory("graft-ev-ledger").toString
     val ops = new Ops(spark, new Ledger(spark, ledgerDir))

@@ -295,6 +295,76 @@ class CurationIngestSpec extends AnyFunSuite {
       "packed layout must tile the one-shot manifest across the restart")
   }
 
+  test("two interleaved writers on one stored state: the second commitBatch fails loudly, state uncorrupted, retry lands after release") {
+    val cfg = freshState("lk") // writer 1's config (its own writerId)
+    val cfg2 = cfg.copy(writerId = java.util.UUID.randomUUID().toString)
+    val (labeled, _) = CurationIngest.curateBatch(
+      spark, day1.take(8).toDF("doc_id", "text"), cfg)
+    val l = labeled.localCheckpoint()
+    val offBefore = offMap(cfg)
+    val corpusBefore = corpusShape(cfg)
+    // writer 1 is mid-commit (holds the lease, as commitBatch does)
+    graft.operators.WriterLease.acquire(spark, cfg.offsetsPath, cfg.writerId)
+    try {
+      // writer 2 — a second job pointed at the same stored state — must
+      // fail LOUDLY before touching the corpus or the offsets
+      intercept[java.util.ConcurrentModificationException] {
+        CurationIngest.commitBatch(spark, l, batchId = 0L, cfg2)
+      }
+      assert(offMap(cfg) == offBefore, "refused commit must not move offsets")
+      assert(corpusShape(cfg) == corpusBefore,
+        "refused commit must not append to the corpus")
+    } finally graft.operators.WriterLease.release(spark, cfg.offsetsPath, cfg.writerId)
+    // writer 1 gone: the retry commits normally
+    CurationIngest.commitBatch(spark, l, batchId = 0L, cfg2)
+    assert(offMap(cfg).values.map(_._2).toSet == Set(0L),
+      "the post-release retry must commit batch 0")
+  }
+
+  test("decontamination stage (benchTable): streaming bit-equals the one-shot batch chain; contaminated docs drop before the probe and never enter the corpus") {
+    // bench doc = day-0 sentence 0 verbatim (13 tokens = exactly one
+    // 13-gram): doc 100 (an exact replay of that sentence + a PII tail)
+    // carries the gram and must relabel drop:contaminated — it would be
+    // drop:stored_dup without the stage (the main parity test pins that)
+    val benchTbl = s"ci_bench_${System.nanoTime()}"
+    graft.operators.Contamination.storeBenchGrams(spark,
+      Seq((500L, vocabSentences(0))).toDF("doc_id", "text"),
+      "doc_id", "text", benchTbl, n = 13)
+    try {
+      val streamCfg = freshState("dcs").copy(benchTable = Some(benchTbl))
+      val batchCfg = freshState("dcb").copy(benchTable = Some(benchTbl))
+
+      val (bLabeled, bManifest) =
+        CurationIngest.curateBatch(spark, day1.toDF("doc_id", "text"), batchCfg)
+      val bRows = rowsOf(bLabeled)
+      assert(bRows.filter(_._1 == 100L).head._3 == "drop:contaminated",
+        s"the bench-gram carrier must gate as contaminated: $bRows")
+      assert(bRows.count(_._3 == "drop:stored_dup") >= 2,
+        "the dedup stage must still fire for non-contaminated replays")
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val tmp = java.nio.file.Files.createTempDirectory("ci_decon").toString
+      val q = graft.Pipeline.startCurationIngest(spark,
+        input.toDF().toDF("doc_id", "text"), streamCfg,
+        s"$tmp/labeled", s"$tmp/manifest", s"$tmp/ckpt",
+        triggerInterval = "1 seconds")
+      try {
+        val (b1, b2) = day1.splitAt(20)
+        for (b <- Seq(b1, b2)) { input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      assert(rowsOf(spark.read.parquet(s"$tmp/labeled")) == bRows,
+        "micro-batching must be invisible with the decontamination stage on")
+      assert(manifestRollup(spark.read.parquet(s"$tmp/manifest")) ==
+        manifestRollup(bManifest))
+      // contaminated docs never reach the corpus append
+      val corpusIds = spark.table(s"${streamCfg.dedupTable}_sets")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(!corpusIds.contains(100L),
+        "a contaminated doc must not be appended to the dedup corpus")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $benchTbl")
+  }
+
   test("zero-exchange stored side: the dedup probe's _sets scan reaches its join through the bucketing") {
     val cfg = freshState("p")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
