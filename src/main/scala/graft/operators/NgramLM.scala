@@ -251,7 +251,22 @@ object NgramLM {
   private[graft] def appendToStoredImpl(spark: org.apache.spark.sql.SparkSession,
       name: String, batch: DataFrame, idCol: String, textCol: String,
       buckets: Int, batchTag: Option[String],
-      crashAfterStep: Int = Int.MaxValue): Model = {
+      crashAfterStep: Int = Int.MaxValue): Model =
+    // single writer, lease-enforced (the StoredMerge rule): two jobs
+    // accreting one stored LM would interleave staged swaps, and one's
+    // entry recovery could drop the other's in-flight stage — the lock
+    // rides the model's warehouse path
+    WriterLease.withLease(spark,
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))).toString) {
+      appendUnderLease(spark, name, batch, idCol, textCol, buckets,
+        batchTag, crashAfterStep)
+    }
+
+  private def appendUnderLease(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, idCol: String, textCol: String,
+      buckets: Int, batchTag: Option[String], crashAfterStep: Int): Model = {
     recoverStored(spark, name)
     if (batchTag.exists(committedTags(spark, name).contains))
       return load(spark, name) // replayed append: already committed

@@ -103,7 +103,20 @@ object StoredMerge {
     * dropped (the dangling-name window the entry repair exists for). */
   private[operators] def upsertStoredImpl(spark: SparkSession, table: String,
       updates: DataFrame, keyCols: Seq[String], buckets: Int,
-      crashAfterStep: Int = Int.MaxValue): Unit = {
+      crashAfterStep: Int = Int.MaxValue): Unit =
+    // same single-writer lease as the bucketed path: the entry repair
+    // below would complete a CONCURRENT writer's interrupted swap and
+    // then merge against it — serialize loudly instead
+    WriterLease.withLease(spark,
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))).toString) {
+      upsertStoredUnderLease(spark, table, updates, keyCols, buckets, crashAfterStep)
+    }
+
+  private def upsertStoredUnderLease(spark: SparkSession, table: String,
+      updates: DataFrame, keyCols: Seq[String], buckets: Int,
+      crashAfterStep: Int): Unit = {
     val tmp = s"${table}__merge_tmp"
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table") // finish interrupted swap
