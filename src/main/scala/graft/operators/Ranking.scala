@@ -83,16 +83,29 @@ object Ranking {
     * group — the same total-order contract the naive window form has.
     * Null group keys are excluded (null-unsafe joins), unlike a
     * window's PARTITION BY. Adds `__cum` (long).
+    *
+    * INPUT MATERIALIZED ONCE (r13): the decomposition reads its input
+    * three times (GK bounds, per-slice sums, the main pass) — over a
+    * raw scan that is three cheap parallel reads, but over an
+    * UNMATERIALIZED upstream chain (the flagship pipeline packs the
+    * admitted set of an eight-stage plan) it re-runs the whole chain
+    * per pass. A LAZY lineage-truncating localCheckpoint makes the
+    * first pass persist the projected input and the other two rescan
+    * blocks — same trade-off as [[Dedup]]'s documented releaseAfter
+    * (unreplicated, fine for one-job-window intermediates), invisible
+    * to the cache manager (the police residue sweep), and lazy so
+    * plan CONSTRUCTION (explain, the police suite) runs no job.
     */
   def slicedCumsum(df: DataFrame, groupCols: Seq[String], orderCol: String,
                    valueCol: String, slices: Int,
-                   accuracy: Int = 10000): DataFrame = {
+                   accuracy: Int = 100): DataFrame = {
     require(slices >= 2, "need slices >= 2 (use a plain window below that)")
+    val base = df.localCheckpoint(eager = false)
     val g = groupCols.map(col)
     val ps = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
-    val bounds = df.groupBy(g: _*)
+    val bounds = base.groupBy(g: _*)
       .agg(percentile_approx(col(orderCol), ps, lit(accuracy)).as("__bounds"))
-    val sliced = df.join(broadcast(bounds), groupCols)
+    val sliced = base.join(broadcast(bounds), groupCols)
       .withColumn("__slice", aggregate(col("__bounds"), lit(0),
         (acc, b) => acc + when(col(orderCol) > b, 1).otherwise(0)))
       .drop("__bounds")
