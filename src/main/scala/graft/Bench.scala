@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // machine-load calibration, sampled FIRST — before SparkSession
+    // init and warmup, whose own multi-core burn otherwise leaks into
+    // the number (r13: an idle box at loadavg 0.1 read ~2 when sampled
+    // post-init). The metric exists to self-identify EXTERNAL load
+    // pollution (r7's 14s-vs-3s outliers), so it must not count the
+    // bench's deterministic startup.
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
@@ -46,13 +54,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // machine-load calibration: the 1-minute load average BEFORE and
-    // AFTER the sweep, so a capture polluted by external load bursts is
-    // self-identifying in the artifact (r7's 14s-vs-3s outliers)
+    // (load_before is sampled at the very top of main — see there)
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    val loadBefore = loadAvg()
     // cache isolation BETWEEN queries, kept as BELT-AND-BRACES: since
     // r11 every operator and query releases its own caches before
     // returning (QueryPlanPoliceSpec asserts the cache manager is
