@@ -75,9 +75,20 @@ object WriterLease {
     }
   }
 
+  /** Same-JVM hold depth per (lock, owner): n acquires need n releases
+    * before the lock file is deleted, so a job-lifetime hold (the
+    * streaming query) and its nested per-commit re-entries — or a
+    * restarting query overlapping its predecessor's async release —
+    * can never drop each other's lease. Cross-JVM there is no depth:
+    * a dead JVM's hold is exactly what the TTL expiry breaks.
+    */
+  private val holdDepth =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
   /** Acquire (or re-enter) the lease. Returns true if FRESHLY acquired
-    * — the caller owns the release; false if re-entered by the same
-    * owner (expiry refreshed, the outer holder releases). Throws
+    * (hold depth 0 → 1); false if re-entered by the same owner (depth
+    * incremented, expiry refreshed). Every acquire must be balanced by
+    * one [[release]]. Throws
     * [[java.util.ConcurrentModificationException]] if another owner
     * holds a live lease.
     */
@@ -90,6 +101,7 @@ object WriterLease {
     holder(spark, path) match {
       case Some(h) if h.owner == owner =>
         write(fs, lp, owner, now + ttlMs, overwrite = true) // refresh
+        holdDepth.merge((lp.toString, owner), 1, _ + _)
         false
       case Some(h) if now < h.expiresAtMs =>
         throw new java.util.ConcurrentModificationException(
@@ -97,8 +109,9 @@ object WriterLease {
             s"until ${h.expiresAtMs} (now $now): a second concurrent " +
             "writer would silently interleave commits — stop the other " +
             "job, or wait for its lease to expire if it crashed")
-      case _ => // absent, expired, or corrupt: break and take it
+      case held => // absent, expired, or corrupt: break and take it
         fs.delete(lp, false)
+        held.foreach(h => holdDepth.remove((lp.toString, h.owner)))
         try write(fs, lp, owner, now + ttlMs, overwrite = false)
         catch {
           // lost the break-and-take race to another writer: held
@@ -107,6 +120,7 @@ object WriterLease {
               s"stored state at $path was lease-acquired by a concurrent " +
                 "writer during acquisition — exactly one writer may hold it")
         }
+        holdDepth.put((lp.toString, owner), 1)
         true
     }
   }
@@ -118,33 +132,47 @@ object WriterLease {
     finally out.close()
   }
 
-  /** Release an owned lease (idempotent on an absent lock). Releasing
-    * ANOTHER owner's lease throws — that is always a caller bug. */
+  /** Release one hold of an owned lease; the lock file is deleted only
+    * when the LAST same-JVM hold releases (depth-balanced with
+    * [[acquire]]). Idempotent on an absent lock. Releasing ANOTHER
+    * owner's lease throws — that is always a caller bug. */
   def release(spark: SparkSession, path: String,
               owner: String = jvmOwner): Unit = {
     val lp = lockPath(path)
     val fs = fsOf(spark, lp)
     holder(spark, path) match {
-      case Some(h) if h.owner == owner => fs.delete(lp, false)
+      case Some(h) if h.owner == owner =>
+        val depth = holdDepth.merge((lp.toString, owner), -1, _ + _)
+        if (depth == null || depth <= 0) {
+          holdDepth.remove((lp.toString, owner))
+          fs.delete(lp, false)
+        }
       case Some(h) =>
         throw new IllegalStateException(
           s"refusing to release $path's lease: held by ${h.owner}, not $owner")
-      case None => ()
+      case None => holdDepth.remove((lp.toString, owner)); ()
     }
   }
 
   /** Run `body` under the lease: acquire (loud failure if another
-    * writer holds it), execute, release — unless this is a RE-ENTRANT
-    * hold, in which case the outer holder keeps the lease. The release
-    * runs on exceptions too (a FAILED commit frees the path for an
-    * immediate retry — replay convergence makes the retry correct); a
-    * hard JVM death skips it, which is what the TTL expiry is for.
+    * writer holds it), execute, release the hold — a nested same-owner
+    * body decrements only its own depth, so an outer job-lifetime hold
+    * keeps the lock. The release runs on exceptions too (a FAILED
+    * commit frees the path for an immediate retry — replay convergence
+    * makes the retry correct); a hard JVM death skips it, which is
+    * what the TTL expiry is for. A release finding the lease taken
+    * over (our hold expired mid-body and a successor broke it) is
+    * swallowed here — the body's own result must win; direct
+    * [[release]] callers still get the loud error.
     */
   def withLease[T](spark: SparkSession, path: String,
                    owner: String = jvmOwner,
                    ttlMs: Long = DefaultTtlMs)(body: => T): T = {
-    val fresh = acquire(spark, path, owner, ttlMs)
+    acquire(spark, path, owner, ttlMs)
     try body
-    finally if (fresh) release(spark, path, owner)
+    finally {
+      try release(spark, path, owner)
+      catch { case _: IllegalStateException => () }
+    }
   }
 }

@@ -191,6 +191,24 @@ object OpsCli {
         val pending = graft.operators.StoredMerge.pendingSwap(spark, path)
         println(s"pendingSwap $path: $pending")
         if (pending) 1 else 0
+      case ("leaseStatus", path :: Nil) =>
+        // who holds the stored state's writer lease — the first thing
+        // to check when a job refuses to start ("lease-held by ...");
+        // exit 1 = a LIVE lease blocks writers, 0 = free or expired
+        graft.operators.WriterLease.holder(spark, path) match {
+          case Some(h) =>
+            val now = System.currentTimeMillis()
+            if (now < h.expiresAtMs) {
+              println(s"leaseStatus $path: held by ${h.owner}, expires " +
+                s"in ${(h.expiresAtMs - now) / 1000}s")
+              1
+            } else {
+              println(s"leaseStatus $path: EXPIRED lock by ${h.owner} " +
+                "(the next writer breaks it)")
+              0
+            }
+          case None => println(s"leaseStatus $path: unheld"); 0
+        }
       case _ =>
         System.err.println(usage)
         2
@@ -217,5 +235,6 @@ object OpsCli {
       |  recoverLm      <lmName>
       |  recoverMerge   <bucketTablePath>
       |  pendingSwap    <bucketTablePath>
+      |  leaseStatus    <storedStatePath>
       |""".stripMargin
 }

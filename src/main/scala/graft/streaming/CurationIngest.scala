@@ -73,7 +73,10 @@ object CurationIngest {
       // WriterLease every commit holds on offsetsPath, so a second job
       // pointed at the same stored state fails loudly instead of
       // silently interleaving commits (the engine analogue of the
-      // reference's per-prefix CAS flush lock, index.js:724-731)
+      // reference's per-prefix CAS flush lock, index.js:724-731).
+      // The STREAMING job overrides this with a checkpoint-derived id
+      // (see [[start]]) so restarts re-enter their own lease; the
+      // random default covers direct batch callers of commitBatch.
       writerId: String = java.util.UUID.randomUUID().toString)
 
   /** Seed the stored pack-offset table: every split bucket at token 0,
@@ -256,22 +259,61 @@ object CurationIngest {
             labeledDir: String, manifestDir: String, checkpointDir: String,
             trigger: String = "5 seconds",
             availableNow: Boolean = false): StreamingQuery = {
+    // the writer lease is held for the QUERY'S LIFETIME, not just per
+    // commit: commit-level checking alone would let two jobs (separate
+    // checkpoints, same stored state) ping-pong interleave BETWEEN
+    // batch commits — worse, job B's high-water check would read job
+    // A's advanced last_batch and silently SKIP B's own batches. A
+    // second job now fails LOUDLY at launch. The job's owner identity
+    // derives from its CHECKPOINT DIR (Structured Streaming's own job
+    // identity), so a crash-restart in a NEW JVM re-enters its own
+    // lease immediately instead of waiting out the TTL, while a
+    // different job (different checkpoint) is refused. Each batch's
+    // commitBatch RE-ENTERS this hold (same writerId) and refreshes
+    // the expiry — the per-batch heartbeat; a crashed job's lock
+    // expires after the TTL. The entry repair below runs under the
+    // same hold (repairing while another live job is mid-swap would
+    // roll back ITS in-flight buckets).
+    val jobCfg = cfg.copy(writerId = "ci-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpointDir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    graft.operators.WriterLease.acquire(spark, jobCfg.offsetsPath, jobCfg.writerId)
     // a crash between upsertBuckets' renames leaves the offsets table
     // refusing reads (StoredMerge's r11 reader contract) — repair on
-    // entry, exactly like the merge path itself does. Under the writer
-    // lease: repairing while ANOTHER live job is mid-swap would roll
-    // back ITS in-flight buckets — the exact corruption the lease
-    // exists to refuse loudly.
-    graft.operators.WriterLease.withLease(spark, cfg.offsetsPath, cfg.writerId) {
-      StoredMerge.recoverMerge(spark, cfg.offsetsPath)
-    }
-    docs.writeStream
+    // entry, exactly like the merge path itself does
+    StoredMerge.recoverMerge(spark, jobCfg.offsetsPath)
+    val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime(trigger))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, cfg, labeledDir, manifestDir)
+        processBatch(spark, batch, batchId, jobCfg, labeledDir, manifestDir)
       }
       .start()
+    // release on THIS query's termination (self-removing listener; the
+    // event is async, so a same-writerId restart racing it simply
+    // re-enters its own still-held lease). A hard crash skips the
+    // listener — that is what the TTL expiry is for.
+    val qid = query.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          // depth-balanced: a same-checkpoint restart overlapping this
+          // (async) event holds its own depth, so releasing here can
+          // never drop the successor's lease. A lease expired and
+          // taken over mid-run is not ours to touch.
+          try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
+          catch { case _: IllegalStateException => () }
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
   }
 }

@@ -36,6 +36,12 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
     // releasing someone else's lease is a caller bug
     intercept[IllegalStateException] { WriterLease.release(spark, path, "b") }
+    // DEPTH-BALANCED: two acquires need two releases — the first drops
+    // one hold (lock stays, an overlapping same-owner restart is never
+    // stranded), the second frees the lock
+    WriterLease.release(spark, path, "a")
+    assert(WriterLease.holder(spark, path).exists(_.owner == "a"),
+      "one release of a doubly-held lease must keep the lock")
     WriterLease.release(spark, path, "a")
     assert(WriterLease.holder(spark, path).isEmpty)
     WriterLease.release(spark, path, "a") // idempotent on absent

@@ -164,6 +164,13 @@ class OpsCliSpec extends AnyFunSuite {
       .drop("__bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows == Map(1L -> "v1", 2L -> "v2"),
       "the rolled-back bucket must return whole")
+    // leaseStatus readout: unheld -> 0, live -> 1, released -> 0
+    assert(OpsCli.run(spark, ops, "leaseStatus", List(dir)) == 0)
+    graft.operators.WriterLease.acquire(spark, dir, owner = "job-x")
+    assert(OpsCli.run(spark, ops, "leaseStatus", List(dir)) == 1,
+      "a live lease must read as blocking")
+    graft.operators.WriterLease.release(spark, dir, "job-x")
+    assert(OpsCli.run(spark, ops, "leaseStatus", List(dir)) == 0)
   }
 
   test("CLI crash-repair arms: rebuildBloom restores a lost bloom; recoverLm finishes an interrupted LM append") {

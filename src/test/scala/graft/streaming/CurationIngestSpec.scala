@@ -110,6 +110,18 @@ class CurationIngestSpec extends AnyFunSuite {
     (s(1L) + s(2L)) / 2
   }
 
+  /** The stream's job-lifetime lease releases via an ASYNC terminated
+    * listener — a different-owner mutation right after stop() must
+    * wait it out (same-owner restarts just re-enter, no wait needed).
+    */
+  private def awaitLeaseFree(path: String): Unit = {
+    val deadline = System.currentTimeMillis() + 15000
+    while (graft.operators.WriterLease.holder(spark, path).isDefined &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(graft.operators.WriterLease.holder(spark, path).isEmpty,
+      s"stream lease on $path not released after stop")
+  }
+
   private def rowsOf(df: DataFrame): Set[(Long, Long, String)] =
     df.select(col("doc_id"), col("n_tok"), col("bucket"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
@@ -175,6 +187,7 @@ class CurationIngestSpec extends AnyFunSuite {
       "test" -> admittedSums.getOrElse("test", 0L)))
 
     // ---- replayed commit is a no-op (foreachBatch crash-replay) -----
+    awaitLeaseFree(streamCfg.offsetsPath)
     CurationIngest.commitBatch(spark,
       sLabeled.filter(!col("bucket").startsWith("drop:")), batchId = 0L,
       streamCfg)
@@ -319,6 +332,38 @@ class CurationIngestSpec extends AnyFunSuite {
     CurationIngest.commitBatch(spark, l, batchId = 0L, cfg2)
     assert(offMap(cfg).values.map(_._2).toSet == Set(0L),
       "the post-release retry must commit batch 0")
+  }
+
+  test("job-lifetime lease: a second streaming job (different checkpoint) is refused at START; the lease frees on stop and a successor starts") {
+    val cfg = freshState("jl")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val tmp = java.nio.file.Files.createTempDirectory("ci_joblease").toString
+    def startAt(ckpt: String) = graft.Pipeline.startCurationIngest(spark,
+      input.toDF().toDF("doc_id", "text"), cfg,
+      s"$tmp/labeled", s"$tmp/manifest", ckpt, triggerInterval = "1 seconds")
+    val q1 = startAt(s"$tmp/ckptA")
+    try {
+      assert(graft.operators.WriterLease.holder(spark, cfg.offsetsPath)
+        .exists(_.owner.startsWith("ci-")),
+        "the running job must hold a checkpoint-derived lease")
+      // a DIFFERENT job (its own checkpoint) on the same stored state:
+      // refused before its stream ever starts — the between-commit
+      // ping-pong (job B reading job A's advanced high-water and
+      // silently skipping its own batches) can never begin
+      intercept[java.util.ConcurrentModificationException] {
+        startAt(s"$tmp/ckptB")
+      }
+    } finally q1.stop()
+    awaitLeaseFree(cfg.offsetsPath)
+    // the state is free again: the other job starts cleanly now
+    val q2 = startAt(s"$tmp/ckptB")
+    try {
+      input.addData(day1.take(4))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/labeled").count() > 0)
+    } finally q2.stop()
+    awaitLeaseFree(cfg.offsetsPath)
   }
 
   test("decontamination stage (benchTable): streaming bit-equals the one-shot batch chain; contaminated docs drop before the probe and never enter the corpus") {
