@@ -103,14 +103,21 @@ object Contamination {
                                 table: String, docs: DataFrame,
                                 idCol: String, textCol: String): DataFrame = {
     val stored = spark.table(table)
-    val n = stored.select(max(col("gram_n"))).head().getInt(0)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(hashed_set(shingles_fast(tokens(col(textCol)), n))).as("gram"))
-      .join(broadcast(stored.select(col("bench_id"), col("gram"))), Seq("gram"))
-      .filter(col("doc_id") =!= col("bench_id"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("matched_grams"),
-        countDistinct(col("bench_id")).as("bench_docs"))
+    // an EMPTY gram table (benchmark had no docs, or none tokenized)
+    // means nothing can be contaminated — max(gram_n) is NULL there,
+    // so read it nullably instead of unboxing an NPE into every batch
+    val n = Option(stored.agg(max(col("gram_n")).as("n")).head().getAs[Integer]("n"))
+    n.fold(docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("matched_grams"),
+          lit(0L).as("bench_docs"))) { gramN =>
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          explode(hashed_set(shingles_fast(tokens(col(textCol)), gramN.intValue))).as("gram"))
+        .join(broadcast(stored.select(col("bench_id"), col("gram"))), Seq("gram"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("matched_grams"),
+          countDistinct(col("bench_id")).as("bench_docs"))
+    }
   }
 
   /** The filter a pipeline applies: `docs` minus contaminated ones. */

@@ -183,9 +183,10 @@ object DedupIndex {
     */
   def appendCorpus(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                    table: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                   setBuckets: Int = 32, batchId: Long = -1L): Unit =
+                   setBuckets: Int = 32, batchId: Long = -1L,
+                   owner: String = WriterLease.jvmOwner): Unit =
     appendCorpusImpl(spark, df, idCol, textCol, table, k, bands, shingleN,
-      setBuckets, batchId)
+      setBuckets, batchId, owner)
 
   /** `crashAfterStep` is the test seam (the [[StoredMerge
     * .upsertBucketsImpl]] recipe): throw after step N (1 = buckets
@@ -195,8 +196,29 @@ object DedupIndex {
   private[graft] def appendCorpusImpl(spark: SparkSession, df: DataFrame,
       idCol: String, textCol: String, table: String, k: Int, bands: Int,
       shingleN: Int, setBuckets: Int, batchId: Long,
+      owner: String = WriterLease.jvmOwner,
       crashAfterStep: Int = Int.MaxValue): Unit = {
     require(k % bands == 0, "bands must divide k")
+    // single writer, lease-ENFORCED on the corpus's own path (r13
+    // self-review): two jobs sharing a dedup table but different
+    // offsets paths hold non-conflicting offsets leases yet race the
+    // Bloom read-OR-overwrite — a classic lost update that silently
+    // degrades admission pruning. The corpus lease serializes them
+    // loudly; a pipeline commit re-enters with its own writerId.
+    WriterLease.withLease(spark,
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))).toString,
+      owner) {
+      appendUnderLease(spark, df, idCol, textCol, table, k, bands, shingleN,
+        setBuckets, batchId, crashAfterStep)
+    }
+  }
+
+  private def appendUnderLease(spark: SparkSession, df: DataFrame,
+      idCol: String, textCol: String, table: String, k: Int, bands: Int,
+      shingleN: Int, setBuckets: Int, batchId: Long,
+      crashAfterStep: Int): Unit = {
     // replay safety: the presence checks below must see what is ON DISK,
     // not a pre-crash relation-cache listing (same rule as the exit
     // refresh — stale listings would double-append)
@@ -204,8 +226,11 @@ object DedupIndex {
       Seq(s"${table}_buckets", s"${table}_sets").foreach(spark.catalog.refreshTable)
     // legacy corpora (saved before the provenance stamp) lack the
     // batch_id column the stamped append writes — upgrade in place
-    // (metadata-only; legacy rows read NULL ≡ committed-before-any-batch)
-    Seq(s"${table}_buckets", s"${table}_sets").foreach(ensureBatchId(spark, _))
+    // (metadata-only; legacy rows read NULL ≡ committed-before-any-batch).
+    // A table that does not exist yet is NOT legacy: the first append
+    // creates it below with the stamp already in its schema.
+    Seq(s"${table}_buckets", s"${table}_sets")
+      .filter(spark.catalog.tableExists).foreach(ensureBatchId(spark, _))
     def alreadyAppended(t: String): Boolean =
       batchId >= 0L &&
         !spark.table(t).filter(col("batch_id") === batchId).limit(1).isEmpty

@@ -240,8 +240,10 @@ object NgramLM {
   def appendToStored(spark: org.apache.spark.sql.SparkSession, name: String,
                      batch: DataFrame, idCol: String, textCol: String,
                      buckets: Int = 32,
-                     batchTag: Option[String] = None): Model =
-    appendToStoredImpl(spark, name, batch, idCol, textCol, buckets, batchTag)
+                     batchTag: Option[String] = None,
+                     owner: String = graft.operators.WriterLease.jvmOwner): Model =
+    appendToStoredImpl(spark, name, batch, idCol, textCol, buckets, batchTag,
+      owner)
 
   /** `crashAfterStep` test seam (the [[StoredMerge]] recipe): 1 =
     * stages written (pre-marker → retry re-appends), 2 = marker
@@ -251,15 +253,18 @@ object NgramLM {
   private[graft] def appendToStoredImpl(spark: org.apache.spark.sql.SparkSession,
       name: String, batch: DataFrame, idCol: String, textCol: String,
       buckets: Int, batchTag: Option[String],
+      owner: String = graft.operators.WriterLease.jvmOwner,
       crashAfterStep: Int = Int.MaxValue): Model =
     // single writer, lease-enforced (the StoredMerge rule): two jobs
     // accreting one stored LM would interleave staged swaps, and one's
     // entry recovery could drop the other's in-flight stage — the lock
-    // rides the model's warehouse path
+    // rides the model's warehouse path; `owner` lets same-JVM jobs
+    // with distinct writer identities conflict
     WriterLease.withLease(spark,
       new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(name))).toString) {
+          org.apache.spark.sql.catalyst.TableIdentifier(name))).toString,
+      owner) {
       appendUnderLease(spark, name, batch, idCol, textCol, buckets,
         batchTag, crashAfterStep)
     }
@@ -316,7 +321,7 @@ object NgramLM {
     // foreachBatch clone) — refresh so the CALLER's session drops any
     // stale file listing before the reload below
     (Seq(s"${name}_bigrams", s"${name}_prefixes", s"${name}_meta") ++
-      (if (spark.catalog.tableExists(s"${name}_vocab")) Seq(s"${name}_vocab") else Nil))
+      Seq(s"${name}_vocab", s"${name}_tags").filter(spark.catalog.tableExists))
       .foreach(spark.catalog.refreshTable)
     load(spark, name)
   }

@@ -96,21 +96,25 @@ object StoredMerge {
     * overwritten on retry).
     */
   def upsertStored(spark: SparkSession, table: String, updates: DataFrame,
-                   keyCols: Seq[String], buckets: Int = 32): Unit =
-    upsertStoredImpl(spark, table, updates, keyCols, buckets)
+                   keyCols: Seq[String], buckets: Int = 32,
+                   owner: String = WriterLease.jvmOwner): Unit =
+    upsertStoredImpl(spark, table, updates, keyCols, buckets, owner)
 
   /** `crashAfterStep` test seam: 1 = tmp written, 2 = live table
     * dropped (the dangling-name window the entry repair exists for). */
   private[operators] def upsertStoredImpl(spark: SparkSession, table: String,
       updates: DataFrame, keyCols: Seq[String], buckets: Int,
+      owner: String = WriterLease.jvmOwner,
       crashAfterStep: Int = Int.MaxValue): Unit =
     // same single-writer lease as the bucketed path: the entry repair
     // below would complete a CONCURRENT writer's interrupted swap and
-    // then merge against it — serialize loudly instead
+    // then merge against it — serialize loudly instead. `owner` lets
+    // same-JVM jobs with distinct writer identities conflict.
     WriterLease.withLease(spark,
       new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))).toString) {
+          org.apache.spark.sql.catalyst.TableIdentifier(table))).toString,
+      owner) {
       upsertStoredUnderLease(spark, table, updates, keyCols, buckets, crashAfterStep)
     }
 
@@ -245,7 +249,7 @@ object StoredMerge {
     * throw after step N (1=tmp written, 2=first live renamed aside,
     * 3=first tmp renamed in) to exercise [[recoverMerge]].
     */
-  private[operators] def upsertBucketsImpl(spark: SparkSession, path: String,
+  private[graft] def upsertBucketsImpl(spark: SparkSession, path: String,
       updates: DataFrame, keyCols: Seq[String], nBuckets: Int,
       owner: String = WriterLease.jvmOwner,
       crashAfterStep: Int = Int.MaxValue): Unit = {

@@ -109,8 +109,24 @@ object WriterLease {
             s"until ${h.expiresAtMs} (now $now): a second concurrent " +
             "writer would silently interleave commits — stop the other " +
             "job, or wait for its lease to expire if it crashed")
-      case held => // absent, expired, or corrupt: break and take it
-        fs.delete(lp, false)
+      case held => // absent, expired, or corrupt: break and take it.
+        // BREAK RACE NARROWING: the break is delete-then-create — two
+        // writers racing to break the SAME expired lock could
+        // interleave (B's delete landing on A's fresh lock). Narrow
+        // it: (a) re-verify the lock is STILL the expired one read
+        // above immediately before deleting (never delete a live
+        // successor's lock), (b) exclusive create (the loser of a
+        // create race fails loudly), (c) verify ownership after
+        // create. Absent a filesystem conditional-put this cannot be
+        // airtight — an object-store deployment should back the lock
+        // with its conditional-write primitive (the reference's
+        // DynamoDB CAS, `index.js:724-731`); the LIVE-lock path (the
+        // normal case) is exact either way, and expiry-breaking only
+        // races writers contending for an already-crashed holder's
+        // lock in the same instant.
+        if (holder(spark, path).map(h => (h.owner, h.expiresAtMs)) ==
+            held.map(h => (h.owner, h.expiresAtMs)))
+          fs.delete(lp, false)
         held.foreach(h => holdDepth.remove((lp.toString, h.owner)))
         try write(fs, lp, owner, now + ttlMs, overwrite = false)
         catch {
@@ -120,6 +136,10 @@ object WriterLease {
               s"stored state at $path was lease-acquired by a concurrent " +
                 "writer during acquisition — exactly one writer may hold it")
         }
+        if (!holder(spark, path).exists(_.owner == owner))
+          throw new java.util.ConcurrentModificationException(
+            s"stored state at $path was lease-acquired by a concurrent " +
+              "writer during acquisition — exactly one writer may hold it")
         holdDepth.put((lp.toString, owner), 1)
         true
     }

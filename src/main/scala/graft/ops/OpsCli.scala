@@ -151,6 +151,12 @@ object OpsCli {
         val q = graft.Pipeline.startCurationIngest(spark, docs, cfg,
           labeledDir, manifestDir, checkpointDir, availableNow = once)
         q.awaitTermination()
+        // deterministic release before the JVM exits: the stream's own
+        // terminated-listener release is async and a fast exit would
+        // strand the lock for the TTL (a double release is a no-op)
+        try graft.operators.WriterLease.release(spark, offsetsPath,
+          CurationIngest.jobWriterId(checkpointDir))
+        catch { case _: IllegalStateException => () }
         println(s"curation ingest ${if (once) "drained" else "stopped"}: " +
           s"labeled=$labeledDir manifest=$manifestDir")
         0
@@ -159,31 +165,38 @@ object OpsCli {
       // the reference's standalone repair scripts (unlockBatch.js,
       // resetCurrentBatch.js) — each repair the r12 crash disciplines
       // introduced is ops-reachable here, not only from library code.
+      // Every repair runs UNDER the writer lease (r13 self-review):
+      // repairing while a live job is mid-mutation would roll back ITS
+      // in-flight state — the exact hazard the lease refuses loudly.
+      // A held lease reports cleanly and exits 1 instead of repairing.
       case ("rebuildBloom", table :: tail) =>
         // repair a dedup corpus's bucket bloom lost to a crash
         // mid-overwrite (probes degrade to un-pruned meanwhile); pass
         // the corpus's original (items, fpp) so future appends merge
         // compatibly
-        graft.operators.DedupIndex.rebuildBloom(spark, table,
-          tail.headOption.map(_.toLong).getOrElse(1L << 22),
-          tail.lift(1).map(_.toDouble).getOrElse(0.01))
-        println(s"bloom rebuilt for $table from ${table}_buckets")
-        0
+        underLease(spark, tablePath(spark, table)) {
+          graft.operators.DedupIndex.rebuildBloom(spark, table,
+            tail.headOption.map(_.toLong).getOrElse(1L << 22),
+            tail.lift(1).map(_.toDouble).getOrElse(0.01))
+          println(s"bloom rebuilt for $table from ${table}_buckets")
+        }
       case ("recoverLm", name :: Nil) =>
         // classify + finish an interrupted NgramLM.appendToStored:
         // commit marker present → roll the staged model forward;
         // absent → drop stray stages (live model untouched)
-        graft.operators.NgramLM.recoverStored(spark, name)
-        println(s"stored LM $name recovered (staged append rolled " +
-          "forward or stray stages dropped)")
-        0
+        underLease(spark, tablePath(spark, name)) {
+          graft.operators.NgramLM.recoverStored(spark, name)
+          println(s"stored LM $name recovered (staged append rolled " +
+            "forward or stray stages dropped)")
+        }
       case ("recoverMerge", path :: Nil) =>
         // finish an interrupted StoredMerge.upsertBuckets bucket swap:
         // completed buckets keep the new state, interrupted ones roll
         // back whole — the table reads again either way
-        graft.operators.StoredMerge.recoverMerge(spark, path)
-        println(s"bucket-merge state at $path recovered")
-        0
+        underLease(spark, path) {
+          graft.operators.StoredMerge.recoverMerge(spark, path)
+          println(s"bucket-merge state at $path recovered")
+        }
       case ("pendingSwap", path :: Nil) =>
         // status readout: exit 0 = clean (reads allowed), 1 = a bucket
         // swap is mid-flight or died mid-swap (run recoverMerge after a
@@ -214,6 +227,25 @@ object OpsCli {
         2
     }
   }
+
+  /** A stored table's warehouse path — the lock location the library's
+    * own lease-holding mutators (NgramLM accretion, managed-table
+    * merges) use, so a CLI repair conflicts with exactly them. */
+  private def tablePath(spark: SparkSession, table: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))).toString
+
+  /** Run a repair under the writer lease; a LIVE holder reports
+    * cleanly and exits 1 — repairing under a running job would roll
+    * back its in-flight state. */
+  private def underLease(spark: SparkSession, path: String)(body: => Unit): Int =
+    try { graft.operators.WriterLease.withLease(spark, path)(body); 0 }
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        System.err.println(s"repair refused: ${e.getMessage}")
+        1
+    }
 
   private val usage: String =
     """usage: OpsCli <ledgerDir> <command> [args...]

@@ -92,12 +92,25 @@ object CurationIngest {
   private def offsets(spark: SparkSession, cfg: Config): DataFrame =
     StoredMerge.readBuckets(spark, cfg.offsetsPath).drop("__bucket")
 
-  /** The committed batch high-water mark — the watermark the probe
+  /** The highest FULLY-committed batch — the watermark the probe
     * snapshot and the replay guards compare against. −1 before any
     * commit (matching [[DedupIndex.saveCorpus]]'s base-corpus stamp).
+    *
+    * MIN, not max (r13 self-review): the offsets live in several hash
+    * buckets and [[StoredMerge.upsertBuckets]]' swap advances them one
+    * rename at a time — a crash mid-swap (+ entry rollback) leaves
+    * SOME buckets at batch N and the rest at N−1. Under max() the
+    * replay then read "N committed", skipped the whole batch, and the
+    * rolled-back buckets' offsets stayed stale FOREVER (batch N+1
+    * packed val/test over batch N's coordinates). min() makes a
+    * partially-swapped batch read as uncommitted, so the replay
+    * recomputes: corpus appends skip (presence checks), labels
+    * reproduce (the min watermark hides the partial batch's appends),
+    * and the offsets update advances exactly the buckets still behind
+    * ([[commitBatchImpl]]'s per-bucket guard).
     */
   private def committedBatch(spark: SparkSession, cfg: Config): Long =
-    offsets(spark, cfg).agg(max(col("last_batch"))).head.getLong(0)
+    offsets(spark, cfg).agg(min(col("last_batch"))).head.getLong(0)
 
   /** ONE batch of the composed chain, PURE READ (state unchanged) —
     * the function the streaming job runs per micro-batch, and the
@@ -109,7 +122,19 @@ object CurationIngest {
     *    from the stored offsets.
     */
   def curateBatch(spark: SparkSession, docs: DataFrame,
-                  cfg: Config): (DataFrame, DataFrame) = {
+                  cfg: Config): (DataFrame, DataFrame) =
+    curateBatch(spark, docs, cfg, batchId = Long.MaxValue)
+
+  /** `batchId`-aware form ([[processBatch]] passes the micro-batch id):
+    * when REPLAYING batch N after a crash inside the offsets swap,
+    * some offset buckets may already carry N's advance — the manifest
+    * must pack from the PRE-batch base, so those buckets' bases roll
+    * back by exactly this batch's (deterministic, label-identical)
+    * token addition. `Long.MaxValue` (the ad-hoc default) never
+    * matches a committed `last_batch`, leaving the plain read.
+    */
+  def curateBatch(spark: SparkSession, docs: DataFrame,
+                  cfg: Config, batchId: Long): (DataFrame, DataFrame) = {
     val model = NgramLM.load(spark, cfg.lmTable)
     val cleaned = docs
       .select(col("doc_id").cast("long").as("doc_id"),
@@ -157,11 +182,31 @@ object CurationIngest {
       .select(col("doc_id"), col("clean"), col("n_tok"), col("score"),
         col("bucket"))
     val admitted = labeled.filter(!col("bucket").startsWith("drop:"))
+    // REPLAY-ADJUSTED pack bases: an offset bucket whose last_batch
+    // already carries THIS batch (a crash mid-offsets-swap advanced
+    // some hash buckets, recovery rolled the rest back) packs from its
+    // pre-batch base — subtract this batch's own admitted token sum,
+    // which the bit-identical replayed labels make deterministic.
+    // Single-writer sequencing bounds last_batch to {batchId−1,
+    // batchId} while batch `batchId` is in flight, so >= is exact.
+    val base =
+      if (batchId == Long.MaxValue) // ad-hoc path: plain read, no extra pass
+        offsets(spark, cfg).select(col("bucket"), col("base_tok"))
+      else {
+        val batchSums = admitted.groupBy(col("bucket"))
+          .agg(sum(col("n_tok")).cast("long").as("__add"))
+        offsets(spark, cfg)
+          .join(batchSums, Seq("bucket"), "left")
+          .select(col("bucket"),
+            when(col("last_batch") >= batchId,
+              col("base_tok") - coalesce(col("__add"), lit(0L)))
+              .otherwise(col("base_tok")).as("base_tok"))
+      }
     val manifest = Packing.packManifestFrom(
       admitted.select(col("bucket"), col("doc_id"), col("n_tok")),
       groupCols = Seq("bucket"), orderCol = "doc_id", tokenCol = "n_tok",
       budget = cfg.budget,
-      baseOffsets = offsets(spark, cfg).select(col("bucket"), col("base_tok")),
+      baseOffsets = base,
       slices = cfg.packSlices)
     (labeled, manifest)
   }
@@ -191,10 +236,15 @@ object CurationIngest {
     * Bloom merged, 3 = corpus sets appended, 4 = offsets high-water
     * advanced (commit complete, streaming commit-log write still
     * pending) — so the replay spec can prove bit-identical output for
-    * a crash at every step.
+    * a crash at every step. `offsetsCrashStep` reaches INSIDE the
+    * offsets bucket swap (upsertBucketsImpl's own seam) — step 3 there
+    * leaves SOME offset buckets advanced and the rest rolled back on
+    * recovery, the partial-commit state the min() watermark and the
+    * per-bucket advance guard exist for.
     */
   private[graft] def commitBatchImpl(spark: SparkSession, labeled: DataFrame,
-      batchId: Long, cfg: Config, crashAfterStep: Int = Int.MaxValue): Unit =
+      batchId: Long, cfg: Config, crashAfterStep: Int = Int.MaxValue,
+      offsetsCrashStep: Int = Int.MaxValue): Unit =
     // the WHOLE multi-table commit runs under ONE writer lease on the
     // offsets path (the commit point every path converges on): a second
     // job sharing the stored state fails loudly here before touching
@@ -203,20 +253,28 @@ object CurationIngest {
     // the replay machinery below makes the successor's retry correct.
     graft.operators.WriterLease.withLease(spark, cfg.offsetsPath, cfg.writerId) {
       val off = offsets(spark, cfg)
-      val committed = off.agg(max(col("last_batch"))).head.getLong(0)
+      val committed = off.agg(min(col("last_batch"))).head.getLong(0)
       if (committed < batchId) { // else: replayed batch, already applied
         val admitted = labeled.filter(!col("bucket").startsWith("drop:"))
         DedupIndex.appendCorpusImpl(spark, admitted.select(col("doc_id"), col("clean")),
           "doc_id", "clean", cfg.dedupTable, cfg.k, cfg.bands, cfg.shingleN,
-          setBuckets = 32, batchId = batchId, crashAfterStep = crashAfterStep)
+          setBuckets = 32, batchId = batchId, owner = cfg.writerId,
+          crashAfterStep = crashAfterStep)
         val sums = admitted.groupBy(col("bucket"))
           .agg(sum(col("n_tok")).cast("long").as("__add"))
+        // PER-BUCKET replay guard (r13 self-review): a crash mid-swap
+        // can leave some offset buckets already at `batchId` — a
+        // replay must advance ONLY the buckets still behind, or the
+        // already-advanced ones would double-add their tokens
         val updated = off.join(sums, Seq("bucket"), "left")
           .select(col("bucket"),
-            (col("base_tok") + coalesce(col("__add"), lit(0L))).as("base_tok"),
-            lit(batchId).as("last_batch"))
-        StoredMerge.upsertBuckets(spark, cfg.offsetsPath, updated,
-          Seq("bucket"), cfg.offsetBuckets, owner = cfg.writerId)
+            when(col("last_batch") < batchId,
+              col("base_tok") + coalesce(col("__add"), lit(0L)))
+              .otherwise(col("base_tok")).as("base_tok"),
+            greatest(col("last_batch"), lit(batchId)).as("last_batch"))
+        StoredMerge.upsertBucketsImpl(spark, cfg.offsetsPath, updated,
+          Seq("bucket"), cfg.offsetBuckets, owner = cfg.writerId,
+          crashAfterStep = offsetsCrashStep)
         if (crashAfterStep <= 4)
           throw new IllegalStateException("simulated crash after offsets upsert")
       }
@@ -241,12 +299,23 @@ object CurationIngest {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    cfg: Config, labeledDir: String, manifestDir: String): Unit = {
     if (committedBatch(spark, cfg) >= batchId) return // fully committed: sinks already correct
-    val (labeled, manifest) = curateBatch(spark, batch, cfg)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val (labeled, manifest) = curateBatch(spark, batch, cfg, batchId)
     // one materialization serves the two sinks and the commit
     val l = labeled.localCheckpoint()
     l.write.mode("overwrite").parquet(s"$labeledDir/batch_id=$batchId")
     manifest.write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
     commitBatch(spark, l, batchId, cfg)
+    // release every block THIS batch pinned (`l` above, the sliced
+    // pack's checkpointed input) — relying on driver GC + the
+    // ContextCleaner would let a long-running stream accumulate one
+    // materialized batch per trigger in executor storage. Safe after
+    // the commit: nothing recomputes a committed batch's frames. The
+    // job's single-writer lease means no concurrent work in this
+    // session pins blocks in the window (the snapshot diff would
+    // otherwise catch a bystander's cache).
+    (spark.sparkContext.getPersistentRDDs -- pinnedBefore)
+      .values.foreach(_.unpersist(blocking = false))
   }
 
   /** The ONE streaming job: micro-batches of (doc_id, text) through
@@ -274,23 +343,35 @@ object CurationIngest {
     // expires after the TTL. The entry repair below runs under the
     // same hold (repairing while another live job is mid-swap would
     // roll back ITS in-flight buckets).
-    val jobCfg = cfg.copy(writerId = "ci-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpointDir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString)
+    // SCOPE: the lease guards distinct jobs sharing STATE. Launching
+    // two JVMs on the SAME checkpoint dir derives the same owner and
+    // re-enters — that double-launch already violates Structured
+    // Streaming's own checkpoint contract (no cross-JVM checkpoint
+    // lock exists for file sinks) and is the orchestrator's invariant
+    // to keep, exactly as for any Spark streaming job.
+    val jobCfg = cfg.copy(writerId = jobWriterId(checkpointDir))
     graft.operators.WriterLease.acquire(spark, jobCfg.offsetsPath, jobCfg.writerId)
-    // a crash between upsertBuckets' renames leaves the offsets table
-    // refusing reads (StoredMerge's r11 reader contract) — repair on
-    // entry, exactly like the merge path itself does
-    StoredMerge.recoverMerge(spark, jobCfg.offsetsPath)
-    val query = docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(if (availableNow) Trigger.AvailableNow()
-               else Trigger.ProcessingTime(trigger))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, jobCfg, labeledDir, manifestDir)
-      }
-      .start()
+    val query = try {
+      // a crash between upsertBuckets' renames leaves the offsets
+      // table refusing reads (StoredMerge's r11 reader contract) —
+      // repair on entry, exactly like the merge path itself does
+      StoredMerge.recoverMerge(spark, jobCfg.offsetsPath)
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(trigger))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(spark, batch, batchId, jobCfg, labeledDir, manifestDir)
+        }
+        .start()
+    } catch {
+      // the stream never started (bad checkpoint, source error): the
+      // lease must not stay held for the TTL
+      case e: Throwable =>
+        try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
+        catch { case _: IllegalStateException => () }
+        throw e
+    }
     // release on THIS query's termination (self-removing listener; the
     // event is async, so a same-writerId restart racing it simply
     // re-enters its own still-held lease). A hard crash skips the
@@ -314,6 +395,26 @@ object CurationIngest {
         }
     }
     spark.streams.addListener(listener)
+    // the listener bus does not replay past events: a query that
+    // terminated in the window before addListener (an AvailableNow
+    // drain over an empty source, an immediate source error) would
+    // otherwise leak the lease for the TTL. If the event ALSO fires
+    // (race), the second release is an idempotent no-op (depth
+    // accounting + absent-lock tolerance).
+    if (!query.isActive) {
+      try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
+      catch { case _: IllegalStateException => () }
+      spark.streams.removeListener(listener)
+    }
     query
   }
+
+  /** The streaming job's lease identity, derived from its checkpoint
+    * dir (Structured Streaming's own job identity) — public so ops
+    * tooling (the CLI's post-drain release) can address the same
+    * lease. */
+  def jobWriterId(checkpointDir: String): String = "ci-" +
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }

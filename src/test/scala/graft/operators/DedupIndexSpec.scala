@@ -238,6 +238,25 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendCorpus as the FIRST write: a nonexistent corpus is created, not mistaken for a legacy table") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      // the documented batch-less path: no saveCorpus first — the
+      // append itself creates the tables (the legacy-codec upgrade
+      // must not probe them before they exist)
+      val docs = Seq((1L, "the narrow canal boats pass under seven old bridges"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendCorpus(spark, docs, "doc_id", "text", tbl)
+      assert(spark.table(s"${tbl}_buckets").columns.contains("batch_id"))
+      val probe = Seq((2L, "the narrow canal boats pass under seven old bridges"))
+        .toDF("doc_id", "text")
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, probe, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((2L, 1L)), s"the created corpus must probe: $hits")
+    }
+  }
+
   test("legacy corpus (no batch_id column): probes, watermarks, bloom, and append all work; append upgrades in place") {
     import spark.implicits._
     val tbl = freshTable("dix")

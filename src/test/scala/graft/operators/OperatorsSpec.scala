@@ -568,6 +568,17 @@ class OperatorsSpec extends AnyFunSuite {
       assert(stored == live, s"stored-gram probe must equal the live check: $stored vs $live")
       assert(stored.map(_._1) == Set(1L),
         "the quoting doc flags; the id-colliding holdout is exempt either way")
+      // an EMPTY gram table (benchmark had no docs) means nothing is
+      // contaminated — not an NPE on the null max(gram_n)
+      val emptyTbl = s"benchgrams_e_${System.nanoTime()}"
+      try {
+        Contamination.storeBenchGrams(spark,
+          spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("text")),
+          "doc_id", "text", emptyTbl)
+        assert(Contamination.contaminatedAgainstStored(
+          spark, emptyTbl, docs, "doc_id", "text").count() == 0,
+          "an empty benchmark must contaminate nothing")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $emptyTbl")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 

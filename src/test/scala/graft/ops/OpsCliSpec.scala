@@ -169,8 +169,18 @@ class OpsCliSpec extends AnyFunSuite {
     graft.operators.WriterLease.acquire(spark, dir, owner = "job-x")
     assert(OpsCli.run(spark, ops, "leaseStatus", List(dir)) == 1,
       "a live lease must read as blocking")
+    // repairs under a LIVE lease are refused (repairing would roll
+    // back the holder's in-flight swap) and resume after release
+    val errSave = System.err
+    try {
+      System.setErr(new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+      assert(OpsCli.run(spark, ops, "recoverMerge", List(dir)) == 1,
+        "a repair must refuse while a live job holds the lease")
+    } finally System.setErr(errSave)
     graft.operators.WriterLease.release(spark, dir, "job-x")
     assert(OpsCli.run(spark, ops, "leaseStatus", List(dir)) == 0)
+    assert(OpsCli.run(spark, ops, "recoverMerge", List(dir)) == 0,
+      "the repair lands once the lease frees")
   }
 
   test("CLI crash-repair arms: rebuildBloom restores a lost bloom; recoverLm finishes an interrupted LM append") {

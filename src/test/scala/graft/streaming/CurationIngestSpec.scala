@@ -150,6 +150,7 @@ class CurationIngestSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val tmp = java.nio.file.Files.createTempDirectory("ci_out").toString
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val q = graft.Pipeline.startCurationIngest(spark,
       input.toDF().toDF("doc_id", "text"), streamCfg,
       s"$tmp/labeled", s"$tmp/manifest", s"$tmp/ckpt",
@@ -159,6 +160,12 @@ class CurationIngestSpec extends AnyFunSuite {
       val (b2, b3) = rest.splitAt(30)
       for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
     } finally q.stop()
+    // storage hygiene: every block a micro-batch pinned (its labeled
+    // checkpoint, the sliced pack's materialized input) is released by
+    // processBatch — a long-running stream must not accumulate one
+    // materialized batch per trigger
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore).isEmpty,
+      "the drained stream must leave no pinned batch blocks behind")
     val sLabeled = spark.read.parquet(s"$tmp/labeled")
     val sManifest = spark.read.parquet(s"$tmp/manifest")
 
@@ -246,10 +253,21 @@ class CurationIngestSpec extends AnyFunSuite {
 
     // steps: 1 = corpus buckets appended, 2 = bloom merged,
     // 3 = corpus sets appended, 4 = offsets advanced (commit complete,
-    // streaming commit-log write still pending — the r11 ADVICE window)
-    for (step <- 1 to 4) {
-      val cfg = freshState(s"cr$step")
-      val out = java.nio.file.Files.createTempDirectory(s"ci_crash_$step").toString
+    // streaming commit-log write still pending — the r11 ADVICE
+    // window). The "o" cases crash INSIDE the offsets bucket swap
+    // (upsertBucketsImpl's own seam): o2 = a live offset bucket
+    // renamed aside (rolled back whole on recovery), o3 = one bucket's
+    // NEW state renamed in (recovery keeps it — SOME buckets then
+    // carry batch 1, the rest batch 0, the partial-commit state the
+    // min() watermark + per-bucket advance guard exist for; under the
+    // old max() guard this case silently stranded the rolled-back
+    // buckets' offsets forever).
+    val cases = Seq("1" -> (1, Int.MaxValue), "2" -> (2, Int.MaxValue),
+      "3" -> (3, Int.MaxValue), "4" -> (4, Int.MaxValue),
+      "o2" -> (Int.MaxValue, 2), "o3" -> (Int.MaxValue, 3))
+    for ((tag, (step, oStep)) <- cases) {
+      val cfg = freshState(s"cr$tag")
+      val out = java.nio.file.Files.createTempDirectory(s"ci_crash_$tag").toString
       CurationIngest.processBatch(spark, b0.toDF("doc_id", "text"), 0L, cfg,
         s"$out/labeled", s"$out/manifest")
       // batch 1, first attempt: sinks written (processBatch order), then
@@ -260,20 +278,25 @@ class CurationIngestSpec extends AnyFunSuite {
       l.write.mode("overwrite").parquet(s"$out/labeled/batch_id=1")
       manifest.write.mode("overwrite").parquet(s"$out/manifest/batch_id=1")
       intercept[IllegalStateException] {
-        CurationIngest.commitBatchImpl(spark, l, 1L, cfg, crashAfterStep = step)
+        CurationIngest.commitBatchImpl(spark, l, 1L, cfg,
+          crashAfterStep = step, offsetsCrashStep = oStep)
       }
       spark.catalog.clearCache() // a simulated crash skips the operator's own release
+      // a crash inside the swap leaves aside dirs that refuse reads —
+      // repair on entry, exactly what CurationIngest.start runs before
+      // the restarted stream's first batch
+      StoredMerge.recoverMerge(spark, cfg.offsetsPath)
       // REPLAY: exactly what foreachBatch re-runs after restart
       CurationIngest.processBatch(spark, b1.toDF("doc_id", "text"), 1L, cfg,
         s"$out/labeled", s"$out/manifest")
       assert(rowsOf(spark.read.parquet(s"$out/labeled")) == refRows,
-        s"step $step: labels must replay bit-identically (no self-match relabeling)")
+        s"step $tag: labels must replay bit-identically (no self-match relabeling)")
       assert(manifestRollup(spark.read.parquet(s"$out/manifest")) == refRoll,
-        s"step $step: packed manifest must replay bit-identically")
+        s"step $tag: packed manifest must replay bit-identically")
       assert(offMap(cfg) == refOff,
-        s"step $step: offsets must advance exactly once")
+        s"step $tag: offsets must advance exactly once")
       assert(corpusShape(cfg) == refCorpus,
-        s"step $step: corpus must converge with no duplicate appends")
+        s"step $tag: corpus must converge with no duplicate appends")
     }
   }
 
@@ -342,6 +365,16 @@ class CurationIngestSpec extends AnyFunSuite {
     def startAt(ckpt: String) = graft.Pipeline.startCurationIngest(spark,
       input.toDF().toDF("doc_id", "text"), cfg,
       s"$tmp/labeled", s"$tmp/manifest", ckpt, triggerInterval = "1 seconds")
+    // a FAILED start (bad trigger here; bad checkpoint/source the same
+    // way) must not strand the lease for the TTL
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.startCurationIngest(spark,
+        input.toDF().toDF("doc_id", "text"), cfg,
+        s"$tmp/labeled", s"$tmp/manifest", s"$tmp/ckptFail",
+        triggerInterval = "not a duration")
+    }
+    assert(graft.operators.WriterLease.holder(spark, cfg.offsetsPath).isEmpty,
+      "a start() failure must release the lease immediately")
     val q1 = startAt(s"$tmp/ckptA")
     try {
       assert(graft.operators.WriterLease.holder(spark, cfg.offsetsPath)
@@ -407,6 +440,25 @@ class CurationIngestSpec extends AnyFunSuite {
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       assert(!corpusIds.contains(100L),
         "a contaminated doc must not be appended to the dedup corpus")
+
+      // plan: the stored bench-gram side BROADCASTS into the probe —
+      // no shuffle ever carries the gram join (the q37 scale shape:
+      // eval sets are small by construction, the corpus streams
+      // through one scan)
+      val (planLbl, _) = CurationIngest.curateBatch(
+        spark, day1.take(8).toDF("doc_id", "text"), batchCfg)
+      planLbl.collect()
+      val plan = planLbl.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def scansBench(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains(benchTbl))
+      assert(plan.toString.contains(benchTbl),
+        s"bench gram scan expected in:\n$plan")
+      assert(plan.collect {
+        case s: ShuffleExchangeExec if scansBench(s) => s
+      }.isEmpty, s"bench grams must broadcast, never shuffle:\n$plan")
     } finally spark.sql(s"DROP TABLE IF EXISTS $benchTbl")
   }
 
