@@ -205,11 +205,7 @@ object DedupIndex {
     // Bloom read-OR-overwrite — a classic lost update that silently
     // degrades admission pruning. The corpus lease serializes them
     // loudly; a pipeline commit re-enters with its own writerId.
-    WriterLease.withLease(spark,
-      new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))).toString,
-      owner) {
+    WriterLease.withLease(spark, WriterLease.tableStatePath(spark, table), owner) {
       appendUnderLease(spark, df, idCol, textCol, table, k, bands, shingleN,
         setBuckets, batchId, crashAfterStep)
     }
@@ -221,18 +217,20 @@ object DedupIndex {
       crashAfterStep: Int): Unit = {
     // replay safety: the presence checks below must see what is ON DISK,
     // not a pre-crash relation-cache listing (same rule as the exit
-    // refresh — stale listings would double-append)
+    // refresh — stale listings would double-append). A table that does
+    // not exist yet is skipped everywhere here — the FIRST append
+    // (stamped or not) creates it below with the stamp already in its
+    // schema, and an absent table trivially has no prior batch rows.
     if (batchId >= 0L)
-      Seq(s"${table}_buckets", s"${table}_sets").foreach(spark.catalog.refreshTable)
+      Seq(s"${table}_buckets", s"${table}_sets")
+        .filter(spark.catalog.tableExists).foreach(spark.catalog.refreshTable)
     // legacy corpora (saved before the provenance stamp) lack the
     // batch_id column the stamped append writes — upgrade in place
-    // (metadata-only; legacy rows read NULL ≡ committed-before-any-batch).
-    // A table that does not exist yet is NOT legacy: the first append
-    // creates it below with the stamp already in its schema.
+    // (metadata-only; legacy rows read NULL ≡ committed-before-any-batch)
     Seq(s"${table}_buckets", s"${table}_sets")
       .filter(spark.catalog.tableExists).foreach(ensureBatchId(spark, _))
     def alreadyAppended(t: String): Boolean =
-      batchId >= 0L &&
+      batchId >= 0L && spark.catalog.tableExists(t) &&
         !spark.table(t).filter(col("batch_id") === batchId).limit(1).isEmpty
     val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
     val bk = buckets(sigs, k, bands).persist()

@@ -260,11 +260,7 @@ object NgramLM {
     // entry recovery could drop the other's in-flight stage — the lock
     // rides the model's warehouse path; `owner` lets same-JVM jobs
     // with distinct writer identities conflict
-    WriterLease.withLease(spark,
-      new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(name))).toString,
-      owner) {
+    WriterLease.withLease(spark, WriterLease.tableStatePath(spark, name), owner) {
       appendUnderLease(spark, name, batch, idCol, textCol, buckets,
         batchTag, crashAfterStep)
     }

@@ -110,11 +110,7 @@ object StoredMerge {
     // below would complete a CONCURRENT writer's interrupted swap and
     // then merge against it — serialize loudly instead. `owner` lets
     // same-JVM jobs with distinct writer identities conflict.
-    WriterLease.withLease(spark,
-      new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))).toString,
-      owner) {
+    WriterLease.withLease(spark, WriterLease.tableStatePath(spark, table), owner) {
       upsertStoredUnderLease(spark, table, updates, keyCols, buckets, crashAfterStep)
     }
 

@@ -152,6 +152,36 @@ object WriterLease {
     finally out.close()
   }
 
+  /** Refresh an owned lease's expiry WITHOUT taking a hold — the
+    * heartbeat for long-lived holders whose work is event-driven (an
+    * idle stream gets no commits, so nothing else would re-extend the
+    * lease and a healthy job's lock would expire out from under it).
+    * No-op if the lease is not currently this owner's (expired and
+    * broken, or never held) — the holder finds out at its next real
+    * acquire, loudly.
+    */
+  def refresh(spark: SparkSession, path: String,
+              owner: String = jvmOwner,
+              ttlMs: Long = DefaultTtlMs): Unit = {
+    val lp = lockPath(path)
+    val fs = fsOf(spark, lp)
+    holder(spark, path) match {
+      case Some(h) if h.owner == owner =>
+        write(fs, lp, owner, System.currentTimeMillis() + ttlMs, overwrite = true)
+      case _ => ()
+    }
+  }
+
+  /** The canonical lock location for a MANAGED table's stored state —
+    * its warehouse path. Every library mutator (corpus appends, LM
+    * accretion, managed-table merges) and every CLI repair must derive
+    * the lock from THIS helper: the lease contract is only as strong
+    * as all writers agreeing on the lock location.
+    */
+  def tableStatePath(spark: SparkSession, table: String): String =
+    new Path(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))).toString
+
   /** Release one hold of an owned lease; the lock file is deleted only
     * when the LAST same-JVM hold releases (depth-balanced with
     * [[acquire]]). Idempotent on an absent lock. Releasing ANOTHER

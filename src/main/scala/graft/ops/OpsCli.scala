@@ -153,10 +153,9 @@ object OpsCli {
         q.awaitTermination()
         // deterministic release before the JVM exits: the stream's own
         // terminated-listener release is async and a fast exit would
-        // strand the lock for the TTL (a double release is a no-op)
-        try graft.operators.WriterLease.release(spark, offsetsPath,
-          CurationIngest.jobWriterId(checkpointDir))
-        catch { case _: IllegalStateException => () }
+        // strand the lock for the TTL (shares the query's once-guard,
+        // so racing the listener can never double-release)
+        CurationIngest.releaseLease(q)
         println(s"curation ingest ${if (once) "drained" else "stopped"}: " +
           s"labeled=$labeledDir manifest=$manifestDir")
         0
@@ -228,13 +227,12 @@ object OpsCli {
     }
   }
 
-  /** A stored table's warehouse path — the lock location the library's
-    * own lease-holding mutators (NgramLM accretion, managed-table
-    * merges) use, so a CLI repair conflicts with exactly them. */
+  /** A stored table's lock location — the SAME derivation the
+    * library's lease-holding mutators use ([[graft.operators
+    * .WriterLease.tableStatePath]]), so a CLI repair conflicts with
+    * exactly them. */
   private def tablePath(spark: SparkSession, table: String): String =
-    new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))).toString
+    graft.operators.WriterLease.tableStatePath(spark, table)
 
   /** Run a repair under the writer lease; a LIVE holder reports
     * cleanly and exits 1 — repairing under a running job would roll

@@ -298,9 +298,18 @@ object CurationIngest {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    cfg: Config, labeledDir: String, manifestDir: String): Unit = {
-    if (committedBatch(spark, cfg) >= batchId) return // fully committed: sinks already correct
-    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val (labeled, manifest) = curateBatch(spark, batch, cfg, batchId)
+    // one tiny read serves both guards: min = the fully-committed
+    // watermark (skip a committed batch), max = partial-advance
+    // detection. The replay-adjusted pack base costs an extra pass
+    // over the admitted chain, so it runs ONLY when some bucket
+    // actually carries this batch already (a crash mid-offsets-swap) —
+    // every healthy batch takes the plain-base path.
+    val bounds = offsets(spark, cfg)
+      .agg(min(col("last_batch")).as("mn"), max(col("last_batch")).as("mx")).head
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    if (mn >= batchId) return // fully committed: sinks already correct
+    val effBatch = if (mx >= batchId) batchId else Long.MaxValue
+    val (labeled, manifest) = curateBatch(spark, batch, cfg, effBatch)
     // one materialization serves the two sinks and the commit
     val l = labeled.localCheckpoint()
     l.write.mode("overwrite").parquet(s"$labeledDir/batch_id=$batchId")
@@ -309,13 +318,23 @@ object CurationIngest {
     // release every block THIS batch pinned (`l` above, the sliced
     // pack's checkpointed input) — relying on driver GC + the
     // ContextCleaner would let a long-running stream accumulate one
-    // materialized batch per trigger in executor storage. Safe after
-    // the commit: nothing recomputes a committed batch's frames. The
-    // job's single-writer lease means no concurrent work in this
-    // session pins blocks in the window (the snapshot diff would
-    // otherwise catch a bystander's cache).
-    (spark.sparkContext.getPersistentRDDs -- pinnedBefore)
-      .values.foreach(_.unpersist(blocking = false))
+    // materialized batch per trigger in executor storage. PRECISE, not
+    // a global persistent-RDD sweep (which would unpersist a
+    // concurrent job's blocks): the batch's own checkpointed RDDs are
+    // exactly the LogicalRDD leaves of its two output plans, and
+    // unpersist on a never-persisted RDD (a memory-source batch) is a
+    // no-op. Safe after the commit: nothing recomputes a committed
+    // batch's frames.
+    // `labeled` must be in the walk: the sliced pack's checkpoint
+    // TRUNCATES manifest's lineage, hiding the dedup probe's
+    // checkpointed pair frame that sits above it (and `l` truncates
+    // labeled's own plan) — only the pre-checkpoint `labeled` still
+    // carries that LogicalRDD.
+    Seq(l, labeled, manifest)
+      .flatMap(_.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      })
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** The ONE streaming job: micro-batches of (doc_id, text) through
@@ -349,7 +368,7 @@ object CurationIngest {
     // Streaming's own checkpoint contract (no cross-JVM checkpoint
     // lock exists for file sinks) and is the orchestrator's invariant
     // to keep, exactly as for any Spark streaming job.
-    val jobCfg = cfg.copy(writerId = jobWriterId(checkpointDir))
+    val jobCfg = cfg.copy(writerId = jobWriterId(spark, checkpointDir))
     graft.operators.WriterLease.acquire(spark, jobCfg.offsetsPath, jobCfg.writerId)
     val query = try {
       // a crash between upsertBuckets' renames leaves the offsets
@@ -377,20 +396,34 @@ object CurationIngest {
     // re-enters its own still-held lease). A hard crash skips the
     // listener — that is what the TTL expiry is for.
     val qid = query.id
+    // exactly ONE release per start()'s one acquire, whichever of the
+    // async terminated event / the isActive fallback / the CLI's
+    // post-drain release gets there first — an unguarded second
+    // release would decrement a same-owner SUCCESSOR job's fresh hold
+    // and delete the lock out from under it
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def releaseOnce(): Unit =
+      if (released.compareAndSet(false, true)) {
+        try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
+        catch { case _: IllegalStateException => () } // expired + taken over: not ours
+      }
+    releaseHooks.put(qid, () => releaseOnce())
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        // the IDLE heartbeat: an input-starved stream runs no commits,
+        // so nothing else would re-extend the lease and a healthy
+        // job's lock would expire out from under it (Spark emits
+        // no-data progress events on its own cadence). Depth-neutral.
+        if (e.progress.id == qid)
+          graft.operators.WriterLease.refresh(spark, jobCfg.offsetsPath, jobCfg.writerId)
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == qid) {
-          // depth-balanced: a same-checkpoint restart overlapping this
-          // (async) event holds its own depth, so releasing here can
-          // never drop the successor's lease. A lease expired and
-          // taken over mid-run is not ours to touch.
-          try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
-          catch { case _: IllegalStateException => () }
+          releaseOnce()
+          releaseHooks.remove(qid)
           spark.streams.removeListener(this)
         }
     }
@@ -398,23 +431,41 @@ object CurationIngest {
     // the listener bus does not replay past events: a query that
     // terminated in the window before addListener (an AvailableNow
     // drain over an empty source, an immediate source error) would
-    // otherwise leak the lease for the TTL. If the event ALSO fires
-    // (race), the second release is an idempotent no-op (depth
-    // accounting + absent-lock tolerance).
+    // otherwise leak the lease for the TTL
     if (!query.isActive) {
-      try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
-      catch { case _: IllegalStateException => () }
+      releaseOnce()
+      releaseHooks.remove(qid)
       spark.streams.removeListener(listener)
     }
     query
   }
 
+  /** Per-query release hooks — lets the CLI's deterministic post-drain
+    * release share the SAME once-guard as the listener (see
+    * [[releaseLease]]). */
+  private val releaseHooks =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, () => Unit]()
+
+  /** Deterministically release a drained/stopped query's job lease —
+    * for callers that exit the JVM right after `awaitTermination`
+    * (the async terminated listener may not have fired yet). Safe to
+    * race the listener: both route through the query's once-guard.
+    */
+  def releaseLease(query: StreamingQuery): Unit =
+    Option(releaseHooks.remove(query.id)).foreach(_.apply())
+
   /** The streaming job's lease identity, derived from its checkpoint
-    * dir (Structured Streaming's own job identity) — public so ops
-    * tooling (the CLI's post-drain release) can address the same
-    * lease. */
-  def jobWriterId(checkpointDir: String): String = "ci-" +
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
+    * dir (Structured Streaming's own job identity) — NORMALIZED
+    * through the filesystem (qualified + absolute), so "/data/ckpt",
+    * "/data/ckpt/", and a relative spelling of the same directory all
+    * address the same lease and a restart is never refused over a
+    * trailing slash. */
+  def jobWriterId(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val qualified = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    "ci-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qualified.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+  }
 }

@@ -255,6 +255,20 @@ class DedupIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(hits == Set((2L, 1L)), s"the created corpus must probe: $hits")
     }
+    // the STAMPED first write too: the replay-safety refresh and the
+    // presence checks must skip tables that do not exist yet
+    val tbl2 = freshTable("dix")
+    withTables(tbl2) {
+      val docs = Seq((5L, "brick warehouses line the east quay at low tide"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendCorpus(spark, docs, "doc_id", "text", tbl2, batchId = 0L)
+      assert(spark.table(s"${tbl2}_sets")
+        .filter(col("batch_id") === 0L).count() == 1L)
+      // and a replay of that first stamped batch is still a no-op
+      DedupIndex.appendCorpus(spark, docs, "doc_id", "text", tbl2, batchId = 0L)
+      assert(spark.table(s"${tbl2}_sets").count() == 1L,
+        "the replayed first batch must not double-append")
+    }
   }
 
   test("legacy corpus (no batch_id column): probes, watermarks, bloom, and append all work; append upgrades in place") {

@@ -165,7 +165,9 @@ class CurationIngestSpec extends AnyFunSuite {
     // processBatch — a long-running stream must not accumulate one
     // materialized batch per trigger
     assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore).isEmpty,
-      "the drained stream must leave no pinned batch blocks behind")
+      "the drained stream must leave no pinned batch blocks behind: " +
+        (spark.sparkContext.getPersistentRDDs -- pinnedBefore).values
+          .map(r => s"id=${r.id} name=${r.name} str=${r.toString}").mkString("; "))
     val sLabeled = spark.read.parquet(s"$tmp/labeled")
     val sManifest = spark.read.parquet(s"$tmp/manifest")
 

@@ -8,6 +8,12 @@
 #     tools/run_bench.sh                     # JSON line on stdout
 #   SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json   # artifact destination
 #   SPARK_GRAFT_BENCH_ONLY=q02_top_orders    # filtered triage runs
+# default the artifact AWAY from the committed BENCH_LOCAL.json —
+# graft.Bench's own default writes into the CWD, and a filtered smoke
+# run from the repo root would silently clobber the committed capture
+# (it did, once). Pass SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json
+# explicitly for the real committed capture.
+export SPARK_GRAFT_BENCH_OUT="${SPARK_GRAFT_BENCH_OUT:-/tmp/bench_local_$$.json}"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent \
