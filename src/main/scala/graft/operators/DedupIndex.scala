@@ -89,11 +89,13 @@ object DedupIndex {
     val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
     val bk = buckets(sigs, k, bands).persist()
     bk.withColumn("batch_id", lit(-1L))
+      .withColumn("writer_id", lit(null).cast("string"))
       .write.mode("overwrite").saveAsTable(s"${table}_buckets")
     writeBloom(spark, table,
       bk.stat.bloomFilter("band_hash", bloomItems, bloomFpp), bloomItems, bloomFpp)
     bk.unpersist(blocking = false)
-    sigs.select(col("doc_id"), col("hset"), lit(-1L).as("batch_id"))
+    sigs.select(col("doc_id"), col("hset"), lit(-1L).as("batch_id"),
+        lit(null).cast("string").as("writer_id"))
       .write.mode("overwrite")
       .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${table}_sets")
@@ -144,11 +146,22 @@ object DedupIndex {
     * `seq`/`deleted`). Idempotent: a table that already carries the
     * column is untouched.
     */
-  private def ensureBatchId(spark: SparkSession, t: String): Unit =
+  private def ensureBatchId(spark: SparkSession, t: String): Unit = {
     if (!spark.table(t).columns.contains("batch_id")) {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (batch_id BIGINT)")
       spark.catalog.refreshTable(t)
     }
+    // r14 codec extension: `writer_id` records WHO stamped a batch, so
+    // a replay check can tell its own batch N from a DIFFERENT job's
+    // batch N (checkpoint-derived batch numbering collides across jobs
+    // from batch 0). Same metadata-only upgrade; pre-r14 rows read
+    // NULL ≡ "stamped by this table's only historical writer" — the
+    // single-writer contract those rows were written under.
+    if (!spark.table(t).columns.contains("writer_id")) {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (writer_id STRING)")
+      spark.catalog.refreshTable(t)
+    }
+  }
 
   /** Rebuild a corpus's bucket-hash Bloom from the stored bucket table
     * — the repair for a bloom lost to a crash mid-overwrite (probes
@@ -180,6 +193,17 @@ object DedupIndex {
     * the missing half on retry. The Bloom merge is a set union and
     * re-merges idempotently. `batchId = -1` (default) preserves the
     * plain batch-less append.
+    *
+    * Stamped rows additionally carry `writer_id = owner` (r14): the
+    * replay skip is scoped to THIS writer's own batch numbering, and a
+    * stamped append finding the same `batchId` stamped by a DIFFERENT
+    * writer fails loudly — two ingest jobs (whose checkpoint-derived
+    * batch ids both start at 0) cannot share one corpus table, and
+    * no-opping the second job's append would silently drop its
+    * admitted docs from all future duplicate detection. Callers that
+    * stamp must therefore pass a STABLE `owner` across restarts (the
+    * ingest pipeline derives it from its checkpoint dir); pre-r14
+    * stamps read NULL writer_id ≡ this table's only historical writer.
     */
   def appendCorpus(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                    table: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
@@ -203,17 +227,22 @@ object DedupIndex {
     // self-review): two jobs sharing a dedup table but different
     // offsets paths hold non-conflicting offsets leases yet race the
     // Bloom read-OR-overwrite — a classic lost update that silently
-    // degrades admission pruning. The corpus lease serializes them
-    // loudly; a pipeline commit re-enters with its own writerId.
+    // degrades admission pruning. The corpus lease SERIALIZES their
+    // appends loudly; a pipeline commit re-enters with its own
+    // writerId. Serialization alone does NOT make sharing the table
+    // safe, though — both jobs number batches from 0, so the second
+    // job's batch N would read as "already appended" and silently
+    // no-op; the (writer_id, batch_id) provenance check inside
+    // appendUnderLease (r14) turns that collision into a loud refusal.
     WriterLease.withLease(spark, WriterLease.tableStatePath(spark, table), owner) {
       appendUnderLease(spark, df, idCol, textCol, table, k, bands, shingleN,
-        setBuckets, batchId, crashAfterStep)
+        setBuckets, batchId, owner, crashAfterStep)
     }
   }
 
   private def appendUnderLease(spark: SparkSession, df: DataFrame,
       idCol: String, textCol: String, table: String, k: Int, bands: Int,
-      shingleN: Int, setBuckets: Int, batchId: Long,
+      shingleN: Int, setBuckets: Int, batchId: Long, owner: String,
       crashAfterStep: Int): Unit = {
     // replay safety: the presence checks below must see what is ON DISK,
     // not a pre-crash relation-cache listing (same rule as the exit
@@ -224,11 +253,40 @@ object DedupIndex {
     if (batchId >= 0L)
       Seq(s"${table}_buckets", s"${table}_sets")
         .filter(spark.catalog.tableExists).foreach(spark.catalog.refreshTable)
-    // legacy corpora (saved before the provenance stamp) lack the
-    // batch_id column the stamped append writes — upgrade in place
-    // (metadata-only; legacy rows read NULL ≡ committed-before-any-batch)
+    // legacy corpora (saved before the provenance stamps) lack the
+    // batch_id / writer_id columns the stamped append writes — upgrade
+    // in place (metadata-only; legacy rows read NULL batch_id ≡
+    // committed-before-any-batch, NULL writer_id ≡ this writer's own)
     Seq(s"${table}_buckets", s"${table}_sets")
       .filter(spark.catalog.tableExists).foreach(ensureBatchId(spark, _))
+    // CROSS-JOB COLLISION REFUSAL (r14, the r13 ADVICE finding): the
+    // replay skip below is keyed by (writer, batch) — without the
+    // writer dimension, job B's append of ITS batch N silently no-ops
+    // against job A's already-committed batch N (both jobs' streaming
+    // batch ids start at 0), so B's admitted docs never enter the
+    // corpus and their future duplicates are never detected. Two live
+    // jobs cannot share one stamped corpus's batch numbering: a
+    // foreign writer's stamp on THIS batch id fails loudly (the
+    // lease's own refusal contract), instead of no-opping. NULL
+    // writer_id rows (pre-r14 stamps) belong to the table's only
+    // historical writer and skip as before.
+    if (batchId >= 0L)
+      Seq(s"${table}_buckets", s"${table}_sets")
+        .filter(spark.catalog.tableExists)
+        .foreach { t =>
+          spark.table(t)
+            .filter(col("batch_id") === batchId &&
+              col("writer_id").isNotNull && col("writer_id") =!= owner)
+            .select(col("writer_id")).limit(1)
+            .collect().headOption.foreach { r =>
+              throw new java.util.ConcurrentModificationException(
+                s"corpus $t already carries batch $batchId stamped by a " +
+                  s"DIFFERENT writer (${r.getString(0)}, this job is $owner): " +
+                  "two ingest jobs cannot share one dedup corpus's batch " +
+                  "numbering — point each job at its own corpus table, or " +
+                  "run one job")
+            }
+        }
     def alreadyAppended(t: String): Boolean =
       batchId >= 0L && spark.catalog.tableExists(t) &&
         !spark.table(t).filter(col("batch_id") === batchId).limit(1).isEmpty
@@ -236,6 +294,8 @@ object DedupIndex {
     val bk = buckets(sigs, k, bands).persist()
     if (!alreadyAppended(s"${table}_buckets"))
       bk.withColumn("batch_id", lit(batchId))
+        .withColumn("writer_id",
+          if (batchId >= 0L) lit(owner) else lit(null).cast("string"))
         .write.mode("append").saveAsTable(s"${table}_buckets")
     if (crashAfterStep <= 1)
       throw new IllegalStateException("simulated crash after corpus buckets append")
@@ -256,7 +316,9 @@ object DedupIndex {
       throw new IllegalStateException("simulated crash after corpus bloom merge")
     bk.unpersist(blocking = false)
     if (!alreadyAppended(s"${table}_sets"))
-      sigs.select(col("doc_id"), col("hset"), lit(batchId).as("batch_id"))
+      sigs.select(col("doc_id"), col("hset"), lit(batchId).as("batch_id"),
+          (if (batchId >= 0L) lit(owner)
+           else lit(null).cast("string")).as("writer_id"))
         .write.mode("append")
         .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
         .saveAsTable(s"${table}_sets")

@@ -237,13 +237,25 @@ object NgramLM {
     * double-counts, exactly like re-COPYing a file without the
     * loader's ledger.
     */
+  /** `tagRetention` bounds the committed-tag set (r14, the r13 verdict's
+    * O(n²) finding): each tagged append rewrites the full tag table, so
+    * at per-micro-batch cadence an unbounded set grows linearly forever
+    * and cumulative rewrite work is quadratic. With retention N, only
+    * the N most-recent tags (by commit order) survive each swap — a
+    * replay of a RETAINED tag still no-ops; a tag older than the
+    * retention horizon can no longer be recognized, so the caller must
+    * size N to its replay horizon (a Structured Streaming accretion
+    * replays at most the last uncommitted batch — single digits; the
+    * default keeps every tag, the pre-r14 behavior).
+    */
   def appendToStored(spark: org.apache.spark.sql.SparkSession, name: String,
                      batch: DataFrame, idCol: String, textCol: String,
                      buckets: Int = 32,
                      batchTag: Option[String] = None,
-                     owner: String = graft.operators.WriterLease.jvmOwner): Model =
+                     owner: String = graft.operators.WriterLease.jvmOwner,
+                     tagRetention: Int = Int.MaxValue): Model =
     appendToStoredImpl(spark, name, batch, idCol, textCol, buckets, batchTag,
-      owner)
+      owner, tagRetention)
 
   /** `crashAfterStep` test seam (the [[StoredMerge]] recipe): 1 =
     * stages written (pre-marker → retry re-appends), 2 = marker
@@ -254,6 +266,7 @@ object NgramLM {
       name: String, batch: DataFrame, idCol: String, textCol: String,
       buckets: Int, batchTag: Option[String],
       owner: String = graft.operators.WriterLease.jvmOwner,
+      tagRetention: Int = Int.MaxValue,
       crashAfterStep: Int = Int.MaxValue): Model =
     // single writer, lease-enforced (the StoredMerge rule): two jobs
     // accreting one stored LM would interleave staged swaps, and one's
@@ -262,12 +275,13 @@ object NgramLM {
     // with distinct writer identities conflict
     WriterLease.withLease(spark, WriterLease.tableStatePath(spark, name), owner) {
       appendUnderLease(spark, name, batch, idCol, textCol, buckets,
-        batchTag, crashAfterStep)
+        batchTag, tagRetention, crashAfterStep)
     }
 
   private def appendUnderLease(spark: org.apache.spark.sql.SparkSession,
       name: String, batch: DataFrame, idCol: String, textCol: String,
-      buckets: Int, batchTag: Option[String], crashAfterStep: Int): Model = {
+      buckets: Int, batchTag: Option[String], tagRetention: Int,
+      crashAfterStep: Int): Model = {
     recoverStored(spark, name)
     if (batchTag.exists(committedTags(spark, name).contains))
       return load(spark, name) // replayed append: already committed
@@ -298,10 +312,19 @@ object NgramLM {
       .write.mode("overwrite").saveAsTable(s"${name}__stage_meta")
     // the committed-tag SET rides the same staged swap as the counts,
     // so it can never record a tag whose counts didn't land (or vice
-    // versa): stage = live tags ∪ this tag. An append without a tag
-    // stages nothing — the live tag table survives the swap untouched.
+    // versa): stage = live tags ∪ this tag, trimmed to the
+    // `tagRetention` most-recent by commit sequence (`seq`, assigned
+    // monotonically here; legacy rows without one tie at 0 = oldest).
+    // An append without a tag stages nothing — the live tag table
+    // survives the swap untouched.
     batchTag.foreach { tag =>
-      (committedTags(spark, name) + tag).toSeq.toDF("tag")
+      val live = committedTagSeqs(spark, name)
+      val nextSeq = if (live.isEmpty) 0L else live.values.max + 1L
+      val all = (live + (tag -> nextSeq)).toSeq
+      val kept =
+        if (all.size <= tagRetention) all
+        else all.sortBy { case (t, s) => (-s, t) }.take(tagRetention)
+      kept.toDF("tag", "seq")
         .write.mode("overwrite").saveAsTable(s"${name}__stage_tags")
     }
     if (crashAfterStep <= 1)
@@ -324,28 +347,37 @@ object NgramLM {
 
   private val storeParts = Seq("bigrams", "prefixes", "vocab", "meta", "tags")
 
-  /** EVERY committed batch tag — the tiny `<name>_tags` table (one row
-    * per committed tagged append), so a replay of ANY committed tag
-    * no-ops, not just the immediately-preceding one (out-of-order
-    * recovery, multi-writer misuse). Legacy codec: a store from before
-    * the tags table carries at most the LATEST tag in its meta row —
-    * fold it in, so upgrading mid-stream keeps the last pre-upgrade
-    * append replay-safe. Tag cardinality = committed appends: one row
-    * per micro-batch, driver-side by construction.
+  /** Every RETAINED committed batch tag with its commit sequence — the
+    * tiny `<name>_tags` table (one row per committed tagged append,
+    * bounded by the caller's `tagRetention`), so a replay of any
+    * retained tag no-ops, not just the immediately-preceding one
+    * (out-of-order recovery, multi-writer misuse). Legacy codecs: a
+    * store from before the tags table carries at most the LATEST tag
+    * in its meta row — fold it in at seq 0; a tags table from before
+    * the `seq` column (r14) reads every tag at seq 0 (tied-oldest, so
+    * retention drops them first). Tag cardinality ≤ max(retention,
+    * committed appends): driver-side by construction.
     */
-  private def committedTags(spark: org.apache.spark.sql.SparkSession,
-                            name: String): Set[String] = {
-    val tagged =
-      if (spark.catalog.tableExists(s"${name}_tags"))
-        spark.table(s"${name}_tags").collect().map(_.getString(0)).toSet
-      else Set.empty[String]
+  private def committedTagSeqs(spark: org.apache.spark.sql.SparkSession,
+                               name: String): Map[String, Long] = {
+    val tagged: Map[String, Long] =
+      if (spark.catalog.tableExists(s"${name}_tags")) {
+        val t = spark.table(s"${name}_tags")
+        val hasSeq = t.columns.contains("seq")
+        t.collect().map(r =>
+          r.getString(0) -> (if (hasSeq) r.getLong(1) else 0L)).toMap
+      } else Map.empty
     val row = spark.table(s"${name}_meta").head()
     val legacy =
       if (row.schema.fieldNames.contains("batch_tag"))
         Option(row.getAs[String]("batch_tag"))
       else None
-    tagged ++ legacy
+    legacy.filterNot(tagged.contains).map(_ -> 0L).toMap ++ tagged
   }
+
+  private def committedTags(spark: org.apache.spark.sql.SparkSession,
+                            name: String): Set[String] =
+    committedTagSeqs(spark, name).keySet
 
   /** Swap every staged table in (drop live, rename stage), then drop
     * the commit marker. Idempotent under crashes at any point: a part

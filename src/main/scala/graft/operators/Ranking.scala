@@ -84,6 +84,15 @@ object Ranking {
     * Null group keys are excluded (null-unsafe joins), unlike a
     * window's PARTITION BY. Adds `__cum` (long).
     *
+    * DEFAULT `accuracy` IS 100, not percentile_approx's 10000 (changed
+    * r13, documented r14): the GK accuracy here governs only how EVENLY
+    * rows land across slices — never a row's cum value — and the
+    * bounds pass runs over the full input, so a 100× cheaper sketch
+    * buys a materially faster first pass at the cost of slice balance
+    * drifting a few percent from ideal. Callers slicing heavily skewed
+    * orders who want tighter balance pass `accuracy = 10000` back
+    * explicitly.
+    *
     * INPUT MATERIALIZED ONCE (r13): the decomposition reads its input
     * three times (GK bounds, per-slice sums, the main pass) — over a
     * raw scan that is three cheap parallel reads, but over an

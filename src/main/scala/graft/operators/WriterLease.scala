@@ -1,7 +1,34 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+
+/** Primitive operations a [[WriterLease]] lock rides on — the
+  * pluggable backend seam (r14). The default is Hadoop `FileSystem`
+  * ([[WriterLease.HadoopLockStore]]): exclusive create is atomic on
+  * HDFS and the local filesystem, which makes the LIVE-lock path exact
+  * but leaves the expired-lock break delete-then-create (narrowed, not
+  * airtight — see [[WriterLease.acquire]]). An object-store deployment
+  * supplies its conditional-write primitive here instead (S3
+  * `If-None-Match` conditional puts, the reference's DynamoDB CAS,
+  * `index.js:724–731`): with a truly atomic [[createExclusive]] and a
+  * compare-and-swap [[overwrite]], the break race closes exactly. The
+  * lease SEMANTICS (re-entrancy, TTL expiry, heartbeat, depth
+  * balancing) live above this interface and are spec-verified against
+  * it, not against any one filesystem.
+  */
+trait LockStore {
+  /** The lock's raw content, None if absent — including deleted
+    * between any internal existence check and the read. */
+  def read(lockPath: String): Option[String]
+  /** Create-if-absent, ATOMIC: exactly one of N racing creators wins;
+    * losers throw [[java.io.IOException]]. */
+  def createExclusive(lockPath: String, content: String): Unit
+  /** Replace an existing lock's content (expiry refresh). */
+  def overwrite(lockPath: String, content: String): Unit
+  /** Remove the lock; idempotent on an absent lock. */
+  def delete(lockPath: String): Unit
+}
 
 /** Single-writer LEASE on a stored-state path — the loud enforcement of
   * the contract [[StoredMerge]] and [[graft.streaming.CurationIngest]]
@@ -10,21 +37,20 @@ import org.apache.spark.sql.SparkSession
   * entry recovery could roll back the other's in-flight bucket swap).
   * This is the engine analogue of the reference's per-prefix
   * conditional-write flush lock (`index.js:724–731` — the CAS on
-  * `currentBatch` that makes exactly one flusher win); files here stand
-  * in for DynamoDB conditional puts.
+  * `currentBatch` that makes exactly one flusher win); lock files (or
+  * a conditional-put [[LockStore]]) stand in for DynamoDB.
   *
   * Mechanics: a `<path>.writer_lock` marker holding `owner\nexpiry`.
-  * Acquisition creates it EXCLUSIVELY (`FileSystem.create(overwrite =
-  * false)` — atomic on HDFS and local; object stores need their
-  * conditional-put equivalent); a live lock held by another owner
-  * fails LOUDLY — the second writer must not touch the state. Expiry
-  * is the crash escape: a holder that died without releasing blocks
-  * writers only until `ttlMs` passes, then the next acquire breaks the
-  * stale lock and proceeds (the stored-state crash disciplines make
-  * that safe: every commit path is replay-convergent). Re-acquisition
-  * by the SAME owner refreshes the expiry and is re-entrant — a job's
-  * nested commits (e.g. [[graft.streaming.CurationIngest.commitBatch]]
-  * wrapping [[StoredMerge.upsertBuckets]]) share one lease.
+  * Acquisition creates it EXCLUSIVELY ([[LockStore.createExclusive]]);
+  * a live lock held by another owner fails LOUDLY — the second writer
+  * must not touch the state. Expiry is the crash escape: a holder that
+  * died without releasing blocks writers only until `ttlMs` passes,
+  * then the next acquire breaks the stale lock and proceeds (the
+  * stored-state crash disciplines make that safe: every commit path is
+  * replay-convergent). Re-acquisition by the SAME owner refreshes the
+  * expiry and is re-entrant — a job's nested commits (e.g.
+  * [[graft.streaming.CurationIngest.commitBatch]] wrapping
+  * [[StoredMerge.upsertBuckets]]) share one lease.
   *
   * Owner identity: default is one id per JVM ([[jvmOwner]]) — distinct
   * JOBS (separate JVMs) conflict, a job's own nested writes don't.
@@ -40,39 +66,84 @@ object WriterLease {
   val jvmOwner: String = java.util.UUID.randomUUID().toString
 
   /** Default lease lifetime. Generous on purpose: a healthy commit
-    * re-acquires (refreshing expiry) every batch, so the TTL only
-    * bounds how long a CRASHED writer's lock blocks a successor —
-    * and breaking a lock whose holder still lives would let two
-    * writers interleave, the exact corruption the lease exists to
-    * prevent. */
+    * re-acquires (refreshing expiry) every batch — and [[withLease]]
+    * heartbeats DURING long bodies — so the TTL only bounds how long a
+    * CRASHED writer's lock blocks a successor; breaking a lock whose
+    * holder still lives would let two writers interleave, the exact
+    * corruption the lease exists to prevent. */
   val DefaultTtlMs: Long = 30L * 60L * 1000L
 
   final case class Holder(owner: String, expiresAtMs: Long)
 
-  private def lockPath(path: String): Path =
-    new Path(path.stripSuffix("/") + ".writer_lock")
+  /** The default backend: Hadoop FileSystem lock files. Exclusive
+    * create (`create(overwrite = false)`) is atomic on HDFS and local. */
+  final class HadoopLockStore(spark: SparkSession) extends LockStore {
+    private def fs(p: Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    override def read(lockPath: String): Option[String] = {
+      val lp = new Path(lockPath)
+      val f = fs(lp)
+      if (!f.exists(lp)) None
+      else
+        // exists-then-open is not atomic: a concurrent release()
+        // deleting the file between the calls must read as "unheld"
+        // (the lock just became free), not as a hard failure
+        try {
+          val in = f.open(lp)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+    }
+    private def write(lockPath: String, content: String, overwrite: Boolean): Unit = {
+      val lp = new Path(lockPath)
+      val out = fs(lp).create(lp, overwrite)
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close()
+    }
+    override def createExclusive(lockPath: String, content: String): Unit =
+      write(lockPath, content, overwrite = false)
+    override def overwrite(lockPath: String, content: String): Unit =
+      write(lockPath, content, overwrite = true)
+    override def delete(lockPath: String): Unit = {
+      val lp = new Path(lockPath)
+      fs(lp).delete(lp, false)
+    }
+  }
 
-  private def fsOf(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def lockPathOf(path: String): String =
+    new Path(path.stripSuffix("/") + ".writer_lock").toString
+
+  private def storeOf(spark: SparkSession, store: LockStore): LockStore =
+    if (store != null) store else new HadoopLockStore(spark)
 
   /** The current lock's (owner, expiry), if any — the status readout. */
-  def holder(spark: SparkSession, path: String): Option[Holder] = {
-    val lp = lockPath(path)
-    val fs = fsOf(spark, lp)
-    if (!fs.exists(lp)) None
-    else {
-      val in = fs.open(lp)
-      val content =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-      content.split("\n", 2) match {
-        case Array(o, e) if e.trim.nonEmpty && e.trim.forall(_.isDigit) =>
-          Some(Holder(o, e.trim.toLong))
-        // a torn/garbled lock file (crash mid-create) reads as an
-        // already-expired lease: the next acquire breaks it
-        case _ => Some(Holder("<corrupt>", 0L))
+  def holder(spark: SparkSession, path: String,
+             store: LockStore = null): Option[Holder] = {
+    val s = storeOf(spark, store)
+    val lp = lockPathOf(path)
+    // an unparseable read is re-attempted before it is believed: a
+    // LIVE holder's refresh/heartbeat rewrites the lock in place
+    // (create-truncate → write → close on the file backend), so a read
+    // landing inside that window sees empty/partial content — reporting
+    // it as corrupt (≡ expired) would let a contender break a healthy
+    // lease. The torn window is microseconds; a genuinely garbled lock
+    // (crash mid-create) is STABLE across re-reads and still
+    // classifies corrupt, which the next acquire breaks.
+    var attempt = 0
+    while (true) {
+      s.read(lp) match {
+        case None => return None
+        case Some(content) =>
+          content.split("\n", 2) match {
+            case Array(o, e) if e.trim.nonEmpty && e.trim.forall(_.isDigit) =>
+              return Some(Holder(o, e.trim.toLong))
+            case _ if attempt >= 2 => return Some(Holder("<corrupt>", 0L))
+            case _ => attempt += 1; Thread.sleep(20L)
+          }
       }
     }
+    None // unreachable
   }
 
   /** Same-JVM hold depth per (lock, owner): n acquires need n releases
@@ -85,6 +156,9 @@ object WriterLease {
   private val holdDepth =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
 
+  private def content(owner: String, expiresAtMs: Long): String =
+    s"$owner\n$expiresAtMs"
+
   /** Acquire (or re-enter) the lease. Returns true if FRESHLY acquired
     * (hold depth 0 → 1); false if re-entered by the same owner (depth
     * incremented, expiry refreshed). Every acquire must be balanced by
@@ -94,14 +168,15 @@ object WriterLease {
     */
   def acquire(spark: SparkSession, path: String,
               owner: String = jvmOwner,
-              ttlMs: Long = DefaultTtlMs): Boolean = {
-    val lp = lockPath(path)
-    val fs = fsOf(spark, lp)
+              ttlMs: Long = DefaultTtlMs,
+              store: LockStore = null): Boolean = {
+    val s = storeOf(spark, store)
+    val lp = lockPathOf(path)
     val now = System.currentTimeMillis()
-    holder(spark, path) match {
+    holder(spark, path, s) match {
       case Some(h) if h.owner == owner =>
-        write(fs, lp, owner, now + ttlMs, overwrite = true) // refresh
-        holdDepth.merge((lp.toString, owner), 1, _ + _)
+        s.overwrite(lp, content(owner, now + ttlMs)) // refresh
+        holdDepth.merge((lp, owner), 1, _ + _)
         false
       case Some(h) if now < h.expiresAtMs =>
         throw new java.util.ConcurrentModificationException(
@@ -117,18 +192,21 @@ object WriterLease {
         // above immediately before deleting (never delete a live
         // successor's lock), (b) exclusive create (the loser of a
         // create race fails loudly), (c) verify ownership after
-        // create. Absent a filesystem conditional-put this cannot be
-        // airtight — an object-store deployment should back the lock
-        // with its conditional-write primitive (the reference's
-        // DynamoDB CAS, `index.js:724-731`); the LIVE-lock path (the
-        // normal case) is exact either way, and expiry-breaking only
-        // races writers contending for an already-crashed holder's
-        // lock in the same instant.
-        if (holder(spark, path).map(h => (h.owner, h.expiresAtMs)) ==
+        // create, then (d) verify AGAIN after a short randomized
+        // back-off — a rival whose stale delete-then-create landed
+        // between our create and the first verify is caught by the
+        // second unless its whole break straddles the back-off too.
+        // On a plain filesystem this cannot be airtight; a [[LockStore]]
+        // with a real conditional write (S3 conditional put, DynamoDB
+        // CAS) closes it exactly. The LIVE-lock path (the normal case)
+        // is exact either way, and expiry-breaking only races writers
+        // contending for an already-crashed holder's lock in the same
+        // instant.
+        if (holder(spark, path, s).map(h => (h.owner, h.expiresAtMs)) ==
             held.map(h => (h.owner, h.expiresAtMs)))
-          fs.delete(lp, false)
-        held.foreach(h => holdDepth.remove((lp.toString, h.owner)))
-        try write(fs, lp, owner, now + ttlMs, overwrite = false)
+          s.delete(lp)
+        held.foreach(h => holdDepth.remove((lp, h.owner)))
+        try s.createExclusive(lp, content(owner, now + ttlMs))
         catch {
           // lost the break-and-take race to another writer: held
           case _: java.io.IOException =>
@@ -136,20 +214,18 @@ object WriterLease {
               s"stored state at $path was lease-acquired by a concurrent " +
                 "writer during acquisition — exactly one writer may hold it")
         }
-        if (!holder(spark, path).exists(_.owner == owner))
-          throw new java.util.ConcurrentModificationException(
-            s"stored state at $path was lease-acquired by a concurrent " +
-              "writer during acquisition — exactly one writer may hold it")
-        holdDepth.put((lp.toString, owner), 1)
+        def verifyOwn(): Unit =
+          if (!holder(spark, path, s).exists(_.owner == owner))
+            throw new java.util.ConcurrentModificationException(
+              s"stored state at $path was lease-acquired by a concurrent " +
+                "writer during acquisition — exactly one writer may hold it")
+        verifyOwn()
+        Thread.sleep(25L +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
+        verifyOwn()
+        holdDepth.put((lp, owner), 1)
         true
     }
-  }
-
-  private def write(fs: FileSystem, lp: Path, owner: String,
-                    expiresAtMs: Long, overwrite: Boolean): Unit = {
-    val out = fs.create(lp, overwrite)
-    try out.write(s"$owner\n$expiresAtMs".getBytes("UTF-8"))
-    finally out.close()
   }
 
   /** Refresh an owned lease's expiry WITHOUT taking a hold — the
@@ -162,12 +238,13 @@ object WriterLease {
     */
   def refresh(spark: SparkSession, path: String,
               owner: String = jvmOwner,
-              ttlMs: Long = DefaultTtlMs): Unit = {
-    val lp = lockPath(path)
-    val fs = fsOf(spark, lp)
-    holder(spark, path) match {
+              ttlMs: Long = DefaultTtlMs,
+              store: LockStore = null): Unit = {
+    val s = storeOf(spark, store)
+    val lp = lockPathOf(path)
+    holder(spark, path, s) match {
       case Some(h) if h.owner == owner =>
-        write(fs, lp, owner, System.currentTimeMillis() + ttlMs, overwrite = true)
+        s.overwrite(lp, content(owner, System.currentTimeMillis() + ttlMs))
       case _ => ()
     }
   }
@@ -187,22 +264,33 @@ object WriterLease {
     * [[acquire]]). Idempotent on an absent lock. Releasing ANOTHER
     * owner's lease throws — that is always a caller bug. */
   def release(spark: SparkSession, path: String,
-              owner: String = jvmOwner): Unit = {
-    val lp = lockPath(path)
-    val fs = fsOf(spark, lp)
-    holder(spark, path) match {
+              owner: String = jvmOwner,
+              store: LockStore = null): Unit = {
+    val s = storeOf(spark, store)
+    val lp = lockPathOf(path)
+    holder(spark, path, s) match {
       case Some(h) if h.owner == owner =>
-        val depth = holdDepth.merge((lp.toString, owner), -1, _ + _)
+        val depth = holdDepth.merge((lp, owner), -1, _ + _)
         if (depth == null || depth <= 0) {
-          holdDepth.remove((lp.toString, owner))
-          fs.delete(lp, false)
+          holdDepth.remove((lp, owner))
+          s.delete(lp)
         }
       case Some(h) =>
         throw new IllegalStateException(
           s"refusing to release $path's lease: held by ${h.owner}, not $owner")
-      case None => holdDepth.remove((lp.toString, owner)); ()
+      case None => holdDepth.remove((lp, owner)); ()
     }
   }
+
+  /** One shared daemon scheduler for every in-flight lease heartbeat:
+    * heartbeats are tiny lock-file rewrites on a ttl/3 cadence, so one
+    * thread serves every concurrent [[withLease]] body in the JVM. */
+  private lazy val heartbeater: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-writer-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
 
   /** Run `body` under the lease: acquire (loud failure if another
     * writer holds it), execute, release the hold — a nested same-owner
@@ -214,14 +302,46 @@ object WriterLease {
     * over (our hold expired mid-body and a successor broke it) is
     * swallowed here — the body's own result must win; direct
     * [[release]] callers still get the loud error.
+    *
+    * HEARTBEAT DURING THE BODY (r14, the r13 verdict's long-commit
+    * window): `acquire` stamps the expiry once, at entry — a body that
+    * OUTLIVES the TTL (a one-shot 100× drain's corpus append + offsets
+    * merge in one micro-batch) would expire mid-write and a waiting
+    * second writer could legally break the lock while the first is
+    * still committing. A driver-side [[refresh]] every ttl/3 (shared
+    * daemon scheduler, depth-neutral) keeps a LIVE body's lease live
+    * for exactly as long as it runs, with no TTL-sizing guesswork; the
+    * task is cancelled before the release, so a heartbeat can never
+    * resurrect a lock its own body just freed. A crashed JVM's
+    * heartbeat dies with it — the TTL expiry contract is unchanged.
     */
   def withLease[T](spark: SparkSession, path: String,
                    owner: String = jvmOwner,
-                   ttlMs: Long = DefaultTtlMs)(body: => T): T = {
-    acquire(spark, path, owner, ttlMs)
+                   ttlMs: Long = DefaultTtlMs,
+                   store: LockStore = null)(body: => T): T = {
+    val s = storeOf(spark, store)
+    acquire(spark, path, owner, ttlMs, s)
+    // the gate makes stop-then-release atomic against an IN-FLIGHT
+    // beat: cancel() alone would let a beat that already read "owner =
+    // us" rewrite the lock file right after the release deleted it,
+    // resurrecting an orphan lock for a full TTL
+    val gate = new Object
+    var stopped = false
+    val period = ttlMs / 3
+    val beat =
+      if (period >= 1L)
+        Some(heartbeater.scheduleAtFixedRate(
+          () => gate.synchronized {
+            if (!stopped)
+              try refresh(spark, path, owner, ttlMs, s)
+              catch { case scala.util.control.NonFatal(_) => () }
+          },
+          period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
+      else None
     try body
     finally {
-      try release(spark, path, owner)
+      gate.synchronized { stopped = true; beat.foreach(_.cancel(false)) }
+      try release(spark, path, owner, s)
       catch { case _: IllegalStateException => () }
     }
   }

@@ -115,8 +115,15 @@ object OpsCli {
         // the job runs continuously on the default trigger.
         import graft.streaming.CurationIngest
         val once = tail.contains("--once")
+        // `--packSlices N`: the pack window's scale knob for one-shot
+        // drains (a 100× --once backlog otherwise funnels the whole
+        // admitted corpus through three window tasks; slices decompose
+        // it with byte-identical output — see Config.packSlices)
+        val slices = tail.sliding(2).collectFirst {
+          case "--packSlices" :: n :: Nil => n.toInt
+        }.getOrElse(1)
         val cfg = CurationIngest.Config(dedupTable, lmTable, offsetsPath,
-          scoreCut.toDouble)
+          scoreCut.toDouble, packSlices = slices)
         // first run on a fresh offsets path: seed the stored state
         val offRoot = new org.apache.hadoop.fs.Path(offsetsPath)
         val fs = offRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -260,7 +267,7 @@ object OpsCli {
       |  encryptValue   <keyPath> <value>
       |  curationIngest <docsDir> <dedupTable> <lmTable> <offsetsPath>
       |                 <scoreCut> <labeledDir> <manifestDir> <checkpointDir>
-      |                 [--once] [--schema <ddl>]
+      |                 [--once] [--schema <ddl>] [--packSlices <n>]
       |  rebuildBloom   <dedupTable> [items] [fpp]
       |  recoverLm      <lmName>
       |  recoverMerge   <bucketTablePath>

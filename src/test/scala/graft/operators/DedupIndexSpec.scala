@@ -271,6 +271,54 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("writer-keyed replay skip: a foreign writer's same batch id refuses loudly, own replay no-ops, legacy NULL stamps skip as own") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      val docsA = Seq((1L, "tidal flats reveal razor clams at the spring ebb"))
+        .toDF("doc_id", "text")
+      val docsB = Seq((2L, "alpine meltwater braids across the gravel outwash plain"))
+        .toDF("doc_id", "text")
+      // job A commits ITS batch 0
+      DedupIndex.appendCorpus(spark, docsA, "doc_id", "text", tbl,
+        batchId = 0L, owner = "job-a")
+      assert(spark.table(s"${tbl}_sets")
+        .filter(col("writer_id") === "job-a").count() == 1L,
+        "stamped rows must carry the writer")
+      // job B's append of ITS OWN batch 0 must fail LOUDLY — a silent
+      // skip would drop B's admitted docs from all future dup detection
+      val before = spark.table(s"${tbl}_sets").count()
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.appendCorpus(spark, docsB, "doc_id", "text", tbl,
+          batchId = 0L, owner = "job-b")
+      }
+      assert(e.getMessage.contains("DIFFERENT writer"))
+      assert(spark.table(s"${tbl}_sets").count() == before,
+        "a refused append must leave the corpus untouched")
+      // job A's own replay of batch 0 still no-ops (replay convergence)
+      DedupIndex.appendCorpus(spark, docsA, "doc_id", "text", tbl,
+        batchId = 0L, owner = "job-a")
+      assert(spark.table(s"${tbl}_sets").count() == before)
+      // and A's NEXT batch appends normally
+      DedupIndex.appendCorpus(spark, docsB, "doc_id", "text", tbl,
+        batchId = 1L, owner = "job-a")
+      assert(spark.table(s"${tbl}_sets").count() == before + 1)
+
+      // legacy pre-r14 stamps (writer_id NULL) belong to the table's
+      // only historical writer: any owner's replay of that batch skips
+      // (the pre-upgrade semantics), never refuses
+      val stripped = spark.table(s"${tbl}_sets").drop("writer_id").localCheckpoint()
+      stripped.write.mode("overwrite")
+        .bucketBy(32, "doc_id").sortBy("doc_id").saveAsTable(s"${tbl}_sets")
+      val bkStripped = spark.table(s"${tbl}_buckets").drop("writer_id").localCheckpoint()
+      bkStripped.write.mode("overwrite").saveAsTable(s"${tbl}_buckets")
+      DedupIndex.appendCorpus(spark, docsA, "doc_id", "text", tbl,
+        batchId = 0L, owner = "job-after-upgrade")
+      assert(spark.table(s"${tbl}_sets").count() == before + 1,
+        "a NULL-stamped legacy batch must skip as this writer's own")
+    }
+  }
+
   test("legacy corpus (no batch_id column): probes, watermarks, bloom, and append all work; append upgrades in place") {
     import spark.implicits._
     val tbl = freshTable("dix")

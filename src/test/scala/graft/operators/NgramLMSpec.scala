@@ -241,6 +241,63 @@ class NgramLMSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
+  test("tag retention bounds the committed-tag set: retained tags still no-op, aged-out tags fall outside the replay horizon") {
+    val docs = corpus.toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batches = (1 to 5).map(i =>
+      i -> Seq((100L + i, s"retention batch number$i words")).toDF("doc_id", "text"))
+    val tbl = s"lmret_${System.nanoTime()}"
+    try {
+      NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), tbl, buckets = 4)
+      batches.foreach { case (i, b) =>
+        NgramLM.appendToStored(spark, tbl, b, "doc_id", "text",
+          buckets = 4, batchTag = Some(s"t$i"), tagRetention = 3)
+      }
+      // only the 3 most-recent tags survive (bounded state, the O(n²)
+      // rewrite fix) — and the table carries their commit order
+      val kept = spark.table(s"${tbl}_tags").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(kept == Map("t3" -> 2L, "t4" -> 3L, "t5" -> 4L),
+        s"retention must keep exactly the most-recent 3: $kept")
+      val want = m(NgramLM.load(spark, tbl).bigrams)
+      // a replay of a RETAINED tag no-ops exactly as before
+      val replay = NgramLM.appendToStored(spark, tbl, batches(3)._2,
+        "doc_id", "text", buckets = 4, batchTag = Some("t4"), tagRetention = 3)
+      assert(m(replay.bigrams) == want,
+        "a retained tag's replay must still no-op")
+      // a tag aged OUT of the horizon is no longer recognized: the
+      // documented contract is retention >= the caller's replay
+      // horizon — the double-count is the expected breach behavior
+      NgramLM.appendToStored(spark, tbl, batches(1)._2,
+        "doc_id", "text", buckets = 4, batchTag = Some("t1"), tagRetention = 3)
+      assert(m(NgramLM.load(spark, tbl).bigrams) != want,
+        "an aged-out tag re-appends (outside the horizon by contract)")
+      // legacy tags table (no seq column): retention treats its rows as
+      // tied-oldest and a retained replay still guards
+      val legacyTbl = s"lmretleg_${System.nanoTime()}"
+      try {
+        NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), legacyTbl, buckets = 4)
+        NgramLM.appendToStored(spark, legacyTbl, batches(1)._2, "doc_id", "text",
+          buckets = 4, batchTag = Some("old1"))
+        // strip seq to recreate the pre-r14 shape
+        val legacyRows = spark.table(s"${legacyTbl}_tags").select("tag").localCheckpoint()
+        legacyRows.write.mode("overwrite").saveAsTable(s"${legacyTbl}_tags")
+        val before = m(NgramLM.load(spark, legacyTbl).bigrams)
+        val lr = NgramLM.appendToStored(spark, legacyTbl, batches(1)._2,
+          "doc_id", "text", buckets = 4, batchTag = Some("old1"), tagRetention = 3)
+        assert(m(lr.bigrams) == before,
+          "a legacy (seq-less) tag must still no-op its replay")
+      } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+        "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+        "__stage_meta", "__stage_tags", "__commit").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $legacyTbl$s"))
+    } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+      "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+      "__stage_meta", "__stage_tags", "__commit").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
   test("streaming: likelihoodMass scores arrivals against a static model, matches batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

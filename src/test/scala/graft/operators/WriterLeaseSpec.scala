@@ -81,6 +81,75 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(WriterLease.holder(spark, path).isEmpty)
   }
 
+  test("withLease heartbeat: a body outliving the TTL keeps its lease, a contender stays refused throughout, and no beat survives the release") {
+    val path = tmpDir("hb")
+    val ttl = 500L
+    val deadline = System.currentTimeMillis() + 5 * ttl
+    WriterLease.withLease(spark, path, owner = "slow", ttlMs = ttl) {
+      // a commit that sleeps past several TTLs: without the in-body
+      // heartbeat the expiry (stamped once at acquire) passes after one
+      // TTL and the rival's acquire below would BREAK the lock mid-body
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(ttl / 4)
+        val h = WriterLease.holder(spark, path)
+        assert(h.exists(_.owner == "slow"),
+          s"the slow commit lost its lease mid-body: $h")
+        intercept[java.util.ConcurrentModificationException] {
+          WriterLease.acquire(spark, path, owner = "rival", ttlMs = ttl)
+        }
+      }
+      "done"
+    }
+    // released at body end; a straggler beat must not resurrect the lock
+    Thread.sleep(ttl)
+    assert(WriterLease.holder(spark, path).isEmpty,
+      "a heartbeat fired after the release resurrected an orphan lock")
+    assert(WriterLease.acquire(spark, path, owner = "rival", ttlMs = ttl))
+    WriterLease.release(spark, path, "rival")
+  }
+
+  test("the lease contract holds against the LockStore interface: an in-memory conditional-put backend passes the same semantics") {
+    // the pluggable-backend seam: lease semantics (re-entrancy, loud
+    // foreign refusal, TTL break, depth-balanced withLease) must be
+    // backend-independent — this store is the conditional-put shape an
+    // object-store deployment supplies (atomic create-if-absent)
+    val mem = new LockStore {
+      val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      def read(lp: String): Option[String] = Option(m.get(lp))
+      def createExclusive(lp: String, c: String): Unit =
+        if (m.putIfAbsent(lp, c) != null)
+          throw new java.io.IOException(s"lock exists: $lp")
+      def overwrite(lp: String, c: String): Unit = { m.put(lp, c); () }
+      def delete(lp: String): Unit = { m.remove(lp); () }
+    }
+    val path = s"mem://state/t${System.nanoTime()}"
+    // fresh acquire; re-entrant refresh; foreign refusal
+    assert(WriterLease.acquire(spark, path, owner = "a", store = mem))
+    val h1 = WriterLease.holder(spark, path, store = mem).get
+    assert(h1.owner == "a")
+    assert(!WriterLease.acquire(spark, path, owner = "a",
+      ttlMs = WriterLease.DefaultTtlMs * 2, store = mem))
+    assert(WriterLease.holder(spark, path, store = mem).get.expiresAtMs > h1.expiresAtMs)
+    intercept[java.util.ConcurrentModificationException] {
+      WriterLease.acquire(spark, path, owner = "b", store = mem)
+    }
+    // depth-balanced release frees on the LAST hold only
+    WriterLease.release(spark, path, "a", store = mem)
+    assert(WriterLease.holder(spark, path, store = mem).exists(_.owner == "a"))
+    WriterLease.release(spark, path, "a", store = mem)
+    assert(WriterLease.holder(spark, path, store = mem).isEmpty)
+    // expired lock breaks; withLease runs under the lock and frees it
+    assert(WriterLease.acquire(spark, path, owner = "dead", ttlMs = -1L, store = mem))
+    val got = WriterLease.withLease(spark, path, owner = "b", store = mem) {
+      assert(WriterLease.holder(spark, path, store = mem).get.owner == "b")
+      7
+    }
+    assert(got == 7 && WriterLease.holder(spark, path, store = mem).isEmpty)
+    // the whole exchange stayed in the in-memory store — no lock file
+    // reached any filesystem (the seam is complete, not cosmetic)
+    assert(mem.m.isEmpty)
+  }
+
   test("upsertBuckets under a foreign lease: fails loudly BEFORE touching state; proceeds after release") {
     val path = tmpDir("ub")
     StoredMerge.writeBuckets(Seq((1L, "v1"), (2L, "v2")).toDF("k", "v"),
