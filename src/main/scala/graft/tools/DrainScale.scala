@@ -29,6 +29,10 @@ object DrainScale {
   def main(args: Array[String]): Unit = {
     val docsCount = args.headOption.map(_.toInt).getOrElse(500000)
     val outJson = args.lift(1).getOrElse("DRAIN_SCALE_LOCAL.json")
+    // run order is a measurement knob (verify order-independence by
+    // reversing); the committed capture uses the default
+    val sliceOrder = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 8))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val work = java.nio.file.Files.createTempDirectory("graft_drain").toString
@@ -105,7 +109,7 @@ object DrainScale {
     }
 
     // ---- the two end-to-end drains ----------------------------------
-    val results = Seq(1, 8).map { slices =>
+    val results = sliceOrder.map { slices =>
       val tag = s"s$slices"
       val dedup = s"drain_dedup_$tag"
       DedupIndex.saveCorpus(spark, seed, "doc_id", "clean", dedup)
@@ -155,9 +159,10 @@ object DrainScale {
     packTimes.foreach { case (s, t) =>
       println(f"[drain] isolated pack slices=$s%d: $t%.2f s (best of 3)") }
 
+    val e2e = results.map { case (s, w, _, _) =>
+      s""""slices$s":${f"$w%.1f"}""" }.mkString(",")
     val json = s"""{"docs":$nDocs,"admitted":${results(0)._3},""" +
-      s""""e2e_sec":{"slices1":${f"${results(0)._2}%.1f"},""" +
-      s""""slices8":${f"${results(1)._2}%.1f"}},""" +
+      s""""e2e_sec":{$e2e},""" +
       s""""pack_stage_sec":{"slices1":${f"${packTimes(0)._2}%.2f"},""" +
       s""""slices8":${f"${packTimes(1)._2}%.2f"}},""" +
       s""""parity":$parity,"sf_dir":"$sfDir"}"""
