@@ -236,8 +236,8 @@ object NgramLM {
     * replay rule). Without a tag, re-running a COMMITTED append
     * double-counts, exactly like re-COPYing a file without the
     * loader's ledger.
-    */
-  /** `tagRetention` bounds the committed-tag set (r14, the r13 verdict's
+    *
+    * `tagRetention` bounds the committed-tag set (r14, the r13 verdict's
     * O(n²) finding): each tagged append rewrites the full tag table, so
     * at per-micro-batch cadence an unbounded set grows linearly forever
     * and cumulative rewrite work is quadratic. With retention N, only

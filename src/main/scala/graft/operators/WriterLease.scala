@@ -220,9 +220,15 @@ object WriterLease {
               s"stored state at $path was lease-acquired by a concurrent " +
                 "writer during acquisition — exactly one writer may hold it")
         verifyOwn()
-        Thread.sleep(25L +
-          java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
-        verifyOwn()
+        // the back-off re-verify only matters when an EXPIRED/corrupt
+        // lock was actually broken (the delete-then-create race); a
+        // fresh acquire on an ABSENT lock is settled exactly by the
+        // exclusive create and must not pay 25-75 ms on every commit
+        if (held.isDefined) {
+          Thread.sleep(25L +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50L))
+          verifyOwn()
+        }
         holdDepth.put((lp, owner), 1)
         true
     }
