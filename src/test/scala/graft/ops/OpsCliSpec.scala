@@ -120,9 +120,13 @@ class OpsCliSpec extends AnyFunSuite {
         .toDF("doc_id", "text").write.parquet(s"$root/docs")
       val ledgerDir = Files.createTempDirectory("graft-clici-ledger").toString
       val ops = new Ops(spark, new Ledger(spark, ledgerDir))
+      // --packSlices exercises the flag parse AND the sliced pack path
+      // through the CLI (row-identity of slices>1 is spec'd elsewhere;
+      // here the drain must simply work end-to-end with it on)
       val code = OpsCli.run(spark, ops, "curationIngest",
         List(s"$root/docs", dedup, lm, s"$root/offsets", "0.0",
-          s"$root/labeled", s"$root/manifest", s"$root/ckpt", "--once"))
+          s"$root/labeled", s"$root/manifest", s"$root/ckpt", "--once",
+          "--packSlices", "2"))
       assert(code == 0)
       val buckets = spark.read.parquet(s"$root/labeled")
         .select(col("doc_id"), col("bucket")).collect()
