@@ -27,6 +27,8 @@ import graft.streaming.CurationIngest
   */
 object DrainScale {
   def main(args: Array[String]): Unit = {
+    // docsCount = 0 skips the corpus drains and runs ONLY the
+    // synthetic pack-stage crossover sweep (see below)
     val docsCount = args.headOption.map(_.toInt).getOrElse(500000)
     val outJson = args.lift(1).getOrElse("DRAIN_SCALE_LOCAL.json")
     // run order is a measurement knob (verify order-independence by
@@ -46,6 +48,54 @@ object DrainScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // ---- pack-stage CROSSOVER sweep (synthetic, always runs): the
+    // 500k-doc drain shows the pack window is not the bottleneck at
+    // ~170k rows/bucket — this sweep measures WHERE slicing starts to
+    // win, over pure (bucket, doc_id, n_tok) rows with no admission
+    // chain attached (the pack stage's own scaling law). Expect the
+    // crossover where one per-bucket sort task becomes the straggler.
+    def crossover(): Seq[(Long, Seq[(Int, Double)])] = {
+      val base3 = Seq(("b0", 0L), ("b1", 0L), ("b2", 0L))
+        .toDF("bucket", "base_tok")
+      Seq(500000L, 2000000L, 10000000L).map { perBucket =>
+        val df = spark.range(perBucket * 3)
+          .select(concat(lit("b"), (col("id") % 3).cast("string")).as("bucket"),
+            col("id").as("doc_id"),
+            (col("id") % 200 + lit(50)).as("n_tok"))
+          .localCheckpoint() // materialized: times ONLY the pack
+        def t(slices: Int): Double = {
+          val t0 = System.nanoTime()
+          Packing.packManifestFrom(df, groupCols = Seq("bucket"),
+              orderCol = "doc_id", tokenCol = "n_tok", budget = 2048,
+              baseOffsets = base3, slices = slices)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        t(1) // warm
+        val times = Seq(1, 8).map(s => s -> Seq(t(s), t(s)).min)
+        times.foreach { case (s, w) =>
+          println(f"[drain] crossover ${perBucket}%d rows/bucket slices=$s%d: $w%.2f s") }
+        df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        }.foreach(_.unpersist(blocking = false))
+        perBucket -> times
+      }
+    }
+    def crossJson(c: Seq[(Long, Seq[(Int, Double)])]): String =
+      c.map { case (n, ts) =>
+        s""""per_bucket_$n":{${ts.map { case (s, w) =>
+          s""""slices$s":${f"$w%.2f"}""" }.mkString(",")}}"""
+      }.mkString(",")
+
+    if (docsCount == 0) {
+      val c = crossover()
+      val json = s"""{"pack_crossover_sec":{${crossJson(c)}}}"""
+      println(json)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
+      spark.stop()
+      return
+    }
 
     // ---- the drain corpus: sf0.1 documents replicated with shifted
     // ids and a unique trailer token per replica (replicas never probe
@@ -159,12 +209,14 @@ object DrainScale {
     packTimes.foreach { case (s, t) =>
       println(f"[drain] isolated pack slices=$s%d: $t%.2f s (best of 3)") }
 
+    val cross = crossover()
     val e2e = results.map { case (s, w, _, _) =>
       s""""slices$s":${f"$w%.1f"}""" }.mkString(",")
     val json = s"""{"docs":$nDocs,"admitted":${results(0)._3},""" +
       s""""e2e_sec":{$e2e},""" +
       s""""pack_stage_sec":{"slices1":${f"${packTimes(0)._2}%.2f"},""" +
       s""""slices8":${f"${packTimes(1)._2}%.2f"}},""" +
+      s""""pack_crossover_sec":{${crossJson(cross)}},""" +
       s""""parity":$parity,"sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
