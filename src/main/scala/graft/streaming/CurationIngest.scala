@@ -215,7 +215,23 @@ object CurationIngest {
     * the dedup corpus STAMPED with `batchId` (the snapshot-by-watermark
     * provenance [[curateBatch]] filters on, and the key that makes the
     * append replay-convergent); pack offsets then advance under the
-    * batch-id high-water mark. A foreachBatch REPLAY of an
+    * batch-id high-water mark.
+    *
+    * RECOMPUTE-OVER-MATERIALIZE, deliberately: the corpus append
+    * re-derives MinHash signatures from the checkpointed labeled frame
+    * even though the probe computed the same signatures minutes
+    * earlier (the r14 drain measurement names the admission chain —
+    * signatures + LM scoring + this append — as the drain bottleneck
+    * at ~11k docs/s). Carrying the probe's signature frame to the
+    * commit would save one map-side pass but requires PINNING the
+    * whole batch's shingle sets (~50 longs/doc) in executor storage
+    * across the labeled/manifest sink writes — at the one-shot 100×
+    * drain that is hundreds of GB held through the phase where memory
+    * is scarcest, to avoid recomputing a pure, codegen'd,
+    * shuffle-free projection of data already materialized by the
+    * checkpoint. Spark-first at 100 TB, recomputation wins; revisit
+    * only if a profiled deployment shows the signature pass dominating
+    * WITH storage headroom to spare. A foreachBatch REPLAY of an
     * already-committed batch is a no-op; a replay of a HALF-committed
     * batch (crash anywhere inside this method) completes exactly the
     * missing steps — per-table presence checks skip what landed, the
