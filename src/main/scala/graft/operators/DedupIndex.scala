@@ -270,26 +270,32 @@ object DedupIndex {
     // lease's own refusal contract), instead of no-opping. NULL
     // writer_id rows (pre-r14 stamps) belong to the table's only
     // historical writer and skip as before.
-    if (batchId >= 0L)
-      Seq(s"${table}_buckets", s"${table}_sets")
-        .filter(spark.catalog.tableExists)
-        .foreach { t =>
-          spark.table(t)
-            .filter(col("batch_id") === batchId &&
-              col("writer_id").isNotNull && col("writer_id") =!= owner)
-            .select(col("writer_id")).limit(1)
-            .collect().headOption.foreach { r =>
-              throw new java.util.ConcurrentModificationException(
-                s"corpus $t already carries batch $batchId stamped by a " +
-                  s"DIFFERENT writer (${r.getString(0)}, this job is $owner): " +
-                  "two ingest jobs cannot share one dedup corpus's batch " +
-                  "numbering — point each job at its own corpus table, or " +
-                  "run one job")
-            }
-        }
-    def alreadyAppended(t: String): Boolean =
-      batchId >= 0L && spark.catalog.tableExists(t) &&
-        !spark.table(t).filter(col("batch_id") === batchId).limit(1).isEmpty
+    //
+    // ONE limit-1 probe per table decides all three outcomes (r15, the
+    // r14 ADVICE efficiency finding — the refusal and the replay skip
+    // each used to scan the table, O(corpus) twice per micro-batch):
+    // absent → append, present stamped own/NULL → replay skip, present
+    // stamped FOREIGN → refuse. Reading ONE row per batch is sound
+    // because this very refusal keeps a batch id single-writer: any
+    // row of the batch carries the stamp of them all.
+    val stamp: Map[String, Option[Option[String]]] =
+      Seq(s"${table}_buckets", s"${table}_sets").map { t =>
+        t -> (if (batchId < 0L || !spark.catalog.tableExists(t)) None
+              else spark.table(t).filter(col("batch_id") === batchId)
+                .select(col("writer_id")).limit(1)
+                .collect().headOption.map(r => Option(r.getString(0))))
+      }.toMap
+    stamp.foreach { case (t, probed) =>
+      probed.flatten.filter(_ != owner).foreach { foreign =>
+        throw new java.util.ConcurrentModificationException(
+          s"corpus $t already carries batch $batchId stamped by a " +
+            s"DIFFERENT writer ($foreign, this job is $owner): " +
+            "two ingest jobs cannot share one dedup corpus's batch " +
+            "numbering — point each job at its own corpus table, or " +
+            "run one job")
+      }
+    }
+    def alreadyAppended(t: String): Boolean = stamp(t).isDefined
     val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
     val bk = buckets(sigs, k, bands).persist()
     if (!alreadyAppended(s"${table}_buckets"))

@@ -267,7 +267,14 @@ object NgramLM {
       buckets: Int, batchTag: Option[String],
       owner: String = graft.operators.WriterLease.jvmOwner,
       tagRetention: Int = Int.MaxValue,
-      crashAfterStep: Int = Int.MaxValue): Model =
+      crashAfterStep: Int = Int.MaxValue): Model = {
+    // retention below 1 would trim away the very tag being committed in
+    // its own staged swap — an immediate replay of that batch then
+    // double-counts SILENTLY, defeating the replay guard the tag exists
+    // for. Nonsensical retention fails loudly instead (r14 ADVICE).
+    require(tagRetention >= 1,
+      s"tagRetention must be >= 1 (got $tagRetention): the tag being " +
+        "committed must itself survive the swap, or replays double-count")
     // single writer, lease-enforced (the StoredMerge rule): two jobs
     // accreting one stored LM would interleave staged swaps, and one's
     // entry recovery could drop the other's in-flight stage — the lock
@@ -277,6 +284,7 @@ object NgramLM {
       appendUnderLease(spark, name, batch, idCol, textCol, buckets,
         batchTag, tagRetention, crashAfterStep)
     }
+  }
 
   private def appendUnderLease(spark: org.apache.spark.sql.SparkSession,
       name: String, batch: DataFrame, idCol: String, textCol: String,

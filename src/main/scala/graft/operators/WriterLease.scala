@@ -7,12 +7,16 @@ import org.apache.spark.sql.SparkSession
   * pluggable backend seam (r14). The default is Hadoop `FileSystem`
   * ([[WriterLease.HadoopLockStore]]): exclusive create is atomic on
   * HDFS and the local filesystem, which makes the LIVE-lock path exact
-  * but leaves the expired-lock break delete-then-create (narrowed, not
-  * airtight — see [[WriterLease.acquire]]). An object-store deployment
-  * supplies its conditional-write primitive here instead (S3
-  * `If-None-Match` conditional puts, the reference's DynamoDB CAS,
-  * `index.js:724–731`): with a truly atomic [[createExclusive]] and a
-  * compare-and-swap [[overwrite]], the break race closes exactly. The
+  * but leaves the expired-lock break compare-and-delete non-atomic
+  * (narrowed, not airtight — see [[WriterLease.acquire]]). An
+  * object-store deployment overrides the CONDITIONAL primitives
+  * ([[deleteIf]]/[[replaceIf]]) with its compare-and-swap (S3
+  * conditional puts with `If-Match`/`If-None-Match`, the reference's
+  * DynamoDB CAS, `index.js:724–731`): the break path and the expiry
+  * refresh route through them (r15), so with atomic conditionals the
+  * break race closes exactly — a rival's fresh lock created between
+  * the expiry read and the break can never be deleted, because its
+  * content no longer matches the expired value the breaker read. The
   * lease SEMANTICS (re-entrancy, TTL expiry, heartbeat, depth
   * balancing) live above this interface and are spec-verified against
   * it, not against any one filesystem.
@@ -28,6 +32,20 @@ trait LockStore {
   def overwrite(lockPath: String, content: String): Unit
   /** Remove the lock; idempotent on an absent lock. */
   def delete(lockPath: String): Unit
+  /** Delete the lock ONLY while its content still equals `expected`;
+    * returns whether the delete happened. The default is
+    * read-compare-delete — NOT atomic (the file-backend narrowing); a
+    * CAS-capable store overrides with its conditional delete, which
+    * makes [[WriterLease.acquire]]'s expired-lock break exact. */
+  def deleteIf(lockPath: String, expected: String): Boolean =
+    if (read(lockPath).contains(expected)) { delete(lockPath); true }
+    else false
+  /** Replace the lock's content with `next` ONLY while it still equals
+    * `expected`; returns whether the replace happened. Default
+    * read-compare-overwrite (non-atomic); CAS stores override. */
+  def replaceIf(lockPath: String, expected: String, next: String): Boolean =
+    if (read(lockPath).contains(expected)) { overwrite(lockPath, next); true }
+    else false
 }
 
 /** Single-writer LEASE on a stored-state path — the loud enforcement of
@@ -119,31 +137,38 @@ object WriterLease {
 
   /** The current lock's (owner, expiry), if any — the status readout. */
   def holder(spark: SparkSession, path: String,
-             store: LockStore = null): Option[Holder] = {
-    val s = storeOf(spark, store)
-    val lp = lockPathOf(path)
-    // an unparseable read is re-attempted before it is believed: a
-    // LIVE holder's refresh/heartbeat rewrites the lock in place
-    // (create-truncate → write → close on the file backend), so a read
-    // landing inside that window sees empty/partial content — reporting
-    // it as corrupt (≡ expired) would let a contender break a healthy
-    // lease. The torn window is microseconds; a genuinely garbled lock
-    // (crash mid-create) is STABLE across re-reads and still
-    // classifies corrupt, which the next acquire breaks.
+             store: LockStore = null): Option[Holder] =
+    readRaw(storeOf(spark, store), lockPathOf(path))._2
+
+  /** The lock's RAW content alongside its parse — the raw value is
+    * what the conditional primitives ([[LockStore.deleteIf]]/
+    * [[LockStore.replaceIf]]) compare against, so the break and
+    * refresh paths must act on exactly the bytes they classified.
+    *
+    * An unparseable read is re-attempted before it is believed: a
+    * LIVE holder's refresh/heartbeat rewrites the lock in place
+    * (create-truncate → write → close on the file backend), so a read
+    * landing inside that window sees empty/partial content — reporting
+    * it as corrupt (≡ expired) would let a contender break a healthy
+    * lease. The torn window is microseconds; a genuinely garbled lock
+    * (crash mid-create) is STABLE across re-reads and still
+    * classifies corrupt, which the next acquire breaks.
+    */
+  private def readRaw(s: LockStore, lp: String): (Option[String], Option[Holder]) = {
     var attempt = 0
     while (true) {
       s.read(lp) match {
-        case None => return None
-        case Some(content) =>
+        case None => return (None, None)
+        case raw @ Some(content) =>
           content.split("\n", 2) match {
             case Array(o, e) if e.trim.nonEmpty && e.trim.forall(_.isDigit) =>
-              return Some(Holder(o, e.trim.toLong))
-            case _ if attempt >= 2 => return Some(Holder("<corrupt>", 0L))
+              return (raw, Some(Holder(o, e.trim.toLong)))
+            case _ if attempt >= 2 => return (raw, Some(Holder("<corrupt>", 0L)))
             case _ => attempt += 1; Thread.sleep(20L)
           }
       }
     }
-    None // unreachable
+    (None, None) // unreachable
   }
 
   /** Same-JVM hold depth per (lock, owner): n acquires need n releases
@@ -173,9 +198,10 @@ object WriterLease {
     val s = storeOf(spark, store)
     val lp = lockPathOf(path)
     val now = System.currentTimeMillis()
-    holder(spark, path, s) match {
+    val (raw, parsed) = readRaw(s, lp)
+    parsed match {
       case Some(h) if h.owner == owner =>
-        s.overwrite(lp, content(owner, now + ttlMs)) // refresh
+        refreshRaw(s, lp, owner, ttlMs, raw) // re-entry refresh
         holdDepth.merge((lp, owner), 1, _ + _)
         false
       case Some(h) if now < h.expiresAtMs =>
@@ -185,26 +211,26 @@ object WriterLease {
             "writer would silently interleave commits — stop the other " +
             "job, or wait for its lease to expire if it crashed")
       case held => // absent, expired, or corrupt: break and take it.
-        // BREAK RACE NARROWING: the break is delete-then-create — two
-        // writers racing to break the SAME expired lock could
-        // interleave (B's delete landing on A's fresh lock). Narrow
-        // it: (a) re-verify the lock is STILL the expired one read
-        // above immediately before deleting (never delete a live
-        // successor's lock), (b) exclusive create (the loser of a
-        // create race fails loudly), (c) verify ownership after
-        // create, then (d) verify AGAIN after a short randomized
-        // back-off — a rival whose stale delete-then-create landed
-        // between our create and the first verify is caught by the
-        // second unless its whole break straddles the back-off too.
-        // On a plain filesystem this cannot be airtight; a [[LockStore]]
-        // with a real conditional write (S3 conditional put, DynamoDB
-        // CAS) closes it exactly. The LIVE-lock path (the normal case)
-        // is exact either way, and expiry-breaking only races writers
-        // contending for an already-crashed holder's lock in the same
-        // instant.
-        if (holder(spark, path, s).map(h => (h.owner, h.expiresAtMs)) ==
-            held.map(h => (h.owner, h.expiresAtMs)))
-          s.delete(lp)
+        // CONDITIONAL BREAK (r15): delete ONLY while the lock still
+        // holds the exact expired/corrupt bytes read above
+        // ([[LockStore.deleteIf]]) — a rival's fresh lock created in
+        // the window fails the compare and is left intact, so on a
+        // CAS-capable store the break race closes exactly: the rival's
+        // content differs, our deleteIf no-ops, our createExclusive
+        // fails on its live lock, and we refuse loudly below. The
+        // DEFAULT file backend's deleteIf is read-compare-delete (not
+        // atomic), so there the break stays narrowed, not airtight:
+        // (a) deleteIf's own compare immediately before deleting,
+        // (b) exclusive create (the loser of a create race fails
+        // loudly), (c) verify ownership after create, then (d) verify
+        // AGAIN after a short randomized back-off — a rival whose
+        // stale delete-then-create landed between our create and the
+        // first verify is caught by the second unless its whole break
+        // straddles the back-off too. The LIVE-lock path (the normal
+        // case) is exact either way; expiry-breaking only races
+        // writers contending for an already-crashed holder's lock in
+        // the same instant.
+        raw.foreach(r => s.deleteIf(lp, r))
         held.foreach(h => holdDepth.remove((lp, h.owner)))
         try s.createExclusive(lp, content(owner, now + ttlMs))
         catch {
@@ -248,10 +274,35 @@ object WriterLease {
               store: LockStore = null): Unit = {
     val s = storeOf(spark, store)
     val lp = lockPathOf(path)
-    holder(spark, path, s) match {
-      case Some(h) if h.owner == owner =>
-        s.overwrite(lp, content(owner, System.currentTimeMillis() + ttlMs))
-      case _ => ()
+    val (raw, parsed) = readRaw(s, lp)
+    if (parsed.exists(_.owner == owner)) refreshRaw(s, lp, owner, ttlMs, raw)
+  }
+
+  /** Compare-and-refresh an owned lease's expiry ([[LockStore
+    * .replaceIf]] against the raw content just read): on a CAS store a
+    * refresh can never clobber a successor's lock taken after our
+    * expiry — the successor's content fails the compare. A failed
+    * compare whose lock is STILL ours (our own concurrent heartbeat
+    * rewrote it between the read and the swap — both writers stamp a
+    * fresh future expiry, so losing is harmless) retries a bounded few
+    * times; any other content means the lease moved on, and the holder
+    * finds out at its next real acquire, loudly.
+    */
+  private def refreshRaw(s: LockStore, lp: String, owner: String,
+                         ttlMs: Long, firstRaw: Option[String]): Unit = {
+    var raw = firstRaw
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      raw match {
+        case Some(r) =>
+          if (s.replaceIf(lp, r, content(owner, System.currentTimeMillis() + ttlMs)))
+            return
+          val (nextRaw, parsed) = readRaw(s, lp)
+          if (!parsed.exists(_.owner == owner)) return // not ours anymore
+          raw = nextRaw
+        case None => return
+      }
     }
   }
 

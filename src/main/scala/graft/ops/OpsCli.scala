@@ -118,10 +118,28 @@ object OpsCli {
         // `--packSlices N`: the pack window's scale knob for one-shot
         // drains (a 100× --once backlog otherwise funnels the whole
         // admitted corpus through three window tasks; slices decompose
-        // it with byte-identical output — see Config.packSlices)
-        val slices = tail.sliding(2).collectFirst {
-          case "--packSlices" :: n :: Nil => n.toInt
-        }.getOrElse(1)
+        // it with byte-identical output — see Config.packSlices).
+        // VALIDATED like every other arm (r14 ADVICE): a missing,
+        // non-integer, or < 1 value is a usage error (exit 2), not a
+        // silent default or a raw NumberFormatException.
+        val slicesOrErr: Either[String, Int] =
+          tail.indexOf("--packSlices") match {
+            case -1 => Right(1)
+            case i => tail.lift(i + 1).filterNot(_.startsWith("--")) match {
+              case None => Left("--packSlices requires a value")
+              case Some(v) => v.toIntOption match {
+                case Some(n) if n >= 1 => Right(n)
+                case Some(n) => Left(s"--packSlices must be >= 1 (got $n)")
+                case None => Left(s"--packSlices requires an integer (got '$v')")
+              }
+            }
+          }
+        slicesOrErr match {
+          case Left(msg) =>
+            System.err.println(s"curationIngest: $msg")
+            System.err.println(usage)
+            2
+          case Right(slices) =>
         val cfg = CurationIngest.Config(dedupTable, lmTable, offsetsPath,
           scoreCut.toDouble, packSlices = slices)
         // first run on a fresh offsets path: seed the stored state
@@ -166,6 +184,7 @@ object OpsCli {
         println(s"curation ingest ${if (once) "drained" else "stopped"}: " +
           s"labeled=$labeledDir manifest=$manifestDir")
         0
+        }
         }
       // ---- crash-repair family: the engine's stored-state analogue of
       // the reference's standalone repair scripts (unlockBatch.js,

@@ -298,6 +298,18 @@ class NgramLMSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
+  test("tagRetention < 1 fails loudly: a retention that would drop the committing tag in its own swap is a caller bug, not a silent replay hole") {
+    // (r14 ADVICE) retention 0 made `kept` empty — the tag being
+    // committed vanished in the same staged swap, so an immediate
+    // replay of that very batch double-counted silently
+    val day = Seq((1L, "retention guard words")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NgramLM.appendToStored(spark, s"lmreq_${System.nanoTime()}", day,
+        "doc_id", "text", buckets = 4, batchTag = Some("t"), tagRetention = 0)
+    }
+    assert(e.getMessage.contains("tagRetention"))
+  }
+
   test("streaming: likelihoodMass scores arrivals against a static model, matches batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -150,6 +150,72 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(mem.m.isEmpty)
   }
 
+  test("conditional break on a CAS store: a rival's fresh lock created between the expiry read and the break survives, and the breaker is refused") {
+    // the r14 ADVICE hole: the old break path was read → verify →
+    // unconditional delete → createExclusive, so even on a CAS-capable
+    // store a rival's fresh lock created between the verify-read and
+    // the delete got deleted. r15 routes the break through
+    // LockStore.deleteIf(expectedContent): the rival's content fails
+    // the compare, the delete no-ops, and the breaker loses loudly at
+    // createExclusive. This store's conditionals are ATOMIC
+    // (ConcurrentHashMap remove(k,v)/replace(k,old,new)) — the
+    // object-store CAS shape.
+    class CasStore extends LockStore {
+      val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      def read(lp: String): Option[String] = Option(m.get(lp))
+      def createExclusive(lp: String, c: String): Unit =
+        if (m.putIfAbsent(lp, c) != null)
+          throw new java.io.IOException(s"lock exists: $lp")
+      def overwrite(lp: String, c: String): Unit = { m.put(lp, c); () }
+      def delete(lp: String): Unit = { m.remove(lp); () }
+      override def deleteIf(lp: String, expected: String): Boolean =
+        m.remove(lp, expected)
+      override def replaceIf(lp: String, expected: String, next: String): Boolean =
+        m.replace(lp, expected, next)
+    }
+    val base = new CasStore
+    val path = s"mem://state/cas${System.nanoTime()}"
+    // a crashed holder's expired lock sits on the store
+    assert(WriterLease.acquire(spark, path, owner = "dead", ttlMs = -1L, store = base))
+    // the attacker's store delivers the stale expired read, and the
+    // rival's break-and-take lands IN THE WINDOW right after it (the
+    // exact interleave the advice describes, made deterministic)
+    val trap = new LockStore {
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def read(lp: String): Option[String] = {
+        val stale = base.read(lp)
+        if (fired.compareAndSet(false, true))
+          assert(WriterLease.acquire(spark, path, owner = "rival", store = base),
+            "the rival's own break-and-take of the expired lock")
+        stale
+      }
+      def createExclusive(lp: String, c: String): Unit = base.createExclusive(lp, c)
+      def overwrite(lp: String, c: String): Unit = base.overwrite(lp, c)
+      def delete(lp: String): Unit = base.delete(lp)
+      override def deleteIf(lp: String, expected: String): Boolean =
+        base.deleteIf(lp, expected)
+      override def replaceIf(lp: String, expected: String, next: String): Boolean =
+        base.replaceIf(lp, expected, next)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      WriterLease.acquire(spark, path, owner = "attacker", store = trap)
+    }
+    // the rival's lease is INTACT — the old unconditional delete would
+    // have destroyed it here
+    assert(WriterLease.holder(spark, path, store = base).exists(_.owner == "rival"),
+      "the breaker deleted a rival's fresh lock despite the CAS compare")
+    WriterLease.release(spark, path, "rival", store = base)
+
+    // refresh is conditional too: after our expiry a successor took
+    // the lock — our refresh must NOT clobber it
+    assert(WriterLease.acquire(spark, path, owner = "slow", ttlMs = -1L, store = base))
+    assert(WriterLease.acquire(spark, path, owner = "successor", store = base))
+    WriterLease.refresh(spark, path, owner = "slow", store = base)
+    assert(WriterLease.holder(spark, path, store = base).exists(_.owner == "successor"),
+      "a stale holder's refresh overwrote the successor's lease")
+    WriterLease.release(spark, path, "successor", store = base)
+  }
+
   test("upsertBuckets under a foreign lease: fails loudly BEFORE touching state; proceeds after release") {
     val path = tmpDir("ub")
     StoredMerge.writeBuckets(Seq((1L, "v1"), (2L, "v2")).toDF("k", "v"),

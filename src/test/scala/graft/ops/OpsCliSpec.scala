@@ -144,6 +144,32 @@ class OpsCliSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI curationIngest --packSlices validation: missing, non-integer, and < 1 values are usage errors (exit 2), not silent defaults or raw exceptions") {
+    // (r14 ADVICE + verdict item 4) the old sliding-window parse
+    // silently defaulted a trailing --packSlices to 1 and let a
+    // non-integer escape as a raw NumberFormatException — every other
+    // arm fails loudly with the usage text
+    val ops = new Ops(spark, new Ledger(spark,
+      Files.createTempDirectory("graft-ps-ledger").toString))
+    val root = Files.createTempDirectory("graft-ps").toString
+    val base = List(s"$root/docs", "psd", "pslm", s"$root/offsets", "0.0",
+      s"$root/labeled", s"$root/manifest", s"$root/ckpt", "--once")
+    assert(OpsCli.run(spark, ops, "curationIngest",
+      base :+ "--packSlices") == 2, "trailing flag with no value")
+    assert(OpsCli.run(spark, ops, "curationIngest",
+      base ++ List("--packSlices", "eight")) == 2, "non-integer value")
+    assert(OpsCli.run(spark, ops, "curationIngest",
+      base ++ List("--packSlices", "0")) == 2, "slices below 1")
+    // a flag followed by another flag reads as missing, not as that flag
+    assert(OpsCli.run(spark, ops, "curationIngest",
+      List(s"$root/docs", "psd", "pslm", s"$root/offsets", "0.0",
+        s"$root/labeled", s"$root/manifest", s"$root/ckpt",
+        "--packSlices", "--once")) == 2)
+    // none of the rejected parses may touch stored state
+    assert(!java.nio.file.Files.exists(Paths.get(s"$root/offsets")),
+      "a usage error must exit before seeding the offsets table")
+  }
+
   test("CLI crash-repair arms: pendingSwap status + recoverMerge roll an interrupted bucket swap back") {
     import spark.implicits._
     val ops = new Ops(spark, new Ledger(spark,
