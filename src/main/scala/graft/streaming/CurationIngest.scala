@@ -27,8 +27,10 @@ import graft.operators.{DedupIndex, NgramLM, Packing, StoredMerge}
   *  - the [[DedupIndex]] corpus (buckets + sets + bloom): each batch's
   *    ADMITTED docs append, so later batches dedup against earlier
   *    admissions;
-  *  - the [[NgramLM]] stored model (read-only here — quality drift
-  *    retrains offline);
+  *  - the [[NgramLM]] SCORING model (read-only here — quality drift
+  *    retrains offline; an optional SEPARATE accretion model keeps the
+  *    next retrain's corpus LM current per batch, [[Config
+  *    .lmAccreteTable]], bounded-tag replay-safe);
   *  - per-split pack offsets, merged crash-atomically via
   *    [[StoredMerge.upsertBuckets]] with a batch-id high-water mark
   *    for replay idempotence (foreachBatch replays after a crash; a
@@ -69,6 +71,27 @@ object CurationIngest {
       // window tasks. slices > 1 decomposes the running offset via
       // Ranking.slicedCumsum with byte-identical output.
       packSlices: Int = 1,
+      // optional ONLINE LM accretion (r15): each batch's ADMITTED docs
+      // also accrete into this SEPARATE stored NgramLM (the
+      // next-retrain corpus model, kept current by the stream itself).
+      // It must NOT be the scoring model (`lmTable`): scoring against
+      // a per-batch-drifting LM would break the spec-certified parity
+      // contract (any micro-batch split ≡ one batch run) AND feed the
+      // quality gate its own admissions — the classic self-
+      // reinforcement loop. The accretion commits under the batch tag
+      // `ci-<batchId>`, so a crash replay no-ops instead of
+      // double-counting (NgramLM's committed-tag discipline).
+      lmAccreteTable: Option[String] = None,
+      // bucket count for the accretion model's staged rewrites — match
+      // what the table was seeded with (NgramLM.store's `buckets`)
+      lmAccreteBuckets: Int = 32,
+      // committed-tag retention for the accretion — BOUNDED by default
+      // (r14 verdict: an unbounded set makes the per-batch tag rewrite
+      // O(n²) cumulative at exactly this cadence). Structured
+      // Streaming replays at most the LAST uncommitted batch, so any
+      // retention ≥ 1 is replay-safe here; 16 leaves generous room for
+      // out-of-order manual recovery without unbounded growth.
+      tagRetention: Int = 16,
       // one writer identity PER JOB (a fresh id per Config): the
       // WriterLease every commit holds on offsetsPath, so a second job
       // pointed at the same stored state fails loudly instead of
@@ -77,7 +100,14 @@ object CurationIngest {
       // The STREAMING job overrides this with a checkpoint-derived id
       // (see [[start]]) so restarts re-enter their own lease; the
       // random default covers direct batch callers of commitBatch.
-      writerId: String = java.util.UUID.randomUUID().toString)
+      writerId: String = java.util.UUID.randomUUID().toString) {
+    require(!lmAccreteTable.contains(lmTable),
+      s"lmAccreteTable must differ from the scoring model lmTable ($lmTable): " +
+        "scoring against a model accreting its own admissions breaks the " +
+        "micro-batch parity contract and self-reinforces the quality gate")
+    require(tagRetention >= 1,
+      s"tagRetention must be >= 1 (got $tagRetention)")
+  }
 
   /** Seed the stored pack-offset table: every split bucket at token 0,
     * batch high-water mark −1 (nothing committed). */
@@ -276,6 +306,24 @@ object CurationIngest {
           "doc_id", "clean", cfg.dedupTable, cfg.k, cfg.bands, cfg.shingleN,
           setBuckets = 32, batchId = batchId, owner = cfg.writerId,
           crashAfterStep = crashAfterStep)
+        // ONLINE LM ACCRETION (r15, opt-in — [[Config.lmAccreteTable]]):
+        // admitted docs also accrete into the separate stored NgramLM,
+        // BEFORE the offsets high-water advances — a crash between the
+        // two replays the batch (high-water still behind), and the
+        // accretion's own `ci-<batchId>` tag makes the re-append a
+        // no-op; after the advance the whole batch skips, so an
+        // accretion placed later would be lost forever on that window.
+        // Empty admitted sets skip (a replayed all-dropped batch stays
+        // a no-op end to end); the tag set is BOUNDED by
+        // cfg.tagRetention (default 16 ≫ the 1-batch replay horizon).
+        cfg.lmAccreteTable.foreach { lmAcc =>
+          if (!admitted.isEmpty)
+            NgramLM.appendToStored(spark, lmAcc,
+              admitted.select(col("doc_id"), col("clean")), "doc_id", "clean",
+              buckets = cfg.lmAccreteBuckets,
+              batchTag = Some(s"ci-$batchId"), owner = cfg.writerId,
+              tagRetention = cfg.tagRetention)
+        }
         val sums = admitted.groupBy(col("bucket"))
           .agg(sum(col("n_tok")).cast("long").as("__add"))
         // PER-BUCKET replay guard (r13 self-review): a crash mid-swap
@@ -385,6 +433,14 @@ object CurationIngest {
     // lock exists for file sinks) and is the orchestrator's invariant
     // to keep, exactly as for any Spark streaming job.
     val jobCfg = cfg.copy(writerId = jobWriterId(spark, checkpointDir))
+    // fail fast at LAUNCH, not at the first commit: the accretion model
+    // must be a seeded stored LM (NgramLM.store a day-0 fit first) —
+    // its accretion path loads-merges-swaps an EXISTING store
+    jobCfg.lmAccreteTable.foreach { t =>
+      require(spark.catalog.tableExists(s"${t}_meta"),
+        s"lmAccreteTable '$t' is not a stored NgramLM (no ${t}_meta): " +
+          "seed it first with NgramLM.store(NgramLM.fit(day0, ...), ...)")
+    }
     graft.operators.WriterLease.acquire(spark, jobCfg.offsetsPath, jobCfg.writerId)
     val query = try {
       // a crash between upsertBuckets' renames leaves the offsets

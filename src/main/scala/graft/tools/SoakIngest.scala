@@ -67,6 +67,13 @@ object SoakIngest {
     DedupIndex.saveCorpus(spark, day0, "doc_id", "clean", "soak_dedup")
     NgramLM.store(NgramLM.fit(day0, "doc_id", "clean"), "soak_lm")
     val model = NgramLM.load(spark, "soak_lm")
+    // the ONLINE accretion model (r15): a separate store the stream
+    // accretes every batch's admissions into, under bounded tag
+    // retention — the soak proves the tag replay guard holds across
+    // the kill/restart boundary and the tag set stays bounded over
+    // 200 batches (small buckets: the staged rewrite runs per batch)
+    NgramLM.store(NgramLM.fit(day0, "doc_id", "clean"), "soak_lm_acc",
+      buckets = 4)
 
     // ---- one source file per micro-batch: every batch carries novel
     // in-domain docs (admit), one junk doc (drop:quality), and one
@@ -110,7 +117,8 @@ object SoakIngest {
     val cfg = CurationIngest.Config(
       dedupTable = "soak_dedup", lmTable = "soak_lm",
       offsetsPath = s"$work/offsets", scoreCut = (junkScore + minNovel) / 2,
-      budget = 64)
+      budget = 64,
+      lmAccreteTable = Some("soak_lm_acc"), lmAccreteBuckets = 4)
     CurationIngest.initOffsets(spark, cfg)
 
     println(s"[soak] writing $nBatches source files...")
@@ -211,6 +219,26 @@ object SoakIngest {
       .agg(coalesce(sum(col("n_tok")), lit(0L))).head.getLong(0)
     check(packTok == admTok,
       s"packed tokens must equal admitted tokens: $packTok != $admTok")
+    // online LM accretion convergence (r15): 200 per-batch accretions —
+    // across the kill/restart replay boundary — must land on exactly
+    // the one-shot refit over day-0 ∪ every admitted clean, and the
+    // committed-tag set must stay bounded at the retention default
+    val admittedClean = labeled.filter(!col("bucket").startsWith("drop:"))
+      .select(col("doc_id"), col("clean"))
+    def bigramMap(df: DataFrame): Map[Long, Long] = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val accGot = bigramMap(NgramLM.load(spark, "soak_lm_acc").bigrams)
+    val accWant = bigramMap(
+      NgramLM.fit(day0.union(admittedClean), "doc_id", "clean").bigrams)
+    check(accGot == accWant,
+      s"accreted LM must equal the one-shot refit: ${accGot.size} grams vs " +
+        s"${accWant.size} (first diff: ${(accWant.toSet -- accGot.toSet).take(2)})")
+    val accTags = spark.table("soak_lm_acc_tags").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    check(accTags.length <= cfg.tagRetention,
+      s"tag set must stay bounded: ${accTags.length} > ${cfg.tagRetention}")
+    check(accTags.map(_._1).contains(s"ci-${nBatches - 1}"),
+      s"latest batch's tag must be retained: ${accTags.mkString(",")}")
     check(leaseFreed(), "lease must be free at the end")
     val pinnedAfter = pinned()
     check(pinnedAfter <= pinnedBefore2 + 2,
@@ -225,6 +253,8 @@ object SoakIngest {
     val json = s"""{"batches":$nBatches,"kill_at_batch":${mx1},""" +
       s""""labeled_batches":$labeledBatches,"labeled_rows":$total,""" +
       s""""admitted":$admitted,"packed_tokens":$packTok,""" +
+      s""""accreted_lm_exact":${accGot == accWant},""" +
+      s""""accreted_tags":${accTags.length},"tag_retention":${cfg.tagRetention},""" +
       s""""pinned_max_during":$pinnedMax,"pinned_after":$pinnedAfter,""" +
       s""""offsets_final":$mxF,"failures":[${failures.map(f =>
         "\"" + f.replace("\"", "'") + "\"").mkString(",")}],""" +

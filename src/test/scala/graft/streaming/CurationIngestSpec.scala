@@ -302,6 +302,80 @@ class CurationIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("online LM accretion: per-batch accretion equals a one-shot refit, a crash replay no-ops via the ci-<batchId> tag, and the tag set stays bounded") {
+    import graft.operators.NgramLM
+    def bigramMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cleaned0 = day0.select(col("doc_id"),
+      graft.functions.Curation.redactPii(
+        graft.functions.Curation.normalizeText(col("text"))).as("clean"))
+    val accLm = s"ci_acclm_${System.nanoTime()}"
+    try {
+      // the accretion model is a SEPARATE seeded store (Config refuses
+      // lmAccreteTable == lmTable — the self-reinforcement guard)
+      NgramLM.store(NgramLM.fit(cleaned0, "doc_id", "clean"), accLm, buckets = 4)
+      val base = freshState("acc")
+      intercept[IllegalArgumentException] {
+        base.copy(lmAccreteTable = Some(base.lmTable))
+      }
+      val cfg = base.copy(lmAccreteTable = Some(accLm), lmAccreteBuckets = 4,
+        tagRetention = 2)
+
+      // batch 0 admits NOTHING (2 exact replays, 1 near-dup, 1 junk) —
+      // the empty-accretion skip; batches 1 and 2 admit novel docs
+      val docs = day1.take(44)
+      val batches = Seq(docs.take(4), docs.slice(4, 24), docs.slice(24, 44))
+      val out = java.nio.file.Files.createTempDirectory("ci_acc").toString
+      batches.zipWithIndex.foreach { case (b, id) =>
+        CurationIngest.processBatch(spark, b.toDF("doc_id", "text"), id.toLong,
+          cfg, s"$out/labeled", s"$out/manifest")
+      }
+      // closed form: the accreted model == one refit over day-0 ∪ every
+      // admitted clean (NgramLM's append ≡ refit contract, composed
+      // through the streaming commit path)
+      val labeled = spark.read.parquet(s"$out/labeled")
+      def wantNow(): Map[Long, Long] = bigramMap(NgramLM.fit(
+        cleaned0.union(spark.read.parquet(s"$out/labeled")
+          .filter(!col("bucket").startsWith("drop:"))
+          .select(col("doc_id"), col("clean"))), "doc_id", "clean").bigrams)
+      assert(labeled.filter(!col("bucket").startsWith("drop:")).count() > 0)
+      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == wantNow(),
+        "per-batch accretion must equal the one-shot refit")
+      // retention 2 keeps exactly the two most-recent committed tags
+      // (ci-0 never existed: the all-dropped batch skipped accretion)
+      val tags = spark.table(s"${accLm}_tags").collect()
+        .map(_.getString(0)).toSet
+      assert(tags == Set("ci-1", "ci-2"), s"bounded tag set: $tags")
+
+      // crash INSIDE the offsets swap, AFTER the accretion ran: the
+      // replay must complete the offsets WITHOUT double-counting the
+      // accreted LM (the ci-3 tag no-ops the re-append)
+      val b3 = day1.slice(44, 60)
+      val (labeled3, manifest3) = CurationIngest.curateBatch(
+        spark, b3.toDF("doc_id", "text"), cfg)
+      val l3 = labeled3.localCheckpoint()
+      l3.write.mode("overwrite").parquet(s"$out/labeled/batch_id=3")
+      manifest3.write.mode("overwrite").parquet(s"$out/manifest/batch_id=3")
+      intercept[IllegalStateException] {
+        CurationIngest.commitBatchImpl(spark, l3, 3L, cfg, offsetsCrashStep = 3)
+      }
+      spark.catalog.clearCache()
+      StoredMerge.recoverMerge(spark, cfg.offsetsPath)
+      CurationIngest.processBatch(spark, b3.toDF("doc_id", "text"), 3L, cfg,
+        s"$out/labeled", s"$out/manifest")
+      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == wantNow(),
+        "a crash replay must not double-count the accreted LM")
+      val tagsAfter = spark.table(s"${accLm}_tags").collect()
+        .map(_.getString(0)).toSet
+      assert(tagsAfter == Set("ci-2", "ci-3"), s"bounded after replay: $tagsAfter")
+      assert(offMap(cfg).values.map(_._2).toSet == Set(3L),
+        "the crashed offsets swap must complete on replay")
+    } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+      "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+      "__stage_meta", "__stage_tags", "__commit").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $accLm$s"))
+  }
+
   test("restart from checkpoint mid-corpus: the resumed query's final output bit-equals the one-shot batch chain") {
     val cfg = freshState("rs")
     val batchCfg = freshState("rsb")
