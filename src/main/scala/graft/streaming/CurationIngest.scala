@@ -165,6 +165,40 @@ object CurationIngest {
     */
   def curateBatch(spark: SparkSession, docs: DataFrame,
                   cfg: Config, batchId: Long): (DataFrame, DataFrame) = {
+    val (labeled, manifest, _) =
+      curateBatchImpl(spark, docs, cfg, batchId, materialize = false)
+    (labeled, manifest)
+  }
+
+  /** `materialize = true` is [[processBatch]]'s form (r15, from the
+    * drain's stage decomposition, `DRAIN_STAGES_r15.json`): the
+    * admission DAG feeds the scrubbed frame into THREE legs (dedup
+    * probe, LM score, label join) and the labeled frame into THREE
+    * consumers (labeled sink, manifest sink, state commit) — left
+    * declarative, Spark re-executes the regex-heavy scrub chain per
+    * leg and the whole admission chain again for the manifest write
+    * (measured: the manifest's re-execution alone ≈ one full labeled
+    * computation, ~45% of the 500k-doc drain). Two localCheckpoints —
+    * the scrubbed frame and the labeled frame — collapse that to ONE
+    * execution of each stage. Storage: both pins are micro-batch-sized
+    * (≈ the batch's cleaned text), disk-spillable, and released by
+    * [[processBatch]] right after the commit; the batch SIZE is the
+    * operator's own knob (maxFilesPerTrigger) at one-shot 100× drains.
+    * This differs from the REJECTED signature pinning
+    * ([[commitBatch]]'s recompute-over-materialize note): that saved
+    * one cheap codegen'd projection; this saves measured re-executions
+    * of the drain's dominant phase. Ad-hoc/batch callers keep
+    * `materialize = false` — identical rows, zero pinned residue (the
+    * declared-query surface stays cache-clean).
+    *
+    * Returns (labeled, manifest, innerFrames): `innerFrames` are the
+    * PRE-checkpoint plans whose leaves carry every block this batch
+    * pinned — the caller's release walk needs them because each
+    * checkpoint truncates the lineage above it.
+    */
+  private[graft] def curateBatchImpl(spark: SparkSession, docs: DataFrame,
+      cfg: Config, batchId: Long,
+      materialize: Boolean): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val model = NgramLM.load(spark, cfg.lmTable)
     val cleaned = docs
       .select(col("doc_id").cast("long").as("doc_id"),
@@ -173,7 +207,7 @@ object CurationIngest {
     // DECONTAMINATION (optional, between scrub and dedup): flag docs
     // sharing any stored benchmark gram; they drop before the probe,
     // so the dedup join never pays for docs that cannot be admitted
-    val flagged = cfg.benchTable match {
+    val flagged0 = cfg.benchTable match {
       case Some(t) =>
         val contamIds = graft.operators.Contamination
           .contaminatedAgainstStored(spark, t, cleaned, "doc_id", "clean")
@@ -182,6 +216,7 @@ object CurationIngest {
           .withColumn("__contam", coalesce(col("__contam"), lit(false)))
       case None => cleaned.withColumn("__contam", lit(false))
     }
+    val flagged = if (materialize) flagged0.localCheckpoint() else flagged0
     val probeDocs = flagged.filter(!col("__contam"))
     // SNAPSHOT-BY-WATERMARK (the r11 judge's crash-replay hole): probe
     // only corpus rows from batches the offsets high-water has
@@ -197,10 +232,16 @@ object CurationIngest {
       .select(col("new_id").as("doc_id")).distinct()
       .withColumn("__dup", lit(true))
     // empty-after-scrub docs have no grams and no score row: they gate
-    // out as drop:quality (coalesce to below any positive cut)
-    val scores = NgramLM.likelihoodMass(cleaned, "doc_id", "clean", model)
+    // out as drop:quality (coalesce to below any positive cut).
+    // Materialized form scores off the checkpointed scrub (same rows —
+    // flagged is row-preserving over cleaned) so the score leg never
+    // re-runs the regex chain.
+    val scores = NgramLM.likelihoodMass(
+        if (materialize) flagged.select(col("doc_id"), col("clean"))
+        else cleaned,
+        "doc_id", "clean", model)
       .select(col("doc_id"), col("score"))
-    val labeled = flagged
+    val labeled0 = flagged
       .join(dupIds, Seq("doc_id"), "left")
       .join(scores, Seq("doc_id"), "left")
       .withColumn("score", coalesce(col("score"), lit(0.0)))
@@ -211,6 +252,7 @@ object CurationIngest {
           .otherwise(Curation.splitAssign(col("doc_id"))))
       .select(col("doc_id"), col("clean"), col("n_tok"), col("score"),
         col("bucket"))
+    val labeled = if (materialize) labeled0.localCheckpoint() else labeled0
     val admitted = labeled.filter(!col("bucket").startsWith("drop:"))
     // REPLAY-ADJUSTED pack bases: an offset bucket whose last_batch
     // already carries THIS batch (a crash mid-offsets-swap advanced
@@ -238,7 +280,7 @@ object CurationIngest {
       budget = cfg.budget,
       baseOffsets = base,
       slices = cfg.packSlices)
-    (labeled, manifest)
+    (labeled, manifest, if (materialize) Seq(flagged0, labeled0) else Nil)
   }
 
   /** Apply a processed batch's state updates — admitted docs append to
@@ -373,28 +415,33 @@ object CurationIngest {
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     if (mn >= batchId) return // fully committed: sinks already correct
     val effBatch = if (mx >= batchId) batchId else Long.MaxValue
-    val (labeled, manifest) = curateBatch(spark, batch, cfg, effBatch)
-    // one materialization serves the two sinks and the commit
-    val l = labeled.localCheckpoint()
-    l.write.mode("overwrite").parquet(s"$labeledDir/batch_id=$batchId")
+    // materialized form (r15): the scrubbed frame and the labeled frame
+    // each checkpoint ONCE inside curateBatchImpl, so the two sinks,
+    // the manifest plan, and the state commit all read the same
+    // materialized labeled rows — the admission chain executes once per
+    // batch instead of once per consumer (the drain's measured
+    // dominant overhead, DRAIN_STAGES_r15.json)
+    val (labeled, manifest, inner) =
+      curateBatchImpl(spark, batch, cfg, effBatch, materialize = true)
+    labeled.write.mode("overwrite").parquet(s"$labeledDir/batch_id=$batchId")
     manifest.write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
-    commitBatch(spark, l, batchId, cfg)
-    // release every block THIS batch pinned (`l` above, the sliced
-    // pack's checkpointed input) — relying on driver GC + the
-    // ContextCleaner would let a long-running stream accumulate one
-    // materialized batch per trigger in executor storage. PRECISE, not
+    commitBatch(spark, labeled, batchId, cfg)
+    // release every block THIS batch pinned (the scrub + labeled
+    // checkpoints, the sliced pack's checkpointed input) — relying on
+    // driver GC + the ContextCleaner would let a long-running stream
+    // accumulate materialized batches in executor storage. PRECISE, not
     // a global persistent-RDD sweep (which would unpersist a
     // concurrent job's blocks): the batch's own checkpointed RDDs are
-    // exactly the LogicalRDD leaves of its two output plans, and
+    // exactly the LogicalRDD leaves of its output plans, and
     // unpersist on a never-persisted RDD (a memory-source batch) is a
     // no-op. Safe after the commit: nothing recomputes a committed
     // batch's frames.
-    // `labeled` must be in the walk: the sliced pack's checkpoint
-    // TRUNCATES manifest's lineage, hiding the dedup probe's
-    // checkpointed pair frame that sits above it (and `l` truncates
-    // labeled's own plan) — only the pre-checkpoint `labeled` still
-    // carries that LogicalRDD.
-    Seq(l, labeled, manifest)
+    // `inner` (the PRE-checkpoint scrub/labeled plans) must be in the
+    // walk: each checkpoint TRUNCATES the lineage above it — the
+    // labeled checkpoint hides the scrub checkpoint and the dedup
+    // probe's checkpointed pair frame; only the pre-checkpoint plans
+    // still carry those LogicalRDD leaves.
+    (Seq(labeled, manifest) ++ inner)
       .flatMap(_.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       })

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Per-stage decomposition of the one-shot drain (admission chain split,
+# each stage isolated over materialized inputs) through plain `java`
+# recipe). Run on a QUIET box; requires a compiled tree (`sbt compile`).
+#
+#   tools/drain_stages.sh [docsCount] [outJson]   # defaults: 500000 DRAIN_STAGES_LOCAL.json
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent \
+         java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+         sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+  -cp "$(dirname "$0")/../target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.tools.DrainStages "$@"
