@@ -1,7 +1,7 @@
 #!/bin/bash
 # Per-stage decomposition of the one-shot drain (admission chain split,
 # each stage isolated over materialized inputs) through plain `java`
-# recipe). Run on a QUIET box; requires a compiled tree (`sbt compile`).
+# (the run_bench.sh launcher recipe). Requires a compiled tree (`sbt compile`).
 #
 #   tools/drain_stages.sh [docsCount] [outJson]   # defaults: 500000 DRAIN_STAGES_LOCAL.json
 OPENS=""
