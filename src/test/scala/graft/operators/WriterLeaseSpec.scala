@@ -83,8 +83,15 @@ class WriterLeaseSpec extends AnyFunSuite {
 
   test("withLease heartbeat: a body outliving the TTL keeps its lease, a contender stays refused throughout, and no beat survives the release") {
     val path = tmpDir("hb")
-    val ttl = 500L
-    val deadline = System.currentTimeMillis() + 5 * ttl
+    // TTL sized for suite-load robustness (r15): at 500 ms a parallel-
+    // suite GC pause or scheduler stall > ttl delays the ttl/3 beat
+    // past the expiry and the rival's break below is then LEGAL (the
+    // TTL escape working as designed for a stalled JVM) — the contract
+    // under test is "a LIVE body keeps its lease", so the margin must
+    // exceed plausible whole-JVM stalls. 2 s needs a > 1.3 s beat
+    // stall to flake; the body still outlives 3 full TTLs.
+    val ttl = 2000L
+    val deadline = System.currentTimeMillis() + 3 * ttl
     WriterLease.withLease(spark, path, owner = "slow", ttlMs = ttl) {
       // a commit that sleeps past several TTLs: without the in-body
       // heartbeat the expiry (stamped once at acquire) passes after one
