@@ -78,9 +78,12 @@ object CurationIngest {
       // a per-batch-drifting LM would break the spec-certified parity
       // contract (any micro-batch split ≡ one batch run) AND feed the
       // quality gate its own admissions — the classic self-
-      // reinforcement loop. The accretion commits under the batch tag
-      // `ci-<batchId>`, so a crash replay no-ops instead of
-      // double-counting (NgramLM's committed-tag discipline).
+      // reinforcement loop. The accretion commits under a WRITER-SCOPED
+      // batch tag (`ci-<writerId>-<batchId>`), so a crash replay no-ops
+      // instead of double-counting (NgramLM's committed-tag discipline)
+      // and SEVERAL ingest jobs may safely share one accretion model
+      // (lease-serialized staged swaps, commutative merges, per-job
+      // replay tags) — unlike a dedup corpus, which is refused.
       lmAccreteTable: Option[String] = None,
       // bucket count for the accretion model's staged rewrites — match
       // what the table was seeded with (NgramLM.store's `buckets`)
@@ -352,18 +355,28 @@ object CurationIngest {
         // admitted docs also accrete into the separate stored NgramLM,
         // BEFORE the offsets high-water advances — a crash between the
         // two replays the batch (high-water still behind), and the
-        // accretion's own `ci-<batchId>` tag makes the re-append a
-        // no-op; after the advance the whole batch skips, so an
-        // accretion placed later would be lost forever on that window.
-        // Empty admitted sets skip (a replayed all-dropped batch stays
-        // a no-op end to end); the tag set is BOUNDED by
-        // cfg.tagRetention (default 16 ≫ the 1-batch replay horizon).
+        // accretion tag makes the re-append a no-op; after the advance
+        // the whole batch skips, so an accretion placed later would be
+        // lost forever on that window. The tag is WRITER-SCOPED
+        // (`ci-<writerId>-<batchId>`): NgramLM's committed-tag check
+        // NO-OPS a seen tag rather than refusing it, so a bare batch-id
+        // tag would let a second job sharing ONLY this accretion model
+        // (separate corpora — several ingest streams feeding one corpus
+        // LM, a natural fleet shape the corpus-side writer_id refusal
+        // never sees) silently drop its same-numbered batches. Scoped
+        // tags make that sharing CORRECT instead: the LM lease
+        // serializes the staged swaps, merges are commutative, and each
+        // job's replays no-op on its own tags. Empty admitted sets skip
+        // (a replayed all-dropped batch stays a no-op end to end); the
+        // tag set is BOUNDED by cfg.tagRetention (default 16 ≫ the
+        // 1-batch per-job replay horizon — size it ≥ jobs × horizon
+        // when many jobs share one model).
         cfg.lmAccreteTable.foreach { lmAcc =>
           if (!admitted.isEmpty)
             NgramLM.appendToStored(spark, lmAcc,
               admitted.select(col("doc_id"), col("clean")), "doc_id", "clean",
               buckets = cfg.lmAccreteBuckets,
-              batchTag = Some(s"ci-$batchId"), owner = cfg.writerId,
+              batchTag = Some(s"ci-${cfg.writerId}-$batchId"), owner = cfg.writerId,
               tagRetention = cfg.tagRetention)
         }
         val sums = admitted.groupBy(col("bucket"))

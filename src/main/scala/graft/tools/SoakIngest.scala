@@ -237,7 +237,10 @@ object SoakIngest {
       .map(r => (r.getString(0), r.getLong(1)))
     check(accTags.length <= cfg.tagRetention,
       s"tag set must stay bounded: ${accTags.length} > ${cfg.tagRetention}")
-    check(accTags.map(_._1).contains(s"ci-${nBatches - 1}"),
+    // tags are writer-scoped (ci-<writerId>-<batchId>); the stream
+    // derives its writerId from the checkpoint dir
+    val soakWriter = CurationIngest.jobWriterId(spark, ckpt)
+    check(accTags.map(_._1).contains(s"ci-$soakWriter-${nBatches - 1}"),
       s"latest batch's tag must be retained: ${accTags.mkString(",")}")
     check(leaseFreed(), "lease must be free at the end")
     val pinnedAfter = pinned()

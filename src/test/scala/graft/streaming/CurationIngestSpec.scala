@@ -341,11 +341,14 @@ class CurationIngestSpec extends AnyFunSuite {
       assert(labeled.filter(!col("bucket").startsWith("drop:")).count() > 0)
       assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == wantNow(),
         "per-batch accretion must equal the one-shot refit")
-      // retention 2 keeps exactly the two most-recent committed tags
-      // (ci-0 never existed: the all-dropped batch skipped accretion)
+      // retention 2 keeps exactly the two most-recent committed tags,
+      // WRITER-SCOPED so jobs sharing one accretion model never no-op
+      // each other's batches (ci-…-0 never existed: the all-dropped
+      // batch skipped accretion)
+      def tag(i: Int) = s"ci-${cfg.writerId}-$i"
       val tags = spark.table(s"${accLm}_tags").collect()
         .map(_.getString(0)).toSet
-      assert(tags == Set("ci-1", "ci-2"), s"bounded tag set: $tags")
+      assert(tags == Set(tag(1), tag(2)), s"bounded tag set: $tags")
 
       // crash INSIDE the offsets swap, AFTER the accretion ran: the
       // replay must complete the offsets WITHOUT double-counting the
@@ -367,9 +370,63 @@ class CurationIngestSpec extends AnyFunSuite {
         "a crash replay must not double-count the accreted LM")
       val tagsAfter = spark.table(s"${accLm}_tags").collect()
         .map(_.getString(0)).toSet
-      assert(tagsAfter == Set("ci-2", "ci-3"), s"bounded after replay: $tagsAfter")
+      assert(tagsAfter == Set(tag(2), tag(3)), s"bounded after replay: $tagsAfter")
       assert(offMap(cfg).values.map(_._2).toSet == Set(3L),
         "the crashed offsets swap must complete on replay")
+    } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+      "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+      "__stage_meta", "__stage_tags", "__commit").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $accLm$s"))
+  }
+
+  test("two jobs sharing one accretion model: writer-scoped tags keep BOTH jobs' same-numbered batches (no silent no-op), totals equal one refit") {
+    // the hole writer-scoping closes: NgramLM's committed-tag check
+    // NO-OPS a seen tag (it cannot refuse — that is the replay path),
+    // so with bare `ci-<batchId>` tags job B's batch 0 would silently
+    // vanish from a shared accretion model after job A committed ITS
+    // batch 0 — several ingest streams feeding one corpus LM is a
+    // natural fleet shape, and the corpus-side writer_id refusal never
+    // sees it (separate corpora)
+    import graft.operators.NgramLM
+    def bigramMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cleaned0 = day0.select(col("doc_id"),
+      graft.functions.Curation.redactPii(
+        graft.functions.Curation.normalizeText(col("text"))).as("clean"))
+    val accLm = s"ci_fleetlm_${System.nanoTime()}"
+    try {
+      NgramLM.store(NgramLM.fit(cleaned0, "doc_id", "clean"), accLm, buckets = 4)
+      val cfgA = freshState("fa").copy(lmAccreteTable = Some(accLm),
+        lmAccreteBuckets = 4)
+      val cfgB = freshState("fb").copy(lmAccreteTable = Some(accLm),
+        lmAccreteBuckets = 4)
+      assert(cfgA.writerId != cfgB.writerId)
+      val docsA = day1.slice(4, 14)
+      val docsB = day1.slice(24, 34)
+      val out = java.nio.file.Files.createTempDirectory("ci_fleetlm").toString
+      // both jobs commit THEIR batch 0 into the shared accretion model
+      CurationIngest.processBatch(spark, docsA.toDF("doc_id", "text"), 0L,
+        cfgA, s"$out/labeledA", s"$out/manifestA")
+      CurationIngest.processBatch(spark, docsB.toDF("doc_id", "text"), 0L,
+        cfgB, s"$out/labeledB", s"$out/manifestB")
+      val admitted = spark.read.parquet(s"$out/labeledA")
+        .unionByName(spark.read.parquet(s"$out/labeledB"))
+        .filter(!col("bucket").startsWith("drop:"))
+        .select(col("doc_id"), col("clean"))
+      assert(admitted.count() > 0)
+      val want = bigramMap(NgramLM.fit(cleaned0.union(admitted),
+        "doc_id", "clean").bigrams)
+      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == want,
+        "both jobs' batch 0 must land — a bare batch-id tag would drop B's")
+      val tags = spark.table(s"${accLm}_tags").collect()
+        .map(_.getString(0)).toSet
+      assert(tags == Set(s"ci-${cfgA.writerId}-0", s"ci-${cfgB.writerId}-0"),
+        s"writer-scoped tags: $tags")
+      // and each job's own replay still no-ops (the tag's purpose)
+      CurationIngest.commitBatch(spark, spark.read.parquet(s"$out/labeledB")
+        .filter(!col("bucket").startsWith("drop:")), 0L, cfgB)
+      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == want,
+        "a replayed commit must not double-count the shared model")
     } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
       "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
       "__stage_meta", "__stage_tags", "__commit").foreach(s =>
