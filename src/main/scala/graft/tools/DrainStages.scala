@@ -175,14 +175,18 @@ object DrainStages {
     oldTimes += oldShape(); newTimes += newShape()
     val tOldShape = oldTimes.min
     val tNewShape = newTimes.min
+    // two-sided multiset equality: a one-way exceptAll only proves
+    // containment — extra rows on the other side would hide
+    def sameRows(aDir: String, bDir: String, cols: Seq[String]): Boolean = {
+      val a = spark.read.parquet(aDir).select(cols.map(col): _*)
+      val b = spark.read.parquet(bDir).select(cols.map(col): _*)
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    }
+    val manifestCols = spark.read.parquet(s"$work/manifest_old").columns.toSeq
     val parity =
-      spark.read.parquet(s"$work/labeled_old").select(col("doc_id"), col("bucket"))
-        .exceptAll(spark.read.parquet(s"$work/labeled_new")
-          .select(col("doc_id"), col("bucket"))).isEmpty &&
-      spark.read.parquet(s"$work/manifest_old")
-        .exceptAll(spark.read.parquet(s"$work/manifest_new")
-          .select(spark.read.parquet(s"$work/manifest_old").columns.map(col): _*))
-        .isEmpty
+      sameRows(s"$work/labeled_old", s"$work/labeled_new",
+        Seq("doc_id", "bucket")) &&
+      sameRows(s"$work/manifest_old", s"$work/manifest_new", manifestCols)
     println(s"[stages] old/new parity: $parity")
 
     // ---- 3. stage isolation over materialized inputs ----------------
