@@ -302,7 +302,7 @@ class CurationIngestSpec extends AnyFunSuite {
     }
   }
 
-  test("online LM accretion: per-batch accretion equals a one-shot refit, a crash replay no-ops via the ci-<batchId> tag, and the tag set stays bounded") {
+  test("online LM accretion: per-batch accretion equals a one-shot refit, a crash replay no-ops via the writer-scoped batch tag, and the tag set stays bounded") {
     import graft.operators.NgramLM
     def bigramMap(df: DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
