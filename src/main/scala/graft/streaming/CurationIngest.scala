@@ -84,6 +84,16 @@ object CurationIngest {
       // and SEVERAL ingest jobs may safely share one accretion model
       // (lease-serialized staged swaps, commutative merges, per-job
       // replay tags) — unlike a dedup corpus, which is refused.
+      // COST LAW (know before enabling): NgramLM's crash discipline is
+      // a staged FULL-MODEL swap, so each batch's accretion rewrites
+      // the whole merged model — O(model) per trigger, and cumulative
+      // work goes quadratic in stream length if the vocabulary grows
+      // linearly with batches (unbounded-novelty streams). For natural
+      // text the gram space saturates and the rewrite cost plateaus at
+      // a model-sized constant per batch; for high-frequency triggers
+      // over high-novelty streams, run the accretion as a separate
+      // coarser-cadence batch job over the labeled sink instead (the
+      // same appendToStored call, every N-th partition).
       lmAccreteTable: Option[String] = None,
       // bucket count for the accretion model's staged rewrites — match
       // what the table was seeded with (NgramLM.store's `buckets`)
