@@ -271,13 +271,19 @@ object DedupIndex {
     // writer_id rows (pre-r14 stamps) belong to the table's only
     // historical writer and skip as before.
     //
-    // ONE limit-1 probe per table decides all three outcomes (r15, the
-    // r14 ADVICE efficiency finding — the refusal and the replay skip
-    // each used to scan the table, O(corpus) twice per micro-batch):
-    // absent → append, present stamped own/NULL → replay skip, present
-    // stamped FOREIGN → refuse. Reading ONE row per batch is sound
-    // because this very refusal keeps a batch id single-writer: any
-    // row of the batch carries the stamp of them all.
+    // ONE limit-1 probe per table decides all three outcomes on the
+    // COMMON paths (r15, the r14 ADVICE efficiency finding — the
+    // refusal and the replay skip each used to scan the table,
+    // O(corpus) twice per micro-batch): absent → append (the healthy
+    // steady state pays exactly one empty probe), present stamped
+    // FOREIGN → refuse. A probed row reading own/NULL is a SUSPECTED
+    // replay — only then does the full foreign-row scan run (r15
+    // ADVICE): the limit-1 row is arbitrary, and if a batch ever
+    // carried mixed stamps (a pre-r15 concurrent-append race on the
+    // non-atomic file-backend lease, historical misuse), classifying
+    // by one sampled row would turn the refusal nondeterministic —
+    // the scan keeps it loud, and its O(corpus) cost is paid only on
+    // actual replays (rare: one per crash recovery).
     val stamp: Map[String, Option[Option[String]]] =
       Seq(s"${table}_buckets", s"${table}_sets").map { t =>
         t -> (if (batchId < 0L || !spark.catalog.tableExists(t)) None
@@ -285,14 +291,21 @@ object DedupIndex {
                 .select(col("writer_id")).limit(1)
                 .collect().headOption.map(r => Option(r.getString(0))))
       }.toMap
+    def refuseForeign(t: String, foreign: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"corpus $t already carries batch $batchId stamped by a " +
+          s"DIFFERENT writer ($foreign, this job is $owner): " +
+          "two ingest jobs cannot share one dedup corpus's batch " +
+          "numbering — point each job at its own corpus table, or " +
+          "run one job")
     stamp.foreach { case (t, probed) =>
-      probed.flatten.filter(_ != owner).foreach { foreign =>
-        throw new java.util.ConcurrentModificationException(
-          s"corpus $t already carries batch $batchId stamped by a " +
-            s"DIFFERENT writer ($foreign, this job is $owner): " +
-            "two ingest jobs cannot share one dedup corpus's batch " +
-            "numbering — point each job at its own corpus table, or " +
-            "run one job")
+      probed.foreach {
+        case Some(foreign) if foreign != owner => refuseForeign(t, foreign)
+        case _ => // own/NULL sample: confirm NO foreign row hides behind it
+          spark.table(t).filter(col("batch_id") === batchId &&
+              col("writer_id").isNotNull && col("writer_id") =!= owner)
+            .select(col("writer_id")).limit(1)
+            .collect().headOption.foreach(r => refuseForeign(t, r.getString(0)))
       }
     }
     def alreadyAppended(t: String): Boolean = stamp(t).isDefined

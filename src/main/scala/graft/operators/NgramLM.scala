@@ -194,12 +194,49 @@ object NgramLM {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
-  /** Reload a stored model; the count DataFrames carry the bucket
-    * spec, so joins on their keys skip the stored-side exchange.
-    * Meta written before the order column existed reads as order 2
-    * (the only order that ever produced such a store).
+  /** Reload a stored model. With no pending deltas (every scoring
+    * model; an accretion model right after compaction) this is the
+    * BASE model verbatim — the count DataFrames carry the bucket spec,
+    * so joins on their keys skip the stored-side exchange. With
+    * pending deltas ([[appendDeltaToStored]] commits between
+    * compactions), the counts COMPOSE lazily — base FULL-OUTER-JOIN
+    * the committed deltas' per-key sums — and the vocab size is
+    * recounted exactly (one distinct-count job over the vocab-sized
+    * union; the composed count sides also lose the base's
+    * exchange-free bucket property until the next compaction). Run
+    * [[compactStored]] before putting an accretion model on a hot
+    * scoring path. Meta written before the order column existed reads
+    * as order 2 (the only order that ever produced such a store).
     */
   def load(spark: org.apache.spark.sql.SparkSession, name: String): Model = {
+    val base = loadBase(spark, name)
+    val pending = pendingDeltaTagSeqs(spark, name)
+    if (pending.isEmpty) base
+    else {
+      val tags = pending.keySet.toSeq
+      val dBig = spark.table(s"${name}_delta_bigrams")
+        .filter(col("tag").isin(tags: _*))
+        .groupBy(col("gram_hash")).agg(sum(col("c2")).as("c2"))
+      val dPre = spark.table(s"${name}_delta_prefixes")
+        .filter(col("tag").isin(tags: _*))
+        .groupBy(col("prefix_hash")).agg(sum(col("c1")).as("c1"))
+      val dVoc = spark.table(s"${name}_delta_vocab")
+        .filter(col("tag").isin(tags: _*)).select(col("w")).distinct()
+      val sv = base.vocab.getOrElse(throw new IllegalStateException(
+        s"stored LM $name has pending deltas but no ${name}_vocab table — " +
+          "delta appends require one (appendDeltaToStored enforces this)"))
+      val vocabUnion = sv.union(dVoc.join(sv, Seq("w"), "left_anti"))
+      val composed = mergeSameOrder(base,
+        Model(dBig, dPre, 0L, None, base.order))
+      Model(composed.bigrams, composed.prefixes,
+        vocabUnion.count(), Some(vocabUnion), base.order)
+    }
+  }
+
+  /** The stored BASE tables only — what [[load]] returns when no
+    * deltas are pending, and what compaction merges into. */
+  private def loadBase(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Model = {
     val meta = spark.table(s"${name}_meta").head()
     Model(spark.table(s"${name}_bigrams"), spark.table(s"${name}_prefixes"),
       meta.getLong(0),
@@ -208,10 +245,14 @@ object NgramLM {
       if (meta.length > 1) meta.getInt(1) else 2)
   }
 
-  /** Accrete a batch into a stored model: merge the batch's counts
-    * into the bucketed tables (rewrite — count tables are vocab-sized
-    * but contracted; the corpus itself is never rescanned) and grow
-    * the vocab EXACTLY: the batch's distinct tokens anti-join the
+  /** Accrete a batch into a stored model in ONE call: merge the
+    * batch's counts into the bucketed tables (a full-model rewrite —
+    * count tables are vocab-sized but contracted; the corpus itself is
+    * never rescanned) and grow the vocab EXACTLY. O(model) per call:
+    * for per-micro-batch cadence use [[appendDeltaToStored]] (O(batch))
+    * + periodic [[compactStored]] instead — this one-shot form suits
+    * occasional day-sized accretions, and it compacts any pending
+    * deltas first so mixed usage stays exact. Vocab accounting: the batch's distinct tokens anti-join the
     * stored `<name>_vocab` table (bucketed on the token — the stored
     * side reads pre-partitioned), and only genuinely new tokens bump
     * the count, so `append ≡ refit` holds INCLUDING the smoothing
@@ -293,7 +334,14 @@ object NgramLM {
     recoverStored(spark, name)
     if (batchTag.exists(committedTags(spark, name).contains))
       return load(spark, name) // replayed append: already committed
-    val stored = load(spark, name)
+    // mixed usage: a full append's merge must not fold pending DELTA
+    // counts into the base while their partitions (and tags) stay in
+    // the delta tables — the composed reader would then double-count.
+    // Compact first (already under this lease); the base is then the
+    // whole committed model.
+    if (pendingDeltaTagSeqs(spark, name).nonEmpty)
+      compactUnderLease(spark, name, buckets, tagRetention, Int.MaxValue)
+    val stored = loadBase(spark, name)
     val batchModel = fit(batch, idCol, textCol, stored.order)
     val merged = merge(stored, batchModel)
     // exact vocab: stored tokens + the batch's anti-joined novelty
@@ -303,21 +351,6 @@ object NgramLM {
         (stored.vocabSize + newToks.count(), Some(sv.union(newToks)))
       case _ => (merged.vocabSize, None)
     }
-    // stage the whole next model BESIDE the live tables (live model
-    // untouched and readable throughout the batch-sized rewrite)
-    merged.bigrams.write.mode("overwrite")
-      .bucketBy(buckets, "gram_hash").sortBy("gram_hash")
-      .saveAsTable(s"${name}__stage_bigrams")
-    merged.prefixes.write.mode("overwrite")
-      .bucketBy(buckets, "prefix_hash").sortBy("prefix_hash")
-      .saveAsTable(s"${name}__stage_prefixes")
-    vocabOut.foreach(_.write.mode("overwrite")
-      .bucketBy(buckets, "w").sortBy("w")
-      .saveAsTable(s"${name}__stage_vocab"))
-    import spark.implicits._
-    Seq((vocabSize, stored.order, batchTag.orNull))
-      .toDF("vocab_size", "gram_order", "batch_tag")
-      .write.mode("overwrite").saveAsTable(s"${name}__stage_meta")
     // the committed-tag SET rides the same staged swap as the counts,
     // so it can never record a tag whose counts didn't land (or vice
     // versa): stage = live tags ∪ this tag, trimmed to the
@@ -325,35 +358,247 @@ object NgramLM {
     // monotonically here; legacy rows without one tie at 0 = oldest).
     // An append without a tag stages nothing — the live tag table
     // survives the swap untouched.
-    batchTag.foreach { tag =>
+    val stagedTags = batchTag.map { tag =>
       val live = committedTagSeqs(spark, name)
       val nextSeq = if (live.isEmpty) 0L else live.values.max + 1L
       val all = (live + (tag -> nextSeq)).toSeq
-      val kept =
-        if (all.size <= tagRetention) all
-        else all.sortBy { case (t, s) => (-s, t) }.take(tagRetention)
-      kept.toDF("tag", "seq")
-        .write.mode("overwrite").saveAsTable(s"${name}__stage_tags")
+      if (all.size <= tagRetention) all
+      else all.sortBy { case (t, s) => (-s, t) }.take(tagRetention)
     }
+    stageAndSwap(spark, name, merged.bigrams, merged.prefixes, vocabOut,
+      vocabSize, stored.order, batchTag, stagedTags, buckets,
+      dropDeltas = false, crashAfterStep)
+    load(spark, name)
+  }
+
+  /** The shared staged-swap tail of every full-model rewrite (a tagged
+    * append, a delta compaction): stage every table BESIDE the live
+    * ones (live model untouched and readable throughout), write the
+    * commit marker, swap stage → live, then refresh the caller's
+    * relation cache. `dropDeltas` rides IN the marker: a compaction's
+    * roll-forward must also drop the delta tables it folded in, even
+    * when the roll-forward is a crash recovery in a later session.
+    */
+  private def stageAndSwap(spark: org.apache.spark.sql.SparkSession,
+      name: String, bigrams: DataFrame, prefixes: DataFrame,
+      vocabOut: Option[DataFrame], vocabSize: Long, order: Int,
+      metaTag: Option[String], stagedTags: Option[Seq[(String, Long)]],
+      buckets: Int, dropDeltas: Boolean, crashAfterStep: Int): Unit = {
+    import spark.implicits._
+    bigrams.write.mode("overwrite")
+      .bucketBy(buckets, "gram_hash").sortBy("gram_hash")
+      .saveAsTable(s"${name}__stage_bigrams")
+    prefixes.write.mode("overwrite")
+      .bucketBy(buckets, "prefix_hash").sortBy("prefix_hash")
+      .saveAsTable(s"${name}__stage_prefixes")
+    vocabOut.foreach(_.write.mode("overwrite")
+      .bucketBy(buckets, "w").sortBy("w")
+      .saveAsTable(s"${name}__stage_vocab"))
+    Seq((vocabSize, order, metaTag.orNull))
+      .toDF("vocab_size", "gram_order", "batch_tag")
+      .write.mode("overwrite").saveAsTable(s"${name}__stage_meta")
+    stagedTags.foreach(_.toDF("tag", "seq")
+      .write.mode("overwrite").saveAsTable(s"${name}__stage_tags"))
     if (crashAfterStep <= 1)
       throw new IllegalStateException("simulated crash after stage writes")
     // the commit point: marker present = staged model complete, the
     // only consistent continuation is forward
-    Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(s"${name}__commit")
+    Seq((1, dropDeltas)).toDF("ok", "drop_deltas")
+      .write.mode("overwrite").saveAsTable(s"${name}__commit")
     if (crashAfterStep <= 2)
       throw new IllegalStateException("simulated crash after commit marker")
-    completeSwap(spark, name, crashMidSwap = crashAfterStep <= 3)
+    completeSwap(spark, name, crashMidSwap = crashAfterStep <= 3,
+      crashBeforeDeltaDrop = crashAfterStep == 4)
     // mixed-session correctness (the DedupIndex.appendCorpus rule):
     // the stage writes may run through the batch frame's session (a
     // foreachBatch clone) — refresh so the CALLER's session drops any
-    // stale file listing before the reload below
+    // stale file listing before the reload
     (Seq(s"${name}_bigrams", s"${name}_prefixes", s"${name}_meta") ++
       Seq(s"${name}_vocab", s"${name}_tags").filter(spark.catalog.tableExists))
       .foreach(spark.catalog.refreshTable)
-    load(spark, name)
+  }
+
+  /** Accrete a batch as a DELTA — O(batch) per call, the scale shape
+    * for per-micro-batch accretion (r16; the full [[appendToStored]]
+    * rewrites the whole merged model per call, O(model), which goes
+    * quadratic-cumulative on long streams). The batch's count tables
+    * land as one `tag=<batchTag>` partition of `<name>_delta_bigrams`
+    * / `_delta_prefixes` / `_delta_vocab`; the COMMIT POINT is the tag
+    * row appended to the tiny `<name>_delta_tags` table LAST — readers
+    * and compaction recognize a delta only once its tag committed, so
+    * a crash anywhere earlier leaves invisible orphan files that the
+    * replay's drop-partition-then-append rewrite makes convergent.
+    * Replays of a committed tag (delta or already-compacted) no-op.
+    * Readers ([[load]]) compose base + committed deltas lazily;
+    * [[compactStored]] folds them into the base — run it every N
+    * batches ([[graft.streaming.CurationIngest.Config.lmCompactEvery]])
+    * or at a size threshold, amortizing the model-sized rewrite.
+    *
+    * Requires a vocab-bearing store ([[store]] of a [[fit]] model
+    * always writes one): exact smoothing-denominator accounting across
+    * deltas needs the stored token set.
+    */
+  def appendDeltaToStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, idCol: String, textCol: String,
+      batchTag: String,
+      owner: String = graft.operators.WriterLease.jvmOwner): Unit =
+    appendDeltaToStoredImpl(spark, name, batch, idCol, textCol, batchTag, owner)
+
+  /** `crashAfterStep` seam: 1 = bigram delta written, 2 = + prefix
+    * delta, 3 = + vocab delta (tag row NOT committed → replay rewrites
+    * all three partitions identically and then commits). */
+  private[graft] def appendDeltaToStoredImpl(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      batch: DataFrame, idCol: String, textCol: String, batchTag: String,
+      owner: String = graft.operators.WriterLease.jvmOwner,
+      crashAfterStep: Int = Int.MaxValue): Unit = {
+    require(batchTag.nonEmpty &&
+      batchTag.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"batchTag '$batchTag' must be non-empty [A-Za-z0-9._-]: it names a " +
+        "partition directory, so the charset must survive the path verbatim")
+    WriterLease.withLease(spark, WriterLease.tableStatePath(spark, name), owner) {
+      recoverStored(spark, name)
+      require(spark.catalog.tableExists(s"${name}_vocab"),
+        s"stored LM $name has no ${name}_vocab table: delta accretion " +
+          "needs it for exact vocab accounting — seed the store from " +
+          "NgramLM.fit (whose store always writes one)")
+      if (!committedTags(spark, name).contains(batchTag)) {
+        val order = {
+          val meta = spark.table(s"${name}_meta").head()
+          if (meta.length > 1) meta.getInt(1) else 2
+        }
+        val occ = gramOccurrences(batch, idCol, textCol, order)
+        writeDelta(spark, name, "bigrams",
+          occ.groupBy(col("gram_hash")).agg(count(lit(1)).as("c2")), batchTag)
+        if (crashAfterStep <= 1)
+          throw new IllegalStateException("simulated crash after bigram delta")
+        writeDelta(spark, name, "prefixes",
+          occ.groupBy(col("prefix_hash")).agg(count(lit(1)).as("c1")), batchTag)
+        if (crashAfterStep <= 2)
+          throw new IllegalStateException("simulated crash after prefix delta")
+        writeDelta(spark, name, "vocab",
+          batch.select(explode(toks(textCol)).as("w")).distinct(), batchTag)
+        if (crashAfterStep <= 3)
+          throw new IllegalStateException("simulated crash after vocab delta")
+        // the commit point: one tiny append — lands whole or not at all
+        val live = committedTagSeqs(spark, name) ++ deltaTagSeqs(spark, name)
+        val nextSeq = if (live.isEmpty) 0L else live.values.max + 1L
+        import spark.implicits._
+        Seq((batchTag, nextSeq)).toDF("tag", "seq")
+          .write.mode("append").saveAsTable(s"${name}_delta_tags")
+        spark.catalog.refreshTable(s"${name}_delta_tags")
+      }
+    }
+  }
+
+  /** One delta partition, replay-convergent: drop the tag's partition
+    * (catalog + files — a crashed append can leave files the catalog
+    * never registered, which a later append would resurrect as
+    * duplicates), then append the fresh rows. First write creates the
+    * tag-partitioned table. */
+  private def writeDelta(spark: org.apache.spark.sql.SparkSession,
+      name: String, part: String, rows: DataFrame, tag: String): Unit = {
+    val tbl = s"${name}_delta_$part"
+    val tagged = rows.withColumn("tag", lit(tag))
+    if (!spark.catalog.tableExists(tbl))
+      tagged.write.partitionBy("tag").saveAsTable(tbl)
+    else {
+      spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS PARTITION (tag='$tag')")
+      val loc = new org.apache.hadoop.fs.Path(
+        WriterLease.tableStatePath(spark, tbl), s"tag=$tag")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      tagged.write.mode("append").insertInto(tbl)
+    }
+  }
+
+  /** Count of committed deltas awaiting compaction — the cadence /
+    * threshold readout ([[graft.streaming.CurationIngest]] compacts
+    * when this reaches `lmCompactEvery`). */
+  def pendingDeltaCount(spark: org.apache.spark.sql.SparkSession,
+                        name: String): Int =
+    pendingDeltaTagSeqs(spark, name).size
+
+  /** Fold every committed delta into the base model — ONE staged
+    * full-model swap for N batches of accretion (the amortization that
+    * keeps per-batch cost flat; reference convention: the stored-state
+    * repair scripts ship every such discipline ops-reachable —
+    * `OpsCli compactLm`). The swap's commit marker carries
+    * `drop_deltas`, so a crash anywhere after the marker rolls FORWARD
+    * through the delta drop ([[recoverStored]]); a crash before it
+    * drops the stages and leaves the deltas intact for a retry. The
+    * compacted tags join the base tag table — trimmed to
+    * `tagRetention` most-recent, except every tag compacted IN THIS
+    * SWAP survives it unconditionally (the reader's committed-delta
+    * set is `delta tags ∖ base tags`; trimming a just-compacted tag
+    * while its delta partition lingers in the marker window would
+    * double-count it). Returns the number of deltas folded in (0 =
+    * nothing pending, no swap ran).
+    */
+  def compactStored(spark: org.apache.spark.sql.SparkSession, name: String,
+      buckets: Int = 32,
+      owner: String = graft.operators.WriterLease.jvmOwner,
+      tagRetention: Int = Int.MaxValue): Int =
+    compactStoredImpl(spark, name, buckets, owner, tagRetention)
+
+  /** `crashAfterStep` seam (the [[stageAndSwap]] steps): 1 = stages
+    * written (marker absent → recovery drops stages, deltas intact),
+    * 2 = marker written (roll forward: swap + delta drop), 3 =
+    * mid-swap, 4 = after the renames but before the delta drop (roll
+    * forward must still drop them). */
+  private[graft] def compactStoredImpl(
+      spark: org.apache.spark.sql.SparkSession, name: String, buckets: Int,
+      owner: String = graft.operators.WriterLease.jvmOwner,
+      tagRetention: Int = Int.MaxValue,
+      crashAfterStep: Int = Int.MaxValue): Int = {
+    require(tagRetention >= 1,
+      s"tagRetention must be >= 1 (got $tagRetention)")
+    WriterLease.withLease(spark, WriterLease.tableStatePath(spark, name), owner) {
+      recoverStored(spark, name)
+      compactUnderLease(spark, name, buckets, tagRetention, crashAfterStep)
+    }
+  }
+
+  private def compactUnderLease(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int, tagRetention: Int,
+      crashAfterStep: Int): Int = {
+    val pending = pendingDeltaTagSeqs(spark, name)
+    if (pending.isEmpty) return 0
+    val tags = pending.keySet.toSeq
+    val stored = loadBase(spark, name)
+    val sv = stored.vocab.getOrElse(throw new IllegalStateException(
+      s"stored LM $name has pending deltas but no ${name}_vocab table"))
+    val dBig = spark.table(s"${name}_delta_bigrams")
+      .filter(col("tag").isin(tags: _*))
+      .groupBy(col("gram_hash")).agg(sum(col("c2")).as("c2"))
+    val dPre = spark.table(s"${name}_delta_prefixes")
+      .filter(col("tag").isin(tags: _*))
+      .groupBy(col("prefix_hash")).agg(sum(col("c1")).as("c1"))
+    val dVoc = spark.table(s"${name}_delta_vocab")
+      .filter(col("tag").isin(tags: _*)).select(col("w")).distinct()
+    val merged = mergeSameOrder(stored, Model(dBig, dPre, 0L, None, stored.order))
+    val newToks = dVoc.join(sv, Seq("w"), "left_anti")
+    val vocabSize = stored.vocabSize + newToks.count()
+    // base tags trimmed to retention, PLUS every tag compacted in this
+    // swap (unconditionally — see compactStored's contract), with the
+    // deltas' commit order preserved
+    val base = committedTagSeqs(spark, name)
+    val trimmedBase = {
+      val all = base.toSeq
+      if (all.size <= tagRetention) all
+      else all.sortBy { case (t, s) => (-s, t) }.take(tagRetention)
+    }
+    val stagedTags = (trimmedBase ++ pending.toSeq.filterNot {
+      case (t, _) => base.contains(t) }).sortBy(_._2)
+    stageAndSwap(spark, name, merged.bigrams, merged.prefixes,
+      Some(sv.union(newToks)), vocabSize, stored.order, metaTag = None,
+      stagedTags = Some(stagedTags), buckets, dropDeltas = true,
+      crashAfterStep)
+    pending.size
   }
 
   private val storeParts = Seq("bigrams", "prefixes", "vocab", "meta", "tags")
+  private val deltaParts = Seq("bigrams", "prefixes", "vocab", "tags")
 
   /** Every RETAINED committed batch tag with its commit sequence — the
     * tiny `<name>_tags` table (one row per committed tagged append,
@@ -383,17 +628,60 @@ object NgramLM {
     legacy.filterNot(tagged.contains).map(_ -> 0L).toMap ++ tagged
   }
 
+  /** Every COMMITTED tag — base tag table (full appends + compacted
+    * deltas) plus the committed delta tags: the replay no-op check. */
   private def committedTags(spark: org.apache.spark.sql.SparkSession,
                             name: String): Set[String] =
-    committedTagSeqs(spark, name).keySet
+    committedTagSeqs(spark, name).keySet ++ deltaTagSeqs(spark, name).keySet
 
-  /** Swap every staged table in (drop live, rename stage), then drop
-    * the commit marker. Idempotent under crashes at any point: a part
-    * whose stage is gone has already swapped; a part whose live is
-    * missing mid-pair just renames in.
+  /** The committed DELTA tags with their commit sequences — the tiny
+    * append-only `<name>_delta_tags` table (each row the commit point
+    * of one [[appendDeltaToStored]]; dropped whole by compaction). */
+  private def deltaTagSeqs(spark: org.apache.spark.sql.SparkSession,
+                           name: String): Map[String, Long] =
+    if (!spark.catalog.tableExists(s"${name}_delta_tags")) Map.empty
+    else spark.table(s"${name}_delta_tags").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Deltas awaiting compaction: committed delta tags NOT yet in the
+    * base tag table. The subtraction is what makes the
+    * marker-window crash state read exactly — a compaction whose swap
+    * landed but whose delta drop crashed leaves the folded tags in
+    * BOTH tables, and counting those lingering partitions again would
+    * double the folded batches. */
+  private def pendingDeltaTagSeqs(spark: org.apache.spark.sql.SparkSession,
+                                  name: String): Map[String, Long] = {
+    val delta = deltaTagSeqs(spark, name)
+    if (delta.isEmpty) delta
+    else {
+      val base = committedTagSeqs(spark, name).keySet
+      delta.filterNot { case (t, _) => base.contains(t) }
+    }
+  }
+
+  /** Whether the pending commit marker's swap must also drop the delta
+    * tables (a compaction's marker; legacy two-column-less markers read
+    * false). */
+  private def markerDropsDeltas(spark: org.apache.spark.sql.SparkSession,
+                                name: String): Boolean = {
+    val t = spark.table(s"${name}__commit")
+    t.columns.contains("drop_deltas") &&
+      t.head().getAs[Boolean]("drop_deltas")
+  }
+
+  /** Swap every staged table in (drop live, rename stage), drop the
+    * delta tables when the marker says this swap folded them in, then
+    * drop the commit marker. Idempotent under crashes at any point: a
+    * part whose stage is gone has already swapped; a part whose live
+    * is missing mid-pair just renames in; the delta drops are
+    * DROP IF EXISTS.
     */
   private def completeSwap(spark: org.apache.spark.sql.SparkSession,
-                           name: String, crashMidSwap: Boolean = false): Unit = {
+                           name: String, crashMidSwap: Boolean = false,
+                           crashBeforeDeltaDrop: Boolean = false): Unit = {
+    // read the marker's flag BEFORE the renames (the marker table is
+    // untouched by them, but a re-entrant recovery must classify first)
+    val dropDeltas = markerDropsDeltas(spark, name)
     var first = true
     storeParts.foreach { t =>
       val stage = s"${name}__stage_$t"
@@ -404,6 +692,12 @@ object NgramLM {
         first = false
         spark.sql(s"ALTER TABLE $stage RENAME TO ${name}_$t")
       }
+    }
+    if (dropDeltas) {
+      if (crashBeforeDeltaDrop)
+        throw new IllegalStateException("simulated crash before delta drop")
+      deltaParts.foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_delta_$t"))
     }
     spark.sql(s"DROP TABLE IF EXISTS ${name}__commit")
   }

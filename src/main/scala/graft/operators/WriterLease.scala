@@ -201,9 +201,37 @@ object WriterLease {
     val (raw, parsed) = readRaw(s, lp)
     parsed match {
       case Some(h) if h.owner == owner =>
-        refreshRaw(s, lp, owner, ttlMs, raw) // re-entry refresh
-        holdDepth.merge((lp, owner), 1, _ + _)
-        false
+        // re-entry refresh — and a LOUD stop if the refresh discovers
+        // the lease is not ours anymore (r15 ADVICE): a successor can
+        // break an expired lock between the read above and the CAS
+        // inside refreshRaw; silently recording a hold there would let
+        // the stale holder commit unprotected alongside the successor.
+        refreshRaw(s, lp, owner, ttlMs, raw) match {
+          case RefreshOutcome.Refreshed =>
+            holdDepth.merge((lp, owner), 1, _ + _)
+            false
+          case RefreshOutcome.OwnerChanged =>
+            holdDepth.remove((lp, owner))
+            throw new java.util.ConcurrentModificationException(
+              s"stored state at $path was lease-acquired by a concurrent " +
+                "writer between this owner's read and its re-entry " +
+                "refresh — the prior hold expired and moved on; exactly " +
+                "one writer may hold it")
+          case RefreshOutcome.LockGone =>
+            // our lock vanished mid-refresh — a prior same-owner hold's
+            // async release (the documented restart race). Retake it
+            // FRESH: exclusive create settles any rival loudly.
+            try s.createExclusive(lp, content(owner, now + ttlMs))
+            catch {
+              case _: java.io.IOException =>
+                holdDepth.remove((lp, owner))
+                throw new java.util.ConcurrentModificationException(
+                  s"stored state at $path was lease-acquired by a " +
+                    "concurrent writer during acquisition — exactly one " +
+                    "writer may hold it")
+            }
+            holdDepth.merge((lp, owner), 1, _ + _) == 1
+        }
       case Some(h) if now < h.expiresAtMs =>
         throw new java.util.ConcurrentModificationException(
           s"stored state at $path is lease-held by writer ${h.owner} " +
@@ -275,7 +303,33 @@ object WriterLease {
     val s = storeOf(spark, store)
     val lp = lockPathOf(path)
     val (raw, parsed) = readRaw(s, lp)
-    if (parsed.exists(_.owner == owner)) refreshRaw(s, lp, owner, ttlMs, raw)
+    if (parsed.exists(_.owner == owner)) {
+      refreshRaw(s, lp, owner, ttlMs, raw)
+      // RESURRECTION GUARD (r16, found by the ops refusal spec): on the
+      // file backend replaceIf is read-compare-overwrite — an async
+      // heartbeat's overwrite can land right AFTER a concurrent
+      // same-JVM release deleted the lock (the streaming idle-refresh
+      // listener has no stop gate, unlike withLease's beat), leaving an
+      // orphan lock that blocks successors for a full TTL. Depth is the
+      // JVM-local truth: if no hold remains for (lock, owner), this
+      // refresh outlived its lease — undo our own rewrite. deleteIf on
+      // the re-read bytes keeps a same-owner successor's fresh lock
+      // safe except in a same-millisecond collision, where the
+      // successor's next re-entry retakes the lock exclusively (the
+      // LockGone path).
+      if (!holdDepth.containsKey((lp, owner))) {
+        val (raw2, parsed2) = readRaw(s, lp)
+        if (parsed2.exists(_.owner == owner))
+          raw2.foreach(r => s.deleteIf(lp, r))
+      }
+    }
+  }
+
+  /** What a compare-and-refresh attempt discovered about the lease —
+    * [[acquire]]'s re-entry branch acts on it (r15 ADVICE: a silent
+    * "not ours anymore" must not record a hold). */
+  private object RefreshOutcome extends Enumeration {
+    val Refreshed, OwnerChanged, LockGone = Value
   }
 
   /** Compare-and-refresh an owned lease's expiry ([[LockStore
@@ -285,11 +339,14 @@ object WriterLease {
     * compare whose lock is STILL ours (our own concurrent heartbeat
     * rewrote it between the read and the swap — both writers stamp a
     * fresh future expiry, so losing is harmless) retries a bounded few
-    * times; any other content means the lease moved on, and the holder
-    * finds out at its next real acquire, loudly.
+    * times, then reports Refreshed (the lease IS ours; only the stamp
+    * race was lost). Any other content reports OwnerChanged; a vanished
+    * lock reports LockGone. The heartbeat caller ([[refresh]]) ignores
+    * the outcome — a holder finds out at its next real acquire, loudly;
+    * the RE-ENTRY caller must not ignore it.
     */
   private def refreshRaw(s: LockStore, lp: String, owner: String,
-                         ttlMs: Long, firstRaw: Option[String]): Unit = {
+                         ttlMs: Long, firstRaw: Option[String]): RefreshOutcome.Value = {
     var raw = firstRaw
     var attempts = 0
     while (attempts < 4) {
@@ -297,13 +354,15 @@ object WriterLease {
       raw match {
         case Some(r) =>
           if (s.replaceIf(lp, r, content(owner, System.currentTimeMillis() + ttlMs)))
-            return
+            return RefreshOutcome.Refreshed
           val (nextRaw, parsed) = readRaw(s, lp)
-          if (!parsed.exists(_.owner == owner)) return // not ours anymore
+          if (parsed.isEmpty) return RefreshOutcome.LockGone
+          if (!parsed.exists(_.owner == owner)) return RefreshOutcome.OwnerChanged
           raw = nextRaw
-        case None => return
+        case None => return RefreshOutcome.LockGone
       }
     }
+    RefreshOutcome.Refreshed
   }
 
   /** The canonical lock location for a MANAGED table's stored state —

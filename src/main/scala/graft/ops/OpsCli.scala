@@ -27,8 +27,8 @@ import org.apache.spark.sql.SparkSession
   *
   * plus the engine-extension arms: `curationIngest` (the flagship
   * composed job) and the crash-repair family — `rebuildBloom`,
-  * `recoverLm`, `recoverMerge`, `pendingSwap` — following the
-  * reference's every-repair-is-a-script convention.
+  * `recoverLm`, `compactLm`, `recoverMerge`, `pendingSwap` — following
+  * the reference's every-repair-is-a-script convention.
   */
 object OpsCli {
 
@@ -173,18 +173,50 @@ object OpsCli {
         val docs = spark.readStream.schema(probed.get).parquet(docsDir)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))
-        val q = graft.Pipeline.startCurationIngest(spark, docs, cfg,
-          labeledDir, manifestDir, checkpointDir, availableNow = once)
-        q.awaitTermination()
-        // deterministic release before the JVM exits: the stream's own
-        // terminated-listener release is async and a fast exit would
-        // strand the lock for the TTL (shares the query's once-guard,
-        // so racing the listener can never double-release)
-        CurationIngest.releaseLease(q)
-        println(s"curation ingest ${if (once) "drained" else "stopped"}: " +
-          s"labeled=$labeledDir manifest=$manifestDir")
-        0
+        // REFUSALS UNWRAPPED at the ops surface (r15 verdict): the
+        // stored-state guards throw ConcurrentModificationException —
+        // at LAUNCH directly (the job-lifetime lease), mid-stream
+        // wrapped in Structured Streaming's StreamingQueryException
+        // (the per-commit lease and the corpus provenance refusal). An
+        // operator diagnosing "why won't my second job start" needs the
+        // one refusal line, not a foreachBatch stack — print the root
+        // cause and exit 3 (distinct from usage=2 / generic failure=1).
+        try {
+          val q = graft.Pipeline.startCurationIngest(spark, docs, cfg,
+            labeledDir, manifestDir, checkpointDir, availableNow = once)
+          try q.awaitTermination()
+          // deterministic release before the JVM exits: the stream's own
+          // terminated-listener release is async and a fast exit would
+          // strand the lock for the TTL (shares the query's once-guard,
+          // so racing the listener can never double-release); on a
+          // refusal the release is equally due — the query died, not us
+          finally CurationIngest.releaseLease(q)
+          println(s"curation ingest ${if (once) "drained" else "stopped"}: " +
+            s"labeled=$labeledDir manifest=$manifestDir")
+          0
+        } catch {
+          case e: Throwable => rootRefusal(e) match {
+            case Some(refusal) =>
+              System.err.println(s"curationIngest refused: ${refusal.getMessage}")
+              3
+            case None => throw e
+          }
         }
+        }
+        }
+      case ("compactLm", name :: tail) =>
+        // fold an accretion model's pending delta appends into its base
+        // tables (NgramLM.compactStored) — the ops-reachable cadence
+        // point when the stream runs with lmCompactEvery=0, and the
+        // manual repair after an interrupted compaction (entry recovery
+        // classifies by the commit marker exactly like recoverLm)
+        underLease(spark, tablePath(spark, name)) {
+          val folded = graft.operators.NgramLM.compactStored(spark, name,
+            buckets = tail.headOption.flatMap(_.toIntOption).getOrElse(32),
+            tagRetention = tail.lift(1).flatMap(_.toIntOption)
+              .getOrElse(Int.MaxValue))
+          println(s"stored LM $name compacted: $folded delta batch(es) " +
+            "folded into the base model")
         }
       // ---- crash-repair family: the engine's stored-state analogue of
       // the reference's standalone repair scripts (unlockBatch.js,
@@ -260,6 +292,24 @@ object OpsCli {
   private def tablePath(spark: SparkSession, table: String): String =
     graft.operators.WriterLease.tableStatePath(spark, table)
 
+  /** The stored-state refusal at the root of a streaming failure, if
+    * that is what killed it: walks the cause chain (Structured
+    * Streaming wraps a foreachBatch throw in StreamingQueryException,
+    * often through an ExecutionException) to the first
+    * ConcurrentModificationException — the type every lease and
+    * provenance guard throws. Anything else stays a raw failure. */
+  private def rootRefusal(e: Throwable): Option[java.util.ConcurrentModificationException] = {
+    var cur = e
+    val seen = scala.collection.mutable.Set[Throwable]()
+    while (cur != null && seen.add(cur)) {
+      cur match {
+        case c: java.util.ConcurrentModificationException => return Some(c)
+        case _ => cur = cur.getCause
+      }
+    }
+    None
+  }
+
   /** Run a repair under the writer lease; a LIVE holder reports
     * cleanly and exits 1 — repairing under a running job would roll
     * back its in-flight state. */
@@ -289,6 +339,7 @@ object OpsCli {
       |                 [--once] [--schema <ddl>] [--packSlices <n>]
       |  rebuildBloom   <dedupTable> [items] [fpp]
       |  recoverLm      <lmName>
+      |  compactLm      <lmName> [buckets] [tagRetention]
       |  recoverMerge   <bucketTablePath>
       |  pendingSwap    <bucketTablePath>
       |  leaseStatus    <storedStatePath>

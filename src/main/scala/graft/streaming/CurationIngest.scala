@@ -84,20 +84,30 @@ object CurationIngest {
       // and SEVERAL ingest jobs may safely share one accretion model
       // (lease-serialized staged swaps, commutative merges, per-job
       // replay tags) — unlike a dedup corpus, which is refused.
-      // COST LAW (know before enabling): NgramLM's crash discipline is
-      // a staged FULL-MODEL swap, so each batch's accretion rewrites
-      // the whole merged model — O(model) per trigger, and cumulative
-      // work goes quadratic in stream length if the vocabulary grows
-      // linearly with batches (unbounded-novelty streams). For natural
-      // text the gram space saturates and the rewrite cost plateaus at
-      // a model-sized constant per batch; for high-frequency triggers
-      // over high-novelty streams, run the accretion as a separate
-      // coarser-cadence batch job over the labeled sink instead (the
-      // same appendToStored call, every N-th partition).
+      // COST LAW (r16): each batch's accretion is a DELTA append —
+      // O(batch): the batch's count tables land as one tag partition
+      // of the model's delta tables, committed by one tiny tag-row
+      // append (NgramLM.appendDeltaToStored). Every `lmCompactEvery`
+      // committed deltas, the commit also runs the lease-guarded
+      // compaction folding them into the base model's bucketed tables
+      // (ONE staged full-model swap for N batches — amortized
+      // O(model/N) per batch, where the r15 shape paid O(model) EVERY
+      // batch and went quadratic-cumulative on high-novelty streams).
       lmAccreteTable: Option[String] = None,
       // bucket count for the accretion model's staged rewrites — match
       // what the table was seeded with (NgramLM.store's `buckets`)
       lmAccreteBuckets: Int = 32,
+      // compaction cadence for the delta accretion (r16): fold the
+      // pending deltas into the base model once this many have
+      // committed. Runs INSIDE the batch commit (before the offsets
+      // high-water advances), so the Nth batch pays the model-sized
+      // swap — size it to how stale the composed read path may get
+      // (each pending delta adds one partition to the accretion
+      // model's composed load) vs how often the stream may pause for
+      // a model rewrite. 0 = never compact here — run it externally
+      // (OpsCli compactLm / NgramLM.compactStored) on the operator's
+      // own schedule.
+      lmCompactEvery: Int = 16,
       // committed-tag retention for the accretion — BOUNDED by default
       // (r14 verdict: an unbounded set makes the per-batch tag rewrite
       // O(n²) cumulative at exactly this cadence). Structured
@@ -120,6 +130,9 @@ object CurationIngest {
         "micro-batch parity contract and self-reinforces the quality gate")
     require(tagRetention >= 1,
       s"tagRetention must be >= 1 (got $tagRetention)")
+    require(lmCompactEvery >= 0,
+      s"lmCompactEvery must be >= 0 (got $lmCompactEvery); 0 disables " +
+        "in-stream compaction")
   }
 
   /** Seed the stored pack-offset table: every split bucket at token 0,
@@ -361,10 +374,11 @@ object CurationIngest {
           "doc_id", "clean", cfg.dedupTable, cfg.k, cfg.bands, cfg.shingleN,
           setBuckets = 32, batchId = batchId, owner = cfg.writerId,
           crashAfterStep = crashAfterStep)
-        // ONLINE LM ACCRETION (r15, opt-in — [[Config.lmAccreteTable]]):
-        // admitted docs also accrete into the separate stored NgramLM,
-        // BEFORE the offsets high-water advances — a crash between the
-        // two replays the batch (high-water still behind), and the
+        // ONLINE LM ACCRETION (r15, opt-in — [[Config.lmAccreteTable]];
+        // r16: per-batch DELTA appends + cadenced compaction): admitted
+        // docs also accrete into the separate stored NgramLM, BEFORE
+        // the offsets high-water advances — a crash between the two
+        // replays the batch (high-water still behind), and the
         // accretion tag makes the re-append a no-op; after the advance
         // the whole batch skips, so an accretion placed later would be
         // lost forever on that window. The tag is WRITER-SCOPED
@@ -375,19 +389,25 @@ object CurationIngest {
         // LM, a natural fleet shape the corpus-side writer_id refusal
         // never sees) silently drop its same-numbered batches. Scoped
         // tags make that sharing CORRECT instead: the LM lease
-        // serializes the staged swaps, merges are commutative, and each
-        // job's replays no-op on its own tags. Empty admitted sets skip
-        // (a replayed all-dropped batch stays a no-op end to end); the
-        // tag set is BOUNDED by cfg.tagRetention (default 16 ≫ the
-        // 1-batch per-job replay horizon — size it ≥ jobs × horizon
-        // when many jobs share one model).
+        // serializes delta commits and compaction swaps, merges are
+        // commutative, and each job's replays no-op on its own tags.
+        // Empty admitted sets skip (a replayed all-dropped batch stays
+        // a no-op end to end). Tag bounds: the delta tag set is bounded
+        // by the compaction cadence; the base tag set by
+        // cfg.tagRetention at each compaction (default 16 ≫ the 1-batch
+        // per-job replay horizon — size it ≥ jobs × horizon when many
+        // jobs share one model).
         cfg.lmAccreteTable.foreach { lmAcc =>
-          if (!admitted.isEmpty)
-            NgramLM.appendToStored(spark, lmAcc,
+          if (!admitted.isEmpty) {
+            NgramLM.appendDeltaToStored(spark, lmAcc,
               admitted.select(col("doc_id"), col("clean")), "doc_id", "clean",
-              buckets = cfg.lmAccreteBuckets,
-              batchTag = Some(s"ci-${cfg.writerId}-$batchId"), owner = cfg.writerId,
-              tagRetention = cfg.tagRetention)
+              batchTag = s"ci-${cfg.writerId}-$batchId", owner = cfg.writerId)
+            if (cfg.lmCompactEvery > 0 &&
+                NgramLM.pendingDeltaCount(spark, lmAcc) >= cfg.lmCompactEvery)
+              NgramLM.compactStored(spark, lmAcc,
+                buckets = cfg.lmAccreteBuckets, owner = cfg.writerId,
+                tagRetention = cfg.tagRetention)
+          }
         }
         val sums = admitted.groupBy(col("bucket"))
           .agg(sum(col("n_tok")).cast("long").as("__add"))
@@ -446,29 +466,38 @@ object CurationIngest {
     // dominant overhead, DRAIN_STAGES_r15.json)
     val (labeled, manifest, inner) =
       curateBatchImpl(spark, batch, cfg, effBatch, materialize = true)
-    labeled.write.mode("overwrite").parquet(s"$labeledDir/batch_id=$batchId")
-    manifest.write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
-    commitBatch(spark, labeled, batchId, cfg)
-    // release every block THIS batch pinned (the scrub + labeled
-    // checkpoints, the sliced pack's checkpointed input) — relying on
-    // driver GC + the ContextCleaner would let a long-running stream
-    // accumulate materialized batches in executor storage. PRECISE, not
-    // a global persistent-RDD sweep (which would unpersist a
-    // concurrent job's blocks): the batch's own checkpointed RDDs are
-    // exactly the LogicalRDD leaves of its output plans, and
-    // unpersist on a never-persisted RDD (a memory-source batch) is a
-    // no-op. Safe after the commit: nothing recomputes a committed
-    // batch's frames.
-    // `inner` (the PRE-checkpoint scrub/labeled plans) must be in the
-    // walk: each checkpoint TRUNCATES the lineage above it — the
-    // labeled checkpoint hides the scrub checkpoint and the dedup
-    // probe's checkpointed pair frame; only the pre-checkpoint plans
-    // still carry those LogicalRDD leaves.
-    (Seq(labeled, manifest) ++ inner)
-      .flatMap(_.queryExecution.analyzed.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      })
-      .foreach(_.unpersist(blocking = false))
+    // the release walk runs in the FINALLY (r15 ADVICE): a sink write
+    // or commit failure (the lease/provenance refusals, any transient
+    // throw) would otherwise leak this attempt's three localCheckpoint
+    // pins in executor storage until JVM exit — and a long-retrying
+    // stream accumulates one set per attempt. Unpersisting an ABORTED
+    // attempt's checkpoints is safe: the replay recomputes from source.
+    try {
+      labeled.write.mode("overwrite").parquet(s"$labeledDir/batch_id=$batchId")
+      manifest.write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
+      commitBatch(spark, labeled, batchId, cfg)
+    } finally {
+      // release every block THIS batch pinned (the scrub + labeled
+      // checkpoints, the sliced pack's checkpointed input) — relying on
+      // driver GC + the ContextCleaner would let a long-running stream
+      // accumulate materialized batches in executor storage. PRECISE,
+      // not a global persistent-RDD sweep (which would unpersist a
+      // concurrent job's blocks): the batch's own checkpointed RDDs are
+      // exactly the LogicalRDD leaves of its output plans, and
+      // unpersist on a never-persisted RDD (a memory-source batch) is a
+      // no-op. On success, safe after the commit: nothing recomputes a
+      // committed batch's frames.
+      // `inner` (the PRE-checkpoint scrub/labeled plans) must be in the
+      // walk: each checkpoint TRUNCATES the lineage above it — the
+      // labeled checkpoint hides the scrub checkpoint and the dedup
+      // probe's checkpointed pair frame; only the pre-checkpoint plans
+      // still carry those LogicalRDD leaves.
+      (Seq(labeled, manifest) ++ inner)
+        .flatMap(_.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        })
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** The ONE streaming job: micro-batches of (doc_id, text) through
@@ -510,6 +539,10 @@ object CurationIngest {
       require(spark.catalog.tableExists(s"${t}_meta"),
         s"lmAccreteTable '$t' is not a stored NgramLM (no ${t}_meta): " +
           "seed it first with NgramLM.store(NgramLM.fit(day0, ...), ...)")
+      require(spark.catalog.tableExists(s"${t}_vocab"),
+        s"lmAccreteTable '$t' has no ${t}_vocab table: delta accretion " +
+          "needs it for exact vocab accounting — stores seeded from " +
+          "NgramLM.fit always carry one")
     }
     graft.operators.WriterLease.acquire(spark, jobCfg.offsetsPath, jobCfg.writerId)
     val query = try {
@@ -542,14 +575,22 @@ object CurationIngest {
     // async terminated event / the isActive fallback / the CLI's
     // post-drain release gets there first — an unguarded second
     // release would decrement a same-owner SUCCESSOR job's fresh hold
-    // and delete the lock out from under it
+    // and delete the lock out from under it. The latch makes
+    // [[releaseLease]] DETERMINISTIC even when the async listener wins
+    // the once-guard (r16, found by the ops refusal spec): without it,
+    // the CLI's post-drain call returned while the listener thread was
+    // still mid-release, and a fast JVM exit stranded the lock for the
+    // TTL — the exact window releaseLease exists to close.
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val releaseDone = new java.util.concurrent.CountDownLatch(1)
     def releaseOnce(): Unit =
       if (released.compareAndSet(false, true)) {
-        try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
-        catch { case _: IllegalStateException => () } // expired + taken over: not ours
+        try {
+          try graft.operators.WriterLease.release(spark, jobCfg.offsetsPath, jobCfg.writerId)
+          catch { case _: IllegalStateException => () } // expired + taken over: not ours
+        } finally releaseDone.countDown()
       }
-    releaseHooks.put(qid, () => releaseOnce())
+    releaseHooks.put(qid, (() => releaseOnce(), releaseDone))
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -582,19 +623,30 @@ object CurationIngest {
     query
   }
 
-  /** Per-query release hooks — lets the CLI's deterministic post-drain
-    * release share the SAME once-guard as the listener (see
-    * [[releaseLease]]). */
-  private val releaseHooks =
-    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, () => Unit]()
+  /** Per-query (release hook, completion latch) — lets the CLI's
+    * deterministic post-drain release share the SAME once-guard as the
+    * listener AND wait out a release the listener already started (see
+    * [[releaseLease]]). Entries are removed only AFTER the release
+    * completed, so a caller either finds the latch or finds the work
+    * already done. */
+  private val releaseHooks = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID, (() => Unit, java.util.concurrent.CountDownLatch)]()
 
   /** Deterministically release a drained/stopped query's job lease —
     * for callers that exit the JVM right after `awaitTermination`
     * (the async terminated listener may not have fired yet). Safe to
-    * race the listener: both route through the query's once-guard.
+    * race the listener: both route through the query's once-guard, and
+    * when the listener won, this call WAITS for its release to finish
+    * (bounded — a wedged filesystem must not hang the caller; the TTL
+    * expiry then covers the lock) so the lock is really gone before
+    * the caller exits the JVM.
     */
   def releaseLease(query: StreamingQuery): Unit =
-    Option(releaseHooks.remove(query.id)).foreach(_.apply())
+    Option(releaseHooks.get(query.id)).foreach { case (hook, done) =>
+      hook()
+      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      releaseHooks.remove(query.id)
+    }
 
   /** The streaming job's lease identity, derived from its checkpoint
     * dir (Structured Streaming's own job identity) — NORMALIZED

@@ -319,6 +319,49 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-stamp batch: the refusal stays deterministic even when the limit-1 probe samples an own/NULL row") {
+    // (r15 ADVICE) the fast path reads ONE arbitrary row's writer_id
+    // per (table, batch): if a batch ever carries MIXED stamps (a
+    // pre-r15 race on the non-atomic file lease, historical misuse),
+    // sampling an own row must not silently classify the batch as a
+    // replay skip — the own/NULL sample triggers the full foreign-row
+    // scan, which refuses loudly no matter the row order
+    import spark.implicits._
+    val tbl = freshTable("dixmix")
+    withTables(tbl) {
+      val docsA = Seq((1L, "tidal flats reveal razor clams at the spring ebb"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendCorpus(spark, docsA, "doc_id", "text", tbl,
+        batchId = 0L, owner = "job-a")
+      // forge the mixed state: a foreign writer's rows under the SAME
+      // batch id, appended directly (bypassing the guard, as the old
+      // race could)
+      spark.table(s"${tbl}_sets")
+        .withColumn("doc_id", col("doc_id") + 1000L)
+        .withColumn("writer_id", lit("job-x"))
+        .localCheckpoint()
+        .write.mode("append").bucketBy(32, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${tbl}_sets")
+      spark.table(s"${tbl}_buckets")
+        .filter(col("writer_id") === "job-a")
+        .withColumn("doc_id", col("doc_id") + 1000L)
+        .withColumn("writer_id", lit("job-x"))
+        .localCheckpoint()
+        .write.mode("append").saveAsTable(s"${tbl}_buckets")
+      spark.catalog.refreshTable(s"${tbl}_sets")
+      spark.catalog.refreshTable(s"${tbl}_buckets")
+      // job A's replay of batch 0 now sees a mixed batch: whatever row
+      // the probe lands on, the append must REFUSE (job-x's rows prove
+      // the batch numbering is shared), not skip
+      val e = intercept[java.util.ConcurrentModificationException] {
+        DedupIndex.appendCorpus(spark, docsA, "doc_id", "text", tbl,
+          batchId = 0L, owner = "job-a")
+      }
+      assert(e.getMessage.contains("DIFFERENT writer") &&
+        e.getMessage.contains("job-x"), e.getMessage)
+    }
+  }
+
   test("legacy corpus (no batch_id column): probes, watermarks, bloom, and append all work; append upgrades in place") {
     import spark.implicits._
     val tbl = freshTable("dix")

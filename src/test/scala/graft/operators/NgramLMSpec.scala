@@ -206,6 +206,232 @@ class NgramLMSpec extends AnyFunSuite {
     }
   }
 
+  private val allLmParts = Seq("_bigrams", "_prefixes", "_vocab", "_meta",
+    "_tags", "_delta_bigrams", "_delta_prefixes", "_delta_vocab",
+    "_delta_tags", "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
+    "__stage_meta", "__stage_tags", "__commit")
+
+  private def dropLm(tbl: String): Unit =
+    allLmParts.foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+
+  test("delta accretion: O(batch) appends compose to the exact refit, compaction folds them into the base, replays no-op before AND after compacting") {
+    val docs = corpus.toDF("doc_id", "text")
+    val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")
+    val day3 = Seq((9L, "entirely novel words here")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = NgramLM.fit(docs.union(day2).union(day3), "doc_id", "text")
+    val tbl = s"lmdelta_${System.nanoTime()}"
+    try {
+      NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), tbl, buckets = 4)
+      val baseBig = m(spark.table(s"${tbl}_bigrams"))
+      NgramLM.appendDeltaToStored(spark, tbl, day2, "doc_id", "text", "d2")
+      NgramLM.appendDeltaToStored(spark, tbl, day3, "doc_id", "text", "d3")
+      // the BASE tables are untouched — that is the O(batch) claim
+      assert(m(spark.table(s"${tbl}_bigrams")) == baseBig,
+        "a delta append must not rewrite the base count tables")
+      assert(!spark.catalog.tableExists(s"${tbl}_tags"))
+      assert(NgramLM.pendingDeltaCount(spark, tbl) == 2)
+      // composed read == refit, INCLUDING the exact smoothing V (day2
+      // overlaps the base vocab and day3 doesn't — both directions)
+      val composed = NgramLM.load(spark, tbl)
+      assert(m(composed.bigrams) == m(whole.bigrams))
+      assert(m(composed.prefixes) == m(whole.prefixes))
+      assert(composed.vocabSize == whole.vocabSize,
+        "composed V must count cross-delta overlap exactly once")
+      // a replayed delta tag no-ops BEFORE compaction
+      NgramLM.appendDeltaToStored(spark, tbl, day2, "doc_id", "text", "d2")
+      assert(m(NgramLM.load(spark, tbl).bigrams) == m(whole.bigrams),
+        "a pending delta tag's replay must no-op")
+      // compaction folds both deltas in one staged swap
+      assert(NgramLM.compactStored(spark, tbl, buckets = 4) == 2)
+      assert(!spark.catalog.tableExists(s"${tbl}_delta_tags"),
+        "compaction must drop the delta tables")
+      assert(!spark.catalog.tableExists(s"${tbl}_delta_bigrams"))
+      val after = NgramLM.load(spark, tbl)
+      assert(m(after.bigrams) == m(whole.bigrams))
+      assert(m(after.prefixes) == m(whole.prefixes))
+      assert(after.vocabSize == whole.vocabSize)
+      assert(spark.table(s"${tbl}_tags").collect().map(_.getString(0)).toSet
+        == Set("d2", "d3"), "compacted tags move to the base tag table")
+      // nothing pending: compaction is a no-op, not an empty swap
+      assert(NgramLM.compactStored(spark, tbl, buckets = 4) == 0)
+      // a replayed delta tag no-ops AFTER compaction too
+      NgramLM.appendDeltaToStored(spark, tbl, day3, "doc_id", "text", "d3")
+      assert(NgramLM.pendingDeltaCount(spark, tbl) == 0)
+      assert(m(NgramLM.load(spark, tbl).bigrams) == m(whole.bigrams),
+        "a compacted tag's replay must no-op")
+    } finally dropLm(tbl)
+  }
+
+  test("mixed usage: a full appendToStored with deltas pending compacts them first — one exact model, no double-counted partitions") {
+    val docs = corpus.toDF("doc_id", "text")
+    val day2 = Seq((7L, "the cat sat again")).toDF("doc_id", "text")
+    val day3 = Seq((9L, "entirely novel words here")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = NgramLM.fit(docs.union(day2).union(day3), "doc_id", "text")
+    val tbl = s"lmmix_${System.nanoTime()}"
+    try {
+      NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), tbl, buckets = 4)
+      NgramLM.appendDeltaToStored(spark, tbl, day2, "doc_id", "text", "d2")
+      val after = NgramLM.appendToStored(spark, tbl, day3, "doc_id", "text",
+        buckets = 4, batchTag = Some("full3"))
+      assert(m(after.bigrams) == m(whole.bigrams))
+      assert(after.vocabSize == whole.vocabSize)
+      assert(!spark.catalog.tableExists(s"${tbl}_delta_tags"),
+        "the full append must fold the pending delta into its base first")
+      assert(spark.table(s"${tbl}_tags").collect().map(_.getString(0)).toSet
+        == Set("d2", "full3"))
+    } finally dropLm(tbl)
+  }
+
+  test("delta append crash discipline: a crash at every step leaves the committed model unchanged, and the retry converges exactly") {
+    val docs = corpus.toDF("doc_id", "text")
+    val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = NgramLM.fit(docs, "doc_id", "text")
+    val whole = NgramLM.fit(docs.union(day2), "doc_id", "text")
+    // steps: 1 = bigram delta written, 2 = + prefix delta, 3 = + vocab
+    // delta — in every case the tag row never committed, so the orphan
+    // partitions are invisible and the retry's drop-then-append rewrite
+    // converges
+    for (step <- 1 to 3) {
+      val tbl = s"lmdcr${step}_${System.nanoTime()}"
+      try {
+        NgramLM.store(base, tbl, buckets = 4)
+        intercept[IllegalStateException] {
+          NgramLM.appendDeltaToStoredImpl(spark, tbl, day2, "doc_id", "text",
+            batchTag = "d2", crashAfterStep = step)
+        }
+        assert(NgramLM.pendingDeltaCount(spark, tbl) == 0,
+          s"step $step: an uncommitted delta must be invisible")
+        assert(m(NgramLM.load(spark, tbl).bigrams) == m(base.bigrams),
+          s"step $step: the crashed append must not change the model")
+        NgramLM.appendDeltaToStored(spark, tbl, day2, "doc_id", "text", "d2")
+        val after = NgramLM.load(spark, tbl)
+        assert(m(after.bigrams) == m(whole.bigrams),
+          s"step $step: the retry must converge (no orphan double rows)")
+        assert(after.vocabSize == whole.vocabSize, s"step $step: vocab")
+      } finally dropLm(tbl)
+    }
+  }
+
+  test("compaction crash discipline: every crash step reads or recovers to the exact refit — including the marker window where folded deltas still linger") {
+    val docs = corpus.toDF("doc_id", "text")
+    val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")
+    val day3 = Seq((9L, "entirely novel words here")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = NgramLM.fit(docs.union(day2).union(day3), "doc_id", "text")
+    // steps: 1 = stages written pre-marker (recovery drops stages,
+    // deltas INTACT → still composed-exact, retry compacts), 2 = marker
+    // written pre-swap (roll forward incl. delta drop), 3 = mid-swap,
+    // 4 = swap renamed but delta tables NOT yet dropped — the folded
+    // tags sit in BOTH tag tables, and the committed-delta subtraction
+    // (delta ∖ base) must keep the lingering partitions excluded
+    for (step <- 1 to 4) {
+      val tbl = s"lmccr${step}_${System.nanoTime()}"
+      try {
+        NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), tbl, buckets = 4)
+        NgramLM.appendDeltaToStored(spark, tbl, day2, "doc_id", "text", "d2")
+        NgramLM.appendDeltaToStored(spark, tbl, day3, "doc_id", "text", "d3")
+        intercept[IllegalStateException] {
+          NgramLM.compactStoredImpl(spark, tbl, buckets = 4,
+            crashAfterStep = step)
+        }
+        if (step == 1 || step == 4) {
+          // readable crash states (stages beside live / marker window):
+          // a lease-less READER must already see the exact model
+          assert(m(NgramLM.load(spark, tbl).bigrams) == m(whole.bigrams),
+            s"step $step: the crash-state read must stay exact")
+        }
+        if (step == 4)
+          assert(spark.catalog.tableExists(s"${tbl}_delta_tags"),
+            "step 4 is the marker window: deltas still on disk")
+        NgramLM.recoverStored(spark, tbl)
+        val recovered = NgramLM.load(spark, tbl)
+        assert(m(recovered.bigrams) == m(whole.bigrams),
+          s"step $step: recovery must land the exact refit")
+        assert(recovered.vocabSize == whole.vocabSize, s"step $step: vocab")
+        if (step == 1) {
+          // marker never landed: deltas survive; the retry compacts them
+          assert(NgramLM.pendingDeltaCount(spark, tbl) == 2, s"step $step")
+          assert(NgramLM.compactStored(spark, tbl, buckets = 4) == 2)
+        } else {
+          // marker landed: roll-forward folded AND dropped the deltas
+          assert(!spark.catalog.tableExists(s"${tbl}_delta_tags"),
+            s"step $step: roll-forward must drop the folded deltas")
+          assert(NgramLM.compactStored(spark, tbl, buckets = 4) == 0)
+        }
+        assert(m(NgramLM.load(spark, tbl).bigrams) == m(whole.bigrams),
+          s"step $step: post-recovery compaction state")
+        // the folded tags guard replays in every recovery path
+        NgramLM.appendDeltaToStored(spark, tbl, day2, "doc_id", "text", "d2")
+        assert(m(NgramLM.load(spark, tbl).bigrams) == m(whole.bigrams),
+          s"step $step: a compacted tag's replay must no-op")
+      } finally dropLm(tbl)
+    }
+  }
+
+  test("crashed-holder takeover mid-compaction: a successor breaks the expired lease, recovers the store, and compacts exactly") {
+    // the r15 lease-spec pattern applied to the NEW compaction path: the
+    // first compactor dies mid-swap holding the lease; a second writer
+    // must first be REFUSED (live lease), then break the expired lock,
+    // run entry recovery, and land the exact model
+    val docs = corpus.toDF("doc_id", "text")
+    val day2 = Seq((7L, "the cat sat again")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = NgramLM.fit(docs.union(day2), "doc_id", "text")
+    val tbl = s"lmtake_${System.nanoTime()}"
+    try {
+      NgramLM.store(NgramLM.fit(docs, "doc_id", "text"), tbl, buckets = 4)
+      NgramLM.appendDeltaToStored(spark, tbl, day2, "doc_id", "text", "d2")
+      // crash mid-swap (marker present, live bigrams dropped)…
+      intercept[IllegalStateException] {
+        NgramLM.compactStoredImpl(spark, tbl, buckets = 4,
+          owner = "dead-writer", crashAfterStep = 3)
+      }
+      // …and simulate the dead holder's lock still being live: a
+      // successor with a different owner is refused LOUDLY
+      val statePath = WriterLease.tableStatePath(spark, tbl)
+      WriterLease.acquire(spark, statePath, owner = "dead-writer", ttlMs = 250L)
+      intercept[java.util.ConcurrentModificationException] {
+        NgramLM.compactStored(spark, tbl, buckets = 4, owner = "successor")
+      }
+      Thread.sleep(300L) // the dead holder's TTL expires
+      // the successor breaks the expired lock; entry recovery rolls the
+      // staged compaction forward (marker present), then finds nothing
+      // pending
+      assert(NgramLM.compactStored(spark, tbl, buckets = 4,
+        owner = "successor") == 0)
+      val after = NgramLM.load(spark, tbl)
+      assert(m(after.bigrams) == m(whole.bigrams))
+      assert(after.vocabSize == whole.vocabSize)
+      assert(!spark.catalog.tableExists(s"${tbl}_delta_tags"))
+    } finally dropLm(tbl)
+  }
+
+  test("delta guards: a vocab-less store refuses delta accretion, and a path-hostile tag refuses before touching state") {
+    val docs = corpus.toDF("doc_id", "text")
+    val tbl = s"lmguard_${System.nanoTime()}"
+    try {
+      val fitted = NgramLM.fit(docs, "doc_id", "text")
+      NgramLM.store(fitted.copy(vocab = None), tbl, buckets = 4)
+      val e = intercept[IllegalArgumentException] {
+        NgramLM.appendDeltaToStored(spark, tbl, docs, "doc_id", "text", "d1")
+      }
+      assert(e.getMessage.contains("vocab"))
+      val bad = intercept[IllegalArgumentException] {
+        NgramLM.appendDeltaToStored(spark, tbl, docs, "doc_id", "text",
+          "bad tag/with path chars")
+      }
+      assert(bad.getMessage.contains("batchTag"))
+    } finally dropLm(tbl)
+  }
+
   test("committed-tag SET: a replay of ANY older committed tag no-ops, and a legacy meta-only tag still guards") {
     val docs = corpus.toDF("doc_id", "text")
     val day2 = Seq((7L, "the cat sat again"), (8L, "a new dog")).toDF("doc_id", "text")

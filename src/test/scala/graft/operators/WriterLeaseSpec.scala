@@ -223,6 +223,89 @@ class WriterLeaseSpec extends AnyFunSuite {
     WriterLease.release(spark, path, "successor", store = base)
   }
 
+  test("re-entry discovers the lease moved on: acquire throws instead of recording a phantom hold; a vanished own lock is retaken exclusively") {
+    // (r15 ADVICE) the old re-entry path read "owner = us", called
+    // refreshRaw, and unconditionally recorded a hold — but refreshRaw
+    // can discover mid-CAS that a successor broke our expired lock; the
+    // stale holder then proceeded to commit unprotected alongside the
+    // successor. The re-entry must throw on OwnerChanged.
+    class CasStore extends LockStore {
+      val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      def read(lp: String): Option[String] = Option(m.get(lp))
+      def createExclusive(lp: String, c: String): Unit =
+        if (m.putIfAbsent(lp, c) != null)
+          throw new java.io.IOException(s"lock exists: $lp")
+      def overwrite(lp: String, c: String): Unit = { m.put(lp, c); () }
+      def delete(lp: String): Unit = { m.remove(lp); () }
+      override def deleteIf(lp: String, expected: String): Boolean =
+        m.remove(lp, expected)
+      override def replaceIf(lp: String, expected: String, next: String): Boolean =
+        m.replace(lp, expected, next)
+    }
+    val base = new CasStore
+    val path = s"mem://state/reentry${System.nanoTime()}"
+    // "stale" holds an already-expired lease (a long GC pause, say)
+    assert(WriterLease.acquire(spark, path, owner = "stale", ttlMs = -1L, store = base))
+    // its re-entering acquire reads its own (expired) lock; IN THE
+    // WINDOW right after that read, a rival breaks the expired lock
+    // and takes the lease — deterministic via the read trap
+    val trap = new LockStore {
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def read(lp: String): Option[String] = {
+        val stale = base.read(lp)
+        if (fired.compareAndSet(false, true))
+          assert(WriterLease.acquire(spark, path, owner = "rival", store = base),
+            "the rival's break-and-take of the expired lock")
+        stale
+      }
+      def createExclusive(lp: String, c: String): Unit = base.createExclusive(lp, c)
+      def overwrite(lp: String, c: String): Unit = base.overwrite(lp, c)
+      def delete(lp: String): Unit = base.delete(lp)
+      override def deleteIf(lp: String, expected: String): Boolean =
+        base.deleteIf(lp, expected)
+      override def replaceIf(lp: String, expected: String, next: String): Boolean =
+        base.replaceIf(lp, expected, next)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      WriterLease.acquire(spark, path, owner = "stale", store = trap)
+    }
+    // the rival's lease is intact, and the stale holder recorded NO
+    // hold: releasing as "stale" is the loud foreign-release error, not
+    // a depth decrement
+    assert(WriterLease.holder(spark, path, store = base).exists(_.owner == "rival"))
+    intercept[IllegalStateException] {
+      WriterLease.release(spark, path, "stale", store = base)
+    }
+    WriterLease.release(spark, path, "rival", store = base)
+
+    // LockGone: our own lock VANISHES between the read and the refresh
+    // (a prior same-owner hold's async release — the documented restart
+    // race). The re-entry retakes it exclusively instead of refreshing
+    // a ghost or failing a healthy restart.
+    val path2 = s"mem://state/reentry2_${System.nanoTime()}"
+    assert(WriterLease.acquire(spark, path2, owner = "job", store = base))
+    val vanish = new LockStore {
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def read(lp: String): Option[String] = {
+        val cur = base.read(lp)
+        if (fired.compareAndSet(false, true)) base.delete(lp)
+        cur
+      }
+      def createExclusive(lp: String, c: String): Unit = base.createExclusive(lp, c)
+      def overwrite(lp: String, c: String): Unit = base.overwrite(lp, c)
+      def delete(lp: String): Unit = base.delete(lp)
+      override def deleteIf(lp: String, expected: String): Boolean =
+        base.deleteIf(lp, expected)
+      override def replaceIf(lp: String, expected: String, next: String): Boolean =
+        base.replaceIf(lp, expected, next)
+    }
+    WriterLease.acquire(spark, path2, owner = "job", store = vanish)
+    assert(WriterLease.holder(spark, path2, store = base).exists(_.owner == "job"),
+      "the re-entry must own a freshly-recreated lock")
+    WriterLease.release(spark, path2, "job", store = base)
+    WriterLease.release(spark, path2, "job", store = base)
+  }
+
   test("upsertBuckets under a foreign lease: fails loudly BEFORE touching state; proceeds after release") {
     val path = tmpDir("ub")
     StoredMerge.writeBuckets(Seq((1L, "v1"), (2L, "v2")).toDF("k", "v"),

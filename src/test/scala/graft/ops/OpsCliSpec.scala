@@ -170,6 +170,101 @@ class OpsCliSpec extends AnyFunSuite {
       "a usage error must exit before seeding the offsets table")
   }
 
+  test("CLI curationIngest: stored-state refusals surface as ONE root-cause line and exit 3 — at launch (foreign lease) and mid-stream (foreign corpus stamp)") {
+    // (r15 verdict item 3) the guards throw
+    // ConcurrentModificationException — at launch directly, mid-stream
+    // wrapped in StreamingQueryException through foreachBatch. An
+    // operator needs the refusal line, not a streaming stack, and a
+    // distinct exit code (3: refused; 2: usage; 1: generic failure)
+    import spark.implicits._
+    import graft.operators.{DedupIndex, NgramLM, WriterLease}
+    val t0 = System.nanoTime()
+    val dedup = s"cliref_${t0}_dedup"
+    val lm = s"cliref_${t0}_lm"
+    try {
+      val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", dedup)
+      NgramLM.store(NgramLM.fit(corpus, "doc_id", "text"), lm)
+      val root = Files.createTempDirectory("graft-cliref").toString
+      Seq((2L, "a completely different sentence about river mills and flour"))
+        .toDF("doc_id", "text").write.parquet(s"$root/docs")
+      val ops = new Ops(spark, new Ledger(spark,
+        Files.createTempDirectory("graft-cliref-ledger").toString))
+      def runCli(ckpt: String): (Int, String) = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val old = System.err
+        System.setErr(new java.io.PrintStream(buf, true))
+        val code =
+          try OpsCli.run(spark, ops, "curationIngest",
+            List(s"$root/docs", dedup, lm, s"$root/offsets", "0.0",
+              s"$root/labeled", s"$root/manifest", ckpt, "--once"))
+          finally System.setErr(old)
+        (code, buf.toString("UTF-8"))
+      }
+      // LAUNCH refusal: a live foreign lease on the offsets path — the
+      // job-lifetime acquire throws before any batch runs
+      WriterLease.acquire(spark, s"$root/offsets", owner = "foreign-job")
+      val (c1, e1) = runCli(s"$root/ckpt1")
+      assert(c1 == 3, s"launch refusal must exit 3, got $c1: $e1")
+      assert(e1.contains("curationIngest refused:") &&
+        e1.contains("lease-held"), s"root-cause line expected: $e1")
+      assert(e1.linesIterator.count(_.contains("curationIngest refused:")) == 1)
+      WriterLease.release(spark, s"$root/offsets", owner = "foreign-job")
+      // MID-STREAM refusal: this job's batch 0 already stamped by a
+      // DIFFERENT writer in the shared corpus — the commit's provenance
+      // guard throws inside foreachBatch, wrapped by the streaming
+      // engine; the CLI must still print the one refusal line
+      DedupIndex.appendCorpus(spark,
+        Seq((50L, "some other foreign writer document text")).toDF("doc_id", "text"),
+        "doc_id", "text", dedup, 32, 8, 3, setBuckets = 32,
+        batchId = 0L, owner = "foreign-writer")
+      val (c2, e2) = runCli(s"$root/ckpt2")
+      assert(c2 == 3, s"mid-stream refusal must exit 3, got $c2: $e2")
+      assert(e2.contains("curationIngest refused:") &&
+        e2.contains("DIFFERENT writer"), s"root-cause line expected: $e2")
+      // and the refused job's lease must not stay stranded: a repair
+      // arm can take the offsets path immediately
+      assert(WriterLease.holder(spark, s"$root/offsets").isEmpty,
+        "the refused job must release its own lease on the way out")
+    } finally {
+      Seq(s"${dedup}_buckets", s"${dedup}_sets", s"${dedup}_bloom",
+        s"${lm}_bigrams", s"${lm}_prefixes", s"${lm}_vocab", s"${lm}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("CLI compactLm: folds pending delta appends into the base model; a live foreign lease refuses the repair") {
+    import spark.implicits._
+    import graft.operators.{NgramLM, WriterLease}
+    val lm = s"clicompact_${System.nanoTime()}"
+    try {
+      val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val day2 = Seq((1L, "river mills grind golden flour")).toDF("doc_id", "text")
+      NgramLM.store(NgramLM.fit(corpus, "doc_id", "text"), lm, buckets = 4)
+      NgramLM.appendDeltaToStored(spark, lm, day2, "doc_id", "text", "d2")
+      val ops = new Ops(spark, new Ledger(spark,
+        Files.createTempDirectory("graft-clicompact-ledger").toString))
+      // a live foreign holder refuses the repair (exit 1, state intact)
+      val statePath = WriterLease.tableStatePath(spark, lm)
+      WriterLease.acquire(spark, statePath, owner = "other-job")
+      assert(OpsCli.run(spark, ops, "compactLm", List(lm, "4")) == 1)
+      assert(spark.catalog.tableExists(s"${lm}_delta_tags"),
+        "a refused repair must not touch the deltas")
+      WriterLease.release(spark, statePath, owner = "other-job")
+      // freed: the compaction folds the delta in
+      assert(OpsCli.run(spark, ops, "compactLm", List(lm, "4")) == 0)
+      assert(!spark.catalog.tableExists(s"${lm}_delta_tags"))
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(NgramLM.load(spark, lm).bigrams) ==
+        m(NgramLM.fit(corpus.union(day2), "doc_id", "text").bigrams))
+    } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+      "_delta_bigrams", "_delta_prefixes", "_delta_vocab", "_delta_tags")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $lm$s"))
+  }
+
   test("CLI crash-repair arms: pendingSwap status + recoverMerge roll an interrupted bucket swap back") {
     import spark.implicits._
     val ops = new Ops(spark, new Ledger(spark,

@@ -302,7 +302,7 @@ class CurationIngestSpec extends AnyFunSuite {
     }
   }
 
-  test("online LM accretion: per-batch accretion equals a one-shot refit, a crash replay no-ops via the writer-scoped batch tag, and the tag set stays bounded") {
+  test("online LM accretion: per-batch DELTA accretion equals a one-shot refit, compaction folds deltas at the cadence, a crash replay no-ops via the writer-scoped tag, and the tag set stays bounded") {
     import graft.operators.NgramLM
     def bigramMap(df: DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -318,41 +318,56 @@ class CurationIngestSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         base.copy(lmAccreteTable = Some(base.lmTable))
       }
+      intercept[IllegalArgumentException] { base.copy(lmCompactEvery = -1) }
       val cfg = base.copy(lmAccreteTable = Some(accLm), lmAccreteBuckets = 4,
-        tagRetention = 2)
-
-      // batch 0 admits NOTHING (2 exact replays, 1 near-dup, 1 junk) —
-      // the empty-accretion skip; batches 1 and 2 admit novel docs
-      val docs = day1.take(44)
-      val batches = Seq(docs.take(4), docs.slice(4, 24), docs.slice(24, 44))
+        tagRetention = 2, lmCompactEvery = 2)
+      def tag(i: Int) = s"ci-${cfg.writerId}-$i"
+      def tagsOf(t: String): Set[String] =
+        spark.table(t).collect().map(_.getString(0)).toSet
       val out = java.nio.file.Files.createTempDirectory("ci_acc").toString
-      batches.zipWithIndex.foreach { case (b, id) =>
-        CurationIngest.processBatch(spark, b.toDF("doc_id", "text"), id.toLong,
-          cfg, s"$out/labeled", s"$out/manifest")
-      }
-      // closed form: the accreted model == one refit over day-0 ∪ every
-      // admitted clean (NgramLM's append ≡ refit contract, composed
-      // through the streaming commit path)
-      val labeled = spark.read.parquet(s"$out/labeled")
+      // closed form at any point: the accreted model == one refit over
+      // day-0 ∪ every admitted clean (append ≡ refit, composed through
+      // the streaming commit path — base alone after a compaction,
+      // base + pending deltas between them)
       def wantNow(): Map[Long, Long] = bigramMap(NgramLM.fit(
         cleaned0.union(spark.read.parquet(s"$out/labeled")
           .filter(!col("bucket").startsWith("drop:"))
           .select(col("doc_id"), col("clean"))), "doc_id", "clean").bigrams)
-      assert(labeled.filter(!col("bucket").startsWith("drop:")).count() > 0)
-      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == wantNow(),
-        "per-batch accretion must equal the one-shot refit")
-      // retention 2 keeps exactly the two most-recent committed tags,
-      // WRITER-SCOPED so jobs sharing one accretion model never no-op
-      // each other's batches (ci-…-0 never existed: the all-dropped
-      // batch skipped accretion)
-      def tag(i: Int) = s"ci-${cfg.writerId}-$i"
-      val tags = spark.table(s"${accLm}_tags").collect()
-        .map(_.getString(0)).toSet
-      assert(tags == Set(tag(1), tag(2)), s"bounded tag set: $tags")
+      def proc(docs: Seq[(Long, String)], id: Long): Unit =
+        CurationIngest.processBatch(spark, docs.toDF("doc_id", "text"), id,
+          cfg, s"$out/labeled", s"$out/manifest")
 
-      // crash INSIDE the offsets swap, AFTER the accretion ran: the
-      // replay must complete the offsets WITHOUT double-counting the
-      // accreted LM (the ci-3 tag no-ops the re-append)
+      // batch 0 admits NOTHING (2 exact replays, 1 near-dup, 1 junk) —
+      // the empty-accretion skip: no delta tables appear at all
+      proc(day1.take(4), 0L)
+      assert(!spark.catalog.tableExists(s"${accLm}_delta_tags"),
+        "an all-dropped batch must not touch the accretion model")
+      // batch 1: ONE committed delta, below the cadence — the base is
+      // untouched (no base tag table yet), and the COMPOSED read
+      // (base + pending delta) already equals the refit
+      proc(day1.slice(4, 24), 1L)
+      assert(tagsOf(s"${accLm}_delta_tags") == Set(tag(1)))
+      assert(!spark.catalog.tableExists(s"${accLm}_tags"),
+        "a delta append must not rewrite the base model")
+      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == wantNow(),
+        "composed base+delta read must equal the one-shot refit")
+      // batch 2: the second delta reaches lmCompactEvery=2 — the commit
+      // compacts: deltas fold into the base, delta tables drop, the
+      // writer-scoped tags move to the base tag table
+      proc(day1.slice(24, 44), 2L)
+      assert(!spark.catalog.tableExists(s"${accLm}_delta_tags"),
+        "compaction must drop the delta tables")
+      assert(tagsOf(s"${accLm}_tags") == Set(tag(1), tag(2)))
+      val compacted = NgramLM.load(spark, accLm)
+      assert(bigramMap(compacted.bigrams) == wantNow(),
+        "the compacted model must equal the one-shot refit")
+      assert(compacted.vocabSize == NgramLM.exactVocabSize(compacted),
+        "compaction's smoothing denominator must stay exact")
+
+      // crash INSIDE the offsets swap, AFTER the accretion's delta
+      // committed: the replay must complete the offsets WITHOUT
+      // double-counting the accreted LM (the ci-3 delta tag no-ops the
+      // re-append; 1 pending < cadence, so no compaction yet)
       val b3 = day1.slice(44, 60)
       val (labeled3, manifest3) = CurationIngest.curateBatch(
         spark, b3.toDF("doc_id", "text"), cfg)
@@ -364,16 +379,34 @@ class CurationIngestSpec extends AnyFunSuite {
       }
       spark.catalog.clearCache()
       StoredMerge.recoverMerge(spark, cfg.offsetsPath)
-      CurationIngest.processBatch(spark, b3.toDF("doc_id", "text"), 3L, cfg,
-        s"$out/labeled", s"$out/manifest")
+      proc(b3, 3L)
       assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == wantNow(),
         "a crash replay must not double-count the accreted LM")
-      val tagsAfter = spark.table(s"${accLm}_tags").collect()
-        .map(_.getString(0)).toSet
-      assert(tagsAfter == Set(tag(2), tag(3)), s"bounded after replay: $tagsAfter")
+      assert(tagsOf(s"${accLm}_delta_tags") == Set(tag(3)),
+        "the replayed batch stays ONE pending delta")
       assert(offMap(cfg).values.map(_._2).toSet == Set(3L),
         "the crashed offsets swap must complete on replay")
+
+      // batches 4..6: two more compactions. Retention 2 trims the base
+      // tag set to the 2 most-recent at each swap, EXCEPT the tags
+      // compacted in that swap (the reader's committed-delta set is
+      // delta ∖ base — a just-compacted tag must survive its own swap),
+      // so the set is bounded at retention + cadence and the OLDEST
+      // tags fall off
+      proc(day1.slice(60, 76), 4L) // 2nd pending → compaction
+      assert(tagsOf(s"${accLm}_tags") == Set(tag(1), tag(2), tag(3), tag(4)),
+        "trim(base, 2) ∪ this swap's deltas")
+      proc(day1.slice(76, 92), 5L)
+      proc(day1.slice(92, 108), 6L) // → compaction
+      assert(tagsOf(s"${accLm}_tags") == Set(tag(3), tag(4), tag(5), tag(6)),
+        "the oldest tags must trim off at the NEXT compaction")
+      assert(!spark.catalog.tableExists(s"${accLm}_delta_tags"))
+      val fin = NgramLM.load(spark, accLm)
+      assert(bigramMap(fin.bigrams) == wantNow(),
+        "after three compactions the model still equals the refit")
+      assert(fin.vocabSize == NgramLM.exactVocabSize(fin))
     } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+      "_delta_bigrams", "_delta_prefixes", "_delta_vocab", "_delta_tags",
       "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
       "__stage_meta", "__stage_tags", "__commit").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $accLm$s"))
@@ -418,7 +451,9 @@ class CurationIngestSpec extends AnyFunSuite {
         "doc_id", "clean").bigrams)
       assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == want,
         "both jobs' batch 0 must land — a bare batch-id tag would drop B's")
-      val tags = spark.table(s"${accLm}_tags").collect()
+      // both deltas pending (default cadence 16): each job's tag in the
+      // shared delta tag table
+      val tags = spark.table(s"${accLm}_delta_tags").collect()
         .map(_.getString(0)).toSet
       assert(tags == Set(s"ci-${cfgA.writerId}-0", s"ci-${cfgB.writerId}-0"),
         s"writer-scoped tags: $tags")
@@ -427,7 +462,20 @@ class CurationIngestSpec extends AnyFunSuite {
         .filter(!col("bucket").startsWith("drop:")), 0L, cfgB)
       assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == want,
         "a replayed commit must not double-count the shared model")
+      // EITHER job may compact the shared model (same lease discipline):
+      // both jobs' deltas fold in, and B's replay of a COMPACTED tag
+      // still no-ops
+      assert(NgramLM.compactStored(spark, accLm, buckets = 4,
+        owner = cfgA.writerId) == 2)
+      assert(!spark.catalog.tableExists(s"${accLm}_delta_tags"))
+      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == want,
+        "compacting the shared model must preserve both jobs' batches")
+      NgramLM.appendDeltaToStored(spark, accLm, admitted, "doc_id", "clean",
+        batchTag = s"ci-${cfgB.writerId}-0", owner = cfgB.writerId)
+      assert(bigramMap(NgramLM.load(spark, accLm).bigrams) == want,
+        "a replay of a compacted tag must no-op")
     } finally Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
+      "_delta_bigrams", "_delta_prefixes", "_delta_vocab", "_delta_tags",
       "__stage_bigrams", "__stage_prefixes", "__stage_vocab",
       "__stage_meta", "__stage_tags", "__commit").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $accLm$s"))
