@@ -57,11 +57,19 @@ object Dedup {
     // HOF lambdas are re-evaluated per outer-lambda element (no CSE
     // across lambda bodies), so an un-staged shingles() would re-tokenize
     // the document k times per row — 30× slower at sf0.1.
+    // NO corpus-wide cache (r16): the shingle arrays are a
+    // doc-length-scaled column — caching them for the whole corpus is
+    // O(corpus × doc_len) executor storage (the stored-probe's measured
+    // superlinear-wall cause at 8M docs on a fixed heap). The bucket
+    // leg needs only the k-long minhash, and its self-join's
+    // repartition exchange materializes it once for both sides; the
+    // candidate-sized verification leg recomputes its few shingle sets
+    // from the source below.
     val sigs = df.select(col(idCol).as("doc_id"),
         array_distinct(graft.functions.expressions.shingles_fast(
           tokens(col(textCol)), shingleN)).as("shingle_set"))
-      .withColumn("sig", graft.functions.expressions.minhash64(col("shingle_set"), k))
-      .cache()
+      .select(col("doc_id"),
+        graft.functions.expressions.minhash64(col("shingle_set"), k).as("sig"))
 
     // Buckets carry ONLY (band, hash, id): the shingle arrays would
     // otherwise ride through the bucket-join shuffle. Candidate pairs are
@@ -88,18 +96,23 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .persist()
 
-    // Semi-prune the signature table to candidate ids BEFORE the fetch
-    // equi-joins. The id set is candidate-sized (small by construction),
-    // so broadcasting it makes the prune map-side: only ~candidate-count
-    // shingle sets ever ride an exchange — the full corpus's sets never
-    // re-enter a shuffle after the compact (band, hash, id) bucket join.
-    // The pruned table is persisted so BOTH side-fetches read it; without
-    // that, each equi-join would re-run the prune (and the scan under it).
+    // Semi-prune the SOURCE to candidate ids BEFORE recomputing any
+    // shingle set. The id set is candidate-sized (small by
+    // construction), so broadcasting it makes the prune map-side, and
+    // the doc-length-scaled shingle arrays are only ever computed for
+    // ~candidate-count docs — the full corpus's sets never materialize
+    // anywhere (see the sigs comment above). The pruned table is
+    // persisted so BOTH side-fetches read it; without that, each
+    // equi-join would re-run the prune (and the scan + recompute
+    // under it).
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id")))
       .distinct()
-    val sets = sigs.select(col("doc_id"), col("shingle_set"))
+    val sets = df.select(col(idCol).as("doc_id"), col(textCol))
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.expressions.shingles_fast(
+          tokens(col(textCol)), shingleN)).as("shingle_set"))
       .persist()
     val verified = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shingle_set").as("sh_a")), Seq("id_a"))
@@ -110,7 +123,7 @@ object Dedup {
       .withColumn("jaccard", col("intersection").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    releaseAfter(Seq(sigs, candidates, sets), verified)
+    releaseAfter(Seq(candidates, sets), verified)
   }
 
   /** Materialize `result` (it's the operator's verified-pair output —

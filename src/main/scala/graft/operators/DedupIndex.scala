@@ -48,16 +48,31 @@ import graft.functions.expressions.{bloom_contains_long, hashed_set, minhash64, 
   */
 object DedupIndex {
 
-  /** (doc_id, hset, sig) for any document frame — the shared shape of
-    * both the stored corpus and an incoming batch.
+  /** The bucketing leg's frame: doc_id + the k-long minhash ONLY. The
+    * full hashed shingle set (`hset`, ~one long per distinct shingle —
+    * a doc-length-scaled column) must never ride a batch-wide
+    * persist/cache: at 8M docs it is ~13 GB of executor storage, the
+    * measured cause of the probe's superlinear wall past 4M on a fixed
+    * heap (r16 drain scale-law runs). Legs that need `hset` recompute
+    * it per-consumer instead ([[hashedSets]]) — candidate-sized where
+    * possible, one extra streaming pass where not.
     */
-  private def signatures(df: DataFrame, idCol: String, textCol: String,
-                         k: Int, shingleN: Int): DataFrame =
+  private def sigOnly(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, shingleN: Int): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(shingles_fast(tokens(col(textCol)), shingleN)).as("shingle_set"))
-      .select(col("doc_id"),
-        hashed_set(col("shingle_set")).as("hset"),
-        minhash64(col("shingle_set"), k).as("sig"))
+      minhash64(array_distinct(shingles_fast(tokens(col(textCol)), shingleN)),
+        k).as("sig"))
+
+  /** The verification/storage leg's frame: doc_id + the full hashed
+    * shingle set, computed in a single streaming pass — pair of
+    * [[sigOnly]]; see its scaladoc for why the two are never combined
+    * under one persist.
+    */
+  private def hashedSets(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      hashed_set(array_distinct(shingles_fast(tokens(col(textCol)),
+        shingleN))).as("hset"))
 
   /** Explode a signature frame into its LSH buckets: (band, band_hash,
     * doc_id) — identical banding arithmetic to [[Dedup.minhashLSH]].
@@ -86,20 +101,23 @@ object DedupIndex {
                  setBuckets: Int = 32, bloomItems: Long = 1L << 22,
                  bloomFpp: Double = 0.01): Unit = {
     require(k % bands == 0, "bands must divide k")
-    val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
-    val bk = buckets(sigs, k, bands).persist()
+    // bucket rows (3 longs/doc/band) persist for their two consumers
+    // (table write + Bloom build); the hset frame streams straight
+    // into its single write — nothing doc-length-scaled persists
+    // (see sigOnly's scaladoc)
+    val bk = buckets(sigOnly(df, idCol, textCol, k, shingleN), k, bands).persist()
     bk.withColumn("batch_id", lit(-1L))
       .withColumn("writer_id", lit(null).cast("string"))
       .write.mode("overwrite").saveAsTable(s"${table}_buckets")
     writeBloom(spark, table,
       bk.stat.bloomFilter("band_hash", bloomItems, bloomFpp), bloomItems, bloomFpp)
     bk.unpersist(blocking = false)
-    sigs.select(col("doc_id"), col("hset"), lit(-1L).as("batch_id"),
+    hashedSets(df, idCol, textCol, shingleN)
+      .select(col("doc_id"), col("hset"), lit(-1L).as("batch_id"),
         lit(null).cast("string").as("writer_id"))
       .write.mode("overwrite")
       .bucketBy(setBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${table}_sets")
-    sigs.unpersist(blocking = false)
   }
 
   private def writeBloom(spark: SparkSession, table: String,
@@ -309,8 +327,10 @@ object DedupIndex {
       }
     }
     def alreadyAppended(t: String): Boolean = stamp(t).isDefined
-    val sigs = signatures(df, idCol, textCol, k, shingleN).persist()
-    val bk = buckets(sigs, k, bands).persist()
+    // bucket rows persist for their two consumers (append + Bloom
+    // merge); the hset frame streams straight into the sets append —
+    // nothing doc-length-scaled persists (see sigOnly's scaladoc)
+    val bk = buckets(sigOnly(df, idCol, textCol, k, shingleN), k, bands).persist()
     if (!alreadyAppended(s"${table}_buckets"))
       bk.withColumn("batch_id", lit(batchId))
         .withColumn("writer_id",
@@ -335,7 +355,8 @@ object DedupIndex {
       throw new IllegalStateException("simulated crash after corpus bloom merge")
     bk.unpersist(blocking = false)
     if (!alreadyAppended(s"${table}_sets"))
-      sigs.select(col("doc_id"), col("hset"), lit(batchId).as("batch_id"),
+      hashedSets(df, idCol, textCol, shingleN)
+        .select(col("doc_id"), col("hset"), lit(batchId).as("batch_id"),
           (if (batchId >= 0L) lit(owner)
            else lit(null).cast("string")).as("writer_id"))
         .write.mode("append")
@@ -343,7 +364,6 @@ object DedupIndex {
         .saveAsTable(s"${table}_sets")
     if (crashAfterStep <= 3)
       throw new IllegalStateException("simulated crash after corpus sets append")
-    sigs.unpersist(blocking = false)
     // MIXED-SESSION CORRECTNESS: the appends above run through the
     // INPUT frame's session — under foreachBatch that is the
     // micro-batch CLONE, and a write invalidates only the writing
@@ -362,7 +382,7 @@ object DedupIndex {
   def batchBuckets(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    buckets(signatures(df, idCol, textCol, k, shingleN), k, bands)
+    buckets(sigOnly(df, idCol, textCol, k, shingleN), k, bands)
   }
 
   /** Prune a batch's buckets to those whose band_hash might exist in
@@ -407,21 +427,20 @@ object DedupIndex {
                          idCol: String, textCol: String, threshold: Double = 0.5,
                          k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                          committedBatch: Long = Long.MaxValue): DataFrame = {
-    val (newSigs, lazyOut) = dedupAgainstStoredPlan(spark, table, newDocs,
+    val (_, lazyOut) = dedupAgainstStoredPlan(spark, table, newDocs,
       idCol, textCol, threshold, k, bands, shingleN, committedBatch)
     // eager localCheckpoint, not persist+count: the pair output is
     // small by construction and checkpoint blocks stay OUT of the
-    // SQL cache manager (the Dedup.releaseAfter discipline)
-    val out = lazyOut.localCheckpoint()
-    newSigs.unpersist(blocking = false)
-    out
+    // SQL cache manager (the Dedup.releaseAfter discipline); the
+    // signature frame is lazy and un-persisted (see sigOnly) —
+    // nothing to release.
+    lazyOut.localCheckpoint()
   }
 
   /** [[dedupAgainstStored]]'s lazy plan, pre-materialization —
-    * (persisted new-batch signatures, verified dup pairs). Split out so
+    * (new-batch minhash signatures, verified dup pairs). Split out so
     * specs can inspect the stored-side join shape (the shipped wrapper
-    * reads back the checkpointed LogicalRDD); callers of THIS form own
-    * the signature cache release.
+    * reads back the checkpointed LogicalRDD).
     */
   private[graft] def dedupAgainstStoredPlan(spark: SparkSession, table: String,
       newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
@@ -441,7 +460,14 @@ object DedupIndex {
       else full.filter(col("batch_id").isNull ||
         col("batch_id") <= committedBatch)
     }
-    val newSigs = signatures(newDocs, idCol, textCol, k, shingleN).persist()
+    // the batch side carries ONLY its minhash signature (k longs/doc)
+    // through the bucketing leg — NOT the full hashed shingle set
+    // (~one long per token, a ~1.6 KB/doc frame the pre-r16 shape
+    // persisted batch-wide: ~13 GB of executor storage at 8M docs,
+    // the measured source of the probe's superlinear wall past 4M on
+    // a fixed heap). The shingle sets are recomputed below for the
+    // candidate-sized remainder only; nothing batch-scaled persists.
+    val newSigs = sigOnly(newDocs, idCol, textCol, k, shingleN)
     val newBuckets = bloomPrune(spark, table,
       buckets(newSigs, k, bands).withColumnRenamed("doc_id", "new_id"))
 
@@ -451,23 +477,50 @@ object DedupIndex {
     // the id-collision contract (see dedupAgainstStored's scaladoc):
     // self-pair exclusion applies ONLY to unwatermarked probes — under
     // a watermark, a visible same-id row is an earlier batch's commit,
-    // so its re-arrival is a genuine stored duplicate
+    // so its re-arrival is a genuine stored duplicate.
+    // Eager candidate-sized checkpoint: three consumers below each
+    // broadcast this frame — without it, every broadcast would re-run
+    // the batch-wide signature pipeline (checkpoint blocks stay out of
+    // the SQL cache manager, the releaseAfter discipline).
     val candidates = (if (committedBatch == Long.MaxValue)
         matched.filter(col("new_id") =!= col("corpus_id"))
       else matched)
       .dropDuplicates("new_id", "corpus_id")
+      .localCheckpoint()
 
     // fetch ONLY matched corpus docs' sets; candidate ids are small by
-    // construction, so the semi-prune is map-side and the equi-join
-    // uses the stored bucketing instead of an exchange
+    // construction (LSH matches: dup rate + banding false positives),
+    // so the semi-prune is map-side and the equi-join uses the stored
+    // bucketing instead of an exchange
     val corpusSets = snapshot(s"${table}_sets")
       .join(broadcast(candidates.select(col("corpus_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
-    val out = candidates
-      .join(corpusSets.select(col("doc_id").as("corpus_id"), col("hset").as("h_c")),
-        Seq("corpus_id"))
-      .join(broadcast(newSigs.select(col("doc_id").as("new_id"), col("hset").as("h_n"))),
-        Seq("new_id"))
+    // verification joins: EVERY broadcast hint here rides a
+    // candidate-sized frame, NEVER the batch side (r16, found by the
+    // 8M drain): the pre-r16 shape hinted broadcast(newSigs) — the
+    // whole batch's signature arrays — which Spark obeys regardless of
+    // size, collecting a batch-SCALED frame to the driver every
+    // micro-batch (streaming plans run without AQE): a silent
+    // ~0.5 GB driver roundtrip per 2M-doc batch, a hard
+    // maxResultSize abort at 8M. Shape now: candidates broadcast into
+    // the bucketed corpus-sets scan (stored side still exchange-free,
+    // spec-pinned); the verification leg re-scans the batch input,
+    // broadcast-semi-prunes it to the candidate docs, and only THEN
+    // recomputes their hashed shingle sets — the batch side never
+    // exchanges, broadcasts, or persists, so the probe's memory
+    // footprint scales with the dup rate, not the batch.
+    val verified = corpusSets
+      .select(col("doc_id").as("corpus_id"), col("hset").as("h_c"))
+      .join(broadcast(candidates), Seq("corpus_id"))
+    val candSets = hashedSets(
+      newDocs.select(col(idCol).cast("long").as(idCol), col(textCol))
+        .join(broadcast(candidates.select(col("new_id").as(idCol)).distinct()),
+          Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
+      .withColumnRenamed("doc_id", "new_id")
+      .withColumnRenamed("hset", "h_n")
+    val out = candSets
+      .join(broadcast(verified), Seq("new_id"))
       .withColumn("jaccard", sorted_jaccard(col("h_n"), col("h_c")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))

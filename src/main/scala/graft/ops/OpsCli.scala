@@ -209,12 +209,21 @@ object OpsCli {
         // tables (NgramLM.compactStored) — the ops-reachable cadence
         // point when the stream runs with lmCompactEvery=0, and the
         // manual repair after an interrupted compaction (entry recovery
-        // classifies by the commit marker exactly like recoverLm)
-        underLease(spark, tablePath(spark, name)) {
+        // classifies by the commit marker exactly like recoverLm).
+        // Optional [buckets] [tagRetention] VALIDATED like every other
+        // arm: non-integer or out-of-range values are usage errors,
+        // not silent defaults
+        val buckets = tail.headOption.map(v => v.toIntOption.filter(_ >= 1))
+        val retention = tail.lift(1).map(v => v.toIntOption.filter(_ >= 1))
+        if (buckets.contains(None) || retention.contains(None)) {
+          System.err.println("compactLm: [buckets] and [tagRetention] must " +
+            s"be integers >= 1 (got ${tail.mkString(" ")})")
+          System.err.println(usage)
+          2
+        } else underLease(spark, tablePath(spark, name)) {
           val folded = graft.operators.NgramLM.compactStored(spark, name,
-            buckets = tail.headOption.flatMap(_.toIntOption).getOrElse(32),
-            tagRetention = tail.lift(1).flatMap(_.toIntOption)
-              .getOrElse(Int.MaxValue))
+            buckets = buckets.flatten.getOrElse(32),
+            tagRetention = retention.flatten.getOrElse(Int.MaxValue))
           println(s"stored LM $name compacted: $folded delta batch(es) " +
             "folded into the base model")
         }

@@ -65,13 +65,14 @@ object AccretionBench {
     }
 
     /** Order-insensitive model checksum: count, total mass, and a
-      * hash-of-rows sum per count table, plus the exact vocab size —
-      * enough to assert two accretion paths landed the same model
-      * without collecting vocab-sized tables. */
+      * hash-of-rows XOR per count table (XOR, not sum — a sum of 64-bit
+      * hashes overflows ANSI longs), plus the exact vocab size — enough
+      * to assert two accretion paths landed the same model without
+      * collecting vocab-sized tables. */
     def checksum(m: NgramLM.Model): Seq[Long] = {
       def t(df: DataFrame, k: String, c: String): Seq[Long] = {
         val r = df.agg(count(lit(1)), sum(col(c)),
-          sum(xxhash64(col(k), col(c)))).head()
+          expr(s"bit_xor(xxhash64($k, $c))")).head()
         Seq(r.getLong(0), r.getLong(1), r.getLong(2))
       }
       t(m.bigrams, "gram_hash", "c2") ++ t(m.prefixes, "prefix_hash", "c1") ++
@@ -80,6 +81,19 @@ object AccretionBench {
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // bytes on disk under a model's tables — the scale-honest cost
+    // metric: at web-scale models the per-trigger cost IS the IO, and
+    // wall-clock at toy sizes is dominated by fixed job overhead. The
+    // old shape REWRITES the whole model's bytes per trigger; the delta
+    // shape writes only its batch-sized partitions.
+    def tableBytes(prefix: String): Long = {
+      val wh = new java.io.File(s"$work/warehouse")
+      def sizeOf(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(sizeOf).sum
+        else f.length()
+      Option(wh.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(prefix)).map(sizeOf).sum
     }
     def dropLm(name: String): Unit =
       Seq("_bigrams", "_prefixes", "_vocab", "_meta", "_tags",
@@ -121,26 +135,38 @@ object AccretionBench {
       println(s"[acc] base '$label': $baseGrams grams, V=${baseModel.vocabSize}")
 
       // OLD shape: full-model swap per batch (tagged, retention-bounded
-      // exactly like the r15 streaming path)
+      // exactly like the r15 streaming path). Bytes: the staged swap
+      // rewrites the WHOLE model — the live size after each append is
+      // the bytes that trigger wrote.
+      val oldBytes = scala.collection.mutable.ArrayBuffer[Long]()
       val oldTimes = lots.zipWithIndex.map { case (b, i) =>
         val w = timed(NgramLM.appendToStored(spark, oldName, b, "doc_id",
           "text", buckets = 32, batchTag = Some(s"t$i"), tagRetention = 16))
-        println(f"[acc] $label old batch $i: $w%6.2f s")
+        oldBytes += tableBytes(oldName)
+        println(f"[acc] $label old batch $i: $w%6.2f s  ${oldBytes.last / 1024}%d KiB rewritten")
         w
       }
       // NEW shape: delta append per batch + compaction at cadence
-      // (half-way and at the end, so end-state parity is base-only)
+      // (half-way and at the end, so end-state parity is base-only).
+      // Bytes: each trigger writes only its delta partitions; the
+      // model-sized rewrite happens once per cadence.
       val compactEvery = math.max(1, nBatches / 2)
       val compactTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      val compactBytes = scala.collection.mutable.ArrayBuffer[Long]()
+      val deltaBytes = scala.collection.mutable.ArrayBuffer[Long]()
       val newTimes = lots.zipWithIndex.map { case (b, i) =>
+        val before = tableBytes(s"${newName}_delta")
         val w = timed(NgramLM.appendDeltaToStored(spark, newName, b,
           "doc_id", "text", batchTag = s"t$i"))
-        println(f"[acc] $label new batch $i: $w%6.2f s")
+        deltaBytes += tableBytes(s"${newName}_delta") - before
+        println(f"[acc] $label new batch $i: $w%6.2f s  ${deltaBytes.last / 1024}%d KiB written")
         if (NgramLM.pendingDeltaCount(spark, newName) >= compactEvery) {
           val cw = timed(NgramLM.compactStored(spark, newName, buckets = 32,
             tagRetention = 16))
-          println(f"[acc] $label compaction after batch $i: $cw%6.2f s")
           compactTimes += cw
+          compactBytes += tableBytes(newName) - tableBytes(s"${newName}_delta")
+          println(f"[acc] $label compaction after batch $i: $cw%6.2f s  " +
+            f"${compactBytes.last / 1024}%d KiB rewritten")
         }
         w
       }
@@ -148,16 +174,21 @@ object AccretionBench {
         checksum(NgramLM.load(spark, newName))
       println(s"[acc] $label parity: $parity")
       dropLm(oldName); dropLm(newName)
-      (label, baseGrams, oldTimes, newTimes, compactTimes.toSeq, parity)
+      (label, baseGrams, oldTimes, newTimes, compactTimes.toSeq, parity,
+        oldBytes.toSeq, deltaBytes.toSeq, compactBytes.toSeq)
     }
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    def arrL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     val json = s"""{"batches":$nBatches,"docs_per_batch":$perBatch,""" +
-      results.map { case (label, grams, o, n, c, p) =>
+      results.map { case (label, grams, o, n, c, p, ob, db, cb) =>
         s""""$label":{"base_grams":$grams,"old_per_batch_sec":${arr(o)},""" +
           s""""new_per_batch_sec":${arr(n)},"compactions_sec":${arr(c)},""" +
           s""""old_total_sec":${f"${o.sum}%.1f"},""" +
-          s""""new_total_sec":${f"${n.sum + c.sum}%.1f"},"parity":$p}"""
+          s""""new_total_sec":${f"${n.sum + c.sum}%.1f"},""" +
+          s""""old_bytes_rewritten_per_batch":${arrL(ob)},""" +
+          s""""new_delta_bytes_per_batch":${arrL(db)},""" +
+          s""""compaction_bytes_rewritten":${arrL(cb)},"parity":$p}"""
       }.mkString(",") + s""","sf_dir":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")

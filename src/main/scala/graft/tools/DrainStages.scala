@@ -43,7 +43,13 @@ import graft.streaming.CurationIngest
 object DrainStages {
   def main(args: Array[String]): Unit = {
     val docsCount = args.headOption.map(_.toInt).getOrElse(500000)
-    val outJson = args.lift(1).getOrElse("DRAIN_STAGES_LOCAL.json")
+    val outJson = args.filterNot(_.startsWith("--")).lift(1)
+      .getOrElse("DRAIN_STAGES_LOCAL.json")
+    // `--skipAb` skips section 2 (the r15 fix's old/new A/B — already
+    // proven at 500k and 2M): at 8M+ the pre-r15 shape alone would
+    // dominate the wall clock, and the scale-law question (section 3's
+    // per-stage growth) doesn't need it
+    val skipAb = args.contains("--skipAb")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val work = java.nio.file.Files.createTempDirectory("graft_stages").toString
@@ -169,25 +175,28 @@ object DrainStages {
     }
     // interleaved old/new/old/new: position effects (page cache, JIT
     // tail) cancel; min per side
-    val oldTimes = scala.collection.mutable.ArrayBuffer[Double]()
-    val newTimes = scala.collection.mutable.ArrayBuffer[Double]()
-    oldTimes += oldShape(); newTimes += newShape()
-    oldTimes += oldShape(); newTimes += newShape()
-    val tOldShape = oldTimes.min
-    val tNewShape = newTimes.min
-    // two-sided multiset equality: a one-way exceptAll only proves
-    // containment — extra rows on the other side would hide
-    def sameRows(aDir: String, bDir: String, cols: Seq[String]): Boolean = {
-      val a = spark.read.parquet(aDir).select(cols.map(col): _*)
-      val b = spark.read.parquet(bDir).select(cols.map(col): _*)
-      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-    }
-    val manifestCols = spark.read.parquet(s"$work/manifest_old").columns.toSeq
-    val parity =
-      sameRows(s"$work/labeled_old", s"$work/labeled_new",
-        Seq("doc_id", "bucket")) &&
-      sameRows(s"$work/manifest_old", s"$work/manifest_new", manifestCols)
-    println(s"[stages] old/new parity: $parity")
+    val (tOldShape, tNewShape, parity) =
+      if (skipAb) { println("[stages] A/B skipped (--skipAb)"); (-1.0, -1.0, true) }
+      else {
+        val oldTimes = scala.collection.mutable.ArrayBuffer[Double]()
+        val newTimes = scala.collection.mutable.ArrayBuffer[Double]()
+        oldTimes += oldShape(); newTimes += newShape()
+        oldTimes += oldShape(); newTimes += newShape()
+        // two-sided multiset equality: a one-way exceptAll only proves
+        // containment — extra rows on the other side would hide
+        def sameRows(aDir: String, bDir: String, cols: Seq[String]): Boolean = {
+          val a = spark.read.parquet(aDir).select(cols.map(col): _*)
+          val b = spark.read.parquet(bDir).select(cols.map(col): _*)
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        }
+        val manifestCols = spark.read.parquet(s"$work/manifest_old").columns.toSeq
+        val p =
+          sameRows(s"$work/labeled_old", s"$work/labeled_new",
+            Seq("doc_id", "bucket")) &&
+          sameRows(s"$work/manifest_old", s"$work/manifest_new", manifestCols)
+        println(s"[stages] old/new parity: $p")
+        (oldTimes.min, newTimes.min, p)
+      }
 
     // ---- 3. stage isolation over materialized inputs ----------------
     def cleanedPlan(in: DataFrame): DataFrame = in
@@ -204,6 +213,19 @@ object DrainStages {
     }
     val tScore = timed("lm_score") {
       noop(NgramLM.likelihoodMass(cleaned, "doc_id", "clean", model))
+    }
+    // the r15 scale-law question: the leg grew mildly superlinearly
+    // 500k→2M. Hypothesis: the per-doc gram aggregation's shuffle (the
+    // leg's ONLY exchange, ~25 gram rows/doc) outgrows 32 partitions
+    // and starts sort-spilling. Re-measure with a wider initial
+    // partition count (AQE coalesces it back when small) — if this one
+    // scales linearly where lm_score doesn't, the cause is named and
+    // the fix is the standard knob, not code.
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val tScoreWide = timed("lm_score_256p") {
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      try noop(NgramLM.likelihoodMass(cleaned, "doc_id", "clean", model))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     }
     // materialize the probe/score outputs so label_assemble times only
     // its own joins (the dup set is EMPTY here — the disjoint seed —
@@ -285,6 +307,7 @@ object DrainStages {
       s""""old_new_parity":$parity,""" +
       s""""stages_sec":{${stages.map { case (k, v) =>
         s""""$k":${f"$v%.2f"}""" }.mkString(",")}},""" +
+      s""""lm_score_256p_sec":${f"$tScoreWide%.2f"},""" +
       s""""stages_sum_sec":${f"$stagesSum%.1f"},""" +
       s""""sf_dir":"$sfDir"}"""
     println(json)

@@ -67,11 +67,13 @@ object SoakIngest {
     DedupIndex.saveCorpus(spark, day0, "doc_id", "clean", "soak_dedup")
     NgramLM.store(NgramLM.fit(day0, "doc_id", "clean"), "soak_lm")
     val model = NgramLM.load(spark, "soak_lm")
-    // the ONLINE accretion model (r15): a separate store the stream
-    // accretes every batch's admissions into, under bounded tag
-    // retention — the soak proves the tag replay guard holds across
-    // the kill/restart boundary and the tag set stays bounded over
-    // 200 batches (small buckets: the staged rewrite runs per batch)
+    // the ONLINE accretion model (r15; r16: per-batch delta appends +
+    // compaction every lmCompactEvery batches): a separate store the
+    // stream accretes every batch's admissions into — the soak proves
+    // the tag replay guard holds across the kill/restart boundary, the
+    // tag tables stay bounded over 200 batches, and ~12 in-stream
+    // compactions land the exact refit (small buckets: the staged
+    // rewrite runs only at the cadence now)
     NgramLM.store(NgramLM.fit(day0, "doc_id", "clean"), "soak_lm_acc",
       buckets = 4)
 
@@ -219,10 +221,14 @@ object SoakIngest {
       .agg(coalesce(sum(col("n_tok")), lit(0L))).head.getLong(0)
     check(packTok == admTok,
       s"packed tokens must equal admitted tokens: $packTok != $admTok")
-    // online LM accretion convergence (r15): 200 per-batch accretions —
-    // across the kill/restart replay boundary — must land on exactly
-    // the one-shot refit over day-0 ∪ every admitted clean, and the
-    // committed-tag set must stay bounded at the retention default
+    // online LM accretion convergence (r15; r16 delta shape): 200
+    // per-batch DELTA accretions — across the kill/restart replay
+    // boundary AND ~12 in-stream compactions at the default cadence —
+    // must land on exactly the one-shot refit over day-0 ∪ every
+    // admitted clean (the composed base+pending read), and both tag
+    // tables must stay bounded: pending deltas < lmCompactEvery by
+    // construction, base tags ≤ retention + one cadence worth (each
+    // compaction keeps trim(base, retention) plus its own folded tags)
     val admittedClean = labeled.filter(!col("bucket").startsWith("drop:"))
       .select(col("doc_id"), col("clean"))
     def bigramMap(df: DataFrame): Map[Long, Long] = df.collect()
@@ -235,13 +241,25 @@ object SoakIngest {
         s"${accWant.size} (first diff: ${(accWant.toSet -- accGot.toSet).take(2)})")
     val accTags = spark.table("soak_lm_acc_tags").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    check(accTags.length <= cfg.tagRetention,
-      s"tag set must stay bounded: ${accTags.length} > ${cfg.tagRetention}")
+    check(accTags.length <= cfg.tagRetention + cfg.lmCompactEvery,
+      s"base tag set must stay bounded at retention + cadence: " +
+        s"${accTags.length} > ${cfg.tagRetention + cfg.lmCompactEvery}")
+    val pendingDeltas = NgramLM.pendingDeltaCount(spark, "soak_lm_acc")
+    check(pendingDeltas < cfg.lmCompactEvery,
+      s"pending deltas must stay under the cadence: $pendingDeltas")
     // tags are writer-scoped (ci-<writerId>-<batchId>); the stream
-    // derives its writerId from the checkpoint dir
+    // derives its writerId from the checkpoint dir. The latest batch's
+    // tag is committed in the delta table (pending) or the base (just
+    // compacted) — either way it must be recognizable for replay.
     val soakWriter = CurationIngest.jobWriterId(spark, ckpt)
-    check(accTags.map(_._1).contains(s"ci-$soakWriter-${nBatches - 1}"),
-      s"latest batch's tag must be retained: ${accTags.mkString(",")}")
+    val deltaTags =
+      if (spark.catalog.tableExists("soak_lm_acc_delta_tags"))
+        spark.table("soak_lm_acc_delta_tags").collect().map(_.getString(0)).toSet
+      else Set.empty[String]
+    check((accTags.map(_._1).toSet ++ deltaTags)
+        .contains(s"ci-$soakWriter-${nBatches - 1}"),
+      s"latest batch's tag must be retained: base=${accTags.mkString(",")} " +
+        s"delta=${deltaTags.mkString(",")}")
     check(leaseFreed(), "lease must be free at the end")
     val pinnedAfter = pinned()
     check(pinnedAfter <= pinnedBefore2 + 2,
@@ -258,6 +276,7 @@ object SoakIngest {
       s""""admitted":$admitted,"packed_tokens":$packTok,""" +
       s""""accreted_lm_exact":${accGot == accWant},""" +
       s""""accreted_tags":${accTags.length},"tag_retention":${cfg.tagRetention},""" +
+      s""""pending_deltas":$pendingDeltas,"compact_every":${cfg.lmCompactEvery},""" +
       s""""pinned_max_during":$pinnedMax,"pinned_after":$pinnedAfter,""" +
       s""""offsets_final":$mxF,"failures":[${failures.map(f =>
         "\"" + f.replace("\"", "'") + "\"").mkString(",")}],""" +

@@ -253,6 +253,10 @@ class OpsCliSpec extends AnyFunSuite {
       assert(spark.catalog.tableExists(s"${lm}_delta_tags"),
         "a refused repair must not touch the deltas")
       WriterLease.release(spark, statePath, owner = "other-job")
+      // malformed optional args are usage errors, not silent defaults
+      assert(OpsCli.run(spark, ops, "compactLm", List(lm, "four")) == 2)
+      assert(OpsCli.run(spark, ops, "compactLm", List(lm, "4", "0")) == 2)
+      assert(spark.catalog.tableExists(s"${lm}_delta_tags"))
       // freed: the compaction folds the delta in
       assert(OpsCli.run(spark, ops, "compactLm", List(lm, "4")) == 0)
       assert(!spark.catalog.tableExists(s"${lm}_delta_tags"))

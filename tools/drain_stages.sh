@@ -3,7 +3,10 @@
 # each stage isolated over materialized inputs) through plain `java`
 # (the run_bench.sh launcher recipe). Requires a compiled tree (`sbt compile`).
 #
-#   tools/drain_stages.sh [docsCount] [outJson]   # defaults: 500000 DRAIN_STAGES_LOCAL.json
+#   tools/drain_stages.sh [docsCount] [outJson] [--skipAb]
+#   defaults: 500000 DRAIN_STAGES_LOCAL.json; --skipAb skips the
+#   old/new-shape A/B (for 8M+ scale-law runs where the pre-r15 shape
+#   would dominate the wall clock)
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent \
