@@ -307,7 +307,7 @@ object OpsCli {
     * often through an ExecutionException) to the first
     * ConcurrentModificationException — the type every lease and
     * provenance guard throws. Anything else stays a raw failure. */
-  private def rootRefusal(e: Throwable): Option[java.util.ConcurrentModificationException] = {
+  private[graft] def rootRefusal(e: Throwable): Option[java.util.ConcurrentModificationException] = {
     var cur = e
     val seen = scala.collection.mutable.Set[Throwable]()
     while (cur != null && seen.add(cur)) {

@@ -147,10 +147,13 @@ object FleetSoak {
       try { qB.awaitTermination(); check(ok = false,
         "phase 2: job B's commit must be refused at the foreign stamp"); "" }
       catch {
+        // the SAME root-cause unwrap the ops CLI prints (r16): walk to
+        // the ConcurrentModificationException itself, not the first
+        // wrapper whose message happens to EMBED the cause text — the
+        // r15 artifact captured the [STREAM_FAILED] wrapper because
+        // Spark's wrapper message contains the cause's
         case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-            .map(_.getMessage).find(m =>
-              m != null && m.contains("DIFFERENT writer")).getOrElse(e.getMessage)
+          graft.ops.OpsCli.rootRefusal(e).map(_.getMessage).getOrElse(e.getMessage)
       }
     CurationIngest.releaseLease(qB)
     println(s"[fleet] phase 2 refusal: $phase2Refusal")
