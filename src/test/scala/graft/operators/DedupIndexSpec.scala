@@ -513,4 +513,55 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("r16 probe memory shape: nothing cached, no batch-side broadcast in the verification legs") {
+    import org.apache.spark.sql.execution.{SparkPlan, LocalTableScanExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val tbl = freshTable("dixmem")
+    withTables(tbl) {
+    DedupIndex.saveCorpus(spark, corpus, "doc_id", "text", tbl)
+    // a batch WITH duplicates, so the candidate-sized verification
+    // legs are genuinely exercised (an empty-candidate plan would
+    // vacuously pass)
+    val (_, lazyOut) = DedupIndex.dedupAgainstStoredPlan(spark, tbl,
+      newBatch, "doc_id", "text", 0.5, 32, 8, 3)
+    assert(lazyOut.collect().nonEmpty, "the seeded dups must match")
+    val plan = lazyOut.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE hides subtrees behind QueryStageExec leaf wrappers — walk
+    // through them so the asserts see the whole physical tree
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(plan)
+    // 1. The pre-r16 shape persisted the batch's doc-length-scaled
+    //    signature frame (hset: ~13 GB of executor storage at 8M
+    //    docs, the measured superlinear-wall cause) — the probe must
+    //    never cache ANYTHING again.
+    assert(!nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      s"the probe must not persist any frame, plan:\n$plan")
+    // 2. The pre-r16 shape also broadcast that batch frame into the
+    //    verification join (a batch-scaled driver collect each
+    //    micro-batch; a maxResultSize abort at 8M). In the output
+    //    plan every broadcast must ride candidate-derived state (the
+    //    checkpointed candidates RDD / the semi-pruned stored sets) —
+    //    never a subtree containing the batch source. (The banding
+    //    leg's pruned-bucket broadcast is by design and lives in the
+    //    candidates checkpoint job, not this plan.)
+    def containsBatchLeaf(p: SparkPlan): Boolean =
+      flatten(p).exists(_.isInstanceOf[LocalTableScanExec])
+    val batchBroadcasts = nodes.collect {
+      case b: BroadcastExchangeExec if containsBatchLeaf(b) => b
+    }
+    assert(containsBatchLeaf(plan),
+      s"the batch source must feed the verification leg, plan:\n$plan")
+    assert(batchBroadcasts.isEmpty,
+      s"no broadcast may carry the batch side, plan:\n$plan")
+    }
+  }
 }
