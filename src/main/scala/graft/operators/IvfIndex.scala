@@ -212,30 +212,34 @@ object IvfIndex {
   def searchStored(spark: SparkSession, table: String, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int = 5,
                    nprobe: Int = 4): DataFrame = {
-    val (probed, out) = searchStoredPlan(spark, table, queries, idCol, vecCol,
+    val (_, out) = searchStoredPlan(spark, table, queries, idCol, vecCol,
       k, nprobe)
     // eager localCheckpoint: k·|queries| rows, and nothing is left
-    // registered in the cache manager (Dedup.releaseAfter discipline)
-    val res = out.localCheckpoint()
-    probed.unpersist(blocking = false)
-    res
+    // registered in the cache manager (Dedup.releaseAfter discipline);
+    // the probe frame is lazy and un-persisted — nothing to release
+    out.localCheckpoint()
   }
 
-  /** [[searchStored]]'s lazy plan, pre-materialization — (persisted
-    * probe table, top-k result). Split out so specs can inspect the
+  /** [[searchStored]]'s lazy plan, pre-materialization — (query probe
+    * frame, top-k result). Split out so specs can inspect the
     * bucket-pruned scan (the shipped wrapper reads back the
-    * checkpointed LogicalRDD); callers of THIS form own the probe
-    * cache release.
+    * checkpointed LogicalRDD).
     */
   private[graft] def searchStoredPlan(spark: SparkSession, table: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int): (DataFrame, DataFrame) = {
     val centroidMatrix = loadCentroids(spark, table)
-    val probed = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    // the cell list for the scan's bucket prune needs ONLY the 4-byte
+    // cell column — computed as its own pass so the query vectors are
+    // never persisted batch-wide (the r16 dedup-family law: nothing
+    // batch-scaled lives in executor storage; the routing recompute is
+    // one dims×nlist pass over a frame read straight off its source)
+    val probe0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probed = probe0
       .withColumn("cell", explode(nearest_cells(col("qvec"), centroidMatrix, nprobe)))
-      .persist()
-    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val cells = probe0
+      .select(explode(nearest_cells(col("qvec"), centroidMatrix, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
     val corpus = spark.table(table).filter(col("cell").isin(cells.toSeq: _*))
     val candidates = corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))

@@ -124,14 +124,20 @@ object SemDedup {
                                idCol: String, vecCol: String,
                                threshold: Double = 0.95, nprobe: Int = 2): DataFrame = {
     val centroidMatrix = IvfIndex.loadCentroids(spark, table)
-    val probed = newVecs
-      .select(col(idCol).as("new_id"), col(vecCol).as("nvec"))
-      .withColumn("cell",
-        explode(graft.functions.expressions.nearest_cells(col("nvec"), centroidMatrix, nprobe)))
-      .persist()
-    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    // the cell list for the scan's bucket prune needs ONLY the 4-byte
+    // cell column — computed as its own pass so the batch's vectors
+    // are never persisted batch-wide (the r16 dedup-family law:
+    // nothing batch-scaled lives in executor storage; the routing
+    // recompute is one dims×nlist pass read straight off the source)
+    val probe0 = newVecs.select(col(idCol).as("new_id"), col(vecCol).as("nvec"))
+    val probed = probe0.withColumn("cell",
+      explode(graft.functions.expressions.nearest_cells(col("nvec"), centroidMatrix, nprobe)))
+    val cells = probe0
+      .select(explode(graft.functions.expressions.nearest_cells(
+        col("nvec"), centroidMatrix, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
     val corpus = spark.table(table).filter(col("cell").isin(cells.toSeq: _*))
-    val out = corpus.join(broadcast(probed), Seq("cell"))
+    corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("new_id") =!= col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
       .withColumn("cosine", Similarity.cosine(col("cvec"), col("nvec")))
@@ -140,8 +146,6 @@ object SemDedup {
       // eager localCheckpoint: pair-sized output, cache manager stays
       // empty (the Dedup.releaseAfter discipline)
       .localCheckpoint()
-    probed.unpersist(blocking = false)
-    out
   }
 
   /** The admission filter: the batch minus vectors semantically
