@@ -67,6 +67,18 @@ object DedupIndex {
     * shingle set, computed in a single streaming pass — pair of
     * [[sigOnly]]; see its scaladoc for why the two are never combined
     * under one persist.
+    *
+    * DETERMINISM CONTRACT: the split means a probe/save/append
+    * evaluates its input frame once per leg instead of reading one
+    * persisted copy — a NONDETERMINISTIC input (sampling, rand,
+    * re-read of a mutating source) could hand the two legs different
+    * rows, leaving bucket rows without set rows (silent
+    * under-detection). This is the SAME assumption the crash-replay
+    * convergence contract already makes (a replay must re-produce the
+    * batch bit-identically — appendCorpusImpl's seams, the drain's
+    * localCheckpoint inputs); callers with nondeterministic frames
+    * must materialize them first, exactly as they already must for
+    * replay safety.
     */
   private def hashedSets(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int): DataFrame =
