@@ -1637,9 +1637,14 @@ object Queries {
       .agg(sum(size(col("bpe"))).cast("long").as("n_tok_r1"))
     val counts8 = graft.operators.BpeFit.encodeStats(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_bpe_tokens"))
+    // eager checkpoint of the (doc_id, source, 2 counts) frame: three
+    // consumers (both pack legs + docTotals) read it through
+    // non-identical subtrees, so without this the BPE encodes — the
+    // query's dominant work — re-run per consumer
     val withSource = docs.select(col("doc_id"), col("source"))
       .join(counts1, Seq("doc_id"))
       .join(counts8, Seq("doc_id"))
+      .localCheckpoint()
     val packed1 = graft.operators.Packing.packManifest(withSource,
         groupCols = Seq("source"), orderCol = "doc_id",
         tokenCol = "n_tok_r1", budget = 256)
@@ -4067,6 +4072,12 @@ object Queries {
         (col("user_id") % 2).cast("int").as("split"),
         (col("__y") * 100).cast("long").as("y_c"),
         (col("__x") * 100).cast("long").as("x_c"))
+      // eager checkpoint of the (type × user)-sized units table (the
+      // q100 convention): splitConformalOls consumes it through four
+      // non-identical subtrees (train fit, calibration residuals →
+      // the exact-rank bracket/count/select passes, n_cal) — without
+      // this the events scan + user aggregation re-runs per leg
+      .localCheckpoint()
     graft.operators.Conformal.splitConformalOls(units, "event_type", "split",
         "x_c", "y_c", alphaNum = 1L, alphaDen = 10L)
       .orderBy(col("event_type"))
@@ -4508,10 +4519,19 @@ object Queries {
   def q147Rfm(s: SparkSession, dir: String): DataFrame = {
     val ord = table(s, dir, "orders")
     val horizon = to_date(lit("2025-01-01"))
+    // eager checkpoint of the customer-sized RFM rollup (the q100/q86
+    // convention): bucketAssignMulti drives SEVEN executions over its
+    // input (one HLL routing probe + one threshold branch per metric,
+    // plus the final assignment — separate actions and non-identical
+    // subtrees, so exchange reuse never applies) — without this the
+    // orders scan + per-customer aggregation, the only corpus-sized
+    // work in the query, runs 7×. Measured r16: 2.63 → 2.04 s cold at
+    // sf0.1, FileScan(orders) 4 → 1 in the final plan.
     val rfm = ord.groupBy(col("o_custkey"))
       .agg(datediff(horizon, max(to_date(col("o_orderdate")))).cast("long").as("r_days"),
         count(lit(1)).as("f_orders"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m_cents"))
+      .localCheckpoint()
     val withQ = graft.operators.Quantiles.bucketAssignMulti(rfm,
       Seq("r_days", "f_orders", "m_cents"), buckets = 5)
       .withColumnRenamed("r_days_q", "r_q")
@@ -4554,9 +4574,15 @@ object Queries {
     */
   def q149ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Curation
+    // eager checkpoint of the narrow scored frame (doc_id + 3 scalars,
+    // no text): percentileRankByGroup consumes its input through two
+    // non-identical subtrees (the distinct-value rank table and the
+    // join-back), so the classifier-margin regex chain — the query's
+    // only corpus-sized work — would otherwise run twice per document
     val scored = table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"),
         Curation.classifierMargin(col("text")).as("margin"))
+      .localCheckpoint()
     graft.operators.Quantiles.percentileRankByGroup(scored, "source", "margin")
       .withColumn("keep", col("pct_micro") >= 400000L)
       .groupBy(col("source"))
