@@ -42,7 +42,11 @@ object Graphs {
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
       "need iters >= 1 and 0 < dampNum < dampDen")
+    // e is consumed by three non-identical subtrees (nodes union, the
+    // degree aggregate, the eDeg join) — without the checkpoint the
+    // upstream edge build (often a multi-table join) runs three times
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -91,7 +95,10 @@ object Graphs {
                            scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
       "need iters >= 1 and 0 < dampNum < dampDen")
+    // the pageRank consumption pattern: checkpoint the distinct edge
+    // set once instead of re-running the upstream build per consumer
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint()
     val s0 = sources
       .select(col(sources.columns.head).as("node")).distinct()
       .withColumn("is_src", lit(true))
@@ -179,6 +186,10 @@ object Graphs {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint() // degrees + orientation + edge count all reuse it
+    // node-sized, and consumed by SEPARATE actions (both orientation
+    // legs, the wedge readout, nodeTriangles' final join, and — in the
+    // stored path — all three table writes): materialize once instead
+    // of re-running the union+aggregate per consumer
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -478,14 +489,21 @@ object Graphs {
     var scores = nodes.select(col("node"), lit(scale).as("hub"),
       lit(scale).as("auth"))
     for (_ <- 1 to iters) {
+      // each raw contribution table feeds TWO consumers (its max probe
+      // and the renormalized vector) — materialize it once so the
+      // e-join + sum subtree never re-executes (before: the hMax probe
+      // and the round's scores checkpoint re-ran authRaw/hubRaw from
+      // scratch, 5 e-joins per round instead of 2)
       val authRaw = e.join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("a_raw"))
+        .localCheckpoint()
       val aMax = authRaw.agg(max(col("a_raw"))).head.getLong(0)
       val auth = nodes.join(authRaw, Seq("node"), "left")
         .select(col("node"),
           expr(s"coalesce(a_raw, 0L) * ${scale}L div ${aMax}L").as("auth"))
       val hubRaw = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("h_raw"))
+        .localCheckpoint()
       val hMax = hubRaw.agg(max(col("h_raw"))).head.getLong(0)
       scores = nodes.join(hubRaw, Seq("node"), "left")
         .join(auth, Seq("node"))
@@ -657,9 +675,14 @@ object Graphs {
     var done = false
     var deg: DataFrame = null
     while (it < maxIter && !done) {
+      // the round's degree table has FOUR consumers (the isEmpty peel
+      // probe, both anti-join legs, and — on the converged round — the
+      // final >= k readout): materialize it once per round instead of
+      // re-running the union+aggregate per consumer
       deg = e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint()
       val bad = deg.filter(col("core_deg") < k).select(col("node"))
       if (bad.isEmpty) done = true
       else {
@@ -719,8 +742,15 @@ object Graphs {
     val need = (k - 2).toLong
     var it = 0
     var done = false
+    var supp: DataFrame = null
     while (it < maxIter && !done) {
-      val supp = edgeSupport(e)
+      // the round's support table has TWO consumers (the isEmpty peel
+      // probe and the anti-join's bad set) and — on the converged
+      // round — doubles as the final readout: materialize ONE wedge
+      // enumeration per round (before: the anti-join action re-ran the
+      // whole edgeSupport subtree, and convergence paid a third full
+      // enumeration for `fin`)
+      supp = edgeSupport(e).localCheckpoint()
       val bad = e.join(supp, Seq("u", "v"), "left")
         .filter(coalesce(col("support"), lit(0L)) < need)
         .select(col("u"), col("v"))
@@ -731,9 +761,12 @@ object Graphs {
       }
     }
     // always emit the FINAL edge set's support — after a clean
-    // fixpoint this is the converged count (≥ k−2); on maxIter
-    // exhaustion it is still a true count over a valid partial peel
-    val fin = edgeSupport(e)
+    // fixpoint this is the converged round's (already-materialized)
+    // count (≥ k−2, identical by the fixpoint argument: no edge was
+    // bad, so no edge peeled after it was computed); on maxIter
+    // exhaustion the peel DID change e, so recount over the final
+    // edge set — still a true count over a valid partial peel
+    val fin = if (done && supp != null) supp else edgeSupport(e)
     val out = e.join(fin, Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
     if (done) out.filter(col("support") >= need) else out
@@ -762,13 +795,17 @@ object Graphs {
       .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
       .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
       .select(col("src").as("a"), col("x"), col("y"))
-    // each triangle charges its three undirected edges
-    val charges = tri.select(least(col("a"), col("x")).as("u"),
-        greatest(col("a"), col("x")).as("v"))
-      .union(tri.select(least(col("a"), col("y")).as("u"),
-        greatest(col("a"), col("y")).as("v")))
-      .union(tri.select(least(col("x"), col("y")).as("u"),
-        greatest(col("x"), col("y")).as("v")))
+    // each triangle charges its three undirected edges — via ONE
+    // explode, not a 3-way union of projections: union children are
+    // planned independently, so the union form re-executed the whole
+    // wedge-closure join three times per count (only its exchanges
+    // were reused); the explode charges all three edges in one pass
+    val charges = tri.select(explode(array(
+        struct(least(col("a"), col("x")).as("u"), greatest(col("a"), col("x")).as("v")),
+        struct(least(col("a"), col("y")).as("u"), greatest(col("a"), col("y")).as("v")),
+        struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))))
+        .as("edge"))
+      .select(col("edge.u").as("u"), col("edge.v").as("v"))
     charges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
   }
 
