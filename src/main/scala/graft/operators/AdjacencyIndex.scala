@@ -67,20 +67,36 @@ object AdjacencyIndex {
       Graphs.orientedAdjacency(edges, aCol, bCol, materializeEdges = false) match {
         case (u, d, _, a) => (u, d, a)
       }
-    adj.write.mode("overwrite")
-      .bucketBy(buckets, "src").sortBy("src")
-      .saveAsTable(s"${name}_adj")
-    deg.write.mode("overwrite")
-      .bucketBy(buckets, "node").sortBy("node")
-      .saveAsTable(s"${name}_deg")
-    // deg·(deg−1) is even → shiftright is the exact halve (the
-    // triangleStats arithmetic, kept identical so stored readouts
-    // hash-match the live census)
-    deg.agg(count(lit(1)).as("n_nodes"),
-        sum(shiftright(col("deg") * (col("deg") - 1), 1)).as("n_wedges"))
-      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"))
-      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    // the three writes are INDEPENDENT readers of the checkpointed
+    // prologue (und blocks; deg derives from them) — submit them
+    // concurrently so the adj write's tail doesn't serialize ahead of
+    // the two node-sized writes (guide §2.6 "overlap independent
+    // jobs"; the build's wall drops from the sum to ~the adj write)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future {
+        adj.write.mode("overwrite")
+          .bucketBy(buckets, "src").sortBy("src")
+          .saveAsTable(s"${name}_adj")
+      },
+      Future {
+        deg.write.mode("overwrite")
+          .bucketBy(buckets, "node").sortBy("node")
+          .saveAsTable(s"${name}_deg")
+      },
+      Future {
+        // deg·(deg−1) is even → shiftright is the exact halve (the
+        // triangleStats arithmetic, kept identical so stored readouts
+        // hash-match the live census)
+        deg.agg(count(lit(1)).as("n_nodes"),
+            sum(shiftright(col("deg") * (col("deg") - 1), 1)).as("n_wedges"))
+          .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"))
+          .write.mode("overwrite").saveAsTable(s"${name}_meta")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
     adj.unpersist(blocking = false)
   }
 

@@ -44,7 +44,16 @@ object Queries {
     * join), this shuffles them once.
     */
   private def coPurchasePairs(li: DataFrame): DataFrame =
-    li.groupBy(col("l_orderkey").as("ok"))
+    // pin the groupBy width (same key → the aggregate reuses this
+    // exchange, so no extra shuffle): the per-order sets explode to
+    // ~10× the input pairs AFTER the exchange, and AQE's byte-based
+    // coalescing (it sees only the small compressed pre-explode
+    // shuffle) would run that CPU-heavy fan-out 3-wide on a 32-core
+    // box. numShufflePartitions is the contract's scale knob — no
+    // constant.
+    li.repartition(li.sparkSession.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(col("ok"), explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
@@ -3549,7 +3558,11 @@ object Queries {
     * hash-certify exactly.
     */
   def q137Kcore(s: SparkSession, dir: String): DataFrame = {
+    // pin the self-join width (coPurchasePairs' rationale): the pair
+    // fan-out runs on the ok-keyed exchange's reduce side, which AQE
+    // would coalesce to ~3 tasks from the small compressed input
     val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
     val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
       .filter(col("a") < col("b"))
@@ -3571,7 +3584,9 @@ object Queries {
     * membership AND in-truss supports hash-certify exactly.
     */
   def q173Ktruss(s: SparkSession, dir: String): DataFrame = {
+    // pinned width, q137's rationale
     val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
     val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
       .filter(col("a") < col("b"))
@@ -4420,7 +4435,9 @@ object Queries {
     * CTE, certifying reached set AND distances exactly.
     */
   def q142Bfs(s: SparkSession, dir: String): DataFrame = {
+    // pinned width, q137's rationale
     val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
     val und = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
       .filter(col("a") < col("b"))
