@@ -31,6 +31,38 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Pin a CPU-dense scan's width before an expensive per-row
+    * expression chain (tokenize / shingle / edit-distance / regex /
+    * n-gram explode). The test tables are single-row-group parquet
+    * files — unsplittable, so the scan and every expression FUSED to
+    * it run as ONE task regardless of core count (measured: q21's
+    * shingle+hash pass and q74's LM tokenize ran single-task on the
+    * 32-core session). A keyed repartition at the session's shuffle
+    * width moves the raw rows once — tiny next to the expression work
+    * — and parallelizes everything downstream. GUARDED on the scan's
+    * actual split count so it is a NO-OP whenever the scan is already
+    * parallel (production layouts: many files / many row groups),
+    * where an unconditional corpus shuffle before the first narrow
+    * pass would be the guide-§8 anti-pattern. Only call on a bare
+    * scan (possibly projected/filtered), never above an exchange —
+    * `.rdd` there could materialize query stages under AQE.
+    *
+    * Applied ONLY where a 3-sweep A/B won (edit-distance verify paths:
+    * q113/q148 on customer, q56's span shingles). Measured and
+    * REJECTED on the documents-based dedup/LM/BPE family (q21, q57,
+    * q74, q84, q86, q90, q99, q204 — consistent 1.2-1.9× slower):
+    * those operators run MANY small jobs over the frame (persist legs,
+    * band joins, convergence probes), and 32× the tasks in every one
+    * of them costs more scheduling than the saved serial expression
+    * work on a 5k-row corpus. Per call-site measurement, never
+    * blanket.
+    */
+  private def widen(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, key)
+  }
+
   /** The part co-purchase pair table (one row per DISTINCT
     * (order, a < b) part pair) shared by the census family
     * (q133/q150/q151/q205). Built via per-order array combinations —
@@ -1215,7 +1247,7 @@ object Queries {
     */
   def q56SpanDedup(s: SparkSession, dir: String): DataFrame =
     graft.operators.SpanDedup.spanStats(
-        table(s, dir, "documents"), "doc_id", "text", k = 8)
+        widen(table(s, dir, "documents"), col("doc_id")), "doc_id", "text", k = 8)
       .orderBy(col("doc_id"))
 
   /** DSIR importance weighting ([[graft.operators.Importance]]):
@@ -2612,7 +2644,8 @@ object Queries {
     * nothing. No cartesian anywhere in the engine plan.
     */
   def q113EditPairs(s: SparkSession, dir: String): DataFrame = {
-    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val cust = widen(table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name")), col("c_custkey"))
     val p = graft.operators.EditJoin.pairs(cust, "c_custkey", "c_name",
       maxDist = 1)
     val perCust = p.select(col("id_a").as("id"))
@@ -3066,7 +3099,9 @@ object Queries {
     * computations).
     */
   def q154Communities(s: SparkSession, dir: String): DataFrame = {
+    // pinned width, q137's rationale
     val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
     val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b")), Seq("ok"))
       .filter(col("a") < col("b"))
@@ -4571,9 +4606,10 @@ object Queries {
     * the survivor choice in one hash.
     */
   def q148GoldenRecord(s: SparkSession, dir: String): DataFrame = {
-    val cust = table(s, dir, "customer")
+    val cust = widen(table(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"),
-        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents")),
+      col("c_custkey"))
     val pairs = graft.operators.EditJoin.pairs(cust, "c_custkey", "c_name",
       maxDist = 1)
       .select(col("id_a"), col("id_b"))

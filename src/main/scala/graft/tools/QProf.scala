@@ -20,7 +20,8 @@ import scala.collection.mutable
 object QProf {
   private case class Job(id: Int, t0: Long, var t1: Long = 0L,
                          var stages: Int = 0, var tasks: Int = 0,
-                         var taskRunMs: Long = 0L, group: String = "")
+                         var taskRunMs: Long = 0L, group: String = "",
+                         var site: String = "")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -39,7 +40,10 @@ object QProf {
     var phase = ""
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
-        jobs(js.jobId) = Job(js.jobId, js.time, group = phase)
+        val site = Option(js.properties)
+          .map(p => Option(p.getProperty("callSite.short")).getOrElse("")
+            .replaceAll("\\s+", " ")).getOrElse("")
+        jobs(js.jobId) = Job(js.jobId, js.time, group = phase, site = site)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(je.jobId).foreach(_.t1 = je.time)
@@ -47,6 +51,7 @@ object QProf {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = jobs.synchronized {
         // stages carry no job id here; attribute to the open job
         jobs.values.toSeq.filter(j => j.t1 == 0L).lastOption.foreach { j =>
+          if (j.site.isEmpty) j.site = sc.stageInfo.name.replaceAll("\\s+", " ")
           j.stages += 1
           j.tasks += sc.stageInfo.numTasks
           j.taskRunMs += sc.stageInfo.taskMetrics.executorRunTime
@@ -80,7 +85,7 @@ object QProf {
           val gap = if (prevEnd == 0L) 0L else (j.t0 - prevEnd).max(0L)
           prevEnd = j.t1
           jobSum += dur; gapSum += gap
-          println(f"  job ${j.id}%3d [${j.group}%9s] dur=${dur / 1000.0}%7.3f gap_before=${gap / 1000.0}%7.3f stages=${j.stages}%2d tasks=${j.tasks}%4d taskRun=${j.taskRunMs / 1000.0}%8.3f")
+          println(f"  job ${j.id}%3d [${j.group}%9s] dur=${dur / 1000.0}%7.3f gap_before=${gap / 1000.0}%7.3f stages=${j.stages}%2d tasks=${j.tasks}%4d taskRun=${j.taskRunMs / 1000.0}%8.3f  ${j.site.take(60)}")
         }
         println(f"  SUM jobs=${jobSum / 1000.0}%.3f inter-job-gaps=${gapSum / 1000.0}%.3f (wall not in jobs = driver planning/codegen/commit)")
       }
