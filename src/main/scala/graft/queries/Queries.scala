@@ -1919,7 +1919,7 @@ object Queries {
     */
   def q85AnnBracket(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.expressions.group_top_k
-    val emb = table(s, dir, "embeddings")
+    val emb = widen(table(s, dir, "embeddings"), col("vec_id"))
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val iscore = aggregate(
@@ -2569,11 +2569,11 @@ object Queries {
     */
   def q109CorrMatrix(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Regression
-    val li = table(s, dir, "lineitem")
+    val li = widen(table(s, dir, "lineitem")
       .select(col("l_returnflag"),
         Regression.microUnits(col("l_quantity")).as("qty"),
         Regression.microUnits(col("l_extendedprice")).as("price"),
-        Regression.microUnits(col("l_discount")).as("disc"))
+        Regression.microUnits(col("l_discount")).as("disc")), col("price"))
     Regression.corrMatrix(li, "l_returnflag", Seq("qty", "price", "disc"))
       .orderBy(col("l_returnflag"))
   }
@@ -3421,7 +3421,7 @@ object Queries {
     */
   def q167BucketChecksum(s: SparkSession, dir: String): DataFrame =
     graft.operators.Fingerprint.checksumBy(
-        table(s, dir, "lineitem"),
+        widen(table(s, dir, "lineitem"), col("l_orderkey")),
         col("l_orderkey") % 16,
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           graft.operators.Regression.centiUnits(col("l_extendedprice"))))
