@@ -186,10 +186,14 @@ object Graphs {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint() // degrees + orientation + edge count all reuse it
-    // node-sized, and consumed by SEPARATE actions (both orientation
-    // legs, the wedge readout, nodeTriangles' final join, and — in the
-    // stored path — all three table writes): materialize once instead
-    // of re-running the union+aggregate per consumer
+    // node-sized, consumed by SEPARATE actions (both orientation legs,
+    // the wedge readout, nodeTriangles' final join, and — in the stored
+    // path — all three table writes). deg INTENTIONALLY recomputes from
+    // the checkpointed `und` per consumer: a checkpoint here was
+    // measured (r16) and REJECTED — it destroys the aggregate's
+    // partitioning, forcing an extra exchange into q205's bucketed
+    // writes (+3.5 s), while the recompute is one cheap union+agg over
+    // the already-materialized und blocks
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

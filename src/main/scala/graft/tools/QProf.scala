@@ -37,20 +37,30 @@ object QProf {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val jobs = mutable.LinkedHashMap[Int, Job]()
+    // stageId → jobId, from JobStart's declared stage set: exact
+    // attribution even when jobs run CONCURRENTLY (thread-submitted
+    // table writes, overlapped legs) — the previous "last open job"
+    // heuristic attached concurrent jobs' stages to whichever job
+    // happened to start last
+    val stageJob = mutable.HashMap[Int, Int]()
     var phase = ""
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
         val site = Option(js.properties)
-          .map(p => Option(p.getProperty("callSite.short")).getOrElse("")
-            .replaceAll("\\s+", " ")).getOrElse("")
+          .map { p =>
+            val cs = Option(p.getProperty("callSite.short")).getOrElse("")
+            val eid = Option(p.getProperty("spark.sql.execution.id")).getOrElse("-")
+            val root = Option(p.getProperty("spark.sql.execution.root.id")).getOrElse("-")
+            s"eid=$eid/$root ${cs.replaceAll("\\s+", " ")}"
+          }.getOrElse("")
         jobs(js.jobId) = Job(js.jobId, js.time, group = phase, site = site)
+        js.stageIds.foreach(sid => stageJob(sid) = js.jobId)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(je.jobId).foreach(_.t1 = je.time)
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = jobs.synchronized {
-        // stages carry no job id here; attribute to the open job
-        jobs.values.toSeq.filter(j => j.t1 == 0L).lastOption.foreach { j =>
+        stageJob.get(sc.stageInfo.stageId).flatMap(jobs.get).foreach { j =>
           if (j.site.isEmpty) j.site = sc.stageInfo.name.replaceAll("\\s+", " ")
           j.stages += 1
           j.tasks += sc.stageInfo.numTasks
@@ -62,8 +72,9 @@ object QProf {
 
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      (1 to 2).foreach { run =>
-        jobs.synchronized(jobs.clear())
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_QPROF_RUNS", "2").toInt.max(1)
+      (1 to nRuns).foreach { run =>
+        jobs.synchronized { jobs.clear(); stageJob.clear() }
         spark.catalog.clearCache()
         phase = "construct"
         val c0 = System.nanoTime()
