@@ -150,6 +150,98 @@ object Quantiles {
       p - delta, p + delta, accuracy)
   }
 
+  /** Exact per-group p-quantiles for SEVERAL probabilities through ONE
+    * GK-bracketed two-pass selection — the latency-profile shape
+    * (P50/P90/P99 in one call). Chaining [[exactQuantileByGroup]] per
+    * p costs the full three-pass cascade (sketch → count-verify →
+    * bracket select, two dependent broadcast barriers each) PER
+    * QUANTILE; the probes are independent per p, so they batch
+    * (guide §1.2: fewer passes, fewer dependent driver barriers):
+    *
+    *  - pass 1 evaluates ONE GK sketch at all 2·|ps| probes and emits
+    *    every p's target rank k_p = clamp(⌈p·n⌉, 1, n);
+    *  - pass 2 count-verifies ALL brackets in one aggregate (per p:
+    *    #{v < lo_p}, #{v ≤ hi_p}; fallback to [min, max] per p exactly
+    *    as the single-p path);
+    *  - pass 3 filters to the UNION of brackets and runs the
+    *    distinct-value cumsum once, with one MASKED running count per
+    *    p over the SAME window sort — a row outside bracket p
+    *    contributes 0 to cum_p, so each p's crossing lands on exactly
+    *    the row the single-p selection picks (the crossing condition
+    *    `cum ≥ k−c_below ∧ cum − c < k−c_below` cannot fire on a
+    *    zero-contribution row).
+    *
+    * Per-p results are therefore VALUE-IDENTICAL to
+    * [[exactQuantileByGroup]] (spec-asserted); only the pass count
+    * changes. Returns one row per group: (group, <name> per p).
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                            ps: Seq[(Double, String)],
+                            accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    ps.foreach { case (p, _) =>
+      require(p > 0.0 && p < 1.0, s"quantile p must be in (0,1), got $p") }
+    val delta = 2.0 / accuracy
+    def clamp(x: Double) = math.min(1.0, math.max(0.0, x))
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val base = df.select(g, v).where(v.isNotNull)
+    val idx = ps.indices
+    val probes = array(ps.flatMap { case (p, _) =>
+      Seq(lit(clamp(p - delta)), lit(clamp(p + delta))) }: _*)
+    val stats0 = base.groupBy(g).agg(
+        count(lit(1)).as("n"),
+        percentile_approx(v, probes, lit(accuracy)).as("__q"),
+        min(v).as("vmin"), max(v).as("vmax"))
+    val stats = idx.foldLeft(stats0) { (acc, i) =>
+      val p = ps(i)._1
+      acc.withColumn(s"k_$i", greatest(lit(1L),
+          least(col("n"), ceil(lit(p) * col("n")).cast("long"))))
+        .withColumn(s"lo0_$i", col("__q").getItem(2 * i))
+        .withColumn(s"hi0_$i", col("__q").getItem(2 * i + 1))
+    }.drop("__q", "n")
+    // one exact verification pass for every bracket (stats is group-
+    // cardinality-sized — broadcast; its columns ride the aggregation
+    // as grouping keys, functionally dependent on the group key)
+    val statCols = Seq("vmin", "vmax") ++
+      idx.flatMap(i => Seq(s"k_$i", s"lo0_$i", s"hi0_$i"))
+    val cntAggs = idx.flatMap(i => Seq(
+      sum(when(v < col(s"lo0_$i"), 1L).otherwise(0L)).as(s"c_lo_$i"),
+      sum(when(v <= col(s"hi0_$i"), 1L).otherwise(0L)).as(s"c_hi_$i")))
+    val counts = base
+      .join(broadcast(stats), groupCol)
+      .groupBy(g +: statCols.map(col): _*)
+      .agg(cntAggs.head, cntAggs.tail: _*)
+    val br = counts.select(g +: idx.flatMap { i =>
+      val ok = col(s"c_lo_$i") < col(s"k_$i") && col(s"k_$i") <= col(s"c_hi_$i")
+      Seq(
+        when(ok, col(s"lo0_$i")).otherwise(col("vmin")).as(s"blo_$i"),
+        when(ok, col(s"hi0_$i")).otherwise(col("vmax")).as(s"bhi_$i"),
+        when(ok, col(s"c_lo_$i")).otherwise(lit(0L)).as(s"cb_$i"),
+        col(s"k_$i"))
+    }: _*)
+    val brCols = idx.flatMap(i => Seq(s"blo_$i", s"bhi_$i", s"cb_$i", s"k_$i"))
+    val inAny = idx.map(i => v >= col(s"blo_$i") && v <= col(s"bhi_$i"))
+      .reduce(_ || _)
+    val perVal = base.join(broadcast(br), groupCol)
+      .filter(inAny)
+      .groupBy(g +: brCols.map(col) :+ v.as("bv"): _*)
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(g).orderBy(col("bv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = idx.foldLeft(perVal) { (acc, i) =>
+      acc.withColumn(s"cin_$i",
+          when(col("bv") >= col(s"blo_$i") && col("bv") <= col(s"bhi_$i"),
+            col("c")).otherwise(lit(0L)))
+        .withColumn(s"cum_$i", sum(col(s"cin_$i")).over(w))
+    }
+    def cutOf(i: Int): Column = min(when(
+      col(s"cb_$i") + col(s"cum_$i") >= col(s"k_$i") &&
+        col(s"cb_$i") + col(s"cum_$i") - col(s"cin_$i") < col(s"k_$i"),
+      col("bv"))).as(ps(i)._2)
+    withCums.groupBy(g).agg(cutOf(0), idx.tail.map(cutOf): _*)
+  }
+
   /** The GK-bracketed two-pass selection generalized to an ARBITRARY
     * per-group target rank k(n) (1-based): the sketch bracket sits at
     * the [pLo, pHi] approximate quantiles and is VERIFIED by an exact

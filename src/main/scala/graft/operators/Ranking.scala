@@ -98,18 +98,27 @@ object Ranking {
     * raw scan that is three cheap parallel reads, but over an
     * UNMATERIALIZED upstream chain (the flagship pipeline packs the
     * admitted set of an eight-stage plan) it re-runs the whole chain
-    * per pass. A LAZY lineage-truncating localCheckpoint makes the
-    * first pass persist the projected input and the other two rescan
-    * blocks — same trade-off as [[Dedup]]'s documented releaseAfter
-    * (unreplicated, fine for one-job-window intermediates), invisible
-    * to the cache manager (the police residue sweep), and lazy so
-    * plan CONSTRUCTION (explain, the police suite) runs no job.
+    * per pass. An EAGER lineage-truncating localCheckpoint makes the
+    * passes rescan blocks — same trade-off as [[Dedup]]'s documented
+    * releaseAfter (unreplicated, fine for one-job-window
+    * intermediates), invisible to the cache manager (the police
+    * residue sweep).
+    *
+    * EAGER, not lazy (r17): `localCheckpoint(eager = false)` was a
+    * false economy under AQE — Dataset.checkpoint calls
+    * `queryExecution.toRdd`, which materializes the adaptive plan and
+    * therefore EXECUTES every intermediate query stage of the input
+    * chain right at CONSTRUCTION, while the unfinished final stage
+    * (not being checkpointed yet) re-runs the whole chain again at
+    * the first action — q204's QProf showed the same 17-job execution
+    * twice, ~2.3 s of pure duplicate work. Eager pins the blocks the
+    * first time, so the chain runs exactly once.
     */
   def slicedCumsum(df: DataFrame, groupCols: Seq[String], orderCol: String,
                    valueCol: String, slices: Int,
                    accuracy: Int = 100): DataFrame = {
     require(slices >= 2, "need slices >= 2 (use a plain window below that)")
-    val base = df.localCheckpoint(eager = false)
+    val base = df.localCheckpoint()
     val g = groupCols.map(col)
     val ps = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
     val bounds = base.groupBy(g: _*)

@@ -58,9 +58,43 @@ object Queries {
     * blanket.
     */
   private def widen(df: DataFrame, key: Column): DataFrame = {
+    // PROGRAMMATIC guard for the bare-scan precondition above (r16
+    // ADVICE): a frame whose logical plan carries anything beyond
+    // scan/project/filter (a join, aggregate, window, repartition…)
+    // would eagerly materialize query stages when `.rdd` runs under
+    // AQE — refuse loudly instead of silently executing at plan time.
+    def scanOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project => scanOnly(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => scanOnly(f.child)
+      case _ => false
+    }
+    require(scanOnly(df.queryExecution.optimizedPlan),
+      "widen() must only wrap a bare (projected/filtered) scan — got: " +
+        df.queryExecution.optimizedPlan.nodeName)
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target, key)
+  }
+
+  /** Scale-adaptive width for EXPRESSION-bound text-pipeline exchanges
+    * (guide §2: derive partitioning from input size, never a constant
+    * tuned to one mode). AQE's byte-based coalescing sizes post-shuffle
+    * partitions for DATA-bound work (~64 MB each), which collapses a
+    * small text corpus to ONE task — but tokenize/shingle/regex chains
+    * do ~50-100× more work per input byte than a scan, so the
+    * equivalent per-task target is ~64 KB of compressed text (50 ms-
+    * class tasks here; the same ratio holds at any SF). Width therefore
+    * grows linearly with the actual input bytes and caps at the
+    * session's shuffle width — at production scale this IS
+    * numShufflePartitions, and the only behavior change is at corpus
+    * sizes AQE would otherwise serialize.
+    */
+  private def textWidth(s: SparkSession, dir: String, tableName: String): Int = {
+    val bytes = new java.io.File(s"$dir/$tableName.parquet").length.max(1L)
+    val perTask = 64L * 1024L
+    math.min(s.sessionState.conf.numShufflePartitions.toLong,
+      (bytes + perTask - 1L) / perTask).toInt.max(1)
   }
 
   /** The part co-purchase pair table (one row per DISTINCT
@@ -2354,12 +2388,14 @@ object Queries {
       .where(col("event_type").isNotNull)
       .select(col("event_type"), col("value")).persist()
     val n = ev.groupBy(col("event_type")).agg(count(col("value")).as("n"))
-    val out = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
-      .map { case (p, name) =>
-        Quantiles.exactQuantileByGroup(ev, "event_type", "value", p)
-          .withColumnRenamed("cut", name)
-      }
-      .foldLeft(n)((acc, q) => acc.join(q, "event_type"))
+    // ONE batched bracketed selection for all three quantiles (r17,
+    // [[Quantiles.exactQuantilesByGroup]]): the per-p chain was three
+    // sequential 3-pass cascades (2 dependent broadcast barriers each)
+    // + 3 joins; the batched form is one cascade. Values are identical
+    // per the operator's spec (QuantilesSpec pins ≡ per-p).
+    val out = n
+      .join(Quantiles.exactQuantilesByGroup(ev, "event_type", "value",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")), "event_type")
       .orderBy(col("event_type"))
       .localCheckpoint()
     ev.unpersist(blocking = false)
@@ -2446,12 +2482,13 @@ object Queries {
       .persist()
     val base = conv.select(col("week_idx"), col("delay_us").cast("double").as("delay"))
     val n = conv.groupBy(col("week_idx")).agg(count(lit(1)).as("n_converted"))
-    val out = Seq(0.5 -> "p50_us", 0.9 -> "p90_us")
-      .map { case (p, name) =>
-        Quantiles.exactQuantileByGroup(base, "week_idx", "delay", p)
-          .select(col("week_idx"), col("cut").cast("long").as(name))
-      }
-      .foldLeft(n)((acc, q) => acc.join(q, "week_idx"))
+    // batched P50/P90 (r17): one bracketed cascade instead of two —
+    // see q101; the long casts reproduce the previous per-p selects.
+    val qs = Quantiles.exactQuantilesByGroup(base, "week_idx", "delay",
+        Seq(0.5 -> "p50_us", 0.9 -> "p90_us"))
+      .select(col("week_idx"), col("p50_us").cast("long").as("p50_us"),
+        col("p90_us").cast("long").as("p90_us"))
+    val out = n.join(qs, "week_idx")
       .orderBy(col("week_idx"))
       .localCheckpoint()
     conv.unpersist(blocking = false)
@@ -4301,11 +4338,30 @@ object Queries {
     val raw = concat(lit("\u0007  "),
       regexp_replace(body, " the ", " \tthe\n  "),
       lit(" u@x.io 1.2.3.4 111-22-3333 \u007f"))
+    // WIDTH-PINNED checkpoint (r17, guide §2.4/§2.5): the exact-dup
+    // window's exchange hashes by md5(clean) at numShufflePartitions,
+    // but AQE byte-coalescing (it sees ~10 MB) ran it — and therefore
+    // the checkpoint EVERY downstream leg reads — at ONE partition, so
+    // ~25 of the pipeline's jobs (survivorship scans, contamination
+    // grams, classifierMargin, the pack legs) executed single-task
+    // (QProf: ~6 s summed serial taskRun). Staging the hash and
+    // repartitioning on it is the coPurchasePairs pin: the window
+    // reuses this exchange (same key, same width — NO extra shuffle;
+    // the r16-rejected variant added a second full-text exchange AFTER
+    // the window), and an explicit repartition is exempt from AQE
+    // coalescing. `text` is dropped from the checkpoint — nothing
+    // below reads it once `clean` exists, and it doubled the block
+    // bytes. keep_id is unchanged: partitionBy(__h) groups exactly the
+    // rows partitionBy(md5(clean)) did.
     val cleaned = docs
       .withColumn("clean", Curation.redactPii(Curation.normalizeText(raw)))
       .withColumn("n_tok", TextFunctions.tokenCount(col("clean")).cast("long"))
+      .withColumn("__h", md5(col("clean").cast("binary")))
+      .repartition(textWidth(s, dir, "documents"), col("__h"))
       .withColumn("keep_id", min(col("doc_id"))
-        .over(Window.partitionBy(md5(col("clean").cast("binary")))))
+        .over(Window.partitionBy(col("__h"))))
+      .select(col("doc_id"), col("n_chars"), col("clean"), col("n_tok"),
+        col("keep_id"))
       .localCheckpoint()
     val winners = cleaned.filter(col("doc_id") === col("keep_id"))
     val pairs = graft.operators.Dedup.minhashLSH(
@@ -4333,6 +4389,14 @@ object Queries {
           .when(col("contam"), lit("drop:contaminated"))
           .when(col("margin") < 0, lit("drop:quality"))
           .otherwise(Curation.splitAssign(col("doc_id"))))
+      // eager checkpoint of the 3-column rollup input (r17, the q67/
+      // q147 multi-consumer rule): stats AND the pack leg both consume
+      // labeled, and without this each re-ran the join+classifierMargin
+      // chain over the corpus (QProf: the chain is the query's heaviest
+      // expression work after LSH). Blocks are (bucket, doc_id, n_tok)
+      // — id-sized, not text-sized.
+      .select(col("bucket"), col("doc_id"), col("n_tok"))
+      .localCheckpoint()
     val stats = labeled.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("n_tokens"))

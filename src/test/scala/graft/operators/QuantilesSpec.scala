@@ -373,4 +373,33 @@ class QuantilesSpec extends AnyFunSuite {
         "through the count pass as carried grouping keys)")
   }
 
+  test("exactQuantilesByGroup ≡ per-p exactQuantileByGroup (skewed, tied, tiny and singleton groups; degenerate low accuracy)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // group a: 20k skewed ints with ties; b: 11 rows; c: singleton;
+    // d: all-equal; plus nulls (excluded by both paths)
+    val rows =
+      (1 to 20000).map(i => ("a", java.lang.Double.valueOf(math.floor(math.pow(rnd.nextDouble(), 3) * 500)))) ++
+      (1 to 11).map(i => ("b", java.lang.Double.valueOf((i % 4).toDouble))) ++
+      Seq(("c", java.lang.Double.valueOf(42.0)), ("d", null: java.lang.Double)) ++
+      (1 to 9).map(_ => ("d", java.lang.Double.valueOf(5.0)))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    for (acc <- Seq(10000, 100)) { // 100 stresses the [min,max] fallback
+      val batched = Quantiles.exactQuantilesByGroup(df, "g", "v", ps, acc)
+        .collect().map(r => r.getString(0) ->
+          ps.map { case (_, n) => r.getAs[Double](n) }).toMap
+      ps.foreach { case (p, name) =>
+        val single = Quantiles.exactQuantileByGroup(df, "g", "v", p, acc)
+          .collect().map(r => r.getString(0) -> r.getAs[Double]("cut")).toMap
+        single.foreach { case (grp, want) =>
+          val got = batched(grp)(ps.indexWhere(_._2 == name))
+          assert(got == want,
+            s"acc=$acc p=$p group=$grp: batched=$got single=$want")
+        }
+        assert(single.keySet == batched.keySet)
+      }
+    }
+  }
+
 }
