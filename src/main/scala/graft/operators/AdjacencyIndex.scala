@@ -96,23 +96,30 @@ object AdjacencyIndex {
           .select(col("n_nodes"), col("n_edges"), col("n_wedges"))
           .write.mode("overwrite").saveAsTable(s"${name}_meta")
       })
-    // FAILURE CONTRACT (r16 ADVICE): Future.sequence fails fast — the
-    // await would throw while sibling writes are still running,
-    // skipping the unpersist and leaving the catalog with an untracked
-    // partial subset of the three tables. Await each write's Try
-    // instead: all three settle before anything is raised, the
-    // unpersist always runs, and a combined error names every failed
-    // table (suppressed siblings attached) so the caller sees ONE
-    // coherent outcome, not a race.
-    val settled = writes.map(f =>
-      Await.ready(f, Duration.Inf).value.get)
-    adj.unpersist(blocking = false)
-    val failures = Seq("adj", "deg", "meta").zip(settled)
-      .collect { case (t, scala.util.Failure(e)) => (t, e) }
+    try awaitAllWrites(s"AdjacencyIndex.save($name)",
+      Seq("adj", "deg", "meta").zip(writes))
+    finally adj.unpersist(blocking = false)
+  }
+
+  /** FAILURE CONTRACT for concurrent table writes (r16 ADVICE):
+    * `Future.sequence` fails fast — the await would throw while
+    * sibling writes are still running, leaving the catalog with an
+    * untracked partial subset and skipping the caller's cleanup.
+    * Instead every write SETTLES before anything is raised, and a
+    * single combined error names every failed table (suppressed
+    * siblings attached) so the caller sees ONE coherent outcome, not
+    * a race. */
+  private[operators] def awaitAllWrites(
+      what: String, writes: Seq[(String, scala.concurrent.Future[Unit])]): Unit = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val settled = writes.map { case (t, f) =>
+      t -> Await.ready(f, Duration.Inf).value.get }
+    val failures = settled.collect { case (t, scala.util.Failure(e)) => (t, e) }
     if (failures.nonEmpty) {
       val err = new RuntimeException(
-        s"AdjacencyIndex.save($name): table write(s) failed: " +
-          failures.map(_._1).mkString(", "), failures.head._2)
+        s"$what: table write(s) failed: " + failures.map(_._1).mkString(", "),
+        failures.head._2)
       failures.tail.foreach { case (_, e) => err.addSuppressed(e) }
       throw err
     }

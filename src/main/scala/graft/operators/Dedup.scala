@@ -203,11 +203,12 @@ object Dedup {
     * materialization.
     */
   private[graft] def simhashPairsPlan(df: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int, bands: Int): (DataFrame, DataFrame) =
+      textCol: String, maxHamming: Int, bands: Int,
+      width: Option[Int] = None): (DataFrame, DataFrame) =
     hammingPairs64Plan(
       withSimhash(df.select(col(idCol).as("doc_id"), col(textCol)), textCol)
         .select(col("doc_id"), col("sig")),
-      maxHamming, bands)
+      maxHamming, bands, width)
 
   /** Signature-GENERIC band-LSH Hamming pairing over any 64-bit
     * fingerprint frame (doc_id, sig) — the engine under
@@ -224,9 +225,20 @@ object Dedup {
   }
 
   /** [[hammingPairs64]]'s lazy plan (see [[simhashPairsPlan]]) —
-    * (cached signatures, unmaterialized verified pairs). */
+    * (cached signatures, unmaterialized verified pairs).
+    *
+    * `width` (r17): an EXPLICIT partition count for the band-join
+    * exchange. The keyless-count `repartition(cols)` lets AQE size the
+    * exchange by its bytes, and band/signature bytes are tiny relative
+    * to the join's expression work (hamming prune + first-matching-band
+    * arithmetic over near-all-pairs collisions, plus whatever the
+    * caller fuses downstream — q21's whole sorted-Jaccard verify ran as
+    * ONE AQE-coalesced task, 2.2 s serial at sf0.1). Callers that know
+    * the work is expression-bound pass a data-derived width (the
+    * textWidth rule); None keeps byte-based AQE sizing.
+    */
   private[graft] def hammingPairs64Plan(sigs0: DataFrame, maxHamming: Int,
-      bands: Int): (DataFrame, DataFrame) = {
+      bands: Int, width: Option[Int] = None): (DataFrame, DataFrame) = {
     require(64 % bands == 0, "bands must divide 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
@@ -240,9 +252,12 @@ object Dedup {
         b => struct(b.as("band"),
           call_function("shiftright", col("sig"), b * lit(bandBits)).bitwiseAND(mask).as("band_val")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.band_val"))
-      .repartition(col("band"), col("band_val"))
-    val l = banded.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val repartitioned = width match {
+      case Some(n) => banded.repartition(n, col("band"), col("band_val"))
+      case None => banded.repartition(col("band"), col("band_val"))
+    }
+    val l = repartitioned.select(col("band"), col("band_val"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = repartitioned.select(col("band"), col("band_val"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     // A pair colliding in several bands would emit several rows; instead
     // of a dropDuplicates SHUFFLE over the (near-all-pairs on correlated
     // signatures) join output, keep each pair only in its FIRST matching

@@ -436,8 +436,16 @@ object Queries {
     // materialize — band join, hamming prune, set fetch and exact
     // verify fuse into one job (the intermediate checkpoint was ~1s of
     // pure write+read at sf0.1)
+    // width = textWidth (r17, guide §2.5): the band exchange's BYTES are
+    // tiny (banded 64-bit signatures), so AQE's byte-sizing coalesced it
+    // — and the whole fused downstream verify (hamming prune + both
+    // hash-set fetch joins + the sorted-Jaccard merge) — to ONE task,
+    // 2.2 s of serial expression work at sf0.1 (QProf job 27). An
+    // explicit input-bytes-derived width is exempt from AQE coalescing
+    // and parallelizes the verify chain; at corpus scale it converges
+    // to the session shuffle width the exchange would want anyway.
     val (sigs, cands0) = Dedup.simhashPairsPlan(docs, "doc_id", "text",
-      maxHamming = 16, bands = 8)
+      maxHamming = 16, bands = 8, width = Some(textWidth(s, dir, "documents")))
     val cands = cands0.select(col("id_a"), col("id_b"))
     // bigram sets ride the verification join as SORTED long hashes:
     // exact-Jaccard per pair is then a linear merge, not a per-pair
@@ -453,10 +461,18 @@ object Queries {
     // broadcast-sized and converts automatically; at corpus scale the
     // joins shuffle only candidate ids plus compact hash arrays — there
     // is no hard-coded corpus-sized broadcast anywhere in the plan.
-    val toks = docs.select(col("doc_id"),
-      graft.functions.expressions.hashed_set(
-        array_distinct(graft.functions.expressions.shingles_fast(
-          TextFunctions.tokens(col("text")), 2))).as("sh"))
+    // the shingle+hash chain runs where the plan computes it — fused to
+    // the single-split scan, that was ONE 1.95 s serial task under the
+    // first broadcast build (QProf job 26). A keyed repartition at the
+    // input-derived width moves only raw (doc_id, text) rows and runs
+    // the chain parallel; the persisted result is what both fetch legs
+    // broadcast.
+    val toks = docs.select(col("doc_id"), col("text"))
+      .repartition(textWidth(s, dir, "documents"), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.expressions.hashed_set(
+          array_distinct(graft.functions.expressions.shingles_fast(
+            TextFunctions.tokens(col("text")), 2))).as("sh"))
       .persist()
     val out = cands
       .join(toks.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -50,6 +50,36 @@ class AdjacencyIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent-write failure contract: every write SETTLES before the combined error is raised, which names every failed table") {
+    import scala.concurrent.{Future, Promise}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // slow sibling: proves awaitAllWrites does NOT fail fast — the
+    // error can only carry this flag if the slow write settled first
+    @volatile var slowSettled = false
+    val slow = Future { Thread.sleep(400); slowSettled = true }
+    val fast = Future { () }
+    val boom = Future { throw new IllegalStateException("disk full") }
+    val e = intercept[RuntimeException] {
+      AdjacencyIndex.awaitAllWrites("save(t)",
+        Seq("adj" -> slow, "deg" -> boom, "meta" -> fast))
+    }
+    assert(slowSettled,
+      "awaitAllWrites must settle EVERY write before raising (fail-fast " +
+        "would leave the slow sibling running past the caller's cleanup)")
+    assert(e.getMessage.contains("deg") && !e.getMessage.contains("adj,"),
+      s"combined error must name exactly the failed tables: ${e.getMessage}")
+    assert(e.getCause.isInstanceOf[IllegalStateException])
+    // two failures → both named, second attached as suppressed
+    val boom2 = Promise[Unit]().failure(new RuntimeException("quota")).future
+    val e2 = intercept[RuntimeException] {
+      AdjacencyIndex.awaitAllWrites("save(t)",
+        Seq("adj" -> boom2, "deg" -> Future(()),
+          "meta" -> Future { throw new RuntimeException("lease lost") }))
+    }
+    assert(e2.getMessage.contains("adj") && e2.getMessage.contains("meta"))
+    assert(e2.getSuppressed.length == 1)
+  }
+
   test("stored DOULION readout equals the live sampled census: exact at p=1, identical subgraph at p=1/2") {
     val edges = edgesDf
     try {

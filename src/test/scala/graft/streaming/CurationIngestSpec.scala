@@ -115,7 +115,13 @@ class CurationIngestSpec extends AnyFunSuite {
     * wait it out (same-owner restarts just re-enter, no wait needed).
     */
   private def awaitLeaseFree(path: String): Unit = {
-    val deadline = System.currentTimeMillis() + 15000
+    // 60 s, not 15 (r17 deflake hardening): the release rides the
+    // ASYNC terminated-listener thread, and under external load (the
+    // r16 driver gate ran at load ≈ 7) the listener bus + filesystem
+    // CAS can lag far past a quiet box's milliseconds. The deadline
+    // only bounds a HANG — a passing run waits exactly as long as the
+    // release takes — so a generous bound costs nothing when green.
+    val deadline = System.currentTimeMillis() + 60000
     while (graft.operators.WriterLease.holder(spark, path).isDefined &&
            System.currentTimeMillis() < deadline) Thread.sleep(50)
     assert(graft.operators.WriterLease.holder(spark, path).isEmpty,
