@@ -121,8 +121,13 @@ object DedupIndex {
     bk.withColumn("batch_id", lit(-1L))
       .withColumn("writer_id", lit(null).cast("string"))
       .write.mode("overwrite").saveAsTable(s"${table}_buckets")
+    // capacity floors at the ACTUAL initial row count (a base corpus
+    // larger than the default would otherwise start saturated — the
+    // r17 16M-drain finding; see appendUnderLease's overflow rebuild)
+    val rows = bk.count()
+    val cap = math.max(bloomItems, rows * 2)
     writeBloom(spark, table,
-      bk.stat.bloomFilter("band_hash", bloomItems, bloomFpp), bloomItems, bloomFpp)
+      bk.stat.bloomFilter("band_hash", cap, bloomFpp), cap, bloomFpp, rows)
     bk.unpersist(blocking = false)
     hashedSets(df, idCol, textCol, shingleN)
       .select(col("doc_id"), col("hset"), lit(-1L).as("batch_id"),
@@ -134,11 +139,12 @@ object DedupIndex {
 
   private def writeBloom(spark: SparkSession, table: String,
                          bloom: org.apache.spark.util.sketch.BloomFilter,
-                         items: Long, fpp: Double): Unit = {
+                         items: Long, fpp: Double, nInserted: Long): Unit = {
     import spark.implicits._
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    Seq((bos.toByteArray, items, fpp)).toDF("bloom", "items", "fpp")
+    Seq((bos.toByteArray, items, fpp, nInserted))
+      .toDF("bloom", "items", "fpp", "n_inserted")
       .write.mode("overwrite").saveAsTable(s"${table}_bloom")
   }
 
@@ -151,12 +157,18 @@ object DedupIndex {
     * never depended on the filter, so results are unchanged — only the
     * prune is lost. Repair with [[rebuildBloom]].
     */
-  private def readBloom(spark: SparkSession, table: String): Option[(BloomRef, Long, Double)] =
+  private def readBloom(spark: SparkSession, table: String)
+      : Option[(BloomRef, Long, Double, Long)] =
     if (!spark.catalog.tableExists(s"${table}_bloom")) None
     else
       try spark.table(s"${table}_bloom").collect().headOption.map { r =>
+        // legacy blooms (pre-r17) carry no insertion counter: read them
+        // as AT CAPACITY so the first append rebuilds with an exact
+        // count — one linear scan, then the corpus is self-healed
+        val nIns = if (r.schema.fieldNames.contains("n_inserted"))
+          r.getAs[Long]("n_inserted") else r.getAs[Long]("items")
         (new BloomRef(r.getAs[Array[Byte]]("bloom")),
-          r.getAs[Long]("items"), r.getAs[Double]("fpp"))
+          r.getAs[Long]("items"), r.getAs[Double]("fpp"), nIns)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
@@ -202,8 +214,11 @@ object DedupIndex {
   def rebuildBloom(spark: SparkSession, table: String,
                    bloomItems: Long = 1L << 22, bloomFpp: Double = 0.01): Unit = {
     val bk = spark.table(s"${table}_buckets")
+    // capacity floors at the actual stored row count, same as saveCorpus
+    val rows = bk.count()
+    val cap = math.max(bloomItems, rows * 2)
     writeBloom(spark, table,
-      bk.stat.bloomFilter("band_hash", bloomItems, bloomFpp), bloomItems, bloomFpp)
+      bk.stat.bloomFilter("band_hash", cap, bloomFpp), cap, bloomFpp, rows)
     spark.catalog.refreshTable(s"${table}_bloom")
   }
 
@@ -357,10 +372,41 @@ object DedupIndex {
     // buffer that BloomFilter.readFrom NPEs on — an all-dropped
     // micro-batch (steady-state replays) must be a no-op append, not a
     // crash (found by the composed-ingest parity spec's first batch).
-    readBloom(spark, table).foreach { case (ref, items, fpp) =>
+    //
+    // SATURATION (r17, found by the 16M drain): a fixed-capacity filter
+    // absorbing unbounded corpus growth silently degrades to FPP ≈ 1 —
+    // the prune stops pruning and every probe's broadcast(newBuckets)
+    // reverts to batch scale (~0.5 GB silently at 8M docs, a hard
+    // maxResultSize abort at 16M). The stored metadata now counts
+    // insertions (batch ROW counts — an upper bound on distinct hashes,
+    // so overflow only ever fires early; a crash-replay's re-merge may
+    // double-count a batch, which again only hastens the rebuild); on
+    // overflow the filter is REBUILT from the stored bucket table at
+    // ≥2× capacity — one linear corpus scan per doubling, amortized
+    // O(1)/doc, and bit-exact probe results either way (the filter is
+    // false-positive-only; the exact-Jaccard verify never depended on
+    // it).
+    readBloom(spark, table).foreach { case (ref, items, fpp, nIns) =>
       if (!bk.isEmpty) {
-        val merged = ref.filter.mergeInPlace(bk.stat.bloomFilter("band_hash", items, fpp))
-        writeBloom(spark, table, merged, items, fpp)
+        val add = bk.count()
+        if (nIns + add <= items) {
+          val merged = ref.filter.mergeInPlace(
+            bk.stat.bloomFilter("band_hash", items, fpp))
+          writeBloom(spark, table, merged, items, fpp, nIns + add)
+        } else {
+          // the rebuilt filter must be a SUPERSET of every stored hash
+          // (false negatives would prune true duplicates): refresh so
+          // the scan sees the rows appended above even when they were
+          // written through a foreachBatch clone session, and merge the
+          // batch's own filter in explicitly as belt-and-braces
+          spark.catalog.refreshTable(s"${table}_buckets")
+          val stored = spark.table(s"${table}_buckets")
+          val rows = stored.count()
+          val cap = math.max(items * 2, rows * 2)
+          val rebuilt = stored.stat.bloomFilter("band_hash", cap, fpp)
+            .mergeInPlace(bk.stat.bloomFilter("band_hash", cap, fpp))
+          writeBloom(spark, table, rebuilt, cap, fpp, rows)
+        }
       }
     }
     if (crashAfterStep <= 2)
@@ -403,8 +449,8 @@ object DedupIndex {
     */
   def bloomPrune(spark: SparkSession, table: String, newBuckets: DataFrame): DataFrame =
     readBloom(spark, table) match {
-      case Some((ref, _, _)) => newBuckets.filter(bloom_contains_long(col("band_hash"), ref))
-      case None              => newBuckets
+      case Some((ref, _, _, _)) => newBuckets.filter(bloom_contains_long(col("band_hash"), ref))
+      case None                 => newBuckets
     }
 
   /** Near-duplicate pairs (new_id, corpus_id, jaccard) between an

@@ -206,8 +206,16 @@ object DrainStages {
     val tScrub = timed("read_scrub")(noop(cleanedPlan(raw)))
     val cleaned = cleanedPlan(raw).localCheckpoint()
 
+    // probe a FRESH seed-only corpus, NOT stages_dedup_e2e: the e2e
+    // drain above already appended the whole corpus into that table and
+    // its bloom, so probing the same docs there passes EVERY bucket
+    // through the prune and broadcasts a batch-scaled frame — a state
+    // the documented measurement ("bloom-pruned vs the disjoint seed")
+    // never intended, and a maxResultSize abort at 16M (r17 finding;
+    // the 2M-8M r16 numbers carried that hidden broadcast cost)
+    DedupIndex.saveCorpus(spark, seed, "doc_id", "clean", "stages_dedup_iso")
     val tProbe = timed("dedup_probe") {
-      noop(DedupIndex.dedupAgainstStored(spark, "stages_dedup_e2e", cleaned,
+      noop(DedupIndex.dedupAgainstStored(spark, "stages_dedup_iso", cleaned,
         "doc_id", "clean", cfgBase.threshold, cfgBase.k, cfgBase.bands,
         cfgBase.shingleN, committedBatch = -1L))
     }
@@ -230,7 +238,7 @@ object DrainStages {
     // materialize the probe/score outputs so label_assemble times only
     // its own joins (the dup set is EMPTY here — the disjoint seed —
     // exactly like the e2e drain's)
-    val dupIds = DedupIndex.dedupAgainstStored(spark, "stages_dedup_e2e",
+    val dupIds = DedupIndex.dedupAgainstStored(spark, "stages_dedup_iso",
         cleaned, "doc_id", "clean", cfgBase.threshold, cfgBase.k,
         cfgBase.bands, cfgBase.shingleN, committedBatch = -1L)
       .select(col("new_id").as("doc_id")).distinct()

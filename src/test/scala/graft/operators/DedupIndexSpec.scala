@@ -149,6 +149,50 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom overflow rebuilds at doubled capacity: no false negatives, fresh batches still prune (r17 saturation fix)") {
+    import spark.implicits._
+    val tbl = freshTable("dix")
+    withTables(tbl) {
+      // capacity floors at 2× the initial bucket rows (2 docs × 8 bands
+      // = 16 rows → cap 32), so the first real append overflows it
+      DedupIndex.saveCorpus(spark, corpus.limit(2), "doc_id", "text", tbl,
+        bloomItems = 16)
+      def meta() = spark.table(s"${tbl}_bloom")
+        .select(col("items"), col("n_inserted")).collect().head
+      val cap0 = meta().getLong(0)
+      assert(meta().getLong(1) == 16L, "initial counter = initial bucket rows")
+      // every 3-shingle of each doc carries an i-varying token, so the
+      // docs are pairwise jaccard-0 and the append is pure growth
+      val day1 = (0 until 40).map(i =>
+        (960000L + i, s"material $i on subject$i covering theme$i " +
+          s"with detail$i and aspect$i"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendCorpus(spark, day1, "doc_id", "text", tbl)
+      val m1 = meta()
+      assert(m1.getLong(0) >= cap0 * 2, s"overflow must grow capacity: $m1")
+      assert(m1.getLong(1) == spark.table(s"${tbl}_buckets").count(),
+        "rebuild resets the counter to the exact stored row count")
+      // superset invariant: a rebuilt filter missing any stored hash
+      // would prune TRUE duplicates — every stored bucket must hit
+      val stored = spark.table(s"${tbl}_buckets")
+      assert(DedupIndex.bloomPrune(spark, tbl, stored).count() == stored.count(),
+        "rebuilt filter contains every stored band hash")
+      // a resend of a post-rebuild doc is still caught end-to-end
+      val resend = Seq((970001L, "material 7 on subject7 covering theme7 " +
+        "with detail7 and aspect7")).toDF("doc_id", "text")
+      val hits = DedupIndex.dedupAgainstStored(spark, tbl, resend, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((970001L, 960007L)), s"resend caught after rebuild: $hits")
+      // and the rebuilt filter actually PRUNES again (the saturated one
+      // passed everything): a disjoint batch's buckets all miss
+      val fresh = Seq((980001L, "unrelated closing fragment regarding " +
+        "tidal marsh sediment transport")).toDF("doc_id", "text")
+      assert(DedupIndex.bloomPrune(spark, tbl,
+        DedupIndex.batchBuckets(fresh, "doc_id", "text")).count() == 0,
+        "rebuilt (unsaturated) filter prunes a fresh batch to zero")
+    }
+  }
+
   test("a corrupt bloom table degrades to the un-pruned path (results unchanged); rebuildBloom restores pruning") {
     import spark.implicits._
     val tbl = freshTable("dix")
